@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{DxQueries, Q, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries live in graft.queries.* as [[graft.queries.Q]] values that pair
+  * each Spark implementation with its DuckDB oracle SQL (kept side by side
+  * so the two can never drift apart silently); this object just flattens
+  * the registry into the driver's two maps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  def registry: Seq[Q] = Relational.all ++ DxQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full DX-group pipeline (SURVEY.md §3.1) over the documents table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("dx_pipeline")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.collect { case Q(n, _, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K2/O6 — batch/lineage bookkeeping (SURVEY.md §2.2, §2.8).
+  *
+  * Every reference run inserts a `batch` row (pipeline name, date window,
+  * comment = full params string) into Postgres and reads back the
+  * DB-generated serial `batch_id`, then stamps that id onto every derived
+  * row (reference: conn.insert_row(table_name="batch", ...),
+  * diagnostic_group_pipeline_with_api.py:104-132).
+  *
+  * In a lake-only deployment there is no serial column, so the ledger is a
+  * small parquet table owned by the driver: allocate `max(batch_id)+1`,
+  * append the new row. Single-driver ⇒ race-free; on a shared lake this
+  * would sit behind a transactional table format, same API. Observable
+  * semantics match `INSERT ... RETURNING batch_id` (SURVEY.md §7.3).
+  */
+final class BatchLedger(spark: SparkSession, ledgerPath: String) {
+
+  final case class BatchRow(batchId: Long, pipelineName: String,
+                            dateFrom: String, dateTo: String, comment: String)
+
+  private def existing: Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(ledgerPath)
+      if (df.columns.contains("batch_id")) Some(df) else None
+    } catch { case _: Throwable => None }
+
+  /** Allocate the next batch id and durably record the run row. */
+  def newBatch(pipelineName: String, dateFrom: String, dateTo: String,
+               comment: String): Long = {
+    val nextId: Long = existing
+      .flatMap(df => Option(df.agg(max("batch_id")).first().get(0)))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
+    import spark.implicits._
+    Seq((nextId, pipelineName, dateFrom, dateTo, comment))
+      .toDF("batch_id", "pipeline_name", "date_from", "date_to", "comment")
+      .write.mode(SaveMode.Append).parquet(ledgerPath)
+    nextId
+  }
+
+  def history: DataFrame = existing.getOrElse(
+    spark.emptyDataFrame)
+}
+
+object BatchLedger {
+  /** O6 — stamp a batch id onto every row of a stage output
+    * (reference: data["batch_id"] = batch_id,
+    * diagnostic_group_pipeline_with_api.py:132).
+    */
+  def stamp(df: DataFrame, batchId: Long): DataFrame =
+    df.withColumn("batch_id", lit(batchId))
+}

@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table readers (see /root/repo/TESTDATA.md, FIXTURES.md §A).
+  *
+  * All reads are plain `spark.read.parquet` so Catalyst keeps full pushdown
+  * freedom (column pruning + predicate pushdown reach the parquet scan).
+  * The reference system materialized every inter-stage table in Postgres
+  * (reference: diagnostic_group_pipeline_with_api.py:142,219) — here a table
+  * is just a lazily-planned scan and stages compose as DataFrame lineage.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** CSV source with the reference's quirks: header, latin-1 encoding and
+    * empty-string-as-null (reference: dx_group.py:93, mvp_pipe.py:44 —
+    * `pd.read_csv(..., encoding='latin-1', na_values="")`). Schema is
+    * caller-supplied so the scan never pays an inference pass at scale.
+    */
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("encoding", "ISO-8859-1")
+      .option("nullValue", "")
+      .schema(schema)
+      .csv(path)
+
+  /** JDBC source with projection + date-range predicate pushed down
+    * (reference: Diagnostic_group_pipeline.py:76-78 `get_messages(...)` built
+    * a SELECT/WHERE string by hand; Catalyst pushes the same projection and
+    * filter through the JDBC scan for free). Not exercised by the parquet
+    * fixtures — kept as the documented scale path for DB-backed deployments.
+    */
+  def jdbc(spark: SparkSession, url: String, dbtable: String,
+           props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, dbtable, props)
+}
