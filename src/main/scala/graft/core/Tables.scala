@@ -25,7 +25,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark cannot read natively — with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench
+    * sessions) it arrives as a nanosecond long; normalize to a proper
+    * TIMESTAMP (microsecond floor, matching DuckDB's ns→µs truncation).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

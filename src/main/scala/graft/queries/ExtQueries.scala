@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.streaming.EventStream
+
+/** North-star extension queries (BASELINE.json): dedup, similarity search,
+  * text analysis, JSON events, multimodal plumbing, streaming parity.
+  * Oracle determinism rests on two pillars: md5 (identical hex in both
+  * engines) and decimal-exact summation (order-independent); see
+  * [[OracleCompat]].
+  */
+object ExtQueries {
+
+  /** DuckDB restatement of Dedup.charShingles. */
+  private def shingleSql(c: String, k: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(length($c)-${k - 1},1)), i -> substr($c, i, $k)))"
+
+  private val cleanSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]+', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+  /** DuckDB restatement of Dedup.dotExact over index i (1-based). */
+  private def dotSql(a: String, b: String): String =
+    s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(
+
+    Q("dedup_exact",
+      "Exact dedup groups by normalized key (here: 40-char prefix — the " +
+        "fixtures plant prefix duplicates): one shuffle on the key, " +
+        "min-id survivor.",
+      (s, d) => Dedup.exactDupGroups(Tables.documents(s, d),
+          col("doc_id"), substring(col("text"), 1, 40))
+        .orderBy("dup_key"),
+      Some("""SELECT substr(text, 1, 40) AS dup_key, min(doc_id) AS keep_id,
+             |       count(*) AS group_size
+             |FROM documents
+             |GROUP BY 1 HAVING count(*) > 1
+             |ORDER BY dup_key""".stripMargin)),
+
+    Q("dedup_minhash",
+      "MinHash-LSH near-dup candidates: per-row signatures (shingle → md5 " +
+        "→ array_min, no explode), then a band-key self-join; only " +
+        "(id, band, 32-byte hash) ever shuffles.",
+      (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          shingleK = 12, numHashes = 6)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val mhs = (0 until 6).map(i =>
+          s"list_min(list_transform(${shingleSql("text", 12)}, s -> md5('$i|' || s))) AS mh$i")
+          .mkString(",\n    ")
+        val bands = (0 until 6).map(i =>
+          s"SELECT doc_id, $i AS band, mh$i AS h FROM sig").mkString("\n  UNION ALL ")
+        s"""WITH sig AS (
+           |  SELECT doc_id,
+           |    $mhs
+           |  FROM documents),
+           |bands AS (
+           |  $bands)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS bands_matched
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    Q("dedup_jaccard",
+      "Exact n-gram Jaccard near-dup pairs with a shingle document-" +
+        "frequency cap (boilerplate guard bounding the self-join " +
+        "quadratically).",
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleK = 12, threshold = 0.5, maxShingleDf = 64)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id AS id, unnest(${shingleSql("text", 12)}) AS sh FROM documents),
+              |counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64),
+              |f AS (SELECT sh.id, sh.sh FROM sh JOIN rare USING (sh)),
+              |common AS (
+              |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              |  FROM f a JOIN f b ON a.sh = b.sh AND a.id < b.id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b, n_common,
+              |       n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+              |FROM common
+              |JOIN counts ca ON ca.id = id_a
+              |JOIN counts cb ON cb.id = id_b
+              |WHERE n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dedup_simhash",
+      "16-bit SimHash signatures from word-level md5 nibbles: one explode " +
+        "+ one 16-way aggregation; pairs at scale come from " +
+        "bit_count(xor) ≤ r (Dedup.simhashPairs).",
+      (s, d) => Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val sums = (0 until 16).map { b =>
+          val hexPos = b / 4 + 1
+          val div = 1 << (b % 4)
+          s"sum((((instr('0123456789abcdef', substr(h4, $hexPos, 1)) - 1) // $div) % 2) * 2 - 1) AS s$b"
+        }.mkString(",\n    ")
+        val hash = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH w0 AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+           |w AS (SELECT doc_id, substr(md5(w), 1, 4) AS h4 FROM w0),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $sums
+           |  FROM w GROUP BY doc_id)
+           |SELECT doc_id, CAST($hash AS BIGINT) AS simhash
+           |FROM bits ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("dedup_embedding",
+      "Embedding-cosine near-dup pairs blocked by the cluster column " +
+        "(IVF-style: only intra-cluster pairs are scored); decimal-exact " +
+        "dot products keep it bit-reproducible.",
+      (s, d) => Dedup.embeddingNearDups(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH nrm AS (
+              |  SELECT vec_id, label, embedding,
+              |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM embeddings, generate_series(1, 64) g(i)
+              |  GROUP BY vec_id, label, embedding),
+              |pairs AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |         a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
+              |  FROM nrm a JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id),
+              |dots AS (
+              |  SELECT id_a, id_b, ${dotSql("ea", "eb")} AS dot, na, nb
+              |  FROM pairs, generate_series(1, 64) g(i)
+              |  GROUP BY id_a, id_b, na, nb)
+              |SELECT id_a, id_b, dot / (na * nb) AS cos_sim
+              |FROM dots
+              |WHERE dot / (na * nb) >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("sim_topk",
+      "Brute-force cosine top-k against a stored query vector: narrow " +
+        "per-row map + TakeOrderedAndProject (per-partition top-k, driver " +
+        "merge — no global sort).",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              |nq AS (
+              |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+              |  FROM q, generate_series(1, 64) g(i)),
+              |ne AS (
+              |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+              |dots AS (
+              |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+              |  FROM embeddings e, q, generate_series(1, 64) g(i)
+              |  GROUP BY e.vec_id)
+              |SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+              |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nq
+              |ORDER BY cos_sim DESC, d.vec_id
+              |LIMIT 10""".stripMargin)),
+
+    Q("sim_ivf",
+      "IVF ANN: exact per-cluster centroids (tiny aggregate), rank " +
+        "clusters by centroid cosine, probe only the top nprobe clusters " +
+        "via a broadcast semi-join — the 100TB path where probing prunes " +
+        "partitions at the scan.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.ivfTopK(emb, "vec_id", "embedding", "label", q, k = 10, nprobe = 3)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              |nq AS (
+              |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+              |  FROM q, generate_series(1, 64) g(i)),
+              |cent AS (
+              |  SELECT label, i,
+              |         cast(sum(cast(embedding[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE) / count(*) AS c
+              |  FROM embeddings, generate_series(1, 64) g(i)
+              |  GROUP BY label, i),
+              |cdot AS (
+              |  SELECT c.label,
+              |         cast(sum(cast(c.c * q.qe[c.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE) AS dot,
+              |         sqrt(cast(sum(cast(c.c * c.c AS DECIMAL(38,14))) AS DOUBLE)) AS cn
+              |  FROM cent c, q GROUP BY c.label),
+              |short AS (
+              |  SELECT label FROM cdot, nq
+              |  ORDER BY dot / (cn * nq.nrm) DESC, label LIMIT 3),
+              |ne AS (
+              |  SELECT vec_id, label, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id, label),
+              |dots AS (
+              |  SELECT e.vec_id, e.label, ${dotSql("e.embedding", "q.qe")} AS dot
+              |  FROM embeddings e, q, generate_series(1, 64) g(i)
+              |  GROUP BY e.vec_id, e.label)
+              |SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+              |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nq
+              |WHERE d.label IN (SELECT label FROM short)
+              |ORDER BY cos_sim DESC, d.vec_id
+              |LIMIT 10""".stripMargin)),
+
+    Q("ta_langid",
+      "Language-ID by marker-word frequency, reported as a (lang × " +
+        "predicted) confusion matrix — pure expression argmax, one " +
+        "aggregation.",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.predictLang(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang"),
+      Some {
+        val langs = TextAnalysis.defaultMarkers
+        def score(m: String) =
+          s"((length(text) - length(replace(text, '$m', ''))) / ${m.length}::DOUBLE)"
+        val scoreDefs = langs.map { case (l, m) => s"${score(m)} AS s_$l" }.mkString(",\n    ")
+        val pred = langs.init.foldRight(s"'${langs.last._1}'") { case ((l, _), rest) =>
+          val conds = langs.filter(_._1 != l).map(o => s"s_$l >= s_${o._1}").mkString(" AND ")
+          s"CASE WHEN $conds THEN '$l' ELSE $rest END"
+        }
+        s"""WITH scored AS (
+           |  SELECT lang,
+           |    $scoreDefs
+           |  FROM documents)
+           |SELECT lang, $pred AS pred_lang, count(*) AS n
+           |FROM scored
+           |GROUP BY 1, 2
+           |ORDER BY lang, pred_lang""".stripMargin
+      }),
+
+    Q("ta_quality",
+      "Per-document quality features (length, punctuation ratio, stopword " +
+        "ratio) + composite score in [0,1] — the pre-training corpus " +
+        "filter shape; zero-shuffle scan-stage expressions.",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, length(text) AS n_chars,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |    CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+             |         ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text) END AS punct_ratio,
+             |    ((length(text) - length(replace(text, ' the ', ''))) / 5::DOUBLE
+             |      + (length(text) - length(replace(text, ' a ', ''))) / 3::DOUBLE) AS stop_hits
+             |  FROM documents),
+             |t2 AS (
+             |  SELECT doc_id, n_chars, n_tokens, punct_ratio,
+             |    CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE ELSE stop_hits / n_tokens END AS stop_ratio
+             |  FROM t)
+             |SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio,
+             |  least(n_chars / 500.0::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
+             |    + (1.0::DOUBLE - punct_ratio) * 0.3::DOUBLE
+             |    + least(stop_ratio * 4.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE AS quality
+             |FROM t2
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("ta_tokens",
+      "Token counting two ways — whitespace and BPE-ish regex (letter " +
+        "runs / digit runs / punctuation marks) — plus chars-per-token.",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextAnalysis.tokenCountRegex(col("text")).as("n_tokens_re"),
+        (length(col("text")) / TextAnalysis.tokenCountWs(col("text")))
+          .as("chars_per_token"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_re,
+             |  length(text) / (CASE WHEN trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS chars_per_token
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("ta_fingerprint",
+      "Document fingerprinting: md5 of normalized text (exact-dedup key) " +
+        "+ min-shingle-hash (winnowing-style robust fingerprint that " +
+        "survives small edits).",
+      (s, d) => {
+        val clean = TextOps.cleanMsg(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(clean).as("fp_md5"),
+          array_min(transform(Dedup.charShingles(clean, 16), sh => md5(sh)))
+            .as("fp_robust"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, $cleanSql AS msg FROM documents)
+              |SELECT doc_id, md5(msg) AS fp_md5,
+              |       list_min(list_transform(${shingleSql("msg", 16)}, s -> md5(s))) AS fp_robust
+              |FROM c
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("ev_json",
+      "JSON property parsing (from_json to a typed struct) + per-type " +
+        "aggregate over the events table.",
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", from_json(col("props"),
+          StructType(Seq(StructField("k", LongType)))).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+          OracleCompat.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  sum(cast(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE / count(*) AS avg_k,
+             |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    Q("ev_window",
+      "Tumbling 1-hour window aggregation over event time (batch plan of " +
+        "the streaming query below).",
+      (s, d) => EventStream.windowedAggBatch(s, d)
+        .orderBy("hour_start", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |  event_type, count(*) AS n,
+             |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY hour_start, event_type""".stripMargin)),
+
+    Q("stream_window",
+      "The SAME windowed aggregation executed as a real Structured " +
+        "Streaming query (readStream → watermark → window agg → memory " +
+        "sink, driven to completion) — checked against the identical " +
+        "batch oracle: stream ≡ batch.",
+      (s, d) => EventStream.runWindowedStream(s, d)
+        .orderBy("hour_start", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |  event_type, count(*) AS n,
+             |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY hour_start, event_type""".stripMargin)),
+
+    Q("mm_meta",
+      "Multimodal plumbing: text bytes stand in for an image payload " +
+        "(binary column), decoded to typed metadata by a batched " +
+        "mapPartitions stub — schema/batching/partitioning are the real " +
+        "contract, the codec body is the documented fake.",
+      (s, d) => Multimodal.extractMeta(
+          Tables.documents(s, d).select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload")),
+          "payload")
+        .select(col("doc_id"), col("meta.n_bytes"), col("meta.width"),
+          col("meta.height"), col("meta.format"), col("meta.content_md5"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(32 + octet_length(encode(text)) % 224 AS BIGINT) AS width,
+             |  CAST(32 + (octet_length(encode(text)) * 7) % 224 AS BIGINT) AS height,
+             |  CASE octet_length(encode(text)) % 3
+             |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+             |  md5(text) AS content_md5
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)))
+}

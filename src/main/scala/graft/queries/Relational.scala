@@ -98,17 +98,19 @@ object Relational {
              |ORDER BY o_orderkey""".stripMargin)),
 
     Q("q5_anti_join",
-      "NOT EXISTS as left-anti join (customers with no orders).",
+      "NOT EXISTS as left-anti join (customers with no large order).",
       (s, d) => {
         val c = Tables.customer(s, d)
-        val o = Tables.orders(s, d).select("o_custkey")
+        val o = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 300000).select("o_custkey")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name
              |FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
     Q("q6_window_topk",
