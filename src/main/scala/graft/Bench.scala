@@ -14,6 +14,9 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: JIT/codegen/parquet-footer paths, so per-query timings
+    // measure the plan, not first-run compilation
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

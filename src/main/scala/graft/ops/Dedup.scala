@@ -32,16 +32,25 @@ object Dedup {
       sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
       i => c.substr(i, lit(k))))
 
-  /** MinHash signature i: min over shingles of md5(i + "|" + shingle).
-    * With one hash per band this doubles as the LSH band key.
+  /** Hash function i (0..11) for one shingle: a 5-hex-char (20-bit) slice
+    * of md5(s) (i < 6) or md5("x"+s) (i ≥ 6) — twelve pseudo-independent
+    * hashes from two md5 evaluations per shingle.
     */
-  def minhash(shingles: Column, i: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))
+  private def hashSlice(i: Int)(h1: Column, h2: Column): Column =
+    if (i < 6) substring(h1, i * 5 + 1, 5)
+    else substring(h2, (i - 6) * 5 + 1, 5)
 
-  /** Per-row MinHash signature columns mh0..mh{n-1}. */
+  val MaxHashes = 12
+
+  /** Per-doc MinHash signature columns mh0..mh{n-1} (array-expression
+    * form, shuffle-free).
+    */
   def minhashSignature(textCol: Column, shingleK: Int, numHashes: Int): Seq[Column] = {
-    val sh = charShingles(textCol, shingleK)
-    (0 until numHashes).map(i => minhash(sh, i).as(s"mh$i"))
+    require(numHashes <= MaxHashes, s"at most $MaxHashes hashes (two md5 digests)")
+    val h1 = transform(charShingles(textCol, shingleK), s => md5(s))
+    val h2 = transform(charShingles(textCol, shingleK), s => md5(concat(lit("x"), s)))
+    (0 until numHashes).map(i =>
+      array_min(zip_with(h1, h2, hashSlice(i))).as(s"mh$i"))
   }
 
   /** Exact-duplicate groups by a key expression (typically
@@ -61,16 +70,32 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash-LSH candidate pairs: docs agreeing on ≥1 of `numHashes` band
-    * keys, with the number of agreeing bands (an estimate of Jaccard ≈
-    * bands_matched / numHashes). Signature computation is per-row; only
-    * (id, band, hash) tuples shuffle.
+  /** MinHash-LSH candidate pairs with (bands × rowsPerBand) banding: a
+    * band key is the concatenation of `rowsPerBand` minhashes, and a pair
+    * is a candidate when ≥1 band agrees — P(candidate) =
+    * 1-(1-J^r)^b, the S-curve that admits near-dups and rejects the
+    * merely-similar. Signature computation is explode + partial-agg (md5
+    * evaluated once per shingle, map-side combine shrinks the shuffle to
+    * `bands·r` values per doc); the self-join shuffles only
+    * (id, band, key).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 12, numHashes: Int = 6): DataFrame = {
-    val sig = df.select(col(idCol) +: minhashSignature(col(textCol), shingleK, numHashes): _*)
-    val bands = sig.select(col(idCol), explode(array(
-      (0 until numHashes).map(i => struct(lit(i).as("band"), col(s"mh$i").as("h"))): _*)).as("bh"))
+                        shingleK: Int = 12, bandsN: Int = 4,
+                        rowsPerBand: Int = 3): DataFrame = {
+    val numHashes = bandsN * rowsPerBand
+    require(numHashes <= MaxHashes, s"at most $MaxHashes hashes (two md5 digests)")
+    val sh = df.select(col(idCol), explode(charShingles(col(textCol), shingleK)).as("s"))
+      .withColumn("h1", md5(col("s")))
+      .withColumn("h2", md5(concat(lit("x"), col("s"))))
+    // both sides of the band self-join read sig: cache the tiny
+    // (docs × numHashes) relation instead of re-hashing every shingle twice
+    val mins = (0 until numHashes).map(i =>
+      min(hashSlice(i)(col("h1"), col("h2"))).as(s"mh$i"))
+    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*).persist()
+    val bandKeys = (0 until bandsN).map(b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("h")))
+    val bands = sig.select(col(idCol), explode(array(bandKeys: _*)).as("bh"))
       .select(col(idCol), col("bh.band"), col("bh.h"))
     val a = bands.as("a")
     val b = bands.as("b")
@@ -80,15 +105,26 @@ object Dedup {
       .agg(count(lit(1)).as("bands_matched"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs. `maxShingleDf` drops shingles
-    * appearing in more than that many docs (boilerplate guard — bounds the
-    * self-join at O(sum over shingles of df²) with df ≤ cap).
+  /** n-gram Jaccard near-dup pairs. Two scale guards:
+    *  - `maxShingleDf` drops shingles appearing in more than that many
+    *    docs (boilerplate guard — bounds the self-join at
+    *    O(sum over shingles of df²) with df ≤ cap);
+    *  - `sampleHex` (1-16) keeps only shingles whose md5 starts with one
+    *    of the first `sampleHex` hex digits — deterministic mod-p shingle
+    *    sampling (the classic Broder trick): Jaccard is then estimated on
+    *    a 16/sampleHex-times smaller shingle universe, shrinking the
+    *    self-join quadratically while staying engine-portable.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 12, threshold: Double = 0.5,
-                   maxShingleDf: Int = 64): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+                   maxShingleDf: Int = 64, sampleHex: Int = 16): DataFrame = {
+    val shAll = df.select(col(idCol).as("id"),
         explode(charShingles(col(textCol), shingleK)).as("sh"))
+    // four consumers (counts, df-cap, both self-join sides) — cache the
+    // sampled shingle relation instead of re-exploding/re-hashing 4×
+    val sh = (if (sampleHex >= 16) shAll
+      else shAll.filter(substring(md5(col("sh")), 1, 1) < lit(f"${sampleHex}%x")))
+      .persist()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
       .filter(col("df_sh") <= maxShingleDf).select("sh")
@@ -155,18 +191,33 @@ object Dedup {
 
   def normExact(a: Column): Column = sqrt(dotExact(a, a))
 
+  /** Fast dot product — the custom codegen'd [[graft.functions.DotProduct]]
+    * expression (tight primitive loop inside WholeStageCodegen).
+    * Order-deterministic sequential sum but engine-specific; use for
+    * pre-filtering, not for oracle-visible values.
+    */
+  def dotFast(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
+
   /** Embedding-cosine near-duplicate pairs, blocked by a partition column
     * (here: the IVF-style `label` cluster — at 100 TB the blocker is the
     * coarse quantizer, so only intra-cluster pairs are scored).
+    *
+    * Two-phase scoring: a cheap double-arithmetic cosine prunes the pair
+    * set with a small safety margin (double vs exact error ≪ 1e-9), and
+    * the exact decimal cosine is recomputed only for survivors — the
+    * reported values and the threshold decision are bit-exact.
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     val withNorm = emb.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).as("v"), normExact(col(vecCol)).as("nrm"))
+      col(vecCol).as("v"), sqrt(dotFast(col(vecCol), col(vecCol))).as("nrmf"))
     val a = withNorm.as("a"); val b = withNorm.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .filter(dotFast(col("a.v"), col("b.v")) / (col("a.nrmf") * col("b.nrmf"))
+        >= threshold - 1e-6)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dotExact(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        (dotExact(col("a.v"), col("b.v")) /
+          (normExact(col("a.v")) * normExact(col("b.v")))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -53,8 +53,10 @@ object Inference {
     * (postprocessed by TextOps.splitIndex, T7).
     */
   final class DeterministicClassifier(numLabels: Int) extends TextClassifier {
-    private val digest = java.security.MessageDigest.getInstance("MD5")
+    // The cached model instance is shared by all tasks on an executor, so
+    // per-call state only: MessageDigest is NOT thread-safe.
     private def hex(s: String): String = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
       val d = digest.digest(s.getBytes("UTF-8"))
       d.map(b => f"$b%02x").mkString
     }

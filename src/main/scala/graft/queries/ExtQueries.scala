@@ -41,18 +41,23 @@ object ExtQueries {
              |ORDER BY dup_key""".stripMargin)),
 
     Q("dedup_minhash",
-      "MinHash-LSH near-dup candidates: per-row signatures (shingle → md5 " +
-        "→ array_min, no explode), then a band-key self-join; only " +
-        "(id, band, 32-byte hash) ever shuffles.",
+      "MinHash-LSH near-dup candidates with 4 bands × 3 rows banding " +
+        "(P(candidate)=1-(1-J³)⁴ — the S-curve that rejects the merely-" +
+        "similar): per-shingle md5 once, partial-agg signatures, band-key " +
+        "self-join; only (id, band, key) ever shuffles.",
       (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-          shingleK = 12, numHashes = 6)
+          shingleK = 12, bandsN = 4, rowsPerBand = 3)
         .orderBy("id_a", "id_b"),
       Some {
-        val mhs = (0 until 6).map(i =>
-          s"list_min(list_transform(${shingleSql("text", 12)}, s -> md5('$i|' || s))) AS mh$i")
+        def slice(i: Int) =
+          if (i < 6) s"substr(md5(s), ${i * 5 + 1}, 5)"
+          else s"substr(md5('x' || s), ${(i - 6) * 5 + 1}, 5)"
+        val mhs = (0 until 12).map(i =>
+          s"list_min(list_transform(${shingleSql("text", 12)}, s -> ${slice(i)})) AS mh$i")
           .mkString(",\n    ")
-        val bands = (0 until 6).map(i =>
-          s"SELECT doc_id, $i AS band, mh$i AS h FROM sig").mkString("\n  UNION ALL ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2} AS h FROM sig")
+          .mkString("\n  UNION ALL ")
         s"""WITH sig AS (
            |  SELECT doc_id,
            |    $mhs
@@ -67,14 +72,15 @@ object ExtQueries {
       }),
 
     Q("dedup_jaccard",
-      "Exact n-gram Jaccard near-dup pairs with a shingle document-" +
-        "frequency cap (boilerplate guard bounding the self-join " +
-        "quadratically).",
+      "n-gram Jaccard near-dup pairs with deterministic 1/4 shingle " +
+        "sampling (Broder mod-p trick) and a shingle document-frequency " +
+        "cap — both guards bound the self-join quadratically.",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleK = 12, threshold = 0.5, maxShingleDf = 64)
+          shingleK = 12, threshold = 0.5, maxShingleDf = 64, sampleHex = 4)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH sh AS (
+      Some(s"""WITH sh0 AS (
               |  SELECT doc_id AS id, unnest(${shingleSql("text", 12)}) AS sh FROM documents),
+              |sh AS (SELECT id, sh FROM sh0 WHERE substr(md5(sh), 1, 1) < '4'),
               |counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
               |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64),
               |f AS (SELECT sh.id, sh.sh FROM sh JOIN rare USING (sh)),

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and catalyst Expressions.
+  *
+  * Spark 4 moved the Column ↔ Expression conversions behind
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`); a shim
+  * in an `org.apache.spark.sql` subpackage is the standard way for
+  * extension libraries to register custom expressions without forking.
+  */
+object Shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
