@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("charShingles: distinct k-grams; short strings yield one shingle") {
+    val got = Seq("abcde", "ab").toDF("t")
+      .select(Dedup.charShingles($"t", 4).as("sh")).as[Seq[String]].collect()
+    assert(got(0) == Seq("abcd", "bcde"))
+    assert(got(1) == Seq("ab"))
+  }
+
+  test("exactDedup keeps the minimum-id row per key (deterministic survivor)") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "k")
+    val out = Dedup.exactDedup(df, $"id", $"k").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val groups = Dedup.exactDupGroups(df, $"id", $"k").collect()
+    assert(groups.length == 1 &&
+      groups(0).getAs[Long]("keep_id") == 1L &&
+      groups(0).getAs[Long]("group_size") == 2L)
+  }
+
+  test("minhashCandidates surfaces a planted near-dup, skips unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "tokX")
+    val other = (200 to 260).map(i => s"zz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashSignature (array form) agrees with minhashCandidates' agg form") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val viaArray = df.select(Dedup.minhashSignature($"text", 12, 12): _*).collect()(0)
+    val sh = df.select($"doc_id", explode(Dedup.charShingles($"text", 12)).as("s"))
+      .withColumn("h1", md5($"s")).withColumn("h2", md5(concat(lit("x"), $"s")))
+    val viaAgg = sh.groupBy($"doc_id").agg(
+      min(substring($"h1", 1, 5)).as("mh0"),
+      min(substring($"h2", 1, 5)).as("mh6")).collect()(0)
+    assert(viaArray.getAs[String]("mh0") == viaAgg.getAs[String]("mh0"))
+    assert(viaArray.getAs[String]("mh6") == viaAgg.getAs[String]("mh6"))
+  }
+
+  test("jaccardPairs computes exact jaccard on unsampled shingles") {
+    // identical docs -> jaccard 1.0
+    val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"),
+      (3L, "qqqqqqqqqqqqqqqq")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", shingleK = 8,
+      threshold = 0.9, maxShingleDf = 64, sampleHex = 16).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
+    assert(out(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash16: deterministic, 16-bit range, identical texts collide") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val out = Dedup.simhash16(df, "doc_id", "text").orderBy("doc_id").collect()
+    val h = out.map(_.getAs[Long]("simhash"))
+    assert(h(0) == h(1))
+    assert(h.forall(v => v >= 0 && v < 65536))
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash16(df, "doc_id", "text"), "doc_id", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embeddingNearDups: identical vectors cos=1, cross-block pairs skipped") {
+    val v = Seq(1.0f, 2.0f, 3.0f)
+    val w = Seq(-3.0f, 2.0f, -1.0f)
+    val df = Seq((1L, v, 0), (2L, v, 0), (3L, w, 0), (4L, v, 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDups(df, "vec_id", "embedding", "label", 0.99)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
+    assert(math.abs(out(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProduct expression: correct value, float/double inputs, null safe") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0, 4.0))).toDF("a", "b")
+    val v = df.select(VectorOps.dot($"a", $"b")).as[Double].first()
+    assert(v == 1.0 * 3.0 + 2.0 * 4.0)
+    val withNull = Seq((Some(Seq(1.0f)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    assert(withNull.select(VectorOps.dot($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("DotProduct matches interpreted eval with codegen disabled") {
+    val df = Seq((Seq(0.5f, -1.5f, 2.0f), Seq(1.0f, 1.0f, 1.0f))).toDF("a", "b")
+    val expected = 0.5 - 1.5 + 2.0
+    assert(df.select(VectorOps.dot($"a", $"b")).as[Double].first() == expected)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.select(VectorOps.dot($"a", $"b")).as[Double].first() == expected)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("bruteForceTopK on the fixture: the query vector ranks itself first") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top(0).getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top(0).getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    val sims = top.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("ivfTopK with nprobe=all equals brute force exactly") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 3L)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", q, 10, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK nprobe=3 recall vs brute force is sane on the fixture") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", q, 10, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert((brute intersect ivf).size >= 3, s"recall too low: $brute vs $ivf")
+  }
+
+  test("centroids: cluster of identical vectors reproduces the vector") {
+    val df = Seq((1L, Seq(1.0f, 3.0f), 0), (2L, Seq(1.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val c = Similarity.centroids(df, "label", "embedding")
+      .select("centroid").as[Seq[Double]].first()
+    assert(c == Seq(1.0, 3.0))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("occurrences counts non-overlapping literal matches") {
+    val n = Seq("x the y the z").toDF("t")
+      .select(TextAnalysis.occurrences($"t", " the ").as("n")).as[Double].first()
+    assert(n == 2.0)
+  }
+
+  test("token counts: ws vs BPE-ish regex") {
+    val r = Seq("Hello, world! x2").toDF("t").select(
+      TextAnalysis.tokenCountWs($"t").as("ws"),
+      TextAnalysis.tokenCountRegex($"t").as("re")).collect()(0)
+    assert(r.getLong(0) == 3)
+    // Hello , world ! x 2  -> 6
+    assert(r.getLong(1) == 6)
+  }
+
+  test("quality score is in [0,1] on the fixture and punct-sensitive") {
+    val docs = graft.core.Tables.documents(spark, graft.SparkSpec.Sf0001)
+    val bounds = docs.select(TextAnalysis.qualityScore($"text").as("q"))
+      .agg(min($"q"), max($"q")).collect()(0)
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+    val clean = Seq("the quick brown fox ran over the lazy dog again").toDF("t")
+      .select(TextAnalysis.qualityScore($"t")).as[Double].first()
+    val noisy = Seq("@#$%^&*!!! ??? ~~~///").toDF("t")
+      .select(TextAnalysis.qualityScore($"t")).as[Double].first()
+    assert(clean > noisy)
+  }
+
+  test("predictLang argmax with deterministic tie-break order") {
+    val df = Seq(" the data the ", " data data data ", " nothing ").toDF("t")
+      .select(TextAnalysis.predictLang($"t").as("l"))
+    // row1: en=2 es=... ' data '=1 -> en; row2: es wins; row3: all 0 -> en (first)
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "en"))
+  }
+}

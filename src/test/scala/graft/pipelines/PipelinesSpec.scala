@@ -1,0 +1,57 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.core.{BatchLedger, Tables}
+import org.apache.spark.sql.functions._
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DxGroup.run: end-to-end schema, row preservation, batch stamping") {
+    val docs = Tables.documents(spark, graft.SparkSpec.Sf0001)
+    val out = DxGroup.run(spark, docs, batchId = 42L)
+    assert(out.columns.toSeq == Seq("batchid", "msgid", "predicted_label_id",
+      "model_score", "model_id", "predicted_label"))
+    val rows = out.agg(count(lit(1)), countDistinct($"msgid"),
+      min($"batchid"), max($"batchid")).collect()(0)
+    assert(rows.getLong(0) == docs.count())  // label join preserves rows
+    assert(rows.getLong(1) == rows.getLong(0))
+    assert(rows.getLong(2) == 42L && rows.getLong(3) == 42L)
+    val labelRange = out.agg(min($"predicted_label_id"), max($"predicted_label_id")).collect()(0)
+    assert(labelRange.getLong(0) >= 0 && labelRange.getLong(1) <= 15)
+  }
+
+  test("DxGroup stage composition matches staged execution (no hidden state)") {
+    val docs = Seq((1L, "GROSS DESCRIPTION: Short Specimen MICROSCOPIC: cells"))
+      .toDF("doc_id", "text")
+    val cleaned = DxGroup.clean(docs, 5L)
+    assert(cleaned.columns.toSeq == Seq("batch_id", "msgid", "msg"))
+    val preped = DxGroup.prep(cleaned)
+    val r = preped.collect()(0)
+    // cleanMsg lowercases, so the uppercase clinical headers don't match:
+    // whole text falls through as 'entire report'
+    assert(r.getAs[String]("part_of_report") == "entire report")
+  }
+
+  test("Prostate.run: 19-column fan-in, one row per doc, constants applied") {
+    val docs = Tables.documents(spark, graft.SparkSpec.Sf0001).limit(50)
+    val out = Prostate.run(spark, docs,
+      questions = graft.ops.Inference.fixtureQuestions)
+    assert(out.columns.length == 19)
+    assert(out.count() == 50)
+    val r = out.select("site_code", "behaviour_code", "laterality").distinct().collect()
+    assert(r.toSeq.map(x => (x.getString(0), x.getString(1), x.getString(2))) ==
+      Seq(("C61.9", "3", "00")))
+  }
+
+  test("BatchLedger allocates sequential ids and records history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    val ledger = new BatchLedger(spark, s"$dir/ledger")
+    val id1 = ledger.newBatch("p", "20220101", "20230101", "c1")
+    val id2 = ledger.newBatch("p", "20220101", "20230101", "c2")
+    assert(id1 == 1L && id2 == 2L)
+    assert(ledger.history.count() == 2)
+    assert(BatchLedger.stamp(Seq(1).toDF("x"), id2).select("batch_id")
+      .as[Long].first() == 2L)
+  }
+}
