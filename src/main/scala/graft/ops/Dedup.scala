@@ -32,6 +32,17 @@ object Dedup {
       sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
       i => c.substr(i, lit(k))))
 
+  /** Distinct word n-gram shingles (the C4/RefinedWeb-style unit for text
+    * dedup): ~5× fewer shingles than character k-grams on prose, which
+    * shrinks every downstream hash/join linearly-to-quadratically.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val words = split(trim(c), "\\s+")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
   /** Hash function i (0..11) for one shingle: a 5-hex-char (20-bit) slice
     * of md5(s) (i < 6) or md5("x"+s) (i ≥ 6) — twelve pseudo-independent
     * hashes from two md5 evaluations per shingle.
@@ -45,10 +56,11 @@ object Dedup {
   /** Per-doc MinHash signature columns mh0..mh{n-1} (array-expression
     * form, shuffle-free).
     */
-  def minhashSignature(textCol: Column, shingleK: Int, numHashes: Int): Seq[Column] = {
+  def minhashSignature(textCol: Column, shingleOf: Column => Column,
+                       numHashes: Int): Seq[Column] = {
     require(numHashes <= MaxHashes, s"at most $MaxHashes hashes (two md5 digests)")
-    val h1 = transform(charShingles(textCol, shingleK), s => md5(s))
-    val h2 = transform(charShingles(textCol, shingleK), s => md5(concat(lit("x"), s)))
+    val h1 = transform(shingleOf(textCol), s => md5(s))
+    val h2 = transform(shingleOf(textCol), s => md5(concat(lit("x"), s)))
     (0 until numHashes).map(i =>
       array_min(zip_with(h1, h2, hashSlice(i))).as(s"mh$i"))
   }
@@ -80,13 +92,15 @@ object Dedup {
     * (id, band, key).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 12, bandsN: Int = 4,
-                        rowsPerBand: Int = 3): DataFrame = {
+                        shingleOf: Column => Column = wordShingles(_, 5),
+                        bandsN: Int = 2, rowsPerBand: Int = 3): DataFrame = {
     val numHashes = bandsN * rowsPerBand
     require(numHashes <= MaxHashes, s"at most $MaxHashes hashes (two md5 digests)")
-    val sh = df.select(col(idCol), explode(charShingles(col(textCol), shingleK)).as("s"))
+    val sh0 = df.select(col(idCol), explode(shingleOf(col(textCol))).as("s"))
       .withColumn("h1", md5(col("s")))
-      .withColumn("h2", md5(concat(lit("x"), col("s"))))
+    // the second digest is only needed past 6 hash slices
+    val sh = if (numHashes > 6) sh0.withColumn("h2", md5(concat(lit("x"), col("s"))))
+      else sh0.withColumn("h2", lit(""))
     // both sides of the band self-join read sig: cache the tiny
     // (docs × numHashes) relation instead of re-hashing every shingle twice
     val mins = (0 until numHashes).map(i =>
@@ -116,10 +130,11 @@ object Dedup {
     *    self-join quadratically while staying engine-portable.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 12, threshold: Double = 0.5,
+                   shingleOf: Column => Column = wordShingles(_, 3),
+                   threshold: Double = 0.5,
                    maxShingleDf: Int = 64, sampleHex: Int = 16): DataFrame = {
     val shAll = df.select(col(idCol).as("id"),
-        explode(charShingles(col(textCol), shingleK)).as("sh"))
+        explode(shingleOf(col(textCol))).as("sh"))
     // four consumers (counts, df-cap, both self-join sides) — cache the
     // sampled shingle relation instead of re-exploding/re-hashing 4×
     val sh = (if (sampleHex >= 16) shAll

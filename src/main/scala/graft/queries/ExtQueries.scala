@@ -18,6 +18,13 @@ object ExtQueries {
   private def shingleSql(c: String, k: Int): String =
     s"list_distinct(list_transform(generate_series(1, greatest(length($c)-${k - 1},1)), i -> substr($c, i, $k)))"
 
+  /** DuckDB restatement of Dedup.wordShingles. */
+  private def wordShingleSql(c: String, n: Int): String = {
+    val w = s"string_split_regex(trim($c), '\\s+')"
+    s"list_distinct(list_transform(generate_series(1, greatest(len($w)-${n - 1},1)), " +
+      s"i -> array_to_string(list_slice($w, i, i+${n - 1}), ' ')))"
+  }
+
   private val cleanSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]+', ' ', 'g'), '\s+', ' ', 'g'))"""
 
@@ -41,21 +48,20 @@ object ExtQueries {
              |ORDER BY dup_key""".stripMargin)),
 
     Q("dedup_minhash",
-      "MinHash-LSH near-dup candidates with 4 bands × 3 rows banding " +
-        "(P(candidate)=1-(1-J³)⁴ — the S-curve that rejects the merely-" +
-        "similar): per-shingle md5 once, partial-agg signatures, band-key " +
-        "self-join; only (id, band, key) ever shuffles.",
+      "MinHash-LSH near-dup candidates over word 5-gram shingles with " +
+        "2 bands × 3 rows banding (P(candidate)=1-(1-J³)² — the S-curve " +
+        "that rejects the merely-similar): per-shingle md5 once, " +
+        "partial-agg signatures, band-key self-join; only (id, band, key) " +
+        "ever shuffles.",
       (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-          shingleK = 12, bandsN = 4, rowsPerBand = 3)
+          Dedup.wordShingles(_, 5), bandsN = 2, rowsPerBand = 3)
         .orderBy("id_a", "id_b"),
       Some {
-        def slice(i: Int) =
-          if (i < 6) s"substr(md5(s), ${i * 5 + 1}, 5)"
-          else s"substr(md5('x' || s), ${(i - 6) * 5 + 1}, 5)"
-        val mhs = (0 until 12).map(i =>
-          s"list_min(list_transform(${shingleSql("text", 12)}, s -> ${slice(i)})) AS mh$i")
+        def slice(i: Int) = s"substr(md5(s), ${i * 5 + 1}, 5)"
+        val mhs = (0 until 6).map(i =>
+          s"list_min(list_transform(${wordShingleSql("text", 5)}, s -> ${slice(i)})) AS mh$i")
           .mkString(",\n    ")
-        val bands = (0 until 4).map(b =>
+        val bands = (0 until 2).map(b =>
           s"SELECT doc_id, $b AS band, mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2} AS h FROM sig")
           .mkString("\n  UNION ALL ")
         s"""WITH sig AS (
@@ -72,15 +78,15 @@ object ExtQueries {
       }),
 
     Q("dedup_jaccard",
-      "n-gram Jaccard near-dup pairs with deterministic 1/4 shingle " +
-        "sampling (Broder mod-p trick) and a shingle document-frequency " +
-        "cap — both guards bound the self-join quadratically.",
+      "Word 3-gram Jaccard near-dup pairs with a shingle document-" +
+        "frequency cap (boilerplate guard bounding the self-join " +
+        "quadratically; deterministic md5 mod-p sampling available for " +
+        "larger shingle universes).",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleK = 12, threshold = 0.5, maxShingleDf = 64, sampleHex = 4)
+          Dedup.wordShingles(_, 3), threshold = 0.5, maxShingleDf = 64)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH sh0 AS (
-              |  SELECT doc_id AS id, unnest(${shingleSql("text", 12)}) AS sh FROM documents),
-              |sh AS (SELECT id, sh FROM sh0 WHERE substr(md5(sh), 1, 1) < '4'),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id AS id, unnest(${wordShingleSql("text", 3)}) AS sh FROM documents),
               |counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
               |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64),
               |f AS (SELECT sh.id, sh.sh FROM sh JOIN rare USING (sh)),

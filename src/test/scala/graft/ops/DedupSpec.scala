@@ -25,7 +25,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhashCandidates surfaces a planted near-dup, skips unrelated docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
-    val nearDup = base.replace("tok30", "tokX")
+    val nearDup = base + " tokTail" // J = 56/62 on word-5-gram space
     val other = (200 to 260).map(i => s"zz$i").mkString(" ")
     val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
     val cands = Dedup.minhashCandidates(df, "doc_id", "text")
@@ -36,7 +36,8 @@ class DedupSpec extends SparkSpec {
 
   test("minhashSignature (array form) agrees with minhashCandidates' agg form") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
-    val viaArray = df.select(Dedup.minhashSignature($"text", 12, 12): _*).collect()(0)
+    val viaArray = df.select(
+      Dedup.minhashSignature($"text", Dedup.charShingles(_, 12), 12): _*).collect()(0)
     val sh = df.select($"doc_id", explode(Dedup.charShingles($"text", 12)).as("s"))
       .withColumn("h1", md5($"s")).withColumn("h2", md5(concat(lit("x"), $"s")))
     val viaAgg = sh.groupBy($"doc_id").agg(
@@ -50,7 +51,7 @@ class DedupSpec extends SparkSpec {
     // identical docs -> jaccard 1.0
     val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"),
       (3L, "qqqqqqqqqqqqqqqq")).toDF("doc_id", "text")
-    val out = Dedup.jaccardPairs(df, "doc_id", "text", shingleK = 8,
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", Dedup.charShingles(_, 8),
       threshold = 0.9, maxShingleDf = 64, sampleHex = 16).collect()
     assert(out.length == 1)
     assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
