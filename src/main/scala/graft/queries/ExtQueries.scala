@@ -346,6 +346,42 @@ object ExtQueries {
              |GROUP BY 1, 2
              |ORDER BY hour_start, event_type""".stripMargin)),
 
+    Q("ev_sessionize",
+      "Sessionization with a 30-minute inactivity gap via the built-in " +
+        "session_window operator (batch plan of the same stateful shape " +
+        "Structured Streaming runs); oracle restates it as the classic " +
+        "lag + cumulative-sum window formulation — two independent " +
+        "definitions, one result.",
+      (s, d) => {
+        val us = unix_micros(col("ts"))
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(us) - min(us)).as("duration_us"),
+            min(us).as("session_start_us"),
+            OracleCompat.dsum(col("value")).as("sum_value"))
+          .select("user_id", "session_start_us", "n_events", "duration_us", "sum_value")
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, epoch_us(ts) AS us, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, us, value,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+             |       max(us) - min(us) AS duration_us,
+             |       cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+             |FROM sess
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
     Q("stream_window",
       "The SAME windowed aggregation executed as a real Structured " +
         "Streaming query (readStream → watermark → window agg → memory " +

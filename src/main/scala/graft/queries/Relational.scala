@@ -256,6 +256,57 @@ object Relational {
              |  count(*) AS n
              |FROM documents""".stripMargin)),
 
+    Q("q14_outer_join",
+      "FULL OUTER join of two aggregates with coalesce'd keys/counts — " +
+        "null-completion semantics pinned against pandas-merge drift.",
+      (s, d) => {
+        val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("c_cnt"))
+        val sn = Tables.supplier(s, d).groupBy(col("s_nationkey").as("snk"))
+          .agg(count(lit(1)).as("s_cnt"))
+        cn.join(sn, cn("nk") === sn("snk"), "full_outer")
+          .select(
+            coalesce(col("nk"), col("snk")).as("nationkey"),
+            coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+            coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT coalesce(cn.nk, sn.snk) AS nationkey,
+             |       coalesce(c_cnt, 0) AS c_cnt, coalesce(s_cnt, 0) AS s_cnt
+             |FROM (SELECT c_nationkey AS nk, count(*) AS c_cnt
+             |      FROM customer GROUP BY 1) cn
+             |FULL OUTER JOIN (SELECT s_nationkey AS snk, count(*) AS s_cnt
+             |      FROM supplier GROUP BY 1) sn
+             |  ON cn.nk = sn.snk
+             |ORDER BY nationkey""".stripMargin)),
+
+    Q("q15_sql_surface",
+      "The spark.sql entry point with IN- and scalar subqueries (decimal-" +
+        "exact average so the threshold is bit-identical cross-engine); " +
+        "Catalyst rewrites IN to a semi join and the scalar to a " +
+        "one-row broadcast.",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS n
+          FROM orders_v
+          WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+                              WHERE c_mktsegment = 'BUILDING')
+            AND o_totalprice > (SELECT cast(sum(cast(o_totalprice
+                    AS decimal(28,8))) AS double) / count(*) FROM orders_v)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_mktsegment = 'BUILDING')
+             |  AND o_totalprice > (SELECT cast(sum(cast(o_totalprice
+             |          AS decimal(28,8))) AS double) / count(*) FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     Q("q13_rollup",
       "ROLLUP grouping sets — partial totals and a grand total in one " +
         "aggregation pass (Expand operator, single shuffle).",
