@@ -32,6 +32,29 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partitionCols`. The 100 TB reader's best friend — any filter on the
+    * partition columns prunes whole directories before a single row-group
+    * is opened (dynamic partition pruning handles join-driven filters).
+    */
+  def parquetPartitioned(df: DataFrame, path: String,
+                         partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed managed table: rows are hash-bucketed on `bucketCols` at
+    * write time, so joins/aggregations on those keys skip the shuffle
+    * entirely (both sides read pre-partitioned). Requires saveAsTable —
+    * bucket metadata lives in the catalog.
+    */
+  def bucketedTable(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K1 — JDBC bulk append. Partition-parallel inserts; `batchsize` tunes
     * rows per round-trip. Untestable against the parquet fixtures (no live
     * DB) — the documented production seam.

@@ -54,7 +54,7 @@ object ExtQueries {
         "partial-agg signatures, band-key self-join; only (id, band, key) " +
         "ever shuffles.",
       (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-          Dedup.wordShingles(_, 5), bandsN = 2, rowsPerBand = 3)
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
         .orderBy("id_a", "id_b"),
       Some {
         def slice(i: Int) = s"substr(md5(s), ${i * 5 + 1}, 5)"
@@ -83,7 +83,7 @@ object ExtQueries {
         "quadratically; deterministic md5 mod-p sampling available for " +
         "larger shingle universes).",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          Dedup.wordShingles(_, 3), threshold = 0.5, maxShingleDf = 64)
+          Dedup.Shingler.words(3), threshold = 0.5, maxShingleDf = 64)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH sh AS (
               |  SELECT doc_id AS id, unnest(${wordShingleSql("text", 3)}) AS sh FROM documents),

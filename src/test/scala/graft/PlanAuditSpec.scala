@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-regression pins: the scale properties PLANS.md documents must
+  * survive refactors. These assert on the formatted physical plan text —
+  * if a change un-pushes a filter or turns the star join into a shuffle
+  * join, the suite fails before any benchmark notices.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SparkSpec.Sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q2: both filters reach the parquet scan; schema pruned") {
+    val p = plan("q2_filter_proj")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity"))
+    // 5 of 11 lineitem columns read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("q10: star join is all broadcast hash joins, no sort-merge") {
+    val p = plan("q10_star_join")
+    // formatted mode prints each node in the tree and the detail section
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q7: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q7_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q4/q5: EXISTS/NOT EXISTS plan as semi/anti joins") {
+    assert(plan("q4_semi_join").contains("LeftSemi"))
+    assert(plan("q5_anti_join").contains("LeftAnti"))
+  }
+
+  test("dx_pipeline: one inference stage, broadcast label join, no extra shuffle") {
+    val p = plan("dx_pipeline")
+    // one MapPartitions node (appears once in tree, once in details)
+    assert("\\(\\d+\\) MapPartitions".r.findAllIn(p).size == 1)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dedup_embedding: custom DotProduct expression is in the plan") {
+    val p = plan("dedup_embedding")
+    assert(p.contains("dotproduct") || p.contains("DotProduct"))
+  }
+}

@@ -15,6 +15,8 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        "/root/repo/target/test-warehouse") // static conf: set at build time
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -51,7 +51,7 @@ class DedupSpec extends SparkSpec {
     // identical docs -> jaccard 1.0
     val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"),
       (3L, "qqqqqqqqqqqqqqqq")).toDF("doc_id", "text")
-    val out = Dedup.jaccardPairs(df, "doc_id", "text", Dedup.charShingles(_, 8),
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", Dedup.Shingler.chars(8),
       threshold = 0.9, maxShingleDf = 64, sampleHex = 16).collect()
     assert(out.length == 1)
     assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
