@@ -307,6 +307,46 @@ object Relational {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    Q("q16_like_filter",
+      "String predicate pushdown: LIKE '%..%' reaches the parquet scan as " +
+        "StringContains; prefix LIKE as StringStartsWith.",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_type").like("%ECON%") && col("p_brand").like("Brand#1%"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy("p_brand", "p_type"),
+      Some("""SELECT p_brand, p_type, count(*) AS n,
+             |  cast(sum(cast(p_retailprice AS decimal(28,8))) AS double) AS sum_price
+             |FROM part
+             |WHERE p_type LIKE '%ECON%' AND p_brand LIKE 'Brand#1%'
+             |GROUP BY p_brand, p_type
+             |ORDER BY p_brand, p_type""".stripMargin)),
+
+    Q("q17_topk_agg",
+      "Top-3 orders per customer via the custom TopKByKey " +
+        "TypedImperativeAggregate — unlike the q6 window form, partial " +
+        "aggregation bounds the shuffle to ≤k rows per (task, group); " +
+        "oracle restates it as the window query (same answer, different " +
+        "plan class).",
+      (s, d) => {
+        import graft.functions.TopKAgg
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(TopKAgg.topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("o_custkey"), col("t.id").as("o_orderkey"),
+            col("t.sort_key").as("o_totalprice"), (col("pos") + 1).cast("long").as("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |        row_number() OVER (PARTITION BY o_custkey
+             |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
     Q("q13_rollup",
       "ROLLUP grouping sets — partial totals and a grand total in one " +
         "aggregation pass (Expand operator, single shuffle).",
