@@ -163,15 +163,19 @@ object Dedup {
                    maxShingleDf: Int = 64, sampleHex: Int = 16): DataFrame = {
     val (staged, shCol) = shingler.stage(df, textCol)
     val shAll = staged.select(col(idCol).as("id"), explode(shCol).as("sh"))
-    // four consumers (counts, df-cap, both self-join sides) — cache the
-    // sampled shingle relation instead of re-exploding/re-hashing 4×
+    // multiple consumers — cache the sampled shingle relation instead of
+    // re-exploding/re-hashing per branch
     val sh = (if (sampleHex >= 16) shAll
       else shAll.filter(substring(md5(col("sh")), 1, 1) < lit(f"${sampleHex}%x")))
       .persist()
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
       .filter(col("df_sh") <= maxShingleDf).select("sh")
-    val filtered = sh.join(rare, "sh")
+    // Jaccard is computed entirely on the df-capped universe: counts and
+    // common counts MUST use the same shingle set, or capping deflates
+    // the numerator against an uncapped denominator and near-dups vanish
+    // once boilerplate frequency crosses the cap.
+    val filtered = sh.join(rare, "sh").persist()
+    val counts = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -61,10 +61,13 @@ object Sinks {
     */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  props: java.util.Properties = new java.util.Properties,
-                 batchsize: Int = 10000): Unit =
-    df.write.mode(SaveMode.Append)
+                 batchsize: Int = 10000,
+                 options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(SaveMode.Append)
       .option("batchsize", batchsize.toString)
-      .jdbc(url, table, props)
+    options.foreach { case (k, v) => w.option(k, v) }
+    w.jdbc(url, table, props)
+  }
 
   /** K4 — REST API sink. Transport is pluggable so the operator shape
     * (serialize partition → batched POST) is testable without a network;

@@ -87,9 +87,9 @@ object ExtQueries {
         .orderBy("id_a", "id_b"),
       Some(s"""WITH sh AS (
               |  SELECT doc_id AS id, unnest(${wordShingleSql("text", 3)}) AS sh FROM documents),
-              |counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
               |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64),
               |f AS (SELECT sh.id, sh.sh FROM sh JOIN rare USING (sh)),
+              |counts AS (SELECT id, count(*) AS n_sh FROM f GROUP BY id),
               |common AS (
               |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
               |  FROM f a JOIN f b ON a.sh = b.sh AND a.id < b.id
