@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StatefulSessionsSpec extends SparkSpec {
+  import StatefulSessions._
+
+  // offset the timeline off epoch zero: a row with ts == initial
+  // watermark (0) is dropped as late
+  private val Base = 1440L
+  private def ts(minute: Long): Timestamp = new Timestamp((Base + minute) * 60000L)
+  private def us(minute: Long): Long = (Base + minute) * 60000000L
+
+  test("flatMapGroupsWithState sessionization: gap splits, state flush on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val sessions = sessionize(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions").start()
+    try {
+      // user 1: two sessions (gap 45min); user 2: one session
+      input.addData(
+        Ev(1L, ts(0), 1.0), Ev(1L, ts(10), 2.0),
+        Ev(1L, ts(55), 4.0), Ev(1L, ts(60), 8.0),
+        Ev(2L, ts(5), 16.0))
+      q.processAllAvailable()
+      // a far-future event pushes the watermark past every open timeout
+      input.addData(Ev(99L, ts(10000), 0.0))
+      q.processAllAvailable()
+      // one more batch so timed-out state from the previous watermark fires
+      input.addData(Ev(99L, ts(10001), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("graft_sessions")
+        .as[Session].collect().filter(_.user_id != 99L)
+        .sortBy(s => (s.user_id, s.session_start_us)).toSeq
+      val minUs = 60000000L // µs per minute
+      assert(got == Seq(
+        Session(1L, us(0), 2L, 10 * minUs, 3.0),
+        Session(1L, us(55), 2L, 5 * minUs, 12.0),
+        Session(2L, us(5), 1L, 0L, 16.0)))
+    } finally q.stop()
+  }
+}
