@@ -351,6 +351,25 @@ object Relational {
              |WHERE rn <= 3
              |ORDER BY o_custkey, rn""".stripMargin)),
 
+    Q("q18_pivot",
+      "Pivot (long→wide): order counts per priority × status. Spark's " +
+        "pivot with explicit values compiles to one conditional " +
+        "aggregation pass — same plan class as the FILTER-clause oracle.",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .toDF("o_orderpriority", "n_f", "n_o", "n_p")
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     Q("q13_rollup",
       "ROLLUP grouping sets — partial totals and a grand total in one " +
         "aggregation pass (Expand operator, single shuffle).",
