@@ -21,6 +21,10 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
     }
+    // drop warmup-scale cached relations + let the heap settle, so the
+    // timed pass doesn't inherit GC pressure from warmup
+    spark.catalog.clearCache()
+    System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

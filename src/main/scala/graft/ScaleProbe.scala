@@ -37,6 +37,21 @@ object ScaleProbe {
     time(s"minhash x$mult")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
     time(s"jaccard x$mult")(Dedup.jaccardPairs(docs, "doc_id", "text").count())
     time(s"simhash x$mult")(Dedup.simhash16(docs, "doc_id", "text").count())
+
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val en = embBase.count()
+    val emb = (0 until mult).map { i =>
+      embBase.select((col("vec_id") + lit(i * en)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    println(s"vectors: ${emb.count()}")
+    time(s"emb near-dup x$mult")(Dedup.embeddingNearDups(
+      emb, "vec_id", "embedding", "label", 0.4).count())
+    val q = graft.ops.Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    time(s"brute topk x$mult")(
+      graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).count())
+    time(s"ivf topk x$mult")(graft.ops.Similarity.ivfTopK(
+      emb, "vec_id", "embedding", "label", q, 10, 3).count())
     spark.stop()
   }
 }
