@@ -19,9 +19,6 @@ import org.apache.spark.sql.functions._
   */
 final class BatchLedger(spark: SparkSession, ledgerPath: String) {
 
-  final case class BatchRow(batchId: Long, pipelineName: String,
-                            dateFrom: String, dateTo: String, comment: String)
-
   private def existing: Option[DataFrame] =
     try {
       val df = spark.read.parquet(ledgerPath)

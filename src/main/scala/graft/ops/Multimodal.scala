@@ -63,6 +63,34 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** STUB resize for image-like payloads: emits a payload whose size
+    * matches the target dimensions (a real codec decodes, scales, and
+    * re-encodes here — batched, partition-local, same column contract).
+    * Output columns: `resized` (binary) + `resized_meta` ([[metaSchema]]).
+    */
+  def resize(df: DataFrame, binCol: String, width: Int, height: Int,
+             batchSize: Int = 16): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("resized", BinaryType, nullable = false))
+      .add(StructField("resized_meta", metaSchema, nullable = false))
+    val binIdx = inSchema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      // real codecs initialize here, once per partition
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          val resized = Array.tabulate[Byte](width * height / 64)(i =>
+            bytes(i % math.max(bytes.length, 1)))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(resized).map(b => f"$b%02x").mkString
+          Row.fromSeq(row.toSeq :+ resized :+
+            Row(resized.length.toLong, width.toLong, height.toLong, "raw", hex))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** STUB frame-sample for video-like payloads: every `stride`-th chunk of
     * `chunkBytes` bytes becomes one "frame" row (schema/explode shape is
     * what a real frame sampler produces).

@@ -17,6 +17,16 @@ class MultimodalSpec extends SparkSpec {
     assert(m.getAs[String]("content_md5") == "5d41402abc4b2a76b9719d911017c592")
   }
 
+  test("resize stub: target-sized payload with consistent metadata") {
+    val df = Seq((1L, "some image bytes here")).toDF("id", "t")
+      .select($"id", encode($"t", "UTF-8").as("payload"))
+    val out = Multimodal.resize(df, "payload", 64, 64).collect()(0)
+    assert(out.getAs[Array[Byte]]("resized").length == 64 * 64 / 64)
+    val m = out.getAs[org.apache.spark.sql.Row]("resized_meta")
+    assert(m.getAs[Long]("width") == 64L && m.getAs[Long]("height") == 64L)
+    assert(m.getAs[Long]("n_bytes") == 64L)
+  }
+
   test("sampleFrames: every stride-th chunk becomes a frame row") {
     val bytes = Array.tabulate[Byte](300)(_.toByte)
     val df = Seq((1L, bytes)).toDF("id", "payload")
