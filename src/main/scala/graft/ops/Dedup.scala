@@ -12,10 +12,10 @@ import org.apache.spark.sql.types.DecimalType
   * Scale design notes:
   *  - Exact dedup is one hash-shuffle on a 32-byte fingerprint, never on
   *    the full text.
-  *  - MinHash signatures are computed per-row with array expressions
-  *    (shingle → md5 → array_min): NO explode, NO shuffle until the final
-  *    tiny candidate-pair join on band keys. At 100 TB the only shuffled
-  *    payload is (doc_id, band, 32-byte min-hash).
+  *  - MinHash signatures reduce to `bands·rows` 5-hex values per doc
+  *    before anything shuffles (explode + map-side partial agg, or the
+  *    per-row array-expression form); the candidate join shuffles only
+  *    (doc_id, band, key) — never document text.
   *  - Jaccard verification self-joins the (doc, shingle) relation but caps
   *    shingle document-frequency first — the classic guard against
   *    quadratic blowup on boilerplate shingles.
@@ -209,16 +209,32 @@ object Dedup {
     agg.select(col(idCol), hash.as("simhash"))
   }
 
-  /** Near-dup candidates by SimHash: identical 16-bit signature, or — the
-    * scale path — Hamming distance ≤ `maxHamming` via bit_count(xor).
+  /** Near-dup candidates by SimHash with Hamming distance ≤ `maxHamming`.
+    *
+    * NOT a cross join: by pigeonhole, two signatures within Hamming r must
+    * agree exactly on at least one of r+1 disjoint bit-chunks — so
+    * candidates come from an equi-join on (chunk index, chunk value), and
+    * only then is the true Hamming distance verified with bit_count(xor).
+    * Complete recall, and the shuffle carries (id, chunk, ≤16-bit value).
     */
-  def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 2): DataFrame = {
-    val a = sig.as("a"); val b = sig.as("b")
-    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+  def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 2,
+                   bits: Int = 16): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = (bits + nChunks - 1) / nChunks
+    val mask = (1L << chunkBits) - 1L
+    val chunkKeys = (0 until nChunks).map(c => struct(lit(c).as("chunk"),
+      shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask)).as("cv")))
+    val chunks = sig.select(col(idCol), col("simhash"),
+        explode(array(chunkKeys: _*)).as("ck"))
+      .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.cv"))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
+      .distinct() // a pair can match on several chunks
       .filter(col("hamming") <= maxHamming)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("hamming"))
   }
 
   // Precision 30 (not 38): decimal(38,14)+decimal(38,14) hits Spark's

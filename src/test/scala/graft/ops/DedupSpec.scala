@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashPairs pigeonhole banding: recall equals brute force at maxHamming=3") {
+    val sigs = Seq( // crafted signatures with known pairwise hammings
+      (1L, 0x0F0FL), (2L, 0x0F0EL), (3L, 0x0F00L), (4L, 0xF0F0L))
+      .toDF("doc_id", "simhash")
+    val banded = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 3).toSet
+    assert(banded == brute)
+    assert(brute.contains((1L, 2L, 1L)))    // hamming 1
+    assert(!brute.exists(p => p._2 == 4L))  // 4 is far from everything
+  }
+
   test("embeddingNearDups: identical vectors cos=1, cross-block pairs skipped") {
     val v = Seq(1.0f, 2.0f, 3.0f)
     val w = Seq(-3.0f, 2.0f, -1.0f)
