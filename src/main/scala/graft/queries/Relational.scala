@@ -370,6 +370,30 @@ object Relational {
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    Q("q19_salted_join",
+      "Skew-mitigated join: l_returnflag has 3 values over the whole fact " +
+        "table (pathological hot keys) — the dimension is replicated " +
+        "8× and the fact side salted deterministically, spreading each " +
+        "hot key over 8 shuffle partitions. Oracle = the plain join: " +
+        "salting must be invisible in the result.",
+      (s, d) => {
+        import graft.ops.Skew
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        val dim = li.select(col("l_returnflag")).distinct()
+          .withColumn("flag_name", concat(lit("flag_"), col("l_returnflag")))
+        Skew.saltedJoin(li, dim, "l_returnflag",
+            struct(col("l_orderkey"), col("l_linenumber")), saltBuckets = 8)
+          .groupBy(col("flag_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("flag_name")
+      },
+      Some("""SELECT 'flag_' || l_returnflag AS flag_name, count(*) AS n,
+             |  cast(sum(cast(l_quantity AS decimal(28,8))) AS double) AS sum_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY flag_name""".stripMargin)),
+
     Q("q13_rollup",
       "ROLLUP grouping sets — partial totals and a grand total in one " +
         "aggregation pass (Expand operator, single shuffle).",
