@@ -83,4 +83,48 @@ object Similarity {
   def vectorOf(emb: DataFrame, idCol: String, vecCol: String, id: Long): Seq[Float] =
     emb.filter(col(idCol) === id).select(vecCol).first()
       .getSeq[Float](0)
+
+  // ---- SRP-LSH (signed random projections) -------------------------------
+
+  /** Deterministic pseudo-random hyperplane j over `dims` dimensions:
+    * component i = (first_hex_digit(md5("j_i")) - 8) / 16 ∈ [-0.5, 0.44].
+    * md5-derived so Spark, DuckDB and tests regenerate identical planes —
+    * no RNG state to ship.
+    */
+  def srpPlane(j: Int, dims: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (1 to dims).map { i =>
+      val hex = digest.digest(s"${j}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (Integer.parseInt(hex.substring(0, 1), 16) - 8) / 16.0
+    }
+  }
+
+  /** SRP bucket id: bit j = [vec · plane_j ≥ 0]; `nPlanes` bits → one of
+    * 2^nPlanes buckets. Exact decimal dots so the sign (and therefore the
+    * bucket) is bit-reproducible across engines.
+    */
+  def srpBucket(vecCol: Column, nPlanes: Int, dims: Int): Column =
+    (0 until nPlanes).map { j =>
+      when(Dedup.dotExact(vecCol, typedlit(srpPlane(j, dims))) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: hash every vector to its SRP bucket and search only
+    * the query's bucket. Unlike IVF (data-dependent centroids), the SRP
+    * partition is data-independent — the 100 TB layout writes the table
+    * PARTITIONED BY bucket and a query probes exactly one partition
+    * (or Hamming-adjacent buckets for higher recall).
+    */
+  def srpTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nPlanes: Int = 8): DataFrame = {
+    val dims = query.length
+    val withBucket = emb.withColumn("__bucket",
+      srpBucket(col(vecCol), nPlanes, dims))
+    val qBucket = srpBucket(typedlit(query), nPlanes, dims)
+    withBucket.filter(col("__bucket") === qBucket)
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 }

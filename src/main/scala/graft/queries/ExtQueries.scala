@@ -217,6 +217,51 @@ object ExtQueries {
               |ORDER BY cos_sim DESC, d.vec_id
               |LIMIT 10""".stripMargin)),
 
+    Q("sim_lsh",
+      "SRP-LSH bucketed ANN: 4 md5-derived signed-random-projection bits " +
+        "hash every vector to one of 16 buckets; the search touches only " +
+        "the query's bucket. Data-independent partition — the 100TB layout " +
+        "is PARTITIONED BY bucket, so one query probes one partition.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.srpTopK(emb, "vec_id", "embedding", q, k = 10, nPlanes = 4)
+      },
+      Some(s"""WITH planes AS (
+              |  SELECT j, i,
+              |    ((instr('0123456789abcdef', substr(md5(j || '_' || i), 1, 1)) - 9)::DOUBLE
+              |      / 16.0::DOUBLE) AS w
+              |  FROM generate_series(0, 3) t(j), generate_series(1, 64) g(i)),
+              |sigs AS (
+              |  SELECT e.vec_id, p.j,
+              |    cast(sum(cast(e.embedding[p.i]::DOUBLE * p.w AS DECIMAL(30,14))) AS DOUBLE) AS dot
+              |  FROM embeddings e, planes p
+              |  GROUP BY e.vec_id, p.j),
+              |buckets AS (
+              |  SELECT vec_id,
+              |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+              |  FROM sigs GROUP BY vec_id),
+              |qbucket AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+              |members AS (
+              |  SELECT e.vec_id, e.embedding
+              |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, qbucket
+              |  WHERE b.bucket = qbucket.bucket),
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              |nq AS (
+              |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+              |  FROM q, generate_series(1, 64) g(i)),
+              |ne AS (
+              |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM members, generate_series(1, 64) g(i) GROUP BY vec_id),
+              |dots AS (
+              |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+              |  FROM members e, q, generate_series(1, 64) g(i)
+              |  GROUP BY e.vec_id)
+              |SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+              |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nq
+              |ORDER BY cos_sim DESC, d.vec_id
+              |LIMIT 10""".stripMargin)),
+
     Q("ta_langid",
       "Language-ID by marker-word frequency, reported as a (lang × " +
         "predicted) confusion matrix — pure expression argmax, one " +
