@@ -20,6 +20,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+      finally graft.core.Caches.releaseAll()
     }
     // drop warmup-scale cached relations + let the heap settle, so the
     // timed pass doesn't inherit GC pressure from warmup
@@ -28,7 +29,9 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.core.Caches.releaseAll() // outside the timed span: harness cost
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

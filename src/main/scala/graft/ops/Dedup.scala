@@ -133,7 +133,8 @@ object Dedup {
     // (docs × numHashes) relation instead of re-hashing every shingle twice
     val mins = (0 until numHashes).map(i =>
       min(hashSlice(i)(col("h1"), col("h2"))).as(s"mh$i"))
-    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*).persist()
+    val sig = graft.core.Caches.track(
+      sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*))
     val bandKeys = (0 until bandsN).map(b =>
       struct(lit(b).as("band"),
         concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("h")))
@@ -165,16 +166,16 @@ object Dedup {
     val shAll = staged.select(col(idCol).as("id"), explode(shCol).as("sh"))
     // multiple consumers — cache the sampled shingle relation instead of
     // re-exploding/re-hashing per branch
-    val sh = (if (sampleHex >= 16) shAll
+    val sh = graft.core.Caches.track(
+      if (sampleHex >= 16) shAll
       else shAll.filter(substring(md5(col("sh")), 1, 1) < lit(f"${sampleHex}%x")))
-      .persist()
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
       .filter(col("df_sh") <= maxShingleDf).select("sh")
     // Jaccard is computed entirely on the df-capped universe: counts and
     // common counts MUST use the same shingle set, or capping deflates
     // the numerator against an uncapped denominator and near-dups vanish
     // once boilerplate frequency crosses the cap.
-    val filtered = sh.join(rare, "sh").persist()
+    val filtered = graft.core.Caches.track(sh.join(rare, "sh"))
     val counts = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -70,14 +70,18 @@ object Inference {
   }
 
   /** Per-executor model cache: one model instance per (executor JVM,
-    * model key), shared by all tasks/partitions on that executor.
+    * model spec), shared by all tasks/partitions on that executor. Keyed
+    * on the FULL spec — two specs sharing id/location but differing in
+    * numLabels must not reuse each other's classifier. The cache is
+    * intentionally unbounded and lives for the executor JVM: real model
+    * weights are hundreds of MB and reload cost dwarfs the leak of the
+    * handful of distinct specs a job touches.
     */
-  private val modelCache = new ConcurrentHashMap[String, TextClassifier]()
+  private val modelCache = new ConcurrentHashMap[ModelSpec, TextClassifier]()
 
   private[graft] def loadModel(spec: ModelSpec): TextClassifier =
-    modelCache.computeIfAbsent(
-      s"${spec.modelId}@${spec.location}",
-      _ => new DeterministicClassifier(spec.numLabels))
+    modelCache.computeIfAbsent(spec,
+      s => new DeterministicClassifier(s.numLabels))
 
   /** M1 — run classification over `textCol`, appending `predicted_label`
     * (string `LABEL_k`) and `model_score` (double). Batched mapPartitions

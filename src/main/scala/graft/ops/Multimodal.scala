@@ -80,8 +80,11 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](binIdx)
-          val resized = Array.tabulate[Byte](width * height / 64)(i =>
-            bytes(i % math.max(bytes.length, 1)))
+          // empty payload -> zero-filled output (bytes(i % len) would
+          // index into the empty array)
+          val resized =
+            if (bytes == null || bytes.isEmpty) new Array[Byte](width * height / 64)
+            else Array.tabulate[Byte](width * height / 64)(i => bytes(i % bytes.length))
           val md = java.security.MessageDigest.getInstance("MD5")
           val hex = md.digest(resized).map(b => f"$b%02x").mkString
           Row.fromSeq(row.toSeq :+ resized :+

@@ -48,15 +48,15 @@ object Prostate {
     flagBranch("neoadjuvant_therapy_flag", "clinical_history"))
 
   /** create_segments (M3) → fan-out branches → fan-in multi-join (J2).
-    * The sectioned input is persisted because every branch re-reads it; the
-    * caller owns unpersisting once the fan-in result is materialized.
+    * The sectioned input is persisted (via [[graft.core.Caches]]) because
+    * every branch re-reads it; the harness releases it after the fan-in
+    * result's terminal action via `Caches.releaseAll()`.
     */
   def run(spark: SparkSession, raw: DataFrame,
           idCol: String = "doc_id", textCol: String = "text",
           questions: Seq[Inference.QaQuestion] = Inference.prostateQuestions): DataFrame = {
-    val sectioned = Inference.answerQuestions(
-        raw.select(col(idCol).as("msg_id"), col(textCol)), textCol, questions)
-      .persist()
+    val sectioned = graft.core.Caches.track(Inference.answerQuestions(
+      raw.select(col(idCol).as("msg_id"), col(textCol)), textCol, questions))
     branches.map(_.f(sectioned)).reduce((a, b) => a.join(b, Seq("msg_id")))
   }
 }

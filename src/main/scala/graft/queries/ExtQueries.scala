@@ -371,8 +371,11 @@ object ExtQueries {
           (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
           OracleCompat.dsum(col("value")).as("sum_value"))
         .orderBy("event_type"),
+      // DuckDB sum(BIGINT) widens to HUGEINT (int128) which the driver's
+      // pandas bridge reads as float64; Spark's sum(long) stays int64.
+      // Cast the oracle back to BIGINT so both sides hash as integers.
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  sum(cast(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE / count(*) AS avg_k,
              |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
              |FROM events

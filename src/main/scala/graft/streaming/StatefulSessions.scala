@@ -8,8 +8,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * machines the built-in windows can't express — per-key custom state,
   * event-time timeouts).
   *
-  * Semantics match EventStream's session_window / the lag+cumsum oracle:
-  * a session closes when >`gapMinutes` passes with no event for the key.
+  * Semantics match EventStream's session_window / the lag+cumsum oracle.
+  * Boundary convention (pinned by StatefulSessionsSpec's edge test): an
+  * event arriving EXACTLY `gapMinutes` after the previous one EXTENDS the
+  * session — Spark's session_window merges a window starting at t with a
+  * window ending at t (inclusive merge), so same-session is `delta <= gap`
+  * and the lag+cumsum oracle's new-session test is strict `>`.
   * A closed session is emitted either when a later event proves the gap,
   * or when the event-time watermark passes the session's timeout (no
   * more on-time events can extend it).

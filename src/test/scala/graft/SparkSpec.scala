@@ -24,6 +24,12 @@ object SparkSpec {
   val Sf0001 = "/root/testdata/sf0.001"
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterEach {
   lazy val spark: SparkSession = SparkSpec.spark
+
+  override protected def afterEach(): Unit = {
+    graft.core.Caches.releaseAll() // operator-internal persists die per test
+    super.afterEach()
+  }
 }

@@ -33,6 +33,8 @@ class InferenceSpec extends SparkSpec {
     val b = Inference.loadModel(spec)
     assert(a eq b)
     assert(!(Inference.loadModel(spec.copy(modelId = 8L)) eq a))
+    // same id/location, different numLabels -> distinct classifier
+    assert(!(Inference.loadModel(spec.copy(numLabels = spec.numLabels + 1)) eq a))
   }
 
   test("resolveModel picks by (name, version) from the registry dimension") {

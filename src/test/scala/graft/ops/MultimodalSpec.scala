@@ -27,6 +27,14 @@ class MultimodalSpec extends SparkSpec {
     assert(m.getAs[Long]("n_bytes") == 64L)
   }
 
+  test("resize stub: empty payload yields a zero-filled target-sized payload") {
+    val df = Seq((1L, Array.empty[Byte])).toDF("id", "payload")
+    val out = Multimodal.resize(df, "payload", 64, 64).collect()(0)
+    val resized = out.getAs[Array[Byte]]("resized")
+    assert(resized.length == 64 * 64 / 64)
+    assert(resized.forall(_ == 0))
+  }
+
   test("sampleFrames: every stride-th chunk becomes a frame row") {
     val bytes = Array.tabulate[Byte](300)(_.toByte)
     val df = Seq((1L, bytes)).toDF("id", "payload")

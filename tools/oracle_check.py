@@ -63,6 +63,13 @@ def main(sfdir, outdir):
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
         mism = []
+        # The driver hashes typed values, so an int64-vs-float64 column
+        # (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64) fails there even
+        # when == says equal. Treat dtype drift as failure here too.
+        dt = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+              if g[c].dtype != w[c].dtype]
+        if dt:
+            print(f"FAIL {name}: dtype drift {dt}"); n_fail += 1; continue
         for c in g.columns:
             a, b = g[c], w[c]
             try:
