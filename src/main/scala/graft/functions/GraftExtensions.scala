@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    // whole-operator seam: plans graft.plans.AsOfJoinPlan nodes
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

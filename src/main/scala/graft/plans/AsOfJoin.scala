@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** As-of (temporal) join: for every left row, the single latest right row
+  * with the same key whose time is `<=` the left row's time — the lookup
+  * every point-in-time feature join needs (trades→quotes, order→latest
+  * event, feature-store reads) and one Spark's built-in operators cannot
+  * express without a blow-up.
+  *
+  * Why a custom operator (SURVEY.md §4.3 option c): the naive relational
+  * encodings are non-starters at scale —
+  *  - `l JOIN r ON key AND r.t <= l.t` + max-per-group materializes every
+  *    (left × earlier-right) pair before the aggregate prunes it: O(n·m)
+  *    per key, quadratic on hot keys;
+  *  - the union + last(ignoreNulls) window trick is linear but forces the
+  *    two inputs through one union'd sort and re-widens both schemas.
+  * This node instead plans exactly like a sort-merge join: both sides
+  * hash-clustered on the key ([[ClusteredDistribution]] — Catalyst's
+  * EnsureRequirements inserts co-partitioning shuffles), sorted within
+  * partitions by (key, time), then a single O(n+m) forward-only merge per
+  * partition. No pair blow-up, no cross-input sort, and at 100 TB the
+  * shuffle is the same one a plain equi-join would pay.
+  *
+  * Semantics notes:
+  *  - backward as-of with inclusive bound (`r.time <= l.time`), matching
+  *    DuckDB's `ASOF LEFT JOIN ... ON r.t <= l.t` (the oracle);
+  *  - left outer: unmatched left rows emit nulls for the right side;
+  *  - ties on (key, time) resolve to the last row in sort order — feed a
+  *    deduplicated right side when (key, time) is not unique;
+  *  - null keys match null keys (feed non-null keys for SQL-standard
+  *    behavior).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Registered via
+  * [[graft.functions.GraftExtensions]] (`injectPlannerStrategy`) or
+  * injected on demand by [[AsOfJoin.asof]] through
+  * `spark.experimental.extraStrategies`.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: co-partitioned, co-sorted, one forward merge pass
+  * per partition (see [[AsOfJoinPlan]] for the plan-shape argument).
+  */
+case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression,
+                        left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // the same distribution pair SortMergeJoinExec declares: Catalyst's
+  // EnsureRequirements co-partitions both children on the join keys
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // sorted by (key..., time) within partitions -> merge needs no buffering
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  private def timeGetter(e: Expression, out: Seq[Attribute]): InternalRow => Long = {
+    val bound = BindReferences.bindReference(e, out)
+    e.dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        row => bound.eval(row).asInstanceOf[Long]
+      case IntegerType | DateType =>
+        row => bound.eval(row).asInstanceOf[Int].toLong
+      case other => throw new IllegalArgumentException(
+        s"as-of time column must be integral/timestamp/date, got $other")
+    }
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val ltExpr = leftTime
+    val rtExpr = rightTime
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      val lTime = timeGetter(ltExpr, lOut)
+      val rTime = timeGetter(rtExpr, rOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      // bind against a null-tolerant right schema: unmatched left rows
+      // flow the all-null row through this projection
+      val resultProj = UnsafeProjection.create(
+        outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // the latest right row (and its key) whose time was <= some seen
+      // left time; both copied out of the iterator's reused buffers
+      var lastRight: InternalRow = null
+      var lastRightKey: UnsafeRow = null
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        if (lastRight != null && keyOrd.compare(lastRightKey, lKey) != 0) {
+          lastRight = null
+        }
+        val lt = lTime(lRow)
+        var scanning = true
+        while (scanning && rBuf.hasNext) {
+          val rKey = rKeyProj(rBuf.head)
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0) {
+            rBuf.next() // right side behind every remaining left key: skip
+          } else if (c == 0 && rTime(rBuf.head) <= lt) {
+            lastRight = rBuf.next().copy()
+            if (lastRightKey == null || keyOrd.compare(lastRightKey, lKey) != 0) {
+              lastRightKey = lKey.copy()
+            }
+          } else {
+            scanning = false // right side ahead: stop until left catches up
+          }
+        }
+        resultProj(joined(lRow, if (lastRight == null) nullRight else lastRight))
+      }
+    }
+  }
+}
+
+/** Public DataFrame-level entry point for the as-of join operator. */
+object AsOfJoin {
+  import org.apache.spark.sql.graft.Shims
+
+  /** `asof(l, r, Seq("k"), Seq("rk"), "t", "rt")`: latest `r` row per `l`
+    * row with `rk == k` and `rt <= t`. Left-outer; right columns nullable.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+           leftOn: Seq[String], rightOn: Seq[String],
+           leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    require(leftOn.nonEmpty && leftOn.size == rightOn.size,
+      "as-of join needs matching non-empty key lists")
+    val spark = left.sparkSession
+    // idempotently make the planner aware of the node without requiring
+    // the session to be built with GraftExtensions
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def res(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"column `$name` not found on $side side (have: ${plan.output.map(_.name).mkString(", ")})"))
+    Shims.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      leftOn.map(res(lPlan, _, "left")), rightOn.map(res(rPlan, _, "right")),
+      res(lPlan, leftTimeCol, "left"), res(rPlan, rightTimeCol, "right")))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.plans.AsOfJoin
+
+/** Round-2 additions: custom whole-operator seams (as-of join) and the
+  * dedup/streaming depth on top of round 1's inventory.
+  */
+object R2Queries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q20_asof_join",
+      "As-of (temporal) join via the custom Catalyst operator " +
+        "(AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): for each " +
+        "purchase event, the latest prior-or-equal view by the same user. " +
+        "Plans as a co-partitioned sort-merge with one O(n+m) forward " +
+        "pass — no pair blow-up. Oracle: DuckDB's native ASOF LEFT JOIN.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"),
+            unix_micros(col("ts")).as("v_us"), col("value").as("v_value"))
+        AsOfJoin.asof(purchases, views,
+            leftOn = Seq("user_id"), rightOn = Seq("v_user"),
+            leftTimeCol = "p_us", rightTimeCol = "v_us")
+          .select("user_id", "event_id", "p_us", "p_value", "v_us", "v_value")
+          .orderBy("user_id", "p_us", "event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS p_us,
+             |                  value AS p_value
+             |           FROM events WHERE event_type = 'purchase'),
+             |     v AS (SELECT user_id AS v_user, epoch_us(ts) AS v_us,
+             |                  value AS v_value
+             |           FROM events WHERE event_type = 'view')
+             |SELECT p.user_id, p.event_id, p.p_us, p.p_value, v.v_us, v.v_value
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.v_user AND v.v_us <= p.p_us
+             |ORDER BY p.user_id, p.p_us, p.event_id""".stripMargin)))
+}

@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
+    * `private[sql]` with the Spark 4 classic split) — the seam custom
+    * logical operators use to enter the public Dataset API.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    // (key, time, tag)
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 5L, "l0"),
+    ("b", 15L, "l3"),
+    ("c", 100L, "l4") // key with no right rows at all
+  ).toDF("k", "t", "ltag")
+
+  private def rightDf = Seq(
+    ("a", 5L, "r1"), ("a", 18L, "r2"), ("a", 30L, "r3"),
+    ("b", 20L, "r4"), // only AFTER b's left row
+    ("d", 1L, "r5")   // key absent on the left
+  ).toDF("rk", "rt", "rtag")
+
+  test("backward as-of: latest right row with rt <= t, left outer") {
+    val out = AsOfJoin.asof(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "ltag", "rt", "rtag")
+      .orderBy("k", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        Option(r.getString(4)).getOrElse("-")))
+    assert(out.toSeq == Seq(
+      ("a", 5L, "l0", 5L, "r1"),    // exact boundary: rt == t matches
+      ("a", 10L, "l1", 5L, "r1"),
+      ("a", 20L, "l2", 18L, "r2"),  // r3@30 is in the future -> skipped
+      ("b", 15L, "l3", -1L, "-"),   // all right rows later -> nulls
+      ("c", 100L, "l4", -1L, "-"))) // no right rows for key
+  }
+
+  test("timestamp time columns and multi-column keys work") {
+    val l = Seq((1L, "x", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "L"))
+      .toDF("k1", "k2", "ts", "tag")
+    val r = Seq(
+      (1L, "x", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "early"),
+      (1L, "y", java.sql.Timestamp.valueOf("2024-01-01 09:30:00"), "wrong-key"),
+      (1L, "x", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "late"))
+      .toDF("rk1", "rk2", "rts", "rtag")
+    val out = AsOfJoin.asof(l, r, Seq("k1", "k2"), Seq("rk1", "rk2"), "ts", "rts")
+      .select("tag", "rtag").as[(String, String)].collect().toSeq
+    assert(out == Seq(("L", "early")))
+  }
+
+  test("merge is correct across many keys and partitions") {
+    // 100 keys x 20 left rows, right rows at every 3rd tick: the as-of
+    // match is floor-to-multiple-of-3 -- verifiable in closed form
+    val l = spark.range(2000).select(
+      (col("id") % 100).as("k"), (expr("id DIV 100") * 5 + 7).as("t"))
+    val r = spark.range(2100).select(
+      (col("id") % 100).as("rk"), (expr("id DIV 100") * 3).as("rt"))
+    val out = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "rt")
+    val bad = out.filter(col("rt") =!= least(lit(60L), col("t") - col("t") % 3) ||
+      col("rt").isNull).count()
+    assert(bad == 0)
+    assert(out.count() == 2000)
+  }
+
+  test("plan: co-partitioned sort-merge, no cartesian/nested-loop operator") {
+    val out = AsOfJoin.asof(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"))
+    assert(!physical.contains("CartesianProduct"))
+    assert(!physical.contains("BroadcastNestedLoopJoin"))
+    // exactly one exchange per side (co-partitioning on the key)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(nEx == 2, s"expected 2 shuffles, got $nEx in:\n$physical")
+  }
+
+  test("resolves by column name and rejects missing columns") {
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(leftDf, rightDf, Seq("nope"), Seq("rk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
