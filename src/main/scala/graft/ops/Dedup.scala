@@ -190,6 +190,58 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the dedup endgame: near-dup PAIRS (minhash/simhash/jaccard output)
+    * become CLUSTERS, and one survivor per cluster (the min id) is kept.
+    *
+    * Algorithm: iterative min-label propagation — every node repeatedly
+    * takes `min(own label, min neighbor label)` until a fixpoint; the
+    * final label is the component's minimum id. Each round is one join +
+    * one aggregation, both hash-partitioned on the node id, and rounds
+    * needed = component diameter. Near-dup clusters are shallow (dups of
+    * one source document), so 3-5 rounds close them in practice; the
+    * `maxIter` guard bounds pathological chains. At 100 TB-scale graphs
+    * with long chains, swap the body for alternating small-star/
+    * large-star rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — same seam, O(log²) rounds.
+    *
+    * The per-round `count()` convergence check is a deliberate driver
+    * round-trip (an aggregate, not a collect of data); intermediate label
+    * relations register in [[graft.core.Caches]] and are released by the
+    * harness after the terminal action.
+    *
+    * @return (id, label) — label is the min id of the node's component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = graft.core.Caches.track(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = graft.core.Caches.track(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nbr_label"))
+      val next = graft.core.Caches.track(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label")))
+      // labels only ever decrease: converged when none changed
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") < col("o.label")).count() == 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash from word-level md5 nibbles: bit b of the signature is
     * the sign of Σ_words (2·bit_b(md5(word)) − 1). Computed with one
     * explode + one aggregation; each bit's source is hex digit b/4,

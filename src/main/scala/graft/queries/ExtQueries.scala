@@ -32,6 +32,26 @@ object ExtQueries {
   private def dotSql(a: String, b: String): String =
     s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
 
+  /** DuckDB CTE list mirroring Dedup.minhashCandidates' signature + band
+    * stages (2 bands × 3 rows over word 5-gram shingles) — shared by the
+    * dedup_minhash oracle and R2Queries' dedup_cluster oracle.
+    */
+  private[queries] def minhashBandCtes: String = {
+    def slice(i: Int) = s"substr(md5(s), ${i * 5 + 1}, 5)"
+    val mhs = (0 until 6).map(i =>
+      s"list_min(list_transform(${wordShingleSql("text", 5)}, s -> ${slice(i)})) AS mh$i")
+      .mkString(",\n    ")
+    val bands = (0 until 2).map(b =>
+      s"SELECT doc_id, $b AS band, mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2} AS h FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $mhs
+       |  FROM documents),
+       |bands AS (
+       |  $bands)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("dedup_exact",
@@ -56,26 +76,13 @@ object ExtQueries {
       (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
           Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
         .orderBy("id_a", "id_b"),
-      Some {
-        def slice(i: Int) = s"substr(md5(s), ${i * 5 + 1}, 5)"
-        val mhs = (0 until 6).map(i =>
-          s"list_min(list_transform(${wordShingleSql("text", 5)}, s -> ${slice(i)})) AS mh$i")
-          .mkString(",\n    ")
-        val bands = (0 until 2).map(b =>
-          s"SELECT doc_id, $b AS band, mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2} AS h FROM sig")
-          .mkString("\n  UNION ALL ")
-        s"""WITH sig AS (
-           |  SELECT doc_id,
-           |    $mhs
-           |  FROM documents),
-           |bands AS (
-           |  $bands)
+      Some(
+        s"""WITH $minhashBandCtes
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS bands_matched
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
            |GROUP BY 1, 2
-           |ORDER BY id_a, id_b""".stripMargin
-      }),
+           |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("dedup_jaccard",
       "Word 3-gram Jaccard near-dup pairs with a shingle document-" +

@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.ops.Dedup
 import graft.plans.AsOfJoin
 
 /** Round-2 additions: custom whole-operator seams (as-of join) and the
@@ -40,5 +42,40 @@ object R2Queries {
              |SELECT p.user_id, p.event_id, p.p_us, p.p_value, v.v_us, v.v_value
              |FROM p ASOF LEFT JOIN v
              |  ON p.user_id = v.v_user AND v.v_us <= p.p_us
-             |ORDER BY p.user_id, p.p_us, p.event_id""".stripMargin)))
+             |ORDER BY p.user_id, p.p_us, p.event_id""".stripMargin)),
+
+    Q("dedup_cluster",
+      "The dedup endgame: MinHash-LSH candidate pairs → connected " +
+        "components (iterative min-label propagation, one join+agg per " +
+        "round, rounds = component diameter) → min-id survivor per " +
+        "cluster. Oracle: DuckDB recursive CTE over the same edge list.",
+      (s, d) => {
+        val pairs = Dedup.minhashCandidates(Tables.documents(s, d),
+          "doc_id", "text", Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val w = Window.partitionBy("cluster")
+        cc.select(col("id"), col("label").as("cluster"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .withColumn("is_survivor", col("id") === col("cluster"))
+          .orderBy("id")
+      },
+      Some(
+        s"""WITH RECURSIVE ${ExtQueries.minhashBandCtes},
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS lab FROM edges
+           |  UNION
+           |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+           |cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+           |SELECT id, cluster,
+           |       count(*) OVER (PARTITION BY cluster) AS cluster_size,
+           |       id = cluster AS is_survivor
+           |FROM cc ORDER BY id""".stripMargin)))
 }

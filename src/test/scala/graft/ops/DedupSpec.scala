@@ -97,4 +97,24 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
     assert(math.abs(out(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
+
+  test("connectedComponents: chain, triangle, pair each collapse to min id") {
+    // chain 1-2-3-4-5 (diameter 4 -> multiple propagation rounds),
+    // triangle 10-11-12 with a redundant edge, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents respects maxIter as an upper bound only") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L)) // single edge closes in 1 round
+  }
 }
