@@ -77,5 +77,32 @@ object R2Queries {
            |SELECT id, cluster,
            |       count(*) OVER (PARTITION BY cluster) AS cluster_size,
            |       id = cluster AS is_survivor
-           |FROM cc ORDER BY id""".stripMargin)))
+           |FROM cc ORDER BY id""".stripMargin)),
+
+    Q("stream_sessionize",
+      "Sessionization as a REAL Structured Streaming query: readStream → " +
+        "watermark → session_window agg → append-mode memory sink, driven " +
+        "to completion with a watermark-flush row (bounded state, " +
+        "emit-once — the production shape). Oracle: the same lag+cumsum " +
+        "SQL as batch ev_sessionize — stream ≡ batch.",
+      (s, d) => graft.streaming.EventStream.runSessionStream(s, d)
+        .orderBy("user_id", "session_start_us"),
+      Some("""WITH g AS (
+             |  SELECT user_id, epoch_us(ts) AS us, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, us, value,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+             |       max(us) - min(us) AS duration_us,
+             |       cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+             |FROM sess
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start_us""".stripMargin)))
 }

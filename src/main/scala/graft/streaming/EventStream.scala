@@ -56,4 +56,64 @@ object EventStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** Streaming sessionization: `readStream → withWatermark →
+    * session_window agg → APPEND-mode memory sink`, driven to completion.
+    *
+    * Append mode only emits a session once the event-time watermark
+    * passes its close — the semantics a production pipeline runs with
+    * (bounded state, emit-once). A batch-parity harness therefore has to
+    * ADVANCE the watermark past every open session after the real data is
+    * consumed: the source is staged into a scratch directory and, after
+    * the first `processAllAvailable()`, a single far-future flush row
+    * (user_id = -1) is appended as a second file — exactly the "one more
+    * event proves the gap" trick StatefulSessionsSpec plays with
+    * MemoryStream, here through a real file source. The flush row's own
+    * (still-open) session is filtered back out.
+    *
+    * Result matches the ev_sessionize batch query / lag+cumsum oracle
+    * row-for-row (stream ≡ batch on the same files).
+    */
+  def runSessionStream(spark: SparkSession, sfDir: String,
+                       queryName: String = "graft_session_stream",
+                       gap: String = "30 minutes"): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(sfDir, "events.parquet")
+    val dir = Files.createTempDirectory("graft_sess_src")
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
+    val us = unix_micros(col("ts"))
+    val agg = stream
+      .withWatermark("ts", "1 second")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(us) - min(us)).as("duration_us"),
+        min(us).as("session_start_us"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select("user_id", "session_start_us", "n_events", "duration_us", "sum_value")
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      q.processAllAvailable()
+      // watermark flush: one far-future row (raw schema: ts is int64
+      // nanos pre-normalizeTs) closes every real session
+      val maxNs = spark.read.parquet(src.toString)
+        .agg(max(col("ts"))).head().getLong(0)
+      val farNs = maxNs + 366L * 24 * 3600 * 1000000000L
+      val flush = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(-1L, farNs, -1L, "flush", 0.0, "{}")),
+        schema)
+      flush.coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName).filter(col("user_id") >= 0)
+  }
 }
