@@ -104,5 +104,64 @@ object R2Queries {
              |       cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
              |FROM sess
              |GROUP BY user_id, session_id
-             |ORDER BY user_id, session_start_us""".stripMargin)))
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    Q("q21_quantile",
+      "Exact grouped percentiles (p25/p50/p90) — Spark's sort-based " +
+        "`percentile` against DuckDB's `quantile_cont` (both linear " +
+        "interpolation at pos = p·(n−1)).",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  quantile_cont(l_extendedprice, 0.25) AS p25,
+             |  quantile_cont(l_extendedprice, 0.5) AS p50,
+             |  quantile_cont(l_extendedprice, 0.9) AS p90
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("ta_tfidf",
+      "Top-3 characteristic terms per document by a df-normalized " +
+        "relevance score (tf·N/df — idf without the log so the score is " +
+        "bit-portable across engines; per-doc ordering is what matters). " +
+        "explode → (doc,term) tf agg → term df agg → score → " +
+        "row_number window, ties broken by term.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val words = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "term").crossJoin(nDocs)
+          .withColumn("score",
+            (col("tf") * col("n_docs")).cast("double") / col("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.term, tf.tf, dfreq.df,
+             |         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, term, tf, df, score
+             |FROM ranked WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin)))
 }
