@@ -106,6 +106,23 @@ object R2Queries {
              |GROUP BY user_id, session_id
              |ORDER BY user_id, session_start_us""".stripMargin)),
 
+    Q("stream_join",
+      "Stream-stream interval join (purchases ⋈ views on user within " +
+        "[purchase − 1h, purchase]): both sides watermarked readStreams; " +
+        "the event-time range condition bounds the join state — the op " +
+        "that separates a streaming engine from a windowed aggregator. " +
+        "Oracle: the identical batch interval join.",
+      (s, d) => graft.streaming.EventStream.runIntervalJoinStream(s, d)
+        .orderBy("user_id", "p_us", "p_event", "v_us", "v_event"),
+      Some("""WITH p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
+             |           FROM events WHERE event_type = 'purchase'),
+             |     v AS (SELECT user_id, event_id AS v_event, epoch_us(ts) AS v_us
+             |           FROM events WHERE event_type = 'view')
+             |SELECT p.user_id AS user_id, p_event, p_us, v_event, v_us
+             |FROM p JOIN v ON p.user_id = v.user_id
+             |  AND v.v_us BETWEEN p.p_us - 3600000000 AND p.p_us
+             |ORDER BY p.user_id, p_us, p_event, v_us, v_event""".stripMargin)),
+
     Q("q21_quantile",
       "Exact grouped percentiles (p25/p50/p90) — Spark's sort-based " +
         "`percentile` against DuckDB's `quantile_cont` (both linear " +

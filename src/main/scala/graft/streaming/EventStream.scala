@@ -116,4 +116,49 @@ object EventStream {
     } finally q.stop()
     spark.table(queryName).filter(col("user_id") >= 0)
   }
+
+  /** Stream-stream interval join: purchases ⋈ views on user within
+    * [purchase − 1h, purchase] — the canonical hard Structured Streaming
+    * op. Both sides are `readStream`s with watermarks; the event-time
+    * range condition is what lets Spark BOUND the join state (a side's
+    * buffered rows are dropped once the other side's watermark passes
+    * the range) — without it a stream-stream join's state grows forever.
+    * Inner-join matches emit as soon as both rows arrive, so the harness
+    * needs no watermark-flush trick here; the watermark's job is state
+    * eviction, which is exactly what a 100 TB/day deployment cares about.
+    *
+    * Checked against the identical batch interval-join oracle
+    * (stream ≡ batch).
+    */
+  def runIntervalJoinStream(spark: SparkSession, sfDir: String,
+                            queryName: String = "graft_interval_join"): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def side(): DataFrame = graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+    val p = side().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = side().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_event"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_event"),
+        unix_micros(col("p_ts")).as("p_us"),
+        col("v_event"), unix_micros(col("v_ts")).as("v_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
 }
