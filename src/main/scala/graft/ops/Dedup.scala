@@ -322,13 +322,41 @@ object Dedup {
     * set with a small safety margin (double vs exact error ≪ 1e-9), and
     * the exact decimal cosine is recomputed only for survivors — the
     * reported values and the threshold decision are bit-exact.
+    *
+    * `subBlocks` > 1 splits every block into B md5-derived sub-blocks and
+    * replicates each side B× so the pairwise join fans out to B²
+    * independent cells per block — the fix for HOT blocks, where
+    * parallelism is otherwise capped at #blocks (see the 10× probe in
+    * PLANS.md). Result set is identical for every B.
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        blockCol: String, threshold: Double): DataFrame = {
+                        blockCol: String, threshold: Double,
+                        subBlocks: Int = 1): DataFrame = {
     val withNorm = emb.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(vecCol).as("v"), sqrt(dotFast(col(vecCol), col(vecCol))).as("nrmf"))
-    val a = withNorm.as("a"); val b = withNorm.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    val (a, b) =
+      if (subBlocks <= 1) (withNorm.as("a"), withNorm.as("b"))
+      else {
+        // Hot-block sub-blocking (1-Bucket-Theta style): a block with n
+        // rows costs O(n²) in ONE task when the join key is just blk —
+        // parallelism is capped at #blocks however many cores exist.
+        // Splitting each block into B deterministic sub-blocks (md5(id)
+        // mod B) and replicating each side B× under keys
+        // (blk, sub_left, sub_right) makes every (sub_left, sub_right)
+        // cell an independent task: B² cells per block for a B× shuffle
+        // — the classic replicate-for-parallelism trade. Each pair
+        // (a, b) meets in exactly one cell (a's own sub × b's own sub),
+        // so the result set is IDENTICAL for every B.
+        val sub = conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % subBlocks
+        val cell = explode(sequence(lit(0), lit(subBlocks - 1)))
+        (withNorm.withColumn("sl", sub).withColumn("sr", cell).as("a"),
+          withNorm.withColumn("sr", sub).withColumn("sl", cell).as("b"))
+      }
+    val subCond =
+      if (subBlocks <= 1) lit(true)
+      else col("a.sl") === col("b.sl") && col("a.sr") === col("b.sr")
+    a.join(b, col("a.blk") === col("b.blk") && subCond && col("a.id") < col("b.id"))
       .filter(dotFast(col("a.v"), col("b.v")) / (col("a.nrmf") * col("b.nrmf"))
         >= threshold - 1e-6)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -98,6 +98,23 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
 
+  test("embeddingNearDups sub-blocking returns the identical pair set") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(8)(Seq.fill(4)(rnd.nextFloat()))
+    // 40 vectors in 2 blocks, planted dups (same vector repeated)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, base(i % 8).map(x => x + (i / 8) * 0.001f), i % 2)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    def run(b: Int) = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+        "label", 0.999, subBlocks = b)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sortBy(identity).toSeq
+    val flat = run(1)
+    assert(flat.nonEmpty)
+    assert(run(3) == flat)
+    assert(run(5) == flat)
+  }
+
   test("connectedComponents: chain, triangle, pair each collapse to min id") {
     // chain 1-2-3-4-5 (diameter 4 -> multiple propagation rounds),
     // triangle 10-11-12 with a redundant edge, isolated pair 20-21
