@@ -140,6 +140,62 @@ object R2Queries {
              |  quantile_cont(l_extendedprice, 0.9) AS p90
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("q22_window_suite",
+      "Window-function depth over orders: lag/lead (customer order " +
+        "history), rank + dense_rank (spend rank per customer), ntile " +
+        "quartiles and cume_dist — one WindowExec pass, all functions " +
+        "sharing the (custkey, date, key) frame.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") % 10 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            // o_orderdate is TIMESTAMP_NTZ; cast through TIMESTAMP (session
+            // tz is pinned UTC) for unix_micros parity with epoch_us
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+            col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            rank().over(w).cast("long").as("rk"),
+            dense_rank().over(w).cast("long").as("drk"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("o_custkey", "od_us", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us,
+             |  o_totalprice,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  lead(o_totalprice, 1) OVER w AS next_price,
+             |  rank() OVER w AS rk,
+             |  dense_rank() OVER w AS drk,
+             |  ntile(4) OVER w AS quartile,
+             |  cume_dist() OVER w AS cd
+             |FROM orders
+             |WHERE o_custkey % 10 = 0
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, od_us, o_orderkey""".stripMargin)),
+
+    Q("q23_cube",
+      "CUBE over (returnflag, linestatus) with grouping_id — all four " +
+        "grouping-set combinations in one partial-aggregable pass.",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          OracleCompat.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+             |  count(*) AS n,
+             |  cast(sum(cast(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     Q("ta_tfidf",
       "Top-3 characteristic terms per document by a df-normalized " +
         "relevance score (tf·N/df — idf without the log so the score is " +

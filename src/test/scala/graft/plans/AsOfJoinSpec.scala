@@ -73,6 +73,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(nEx == 2, s"expected 2 shuffles, got $nEx in:\n$physical")
   }
 
+  test("empty right side: all left rows survive with nulls") {
+    val out = AsOfJoin.asof(leftDf, rightDf.filter(col("rk") === "zzz"),
+      Seq("k"), Seq("rk"), "t", "rt")
+    assert(out.count() == 5)
+    assert(out.filter(col("rtag").isNotNull).count() == 0)
+  }
+
+  test("empty left side: empty result") {
+    val out = AsOfJoin.asof(leftDf.filter(col("k") === "zzz"), rightDf,
+      Seq("k"), Seq("rk"), "t", "rt")
+    assert(out.count() == 0)
+  }
+
   test("resolves by column name and rejects missing columns") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asof(leftDf, rightDf, Seq("nope"), Seq("rk"), "t", "rt")
