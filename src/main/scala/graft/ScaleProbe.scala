@@ -16,6 +16,8 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -47,11 +49,37 @@ object ScaleProbe {
     println(s"vectors: ${emb.count()}")
     time(s"emb near-dup x$mult")(Dedup.embeddingNearDups(
       emb, "vec_id", "embedding", "label", 0.4).count())
+    // hot-block fix: same op with B=4 sub-blocking (16 cells per block
+    // instead of 1 — the fixture's 10 clusters stop capping parallelism)
+    time(s"emb near-dup x$mult B=4")(Dedup.embeddingNearDups(
+      emb, "vec_id", "embedding", "label", 0.4, subBlocks = 4).count())
     val q = graft.ops.Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
     time(s"brute topk x$mult")(
       graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).count())
     time(s"ivf topk x$mult")(graft.ops.Similarity.ivfTopK(
       emb, "vec_id", "embedding", "label", q, 10, 3).count())
+
+    // round-2 operators at scale: as-of join + connected components
+    val evBase = graft.core.Tables.events(spark, "/root/testdata/sf0.1")
+    val evn = evBase.count()
+    val ev = (0 until mult).map { i =>
+      evBase.select((col("event_id") + lit(i * evn)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * 1000)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    println(s"events: ${ev.count()}")
+    time(s"asof join x$mult") {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+      graft.plans.AsOfJoin.asof(p, v, Seq("user_id"), Seq("v_user"),
+        "p_us", "v_us").count()
+    }
+    time(s"cc over minhash pairs x$mult") {
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+    }
     spark.stop()
   }
 }

@@ -123,6 +123,21 @@ object R2Queries {
              |  AND v.v_us BETWEEN p.p_us - 3600000000 AND p.p_us
              |ORDER BY p.user_id, p_us, p_event, v_us, v_event""".stripMargin)),
 
+    Q("ev_sketch",
+      "Sketch aggregates per event type: approx_count_distinct (HLL++) " +
+        "and percentile_approx — the sub-linear-memory path for " +
+        "cardinality/quantiles at 100 TB, where exact distinct/percentile " +
+        "would shuffle the full column. Approximate by design → no SQL " +
+        "oracle (driver records the rows-only check); q9/q21 pin the " +
+        "exact counterparts.",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      None),
+
     Q("q21_quantile",
       "Exact grouped percentiles (p25/p50/p90) — Spark's sort-based " +
         "`percentile` against DuckDB's `quantile_cont` (both linear " +
