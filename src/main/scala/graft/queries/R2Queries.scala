@@ -123,6 +123,35 @@ object R2Queries {
              |  AND v.v_us BETWEEN p.p_us - 3600000000 AND p.p_us
              |ORDER BY p.user_id, p_us, p_event, v_us, v_event""".stripMargin)),
 
+    Q("q24_range_join",
+      "Pure range join (no equi-key): every view within ±60s of any " +
+        "purchase, across all users. Naive planning is a nested-loop " +
+        "O(n·m); RangeJoin.pointInInterval manufactures a bucket " +
+        "equi-key (2-bucket explode on the interval side) so it plans as " +
+        "an ordinary shuffle join + exact-range refilter.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event"),
+            unix_micros(col("ts")).as("p_us"))
+          .withColumn("lo", col("p_us") - 60000000L)
+          .withColumn("hi", col("p_us") + 60000000L)
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_event"),
+            unix_micros(col("ts")).as("v_us"))
+        graft.ops.RangeJoin.pointInInterval(p, "lo", "hi", v, "v_us",
+            bucketWidth = 120000000L)
+          .select("p_event", "p_us", "v_event", "v_us")
+          .orderBy("p_event", "v_event")
+      },
+      Some("""WITH p AS (SELECT event_id AS p_event, epoch_us(ts) AS p_us
+             |           FROM events WHERE event_type = 'purchase'),
+             |     v AS (SELECT event_id AS v_event, epoch_us(ts) AS v_us
+             |           FROM events WHERE event_type = 'view')
+             |SELECT p_event, p_us, v_event, v_us
+             |FROM p JOIN v ON v.v_us BETWEEN p.p_us - 60000000 AND p.p_us + 60000000
+             |ORDER BY p_event, v_event""".stripMargin)),
+
     Q("ev_sketch",
       "Sketch aggregates per event type: approx_count_distinct (HLL++) " +
         "and percentile_approx — the sub-linear-memory path for " +
