@@ -184,4 +184,78 @@ object AsOfJoin {
       leftOn.map(res(lPlan, _, "left")), rightOn.map(res(rPlan, _, "right")),
       res(lPlan, leftTimeCol, "left"), res(rPlan, rightTimeCol, "right")))
   }
+
+  /** Broadcast as-of join — same semantics as [[asof]], different plan
+    * shape for the DIMENSION case: when the right side is small (a
+    * feature-store snapshot, a rates table, a config history), shuffling
+    * the fact side just to co-partition is wasted I/O. Here the right
+    * side is collected once, sorted per key, broadcast to every executor,
+    * and each left row binary-searches its key's time array — a narrow
+    * mapPartitions over the fact table, ZERO exchanges on either side
+    * (the analogue of Catalyst choosing BroadcastHashJoin over
+    * SortMergeJoin). Right side must fit on the driver/executors; the
+    * `maxRightRows` guard fails fast instead of OOMing.
+    */
+  def asofBroadcast(left: DataFrame, right: DataFrame,
+                    leftOn: Seq[String], rightOn: Seq[String],
+                    leftTimeCol: String, rightTimeCol: String,
+                    maxRightRows: Int = 5000000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+
+    val spark = left.sparkSession
+    val rSchema = right.schema
+    val rTimeIdx = rSchema.fieldIndex(rightTimeCol)
+    val rKeyIdx = rightOn.map(rSchema.fieldIndex)
+    val lSchema = left.schema
+    val lTimeIdx = lSchema.fieldIndex(leftTimeCol)
+    val lKeyIdx = leftOn.map(lSchema.fieldIndex)
+
+    // sorted by (key, time): rows collect into per-key ascending arrays
+    val collected = right
+      .sortWithinPartitions(
+        (rightOn.map(col) :+ col(rightTimeCol)): _*)
+      .collect()
+    require(collected.length <= maxRightRows,
+      s"broadcast as-of right side has ${collected.length} rows (max $maxRightRows); use asof()")
+    def timeOf(r: Row, i: Int): Long = r.get(i) match {
+      case l: Long => l
+      case i2: Int => i2.toLong
+      case t: java.sql.Timestamp => t.getTime * 1000L
+      case x => throw new IllegalArgumentException(s"unsupported time value $x")
+    }
+    val byKey: Map[Seq[Any], (Array[Long], Array[Row])] = collected
+      .groupBy(r => rKeyIdx.map(r.get): Seq[Any])
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(timeOf(_, rTimeIdx))
+        (k, (sorted.map(timeOf(_, rTimeIdx)), sorted))
+      }
+    val bc = spark.sparkContext.broadcast(byKey)
+
+    val outSchema = StructType(lSchema.fields ++
+      rSchema.fields.map(_.copy(nullable = true)))
+    val nullTail: Seq[Any] = Seq.fill(rSchema.length)(null)
+    left.mapPartitions { it =>
+      val lookup = bc.value
+      it.map { lRow =>
+        val k = lKeyIdx.map(lRow.get): Seq[Any]
+        val tail = lookup.get(k) match {
+          case Some((times, rows)) =>
+            val lt = timeOf(lRow, lTimeIdx)
+            // rightmost index with times(i) <= lt
+            var lo = 0; var hi = times.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= lt) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) rows(ans).toSeq else nullTail
+          case None => nullTail
+        }
+        Row.fromSeq(lRow.toSeq ++ tail)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
 }

@@ -86,6 +86,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("asofBroadcast: same results as the sort-merge operator, zero exchanges") {
+    val sm = AsOfJoin.asof(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "ltag", "rt", "rtag")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val bcOut = AsOfJoin.asofBroadcast(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "ltag", "rt", "rtag")
+    val bc = bcOut.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(bc == sm)
+    // dimension shape: narrow map over the fact side, no shuffle at all
+    val plan = bcOut.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no exchange:\n$plan")
+  }
+
+  test("asofBroadcast: larger randomized parity with the merge operator") {
+    val l = spark.range(500).select(
+      (col("id") % 7).as("k"), (expr("id DIV 7") * 11 + 3).as("t"))
+    val r = spark.range(300).select(
+      (col("id") % 7).as("rk"), (expr("id DIV 7") * 17).as("rt"))
+    val a = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = AsOfJoin.asofBroadcast(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("resolves by column name and rejects missing columns") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asof(leftDf, rightDf, Seq("nope"), Seq("rk"), "t", "rt")
