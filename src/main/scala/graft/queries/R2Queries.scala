@@ -152,6 +152,37 @@ object R2Queries {
              |FROM p JOIN v ON v.v_us BETWEEN p.p_us - 60000000 AND p.p_us + 60000000
              |ORDER BY p_event, v_event""".stripMargin)),
 
+    Q("q25_correlated",
+      "Correlated subqueries — the decorrelation surface q15 doesn't " +
+        "touch: a correlated scalar (per-nation decimal-exact average, " +
+        "rewritten by Catalyst into an aggregate + join) and a " +
+        "correlated EXISTS (rewritten to a semi join).",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c_nationkey, count(*) AS n_above
+          FROM customer_v c
+          WHERE c_acctbal > (SELECT cast(sum(cast(c2.c_acctbal
+                     AS decimal(28,8))) AS double) / count(*)
+                   FROM customer_v c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+            AND EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey)
+          GROUP BY c_nationkey
+          ORDER BY c_nationkey""")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_above
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT cast(sum(cast(c2.c_acctbal
+             |           AS decimal(28,8))) AS double) / count(*)
+             |         FROM customer c2
+             |         WHERE c2.c_nationkey = c.c_nationkey)
+             |  AND EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey)
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
     Q("ev_sketch",
       "Sketch aggregates per event type: approx_count_distinct (HLL++) " +
         "and percentile_approx — the sub-linear-memory path for " +
