@@ -235,18 +235,23 @@ object Dedup {
             .as("label"))
       // pointer jumping: follow label -> label's own label (chains halve
       // every round; labels only ever decrease so least() is safe).
+      // Skipped in round 0: shallow graphs (near-dup clusters, diameter
+      // 1-2) converge on plain propagation and shouldn't pay the extra
+      // self-join; deep graphs still get O(log diameter) from round 1 on.
       // localCheckpoint (not persist): an iterated plan otherwise nests
       // its whole history every round — the tree blows past the
       // analyzer's recursion depth long before the data is big. Eager
       // checkpoint materializes the round AND resets the plan to a flat
       // LogicalRDD, so per-round plan cost is constant.
-      val next = prop.join(
-          prop.select(col("id").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("ll"), col("label")))
-            .as("label"))
-        .localCheckpoint(true)
+      val jumped =
+        if (i == 0) prop
+        else prop.join(
+            prop.select(col("id").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("ll"), col("label")))
+              .as("label"))
+      val next = jumped.localCheckpoint(true)
       converged = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") < col("o.label")).count() == 0
       labels = next

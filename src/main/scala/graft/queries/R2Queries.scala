@@ -198,6 +198,18 @@ object R2Queries {
         .orderBy("event_type"),
       None),
 
+    Q("stream_dedup",
+      "Streaming deduplication: dropDuplicates on (user, type, hour) as " +
+        "a stateful streaming op — append mode emits first occurrences, " +
+        "watermark bounds the key state. Keys-only output ≡ the batch " +
+        "DISTINCT oracle.",
+      (s, d) => graft.streaming.EventStream.runDedupStream(s, d)
+        .orderBy("user_id", "event_type", "hour_start"),
+      Some("""SELECT DISTINCT user_id, event_type,
+             |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start
+             |FROM events
+             |ORDER BY user_id, event_type, hour_start""".stripMargin)),
+
     Q("q21_quantile",
       "Exact grouped percentiles (p25/p50/p90) — Spark's sort-based " +
         "`percentile` against DuckDB's `quantile_cont` (both linear " +

@@ -117,6 +117,40 @@ object EventStream {
     spark.table(queryName).filter(col("user_id") >= 0)
   }
 
+  /** Streaming deduplication: `dropDuplicates` over a key set as a
+    * stateful streaming op — the streaming face of the corpus-dedup
+    * suite. Append mode emits each key's FIRST occurrence immediately
+    * and keeps key state to suppress repeats; `withWatermark` bounds
+    * that state for keys embedding event time (state for hours the
+    * watermark has passed is dropped — at 100 TB/day the difference
+    * between bounded and unbounded key state). Only the key columns are
+    * emitted, so the result is the deterministic distinct-key SET
+    * (which survivor row wins is arbitrary in ANY engine).
+    */
+  def runDedupStream(spark: SparkSession, sfDir: String,
+                     queryName: String = "graft_dedup_stream"): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+    val keyed = stream
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("ts"))
+      .dropDuplicates("user_id", "event_type", "hour_start")
+      .select("user_id", "event_type", "hour_start")
+    val q = keyed.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream interval join: purchases ⋈ views on user within
     * [purchase − 1h, purchase] — the canonical hard Structured Streaming
     * op. Both sides are `readStream`s with watermarks; the event-time
