@@ -111,6 +111,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("results are identical with AQE enabled (co-partitioning survives coalescing)") {
+    // If AQE coalesced the two child shuffles differently, rows for one
+    // key would land in different partitions on each side and silently
+    // vanish from the merge — pin that Spark keeps them aligned.
+    val l = spark.range(5000).select(
+      (col("id") % 97).as("k"), (expr("id DIV 97") * 5 + 7).as("t"))
+    val r = spark.range(5100).select(
+      (col("id") % 97).as("rk"), (expr("id DIV 97") * 3).as("rt"))
+    def run(): Seq[Seq[Any]] =
+      AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "t", "rt")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val off = run()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      val on = run()
+      assert(on == off)
+      assert(on.size == 5000)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+  }
+
   test("resolves by column name and rejects missing columns") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asof(leftDf, rightDf, Seq("nope"), Seq("rk"), "t", "rt")
