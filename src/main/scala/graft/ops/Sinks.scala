@@ -69,6 +69,51 @@ object Sinks {
     w.jdbc(url, table, props)
   }
 
+  /** Exactly-once streaming JDBC sink (the `foreachBatch` pattern).
+    *
+    * Structured Streaming's foreachBatch gives at-least-once delivery:
+    * after a crash the same (batchId, data) can be replayed. Idempotence
+    * is the sink's job, and the standard recipe is a BATCH LEDGER — a
+    * one-row-per-batch table written before the data; a replayed batch
+    * sees its ledger row and skips. Wire it as:
+    *
+    *   stream.writeStream.foreachBatch { (df, id) =>
+    *     Sinks.idempotentBatchAppend(df, id, url, "events_out", "events")
+    *   }
+    *
+    * The ledger probe is one driver-side point query; the data write is
+    * the ordinary partition-parallel [[jdbcAppend]]. (Ledger row and data
+    * are not one transaction — a crash BETWEEN them loses that batch's
+    * data while marking it done; production sinks close that with a
+    * staging table swapped in the ledger transaction, same seam.)
+    *
+    * @return true if the batch was written, false if it was a replay
+    */
+  def idempotentBatchAppend(df: org.apache.spark.sql.DataFrame, batchId: Long,
+                            url: String, ledgerTable: String, dataTable: String,
+                            props: java.util.Properties = new java.util.Properties,
+                            options: Map[String, String] = Map.empty): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val meta = conn.getMetaData.getTables(null, null,
+        ledgerTable.toUpperCase, null)
+      if (!meta.next()) {
+        conn.createStatement().executeUpdate(
+          s"CREATE TABLE $ledgerTable (batch_id BIGINT PRIMARY KEY)")
+      }
+      val seen = conn.prepareStatement(
+        s"SELECT 1 FROM $ledgerTable WHERE batch_id = ?")
+      seen.setLong(1, batchId)
+      if (seen.executeQuery().next()) return false // replay: skip
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $ledgerTable (batch_id) VALUES (?)")
+      ins.setLong(1, batchId)
+      ins.executeUpdate()
+    } finally conn.close()
+    jdbcAppend(df, url, dataTable, props, options = options)
+    true
+  }
+
   /** K4 — REST API sink. Transport is pluggable so the operator shape
     * (serialize partition → batched POST) is testable without a network;
     * at scale this runs per partition (`foreachPartition`), never through

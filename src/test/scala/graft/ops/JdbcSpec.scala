@@ -43,4 +43,38 @@ class JdbcSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("msg_date"),
       s"filter should push into JDBC scan:\n$plan")
   }
+
+  test("exactly-once streaming sink: foreachBatch + batch ledger survives replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val colTypes = Map("createTableColumnTypes" -> "word VARCHAR(40)")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("k", "word").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Sinks.idempotentBatchAppend(df, id, url, "sink_ledger", "sink_out",
+          props, options = colTypes); ()
+      }
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = graft.core.Tables.jdbc(spark, url, "sink_out", props)
+    assert(out.count() == 3)
+
+    // crash-replay: the engine re-delivers batch 1 — the ledger skips it
+    val replay = Seq((3L, "c")).toDF("k", "word")
+    val wrote = Sinks.idempotentBatchAppend(replay, 1L, url,
+      "sink_ledger", "sink_out", props, options = colTypes)
+    assert(!wrote)
+    assert(graft.core.Tables.jdbc(spark, url, "sink_out", props).count() == 3)
+    // a genuinely new batch still writes
+    val wrote2 = Sinks.idempotentBatchAppend(replay, 99L, url,
+      "sink_ledger", "sink_out", props, options = colTypes)
+    assert(wrote2)
+    assert(graft.core.Tables.jdbc(spark, url, "sink_out", props).count() == 4)
+  }
 }
