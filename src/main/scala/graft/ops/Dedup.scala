@@ -190,6 +190,30 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Benchmark decontamination: flag TRAIN documents sharing at least
+    * `minCommon` distinct shingles with any BENCHMARK document — the
+    * standard eval-leakage guard in training-corpus curation (the same
+    * n-gram-overlap machinery as Jaccard dedup, but asymmetric: the
+    * benchmark side is a small curated set, so the shingle join is
+    * bounded by |bench| and effectively a broadcast at scale).
+    *
+    * @return (id, n_bench_hits, max_overlap) per contaminated train doc.
+    */
+  def contamination(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    shingler: Shingler = Shingler.words(3),
+                    minCommon: Int = 5): DataFrame = {
+    val (ts, tCol) = shingler.stage(train, textCol)
+    val (bs, bCol) = shingler.stage(bench, textCol)
+    val tsh = ts.select(col(idCol).as("id"), explode(tCol).as("sh"))
+    val bsh = bs.select(col(idCol).as("bid"), explode(bCol).as("sh"))
+    tsh.join(bsh, "sh")
+      .groupBy("id", "bid").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bench_hits"), max("n_common").as("max_overlap"))
+  }
+
   /** Connected components over an undirected candidate-pair edge list —
     * the dedup endgame: near-dup PAIRS (minhash/simhash/jaccard output)
     * become CLUSTERS, and one survivor per cluster (the min id) is kept.

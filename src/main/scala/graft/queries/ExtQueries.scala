@@ -18,6 +18,10 @@ object ExtQueries {
   private def shingleSql(c: String, k: Int): String =
     s"list_distinct(list_transform(generate_series(1, greatest(length($c)-${k - 1},1)), i -> substr($c, i, $k)))"
 
+  /** DuckDB restatement of Dedup.wordShingles (shared with R2Queries). */
+  private[queries] def wordShingleSqlPub(c: String, n: Int): String =
+    wordShingleSql(c, n)
+
   /** DuckDB restatement of Dedup.wordShingles. */
   private def wordShingleSql(c: String, n: Int): String = {
     val w = s"string_split_regex(trim($c), '\\s+')"

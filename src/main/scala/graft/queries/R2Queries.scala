@@ -79,6 +79,32 @@ object R2Queries {
            |       id = cluster AS is_survivor
            |FROM cc ORDER BY id""".stripMargin)),
 
+    Q("dedup_contamination",
+      "Benchmark decontamination: train docs (doc_id % 10 ≠ 0) sharing " +
+        "≥3 distinct word-3-gram shingles with any benchmark doc " +
+        "(doc_id % 10 = 0) — the eval-leakage guard; the benchmark side " +
+        "is small/curated, so the shingle join is bench-bounded.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contamination(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", Dedup.Shingler.words(3), minCommon = 3)
+          .orderBy("id")
+      },
+      Some(s"""WITH tsh AS (
+              |  SELECT doc_id AS id, unnest(${ExtQueries.wordShingleSqlPub("text", 3)}) AS sh
+              |  FROM documents WHERE doc_id % 10 <> 0),
+              |bsh AS (
+              |  SELECT doc_id AS bid, unnest(${ExtQueries.wordShingleSqlPub("text", 3)}) AS sh
+              |  FROM documents WHERE doc_id % 10 = 0),
+              |common AS (
+              |  SELECT id, bid, count(*) AS n FROM tsh JOIN bsh USING (sh)
+              |  GROUP BY 1, 2)
+              |SELECT id, count(*) AS n_bench_hits, max(n) AS max_overlap
+              |FROM common WHERE n >= 3
+              |GROUP BY id ORDER BY id""".stripMargin)),
+
     Q("stream_sessionize",
       "Sessionization as a REAL Structured Streaming query: readStream → " +
         "watermark → session_window agg → append-mode memory sink, driven " +
