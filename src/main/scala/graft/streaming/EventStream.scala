@@ -113,7 +113,15 @@ object EventStream {
         schema)
       flush.coalesce(1).write.mode("append").parquet(dir.toString)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the memory sink owns the results now; drop the staged source copy
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     spark.table(queryName).filter(col("user_id") >= 0)
   }
 

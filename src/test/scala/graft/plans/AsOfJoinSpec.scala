@@ -134,6 +134,47 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized parity with an independent union+window reference (100 seeds)") {
+    // Reference formulation: tag both sides, union, per-key sort by
+    // (time, side), carry the last right row forward with
+    // last(_, ignoreNulls) — a completely different plan computing the
+    // same semantics. Random duplicates-free (key, time) grids.
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(2024)
+    (1 to 100).foreach { trial =>
+      val nl = 1 + rnd.nextInt(30)
+      val nr = rnd.nextInt(30)
+      val lRows = Seq.tabulate(nl)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong * 2 + 1, i.toLong))
+        .distinct
+      val rRows = Seq.tabulate(nr)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong * 2, 1000L + i))
+        .groupBy(t => (t._1, t._2)).values.map(_.head).toSeq // unique (k,t)
+      val l = lRows.toDF("k", "t", "lid")
+      val r = rRows.toDF("rk", "rt", "rid")
+
+      val got = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "t", "rt")
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .sortBy(identity).toSeq
+
+      val tagged = l.select(col("k"), col("t"), col("lid"),
+          lit(null).cast("long").as("rid"), lit(1).as("side"))
+        .unionByName(r.select(col("rk").as("k"), col("rt").as("t"),
+          lit(null).cast("long").as("lid"), col("rid"), lit(0).as("side")))
+      val w = Window.partitionBy("k").orderBy(col("t"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val want = tagged
+        .withColumn("carried", last(col("rid"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("lid"), coalesce(col("carried"), lit(-1L)).as("rid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+        .sortBy(identity).toSeq
+
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
   test("resolves by column name and rejects missing columns") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asof(leftDf, rightDf, Seq("nope"), Seq("rk"), "t", "rt")
