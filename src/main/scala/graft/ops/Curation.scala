@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines
+  * (north-star extensions alongside [[TextAnalysis]]): PII redaction,
+  * sequence packing, and deterministic stratified sampling.
+  *
+  * Scale design notes:
+  *  - Redaction is a pure `regexp_replace` expression chain — codegen'd,
+  *    runs inside the scan's project stage, no shuffle at any scale.
+  *  - Packing does its cumulative sum PER SHARD (`partitionBy` column),
+  *    never globally: a global ordered cumsum would serialize 100 TB
+  *    through one window partition, while per-shard packing is the
+  *    semantics training pipelines actually use (each input shard becomes
+  *    an independent stream of fixed-budget sequences).
+  *  - Sampling is hash-threshold based (md5 of the id), so it is
+  *    deterministic, reproducible across runs/engines, needs no RNG state,
+  *    and pushes down as a plain filter — the standard lake-scale
+  *    alternative to `sample()`'s per-partition RNG.
+  */
+object Curation {
+
+  /** PII patterns, portable across Java regex and RE2 (no backrefs,
+    * no lookaround): email, international-ish phone, SSN shape, and long
+    * digit runs (account/record ids).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val LongNumberRe = "\\b\\d{6,}\\b"
+
+  /** Ordered redaction passes: (pattern, replacement). Email first so its
+    * digits are gone before number scrubbing; same order must be used in
+    * any oracle restatement.
+    */
+  val passes: Seq[(String, String)] = Seq(
+    EmailRe -> "<EMAIL>", SsnRe -> "<SSN>", LongNumberRe -> "<ID>")
+
+  /** Redacted text: every pass applied in [[passes]] order. */
+  def redact(text: Column): Column =
+    passes.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+
+  /** Count of matches of one pattern against the ORIGINAL text (counting
+    * before any replacement keeps the per-pattern counts independent of
+    * pass order).
+    */
+  def matchCount(text: Column, re: String): Column =
+    size(call_function("regexp_extract_all", text, lit(re), lit(0))).cast("long")
+
+  /** Sequence packing (concat-and-chop): assign each document, in
+    * deterministic `orderCol` order within its `shardCol` partition, to a
+    * fixed-token-budget training sequence. `seq_id` is
+    * floor(tokens-before-this-doc / budget) — the standard "concatenate
+    * the shard, cut every `budget` tokens" packing, restated so it needs
+    * only one window cumsum instead of an iterative packer. Documents
+    * longer than the budget still land in exactly one sequence (they'd be
+    * split downstream by the tokenizer; the assignment stays
+    * deterministic).
+    *
+    * Adds `n_tokens` (whitespace tokens) and `seq_id` columns.
+    */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextAnalysis.tokenCountWs(col(textCol)))
+      .withColumn("seq_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+  }
+
+  /** First 4 hex digits of md5(id) as a uniform value in [0, 65536) — the
+    * deterministic coin for sampling decisions, identical in any engine
+    * with md5.
+    */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Deterministic stratified sample: keep a row when its hash bucket
+    * falls under its stratum's rate. Rates are per stratum value with a
+    * default; reproducible row-level decisions (no RNG, no seed drift
+    * across retries/partitions) and the filter pushes down to the scan.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (rest, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(rest)
+    }
+    df.filter(hashBucket(col(idCol)) < rateCol * 65536)
+  }
+}

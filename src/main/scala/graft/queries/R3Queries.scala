@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Curation, Multimodal}
+
+/** Round-2 session additions: corpus-curation operators (PII redaction,
+  * sequence packing, stratified sampling) and multimodal frame sampling —
+  * the remaining training-data-pipeline surface on top of dedup/
+  * similarity/text-analysis.
+  */
+object R3Queries {
+
+  /** Synthesized PII column: the fixture text carries no emails/ids, so
+    * the query plants deterministic ones (derived from doc_id) — the
+    * redaction operator then has real matches to scrub, and the oracle
+    * can plant the identical values.
+    */
+  private def piiText = concat(col("text"),
+    lit(" contact user"), col("doc_id"), lit("@example.com ref "),
+    (col("doc_id") * 1234567L + 8000000L).cast("string"),
+    lit(" ssn 123-45-6789"))
+
+  private val piiSql =
+    "text || ' contact user' || doc_id || '@example.com ref ' || " +
+      "(doc_id * 1234567 + 8000000) || ' ssn 123-45-6789'"
+
+  // DuckDB restatements of Curation's Java-regex patterns (single-quoted,
+  // so backslashes survive; RE2 and java.util.regex agree on these).
+  private val emailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ssnSql = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val numSql = "\\b\\d{6,}\\b"
+
+  val all: Seq[Q] = Seq(
+
+    Q("ta_redact",
+      "PII redaction over documents: email / SSN-shaped / long-number " +
+        "patterns replaced in a fixed pass order, per-pattern match " +
+        "counts taken against the original text. Pure codegen'd " +
+        "regexp_replace chain — no UDF, no shuffle; runs inside the " +
+        "scan's project stage at any scale.",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), piiText.as("t"))
+        .select(col("doc_id"),
+          Curation.redact(col("t")).as("redacted"),
+          Curation.matchCount(col("t"), Curation.EmailRe).as("n_emails"),
+          Curation.matchCount(col("t"), Curation.SsnRe).as("n_ssn"),
+          Curation.matchCount(col("t"), Curation.LongNumberRe).as("n_ids"))
+        .orderBy("doc_id"),
+      Some(s"""WITH p AS (SELECT doc_id, $piiSql AS t FROM documents)
+              |SELECT doc_id,
+              |  regexp_replace(regexp_replace(regexp_replace(t,
+              |    '$emailSql', '<EMAIL>', 'g'),
+              |    '$ssnSql', '<SSN>', 'g'),
+              |    '$numSql', '<ID>', 'g') AS redacted,
+              |  len(regexp_extract_all(t, '$emailSql')) AS n_emails,
+              |  len(regexp_extract_all(t, '$ssnSql')) AS n_ssn,
+              |  len(regexp_extract_all(t, '$numSql')) AS n_ids
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    Q("ta_pack",
+      "Sequence packing (concat-and-chop): each source shard's documents " +
+        "are assigned, in doc_id order, to fixed-256-token training " +
+        "sequences via one per-shard window cumsum — never a global " +
+        "order-by, so shards pack in parallel at any scale. Output is " +
+        "one row per packed sequence.",
+      (s, d) => Curation
+        .packSequences(Tables.documents(s, d), "source", "doc_id", "text", 256)
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("seq_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source", "seq_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+             |  FROM t)
+             |SELECT source, CAST(floor(tok_before / 256) AS BIGINT) AS seq_id,
+             |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+             |  min(doc_id) AS first_doc
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("doc_sample",
+      "Deterministic stratified sampling: keep a document when the first " +
+        "4 hex digits of md5(doc_id) fall under its language's rate " +
+        "(en 50%, zh 20%, others 10%). Hash-threshold sampling is " +
+        "reproducible across runs and engines, needs no RNG state, and " +
+        "plans as a plain pushed-down filter — the lake-scale " +
+        "alternative to sample()'s per-partition RNG.",
+      (s, d) => Curation.stratifiedSample(Tables.documents(s, d),
+          "lang", "doc_id", Map("en" -> 0.5, "zh" -> 0.2), defaultRate = 0.1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+             |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+             |     ELSE 0.1 END) * 65536
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_resize",
+      "Multimodal resize: decode-scale-reencode column contract over the " +
+        "binary payload (mapPartitions stub — a real codec scales pixels " +
+        "here; the stub recycles payload bytes to the target size, which " +
+        "the oracle restates as repeat+substring over the ASCII payload).",
+      (s, d) => Multimodal.resize(
+          Tables.documents(s, d).select(col("doc_id"),
+            encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), "UTF-8")
+              .as("payload")),
+          "payload", width = 32, height = 32)
+        .select(col("doc_id"),
+          col("resized_meta.n_bytes"), col("resized_meta.width"),
+          col("resized_meta.height"), col("resized_meta.format"),
+          col("resized_meta.content_md5"))
+        .orderBy("doc_id"),
+      // 32×32/64 = 16 output bytes; stub byte i = payload[i mod len], which
+      // for ASCII text is substring(repeat(t, ...), 1, 16)
+      Some("""WITH a AS (
+             |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) = 0 THEN repeat(chr(0), 16)
+             |         ELSE substring(repeat(t, CAST(ceil(16.0 / len(t)) AS INT) + 1),
+             |                        1, 16) END AS resized
+             |  FROM a)
+             |SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
+             |  CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+             |  'raw' AS format, md5(resized) AS content_md5
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_frames",
+      "Multimodal frame sampling: every 4th 64-byte chunk of the binary " +
+        "payload becomes one frame row (mapPartitions stub with the real " +
+        "schema/explode shape — a real sampler decodes video here). The " +
+        "payload is ASCII-normalized text bytes, so the DuckDB oracle " +
+        "can restate byte chunks as character chunks.",
+      (s, d) => Multimodal.sampleFrames(
+          Tables.documents(s, d).select(col("doc_id"),
+            encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), "UTF-8")
+              .as("payload")),
+          "doc_id", "payload", chunkBytes = 64, stride = 4)
+        .select(col("doc_id"), col("frame_no"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_no"),
+      Some("""WITH a AS (
+             |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, t,
+             |    unnest(generate_series(0, CAST(ceil(len(t) / 64.0) AS INT) - 1)) AS i
+             |  FROM a WHERE len(t) > 0)
+             |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+             |  CAST(len(substring(t, i * 64 + 1, 64)) AS BIGINT) AS n_bytes,
+             |  md5(substring(t, i * 64 + 1, 64)) AS frame_md5
+             |FROM c WHERE i % 4 = 0
+             |ORDER BY doc_id, frame_no""".stripMargin)))
+}

@@ -22,6 +22,28 @@ object EventStream {
 
   private val dec = DecimalType(28, 8)
 
+  /** Stateful streaming queries fix their state-store partition count at
+    * query start from `spark.sql.shuffle.partitions` (AQE never applies to
+    * streaming). Each micro-batch then pays a state-store commit PER
+    * PARTITION — a fixed file-I/O cost that has nothing to do with row
+    * volume. At local/fixture scale that overhead dominates (32 partitions
+    * × several stateful operators × batches of ~100k rows), so the
+    * runners below plan their streams with a smaller state partition
+    * count and restore the session conf right after. A production
+    * deployment sizes this to the cluster (state partitions are the
+    * parallelism AND the state-shard unit — they cannot change without a
+    * checkpoint rebuild, so real pipelines pick the scale-out value up
+    * front and local demos should not inherit it).
+    */
+  private val StatePartitions = 4
+
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def windowedAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -38,7 +60,8 @@ object EventStream {
     * live deployment) even though complete mode retains all windows.
     */
   def runWindowedStream(spark: SparkSession, sfDir: String,
-                        queryName: String = "graft_events_stream"): DataFrame = {
+                        queryName: String = "graft_events_stream"): DataFrame =
+    withStatePartitions(spark) {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-stream sources need a directory; glob-filter to the events file
     val stream = graft.core.Tables.normalizeTs(
@@ -55,7 +78,7 @@ object EventStream {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
-  }
+    }
 
   /** Streaming sessionization: `readStream → withWatermark →
     * session_window agg → APPEND-mode memory sink`, driven to completion.
@@ -76,7 +99,8 @@ object EventStream {
     */
   def runSessionStream(spark: SparkSession, sfDir: String,
                        queryName: String = "graft_session_stream",
-                       gap: String = "30 minutes"): DataFrame = {
+                       gap: String = "30 minutes"): DataFrame =
+    withStatePartitions(spark) {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(sfDir, "events.parquet")
     val dir = Files.createTempDirectory("graft_sess_src")
@@ -123,7 +147,7 @@ object EventStream {
       } catch { case _: Throwable => () }
     }
     spark.table(queryName).filter(col("user_id") >= 0)
-  }
+    }
 
   /** Streaming deduplication: `dropDuplicates` over a key set as a
     * stateful streaming op — the streaming face of the corpus-dedup
@@ -136,7 +160,8 @@ object EventStream {
     * (which survivor row wins is arbitrary in ANY engine).
     */
   def runDedupStream(spark: SparkSession, sfDir: String,
-                     queryName: String = "graft_dedup_stream"): DataFrame = {
+                     queryName: String = "graft_dedup_stream"): DataFrame =
+    withStatePartitions(spark) {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = graft.core.Tables.normalizeTs(
       spark.readStream.schema(schema)
@@ -157,7 +182,7 @@ object EventStream {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
-  }
+    }
 
   /** Stream-stream interval join: purchases ⋈ views on user within
     * [purchase − 1h, purchase] — the canonical hard Structured Streaming
@@ -173,7 +198,8 @@ object EventStream {
     * (stream ≡ batch).
     */
   def runIntervalJoinStream(spark: SparkSession, sfDir: String,
-                            queryName: String = "graft_interval_join"): DataFrame = {
+                            queryName: String = "graft_interval_join"): DataFrame =
+    withStatePartitions(spark) {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def side(): DataFrame = graft.core.Tables.normalizeTs(
       spark.readStream.schema(schema)
@@ -202,5 +228,5 @@ object EventStream {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
-  }
+    }
 }
