@@ -230,8 +230,10 @@ object Dedup {
     * same seam upgrades to alternating small-star/large-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond").
     *
-    * The per-round `count()` convergence check is a deliberate driver
-    * round-trip (an aggregate, not a collect of data); intermediate label
+    * Convergence is detected from `sum(label)` (decimal-exact): labels
+    * only ever decrease elementwise, so ANY change strictly decreases the
+    * sum — one partial-aggregated scan of the new labels per round,
+    * instead of a join against the previous round. Intermediate label
     * relations register in [[graft.core.Caches]] and are released by the
     * harness after the terminal action.
     *
@@ -248,6 +250,9 @@ object Dedup {
         .withColumn("label", col("id")))
     var converged = false
     var i = 0
+    // decimal(38,0): exact at any node-id magnitude/graph size, where a
+    // long sum could overflow on 100 TB-scale id spaces
+    var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
@@ -276,8 +281,11 @@ object Dedup {
             least(col("label"), coalesce(col("ll"), col("label")))
               .as("label"))
       val next = jumped.localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") < col("o.label")).count() == 0
+      val sumNow = next
+        .agg(sum(col("label").cast(DecimalType(38, 0))).as("s"))
+        .head().getDecimal(0)
+      converged = prevSum != null && prevSum.compareTo(sumNow) == 0
+      prevSum = sumNow
       labels = next
       i += 1
     }

@@ -84,6 +84,68 @@ object Similarity {
     emb.filter(col(idCol) === id).select(vecCol).first()
       .getSeq[Float](0)
 
+  // ---- Int8 quantization (PQ-lite) ---------------------------------------
+
+  /** Per-vector symmetric int8 quantization scale: max|x| / 127 (floored
+    * at 1e-30 so the all-zero vector quantizes to zeros instead of NaN).
+    */
+  def quantScale(vecCol: Column): Column =
+    greatest(array_max(transform(vecCol, x => abs(x.cast("double")))),
+      lit(1e-30)) / 127
+
+  /** Quantized codes: round(x / scale) ∈ [-127, 127] as longs. `scaleCol`
+    * must be staged as its own column first (inlining it re-runs the
+    * array_max per element — higher-order funcs get no subexpression
+    * elimination).
+    */
+  def quantCodes(vecCol: Column, scaleCol: Column): Column =
+    transform(vecCol, x => round(x.cast("double") / scaleCol).cast("long"))
+
+  /** Exact integer dot product of two code arrays (sequential long fold —
+    * integer math, so order-independent and engine-exact).
+    */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Quantized ANN with exact rescoring — the PQ-shaped memory/bandwidth
+    * path at 100 TB (int8 codes are 4× smaller than float32; the scan and
+    * the shortlist scoring touch only codes):
+    *   1. quantize every vector (and the stored query vector) to int8;
+    *   2. approximate cosine entirely in code space —
+    *      dot_q(a,q) / (√dot_q(a,a) · √dot_q(q,q)) — the per-vector
+    *      scales cancel out of the cosine, so no float rescale is needed;
+    *   3. keep the top `rescore` candidates by (approx_sim, id) —
+    *      TakeOrderedAndProject, never a global sort;
+    *   4. exact decimal cosine on the survivors only; final top-k by it.
+    * All arithmetic is integer sums, IEEE-double division, and decimal
+    * rescoring — bit-reproducible in any engine (round() ties resolve
+    * away from zero in both Spark and DuckDB).
+    */
+  def quantTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, rescore: Int = 50): DataFrame = {
+    def staged(df: DataFrame): DataFrame = df
+      .withColumn("__scale", quantScale(col(vecCol)))
+      .withColumn("__q", quantCodes(col(vecCol), col("__scale")))
+      .withColumn("__qaa", intDot(col("__q"), col("__q")))
+    val q = staged(emb.filter(col(idCol) === queryId))
+      .select(col(vecCol).as("__qv"), col("__q").as("__qq"),
+        col("__qaa").as("__qnn"))
+    val short = staged(emb).crossJoin(broadcast(q))
+      .filter(col("__qaa") > 0)
+      .withColumn("approx_sim",
+        intDot(col("__q"), col("__qq")).cast("double") /
+          (sqrt(col("__qaa").cast("double")) * sqrt(col("__qnn").cast("double"))))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(rescore)
+    short
+      .select(col(idCol), col("approx_sim"),
+        (Dedup.dotExact(col(vecCol), col("__qv")) /
+          (Dedup.normExact(col(vecCol)) * Dedup.normExact(col("__qv"))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   // ---- SRP-LSH (signed random projections) -------------------------------
 
   /** Deterministic pseudo-random hyperplane j over `dims` dimensions:

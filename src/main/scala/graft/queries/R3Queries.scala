@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Curation, Multimodal}
+import graft.ops.{Curation, Multimodal, Similarity}
 
 /** Round-2 session additions: corpus-curation operators (PII redaction,
   * sequence packing, stratified sampling) and multimodal frame sampling —
@@ -31,7 +31,60 @@ object R3Queries {
   private val ssnSql = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   private val numSql = "\\b\\d{6,}\\b"
 
+  /** DuckDB restatement of Dedup.dotExact over index i (1-based; local
+    * copy of ExtQueries' helper to keep this file self-contained).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+
   val all: Seq[Q] = Seq(
+
+    Q("sim_quant",
+      "Int8-quantized ANN with exact rescoring (the PQ-shaped 100TB " +
+        "path: 4x smaller codes for scan + shortlist scoring): symmetric " +
+        "per-vector quantization, approximate cosine entirely in integer " +
+        "code space (scales cancel), top-50 shortlist, exact decimal " +
+        "cosine on survivors only.",
+      (s, d) => Similarity.quantTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 10, rescore = 50),
+      Some(s"""WITH sc AS (
+              |  SELECT vec_id,
+              |    greatest(max(abs(embedding[i]::DOUBLE)), 1e-30) / 127 AS scale
+              |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+              |qv AS (
+              |  SELECT e.vec_id, i,
+              |    CAST(round(e.embedding[i]::DOUBLE / s.scale) AS BIGINT) AS q
+              |  FROM embeddings e JOIN sc s USING (vec_id),
+              |       generate_series(1, 64) g(i)),
+              |qq AS (SELECT i, q FROM qv WHERE vec_id = 0),
+              |qnn AS (SELECT CAST(sum(q * q) AS BIGINT) AS n FROM qq),
+              |qd AS (
+              |  SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dab,
+              |         CAST(sum(a.q * a.q) AS BIGINT) AS daa
+              |  FROM qv a JOIN qq b USING (i) GROUP BY a.vec_id),
+              |short AS (
+              |  SELECT vec_id,
+              |    dab::DOUBLE / (sqrt(daa::DOUBLE) *
+              |      sqrt((SELECT n FROM qnn)::DOUBLE)) AS approx_sim
+              |  FROM qd WHERE daa > 0
+              |  ORDER BY approx_sim DESC, vec_id LIMIT 50),
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              |nq AS (
+              |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+              |  FROM q, generate_series(1, 64) g(i)),
+              |m AS (
+              |  SELECT e.vec_id, e.embedding FROM embeddings e
+              |  JOIN short s ON e.vec_id = s.vec_id),
+              |ne AS (
+              |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM m, generate_series(1, 64) g(i) GROUP BY vec_id),
+              |dots AS (
+              |  SELECT m.vec_id, ${dotSql("m.embedding", "q.qe")} AS dot
+              |  FROM m, q, generate_series(1, 64) g(i) GROUP BY m.vec_id)
+              |SELECT d.vec_id, s.approx_sim, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+              |FROM dots d JOIN ne ON d.vec_id = ne.vec_id
+              |  JOIN short s ON d.vec_id = s.vec_id, nq
+              |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin)),
 
     Q("ta_redact",
       "PII redaction over documents: email / SSN-shaped / long-number " +

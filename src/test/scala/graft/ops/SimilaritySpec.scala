@@ -59,6 +59,31 @@ class SimilaritySpec extends SparkSpec {
     assert((brute intersect ivf).size >= 3, s"recall too low: $brute vs $ivf")
   }
 
+  test("quantCodes stay in [-127,127]; intDot is exact on known values") {
+    val df = Seq((Seq(1.0f, -2.0f, 0.5f), Seq(3L, -1L, 2L), Seq(1L, 1L, 1L)))
+      .toDF("v", "a", "b")
+    val staged = df.withColumn("s", Similarity.quantScale($"v"))
+      .withColumn("q", Similarity.quantCodes($"v", $"s"))
+    val codes = staged.select($"q").as[Seq[Long]].first()
+    assert(codes == Seq(64L, -127L, 32L)) // scale = 2/127
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    assert(df.select(Similarity.intDot($"a", $"b")).as[Long].first() == 4L)
+  }
+
+  test("quantTopK: query ranks itself first; high recall vs brute force") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantTopK(emb, "vec_id", "embedding", 0L, 10, rescore = 50)
+      .collect()
+    assert(quant(0).getAs[Long]("vec_id") == 0L)
+    assert(math.abs(quant(0).getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    val ids = quant.map(_.getAs[Long]("vec_id")).toSet
+    // int8 + rescore-50 should recover nearly all of the exact top-10
+    assert((brute intersect ids).size >= 8, s"recall too low: $brute vs $ids")
+  }
+
   test("centroids: cluster of identical vectors reproduces the vector") {
     val df = Seq((1L, Seq(1.0f, 3.0f), 0), (2L, Seq(1.0f, 3.0f), 0))
       .toDF("vec_id", "embedding", "label")
