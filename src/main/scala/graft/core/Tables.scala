@@ -59,6 +59,15 @@ object Tables {
       .schema(schema)
       .csv(path)
 
+  /** JSON-lines source (one JSON object per line — the interchange format
+    * of scraped/crawled corpora). Schema is caller-supplied: schema
+    * inference reads the whole dataset once before the real scan, which
+    * is a full extra pass at 100 TB.
+    */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** JDBC source with projection + date-range predicate pushed down
     * (reference: Diagnostic_group_pipeline.py:76-78 `get_messages(...)` built
     * a SELECT/WHERE string by hand; Catalyst pushes the same projection and

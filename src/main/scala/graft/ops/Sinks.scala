@@ -55,6 +55,12 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** JSON-lines sink (one object per line, partition-parallel) — the
+    * export format downstream tokenizer/training jobs consume.
+    */
+  def jsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** K1 — JDBC bulk append. Partition-parallel inserts; `batchsize` tunes
     * rows per round-trip. Untestable against the parquet fixtures (no live
     * DB) — the documented production seam.

@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    d.listFiles().map(_.getPath).filter(_.endsWith(".parquet")).toSeq.sorted
+  }
+
+  test("compactParquet rewrites a many-small-files dir to the sized count") {
+    val in = Files.createTempDirectory("graft_compact_in").toString
+    val out = Files.createTempDirectory("graft_compact_out").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(64).write.mode("overwrite").parquet(in)
+    assert(parquetFiles(in).size == 64)
+    val bytes = Layout.sizeOnDisk(spark, in)
+    Layout.compactParquet(spark, in, out, targetFileBytes = bytes / 3)
+    assert(parquetFiles(out).size == 4) // ceil(bytes / (bytes/3)) with remainder
+    assert(spark.read.parquet(out).count() == 10000)
+    assert(spark.read.parquet(out).agg(sum("id")).head().getLong(0)
+      == (1 to 10000).map(_.toLong).sum)
+  }
+
+  test("sortedParquet: each output file covers a disjoint key range") {
+    val out = Files.createTempDirectory("graft_sorted_out").toString
+    val df = (1 to 8000).map(i => ((i * 2654435761L) % 100000, i))
+      .toDF("k", "v")
+    Layout.sortedParquet(df, out, numFiles = 4, sortCols = Seq("k"))
+    val files = parquetFiles(out)
+    assert(files.size == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // disjoint + ordered: every file's min is above the previous file's max
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA <= loB)
+      case _ =>
+    }
+    assert(spark.read.parquet(out).count() == 8000)
+  }
+
+  test("jsonLines sink/source roundtrip preserves rows and schema") {
+    val out = Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, null, 0.0))
+      .toDF("id", "s", "x")
+    Sinks.jsonLines(df, out)
+    val back = graft.core.Tables.jsonLines(spark, out, df.schema)
+    // JSON scans mark every field nullable; compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType))
+      == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+}
