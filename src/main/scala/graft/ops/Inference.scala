@@ -106,6 +106,61 @@ object Inference {
     }(enc)
   }
 
+  /** Embedding-generation seam — the third inference shape next to
+    * classification (M1) and extractive QA (M3): text → dense vector,
+    * the operator that feeds the similarity/dedup suite's `embedding`
+    * column. Same executor-cached, micro-batched mapPartitions contract
+    * as [[TextClassifier]] (a real implementation wraps a
+    * sentence-transformer; throughput comes from batched forward passes).
+    */
+  trait TextEmbedder {
+    def embedBatch(texts: IndexedSeq[String]): IndexedSeq[Array[Double]]
+  }
+
+  /** Deterministic stand-in embedder: dim j of the vector is byte j of
+    * md5(text), mapped affinely to [-1, 1] — SQL-expressible
+    * ((hex_pair / 255.0) * 2 - 1) so the full operator stays
+    * oracle-checkable. Max 16 dims (one md5 digest).
+    */
+  final class DeterministicEmbedder(dims: Int) extends TextEmbedder {
+    require(dims <= 16, "one md5 digest = 16 bytes = 16 dims")
+    def embedBatch(texts: IndexedSeq[String]): IndexedSeq[Array[Double]] =
+      texts.map { t =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val d = digest.digest((if (t == null) "" else t).getBytes("UTF-8"))
+        Array.tabulate(dims)(j => ((d(j) & 0xff) / 255.0) * 2 - 1)
+      }
+  }
+
+  private val embedderCache = new ConcurrentHashMap[Int, TextEmbedder]()
+
+  private[graft] def loadEmbedder(dims: Int): TextEmbedder =
+    embedderCache.computeIfAbsent(dims, d => new DeterministicEmbedder(d))
+
+  /** Embedding inference: appends `embedding` (array<double>, length
+    * `dims`). Batched mapPartitions with a per-executor embedder cache —
+    * the stage that turns a 100 TB text corpus into the vector column the
+    * ANN/near-dup operators consume.
+    */
+  def embed(df: DataFrame, textCol: String, dims: Int = 8,
+            batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(
+      StructField("embedding", ArrayType(DoubleType, containsNull = false),
+        nullable = false))
+    val textIdx = inSchema.fieldIndex(textCol)
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val model = loadEmbedder(dims)
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = model.embedBatch(batch.map(_.getString(textIdx)).toIndexedSeq)
+        batch.iterator.zip(vecs.iterator).map { case (row, v) =>
+          Row.fromSeq(row.toSeq :+ v.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** M5 — resolve a model from the registry dimension by (name, version).
     * The dimension is tiny: filter + `first()`, the degenerate broadcast.
     * (reference: diagnostic_group_pipeline_with_api.py:255-274)

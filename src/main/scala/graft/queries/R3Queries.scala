@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Curation, Multimodal, Similarity}
+import graft.ops.{Curation, Inference, Multimodal, Similarity}
 
 /** Round-2 session additions: corpus-curation operators (PII redaction,
   * sequence packing, stratified sampling) and multimodal frame sampling —
@@ -85,6 +85,26 @@ object R3Queries {
               |FROM dots d JOIN ne ON d.vec_id = ne.vec_id
               |  JOIN short s ON d.vec_id = s.vec_id, nq
               |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin)),
+
+    Q("dx_embed",
+      "Embedding inference as an operator: text → 8-dim vector via the " +
+        "executor-cached, micro-batched mapPartitions seam (stand-in " +
+        "embedder = md5 bytes mapped to [-1,1]; a real one wraps a " +
+        "sentence-transformer). The stage that produces the embedding " +
+        "column the ANN/near-dup suite consumes. Dims exploded to " +
+        "columns for the oracle compare.",
+      (s, d) => {
+        val emb = Inference.embed(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+        emb.select(col("doc_id") +:
+            (0 until 8).map(j => col("embedding")(j).as(s"e$j")): _*)
+          .orderBy("doc_id")
+      },
+      Some(("SELECT doc_id" +
+        (0 until 8).map(j =>
+          s",\n  (('0x' || substring(md5(text), ${2 * j + 1}, 2))::INT / 255.0)" +
+            s" * 2 - 1 AS e$j").mkString +
+        "\nFROM documents ORDER BY doc_id"))),
 
     Q("ta_redact",
       "PII redaction over documents: email / SSN-shaped / long-number " +

@@ -44,6 +44,16 @@ class InferenceSpec extends SparkSpec {
     assert(m.modelId == 2L && m.location == "b")
   }
 
+  test("embed: md5-derived dims in [-1,1], deterministic, known value") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "other")).toDF("id", "text")
+    val out = Inference.embed(df, "text").orderBy("id")
+      .select($"embedding").as[Seq[Double]].collect()
+    assert(out.forall(v => v.length == 8 && v.forall(x => x >= -1 && x <= 1)))
+    assert(out(0) == out(1) && out(0) != out(2))
+    // md5("a") = 0cc175b9... -> first byte 0x0c = 12 -> (12/255)*2-1
+    assert(out(0).head == (12 / 255.0) * 2 - 1)
+  }
+
   test("answerQuestions returns keyword windows; empty keyword = whole text") {
     val df = Seq((1L, "aaa gross finding bbb")).toDF("msg_id", "text")
     val out = Inference.answerQuestions(df, "text",
