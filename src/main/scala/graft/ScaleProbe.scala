@@ -80,6 +80,19 @@ object ScaleProbe {
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       Dedup.connectedComponents(pairs, "id_a", "id_b").count()
     }
+
+    // round-2 session operators: curation + quantized ANN at scale
+    time(s"redact x$mult")(docs.select(col("doc_id"),
+      graft.ops.Curation.redact(col("text")).as("t")).count())
+    time(s"pack x$mult")(graft.ops.Curation.packSequences(
+      docs.withColumn("source", col("doc_id") % 512), "source", "doc_id",
+      "text", 2048).groupBy("source", "seq_id").count().count())
+    time(s"sample x$mult")(graft.ops.Curation.stratifiedSample(
+      docs, "doc_id", "doc_id", Map.empty, 0.25).count())
+    time(s"quant topk x$mult")(graft.ops.Similarity.quantTopK(
+      emb, "vec_id", "embedding", 0L, 10, rescore = 50).count())
+    time(s"embed x$mult")(graft.ops.Inference.embed(
+      docs.select(col("doc_id"), col("text")), "text").count())
     spark.stop()
   }
 }

@@ -86,6 +86,23 @@ object R3Queries {
               |  JOIN short s ON d.vec_id = s.vec_id, nq
               |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin)),
 
+    Q("q26_multi_distinct",
+      "Several COUNT(DISTINCT) over different columns in one aggregation " +
+        "— Catalyst plans this through Expand (rows replicated per " +
+        "distinct set, then one partial-aggregable pass) instead of N " +
+        "self-joined subqueries.",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  count(DISTINCT o_custkey) AS n_cust,
+             |  count(DISTINCT o_orderpriority) AS n_prio,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("dx_embed",
       "Embedding inference as an operator: text → 8-dim vector via the " +
         "executor-cached, micro-batched mapPartitions seam (stand-in " +

@@ -51,4 +51,36 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("dedup_embedding")
     assert(p.contains("dotproduct") || p.contains("DotProduct"))
   }
+
+  test("ta_redact: pure project over the scan — no shuffle before the final sort") {
+    val p = plan("ta_redact")
+    assert("Exchange".r.findAllIn(p).size <= 2) // ORDER BY only (tree + detail)
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("sim_quant: broadcast query row + top-k, never a global sort or shuffle join") {
+    val p = plan("sim_quant")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct")) // one-row side must broadcast
+  }
+
+  test("ta_pack: exactly one data exchange (the per-shard window), partial-agged") {
+    val p = plan("ta_pack")
+    assert(p.contains("Window"))
+    // shard window + final ORDER BY; no third exchange (agg reuses the
+    // window's shard partitioning... it cannot, but must stay partial-agged)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+
+  test("doc_sample: sampling filter sits on the scan, before any exchange") {
+    val p = plan("doc_sample")
+    // the md5-threshold predicate is a plain Filter (no aggregate/join),
+    // and the scan reads only the 3 projected columns (don't key on node
+    // NUMBERS — AQE on/off shifts them)
+    assert(p.contains("conv(substring(md5"))
+    assert("\\(\\d+\\) Filter".r.findAllIn(p).nonEmpty)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"))
+  }
 }

@@ -123,6 +123,12 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "t", "rt")
         .collect().map(_.toSeq).sortBy(_.toString).toSeq
     val off = run()
+    // restore the session DEFAULTS afterwards (unset), not a hardcoded
+    // value — leaving adaptive.enabled=false leaked into later suites
+    // and changed every subsequent plan's shape
+    val prevAdaptive = spark.conf.getOption("spark.sql.adaptive.enabled")
+    val prevCoalesce =
+      spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     try {
@@ -130,7 +136,12 @@ class AsOfJoinSpec extends SparkSpec {
       assert(on == off)
       assert(on.size == 5000)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.adaptive.enabled", prevAdaptive)
+      restore("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     }
   }
 
