@@ -214,6 +214,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_bench_hits"), max("n_common").as("max_overlap"))
   }
 
+  /** Incremental dedup against a historical corpus: return the incoming
+    * rows whose `keyCol` (a fingerprint) does NOT appear in history.
+    *
+    * The naive plan is an anti-join that shuffles ALL incoming rows
+    * against ALL of history — at 100 TB of history that is the most
+    * expensive operator in the pipeline. This version first aggregates
+    * history's keys into a Bloom filter (distributed partial aggregation;
+    * only the fixed-size filter reaches the driver) and broadcasts it:
+    *  - BF-negative incoming rows are DEFINITELY new (Bloom filters have
+    *    no false negatives) — they skip the join entirely;
+    *  - only BF-positive rows (true dups + fpp false positives) pay the
+    *    exact anti-join against history.
+    * The result is therefore EXACT while the join input shrinks to
+    * ~(dup_rate + fpp) of incoming. The oracle is the plain anti-join.
+    */
+  def newAgainstHistory(incoming: DataFrame, history: DataFrame, keyCol: String,
+                        expectedItems: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    val bf = history.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    val definitelyNew = incoming.filter(!mightContain(col(keyCol)))
+    val needExactCheck = incoming.filter(mightContain(col(keyCol)))
+      .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(needExactCheck)
+  }
+
   /** Connected components over an undirected candidate-pair edge list —
     * the dedup endgame: near-dup PAIRS (minhash/simhash/jaccard output)
     * become CLUSTERS, and one survivor per cluster (the min id) is kept.

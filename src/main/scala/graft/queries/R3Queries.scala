@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Curation, Inference, Multimodal, Similarity}
+import graft.ops.{Curation, Dedup, Inference, Multimodal, Similarity, TextOps}
 
 /** Round-2 session additions: corpus-curation operators (PII redaction,
   * sequence packing, stratified sampling) and multimodal frame sampling —
@@ -85,6 +85,37 @@ object R3Queries {
               |FROM dots d JOIN ne ON d.vec_id = ne.vec_id
               |  JOIN short s ON d.vec_id = s.vec_id, nq
               |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin)),
+
+    Q("dedup_incremental",
+      "Incremental dedup against a historical corpus: a Bloom filter " +
+        "over history's fingerprints (distributed agg, fixed-size, " +
+        "broadcast) lets BF-negative incoming rows skip the anti-join " +
+        "entirely — no false negatives means the result is EXACT while " +
+        "the join input shrinks to ~dup_rate+fpp of incoming. Oracle: " +
+        "the plain anti-join.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("fp", TextOps.fingerprint(col("text")))
+        Dedup.newAgainstHistory(
+            docs.filter(col("doc_id") % 3 =!= 0),
+            docs.filter(col("doc_id") % 3 === 0),
+            "fp", expectedItems = 100000L)
+          .select("doc_id", "fp")
+          .orderBy("doc_id")
+      },
+      // history = doc_id % 3 = 0 side; incoming = the rest (matching the
+      // Spark arguments above: incoming first, history second)
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text),
+             |      '[\x00-\x1f]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+             |  FROM documents)
+             |SELECT i.doc_id, i.fp
+             |FROM f i
+             |WHERE i.doc_id % 3 <> 0
+             |  AND NOT EXISTS (SELECT 1 FROM f h
+             |                  WHERE h.doc_id % 3 = 0 AND h.fp = i.fp)
+             |ORDER BY i.doc_id""".stripMargin)),
 
     Q("q26_multi_distinct",
       "Several COUNT(DISTINCT) over different columns in one aggregation " +

@@ -23,6 +23,22 @@ class DedupSpec extends SparkSpec {
       groups(0).getAs[Long]("group_size") == 2L)
   }
 
+  test("newAgainstHistory equals the plain anti-join (BF has no false negatives)") {
+    val history = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("id", "fp")
+    val incoming = Seq((10L, "aaa"), (11L, "new1"), (12L, "ccc"), (13L, "new2"))
+      .toDF("id", "fp")
+    val got = Dedup.newAgainstHistory(incoming, history, "fp", expectedItems = 100)
+      .select("id").as[Long].collect().toSet
+    val want = incoming.join(history.select("fp"), Seq("fp"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(got == want && got == Set(11L, 13L))
+    // undersized-filter stress: high fpp floods the exact-check path,
+    // the result stays exact
+    val sloppy = Dedup.newAgainstHistory(incoming, history, "fp",
+      expectedItems = 2, fpp = 0.5).select("id").as[Long].collect().toSet
+    assert(sloppy == want)
+  }
+
   test("minhashCandidates surfaces a planted near-dup, skips unrelated docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " tokTail" // J = 56/62 on word-5-gram space
