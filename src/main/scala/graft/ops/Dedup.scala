@@ -268,10 +268,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // cache the edge list PRE-PARTITIONED on the per-round join key: the
+    // cached InMemoryRelation advertises hashpartitioning(dst), so every
+    // round's join shuffles only the (shrinking) labels side — the big
+    // static edge relation never re-exchanges
     val edges = graft.core.Caches.track(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
+        .distinct()
+        .repartition(col("dst")))
     var labels = graft.core.Caches.track(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
