@@ -2,9 +2,14 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
   test("redact scrubs emails, SSNs, and long numbers in pass order") {
     val df = Seq(
@@ -38,6 +43,39 @@ class CurationSpec extends SparkSpec {
       .collect().toSet
     assert(got == Set(("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 0L),
       ("A", 4L, 1L), ("B", 9L, 0L)))
+  }
+
+  test("property: redact is idempotent (replacement tags contain no PII shapes)") {
+    val piiish = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.choose(0L, Long.MaxValue).map(n => s"id $n end"),
+      Gen.alphaLowerStr.map(s => s"$s@example.com"),
+      Gen.const("123-45-6789 and 9999999"))
+    val texts = sample(Gen.listOf(piiish).map(_.mkString(" ")), 60)
+    val df = texts.toDF("t")
+      .select(Curation.redact($"t").as("once"))
+      .withColumn("twice", Curation.redact($"once"))
+    assert(df.filter($"once" =!= $"twice").count() == 0)
+  }
+
+  test("property: sample rate 1 keeps all rows, rate 0 keeps none") {
+    val df = (1L to 500L).map((_, "x")).toDF("id", "s")
+    assert(Curation.stratifiedSample(df, "s", "id", Map.empty, 1.0).count() == 500)
+    assert(Curation.stratifiedSample(df, "s", "id", Map.empty, 0.0).count() == 0)
+  }
+
+  test("property: pack never exceeds budget except for single oversized docs") {
+    val docs = sample(Gen.choose(1, 120), 200).zipWithIndex.map {
+      case (n, i) => ("s" + i % 7, i.toLong, (1 to n).map("w" + _).mkString(" "))
+    }
+    val seqs = Curation.packSequences(docs.toDF("src", "id", "text"),
+        "src", "id", "text", budget = 256)
+      .groupBy("src", "seq_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n_docs"))
+    // a multi-doc sequence started below the budget boundary, so it can
+    // overshoot by at most one doc's tokens (120 < 256); a single-doc
+    // sequence is whatever the doc is
+    assert(seqs.filter($"n_docs" > 1 && $"tot" >= 256 + 120).count() == 0)
   }
 
   test("stratifiedSample is deterministic and respects per-stratum rates") {
