@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data profiling — the quality report every curation pipeline runs
+  * before and after each stage (null rates, cardinalities, value ranges).
+  *
+  * One aggregation pass over the table produces every column's stats
+  * (the multi-`countDistinct` plans through Expand — rows replicated per
+  * distinct set, partial-aggregated before the single exchange), and the
+  * one-row result is exploded to a (column, stats) long format. At
+  * 100 TB this is one scan + one 1-row shuffle; never N per-column scans.
+  */
+object Profile {
+
+  /** Per-column stats for the given columns: non-null count, distinct
+    * count, min/max (as strings, so mixed column types share one output
+    * schema), plus the table row count on every row.
+    */
+  def table(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nonnull"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"${c}__nonnull").as("n_nonnull"),
+      col(s"${c}__distinct").as("n_distinct"),
+      col(s"${c}__min").as("min_s"),
+      col(s"${c}__max").as("max_s")))
+    agged.select(explode(array(entries: _*)).as("p"), col("__n").as("n_rows"))
+      .select(col("p.col_name"), col("p.n_nonnull"), col("p.n_distinct"),
+        col("p.min_s"), col("p.max_s"), col("n_rows"))
+  }
+}

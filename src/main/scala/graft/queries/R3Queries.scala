@@ -134,6 +134,25 @@ object R3Queries {
              |  count(*) AS n
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("dq_profile",
+      "Data profiling in ONE pass: every column's non-null count, " +
+        "distinct count and min/max from a single aggregation (multi-" +
+        "countDistinct plans through Expand), exploded to a per-column " +
+        "report — the before/after quality gate of a curation pipeline. " +
+        "Never N per-column scans.",
+      (s, d) => graft.ops.Profile.table(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_partkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"))
+        .orderBy("col_name"),
+      Some(Seq("l_orderkey", "l_partkey", "l_linenumber",
+          "l_returnflag", "l_linestatus")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s,
+             |  count(*) AS n_rows FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
     Q("dx_embed",
       "Embedding inference as an operator: text → 8-dim vector via the " +
         "executor-cached, micro-batched mapPartitions seam (stand-in " +
