@@ -68,6 +68,12 @@ object Tables {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC source — the other columnar lake format (same pushdown/pruning
+    * properties as parquet: predicates and projections reach the scan).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC source with projection + date-range predicate pushed down
     * (reference: Diagnostic_group_pipeline.py:76-78 `get_messages(...)` built
     * a SELECT/WHERE string by hand; Catalyst pushes the same projection and

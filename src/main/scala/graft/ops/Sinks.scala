@@ -61,6 +61,12 @@ object Sinks {
   def jsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC sink — columnar alternative to parquet where the surrounding
+    * ecosystem (Hive/Trino) prefers it.
+    */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** K1 — JDBC bulk append. Partition-parallel inserts; `batchsize` tunes
     * rows per round-trip. Untestable against the parquet fixtures (no live
     * DB) — the documented production seam.

@@ -45,6 +45,16 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 8000)
   }
 
+  test("orc sink/source roundtrip with predicate pushdown at the scan") {
+    val out = Files.createTempDirectory("graft_orc").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+    Sinks.orc(df, out)
+    val back = graft.core.Tables.orc(spark, out).filter($"id" > 990)
+    assert(back.count() == 10)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,990)"))
+  }
+
   test("jsonLines sink/source roundtrip preserves rows and schema") {
     val out = Files.createTempDirectory("graft_jsonl").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, null, 0.0))
