@@ -207,7 +207,10 @@ object Dedup {
     val (bs, bCol) = shingler.stage(bench, textCol)
     val tsh = ts.select(col(idCol).as("id"), explode(tCol).as("sh"))
     val bsh = bs.select(col(idCol).as("bid"), explode(bCol).as("sh"))
-    tsh.join(bsh, "sh")
+    // the benchmark side is small/curated BY DEFINITION — broadcast it
+    // explicitly (the explode hides size stats from the planner, so the
+    // train side would otherwise pay a full shuffle on shingle strings)
+    tsh.join(broadcast(bsh), "sh")
       .groupBy("id", "bid").agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
       .groupBy("id")
