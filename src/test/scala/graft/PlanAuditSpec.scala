@@ -74,6 +74,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
 
+  test("dedup_contamination: benchmark shingle side broadcasts (train never shuffles on shingles)") {
+    val p = plan("dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("doc_sample: sampling filter sits on the scan, before any exchange") {
     val p = plan("doc_sample")
     // the md5-threshold predicate is a plain Filter (no aggregate/join),
