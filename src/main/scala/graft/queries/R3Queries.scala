@@ -134,6 +134,36 @@ object R3Queries {
              |  count(*) AS n
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("dedup_editdist",
+      "Edit-distance verification of MinHash candidates: the LSH banding " +
+        "produces the candidate pairs (never a cross join), then exact " +
+        "Levenshtein distance — identical integer DP in any engine — " +
+        "scores each survivor. The fuzzy-verify alternative to Jaccard " +
+        "when character-level edits (OCR noise, typos) are the dup " +
+        "mechanism; the O(len²) DP runs only on candidates.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+            Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+          .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+          .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${ExtQueries.minhashBandCtes},
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT p.id_a, p.id_b,
+              |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+              |FROM pairs p
+              |  JOIN documents da ON da.doc_id = p.id_a
+              |  JOIN documents db ON db.doc_id = p.id_b
+              |ORDER BY p.id_a, p.id_b""".stripMargin)),
+
     Q("dq_profile",
       "Data profiling in ONE pass: every column's non-null count, " +
         "distinct count and min/max from a single aggregation (multi-" +
