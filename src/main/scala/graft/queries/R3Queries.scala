@@ -117,6 +117,41 @@ object R3Queries {
              |                  WHERE h.doc_id % 3 = 0 AND h.fp = i.fp)
              |ORDER BY i.doc_id""".stripMargin)),
 
+    Q("q27_range_frame",
+      "RANGE-frame window: per-customer 30-day trailing order total — " +
+        "the frame is bounded by VALUE distance (order date in days), " +
+        "not row count, so bursts of same-day orders aggregate together. " +
+        "The other WindowExec frame shape next to q22's ROWS/default " +
+        "frames.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val day = (unix_micros(col("o_orderdate").cast("timestamp")) /
+          86400000000L).cast("long")
+        val w = Window.partitionBy("o_custkey").orderBy("order_day")
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") % 20 === 0)
+          .withColumn("order_day", day)
+          .select(col("o_custkey"), col("o_orderkey"), col("order_day"),
+            // .over must attach to the aggregate itself; cast outside
+            sum(col("o_totalprice")
+                .cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+              .over(w).cast("double").as("trailing_30d"),
+            count(lit(1)).over(w).as("n_trailing"))
+          .orderBy("o_custkey", "order_day", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  epoch_us(o_orderdate) // 86400000000 AS order_day,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(28,8)))
+             |    OVER w AS DOUBLE) AS trailing_30d,
+             |  count(*) OVER w AS n_trailing
+             |FROM orders
+             |WHERE o_custkey % 20 = 0
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY epoch_us(o_orderdate) // 86400000000
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, order_day, o_orderkey""".stripMargin)),
+
     Q("q26_multi_distinct",
       "Several COUNT(DISTINCT) over different columns in one aggregation " +
         "— Catalyst plans this through Expand (rows replicated per " +
