@@ -15,6 +15,16 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a catalyst Expression (the
+    * default ColumnNodeToExpressionConverter). Unlike [[expression]] —
+    * which wraps the node in a lazy ColumnNodeExpression that only
+    * Dataset analysis unwraps — the result is a plain catalyst tree
+    * (possibly with UnresolvedFunction leaves), which is what
+    * FunctionRegistry builders must return for SQL call sites.
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the seam custom
     * logical operators use to enter the public Dataset API.

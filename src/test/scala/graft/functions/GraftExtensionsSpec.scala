@@ -4,17 +4,39 @@ import graft.SparkSpec
 
 class GraftExtensionsSpec extends SparkSpec {
 
-  test("dot_product is callable from SQL once registered") {
+  private def registerAll(): Unit = {
     // the injector path (used when the session is built with
-    // spark.sql.extensions) must accept the registration
+    // spark.sql.extensions) must accept every registration
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     // the shared test session already exists, so register on its live
     // function registry (withExtensions only applies at build time)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    new GraftExtensions().sqlFunctions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
+    }
+  }
+
+  test("dot_product is callable from SQL once registered") {
+    registerAll()
     val v = spark.sql(
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
     assert(v == 11.0)
+  }
+
+  test("column-composition operators are callable from SQL with API parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    registerAll()
+    val row = spark.sql(
+      """SELECT graft_redact('mail a@b.co ref 1234567') AS r,
+        |       graft_tokens('one two, three') AS t,
+        |       graft_fingerprint('  Some Text  ') AS f""".stripMargin)
+      .collect()(0)
+    assert(row.getString(0) == "mail <EMAIL> ref <ID>")
+    assert(row.getLong(1) == 4L) // "one", "two", ",", "three"
+    val viaApi = Seq("  Some Text  ").toDF("t")
+      .select(graft.ops.TextOps.fingerprint(col("t"))).collect()(0).getString(0)
+    assert(row.getString(2) == viaApi)
   }
 }
