@@ -1,102 +1,220 @@
 package graft.ops
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing (north-star extension): treat image/audio/
+/** Multimodal-column operators (north-star extension): treat image/audio/
   * video as opaque `binary` columns with typed metadata, and run decode /
-  * feature-extract / resize / frame-sample as batched partition-local
-  * operators.
+  * resize / frame-sample as batched partition-local operators.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment — the decode below is a clearly-marked deterministic fake),
-  * but everything Spark-side is real and load-bearing at scale:
+  * The image path is a REAL codec: `javax.imageio` (ships with the JDK)
+  * decodes PNG/JPEG/GIF/BMP payloads, reports genuine width/height/format,
+  * and re-encodes after a real `Graphics2D` rescale. Everything Spark-side
+  * is shaped for scale:
   *  - schema: `binary` payload + `struct` metadata, the layout that lets
   *    the parquet scan prune payload bytes when only metadata is read;
-  *  - batching: mapPartitions with micro-batches, the same shape as the
-  *    Inference operator (real decoders amortize codec init per batch);
+  *  - batching: mapPartitions with micro-batches (codec buffers amortize
+  *    per batch, one metadata row per image);
   *  - partitioning: payload-heavy stages repartition by byte budget, not
   *    row count (callers size partitions so batch_bytes fits the codec's
   *    working set).
+  *
+  * Oracle strategy (the part DuckDB cannot do): the fixture generator
+  * [[imageFixture]] emits real single-color grayscale PNGs whose
+  * dimensions and fill value are pure functions of the row id. PNG is
+  * lossless, so after a genuine encode→decode roundtrip the decoded
+  * width/height/format and the md5 of the raw pixel bytes are exactly
+  * predictable in SQL (`md5(repeat(chr(gray), w*h))`) — the codec work is
+  * real, the expected values are known by construction.
+  *
+  * Reference surface: BCCancerRegistry/DataEngineer `prostate_dag.py`
+  * moves opaque heavy payloads through the same scan→per-record-op→sink
+  * shape; this generalizes it to binary media columns.
   */
 object Multimodal {
+
+  ImageIO.setUseCache(false) // no temp-file disk cache on executors
 
   val metaSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
     StructField("width", LongType, nullable = false),
     StructField("height", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
-    StructField("content_md5", StringType, nullable = false)))
+    StructField("pixel_md5", StringType, nullable = false)))
 
-  /** STUB decode: deterministic metadata from the raw bytes. A real
-    * implementation calls the image codec here (per-batch, partition-local)
-    * — the function signature, batching, and output schema are the real
-    * contract; only the body is fake.
+  // ---------------------------------------------------------------- codec
+
+  /** Real decode via javax.imageio: (lowercased format name, image), or
+    * None when no installed reader recognizes the bytes.
     */
-  private[graft] def decodeStub(bytes: Array[Byte]): Row = {
-    val n = bytes.length.toLong
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(bytes).map(b => f"$b%02x").mkString
-    val fmt = (n % 3) match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webp"
-    }
-    Row(n, 32L + n % 224L, 32L + (n * 7L) % 224L, fmt, hex)
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(String, BufferedImage)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some((reader.getFormatName.toLowerCase, reader.read(0)))
+        } catch {
+          case _: java.io.IOException => None // recognized header, corrupt body
+        } finally reader.dispose()
+      }
+    } finally iis.close()
   }
 
-  /** Decode a binary column into a metadata struct, micro-batched per
-    * partition. Output column `meta` has [[metaSchema]].
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** md5 over raw raster samples, row-major, band-interleaved per pixel,
+    * one byte per sample. Content-addresses the *pixels*, so it is
+    * invariant to the encoder's byte stream (two encoders producing
+    * different PNG bytes for the same image agree here) and expressible
+    * in the oracle for constructed images.
     */
-  def extractMeta(df: DataFrame, binCol: String, batchSize: Int = 16): DataFrame = {
+  private[graft] def pixelMd5(img: BufferedImage): String = {
+    val raster = img.getRaster
+    val w = img.getWidth
+    val bands = raster.getNumBands
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val row = new Array[Int](w * bands)
+    var y = 0
+    while (y < img.getHeight) {
+      raster.getPixels(0, y, w, 1, row)
+      var i = 0
+      while (i < row.length) { md.update((row(i) & 0xff).toByte); i += 1 }
+      y += 1
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** Real rescale: Graphics2D bilinear draw into a fresh image of the
+    * source's color class (grayscale stays 1-band, everything else lands
+    * in 3-byte BGR).
+    */
+  private[graft] def scaleImage(src: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val targetType =
+      if (src.getColorModel.getNumComponents == 1) BufferedImage.TYPE_BYTE_GRAY
+      else BufferedImage.TYPE_3BYTE_BGR
+    val dst = new BufferedImage(w, h, targetType)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
+  }
+
+  private def metaRow(bytes: Array[Byte]): Row = decodeImage(bytes) match {
+    case Some((fmt, img)) =>
+      Row(bytes.length.toLong, img.getWidth.toLong, img.getHeight.toLong,
+        fmt, pixelMd5(img))
+    case None => null
+  }
+
+  // ------------------------------------------------------------- fixture
+
+  /** Oracle contract for [[imageFixture]]: pure functions of the row id.
+    * Gray values stay in 32..95 (single-byte UTF-8) so the oracle's
+    * `repeat(chr(gray), …)` hashes the identical byte stream.
+    */
+  private[graft] def fixtureWidth(id: Long): Int = (4 + math.floorMod(id, 13L)).toInt
+  private[graft] def fixtureHeight(id: Long): Int = (4 + math.floorMod(id * 7L, 17L)).toInt
+  private[graft] def fixtureGray(id: Long): Int = (32 + math.floorMod(id, 64L)).toInt
+
+  private[graft] def solidGray(w: Int, h: Int, gray: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, w, h)
+    } finally g.dispose()
+    img
+  }
+
+  /** Append a `payload` column of REAL PNG bytes (ImageIO-encoded solid
+    * grayscale, dimensions/fill from [[fixtureWidth]]/[[fixtureHeight]]/
+    * [[fixtureGray]] of `idCol`). Deterministic across runs and engines —
+    * the fixture half of the oracle-checkable codec roundtrip.
+    */
+  def imageFixture(df: DataFrame, idCol: String, batchSize: Int = 32): DataFrame = {
     val inSchema = df.schema
-    val outSchema = inSchema.add(StructField("meta", metaSchema, nullable = false))
-    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = inSchema.add(StructField("payload", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
     df.mapPartitions { it =>
-      // real codecs initialize here, once per partition
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
-          Row.fromSeq(row.toSeq :+ decodeStub(row.getAs[Array[Byte]](binIdx)))
+          val id = row.getLong(idIdx)
+          val png = encodePng(solidGray(fixtureWidth(id), fixtureHeight(id), fixtureGray(id)))
+          Row.fromSeq(row.toSeq :+ png)
         }
       }
     }(Encoders.row(outSchema))
   }
 
-  /** STUB resize for image-like payloads: emits a payload whose size
-    * matches the target dimensions (a real codec decodes, scales, and
-    * re-encodes here — batched, partition-local, same column contract).
-    * Output columns: `resized` (binary) + `resized_meta` ([[metaSchema]]).
+  // ------------------------------------------------------------ operators
+
+  /** Decode a binary image column into a metadata struct, micro-batched
+    * per partition. Output column `meta` has [[metaSchema]]; null when no
+    * installed codec recognizes the payload.
     */
-  def resize(df: DataFrame, binCol: String, width: Int, height: Int,
-             batchSize: Int = 16): DataFrame = {
+  def extractMeta(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
     val inSchema = df.schema
-    val outSchema = inSchema
-      .add(StructField("resized", BinaryType, nullable = false))
-      .add(StructField("resized_meta", metaSchema, nullable = false))
+    val outSchema = inSchema.add(StructField("meta", metaSchema, nullable = true))
     val binIdx = inSchema.fieldIndex(binCol)
     df.mapPartitions { it =>
-      // real codecs initialize here, once per partition
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          Row.fromSeq(row.toSeq :+ metaRow(row.getAs[Array[Byte]](binIdx)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Real resize: decode → Graphics2D rescale → re-encode as PNG → decode
+    * AGAIN for the reported metadata, so `resized_meta` proves the full
+    * encode/decode roundtrip rather than echoing the request. Output
+    * columns: `resized` (binary PNG, null if input undecodable) +
+    * `resized_meta` ([[metaSchema]], null likewise).
+    */
+  def resize(df: DataFrame, binCol: String, width: Int, height: Int,
+             batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("resized", BinaryType, nullable = true))
+      .add(StructField("resized_meta", metaSchema, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](binIdx)
-          // empty payload -> zero-filled output (bytes(i % len) would
-          // index into the empty array)
-          val resized =
-            if (bytes == null || bytes.isEmpty) new Array[Byte](width * height / 64)
-            else Array.tabulate[Byte](width * height / 64)(i => bytes(i % bytes.length))
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(resized).map(b => f"$b%02x").mkString
-          Row.fromSeq(row.toSeq :+ resized :+
-            Row(resized.length.toLong, width.toLong, height.toLong, "raw", hex))
+          decodeImage(bytes) match {
+            case Some((_, img)) =>
+              val png = encodePng(scaleImage(img, width, height))
+              Row.fromSeq(row.toSeq :+ png :+ metaRow(png))
+            case None =>
+              Row.fromSeq(row.toSeq :+ null :+ null)
+          }
         }
       }
     }(Encoders.row(outSchema))
   }
 
-  /** STUB frame-sample for video-like payloads: every `stride`-th chunk of
-    * `chunkBytes` bytes becomes one "frame" row (schema/explode shape is
-    * what a real frame sampler produces).
+  /** Frame-sample for video-like payloads: every `stride`-th chunk of
+    * `chunkBytes` bytes becomes one "frame" row. The chunker is
+    * codec-agnostic byte plumbing (container demuxers slot in here); the
+    * schema/explode shape is what a real frame sampler produces.
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
                    chunkBytes: Int = 64, stride: Int = 4): DataFrame = {

@@ -456,24 +456,26 @@ object ExtQueries {
              |ORDER BY hour_start, event_type""".stripMargin)),
 
     Q("mm_meta",
-      "Multimodal plumbing: text bytes stand in for an image payload " +
-        "(binary column), decoded to typed metadata by a batched " +
-        "mapPartitions stub — schema/batching/partitioning are the real " +
-        "contract, the codec body is the documented fake.",
+      "Multimodal metadata with a REAL image codec: each doc_id becomes a " +
+        "genuine ImageIO-encoded solid-gray PNG (dimensions/fill are pure " +
+        "functions of the id), then extractMeta decodes it with " +
+        "javax.imageio and reports the decoded width/height/format and an " +
+        "md5 over the raw pixel bytes. PNG is lossless, so DuckDB predicts " +
+        "every decoded value without a codec: md5(repeat(chr(gray), w*h)).",
       (s, d) => Multimodal.extractMeta(
-          Tables.documents(s, d).select(col("doc_id"),
-            encode(col("text"), "UTF-8").as("payload")),
+          Multimodal.imageFixture(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
           "payload")
-        .select(col("doc_id"), col("meta.n_bytes"), col("meta.width"),
-          col("meta.height"), col("meta.format"), col("meta.content_md5"))
+        .select(col("doc_id"), col("meta.width"), col("meta.height"),
+          col("meta.format"), col("meta.pixel_md5"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |  CAST(32 + octet_length(encode(text)) % 224 AS BIGINT) AS width,
-             |  CAST(32 + (octet_length(encode(text)) * 7) % 224 AS BIGINT) AS height,
-             |  CASE octet_length(encode(text)) % 3
-             |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-             |  md5(text) AS content_md5
+             |  CAST(4 + doc_id % 13 AS BIGINT) AS width,
+             |  CAST(4 + (doc_id * 7) % 17 AS BIGINT) AS height,
+             |  'png' AS format,
+             |  md5(repeat(chr(CAST(32 + doc_id % 64 AS INT)),
+             |      CAST((4 + doc_id % 13) * (4 + (doc_id * 7) % 17) AS INT)))
+             |    AS pixel_md5
              |FROM documents
              |ORDER BY doc_id""".stripMargin)))
 }

@@ -308,35 +308,26 @@ object R3Queries {
              |ORDER BY doc_id""".stripMargin)),
 
     Q("mm_resize",
-      "Multimodal resize: decode-scale-reencode column contract over the " +
-        "binary payload (mapPartitions stub — a real codec scales pixels " +
-        "here; the stub recycles payload bytes to the target size, which " +
-        "the oracle restates as repeat+substring over the ASCII payload).",
+      "Multimodal resize with a REAL codec roundtrip: genuine solid-gray " +
+        "PNG per doc_id → javax.imageio decode → Graphics2D bilinear " +
+        "rescale to 16×16 → PNG re-encode → decode AGAIN for the reported " +
+        "metadata. Bilinear over a constant image is that constant, so " +
+        "DuckDB predicts the resized pixel md5 as md5(repeat(chr(gray), " +
+        "256)) — the codec work is real, the expectation is constructed.",
       (s, d) => Multimodal.resize(
-          Tables.documents(s, d).select(col("doc_id"),
-            encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), "UTF-8")
-              .as("payload")),
-          "payload", width = 32, height = 32)
+          Multimodal.imageFixture(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+          "payload", width = 16, height = 16)
         .select(col("doc_id"),
-          col("resized_meta.n_bytes"), col("resized_meta.width"),
-          col("resized_meta.height"), col("resized_meta.format"),
-          col("resized_meta.content_md5"))
+          col("resized_meta.width"), col("resized_meta.height"),
+          col("resized_meta.format"), col("resized_meta.pixel_md5"))
         .orderBy("doc_id"),
-      // 32×32/64 = 16 output bytes; stub byte i = payload[i mod len], which
-      // for ASCII text is substring(repeat(t, ...), 1, 16)
-      Some("""WITH a AS (
-             |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
-             |  FROM documents),
-             |r AS (
-             |  SELECT doc_id,
-             |    CASE WHEN len(t) = 0 THEN repeat(chr(0), 16)
-             |         ELSE substring(repeat(t, CAST(ceil(16.0 / len(t)) AS INT) + 1),
-             |                        1, 16) END AS resized
-             |  FROM a)
-             |SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
-             |  CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
-             |  'raw' AS format, md5(resized) AS content_md5
-             |FROM r ORDER BY doc_id""".stripMargin)),
+      Some("""SELECT doc_id,
+             |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  'png' AS format,
+             |  md5(repeat(chr(CAST(32 + doc_id % 64 AS INT)), 256)) AS pixel_md5
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
 
     Q("mm_frames",
       "Multimodal frame sampling: every 4th 64-byte chunk of the binary " +

@@ -1,38 +1,93 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+
 import graft.SparkSpec
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("extractMeta: deterministic stub metadata with real schema/batching") {
-    val df = Seq((1L, "hello")).toDF("id", "t")
-      .select($"id", encode($"t", "UTF-8").as("payload"))
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
+  test("extractMeta decodes a real PNG: dimensions, format, pixel bytes") {
+    val id = 42L
+    val w = Multimodal.fixtureWidth(id)
+    val h = Multimodal.fixtureHeight(id)
+    val g = Multimodal.fixtureGray(id)
+    val png = Multimodal.encodePng(Multimodal.solidGray(w, h, g))
+    // sanity: these are real PNG bytes (magic header), not a fake
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+
+    val df = Seq((id, png)).toDF("id", "payload")
     val m = Multimodal.extractMeta(df, "payload").select("meta.*").collect()(0)
-    assert(m.getAs[Long]("n_bytes") == 5L)
-    assert(m.getAs[Long]("width") == 32 + 5 % 224)
-    assert(m.getAs[Long]("height") == 32 + (5 * 7) % 224)
-    assert(m.getAs[String]("format") == "webp") // 5 % 3 == 2
-    assert(m.getAs[String]("content_md5") == "5d41402abc4b2a76b9719d911017c592")
+    assert(m.getAs[Long]("n_bytes") == png.length.toLong)
+    assert(m.getAs[Long]("width") == w.toLong)
+    assert(m.getAs[Long]("height") == h.toLong)
+    assert(m.getAs[String]("format") == "png")
+    assert(m.getAs[String]("pixel_md5") ==
+      md5hex(Array.fill[Byte](w * h)(g.toByte)))
   }
 
-  test("resize stub: target-sized payload with consistent metadata") {
-    val df = Seq((1L, "some image bytes here")).toDF("id", "t")
-      .select($"id", encode($"t", "UTF-8").as("payload"))
-    val out = Multimodal.resize(df, "payload", 64, 64).collect()(0)
-    assert(out.getAs[Array[Byte]]("resized").length == 64 * 64 / 64)
-    val m = out.getAs[org.apache.spark.sql.Row]("resized_meta")
-    assert(m.getAs[Long]("width") == 64L && m.getAs[Long]("height") == 64L)
-    assert(m.getAs[Long]("n_bytes") == 64L)
+  test("extractMeta: RGB PNG roundtrips with 3-band interleaved pixel md5") {
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x102030) // (r,g,b) = (16,32,48)
+    img.setRGB(1, 0, 0x405060) // (r,g,b) = (64,80,96)
+    val png = Multimodal.encodePng(img)
+    val df = Seq((1L, png)).toDF("id", "payload")
+    val m = Multimodal.extractMeta(df, "payload").select("meta.*").collect()(0)
+    assert(m.getAs[Long]("width") == 2L && m.getAs[Long]("height") == 1L)
+    assert(m.getAs[String]("pixel_md5") ==
+      md5hex(Array[Byte](16, 32, 48, 64, 80, 96)))
   }
 
-  test("resize stub: empty payload yields a zero-filled target-sized payload") {
-    val df = Seq((1L, Array.empty[Byte])).toDF("id", "payload")
-    val out = Multimodal.resize(df, "payload", 64, 64).collect()(0)
+  test("extractMeta: undecodable payload yields null meta, not a crash") {
+    val df = Seq((1L, "not an image at all".getBytes("UTF-8")),
+        (2L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val rows = Multimodal.extractMeta(df, "payload")
+      .select($"id", $"meta").orderBy("id").collect()
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  test("resize: real decode→rescale→re-encode→re-decode roundtrip") {
+    val png = Multimodal.encodePng(Multimodal.solidGray(9, 7, 77))
+    val df = Seq((1L, png)).toDF("id", "payload")
+    val out = Multimodal.resize(df, "payload", 4, 4).collect()(0)
     val resized = out.getAs[Array[Byte]]("resized")
-    assert(resized.length == 64 * 64 / 64)
-    assert(resized.forall(_ == 0))
+    // output is itself a real PNG
+    assert(resized.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val m = out.getAs[Row]("resized_meta")
+    assert(m.getAs[Long]("width") == 4L && m.getAs[Long]("height") == 4L)
+    assert(m.getAs[String]("format") == "png")
+    // bilinear over a constant image is the constant
+    assert(m.getAs[String]("pixel_md5") == md5hex(Array.fill[Byte](16)(77)))
+  }
+
+  test("resize: undecodable input yields null resized/meta") {
+    val df = Seq((1L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.resize(df, "payload", 4, 4).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("resized")))
+    assert(out.isNullAt(out.fieldIndex("resized_meta")))
+  }
+
+  test("imageFixture payloads decode to the oracle-contract values") {
+    val df = Seq(0L, 1L, 12L, 13L, 64L, 1000L).toDF("doc_id")
+    val rows = Multimodal.extractMeta(
+        Multimodal.imageFixture(df, "doc_id"), "payload")
+      .select($"doc_id", $"meta.width", $"meta.height", $"meta.format",
+        $"meta.pixel_md5")
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, g) = (Multimodal.fixtureWidth(id), Multimodal.fixtureHeight(id),
+        Multimodal.fixtureGray(id))
+      assert(r.getLong(1) == w.toLong && r.getLong(2) == h.toLong)
+      assert(r.getString(3) == "png")
+      assert(r.getString(4) == md5hex(Array.fill[Byte](w * h)(g.toByte)))
+    }
   }
 
   test("sampleFrames: every stride-th chunk becomes a frame row") {
