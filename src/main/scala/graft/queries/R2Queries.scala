@@ -210,19 +210,36 @@ object R2Queries {
              |ORDER BY c_nationkey""".stripMargin)),
 
     Q("ev_sketch",
-      "Sketch aggregates per event type: approx_count_distinct (HLL++) " +
-        "and percentile_approx — the sub-linear-memory path for " +
-        "cardinality/quantiles at 100 TB, where exact distinct/percentile " +
-        "would shuffle the full column. Approximate by design → no SQL " +
-        "oracle (driver records the rows-only check); q9/q21 pin the " +
-        "exact counterparts.",
+      "Sketch aggregates per event type with a BOUNDED-ERROR oracle: " +
+        "approx_count_distinct (HLL++, rsd=0.01) and percentile_approx " +
+        "are the sub-linear-memory path for cardinality/quantiles at " +
+        "100 TB. The output carries the exact counts (hash-checked " +
+        "against DuckDB) plus booleans asserting |approx-exact|/exact " +
+        "< 0.05 and p50_approx ∈ [p45_exact, p55_exact], computed where " +
+        "the approx values live (Spark) and asserted true in the oracle — " +
+        "so sketch drift or a broken sketch fails the round, while " +
+        "run-to-run merge-order wobble inside the bound does not.",
       (s, d) => Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+          percentile(col("value"), lit(0.45)).as("p45"),
+          percentile(col("value"), lit(0.55)).as("p55"))
+        .select(col("event_type"), col("n"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) / col("exact_users") < 0.05)
+            .as("hll_within_5pct"),
+          (col("ap50") >= col("p45") && col("ap50") <= col("p55"))
+            .as("p50_within_decile"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  true AS hll_within_5pct,
+             |  true AS p50_within_decile
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
 
     Q("stream_dedup",
       "Streaming deduplication: dropDuplicates on (user, type, hour) as " +
