@@ -117,10 +117,22 @@ object Dedup {
     * evaluated once per shingle, map-side combine shrinks the shuffle to
     * `bands·r` values per doc); the self-join shuffles only
     * (id, band, key).
+    *
+    * Band-frequency guard (`maxBandDf`, the banding analogue of
+    * jaccardPairs' `maxShingleDf`): a corpus with thousands of identical
+    * documents puts them all under ONE band key, and the all-pairs
+    * self-join is then quadratic inside a single task. Band groups larger
+    * than `maxBandDf` therefore emit the id-ordered CHAIN (each doc paired
+    * with its successor) instead of all pairs — O(n) pairs that preserve
+    * exactly the connected components (dedup_cluster output is unchanged),
+    * while any single band group stays linear. The frequency count rides
+    * the same (band, h) shuffle the join needs (window, no extra
+    * exchange).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingler: Shingler = Shingler.words(5),
-                        bandsN: Int = 2, rowsPerBand: Int = 3): DataFrame = {
+                        bandsN: Int = 2, rowsPerBand: Int = 3,
+                        maxBandDf: Int = 256): DataFrame = {
     val numHashes = bandsN * rowsPerBand
     require(numHashes <= MaxHashes, s"at most $MaxHashes hashes (two md5 digests)")
     val (staged, shCol) = shingler.stage(df, textCol)
@@ -138,13 +150,26 @@ object Dedup {
     val bandKeys = (0 until bandsN).map(b =>
       struct(lit(b).as("band"),
         concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("h")))
-    val bands = sig.select(col(idCol), explode(array(bandKeys: _*)).as("bh"))
-      .select(col(idCol), col("bh.band"), col("bh.h"))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h")
-        && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val wBand = Window.partitionBy("band", "h")
+    // cached: the window-counted band relation feeds both join sides and
+    // the oversized-group chain branch
+    val bands = graft.core.Caches.track(
+      sig.select(col(idCol), explode(array(bandKeys: _*)).as("bh"))
+        .select(col(idCol), col("bh.band"), col("bh.h"))
+        .withColumn("df_b", count(lit(1)).over(wBand)))
+    val small = bands.filter(col("df_b") <= maxBandDf)
+    val a = small.as("a")
+    val b = small.as("b")
+    val smallPairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.h") === col("b.h")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val chainPairs = bands.filter(col("df_b") > maxBandDf)
+      .withColumn("next_id", lead(col(idCol), 1).over(wBand.orderBy(col(idCol))))
+      .filter(col("next_id").isNotNull)
+      .select(col(idCol).as("id_a"), col("next_id").as("id_b"))
+    smallPairs.unionByName(chainPairs)
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("bands_matched"))
   }
 

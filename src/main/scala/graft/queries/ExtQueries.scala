@@ -56,6 +56,29 @@ object ExtQueries {
        |  $bands)""".stripMargin
   }
 
+  /** [[minhashBandCtes]] plus the band-frequency-capped pair stage,
+    * mirroring Dedup.minhashCandidates' maxBandDf guard: band groups of
+    * ≤256 docs emit all pairs, larger groups emit the id-ordered chain.
+    * Produces `pairs(id_a, id_b, band)` — one row per (band, pair).
+    */
+  private[queries] def minhashPairCtes: String =
+    s"""$minhashBandCtes,
+       |bf AS (
+       |  SELECT doc_id, band, h, count(*) OVER (PARTITION BY band, h) AS df_b
+       |  FROM bands),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band
+       |  FROM bf a JOIN bf b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.df_b <= 256
+       |  UNION ALL
+       |  SELECT id_a, id_b, band FROM (
+       |    SELECT doc_id AS id_a,
+       |           lead(doc_id) OVER (PARTITION BY band, h ORDER BY doc_id) AS id_b,
+       |           band
+       |    FROM bf WHERE df_b > 256)
+       |  WHERE id_b IS NOT NULL)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("dedup_exact",
@@ -76,15 +99,17 @@ object ExtQueries {
         "2 bands × 3 rows banding (P(candidate)=1-(1-J³)² — the S-curve " +
         "that rejects the merely-similar): per-shingle md5 once, " +
         "partial-agg signatures, band-key self-join; only (id, band, key) " +
-        "ever shuffles.",
+        "ever shuffles. Band groups over maxBandDf=256 docs (degenerate " +
+        "mass-duplicate keys) degrade to the id-ordered chain — O(n) " +
+        "pairs, same connected components — and the oracle mirrors the " +
+        "cap, so the guard path itself is hash-checked.",
       (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
           Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
         .orderBy("id_a", "id_b"),
       Some(
-        s"""WITH $minhashBandCtes
-           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS bands_matched
-           |FROM bands a JOIN bands b
-           |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+        s"""WITH $minhashPairCtes
+           |SELECT id_a, id_b, count(*) AS bands_matched
+           |FROM pairs
            |GROUP BY 1, 2
            |ORDER BY id_a, id_b""".stripMargin)),
 

@@ -60,12 +60,7 @@ object R2Queries {
           .orderBy("id")
       },
       Some(
-        s"""WITH RECURSIVE ${ExtQueries.minhashBandCtes},
-           |pairs AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
+        s"""WITH RECURSIVE ${ExtQueries.minhashPairCtes},
            |edges AS (
            |  SELECT id_a AS src, id_b AS dst FROM pairs
            |  UNION SELECT id_b, id_a FROM pairs),

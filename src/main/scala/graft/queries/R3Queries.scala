@@ -186,15 +186,11 @@ object R3Queries {
             levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH ${ExtQueries.minhashBandCtes},
-              |pairs AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM bands a JOIN bands b
-              |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2)
+      Some(s"""WITH ${ExtQueries.minhashPairCtes},
+              |p2 AS (SELECT id_a, id_b FROM pairs GROUP BY 1, 2)
               |SELECT p.id_a, p.id_b,
               |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
-              |FROM pairs p
+              |FROM p2 p
               |  JOIN documents da ON da.doc_id = p.id_a
               |  JOIN documents db ON db.doc_id = p.id_b
               |ORDER BY p.id_a, p.id_b""".stripMargin)),

@@ -50,6 +50,39 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("maxBandDf: a mass-duplicate block chains instead of going quadratic; " +
+    "non-degenerate recall unchanged") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " tokTail"
+    val other = (200 to 260).map(i => s"zz$i").mkString(" ")
+    val normal = Seq((1L, base), (2L, nearDup), (3L, other))
+    val boiler = "mass duplicated boilerplate text block repeated verbatim " +
+      "across the whole degenerate corpus slice"
+    val degenerate = (1000L until 2000L).map(i => (i, boiler))
+    val df = (normal ++ degenerate).toDF("doc_id", "text")
+
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text", maxBandDf = 256)
+      .collect()
+    // degenerate block: the id-ordered chain (999 pairs, both bands), NOT
+    // the 499,500-pair quadratic blowup
+    val degen = pairs.filter(_.getAs[Long]("id_a") >= 1000L)
+    assert(degen.length == 999)
+    assert(degen.forall(r => r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1))
+    assert(degen.forall(_.getAs[Long]("bands_matched") == 2L))
+    // chain preserves connectivity: one component spanning all 1000 ids
+    val cc = Dedup.connectedComponents(
+      degen.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+        .toIndexedSeq.toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(cc.select("label").distinct().count() == 1L)
+    // recall on the non-degenerate docs is exactly the uncapped candidate set
+    val capped = pairs.filter(_.getAs[Long]("id_a") < 1000L)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val uncapped = Dedup.minhashCandidates(normal.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped && capped.contains((1L, 2L)))
+  }
+
   test("minhashSignature (array form) agrees with minhashCandidates' agg form") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val viaArray = df.select(
