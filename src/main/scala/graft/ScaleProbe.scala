@@ -80,6 +80,25 @@ object ScaleProbe {
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       Dedup.connectedComponents(pairs, "id_a", "id_b").count()
     }
+    // adversarial long-chain graph: pointer jumping vs small/large-star.
+    // 100k-node path = worst-case diameter for label propagation.
+    locally {
+      val chain = spark.range(0, 100000)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val t0 = System.nanoTime()
+      val (pj, pjRounds) = Dedup.connectedComponentsWithRounds(
+        chain, "id_a", "id_b", maxIter = 40)
+      val pjN = pj.filter(col("label") === 0L).count()
+      val t1 = System.nanoTime()
+      val (st, stRounds) = Dedup.connectedComponentsStarWithRounds(
+        chain, "id_a", "id_b", maxIter = 40)
+      val stN = st.filter(col("label") === 0L).count()
+      val t2 = System.nanoTime()
+      println(f"chain-100k pointer-jump: ${(t1 - t0) / 1e9}%.2f s, " +
+        f"$pjRounds rounds ($pjN labeled 0)")
+      println(f"chain-100k star:         ${(t2 - t1) / 1e9}%.2f s, " +
+        f"$stRounds rounds ($stN labeled 0)")
+    }
 
     // round-2 session operators: curation + quantized ANN at scale
     time(s"redact x$mult")(docs.select(col("doc_id"),

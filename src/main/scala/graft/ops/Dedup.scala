@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -281,9 +281,9 @@ object Dedup {
     * chains exponentially, so rounds are O(log diameter) instead of
     * O(diameter). The 10× scale probe's salted-replica graph (240k edges,
     * chained components) converges in a handful of rounds where plain
-    * propagation needed dozens. For adversarial graphs at 100 TB, the
-    * same seam upgrades to alternating small-star/large-star rounds
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    * propagation needed dozens. For adversarial graphs (long chains,
+    * skewed stars) see [[connectedComponentsStar]], the small-star/
+    * large-star alternative (Kiveris et al.).
     *
     * Convergence is detected from `sum(label)` (decimal-exact): labels
     * only ever decrease elementwise, so ANY change strictly decreases the
@@ -295,7 +295,12 @@ object Dedup {
     * @return (id, label) — label is the min id of the node's component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): (DataFrame, Int) = {
     // cache the edge list PRE-PARTITIONED on the per-round join key: the
     // cached InMemoryRelation advertises hashpartitioning(dst), so every
     // round's join shuffles only the (shrinking) labels side — the big
@@ -349,7 +354,91 @@ object Dedup {
       labels = next
       i += 1
     }
-    labels
+    (labels, i)
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-graph alternative to
+    * [[connectedComponents]]' pointer jumping. The state is the EDGE list
+    * itself (kept canonical as (hi, lo), lo < hi), which strictly shrinks
+    * toward disjoint stars centered at component minima:
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ u) — one groupBy(min) + one join on the
+    *    both-direction adjacency;
+    *  - small-star(u): every neighbor v < u (plus u itself) re-attaches
+    *    to m = min(Γ⁻(u) ∪ u) — same shape on the directed list.
+    *
+    * Both preserve connectivity and only move edges toward smaller ids,
+    * so the edge signature (count + decimal sum of xxhash64) is monotone
+    * and a stable signature means the stars are final. Each outer round
+    * runs large-star TWICE then small-star once: on a path graph one
+    * large-star doubles every node's distance-to-minimum reach, so the
+    * pair quadruples it per round — half the synchronization barriers of
+    * pointer jumping's reach-2^k on long chains, which is exactly the
+    * adversarial shape this variant exists for. Unlike pointer jumping
+    * (whose label relation stays |V| every round), the shuffled relation
+    * here is the edge list, which contracts as stars form.
+    *
+    * @return (id, label) — label is the min id of the node's component;
+    *         identical output contract to [[connectedComponents]].
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 25): DataFrame =
+    connectedComponentsStarWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  private[graft] def connectedComponentsStarWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    val nodes = graft.core.Caches.track(
+      pairs.select(col(aCol).as("id"))
+        .union(pairs.select(col(bCol).as("id"))).distinct())
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical (hi, lo): grouping by hi reads Γ⁻ directly
+      val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      val reattached = e.join(mins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo")) // m = min(Γ⁻) < lo
+      val self = mins.select(col("hi"), col("m").as("lo"))
+      reattached.union(self).distinct()
+    }
+
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(true)
+    var prevSig: Row = null
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // localCheckpoint: flat plan per round (see pointer-jumping notes)
+      val next = smallStar(largeStar(largeStar(edges))).localCheckpoint(true)
+      val sig = next.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("hi"), col("lo")).cast(DecimalType(38, 0))).as("h")).head()
+      converged = prevSig != null && prevSig == sig
+      prevSig = sig
+      edges = next
+      rounds += 1
+    }
+    val labels = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    (labels, rounds)
   }
 
   /** 16-bit SimHash from word-level md5 nibbles: bit b of the signature is

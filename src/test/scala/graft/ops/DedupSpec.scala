@@ -164,6 +164,28 @@ class DedupSpec extends SparkSpec {
     assert(run(5) == flat)
   }
 
+  test("connectedComponentsStar: chain, triangle, pair, star — labels match " +
+    "pointer jumping; fewer rounds on the adversarial chain") {
+    val edges = ((0L until 255L).map(i => (i, i + 1)) ++ // 256-node chain
+      Seq((1000L, 1001L), (1001L, 1002L), (1000L, 1002L), // triangle
+        (2000L, 2001L), // pair
+        (3000L, 3001L), (3000L, 3002L), (3000L, 3003L))) // star
+      .toDF("id_a", "id_b")
+    val (starLabels, starRounds) =
+      Dedup.connectedComponentsStarWithRounds(edges, "id_a", "id_b")
+    val (pjLabels, pjRounds) =
+      Dedup.connectedComponentsWithRounds(edges, "id_a", "id_b", maxIter = 30)
+    val star = starLabels.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(star == pjLabels.orderBy("id").as[(Long, Long)].collect().toSeq)
+    // component minima are the labels
+    assert(star.filter(_._1 <= 255L).forall(_._2 == 0L))
+    assert(star.filter(p => p._1 >= 3000L).forall(_._2 == 3000L))
+    // the point of the variant: fewer synchronization barriers on a long
+    // chain (each round quadruples distance-to-min reach vs PJ's ~2x)
+    assert(starRounds < pjRounds,
+      s"star=$starRounds rounds, pointer-jumping=$pjRounds")
+  }
+
   test("connectedComponents: chain, triangle, pair each collapse to min id") {
     // chain 1-2-3-4-5 (diameter 4 -> multiple propagation rounds),
     // triangle 10-11-12 with a redundant edge, isolated pair 20-21
