@@ -49,4 +49,36 @@ object Truncate {
     struct(
       truncateText(text, partOfReport, budget).as("filtered_message"),
       greatest(tokenCount(text) - budget, lit(0)).as("offset"))
+
+  // ------------------------------------------------- subword (WordPiece)
+
+  /** Greedy WordPiece pieces of the normalized text — the real subword
+    * upgrade of the whitespace seam above ([[graft.functions.WordPiece]],
+    * codegen'd Catalyst expression, fixture vocab by default).
+    */
+  def subwordPieces(text: Column,
+                    vocab: Seq[String] = graft.functions.WordPiece.FixtureVocab): Column =
+    graft.functions.WordPiece.tokenize(
+      graft.functions.WordPiece.normalize(text), vocab)
+
+  /** Subword token count — what the reference's 510-token budget actually
+    * measures (len(tokenizer(text).input_ids) - 2).
+    */
+  def subwordCount(text: Column,
+                   vocab: Seq[String] = graft.functions.WordPiece.FixtureVocab): Column =
+    size(subwordPieces(text, vocab))
+
+  /** T5 truncation at SUBWORD granularity: same keep-last-for-'entire
+    * report' / keep-first-otherwise branch, but the budget counts
+    * WordPiece pieces (joined with spaces, `##` markers preserved, so the
+    * cut sequence is exactly reproducible by any engine with the vocab).
+    */
+  def truncateSubword(text: Column, partOfReport: Column, budget: Int,
+                      vocab: Seq[String] = graft.functions.WordPiece.FixtureVocab): Column = {
+    val toks = subwordPieces(text, vocab)
+    when(size(toks) <= budget, concat_ws(" ", toks))
+      .when(partOfReport === "entire report",
+        concat_ws(" ", slice(toks, -budget, budget)))
+      .otherwise(concat_ws(" ", slice(toks, 1, budget)))
+  }
 }
