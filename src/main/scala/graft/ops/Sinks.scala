@@ -81,48 +81,107 @@ object Sinks {
     w.jdbc(url, table, props)
   }
 
-  /** Exactly-once streaming JDBC sink (the `foreachBatch` pattern).
+  /** Exactly-once streaming JDBC sink (the `foreachBatch` pattern),
+    * STAGING-TABLE edition.
     *
     * Structured Streaming's foreachBatch gives at-least-once delivery:
     * after a crash the same (batchId, data) can be replayed. Idempotence
-    * is the sink's job, and the standard recipe is a BATCH LEDGER — a
-    * one-row-per-batch table written before the data; a replayed batch
-    * sees its ledger row and skips. Wire it as:
+    * is the sink's job. The naive recipe (ledger row, then data append)
+    * has a fatal window — a crash between the two drops the batch while
+    * marking it done. This implementation closes it:
+    *
+    *  1. PROBE   — one driver-side point query on the ledger; a replayed
+    *               batchId returns false immediately (stale staging from
+    *               a crash-after-publish is dropped best-effort).
+    *  2. STAGE   — the batch writes partition-parallel into a per-batch
+    *               staging table `<data>_stg_<id>` with Overwrite
+    *               semantics, so a half-written table from a previous
+    *               crashed attempt is simply replaced on retry.
+    *  3. PUBLISH — INSERT..SELECT from staging into the data table AND
+    *               the ledger row commit in ONE driver-side transaction:
+    *               the batch becomes visible exactly when it is recorded,
+    *               atomically. A crash anywhere before the commit leaves
+    *               no ledger row and no published rows — the replay
+    *               restages and publishes; a crash after the commit leaves
+    *               both — the replay skips.
+    *  4. CLEAN   — drop the staging table (outside the transaction;
+    *               best-effort, a leftover is inert and reaped on replay).
+    *
+    * Wire it as:
     *
     *   stream.writeStream.foreachBatch { (df, id) =>
     *     Sinks.idempotentBatchAppend(df, id, url, "events_out", "events")
     *   }
     *
-    * The ledger probe is one driver-side point query; the data write is
-    * the ordinary partition-parallel [[jdbcAppend]]. (Ledger row and data
-    * are not one transaction — a crash BETWEEN them loses that batch's
-    * data while marking it done; production sinks close that with a
-    * staging table swapped in the ledger transaction, same seam.)
-    *
-    * @return true if the batch was written, false if it was a replay
+    * @param beforePublish fault-injection seam (tests crash here — after
+    *                      staging, before the atomic publish — to prove
+    *                      the replay still ends exactly-once)
+    * @return true if the batch was published, false if it was a replay
     */
   def idempotentBatchAppend(df: org.apache.spark.sql.DataFrame, batchId: Long,
                             url: String, ledgerTable: String, dataTable: String,
                             props: java.util.Properties = new java.util.Properties,
-                            options: Map[String, String] = Map.empty): Boolean = {
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      val meta = conn.getMetaData.getTables(null, null,
-        ledgerTable.toUpperCase, null)
-      if (!meta.next()) {
-        conn.createStatement().executeUpdate(
+                            options: Map[String, String] = Map.empty,
+                            beforePublish: () => Unit = () => ()): Boolean = {
+    val staging = s"${dataTable}_stg_$batchId"
+
+    def tableExists(conn: java.sql.Connection, name: String): Boolean =
+      conn.getMetaData.getTables(null, null, name.toUpperCase, null).next()
+    def dropIfExists(conn: java.sql.Connection, name: String): Unit =
+      if (tableExists(conn, name))
+        conn.createStatement().executeUpdate(s"DROP TABLE $name")
+
+    // 1. PROBE
+    val probe = java.sql.DriverManager.getConnection(url, props)
+    val replay = try {
+      if (!tableExists(probe, ledgerTable)) {
+        probe.createStatement().executeUpdate(
           s"CREATE TABLE $ledgerTable (batch_id BIGINT PRIMARY KEY)")
       }
-      val seen = conn.prepareStatement(
+      val seen = probe.prepareStatement(
         s"SELECT 1 FROM $ledgerTable WHERE batch_id = ?")
       seen.setLong(1, batchId)
-      if (seen.executeQuery().next()) return false // replay: skip
+      val isReplay = seen.executeQuery().next()
+      if (isReplay) dropIfExists(probe, staging) // reap crash-after-publish residue
+      isReplay
+    } finally probe.close()
+    if (replay) return false
+
+    // 2. STAGE (partition-parallel; Overwrite replaces any half-written
+    // staging table from a previous crashed attempt)
+    val w = df.write.mode(SaveMode.Overwrite)
+    options.foreach { case (k, v) => w.option(k, v) }
+    w.jdbc(url, staging, props)
+
+    beforePublish()
+
+    // 3. PUBLISH (one transaction: data copy + ledger row). Column names
+    // are double-quoted to match the identifiers Spark's JDBC writer
+    // creates (quoted, case-preserved).
+    val cols = df.schema.fieldNames.map("\"" + _ + "\"").mkString(", ")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      if (!tableExists(conn, dataTable)) {
+        conn.createStatement().executeUpdate(
+          s"CREATE TABLE $dataTable AS SELECT * FROM $staging WITH NO DATA")
+      }
+      conn.createStatement().executeUpdate(
+        s"INSERT INTO $dataTable ($cols) SELECT $cols FROM $staging")
       val ins = conn.prepareStatement(
         s"INSERT INTO $ledgerTable (batch_id) VALUES (?)")
       ins.setLong(1, batchId)
       ins.executeUpdate()
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
     } finally conn.close()
-    jdbcAppend(df, url, dataTable, props, options = options)
+
+    // 4. CLEAN (best-effort)
+    val clean = java.sql.DriverManager.getConnection(url, props)
+    try dropIfExists(clean, staging)
+    catch { case _: java.sql.SQLException => () } // inert leftover, reaped on replay
+    finally clean.close()
     true
   }
 

@@ -77,4 +77,44 @@ class JdbcSpec extends SparkSpec {
     assert(wrote2)
     assert(graft.core.Tables.jdbc(spark, url, "sink_out", props).count() == 4)
   }
+
+  test("staging-table publish: a crash between staging and publish loses " +
+    "nothing; the replay ends exactly-once") {
+    val colTypes = Map("createTableColumnTypes" -> "word VARCHAR(40)")
+    def count(table: String): Long =
+      graft.core.Tables.jdbc(spark, url, table, props).count()
+
+    val batch = Seq((1L, "x"), (2L, "y")).toDF("k", "word")
+    // crash INSIDE the window the naive ledger-then-append recipe gets
+    // wrong: after the partition-parallel staging write, before publish
+    val boom = intercept[RuntimeException] {
+      Sinks.idempotentBatchAppend(batch, 7L, url, "eo_ledger", "eo_out",
+        props, options = colTypes,
+        beforePublish = () => throw new RuntimeException("crash before publish"))
+    }
+    assert(boom.getMessage == "crash before publish")
+    // nothing published, nothing in the ledger: the batch is NOT marked done
+    assert(!spark.read.jdbc(url, "eo_ledger", props).collect().map(_.getLong(0))
+      .contains(7L))
+    // data table may not even exist yet; staging residue is allowed
+
+    // the engine replays the same (batchId, data): publish succeeds once
+    val wrote = Sinks.idempotentBatchAppend(batch, 7L, url, "eo_ledger",
+      "eo_out", props, options = colTypes)
+    assert(wrote)
+    assert(count("eo_out") == 2)
+
+    // a second replay after the successful publish is a no-op
+    val wroteAgain = Sinks.idempotentBatchAppend(batch, 7L, url, "eo_ledger",
+      "eo_out", props, options = colTypes)
+    assert(!wroteAgain)
+    assert(count("eo_out") == 2)
+
+    // staging table is cleaned up after a successful publish
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val left = conn.getMetaData.getTables(null, null, "EO_OUT_STG_7", null)
+      assert(!left.next(), "staging table should be dropped after publish")
+    } finally conn.close()
+  }
 }
