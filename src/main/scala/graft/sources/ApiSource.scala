@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.StructType
   *    reference's exact behavior;
   *  - [[fetchPartitioned]]: the scale path — the date range splits into
   *    per-day windows fetched IN PARALLEL on executors via a range RDD,
-  *    so ingest bandwidth scales with the cluster, not the driver. (A
-  *    full DataSourceV2 TableProvider would add pushdown negotiation; the
-  *    partitioned-read core — the part that matters at 100 TB — is here.)
+  *    so ingest bandwidth scales with the cluster, not the driver.
+  *
+  * The full connector form of the scale path is [[ApiDataSource]]
+  * (`spark.read.format("graft-api")`): same per-day executor-side fetch,
+  * plus DataSourceV2 filter-pushdown window planning and column pruning.
   */
 object ApiSource {
 
