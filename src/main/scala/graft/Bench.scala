@@ -44,8 +44,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":2,"sf":"$sfDir"}""")
+    // a query that failed both passes is REPORTED (failed list + count),
+    // never summed — a -1 sentinel inside the headline total would
+    // silently deflate it
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val ok = results.values.filter(_ >= 0)
+    val total = ok.sum
+    // per-pass sums over queries that succeeded in BOTH passes: the
+    // like-for-like single-pass numbers (cross-round comparisons can use
+    // these to separate plan improvements from the best-of-2 method)
+    def passTotal(p: Map[String, Double]) =
+      p.collect { case (k, v) if v >= 0 && results.getOrElse(k, -1.0) >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":2,""" +
+      s""""pass1_total":${passTotal(p1)},"pass2_total":${passTotal(p2)},""" +
+      s""""failed":$failedJson,"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,7 +23,11 @@ final class BatchLedger(spark: SparkSession, ledgerPath: String) {
     try {
       val df = spark.read.parquet(ledgerPath)
       if (df.columns.contains("batch_id")) Some(df) else None
-    } catch { case _: Throwable => None }
+    } catch {
+      // only "no ledger yet" is a normal first run; real failures
+      // (permissions, corrupt files, OOM) must propagate
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
 
   /** Allocate the next batch id and durably record the run row. */
   def newBatch(pipelineName: String, dateFrom: String, dateTo: String,

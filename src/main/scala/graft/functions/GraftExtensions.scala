@@ -24,13 +24,20 @@ import org.apache.spark.sql.graft.Shims
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** One-arg Column-composition function as a SQL registration. */
+  /** One-arg Column-composition function as a SQL registration. Arity is
+    * validated up front (Spark's standard WRONG_NUM_ARGS analysis error),
+    * not left to a NoSuchElementException on `head` or silent dropping of
+    * extra arguments.
+    */
   private def colFn(name: String,
                     f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier(name),
     new ExpressionInfo("graft.ops", name),
-    (children: Seq[Expression]) => Shims.resolvedExpression(f(Shims.column(children.head))))
+    (children: Seq[Expression]) => {
+      if (children.length != 1) Shims.wrongNumArgs(name, 1, children.length)
+      Shims.resolvedExpression(f(Shims.column(children.head)))
+    })
 
   /** Shared by the injector below and GraftExtensionsSpec's live-registry
     * path (a running session can't replay build-time extensions).
@@ -39,12 +46,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) Shims.wrongNumArgs("dot_product", 2, children.length)
+        DotProduct(children(0), children(1))
+      }),
     colFn("graft_redact", graft.ops.Curation.redact),
     colFn("graft_quality", graft.ops.TextAnalysis.qualityScore),
     colFn("graft_tokens", graft.ops.TextAnalysis.tokenCountRegex),
     colFn("graft_lang", c => graft.ops.TextAnalysis.predictLang(c)),
-    colFn("graft_fingerprint", graft.ops.TextOps.fingerprint))
+    colFn("graft_fingerprint", graft.ops.TextOps.fingerprint),
+    // greedy WordPiece pieces (fixture vocab) over normalized text —
+    // SQL surface of graft.ops.Truncate.subwordPieces
+    colFn("graft_wordpiece", c => graft.ops.Truncate.subwordPieces(c)))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     sqlFunctions.foreach(ext.injectFunction)

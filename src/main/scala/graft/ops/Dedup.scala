@@ -256,17 +256,27 @@ object Dedup {
     *    exact anti-join against history.
     * The result is therefore EXACT while the join input shrinks to
     * ~(dup_rate + fpp) of incoming. The oracle is the plain anti-join.
+    *
+    * Cost notes (the parts that are NOT lazy): `history.stat.bloomFilter`
+    * runs an EAGER aggregation job over history at call time — that scan
+    * is the price of shrinking the join, schedule it accordingly. The
+    * flagged incoming relation is evaluated ONCE and cached (tracked in
+    * [[graft.core.Caches]]): both the definitely-new branch and the
+    * exact-check branch read the cached split, so incoming is neither
+    * rescanned nor double-hashed by the union's two consumers.
     */
   def newAgainstHistory(incoming: DataFrame, history: DataFrame, keyCol: String,
                         expectedItems: Long = 1000000L,
                         fpp: Double = 0.01): DataFrame = {
-    val bf = history.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bf = history.stat.bloomFilter(keyCol, expectedItems, fpp) // eager job
     val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: String) => k != null && bfB.value.mightContainString(k))
-    val definitelyNew = incoming.filter(!mightContain(col(keyCol)))
-    val needExactCheck = incoming.filter(mightContain(col(keyCol)))
+    val flagged = graft.core.Caches.track(
+      incoming.withColumn("__graft_bf_hit", mightContain(col(keyCol))))
+    val definitelyNew = flagged.filter(!col("__graft_bf_hit"))
+    val needExactCheck = flagged.filter(col("__graft_bf_hit"))
       .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    definitelyNew.unionByName(needExactCheck)
+    definitelyNew.unionByName(needExactCheck).drop("__graft_bf_hit")
   }
 
   /** Connected components over an undirected candidate-pair edge list —

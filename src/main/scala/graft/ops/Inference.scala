@@ -170,7 +170,7 @@ object Inference {
       .filter(col("model_name") === name && col("model_version") === version)
       .select("model_id", "model_name", "model_version", "model_location")
       .first()
-    ModelSpec(r.getLong(0), r.getString(1), r.get(2).toString, r.getString(3))
+    ModelSpec(r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
   }
 
   /** M3 — extractive-QA sectioning stand-in (reference: LongformerModel

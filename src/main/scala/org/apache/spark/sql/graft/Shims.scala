@@ -25,6 +25,15 @@ object Shims {
   def resolvedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Standard wrong-arity analysis error (the same error class Spark's
+    * own FunctionRegistry builders raise) — `QueryCompilationErrors` is
+    * `private[sql]`, hence the shim.
+    */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected), actual,
+        "", "", "")
+
   /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the seam custom
     * logical operators use to enter the public Dataset API.

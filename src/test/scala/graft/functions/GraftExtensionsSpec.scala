@@ -39,4 +39,33 @@ class GraftExtensionsSpec extends SparkSpec {
       .select(graft.ops.TextOps.fingerprint(col("t"))).collect()(0).getString(0)
     assert(row.getString(2) == viaApi)
   }
+
+  test("graft_wordpiece tokenizes from SQL with API parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    registerAll()
+    val viaSql = spark.sql("SELECT graft_wordpiece('Theme PLAYING!') AS p")
+      .collect()(0).getSeq[String](0)
+    val viaApi = Seq("Theme PLAYING!").toDF("t")
+      .select(graft.ops.Truncate.subwordPieces(col("t")))
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == viaApi)
+    assert(viaSql == Seq("the", "##m", "##e", "p", "##l", "##a", "##y", "##ing"))
+  }
+
+  test("wrong arity is a WRONG_NUM_ARGS analysis error, not a builder crash") {
+    registerAll()
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_redact()").collect()
+    }
+    assert(e1.getMessage.contains("graft_redact"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_redact('a', 'b')").collect()
+    }
+    assert(e2.getMessage.contains("graft_redact"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array(1.0D))").collect()
+    }
+    assert(e3.getMessage.contains("dot_product"))
+  }
 }

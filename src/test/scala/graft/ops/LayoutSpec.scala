@@ -19,8 +19,12 @@ class LayoutSpec extends SparkSpec {
     df.repartition(64).write.mode("overwrite").parquet(in)
     assert(parquetFiles(in).size == 64)
     val bytes = Layout.sizeOnDisk(spark, in)
-    Layout.compactParquet(spark, in, out, targetFileBytes = bytes / 3)
-    assert(parquetFiles(out).size == 4) // ceil(bytes / (bytes/3)) with remainder
+    val target = bytes / 3
+    Layout.compactParquet(spark, in, out, targetFileBytes = target)
+    // expected count via the same ceil-div the operator uses (hardcoding
+    // 4 would break whenever bytes % 3 == 0 lands the division exactly)
+    val expected = ((bytes + target - 1) / target).toInt
+    assert(parquetFiles(out).size == expected)
     assert(spark.read.parquet(out).count() == 10000)
     assert(spark.read.parquet(out).agg(sum("id")).head().getLong(0)
       == (1 to 10000).map(_.toLong).sum)
