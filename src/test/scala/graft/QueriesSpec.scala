@@ -3,12 +3,10 @@ package graft
 /** Contract checks over the whole query registry (driver-facing surface). */
 class QueriesSpec extends SparkSpec {
 
-  test("every query has oracle SQL except the declared approximate ops") {
-    // approximate-by-design aggregates (HLL++/KLL sketches) cannot carry
-    // an exact cross-engine oracle; everything else must
-    val rowsOnlyByDesign = Set("ev_sketch")
-    assert(SparkEntry.oracleSql.keySet ==
-      SparkEntry.queries.keySet -- rowsOnlyByDesign)
+  test("every query has oracle SQL — including the approximate ops") {
+    // even approximate aggregates carry an oracle: ev_sketch emits exact
+    // counts plus bounded-error booleans the oracle asserts true
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 
   test("entry (flagship) returns rows on sf0.001") {
