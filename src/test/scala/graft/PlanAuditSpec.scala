@@ -80,6 +80,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("ta_subword: WordPiece rides inside WholeStageCodegen, no UDF barrier") {
+    val p = plan("ta_subword")
+    // the tokenizer is a native expression projected straight over the
+    // scan — not a BatchEvalPython/ScalaUDF stage break
+    assert(p.contains("wordpiecetokenize"), s"expected the native expression:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+    // single exchange: the final presentation sort (tokenize is per-row);
+    // count detail headers "(n) Exchange", not tree+detail double-prints
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+      s"unexpected exchanges:\n$p")
+    // codegen pin needs the EXECUTED plan (AQE finalizes spans at runtime)
+    val df = SparkEntry.queries("ta_subword")(spark, SparkSpec.Sf0001)
+    df.collect() // count() would plan a different query; execute THIS one
+    val executed = df.queryExecution.executedPlan.toString
+    // the compact form renders a WholeStageCodegen stage as "*(id) Node"
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(executed).isDefined,
+      s"expected codegen'd project in the executed plan:\n$executed")
+  }
+
   test("doc_sample: sampling filter sits on the scan, before any exchange") {
     val p = plan("doc_sample")
     // the md5-threshold predicate is a plain Filter (no aggregate/join),

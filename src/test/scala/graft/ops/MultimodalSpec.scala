@@ -43,6 +43,22 @@ class MultimodalSpec extends SparkSpec {
       md5hex(Array[Byte](16, 32, 48, 64, 80, 96)))
   }
 
+  test("extractMeta decodes JPEG too (format detection beyond PNG)") {
+    val img = Multimodal.solidGray(12, 9, 80)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val df = Seq((1L, jpeg)).toDF("id", "payload")
+    val m = Multimodal.extractMeta(df, "payload").select("meta.*").collect()(0)
+    assert(m.getAs[String]("format") == "jpeg")
+    assert(m.getAs[Long]("width") == 12L && m.getAs[Long]("height") == 9L)
+    // lossy codec: dimensions/format exact, pixels only near the fill value
+    val resized = Multimodal.resize(df, "payload", 4, 3).collect()(0)
+    val rm = resized.getAs[Row]("resized_meta")
+    assert(rm.getAs[Long]("width") == 4L && rm.getAs[Long]("height") == 3L)
+    assert(rm.getAs[String]("format") == "png") // re-encode normalizes to PNG
+  }
+
   test("extractMeta: undecodable payload yields null meta, not a crash") {
     val df = Seq((1L, "not an image at all".getBytes("UTF-8")),
         (2L, Array.empty[Byte]))
