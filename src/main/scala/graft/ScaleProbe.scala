@@ -112,6 +112,16 @@ object ScaleProbe {
       emb, "vec_id", "embedding", 0L, 10, rescore = 50).count())
     time(s"embed x$mult")(graft.ops.Inference.embed(
       docs.select(col("doc_id"), col("text")), "text").count())
+    // round-3 operators: codegen'd subword tokenization + real image codec
+    time(s"wordpiece x$mult")(docs
+      .select(graft.ops.Truncate.subwordCount(col("text")).as("n"))
+      .agg(sum("n")).count())
+    time("mm codec 5k imgs") {
+      val fx = graft.ops.Multimodal.imageFixture(
+        spark.range(5000).select(col("id").as("doc_id")), "doc_id")
+      graft.ops.Multimodal.extractMeta(fx, "payload")
+        .filter(col("meta.format") === "png").count()
+    }
     spark.stop()
   }
 }
