@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Truncate}
+import graft.ops.{Curation, Dedup, TextAnalysis, Truncate}
 
 /** Round-3 session queries. */
 object R4Queries {
@@ -87,6 +87,65 @@ object R4Queries {
            |           '') AS tail_pieces
            |FROM documents d LEFT JOIN sliced s USING (doc_id)
            |ORDER BY doc_id""".stripMargin)),
+
+    Q("curation_pipeline",
+      "The LLM-curation flagship — redact → quality-gate (≥0.5) → exact " +
+        "dedup (min-id survivor per md5 of redacted text) → per-source " +
+        "sequence packing, composed as ONE lazy Catalyst plan the way " +
+        "dx_pipeline composes the reference DAG: the scan-stage " +
+        "projections fuse, the only exchanges are the dedup key shuffle " +
+        "and the per-shard packing window. Oracle replays the whole " +
+        "chain in a single DuckDB WITH pipeline.",
+      (s, d) => {
+        val red = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            Curation.redact(col("text")).as("t"))
+        val gated = red.filter(TextAnalysis.qualityScore(col("t")) >= 0.5)
+        val ded = Dedup.exactDedup(gated, col("doc_id"), md5(col("t")))
+        Curation.packSequences(ded, "source", "doc_id", "t", 256)
+          .groupBy(col("source"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("seq_tokens"),
+            min("doc_id").as("first_doc"))
+          .orderBy("source", "seq_id")
+      },
+      Some(
+        s"""WITH red AS (
+           |  SELECT doc_id, source,
+           |    regexp_replace(regexp_replace(regexp_replace(text,
+           |      '${Curation.EmailRe}', '<EMAIL>', 'g'),
+           |      '${Curation.SsnRe}', '<SSN>', 'g'),
+           |      '${Curation.LongNumberRe}', '<ID>', 'g') AS t
+           |  FROM documents),
+           |feat AS (
+           |  SELECT doc_id, source, t, length(t) AS n_chars,
+           |    CASE WHEN trim(t) = '' THEN 0
+           |         ELSE len(string_split_regex(trim(t), '\\s+')) END AS n_tokens,
+           |    CASE WHEN length(t) = 0 THEN 0.0::DOUBLE
+           |         ELSE length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) / length(t) END AS punct_ratio,
+           |    ((length(t) - length(replace(t, ' the ', ''))) / 5::DOUBLE
+           |      + (length(t) - length(replace(t, ' a ', ''))) / 3::DOUBLE) AS stop_hits
+           |  FROM red),
+           |q AS (
+           |  SELECT doc_id, source, t, n_tokens,
+           |    least(n_chars / 500.0::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
+           |      + (1.0::DOUBLE - punct_ratio) * 0.3::DOUBLE
+           |      + least((CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE
+           |               ELSE stop_hits / n_tokens END) * 4.0::DOUBLE,
+           |              1.0::DOUBLE) * 0.3::DOUBLE AS quality
+           |  FROM feat),
+           |ded AS (
+           |  SELECT doc_id, source, n_tokens FROM q
+           |  WHERE quality >= 0.5
+           |  QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1),
+           |c AS (
+           |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+           |  FROM ded)
+           |SELECT source, CAST(floor(tok_before / 256) AS BIGINT) AS seq_id,
+           |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           |  min(doc_id) AS first_doc
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("dedup_cluster_star",
       "The dedup endgame on the ADVERSARIAL-graph algorithm: the same " +
