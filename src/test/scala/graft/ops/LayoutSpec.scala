@@ -30,6 +30,44 @@ class LayoutSpec extends SparkSpec {
       == (1 to 10000).map(_.toLong).sum)
   }
 
+  test("zOrderedParquet: files cover small (x,y) rectangles; x-sort leaves y unpruned") {
+    val zOut = Files.createTempDirectory("graft_z_out").toString
+    val xOut = Files.createTempDirectory("graft_x_out").toString
+    // uniform 64x64 grid — every (x, y) once
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    Layout.zOrderedParquet(grid, zOut, numFiles = 8, "x", "y")
+    Layout.sortedParquet(grid, xOut, numFiles = 8, Seq("x"))
+
+    def boxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      parquetFiles(dir).map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    def avgArea(bs: Seq[(Long, Long, Long, Long)]): Double =
+      bs.map { case (x0, x1, y0, y1) =>
+        (x1 - x0 + 1).toDouble * (y1 - y0 + 1) }.sum / bs.size
+
+    val zBoxes = boxes(zOut)
+    val xBoxes = boxes(xOut)
+    // x-sorted files span the ENTIRE y domain — a y-only filter prunes
+    // NOTHING (this is the failure mode z-order exists to fix)
+    assert(xBoxes.forall { case (_, _, y0, y1) => y0 == 0L && y1 == 63L })
+    // z-ordered files cover bounded rectangles (ideal eighths are 16x32;
+    // allow range-sampler boundary slop), so BOTH dimensions prune:
+    assert(avgArea(zBoxes) < 4096 * 0.5, s"z-order boxes too loose: $zBoxes")
+    // a y-only range filter (y in [0,7]) skips a real fraction of z-files
+    val yHitZ = zBoxes.count { case (_, _, y0, _) => y0 <= 7 }
+    assert(yHitZ <= 6, s"y-filter should prune z-files: hits $yHitZ of 8")
+    assert(xBoxes.count { case (_, _, y0, _) => y0 <= 7 } == xBoxes.size)
+    // and a point query is prunable to a minority of z-files
+    val hit = zBoxes.count { case (x0, x1, y0, y1) =>
+      x0 <= 5 && 5 <= x1 && y0 <= 5 && 5 <= y1 }
+    assert(hit <= zBoxes.size / 2, s"corner point hits $hit of ${zBoxes.size}")
+    assert(spark.read.parquet(zOut).count() == 4096)
+  }
+
   test("sortedParquet: each output file covers a disjoint key range") {
     val out = Files.createTempDirectory("graft_sorted_out").toString
     val df = (1 to 8000).map(i => ((i * 2654435761L) % 100000, i))
