@@ -52,7 +52,13 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Registered via
+/** Planner rule: [[AsOfJoinPlan]] → physical plan, with the same
+  * stats-driven choice Catalyst's JoinSelection makes for equi-joins:
+  * a right side whose estimated size fits under
+  * `spark.sql.autoBroadcastJoinThreshold` plans as
+  * [[BroadcastAsOfJoinExec]] (broadcast exchange + per-partition binary
+  * search, ZERO shuffles on the fact side); anything larger plans as the
+  * co-partitioned merge [[AsOfJoinExec]]. Registered via
   * [[graft.functions.GraftExtensions]] (`injectPlannerStrategy`) or
   * injected on demand by [[AsOfJoin.asof]] through
   * `spark.experimental.extraStrategies`.
@@ -60,8 +66,29 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r))
+        else AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r))
+      exec :: Nil
     case _ => Nil
+  }
+}
+
+private[plans] object AsOfTimes {
+  /** Bound evaluator: as-of time column → epoch-comparable long. */
+  def getter(e: Expression, out: Seq[Attribute]): InternalRow => Long = {
+    val bound = BindReferences.bindReference(e, out)
+    e.dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        row => bound.eval(row).asInstanceOf[Long]
+      case IntegerType | DateType =>
+        row => bound.eval(row).asInstanceOf[Int].toLong
+      case other => throw new IllegalArgumentException(
+        s"as-of time column must be integral/timestamp/date, got $other")
+    }
   }
 }
 
@@ -92,17 +119,8 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  private def timeGetter(e: Expression, out: Seq[Attribute]): InternalRow => Long = {
-    val bound = BindReferences.bindReference(e, out)
-    e.dataType match {
-      case LongType | TimestampType | TimestampNTZType =>
-        row => bound.eval(row).asInstanceOf[Long]
-      case IntegerType | DateType =>
-        row => bound.eval(row).asInstanceOf[Int].toLong
-      case other => throw new IllegalArgumentException(
-        s"as-of time column must be integral/timestamp/date, got $other")
-    }
-  }
+  private def timeGetter(e: Expression, out: Seq[Attribute]): InternalRow => Long =
+    AsOfTimes.getter(e, out)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -153,6 +171,88 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
         resultProj(joined(lRow, if (lastRight == null) nullRight else lastRight))
       }
     }
+  }
+}
+
+/** Physical broadcast as-of join: the right (dimension) side arrives via
+  * a BroadcastExchange (IdentityBroadcastMode — plain row array), each
+  * task builds a per-key time-sorted index once, and every left row
+  * binary-searches its key — a narrow map over the fact side with ZERO
+  * exchanges on it (the as-of analogue of BroadcastHashJoinExec). Chosen
+  * automatically by [[AsOfJoinStrategy]] when the right side's estimated
+  * size fits under `spark.sql.autoBroadcastJoinThreshold`.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, IdentityBroadcastMode, UnspecifiedDistribution}
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val ltExpr = leftTime
+    val rtExpr = rightTime
+    val outAttrs = output
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      // index build is once per task over the (small) broadcast side
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rTime = AsOfTimes.getter(rtExpr, rOut)
+      val grouped = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+      broadcastRows.value.foreach { row =>
+        val k = rKeyProj(row).copy()
+        var buf = grouped.get(k)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
+          grouped.put(k, buf)
+        }
+        buf += ((rTime(row), row))
+      }
+      val index = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]()
+      grouped.forEach { (k, buf) =>
+        val sorted = buf.sortBy(_._1)
+        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+      }
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lTime = AsOfTimes.getter(ltExpr, lOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val resultProj = UnsafeProjection.create(
+        outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      lIter.map { lRow =>
+        val entry = index.get(lKeyProj(lRow))
+        val rRow = if (entry == null) nullRight else {
+          val (times, rows) = entry
+          val lt = lTime(lRow)
+          // rightmost index with times(i) <= lt
+          var lo = 0; var hi = times.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (times(mid) <= lt) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          if (ans >= 0) rows(ans) else nullRight
+        }
+        resultProj(joined(lRow, rRow))
+      }
+    }, preservesPartitioning = true)
   }
 }
 

@@ -47,7 +47,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Seq(("L", "early")))
   }
 
+  /** Run `f` with autoBroadcastJoinThreshold set to `v`, restoring the
+    * CAPTURED prior value (not a hardcoded one — see the AQE test note).
+    */
+  private def withThreshold[T](v: String)(f: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, v)
+    try f finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("strategy auto-broadcasts a small right side; parity with the merge path") {
+    // default threshold (10MB): the tiny dimension plans as broadcast
+    val auto = AsOfJoin.asof(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "ltag", "rt", "rtag")
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), s"expected broadcast pick:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fact side must not shuffle:\n$plan")
+    val got = auto.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val viaMerge = withThreshold("-1") {
+      AsOfJoin.asof(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
+        .select("k", "t", "ltag", "rt", "rtag")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    assert(got == viaMerge)
+  }
+
   test("merge is correct across many keys and partitions") {
+    withThreshold("-1") {
     // 100 keys x 20 left rows, right rows at every 3rd tick: the as-of
     // match is floor-to-multiple-of-3 -- verifiable in closed form
     val l = spark.range(2000).select(
@@ -60,17 +91,20 @@ class AsOfJoinSpec extends SparkSpec {
       col("rt").isNull).count()
     assert(bad == 0)
     assert(out.count() == 2000)
+    }
   }
 
   test("plan: co-partitioned sort-merge, no cartesian/nested-loop operator") {
-    val out = AsOfJoin.asof(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
-    val physical = out.queryExecution.executedPlan.toString
-    assert(physical.contains("AsOfJoin"))
-    assert(!physical.contains("CartesianProduct"))
-    assert(!physical.contains("BroadcastNestedLoopJoin"))
-    // exactly one exchange per side (co-partitioning on the key)
-    val nEx = "Exchange hashpartitioning".r.findAllIn(physical).length
-    assert(nEx == 2, s"expected 2 shuffles, got $nEx in:\n$physical")
+    withThreshold("-1") {
+      val out = AsOfJoin.asof(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
+      val physical = out.queryExecution.executedPlan.toString
+      assert(physical.contains("AsOfJoin"))
+      assert(!physical.contains("CartesianProduct"))
+      assert(!physical.contains("BroadcastNestedLoopJoin"))
+      // exactly one exchange per side (co-partitioning on the key)
+      val nEx = "Exchange hashpartitioning".r.findAllIn(physical).length
+      assert(nEx == 2, s"expected 2 shuffles, got $nEx in:\n$physical")
+    }
   }
 
   test("empty right side: all left rows survive with nulls") {
