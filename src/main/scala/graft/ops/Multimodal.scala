@@ -211,10 +211,124 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** md5 over getRGB bytes (row-major, r/g/b per pixel): content-addresses
+    * the COLORS, so a palette-indexed decode (GIF) and a truecolor decode
+    * of the same image hash identically — the representation-proof
+    * counterpart of [[pixelMd5]].
+    */
+  private[graft] def rgbMd5(img: BufferedImage): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        md.update(((rgb >> 16) & 0xff).toByte)
+        md.update(((rgb >> 8) & 0xff).toByte)
+        md.update((rgb & 0xff).toByte)
+        x += 1
+      }
+      y += 1
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** Animated-GIF fixture contract: frame dims and per-frame fill are
+    * pure functions of the row id (grays stay single-byte UTF-8 for the
+    * oracle's `repeat(chr(g), w*h*3)`).
+    */
+  val GifFrameW = 8
+  val GifFrameH = 6
+  private[graft] def gifFrameCount(id: Long): Int = (2 + math.floorMod(id, 4L)).toInt
+  private[graft] def gifFrameGray(id: Long, frame: Int): Int =
+    (32 + math.floorMod(id * 7L + frame * 11L, 64L)).toInt
+
+  private[graft] def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Append a `payload` column of REAL animated-GIF bytes:
+    * [[gifFrameCount]] solid frames of [[GifFrameW]]×[[GifFrameH]], frame
+    * i filled with [[gifFrameGray]](id, i). The multi-frame counterpart
+    * of [[imageFixture]].
+    */
+  def gifFixture(df: DataFrame, idCol: String, batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("payload", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          val frames = (0 until gifFrameCount(id)).map(i =>
+            solidGray(GifFrameW, GifFrameH, gifFrameGray(id, i)))
+          Row.fromSeq(row.toSeq :+ encodeGif(frames))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL frame sampling: decode a multi-frame payload (animated GIF —
+    * any multi-image `javax.imageio` reader works) and emit one row per
+    * `stride`-th frame with the decoded dimensions and the
+    * representation-proof [[rgbMd5]]. Undecodable payloads emit no rows.
+    */
+  def sampleImageFrames(df: DataFrame, idCol: String, binCol: String,
+                        stride: Int = 2): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(Seq(
+      df.schema(idIdx),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("rgb_md5", StringType, nullable = false)))
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val readers = ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                (0 until n by stride).map { i =>
+                  val img = reader.read(i)
+                  Row(row.get(idIdx), i.toLong, img.getWidth.toLong,
+                    img.getHeight.toLong, rgbMd5(img))
+                }.iterator
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame-sample for video-like payloads: every `stride`-th chunk of
     * `chunkBytes` bytes becomes one "frame" row. The chunker is
     * codec-agnostic byte plumbing (container demuxers slot in here); the
-    * schema/explode shape is what a real frame sampler produces.
+    * schema/explode shape is what a real frame sampler produces — for the
+    * REAL image-decoder form see [[sampleImageFrames]].
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
                    chunkBytes: Int = 64, stride: Int = 4): DataFrame = {

@@ -326,30 +326,26 @@ object R3Queries {
              |ORDER BY doc_id""".stripMargin)),
 
     Q("mm_frames",
-      "Multimodal frame sampling: every 4th 64-byte chunk of the binary " +
-        "payload becomes one frame row (mapPartitions stub with the real " +
-        "schema/explode shape — a real sampler decodes video here). The " +
-        "payload is ASCII-normalized text bytes, so the DuckDB oracle " +
-        "can restate byte chunks as character chunks.",
-      (s, d) => Multimodal.sampleFrames(
-          Tables.documents(s, d).select(col("doc_id"),
-            encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), "UTF-8")
-              .as("payload")),
-          "doc_id", "payload", chunkBytes = 64, stride = 4)
-        .select(col("doc_id"), col("frame_no"),
-          length(col("frame")).cast("long").as("n_bytes"),
-          md5(col("frame")).as("frame_md5"))
+      "Multimodal frame sampling with a REAL multi-frame decoder: each " +
+        "doc_id becomes a genuine animated GIF (2-5 solid frames, fills " +
+        "a pure function of (id, frame)), then javax.imageio's GIF " +
+        "reader walks the sequence and every 2nd frame emits its DECODED " +
+        "dimensions and an md5 over getRGB bytes — representation-proof " +
+        "(palette-indexed and truecolor decodes hash identically), so " +
+        "DuckDB predicts every frame as md5(repeat(chr(g), w*h*3)).",
+      (s, d) => Multimodal.sampleImageFrames(
+          Multimodal.gifFixture(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+          "doc_id", "payload", stride = 2)
         .orderBy("doc_id", "frame_no"),
-      Some("""WITH a AS (
-             |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
-             |  FROM documents),
-             |c AS (
-             |  SELECT doc_id, t,
-             |    unnest(generate_series(0, CAST(ceil(len(t) / 64.0) AS INT) - 1)) AS i
-             |  FROM a WHERE len(t) > 0)
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    unnest(generate_series(0, CAST(2 + doc_id % 4 AS INT) - 1)) AS i
+             |  FROM documents)
              |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
-             |  CAST(len(substring(t, i * 64 + 1, 64)) AS BIGINT) AS n_bytes,
-             |  md5(substring(t, i * 64 + 1, 64)) AS frame_md5
-             |FROM c WHERE i % 4 = 0
+             |  CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+             |  md5(repeat(chr(CAST(32 + (doc_id * 7 + i * 11) % 64 AS INT)),
+             |      8 * 6 * 3)) AS rgb_md5
+             |FROM f WHERE i % 2 = 0
              |ORDER BY doc_id, frame_no""".stripMargin)))
 }

@@ -106,6 +106,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sampleImageFrames: real animated-GIF decode, stride sampling, " +
+    "palette-proof rgb hash") {
+    val id = 6L // 2 + 6%4 = 4 frames
+    val gif = Multimodal.encodeGif((0 until Multimodal.gifFrameCount(id)).map(i =>
+      Multimodal.solidGray(Multimodal.GifFrameW, Multimodal.GifFrameH,
+        Multimodal.gifFrameGray(id, i))))
+    assert(new String(gif.take(3), "US-ASCII") == "GIF") // real container
+    val df = Seq((id, gif), (7L, "junk".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rows = Multimodal.sampleImageFrames(df, "doc_id", "payload", stride = 2)
+      .orderBy("frame_no").collect()
+    // 4 frames, stride 2 -> frames 0 and 2; junk payload emits nothing
+    assert(rows.map(_.getAs[Long]("frame_no")).toSeq == Seq(0L, 2L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("width") == 8L && r.getAs[Long]("height") == 6L)
+      val g = Multimodal.gifFrameGray(id, r.getAs[Long]("frame_no").toInt)
+      assert(r.getAs[String]("rgb_md5") ==
+        md5hex(Array.fill[Byte](8 * 6 * 3)(g.toByte)))
+    }
+  }
+
   test("sampleFrames: every stride-th chunk becomes a frame row") {
     val bytes = Array.tabulate[Byte](300)(_.toByte)
     val df = Seq((1L, bytes)).toDF("id", "payload")
