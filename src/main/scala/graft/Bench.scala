@@ -26,9 +26,11 @@ object Bench {
     // timed pass doesn't inherit GC pressure from warmup
     spark.catalog.clearCache()
     System.gc()
-    // two timed passes, report each query's best: grades steady-state plan
-    // quality instead of whichever pass a GC pause / external load spike
-    // landed on (single-pass totals on this box vary several-fold)
+    // three timed passes. Per query we report the BEST pass (steady-state
+    // plan quality, immune to a GC pause / external load spike landing on
+    // one pass); for the headline we report the MEDIAN of the per-pass
+    // totals, so round-over-round deltas aren't dominated by ambient
+    // machine noise (pass-to-pass totals swung 14% in round 3).
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -37,27 +39,31 @@ object Bench {
       graft.core.Caches.releaseAll() // outside the timed span: harness cost
       name -> (if (ok) dt else -1.0)
     }
-    val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v1) =>
-      val both = Seq(v1, p2.getOrElse(k, -1.0)).filter(_ >= 0)
-      k -> (if (both.isEmpty) -1.0 else both.min)
-    }
+    val passes = Seq(pass(), pass(), pass())
+    val results = SparkEntry.queries.keys.map { k =>
+      val ok = passes.map(_.getOrElse(k, -1.0)).filter(_ >= 0)
+      k -> (if (ok.isEmpty) -1.0 else ok.min)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // a query that failed both passes is REPORTED (failed list + count),
+    // a query that failed every pass is REPORTED (failed list + count),
     // never summed — a -1 sentinel inside the headline total would
     // silently deflate it
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val ok = results.values.filter(_ >= 0)
-    val total = ok.sum
-    // per-pass sums over queries that succeeded in BOTH passes: the
-    // like-for-like single-pass numbers (cross-round comparisons can use
-    // these to separate plan improvements from the best-of-2 method)
+    val bestTotal = results.values.filter(_ >= 0).sum
+    // per-pass sums restricted to queries that succeeded in EVERY pass, so
+    // all per-pass totals (and their median) compare the same query set
+    val inAll = SparkEntry.queries.keys
+      .filter(k => passes.forall(_.getOrElse(k, -1.0) >= 0)).toSet
     def passTotal(p: Map[String, Double]) =
-      p.collect { case (k, v) if v >= 0 && results.getOrElse(k, -1.0) >= 0 => v }.sum
+      p.collect { case (k, v) if inAll(k) => v }.sum
+    val totals = passes.map(passTotal)
+    val median = totals.sorted.apply(totals.size / 2)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":2,""" +
-      s""""pass1_total":${passTotal(p1)},"pass2_total":${passTotal(p2)},""" +
+    val passTotalsJson = totals.zipWithIndex
+      .map { case (t, i) => s""""pass${i + 1}_total":$t""" }.mkString(",")
+    println(s"""{"metric":"median_pass_total","value":$median,"unit":"sec","queries":$qs,"runs":3,""" +
+      s""""best_total":$bestTotal,$passTotalsJson,""" +
       s""""failed":$failedJson,"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Distinct character k-shingles of a string, as an array column —
     * computed per row inside codegen (no explode).
     */
@@ -128,6 +130,14 @@ object Dedup {
     * while any single band group stays linear. The frequency count rides
     * the same (band, h) shuffle the join needs (window, no extra
     * exchange).
+    *
+    * CAVEAT — chain pairs are valid for CLUSTERING, not for pair-level
+    * verification filters: inside an oversized band group only adjacent-id
+    * pairs are emitted, so a downstream per-pair similarity gate (the
+    * dedup_editdist / jaccard-verify pattern) that rejects one adjacent
+    * pair can split a cluster that all-pairs candidates would keep
+    * connected. Feed chain pairs to connected components unfiltered, or
+    * lower `maxBandDf` only when pairs flow straight into clustering.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingler: Shingler = Shingler.words(5),
@@ -445,8 +455,22 @@ object Dedup {
       edges = next
       rounds += 1
     }
+    // Converged edge sets are disjoint stars (each hi appears once), so the
+    // left join is 1:1. On maxIter exhaustion a node may still sit under
+    // several hi edges — aggregate to min(label) so the output contract
+    // (exactly one row per id) holds unconditionally instead of silently
+    // multiplying rows.
+    val edgeLabels0 = edges.select(col("hi").as("id"), col("lo").as("label"))
+    val edgeLabels =
+      if (converged) edgeLabels0
+      else {
+        log.warn(
+          s"connectedComponentsStar: no convergence after $rounds rounds; " +
+            "emitting min-label per node (valid but possibly coarser-than-final labeling)")
+        edgeLabels0.groupBy("id").agg(min(col("label")).as("label"))
+      }
     val labels = nodes
-      .join(edges.select(col("hi").as("id"), col("lo").as("label")), Seq("id"), "left")
+      .join(edgeLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     (labels, rounds)
   }

@@ -55,6 +55,112 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Byte-budget repartition for binary-payload stages: redistribute rows
+    * so every output partition carries ≈ `targetBytes` of `payloadCol`
+    * bytes (exactly bounded by targetBytes + one payload), regardless of
+    * row count. Row-count partitioning over variable-size media blobs
+    * gives wildly uneven codec working sets — one task decodes 50 MB while
+    * its neighbor decodes 50 KB; this is the scheduled fix for any
+    * mapPartitions codec stage ([[Multimodal.resize]],
+    * [[Multimodal.sampleImageFrames]]).
+    *
+    * Mechanics (one full-data exchange total):
+    *  1. SIZE    — a slim pre-pass collects per-input-partition byte
+    *               totals (one row per scan partition; pass `lengthCol`
+    *               when a byte-length metadata column exists so the
+    *               payload itself is pruned from this pass).
+    *  2. OFFSET  — exclusive per-partition byte offsets broadcast back
+    *               (never an exchange).
+    *  3. CUMSUM  — each row's global byte position = shard offset + a
+    *               partition-local running sum. Partition-local running
+    *               state is the one shape Catalyst can't express without
+    *               an exchange (a window keyed by spark_partition_id()
+    *               would shuffle the full payload), so this step is a
+    *               mapPartitions — justified exactly here, and sitting
+    *               directly above the codec's own mapPartitions anyway.
+    *  4. BIN     — bin = bytePos / budget; rows move once, with an
+    *               identity partitioner so bin k IS partition k (hash
+    *               would collide bins; range sampling under-represents
+    *               few-row/big-byte bins and can merge several giant
+    *               payloads into one task).
+    *
+    * The budget never shrinks parallelism below `minPartitions` (default:
+    * the cluster's default parallelism): a byte budget is an upper bound
+    * per task, not a license to idle executors — when
+    * total/targetBytes < minPartitions the effective budget tightens to
+    * total/minPartitions. AQE's `REBALANCE` hint is the built-in
+    * approximation of this operator (advisory-size post-shuffle
+    * coalescing/splitting); this version gives a deterministic, exact
+    * per-partition byte bound, which the spec asserts.
+    *
+    * Determinism note: the sizing pass and the cumsum pass each re-execute
+    * `df`'s plan; both see identical partitioning (no exchange runs in
+    * between), so shard ids agree.
+    */
+  def repartitionByBytes(df: DataFrame, payloadCol: String,
+                         targetBytes: Long,
+                         minPartitions: Int = 0,
+                         lengthCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    require(targetBytes > 0, "targetBytes must be positive")
+    val spark = df.sparkSession
+    val minParts = if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultParallelism
+    val lenExpr = coalesce(
+      lengthCol.map(c => col(c).cast("long"))
+        .getOrElse(length(col(payloadCol)).cast("long")), lit(0L))
+
+    // 1. SIZE — slim: shuffles/collects one row per input partition
+    val totals = df
+      .select(spark_partition_id().as("__g_shard"), lenExpr.as("__g_len"))
+      .groupBy("__g_shard").agg(sum("__g_len").as("__g_bytes"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val totalBytes = totals.map(_._2).sum
+    if (totalBytes == 0L) return df
+    val effTarget = math.max(1L,
+      math.min(targetBytes, totalBytes / math.max(1, minParts) + 1))
+    val nBins = math.max(1L, (totalBytes + effTarget - 1) / effTarget).toInt
+
+    // 2. OFFSET — exclusive prefix sums, broadcast back
+    var acc = 0L
+    val offRows = totals.map { case (s, b) => val r = Row(s, acc); acc += b; r }
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      StructType(Seq(StructField("__g_shard", IntegerType, nullable = false),
+        StructField("__g_offset", LongType, nullable = false))))
+
+    // 3. CUMSUM — partition-local running bytes, no exchange
+    val tagged = df.withColumn("__g_shard", spark_partition_id())
+      .withColumn("__g_len", lenExpr)
+    val n = tagged.schema.size // __g_len is last
+    val cumSchema = tagged.schema.add(StructField("__g_cum", LongType, nullable = false))
+    val cum = tagged.mapPartitions { it =>
+      var running = 0L
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ running)
+        running += r.getLong(n - 1)
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(cumSchema))
+
+    // 4. BIN — one exchange; identity partitioner makes the bound exact
+    val binned = cum.join(broadcast(offDf), "__g_shard")
+      .withColumn("__g_bin",
+        ((col("__g_offset") + col("__g_cum")) / effTarget).cast("int"))
+    val outSchema = binned.schema
+    val binIdx = outSchema.fieldIndex("__g_bin")
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nBins
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val rdd = binned.rdd
+      .map(r => (r.getInt(binIdx), r)).partitionBy(part).values
+    spark.createDataFrame(rdd, outSchema)
+      .drop("__g_shard", "__g_len", "__g_cum", "__g_offset", "__g_bin")
+  }
+
   /** Morton (Z-order) value of two numeric columns: each input is
     * min/max-normalized to a `bits`-bit integer rank, and the two bit
     * strings are interleaved (x in the odd positions). Built entirely

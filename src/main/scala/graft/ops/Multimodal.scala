@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   *  - batching: mapPartitions with micro-batches (codec buffers amortize
   *    per batch, one metadata row per image);
   *  - partitioning: payload-heavy stages repartition by byte budget, not
-  *    row count (callers size partitions so batch_bytes fits the codec's
-  *    working set).
+  *    row count — [[Layout.repartitionByBytes]] packs rows into
+  *    partitions of bounded payload bytes (exact bound: budget + one
+  *    payload) so per-task codec working sets are even; the mm_resize /
+  *    mm_frames registry queries run the codec behind it.
   *
   * Oracle strategy (the part DuckDB cannot do): the fixture generator
   * [[imageFixture]] emits real single-color grayscale PNGs whose

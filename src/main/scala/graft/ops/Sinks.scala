@@ -113,6 +113,13 @@ object Sinks {
     *     Sinks.idempotentBatchAppend(df, id, url, "events_out", "events")
     *   }
     *
+    * Dialect assumptions: table existence is probed case-insensitively
+    * (exact/UPPER/lower forms, covering H2/Derby's upper-folding and
+    * Postgres' lower-folding), and first-batch table creation uses
+    * `CREATE TABLE .. AS SELECT .. WITH NO DATA` — standard SQL:2008,
+    * supported by Postgres/H2; on engines without it (SQL Server's
+    * `SELECT .. INTO`), pre-create the data table once.
+    *
     * @param beforePublish fault-injection seam (tests crash here — after
     *                      staging, before the atomic publish — to prove
     *                      the replay still ends exactly-once)
@@ -125,8 +132,13 @@ object Sinks {
                             beforePublish: () => Unit = () => ()): Boolean = {
     val staging = s"${dataTable}_stg_$batchId"
 
+    // Case-insensitive existence probe: engines fold unquoted identifiers
+    // differently (H2/Derby → UPPER, Postgres → lower), and a probe that
+    // always misses would re-attempt CTAS on batch 2 and never reap
+    // staging residue. Try the exact, upper, and lower forms.
     def tableExists(conn: java.sql.Connection, name: String): Boolean =
-      conn.getMetaData.getTables(null, null, name.toUpperCase, null).next()
+      Seq(name, name.toUpperCase, name.toLowerCase).distinct.exists(n =>
+        conn.getMetaData.getTables(null, null, n, null).next())
     def dropIfExists(conn: java.sql.Connection, name: String): Unit =
       if (tableExists(conn, name))
         conn.createStatement().executeUpdate(s"DROP TABLE $name")

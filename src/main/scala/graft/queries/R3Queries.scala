@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Curation, Dedup, Inference, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Inference, Layout, Multimodal, Similarity, TextOps}
 
 /** Round-2 session additions: corpus-curation operators (PII redaction,
   * sequence packing, stratified sampling) and multimodal frame sampling —
@@ -309,10 +309,15 @@ object R3Queries {
         "rescale to 16×16 → PNG re-encode → decode AGAIN for the reported " +
         "metadata. Bilinear over a constant image is that constant, so " +
         "DuckDB predicts the resized pixel md5 as md5(repeat(chr(gray), " +
-        "256)) — the codec work is real, the expectation is constructed.",
+        "256)) — the codec work is real, the expectation is constructed. " +
+        "The codec stage reads byte-budget partitions " +
+        "(Layout.repartitionByBytes), not row-count partitions, so " +
+        "variable-size payloads can't produce straggler decode tasks.",
       (s, d) => Multimodal.resize(
-          Multimodal.imageFixture(
-            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+          Layout.repartitionByBytes(
+            Multimodal.imageFixture(
+              Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+            "payload", targetBytes = 64L << 20),
           "payload", width = 16, height = 16)
         .select(col("doc_id"),
           col("resized_meta.width"), col("resized_meta.height"),
@@ -332,10 +337,15 @@ object R3Queries {
         "reader walks the sequence and every 2nd frame emits its DECODED " +
         "dimensions and an md5 over getRGB bytes — representation-proof " +
         "(palette-indexed and truecolor decodes hash identically), so " +
-        "DuckDB predicts every frame as md5(repeat(chr(g), w*h*3)).",
+        "DuckDB predicts every frame as md5(repeat(chr(g), w*h*3)). " +
+        "Frames decode over byte-budget partitions " +
+        "(Layout.repartitionByBytes) — per-task codec work tracks bytes, " +
+        "not row count.",
       (s, d) => Multimodal.sampleImageFrames(
-          Multimodal.gifFixture(
-            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+          Layout.repartitionByBytes(
+            Multimodal.gifFixture(
+              Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+            "payload", targetBytes = 64L << 20),
           "doc_id", "payload", stride = 2)
         .orderBy("doc_id", "frame_no"),
       Some("""WITH f AS (

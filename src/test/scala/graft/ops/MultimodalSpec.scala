@@ -136,4 +136,58 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).getAs[Array[Byte]]("frame").length == 64)
     assert(frames(2).getAs[Array[Byte]]("frame").length == 300 - 4 * 64)
   }
+
+  test("repartitionByBytes bounds per-partition payload bytes on a " +
+    "skewed fixture (budget + one payload, rows preserved)") {
+    import org.apache.spark.sql.functions._
+    // 120 payloads: every 10th is 20 KB, the rest 200 B — and the range
+    // partition on id clumps all the heavy ids into the low partitions,
+    // the exact straggler layout row-count partitioning produces.
+    val rows = (0 until 120).map { i =>
+      val heavy = i < 12 // heavy ids clumped at the front
+      (i.toLong, Array.fill[Byte](if (heavy) 20000 else 200)(i.toByte))
+    }
+    val skewed = rows.toDF("id", "payload").repartitionByRange(4, $"id")
+    val before = skewed
+      .select(spark_partition_id().as("p"), length($"payload").as("l"))
+      .groupBy("p").agg(sum("l").as("bytes")).collect()
+      .map(_.getAs[Long]("bytes"))
+    assert(before.max > 100000, "fixture must start skewed") // ~240 KB in p0
+
+    val budget = 32768L
+    val out = Multimodal.extractMeta( // codec stage runs over the new layout
+      graft.ops.Layout.repartitionByBytes(skewed, "payload", budget,
+        minPartitions = 1),
+      "payload")
+    val perPart = out
+      .select(spark_partition_id().as("p"), length($"payload").as("l"))
+      .groupBy("p").agg(sum("l").as("bytes")).collect()
+      .map(_.getAs[Long]("bytes"))
+    // exact bound: a bin closes once its running bytes pass the budget,
+    // so it can exceed it by at most one payload (here max 20 KB)
+    assert(perPart.max <= budget + 20000,
+      s"per-partition bytes ${perPart.toSeq} exceed budget+maxPayload")
+    assert(perPart.length > 1, "the skewed load must actually split")
+    // rows survive the identity-partitioner hop intact
+    assert(out.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 120L))
+  }
+
+  test("repartitionByBytes never shrinks parallelism below minPartitions") {
+    import org.apache.spark.sql.functions._
+    val tiny = (0 until 64).map(i => (i.toLong, Array.fill[Byte](100)(1)))
+      .toDF("id", "payload")
+    // budget (64 MB) dwarfs the 6.4 KB total: the effective budget
+    // tightens to total/minPartitions instead of coalescing to 1 task
+    val out = graft.ops.Layout.repartitionByBytes(
+      tiny, "payload", targetBytes = 64L << 20, minPartitions = 4)
+    assert(out.rdd.getNumPartitions == 4)
+    val perPart = out
+      .select(spark_partition_id().as("p"), length($"payload").as("l"))
+      .groupBy("p").agg(sum("l").as("bytes")).collect()
+      .map(_.getAs[Long]("bytes"))
+    // even spread: total/4 = 1600 B, +one payload slack
+    assert(perPart.forall(b => b <= 1700),
+      s"uneven byte spread: ${perPart.toSeq}")
+  }
 }
