@@ -65,20 +65,29 @@ object Layout {
     * [[Multimodal.sampleImageFrames]]).
     *
     * Mechanics (one full-data exchange total):
-    *  1. SIZE    — a slim pre-pass collects per-input-partition byte
-    *               totals (one row per scan partition; pass `lengthCol`
-    *               when a byte-length metadata column exists so the
-    *               payload itself is pruned from this pass).
-    *  2. OFFSET  — exclusive per-partition byte offsets broadcast back
+    *  1. CUMSUM  — ONE pass tags each row with its physical partition id
+    *               (`TaskContext.getPartitionId`, NOT the SQL
+    *               `spark_partition_id()` — the expression constant-folds
+    *               to 0 over driver-local relations and, generally, can
+    *               evaluate in a different stage than the one that runs
+    *               the binning) and a partition-local running byte sum.
+    *               Partition-local running state is the one shape Catalyst
+    *               can't express without an exchange (a window keyed by
+    *               partition id would shuffle the full payload), so this
+    *               step is a mapPartitions — justified exactly here, and
+    *               sitting directly above the codec's own mapPartitions
+    *               anyway. The result is persisted (MEMORY_AND_DISK): the
+    *               sizing aggregate and the binned exchange then read the
+    *               SAME materialized rows, so a non-deterministic upstream
+    *               (sample, round-robin repartition, task retry under AQE)
+    *               cannot make the passes disagree — and the cache costs
+    *               nothing net, because the alternative is re-executing
+    *               the full upstream plan a second time.
+    *  2. SIZE    — per-shard byte totals aggregated from the cached pass
+    *               (one row per partition reaches the driver).
+    *  3. OFFSET  — exclusive per-partition byte offsets broadcast back
     *               (never an exchange).
-    *  3. CUMSUM  — each row's global byte position = shard offset + a
-    *               partition-local running sum. Partition-local running
-    *               state is the one shape Catalyst can't express without
-    *               an exchange (a window keyed by spark_partition_id()
-    *               would shuffle the full payload), so this step is a
-    *               mapPartitions — justified exactly here, and sitting
-    *               directly above the codec's own mapPartitions anyway.
-    *  4. BIN     — bin = bytePos / budget; rows move once, with an
+    *  4. BIN     — bin = (offset + cum) / budget; rows move once, with an
     *               identity partitioner so bin k IS partition k (hash
     *               would collide bins; range sampling under-represents
     *               few-row/big-byte bins and can merge several giant
@@ -93,9 +102,17 @@ object Layout {
     * coalescing/splitting); this version gives a deterministic, exact
     * per-partition byte bound, which the spec asserts.
     *
-    * Determinism note: the sizing pass and the cumsum pass each re-execute
-    * `df`'s plan; both see identical partitioning (no exchange runs in
-    * between), so shard ids agree.
+    * Even with the cache, the bin step fails loudly (never drops rows) if
+    * the passes somehow disagree (cache eviction recomputing a
+    * non-deterministic plan): a shard absent from the sizing pass raises
+    * an error, and bin indices are clamped into range so byte-count drift
+    * overflows into the last partition instead of crashing the
+    * partitioner.
+    *
+    * `lengthCol`, when given, MUST equal `length(payloadCol)` — it is used
+    * for binning as well as sizing, so a disagreeing metadata column
+    * silently voids the per-partition byte bound. Negative values are
+    * clamped to 0.
     */
   def repartitionByBytes(df: DataFrame, payloadCol: String,
                          targetBytes: Long,
@@ -108,22 +125,44 @@ object Layout {
     val spark = df.sparkSession
     val minParts = if (minPartitions > 0) minPartitions
       else spark.sparkContext.defaultParallelism
-    val lenExpr = coalesce(
+    val lenExpr = greatest(lit(0L), coalesce(
       lengthCol.map(c => col(c).cast("long"))
-        .getOrElse(length(col(payloadCol)).cast("long")), lit(0L))
+        .getOrElse(length(col(payloadCol)).cast("long")), lit(0L)))
 
-    // 1. SIZE — slim: shuffles/collects one row per input partition
-    val totals = df
-      .select(spark_partition_id().as("__g_shard"), lenExpr.as("__g_len"))
+    // 1. CUMSUM — physical partition id + partition-local running bytes,
+    // computed in ONE pass and cached so sizing and binning read the same
+    // materialized rows. TaskContext (not spark_partition_id()): the SQL
+    // expression evaluates wherever Catalyst places the Project — over a
+    // driver-local relation it folds to 0 for every row while the
+    // mapPartitions below still runs sharded, which would silently void
+    // the byte bound.
+    val tagged = df.withColumn("__g_len", lenExpr)
+    val n = tagged.schema.size // __g_len is last
+    val cumSchema = tagged.schema
+      .add(StructField("__g_shard", IntegerType, nullable = false))
+      .add(StructField("__g_cum", LongType, nullable = false))
+    val cum = tagged.mapPartitions { it =>
+      val shard = org.apache.spark.TaskContext.getPartitionId()
+      var running = 0L
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ shard :+ running)
+        running += r.getLong(n - 1)
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(cumSchema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 2. SIZE — one row per shard reaches the driver
+    val totals = cum
       .groupBy("__g_shard").agg(sum("__g_len").as("__g_bytes"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val totalBytes = totals.map(_._2).sum
-    if (totalBytes == 0L) return df
+    if (totalBytes == 0L) { cum.unpersist(); return df }
     val effTarget = math.max(1L,
       math.min(targetBytes, totalBytes / math.max(1, minParts) + 1))
     val nBins = math.max(1L, (totalBytes + effTarget - 1) / effTarget).toInt
 
-    // 2. OFFSET — exclusive prefix sums, broadcast back
+    // 3. OFFSET — exclusive prefix sums, broadcast back
     var acc = 0L
     val offRows = totals.map { case (s, b) => val r = Row(s, acc); acc += b; r }
     val offDf = spark.createDataFrame(
@@ -131,24 +170,21 @@ object Layout {
       StructType(Seq(StructField("__g_shard", IntegerType, nullable = false),
         StructField("__g_offset", LongType, nullable = false))))
 
-    // 3. CUMSUM — partition-local running bytes, no exchange
-    val tagged = df.withColumn("__g_shard", spark_partition_id())
-      .withColumn("__g_len", lenExpr)
-    val n = tagged.schema.size // __g_len is last
-    val cumSchema = tagged.schema.add(StructField("__g_cum", LongType, nullable = false))
-    val cum = tagged.mapPartitions { it =>
-      var running = 0L
-      it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ running)
-        running += r.getLong(n - 1)
-        out
-      }
-    }(org.apache.spark.sql.Encoders.row(cumSchema))
-
-    // 4. BIN — one exchange; identity partitioner makes the bound exact
-    val binned = cum.join(broadcast(offDf), "__g_shard")
-      .withColumn("__g_bin",
-        ((col("__g_offset") + col("__g_cum")) / effTarget).cast("int"))
+    // 4. BIN — one exchange; identity partitioner makes the bound exact.
+    // Left join + fail-fast: a shard id unseen by the sizing pass means
+    // the cached pass was recomputed differently (eviction over a
+    // non-deterministic plan) — raise rather than silently dropping those
+    // rows, and clamp the bin so byte-count drift lands in the last
+    // partition instead of out-of-range in the partitioner.
+    val binned = cum.join(broadcast(offDf), Seq("__g_shard"), "left")
+      .withColumn("__g_offset",
+        when(col("__g_offset").isNull, raise_error(concat(
+          lit("repartitionByBytes: input partition "), col("__g_shard"),
+          lit(" absent from sizing pass — upstream plan is " +
+            "non-deterministic; cache/checkpoint the input first"))))
+          .otherwise(col("__g_offset")))
+      .withColumn("__g_bin", least(lit(nBins - 1), greatest(lit(0),
+        ((col("__g_offset") + col("__g_cum")) / effTarget).cast("int"))))
     val outSchema = binned.schema
     val binIdx = outSchema.fieldIndex("__g_bin")
     val part = new org.apache.spark.Partitioner {

@@ -136,9 +136,19 @@ object Sinks {
     // differently (H2/Derby → UPPER, Postgres → lower), and a probe that
     // always misses would re-attempt CTAS on batch 2 and never reap
     // staging residue. Try the exact, upper, and lower forms.
-    def tableExists(conn: java.sql.Connection, name: String): Boolean =
+    // getTables treats the name as a LIKE pattern (_/% are wildcards) and
+    // staging names always contain underscores, so escape metacharacters
+    // with the driver's escape string or "events_out" would match a
+    // pre-existing "eventsXout" and skip first-batch CTAS.
+    def tableExists(conn: java.sql.Connection, name: String): Boolean = {
+      val esc = conn.getMetaData.getSearchStringEscape
+      def quote(n: String): String =
+        if (esc == null || esc.isEmpty) n
+        else n.flatMap(c =>
+          if (c == '_' || c == '%' || esc.contains(c)) s"$esc$c" else c.toString)
       Seq(name, name.toUpperCase, name.toLowerCase).distinct.exists(n =>
-        conn.getMetaData.getTables(null, null, n, null).next())
+        conn.getMetaData.getTables(null, null, quote(n), null).next())
+    }
     def dropIfExists(conn: java.sql.Connection, name: String): Unit =
       if (tableExists(conn, name))
         conn.createStatement().executeUpdate(s"DROP TABLE $name")
