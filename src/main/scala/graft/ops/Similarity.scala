@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   *  - Brute force is a single narrow map (one zip_with/aggregate per row)
   *    followed by TakeOrderedAndProject — per-partition top-k then a
   *    driver merge of k·partitions rows; no global sort ever materializes.
-  *  - IVF: vectors are pre-clustered by a coarse quantizer (the fixture's
-  *    `label` column plays the cluster-id role; at 100 TB this is a
-  *    trained k-means partitioner and the table is PARTITIONED BY cluster,
-  *    so probing nprobe clusters prunes whole files/partitions at the
-  *    scan). Centroids are a tiny aggregate (clusters × dims) that is
-  *    computed once and broadcast.
+  *  - IVF: vectors are pre-clustered by a coarse quantizer — either a
+  *    pre-existing cluster column ([[ivfTopK]]) or the trained Lloyd's
+  *    k-means implemented here ([[kmeansCentroids]]/[[ivfTrainedTopK]]).
+  *    At 100 TB the table is PARTITIONED BY the assignment column, so
+  *    probing nprobe clusters prunes whole files/partitions at the scan.
+  *    Centroids are a tiny aggregate (clusters × dims) that is computed
+  *    once and broadcast.
   *  - All similarity math uses Dedup.dotExact (decimal-exact, order-
   *    independent) so results are bit-identical to the DuckDB oracle.
   */
@@ -83,6 +84,130 @@ object Similarity {
   def vectorOf(emb: DataFrame, idCol: String, vecCol: String, id: Long): Seq[Float] =
     emb.filter(col(idCol) === id).select(vecCol).first()
       .getSeq[Float](0)
+
+  // ---- Trained k-means coarse quantizer ----------------------------------
+
+  private val KmDec = org.apache.spark.sql.types.DecimalType(30, 14)
+
+  /** Decimal-exact squared L2 distance of a vector column to a literal
+    * centroid (same order-independent accumulation recipe as
+    * [[Dedup.dotExact]], so both engines compute the identical double).
+    */
+  def sqDistExact(vecCol: Column, cent: Seq[Double]): Column =
+    aggregate(
+      zip_with(vecCol, typedlit(cent), (x, c) => {
+        val d = x.cast("double") - c
+        (d * d).cast(KmDec)
+      }),
+      lit(0).cast(KmDec), (acc, x) => (acc + x).cast(KmDec)).cast("double")
+
+  /** Index of the nearest centroid by exact squared L2, ties to the lowest
+    * cluster id (array_sort on (distance, id) structs — k is tiny, the
+    * whole expression stays inside codegen).
+    */
+  def nearestCluster(vecCol: Column, cents: Seq[Seq[Double]]): Column =
+    array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDistExact(vecCol, c).as("d"), lit(i).as("c"))
+    }: _*)).getItem(0).getField("c")
+
+  /** Lloyd's k-means over the embedding column — the trained coarse
+    * quantizer behind [[ivfTrainedTopK]], expressed entirely as DataFrame
+    * ops. Deterministic and oracle-expressible by construction:
+    *
+    *  - init: the k vectors with the smallest ids (no RNG state to ship);
+    *  - a FIXED iteration count (no data-dependent stopping rule);
+    *  - assignment: argmin of decimal-exact squared L2, ties to the
+    *    lowest cluster id;
+    *  - update: decimal-exact per-dimension mean; a cluster that loses all
+    *    members carries its previous centroid forward.
+    *
+    * Scale shape: each iteration is one NARROW assignment map (centroids
+    * ride along as literals — k·dims doubles, never a join) plus one
+    * k·dims aggregate collected to the driver. Nothing grows with the
+    * data but the passes themselves; at 100 TB you run the iterations on
+    * a sample and one final assignment pass over the corpus — which is
+    * exactly the [[kmeansAssign]] call with `train` passed as the sample.
+    *
+    * Returns the centroids after `iters` updates, ordered by cluster id.
+    */
+  def kmeansCentroids(train: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val seeds: Seq[Seq[Double]] = train.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    require(seeds.size == k, s"need at least $k rows to seed $k clusters")
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val updated: Map[Int, Seq[Double]] = train
+        .withColumn("__g_c", nearestCluster(col(vecCol), cents))
+        .select(col("__g_c"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("__g_c"), col("pos"))
+        .agg((sum(col("x").cast("double").cast(KmDec)).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("__g_c"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.zipWithIndex.map { case (prev, i) =>
+        updated.getOrElse(i, prev) // empty cluster: carry forward
+      }
+    }
+    cents
+  }
+
+  /** Tag every row with its trained cluster: k-means on `train` (defaults
+    * to `emb` itself; pass a sample at scale), then one narrow assignment
+    * map over `emb`.
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, outCol: String = "kmeans_cluster",
+                   train: Option[DataFrame] = None): DataFrame = {
+    val cents = kmeansCentroids(train.getOrElse(emb), idCol, vecCol, k, iters)
+    emb.withColumn(outCol, nearestCluster(col(vecCol), cents))
+  }
+
+  /** IVF ANN over the TRAINED quantizer (closing the loop the plain
+    * [[ivfTopK]] leaves open — there the cluster column pre-exists): rank
+    * the trained centroids by cosine to the query, keep `nprobe`, then
+    * brute-force only rows whose trained assignment is on the shortlist.
+    * At 100 TB the assignment column is written once (table PARTITIONED BY
+    * cluster) and this probe prunes partitions at the scan.
+    */
+  def ivfTrainedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int, nprobe: Int,
+                     kClusters: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
+    val qd = query.map(_.toDouble)
+    val centsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(i, c)
+        }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+    val shortlist = centsDf
+      .select(col("cluster"),
+        (Dedup.dotExact(col("centroid"), typedlit(qd)) /
+          (Dedup.normExact(col("centroid")) * Dedup.normExact(typedlit(qd))))
+          .as("ccos"))
+      .orderBy(col("ccos").desc, col("cluster"))
+      .limit(nprobe)
+      .select("cluster")
+    val assigned = emb.withColumn("__g_cluster",
+      nearestCluster(col(vecCol), cents))
+    assigned.join(broadcast(shortlist),
+        assigned("__g_cluster") === shortlist("cluster"), "left_semi")
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 
   // ---- Int8 quantization (PQ-lite) ---------------------------------------
 

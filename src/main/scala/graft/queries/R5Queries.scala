@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Similarity
+
+/** Round-5 session queries: the trained k-means coarse quantizer and the
+  * IVF probe that runs on it (VERDICT r3 ask #2 — previously `sim_ivf`
+  * borrowed the fixture `label` column as its cluster id; these close the
+  * "trained partitioner" half of the 100 TB similarity-search claim).
+  *
+  * Oracle strategy: Lloyd's has a FIXED iteration count and deterministic
+  * seeds/tie-breaks, so the whole algorithm unrolls into a WITH chain —
+  * seed centroids → (distance → argmin → mean) per iteration → final
+  * assignment — with every sum decimal-exact, making the cluster ids (not
+  * just aggregate shapes) bit-comparable across engines.
+  */
+object R5Queries {
+
+  private val K = 4      // clusters
+  private val ITERS = 2  // Lloyd updates
+  private val DIMS = 64
+
+  /** DuckDB restatement of Dedup.dotExact over index i (1-based; local
+    * copy to keep this file self-contained).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+
+  /** The unrolled Lloyd chain: seeds (min-id vectors) → c0 (per-dim
+    * centroid rows) → for each iteration n: d{n} (decimal-exact squared
+    * L2 per vector×cluster), a{n} (argmin, ties to lowest cluster),
+    * u{n} (decimal-exact per-dim means), c{n} (carry previous centroid
+    * forward for clusters that lost all members — mirrors
+    * [[Similarity.kmeansCentroids]]). Exposes c$ITERS (final centroids)
+    * and the final assignment a${ITERS+1}.
+    */
+  private val kmeansCtes: String = {
+    val seed =
+      s"""seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         |         embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $K)),
+         |c0 AS (
+         |  SELECT cluster, i, embedding[i]::DOUBLE AS c
+         |  FROM seeds, generate_series(1, $DIMS) g(i))""".stripMargin
+    def step(n: Int, withUpdate: Boolean): String = {
+      val prev = s"c${n - 1}"
+      val dist =
+        s"""d$n AS (
+           |  SELECT e.vec_id, c.cluster,
+           |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
+           |         AS DECIMAL(38,14))) AS DOUBLE) AS d
+           |  FROM embeddings e, $prev c
+           |  GROUP BY e.vec_id, c.cluster),
+           |a$n AS (
+           |  SELECT vec_id, cluster FROM d$n
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1)""".stripMargin
+      if (!withUpdate) dist
+      else dist + "," + System.lineSeparator() +
+        s"""u$n AS (
+           |  SELECT a.cluster, g.i,
+           |    cast(sum(cast(e.embedding[g.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)
+           |      / count(*) AS c
+           |  FROM embeddings e JOIN a$n a USING (vec_id),
+           |       generate_series(1, $DIMS) g(i)
+           |  GROUP BY a.cluster, g.i),
+           |c$n AS (
+           |  SELECT p.cluster, p.i, coalesce(u.c, p.c) AS c
+           |  FROM $prev p LEFT JOIN u$n u ON u.cluster = p.cluster AND u.i = p.i)""".stripMargin
+    }
+    (seed +: (1 to ITERS + 1).map(n => step(n, withUpdate = n <= ITERS)))
+      .mkString("," + System.lineSeparator())
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("sim_kmeans",
+      "Trained k-means coarse quantizer (Lloyd's as DataFrame ops): " +
+        s"min-id seeds, $ITERS fixed iterations, decimal-exact distances " +
+        "and means, argmin ties to the lowest cluster, empty clusters " +
+        "carry forward. Each iteration = one narrow assignment map " +
+        "(centroids ride as literals) + one k·dims aggregate; the oracle " +
+        "replays every iteration unrolled in SQL, so the cluster ids " +
+        "themselves hash-match.",
+      (s, d) => Similarity.kmeansAssign(Tables.embeddings(s, d),
+          "vec_id", "embedding", K, ITERS, outCol = "cluster")
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id"),
+      Some(
+        s"""WITH $kmeansCtes
+           |SELECT vec_id, cluster FROM a${ITERS + 1} ORDER BY vec_id""".stripMargin)),
+
+    Q("sim_ivf_trained",
+      "IVF ANN over the TRAINED quantizer: rank the k-means centroids by " +
+        "cosine to the query, probe the top-nprobe clusters via a " +
+        "broadcast semi-join on the trained assignment — at 100 TB the " +
+        "assignment is a write-time partition column and this probe " +
+        "prunes partitions at the scan.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.ivfTrainedTopK(emb, "vec_id", "embedding", q,
+          k = 10, nprobe = 2, kClusters = K, iters = ITERS)
+      },
+      Some(
+        s"""WITH $kmeansCtes,
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |nq AS (
+           |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+           |  FROM q, generate_series(1, $DIMS) g(i)),
+           |cdot AS (
+           |  SELECT c.cluster,
+           |    cast(sum(cast(c.c * q.qe[c.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE) AS dot,
+           |    sqrt(cast(sum(cast(c.c * c.c AS DECIMAL(38,14))) AS DOUBLE)) AS cn
+           |  FROM c$ITERS c, q GROUP BY c.cluster),
+           |short AS (
+           |  SELECT cluster FROM cdot, nq
+           |  ORDER BY dot / (cn * nq.nrm) DESC, cluster LIMIT 2),
+           |ne AS (
+           |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |  FROM embeddings, generate_series(1, $DIMS) g(i) GROUP BY vec_id),
+           |dots AS (
+           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e, q, generate_series(1, $DIMS) g(i)
+           |  GROUP BY e.vec_id)
+           |SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+           |FROM dots d JOIN ne USING (vec_id)
+           |     JOIN a${ITERS + 1} ass USING (vec_id), nq
+           |WHERE ass.cluster IN (SELECT cluster FROM short)
+           |ORDER BY cos_sim DESC, d.vec_id
+           |LIMIT 10""".stripMargin))
+  )
+}

@@ -91,4 +91,55 @@ class SimilaritySpec extends SparkSpec {
       .select("centroid").as[Seq[Double]].first()
     assert(c == Seq(1.0, 3.0))
   }
+
+  test("kmeans converges to the obvious clusters on a separable fixture") {
+    // two tight groups far apart; seeds (min ids 1,2) start one per group
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(0.5f, 0.0f)), (4L, Seq(10.0f, 10.5f)),
+      (5L, Seq(0.0f, 0.5f)), (6L, Seq(9.5f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.kmeansAssign(df, "vec_id", "embedding",
+        k = 2, iters = 2, outCol = "c")
+      .select("vec_id", "c").as[(Long, Int)].collect().toMap
+    assert(Set(1L, 3L, 5L).map(assigned) == Set(0))
+    assert(Set(2L, 4L, 6L).map(assigned) == Set(1))
+    // and the trained centroids are the exact group means
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", 2, 2)
+    assert(cents(0).map(v => math.rint(v * 6) / 6) ==
+      Seq(0.5 / 3, 0.5 / 3).map(v => math.rint(v * 6) / 6))
+  }
+
+  test("kmeans: an emptied cluster carries its centroid forward") {
+    // seeds are ids 1,2 — both inside the same tight group, so after one
+    // assignment every row lands on one of them and the other may empty;
+    // with all points identical, cluster 1 empties (ties go to cluster 0)
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 2, iters = 3)
+    assert(cents.size == 2)
+    assert(cents(0) == Seq(1.0, 1.0))
+    assert(cents(1) == Seq(1.0, 1.0)) // carried-forward seed, not NaN/empty
+  }
+
+  test("kmeansAssign is deterministic across runs") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    def run() = Similarity.kmeansAssign(emb, "vec_id", "embedding", 4, 2)
+      .select("vec_id", "kmeans_cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(run() == run())
+  }
+
+  test("ivfTrainedTopK with nprobe=kClusters equals brute force exactly") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 3L)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.ivfTrainedTopK(emb, "vec_id", "embedding", q,
+        k = 10, nprobe = 4, kClusters = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute)
+  }
 }
