@@ -131,6 +131,24 @@ object WordPiece {
     trim(regexp_replace(
       lower(regexp_replace(text, "[^\\x20-\\x7e]", "")), "[^a-z]+", " "))
 
+  /** Load an HF-format `vocab.txt`: one piece per line, line order = token
+    * id — the file that ships beside every BERT-family checkpoint (the
+    * reference's registry tokenizer loads exactly this artifact;
+    * diagnostic_group_pipeline_with_api.py:287-293). Special tokens
+    * (`[PAD]`, `[UNK]`, `[CLS]`, ...) pass through as ordinary pieces —
+    * they never match a normalized alpha word, so they cost nothing at
+    * lookup time. Driver-side read; the pieces then ride to executors
+    * INSIDE the expression via `addReferenceObj`, so a real 30k-entry
+    * vocab ships once per executor JVM, not once per row or task.
+    * Trailing CRs are stripped (Windows-written files) and blank lines
+    * dropped; order is preserved (ids are positional in the HF format).
+    */
+  def loadVocab(path: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().map(_.stripSuffix("\r")).filter(_.nonEmpty).toVector
+    finally src.close()
+  }
+
   /** Greedy WordPiece pieces of an (already tokenizer-ready) string. */
   def tokenize(text: Column, vocab: Seq[String] = FixtureVocab): Column =
     Shims.column(WordPieceTokenize(Shims.expression(text), vocab))

@@ -70,6 +70,43 @@ class WordPieceSpec extends SparkSpec {
     assert(viaCodegen == viaEval)
   }
 
+  test("loadVocab + real-shape vocab.txt: HF format, order, CRLF, parity") {
+    // BERT-family-shaped vocab: specials first (positional ids), single
+    // chars + continuations (full alpha coverage), real multi-char pieces
+    // the hand-walked cases rely on, and letter-pair padding to >1k
+    // entries — the size/shape of a real checkpoint's vocab.txt slice.
+    val pairs = for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$a$b"
+    val vocab: Seq[String] =
+      Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]") ++
+        ('a' to 'z').map(_.toString) ++ ('a' to 'z').map(c => s"##$c") ++
+        Seq("play", "##ing", "##believ", "##able", "token", "##izer") ++
+        pairs ++ pairs.take(300).map(p => s"##$p")
+    assert(vocab.size >= 1000, s"fixture must be real-shape, got ${vocab.size}")
+
+    val f = java.io.File.createTempFile("vocab", ".txt")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try vocab.foreach(p => w.print(p + "\r\n")) // Windows-written checkpoint
+    finally w.close()
+
+    val loaded = WordPiece.loadVocab(f.getAbsolutePath)
+    assert(loaded == vocab) // order preserved (HF ids are positional), CRs stripped
+    assert(loaded.head == "[PAD]" && loaded(1) == "[UNK]")
+
+    val got = Seq("unbelievable playing tokenizer", "[CLS]", "x9z")
+      .toDF("t").select(WordPiece.tokenize($"t", loaded).as("p"))
+      .as[Seq[String]].collect().toSeq
+    // hand-walked max-munch: "un"(pair) beats "u"; "##believ" beats "##be";
+    // "##able" beats "##ab"; "play" beats "pl"; "##ing" beats "##in";
+    // "token" beats "to"; "##izer" beats "##iz"
+    assert(got(0) == Seq("un", "##believ", "##able",
+      "play", "##ing", "token", "##izer"))
+    // a special token in the vocab passes through as one piece
+    assert(got(1) == Seq("[CLS]"))
+    // a char with no continuation piece (digit) turns the word into [UNK]
+    assert(got(2) == Seq("[UNK]"))
+  }
+
   test("subword truncation keeps first/last budget pieces per the T5 branch") {
     val df = Seq(("entire report", "the theme of things keeps on going and going"),
         ("gross_or_micro", "the theme of things keeps on going and going"))
