@@ -43,7 +43,8 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        forceBroadcast: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -65,11 +66,11 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, force) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val exec =
-        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        if (force || (threshold > 0 && r.stats.sizeInBytes <= threshold))
           BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r))
         else AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r))
       exec :: Nil
@@ -260,12 +261,10 @@ case class BroadcastAsOfJoinExec(
 object AsOfJoin {
   import org.apache.spark.sql.graft.Shims
 
-  /** `asof(l, r, Seq("k"), Seq("rk"), "t", "rt")`: latest `r` row per `l`
-    * row with `rk == k` and `rt <= t`. Left-outer; right columns nullable.
-    */
-  def asof(left: DataFrame, right: DataFrame,
-           leftOn: Seq[String], rightOn: Seq[String],
-           leftTimeCol: String, rightTimeCol: String): DataFrame = {
+  private def planned(left: DataFrame, right: DataFrame,
+                      leftOn: Seq[String], rightOn: Seq[String],
+                      leftTimeCol: String, rightTimeCol: String,
+                      force: Boolean): DataFrame = {
     require(leftOn.nonEmpty && leftOn.size == rightOn.size,
       "as-of join needs matching non-empty key lists")
     val spark = left.sparkSession
@@ -282,80 +281,38 @@ object AsOfJoin {
         s"column `$name` not found on $side side (have: ${plan.output.map(_.name).mkString(", ")})"))
     Shims.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       leftOn.map(res(lPlan, _, "left")), rightOn.map(res(rPlan, _, "right")),
-      res(lPlan, leftTimeCol, "left"), res(rPlan, rightTimeCol, "right")))
+      res(lPlan, leftTimeCol, "left"), res(rPlan, rightTimeCol, "right"),
+      forceBroadcast = force))
   }
 
-  /** Broadcast as-of join — same semantics as [[asof]], different plan
-    * shape for the DIMENSION case: when the right side is small (a
-    * feature-store snapshot, a rates table, a config history), shuffling
-    * the fact side just to co-partition is wasted I/O. Here the right
-    * side is collected once, sorted per key, broadcast to every executor,
-    * and each left row binary-searches its key's time array — a narrow
-    * mapPartitions over the fact table, ZERO exchanges on either side
-    * (the analogue of Catalyst choosing BroadcastHashJoin over
-    * SortMergeJoin). Right side must fit on the driver/executors; the
-    * `maxRightRows` guard fails fast instead of OOMing.
+  /** `asof(l, r, Seq("k"), Seq("rk"), "t", "rt")`: latest `r` row per `l`
+    * row with `rk == k` and `rt <= t`. Left-outer; right columns nullable.
+    * [[AsOfJoinStrategy]] picks the physical shape from the right side's
+    * estimated size (broadcast under `autoBroadcastJoinThreshold`,
+    * co-partitioned merge otherwise) — like Catalyst's own JoinSelection.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+           leftOn: Seq[String], rightOn: Seq[String],
+           leftTimeCol: String, rightTimeCol: String): DataFrame =
+    planned(left, right, leftOn, rightOn, leftTimeCol, rightTimeCol,
+      force = false)
+
+  /** Broadcast as-of join — same semantics as [[asof]], but FORCES the
+    * [[BroadcastAsOfJoinExec]] shape regardless of stats (the as-of
+    * analogue of the `broadcast()` hint): for the DIMENSION case when the
+    * right side is known-small (a feature-store snapshot, a rates table)
+    * but its estimate is missing or inflated, shuffling the fact side
+    * just to co-partition is wasted I/O. Routes through the same planner
+    * strategy as [[asof]] — the right side arrives via a real
+    * BroadcastExchange, so Spark's BYTE-based broadcast guards
+    * (`spark.sql.maxBroadcastTableSize`, driver memory accounting) and
+    * broadcast reuse apply; there is no separate row-count heuristic to
+    * drift from them.
     */
   def asofBroadcast(left: DataFrame, right: DataFrame,
                     leftOn: Seq[String], rightOn: Seq[String],
-                    leftTimeCol: String, rightTimeCol: String,
-                    maxRightRows: Int = 5000000): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.StructType
+                    leftTimeCol: String, rightTimeCol: String): DataFrame =
+    planned(left, right, leftOn, rightOn, leftTimeCol, rightTimeCol,
+      force = true)
 
-    val spark = left.sparkSession
-    val rSchema = right.schema
-    val rTimeIdx = rSchema.fieldIndex(rightTimeCol)
-    val rKeyIdx = rightOn.map(rSchema.fieldIndex)
-    val lSchema = left.schema
-    val lTimeIdx = lSchema.fieldIndex(leftTimeCol)
-    val lKeyIdx = leftOn.map(lSchema.fieldIndex)
-
-    // sorted by (key, time): rows collect into per-key ascending arrays
-    val collected = right
-      .sortWithinPartitions(
-        (rightOn.map(col) :+ col(rightTimeCol)): _*)
-      .collect()
-    require(collected.length <= maxRightRows,
-      s"broadcast as-of right side has ${collected.length} rows (max $maxRightRows); use asof()")
-    def timeOf(r: Row, i: Int): Long = r.get(i) match {
-      case l: Long => l
-      case i2: Int => i2.toLong
-      case t: java.sql.Timestamp => t.getTime * 1000L
-      case x => throw new IllegalArgumentException(s"unsupported time value $x")
-    }
-    val byKey: Map[Seq[Any], (Array[Long], Array[Row])] = collected
-      .groupBy(r => rKeyIdx.map(r.get): Seq[Any])
-      .map { case (k, rows) =>
-        val sorted = rows.sortBy(timeOf(_, rTimeIdx))
-        (k, (sorted.map(timeOf(_, rTimeIdx)), sorted))
-      }
-    val bc = spark.sparkContext.broadcast(byKey)
-
-    val outSchema = StructType(lSchema.fields ++
-      rSchema.fields.map(_.copy(nullable = true)))
-    val nullTail: Seq[Any] = Seq.fill(rSchema.length)(null)
-    left.mapPartitions { it =>
-      val lookup = bc.value
-      it.map { lRow =>
-        val k = lKeyIdx.map(lRow.get): Seq[Any]
-        val tail = lookup.get(k) match {
-          case Some((times, rows)) =>
-            val lt = timeOf(lRow, lTimeIdx)
-            // rightmost index with times(i) <= lt
-            var lo = 0; var hi = times.length - 1; var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (times(mid) <= lt) { ans = mid; lo = mid + 1 }
-              else hi = mid - 1
-            }
-            if (ans >= 0) rows(ans).toSeq else nullTail
-          case None => nullTail
-        }
-        Row.fromSeq(lRow.toSeq ++ tail)
-      }
-    }(RowEncoder.encoderFor(outSchema))
-  }
 }

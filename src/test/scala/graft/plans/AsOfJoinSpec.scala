@@ -120,7 +120,7 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
-  test("asofBroadcast: same results as the sort-merge operator, zero exchanges") {
+  test("asofBroadcast: same results as the sort-merge operator, no shuffle") {
     val sm = AsOfJoin.asof(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
       .select("k", "t", "ltag", "rt", "rtag")
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
@@ -128,9 +128,28 @@ class AsOfJoinSpec extends SparkSpec {
       .select("k", "t", "ltag", "rt", "rtag")
     val bc = bcOut.collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(bc == sm)
-    // dimension shape: narrow map over the fact side, no shuffle at all
+    // dimension shape: the fact side is a narrow map (no shuffle); the
+    // dimension side arrives via a REAL BroadcastExchange, so Spark's
+    // byte-based broadcast guards and broadcast reuse apply
     val plan = bcOut.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"expected no exchange:\n$plan")
+    assert(plan.contains("BroadcastAsOfJoin"), s"expected broadcast exec:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"expected broadcast exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected no shuffle exchange:\n$plan")
+  }
+
+  test("strategy picks broadcast vs merge from stats; asofBroadcast forces it") {
+    withThreshold("-1") {
+      // stats say don't broadcast -> merge shape
+      val auto = AsOfJoin.asof(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
+      assert(!auto.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+      // the explicit variant overrides stats, like a broadcast() hint
+      val forced = AsOfJoin.asofBroadcast(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt")
+      assert(forced.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+      // and both paths agree row-for-row
+      assert(auto.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        forced.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    }
   }
 
   test("asofBroadcast: larger randomized parity with the merge operator") {
