@@ -81,24 +81,28 @@ object ScaleProbe {
       Dedup.connectedComponents(pairs, "id_a", "id_b").count()
     }
     // adversarial long-chain graph: pointer jumping vs small/large-star.
-    // 100k-node path = worst-case diameter for label propagation.
-    locally {
-      val chain = spark.range(0, 100000)
+    // An n-node path is the worst-case diameter for label propagation;
+    // probing 1x AND 10x the chain shows the round count growing with
+    // log(diameter), not diameter — the property that survives 100 TB.
+    def chainProbe(n: Long): Unit = {
+      val chain = spark.range(0L, n)
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
       val t0 = System.nanoTime()
       val (pj, pjRounds) = Dedup.connectedComponentsWithRounds(
-        chain, "id_a", "id_b", maxIter = 40)
+        chain, "id_a", "id_b", maxIter = 60)
       val pjN = pj.filter(col("label") === 0L).count()
       val t1 = System.nanoTime()
       val (st, stRounds) = Dedup.connectedComponentsStarWithRounds(
-        chain, "id_a", "id_b", maxIter = 40)
+        chain, "id_a", "id_b", maxIter = 60)
       val stN = st.filter(col("label") === 0L).count()
       val t2 = System.nanoTime()
-      println(f"chain-100k pointer-jump: ${(t1 - t0) / 1e9}%.2f s, " +
+      println(f"chain-$n%d pointer-jump: ${(t1 - t0) / 1e9}%.2f s, " +
         f"$pjRounds rounds ($pjN labeled 0)")
-      println(f"chain-100k star:         ${(t2 - t1) / 1e9}%.2f s, " +
+      println(f"chain-$n%d star:         ${(t2 - t1) / 1e9}%.2f s, " +
         f"$stRounds rounds ($stN labeled 0)")
     }
+    chainProbe(100000L)
+    chainProbe(1000000L)
 
     // round-2 session operators: curation + quantized ANN at scale
     time(s"redact x$mult")(docs.select(col("doc_id"),

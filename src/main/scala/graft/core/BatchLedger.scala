@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * would sit behind a transactional table format, same API. Observable
   * semantics match `INSERT ... RETURNING batch_id` (SURVEY.md §7.3).
   */
-final class BatchLedger(spark: SparkSession, ledgerPath: String) {
+final class BatchLedger(spark: SparkSession, ledgerPath: String,
+                        maxFragments: Int = 16) {
 
   private def existing: Option[DataFrame] =
     try {
@@ -29,9 +30,41 @@ final class BatchLedger(spark: SparkSession, ledgerPath: String) {
       case _: org.apache.spark.sql.AnalysisException => None
     }
 
+  private def hadoopPath = new org.apache.hadoop.fs.Path(ledgerPath)
+  private def fs = hadoopPath.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def fragmentCount: Int =
+    try fs.listStatus(hadoopPath)
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    catch { case _: java.io.FileNotFoundException => 0 }
+
+  /** Rewrite the append-only ledger directory into ONE file once it
+    * accretes more than `maxFragments` part-files: every allocation reads
+    * max(batch_id) over the whole directory, so an unbounded fragment
+    * count slowly turns an O(1) footer-stats read into an O(runs) file
+    * listing + open storm. Compaction keeps the allocation read bounded
+    * regardless of how many batches have ever run. Single-driver ledger
+    * (class contract), so the rewrite cannot race an allocator; the
+    * temp-write → delete → rename sequence leaves a recoverable
+    * `__compact_tmp` copy if the driver dies mid-swap.
+    */
+  private def compactIfNeeded(): Unit = if (fragmentCount > maxFragments) {
+    val tmp = new org.apache.hadoop.fs.Path(
+      ledgerPath.stripSuffix("/") + "__compact_tmp")
+    existing.foreach { df =>
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(hadoopPath, true)
+      if (!fs.rename(tmp, hadoopPath))
+        throw new java.io.IOException(
+          s"ledger compaction rename failed: $tmp -> $ledgerPath")
+    }
+  }
+
   /** Allocate the next batch id and durably record the run row. */
   def newBatch(pipelineName: String, dateFrom: String, dateTo: String,
                comment: String): Long = {
+    compactIfNeeded()
     val nextId: Long = existing
       .flatMap(df => Option(df.agg(max("batch_id")).first().get(0)))
       .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)

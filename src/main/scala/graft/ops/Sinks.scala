@@ -125,6 +125,15 @@ object Sinks {
     *                      the replay still ends exactly-once)
     * @return true if the batch was published, false if it was a replay
     */
+  /** The identifier list the publish statements share with Spark's JDBC
+    * writer: double-quoted, case-preserved — valid SQL on both registry
+    * target engines (Postgres always; SQL Server under its default
+    * `QUOTED_IDENTIFIER ON`). Exposed for the dialect specs.
+    */
+  private[graft] def quotedCols(
+      schema: org.apache.spark.sql.types.StructType): String =
+    schema.fieldNames.map("\"" + _ + "\"").mkString(", ")
+
   def idempotentBatchAppend(df: org.apache.spark.sql.DataFrame, batchId: Long,
                             url: String, ledgerTable: String, dataTable: String,
                             props: java.util.Properties = new java.util.Properties,
@@ -180,7 +189,7 @@ object Sinks {
     // 3. PUBLISH (one transaction: data copy + ledger row). Column names
     // are double-quoted to match the identifiers Spark's JDBC writer
     // creates (quoted, case-preserved).
-    val cols = df.schema.fieldNames.map("\"" + _ + "\"").mkString(", ")
+    val cols = quotedCols(df.schema)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)

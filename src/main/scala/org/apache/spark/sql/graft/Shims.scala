@@ -34,6 +34,20 @@ object Shims {
       .wrongNumArgsError(name, Seq(expected), actual,
         "", "", "")
 
+  /** The exact column-definition list Spark's JDBC writer will emit in
+    * CREATE TABLE for `schema` under `url`'s dialect
+    * (`JdbcUtils.schemaString` is `private[sql]`) — lets specs pin the
+    * per-dialect DDL (identifier quoting + type mapping) the registry's
+    * two target engines receive, without a live database.
+    */
+  def jdbcSchemaString(url: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       customTypes: Option[String] = None): String = {
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils.schemaString(
+      dialect, schema, caseSensitive = false, customTypes)
+  }
+
   /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the seam custom
     * logical operators use to enter the public Dataset API.

@@ -117,4 +117,56 @@ class JdbcSpec extends SparkSpec {
       assert(!left.next(), "staging table should be dropped after publish")
     } finally conn.close()
   }
+
+  // ---- dialect assertions for the registry's two target engines --------
+  // (db_type enum ['sql-server','postgres']; no live DB exists in the
+  // sandbox, but the DDL Spark's writer will generate is inspectable
+  // through JdbcDialects, so the per-engine surface is pinned here.)
+
+  private val sinkSchema = new org.apache.spark.sql.types.StructType()
+    .add("msgid", "long").add("message", "string")
+    .add("seen_at", "timestamp").add("ok", "boolean").add("blob", "binary")
+
+  test("Postgres dialect: CREATE TABLE types + quoted identifiers our sinks rely on") {
+    import org.apache.spark.sql.graft.{Shims => SqlShims}
+    val pgUrl = "jdbc:postgresql://host:5432/registry"
+    val ddl = SqlShims.jdbcSchemaString(pgUrl, sinkSchema)
+    // case-preserving double quotes — matches quotedCols' hand-written SQL
+    assert(ddl.contains("\"msgid\" BIGINT"), ddl)
+    assert(ddl.contains("\"message\" TEXT"), ddl)
+    assert(ddl.contains("\"seen_at\" TIMESTAMP"), ddl)
+    assert(ddl.contains("\"ok\" BOOLEAN"), ddl)
+    assert(ddl.contains("\"blob\" BYTEA"), ddl)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(pgUrl)
+    assert(dialect.quoteIdentifier("msg_date") == "\"msg_date\"")
+  }
+
+  test("SQL Server dialect: CREATE TABLE types + quoted identifiers our sinks rely on") {
+    import org.apache.spark.sql.graft.{Shims => SqlShims}
+    val msUrl = "jdbc:sqlserver://host;databaseName=registry"
+    val ddl = SqlShims.jdbcSchemaString(msUrl, sinkSchema)
+    assert(ddl.contains("\"msgid\" BIGINT"), ddl)
+    assert(ddl.contains("\"message\" NVARCHAR(MAX)"), ddl)
+    assert(ddl.contains("\"seen_at\" DATETIME"), ddl)
+    assert(ddl.contains("\"ok\" BIT"), ddl)
+    assert(ddl.contains("\"blob\" VARBINARY(MAX)"), ddl)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(msUrl)
+    // double-quoted identifiers are valid under SQL Server's default
+    // QUOTED_IDENTIFIER ON — the assumption quotedCols' publish SQL makes
+    assert(dialect.quoteIdentifier("msg_date") == "\"msg_date\"")
+  }
+
+  test("createTableColumnTypes overrides flow through per dialect (the VARCHAR pin)") {
+    import org.apache.spark.sql.graft.{Shims => SqlShims}
+    val ddl = SqlShims.jdbcSchemaString("jdbc:postgresql://h/d",
+      new org.apache.spark.sql.types.StructType().add("word", "string"),
+      Some("word VARCHAR(40)"))
+    assert(ddl.contains("\"word\" VARCHAR(40)"), ddl)
+  }
+
+  test("quotedCols: the publish statement quotes exactly like Spark's JDBC writer") {
+    val cols = Sinks.quotedCols(new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("MixedCase", "string").add("msg_date", "string"))
+    assert(cols == "\"k\", \"MixedCase\", \"msg_date\"")
+  }
 }

@@ -54,4 +54,22 @@ class PipelinesSpec extends SparkSpec {
     assert(BatchLedger.stamp(Seq(1).toDF("x"), id2).select("batch_id")
       .as[Long].first() == 2L)
   }
+
+  test("BatchLedger compacts past maxFragments: bounded files, ids and history intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger_c").toString
+    val path = s"$dir/ledger"
+    val ledger = new BatchLedger(spark, path, maxFragments = 4)
+    val ids = (1 to 12).map(i => ledger.newBatch("p", "20220101", "20230101", s"c$i"))
+    assert(ids == (1L to 12L)) // allocation survives every compaction
+    assert(ledger.history.count() == 12)
+    assert(ledger.history.select("comment").as[String].collect().toSet ==
+      (1 to 12).map(i => s"c$i").toSet)
+    // the directory never grows without bound: after the last allocation
+    // at most maxFragments+1 part-files remain (one compacted + appends)
+    val parts = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(parts <= 5, s"ledger fragment count unbounded: $parts files")
+    // and no stray compaction temp directory is left behind
+    assert(!new java.io.File(s"${path}__compact_tmp").exists())
+  }
 }
