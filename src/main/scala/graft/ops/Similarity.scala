@@ -168,6 +168,58 @@ object Similarity {
     emb.withColumn(outCol, nearestCluster(col(vecCol), cents))
   }
 
+  /** The IVF layout AT REST — the physical half of every "PARTITIONED BY
+    * cluster" claim in this file: write the table partitioned by its
+    * trained assignment (one directory per cluster) with the centroids
+    * saved beside it as a tiny parquet (exact binary doubles — a JSON
+    * roundtrip could wobble a ULP and flip shortlist ordering). After
+    * this rewrite a probe is a partition-pruned scan: files of
+    * non-probed clusters are never opened.
+    */
+  def ivfWriteLayout(emb: DataFrame, idCol: String, vecCol: String,
+                     path: String, kClusters: Int, iters: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.SaveMode
+    val spark = emb.sparkSession
+    val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
+    emb.withColumn("ivf_cluster", nearestCluster(col(vecCol), cents))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("ivf_cluster").parquet(path)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(centroidsPath(path))
+    cents
+  }
+
+  private def centroidsPath(path: String): String =
+    path.stripSuffix("/") + "_centroids"
+
+  /** Probe the at-rest IVF layout: rank the saved centroids by cosine to
+    * the query (tiny scan), shortlist `nprobe` clusters, then top-k over
+    * ONLY the shortlisted partitions — the `isin` filter on the partition
+    * column prunes at the scan (spec pins the selected-partition count),
+    * so at 100 TB a probe touches nprobe/k of the files no matter how
+    * large the table grows.
+    */
+  def ivfProbeLayout(spark: SparkSession, path: String, query: Seq[Float],
+                     k: Int, nprobe: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val clusters = spark.read.parquet(centroidsPath(path))
+      .select(col("cluster"),
+        (Dedup.dotExact(col("centroid"), typedlit(qd)) /
+          (Dedup.normExact(col("centroid")) * Dedup.normExact(typedlit(qd))))
+          .as("ccos"))
+      .orderBy(col("ccos").desc, col("cluster"))
+      .limit(nprobe)
+      .select("cluster").collect().map(_.getInt(0))
+    spark.read.parquet(path)
+      .filter(col("ivf_cluster").isin(clusters.map(Integer.valueOf): _*))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF ANN over the TRAINED quantizer (closing the loop the plain
     * [[ivfTopK]] leaves open — there the cluster column pre-exists): rank
     * the trained centroids by cosine to the query, keep `nprobe`, then

@@ -48,6 +48,24 @@ object Shims {
       dialect, schema, caseSensitive = false, customTypes)
   }
 
+  /** Number of partitions a file scan actually selected after partition
+    * pruning (`FileSourceScanExec.selectedPartitions` is `private[sql]`)
+    * — lets specs assert pruning happened instead of trusting the plan
+    * text. Returns the first file scan's count, if any.
+    */
+  def scanSelectedPartitionCount(
+      plan: org.apache.spark.sql.execution.SparkPlan): Option[Int] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: QueryStageExec => find(s.plan)
+      case f: FileSourceScanExec => Some(f)
+      case other => other.children.view.flatMap(find).headOption
+    }
+    find(plan).map(_.selectedPartitions.partitionCount)
+  }
+
   /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the seam custom
     * logical operators use to enter the public Dataset API.

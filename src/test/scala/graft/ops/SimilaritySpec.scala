@@ -132,6 +132,32 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("ivfWriteLayout + ivfProbeLayout: partition pruning at the scan, parity with trained IVF") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_layout")
+      .toString + "/emb"
+    val cents = Similarity.ivfWriteLayout(emb, "vec_id", "embedding", dir,
+      kClusters = 4, iters = 2)
+    assert(cents.size == 4)
+    // one directory per cluster on disk
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ivf_cluster="))
+    assert(dirs.length == 4, s"expected 4 partition dirs, got ${dirs.toSeq}")
+
+    val probe = Similarity.ivfProbeLayout(spark, dir, q, k = 10, nprobe = 2)
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the scan opened exactly the nprobe shortlisted partitions
+    val selected = org.apache.spark.sql.graft.Shims
+      .scanSelectedPartitionCount(probe.queryExecution.executedPlan)
+    assert(selected.contains(2), s"expected 2 pruned partitions, got $selected")
+    // same answer as the in-memory trained probe (same k-means params)
+    val trained = Similarity.ivfTrainedTopK(emb, "vec_id", "embedding", q,
+        k = 10, nprobe = 2, kClusters = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == trained)
+  }
+
   test("ivfTrainedTopK with nprobe=kClusters equals brute force exactly") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
     val q = Similarity.vectorOf(emb, "vec_id", "embedding", 3L)
