@@ -133,13 +133,17 @@ object Similarity {
   def kmeansCentroids(train: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
-    val seeds: Seq[Seq[Double]] = train.orderBy(col(idCol)).limit(k)
+    // iters+1 jobs re-read the training projection (seed collect + one
+    // per Lloyd update) — cache the two columns that matter, released by
+    // the harness like every other internal persist
+    val proj = graft.core.Caches.track(train.select(col(idCol), col(vecCol)))
+    val seeds: Seq[Seq[Double]] = proj.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     require(seeds.size == k, s"need at least $k rows to seed $k clusters")
     var cents = seeds
     for (_ <- 1 to iters) {
-      val updated: Map[Int, Seq[Double]] = train
+      val updated: Map[Int, Seq[Double]] = proj
         .withColumn("__g_c", nearestCluster(col(vecCol), cents))
         .select(col("__g_c"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("__g_c"), col("pos"))
