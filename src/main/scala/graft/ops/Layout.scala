@@ -141,7 +141,9 @@ object Layout {
     val cumSchema = tagged.schema
       .add(StructField("__g_shard", IntegerType, nullable = false))
       .add(StructField("__g_cum", LongType, nullable = false))
-    val cum = tagged.mapPartitions { it =>
+    // tracked like every other internal persist (MEMORY_AND_DISK), so the
+    // harness's per-query releaseAll frees it instead of it lingering
+    val cum = graft.core.Caches.track(tagged.mapPartitions { it =>
       val shard = org.apache.spark.TaskContext.getPartitionId()
       var running = 0L
       it.map { r =>
@@ -149,8 +151,7 @@ object Layout {
         running += r.getLong(n - 1)
         out
       }
-    }(org.apache.spark.sql.Encoders.row(cumSchema))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(org.apache.spark.sql.Encoders.row(cumSchema)))
 
     // 2. SIZE — one row per shard reaches the driver
     val totals = cum

@@ -99,6 +99,22 @@ class PlanAuditSpec extends SparkSpec {
       s"expected codegen'd project in the executed plan:\n$executed")
   }
 
+  test("sim_kmeans: the assignment is a narrow codegen'd project — no join, no extra exchange") {
+    val p = plan("sim_kmeans")
+    // centroids ride as literals inside the argmin expression: the final
+    // assignment pass must not join/broadcast anything
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    // one exchange: the presentation ORDER BY (count detail headers)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+      s"unexpected exchanges:\n$p")
+    // and it is a plain Project DIRECTLY over the pruned scan (the argmin
+    // uses higher-order lambdas, which are codegen-fallback by design —
+    // the pin is the stage shape, not a codegen star)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"scan must prune to (id, vector):\n$p")
+    assert(!p.contains("HashAggregate"), s"assignment must not aggregate:\n$p")
+  }
+
   test("doc_sample: sampling filter sits on the scan, before any exchange") {
     val p = plan("doc_sample")
     // the md5-threshold predicate is a plain Filter (no aggregate/join),
