@@ -75,4 +75,32 @@ object TextAnalysis {
     least(length(text) / lit(500.0), lit(1.0)) * lit(0.4) +
       (lit(1.0) - punctRatio(text)) * lit(0.3) +
       least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.3)
+
+  /** Duplicate-word fraction (Gopher-style repetition signal):
+    * 1 − distinct(words)/words. A high value marks keyword-stuffed or
+    * looping machine text; web-corpus filters drop past ~0.3-0.6.
+    * Runs as a pure expression over the scan — no explode, no shuffle.
+    */
+  def dupWordFrac(text: Column): Column = {
+    val w = split(trim(text), "\\s+")
+    when(trim(text) === "", lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
+  }
+
+  /** Most-frequent-adjacent-bigram fraction (the second Gopher repetition
+    * rule): occurrences of the commonest word pair × 2 / word count.
+    * Counting stays INSIDE one row (self-count via filter over the ~n
+    * bigram array, O(n²) on a bounded doc length) — the alternative, an
+    * explode + per-doc groupBy, shuffles every bigram of the corpus at
+    * 100 TB to compute a per-row statistic.
+    */
+  def topBigramFrac(text: Column): Column = {
+    val w = split(trim(text), "\\s+")
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    val maxCnt = array_max(transform(bigrams,
+      b => size(filter(bigrams, x => x === b))))
+    when(tokenCountWs(text) < 2, lit(0.0))
+      .otherwise(maxCnt.cast("double") * 2 / size(w))
+  }
 }

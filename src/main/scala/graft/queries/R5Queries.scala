@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Round-5 session queries: the trained k-means coarse quantizer and the
   * IVF probe that runs on it (VERDICT r3 ask #2 — previously `sim_ivf`
@@ -162,6 +162,40 @@ object R5Queries {
            |SELECT id_a, id_b, dot / (na * nb) AS cos_sim
            |FROM dots
            |WHERE dot / (na * nb) >= 0.4
-           |ORDER BY id_a, id_b""".stripMargin))
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("ta_repetition",
+      "Gopher-style repetition quality signals: duplicate-word fraction " +
+        "and most-frequent-adjacent-bigram fraction, both computed INSIDE " +
+        "each row (pure expressions over the scan — no explode/shuffle to " +
+        "derive a per-row statistic). The oracle recomputes both via " +
+        "unnest + per-doc aggregation and must land on the identical " +
+        "doubles.",
+      (s, d) => Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.dupWordFrac(col("text")).as("dup_word_frac"),
+          TextAnalysis.topBigramFrac(col("text")).as("top_bigram_frac"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH wl AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          |  FROM documents WHERE trim(text) <> ''),
+          |st AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd FROM wl),
+          |bg0 AS (
+          |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          |  FROM wl WHERE len(w) >= 2),
+          |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b FROM bg0),
+          |bgm AS (
+          |  SELECT doc_id, max(c) AS mc FROM (
+          |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(CAST(1 AS DOUBLE) - s.nd::DOUBLE / s.n,
+          |           CAST(0 AS DOUBLE)) AS dup_word_frac,
+          |  coalesce(CASE WHEN s.n >= 2 THEN m.mc::DOUBLE * 2 / s.n END,
+          |           CAST(0 AS DOUBLE)) AS top_bigram_frac
+          |FROM documents d
+          |LEFT JOIN st s USING (doc_id) LEFT JOIN bgm m USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin))
   )
 }

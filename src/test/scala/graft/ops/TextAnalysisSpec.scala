@@ -12,6 +12,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n == 2.0)
   }
 
+  test("repetition signals: hand-computed values and degenerate inputs") {
+    val got = Seq(
+      "a b a b a b",   // all dup words; "a b" bigram 3 of 5
+      "v w x y z",     // no repetition
+      "loop loop loop loop", // one word repeated
+      "solo",          // single word: no bigram
+      "  ",            // blank
+      "")
+      .toDF("t")
+      .select(TextAnalysis.dupWordFrac($"t").as("d"),
+        TextAnalysis.topBigramFrac($"t").as("b"))
+      .as[(Double, Double)].collect().toSeq
+    assert(got(0) == ((1.0 - 2.0 / 6, 3.0 * 2 / 6)))
+    assert(got(1) == ((0.0, 1.0 * 2 / 5))) // every bigram unique: 2/n
+    assert(got(2) == ((1.0 - 1.0 / 4, 3.0 * 2 / 4)))
+    assert(got(3) == ((0.0, 0.0)))
+    assert(got(4) == ((0.0, 0.0)))
+    assert(got(5) == ((0.0, 0.0)))
+  }
+
   test("token counts: ws vs BPE-ish regex") {
     val r = Seq("Hello, world! x2").toDF("t").select(
       TextAnalysis.tokenCountWs($"t").as("ws"),
