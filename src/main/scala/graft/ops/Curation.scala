@@ -42,6 +42,32 @@ object Curation {
   def redact(text: Column): Column =
     passes.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
 
+  /** Overlapping token-window chunks — the document chunker every
+    * RAG/pretraining ingest runs: word window of `size` tokens advancing
+    * by `stride` (stride < size ⇒ overlap preserves cross-boundary
+    * context). One chunk array per row, built entirely inside the scan
+    * projection (slice over the split array — no explode needed until
+    * the caller wants chunk rows, no shuffle ever). Every word appears
+    * in ≥1 chunk: the final window is PINNED to the document end (its
+    * overlap with the previous window widens when (n−size) % stride ≠ 0
+    * — the standard tail rule, never a dropped suffix). Blank text
+    * yields an empty array.
+    */
+  def chunkTokens(text: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size")
+    val w = split(trim(text), "\\s+")
+    val n = org.apache.spark.sql.functions.size(w)
+    val maxStart = greatest(n - size + 1, lit(1))
+    // ascending strided starts + the end-pinned tail start; input is
+    // ascending so array_distinct keeps it ascending
+    val starts = array_distinct(concat(
+      sequence(lit(1), maxStart, lit(stride)), array(maxStart)))
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(transform(starts,
+        s => concat_ws(" ", slice(w, s, lit(size)))))
+  }
+
   /** Count of matches of one pattern against the ORIGINAL text (counting
     * before any replacement keeps the per-pattern counts independent of
     * pass order).

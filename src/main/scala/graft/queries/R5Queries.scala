@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Round-5 session queries: the trained k-means coarse quantizer and the
   * IVF probe that runs on it (VERDICT r3 ask #2 — previously `sim_ivf`
@@ -196,6 +196,36 @@ object R5Queries {
           |           CAST(0 AS DOUBLE)) AS top_bigram_frac
           |FROM documents d
           |LEFT JOIN st s USING (doc_id) LEFT JOIN bgm m USING (doc_id)
-          |ORDER BY d.doc_id""".stripMargin))
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("ta_chunk",
+      "Overlapping token-window chunking (32-token windows, stride 24 — " +
+        "the RAG/pretraining ingest chunker): windows built inside the " +
+        "scan projection as one array per doc, exploded only at the " +
+        "output; the final window pins to the document end so no suffix " +
+        "is ever dropped. Oracle rebuilds every window with " +
+        "list_slice + row_number.",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Curation.chunkTokens(col("text"), size = 32, stride = 24))
+            .as(Seq("p", "chunk_text")))
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("chunk_id"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(
+        """WITH wl AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          |  FROM documents WHERE trim(text) <> ''),
+          |starts AS (
+          |  SELECT doc_id, w,
+          |    unnest(list_sort(list_distinct(list_append(
+          |      generate_series(1, greatest(len(w) - 31, 1), 24),
+          |      greatest(len(w) - 31, 1))))) AS s
+          |  FROM wl)
+          |SELECT doc_id,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_id,
+          |  array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text
+          |FROM starts
+          |ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -45,6 +45,30 @@ class CurationSpec extends SparkSpec {
       ("A", 4L, 1L), ("B", 9L, 0L)))
   }
 
+  test("chunkTokens: coverage, overlap, end-pinned tail, degenerate inputs") {
+    def chunks(t: String, size: Int, stride: Int): Seq[String] =
+      Seq(t).toDF("t")
+        .select(Curation.chunkTokens($"t", size, stride).as("c"))
+        .as[Seq[String]].first()
+
+    // n=11, size=4, stride=3: starts 1,4,7 then the end-pinned 8
+    val words = (1 to 11).map(i => s"w$i")
+    val got = chunks(words.mkString(" "), 4, 3)
+    assert(got == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w8 w9 w10 w11"))
+    // every word appears in at least one chunk (no dropped suffix)
+    assert(words.forall(w => got.exists(_.split(" ").contains(w))))
+
+    // aligned case has no extra tail window
+    assert(chunks((1 to 10).map("t" + _).mkString(" "), 4, 3).size == 3)
+    // short doc: one chunk, whole text
+    assert(chunks("a b", 5, 2) == Seq("a b"))
+    // blank: empty array
+    assert(chunks("   ", 4, 2).isEmpty)
+    // stride == size: disjoint cover that concatenates back to the text
+    val disj = chunks(words.mkString(" "), 4, 4)
+    assert(disj.take(2).mkString(" ") == words.take(8).mkString(" "))
+  }
+
   test("property: redact is idempotent (replacement tags contain no PII shapes)") {
     val piiish = Gen.oneOf(
       Gen.alphaNumStr,
