@@ -68,6 +68,32 @@ object Curation {
         s => concat_ws(" ", slice(w, s, lit(size)))))
   }
 
+  /** HTML entity decode pairs, applied AFTER tag stripping; `&amp;` is
+    * decoded LAST so `&amp;lt;` ends as `&lt;` (literal), not `<` —
+    * the standard double-decode guard. Shared with the oracle SQL.
+    */
+  val entityPasses: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** C4-style markup stripping for web-scraped corpora: drop
+    * script/style blocks (their bodies are code, and stray `<`
+    * comparisons inside would break naive tag regexes), strip remaining
+    * tags, decode the common entities, collapse whitespace. Every pass
+    * is RE2-safe (no backreferences/lookaround) so the exact chain
+    * restates in DuckDB, and the whole thing is one projection over the
+    * scan — markup removal runs at scan speed at corpus scale.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    val decoded = entityPasses.foldLeft(noTags) {
+      case (c, (e, v)) => replace(c, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Count of matches of one pattern against the ORIGINAL text (counting
     * before any replacement keeps the per-pattern counts independent of
     * pass order).

@@ -226,6 +226,40 @@ object R5Queries {
           |  row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_id,
           |  array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text
           |FROM starts
-          |ORDER BY doc_id, chunk_id""".stripMargin))
+          |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    Q("ta_html",
+      "C4-style markup stripping: script/style blocks dropped first " +
+        "(stray `<` comparisons inside would break a naive tag regex), " +
+        "tags stripped, entities decoded (&amp; last — double-decode " +
+        "guard), whitespace collapsed — one RE2-safe projection over the " +
+        "scan. The query wraps the fixture text in real markup so the " +
+        "oracle exercises every pass and must recover text + ' & more'.",
+      (s, d) => {
+        val wrapped = concat(
+          lit("<html><body class=\"x\"><p id='t'>"), col("text"),
+          lit(" &amp; more</p><script>if (1 < 2) alert(\"hi\");</script>" +
+            "<style>p { color: red; }</style></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), Curation.stripMarkup(wrapped).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, trim(regexp_replace(
+          |  replace(replace(replace(replace(replace(replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(
+          |          '<html><body class="x"><p id=''t''>' || text ||
+          |          ' &amp; more</p><script>if (1 < 2) alert("hi");</script>' ||
+          |          '<style>p { color: red; }</style></body></html>',
+          |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          |      '(?s)<[^>]+>', ' ', 'g'),
+          |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          |  '\s+', ' ', 'g')) AS clean_text
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin))
   )
 }

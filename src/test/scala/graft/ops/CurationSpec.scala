@@ -69,6 +69,23 @@ class CurationSpec extends SparkSpec {
     assert(disj.take(2).mkString(" ") == words.take(8).mkString(" "))
   }
 
+  test("stripMarkup: scripts/styles with inner '<', tags, entities, double-decode guard") {
+    def strip(h: String): String = Seq(h).toDF("h")
+      .select(Curation.stripMarkup($"h")).as[String].first()
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    // a '<' INSIDE a script body must not eat following text
+    assert(strip("a<script>if (1 < 2) x();</script>b") == "a b")
+    assert(strip("x<style>p { color: red; }</style>y") == "x y")
+    // entities, including the &amp;lt; double-decode guard
+    assert(strip("1 &lt; 2 &amp; 3 &gt; 2") == "1 < 2 & 3 > 2")
+    assert(strip("literal &amp;lt; stays") == "literal &lt; stays")
+    assert(strip("a&nbsp;&nbsp;b") == "a b")
+    // attributes with quotes/angle-free junk
+    assert(strip("""<a href="u?q=1" onclick='f()'>link</a>""") == "link")
+    // already-clean text is untouched (idempotent surface)
+    assert(strip("plain text stays") == "plain text stays")
+  }
+
   test("property: redact is idempotent (replacement tags contain no PII shapes)") {
     val piiish = Gen.oneOf(
       Gen.alphaNumStr,
