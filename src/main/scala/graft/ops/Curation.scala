@@ -141,4 +141,49 @@ object Curation {
     }
     df.filter(hashBucket(col(idCol)) < rateCol * 65536)
   }
+
+  /** Temperature-weighted source mixture — the training-mix sampler
+    * (UnifiedQA / GPT-3 style): source `i` with `n_i` documents gets
+    * sampling probability `p_i ∝ n_i^alpha`, so `alpha = 1` keeps natural
+    * proportions, `alpha = 0` gives every source equal weight, and values
+    * in between up-sample small/curated sources relative to web-scale
+    * ones. To realize the mix as a deterministic filter, each source's
+    * keep rate is `min(1, targetFrac·N·p_i / n_i)` and a row survives
+    * when its [[hashBucket]] falls under the rate.
+    *
+    * Plan shape at 100 TB: one map-side-combined `groupBy(strata).count`
+    * (the only shuffle, over a handful of keys), a cross join of the
+    * per-source counts against their 1-row total (both tiny), and a
+    * broadcast join of the resulting rate dimension back onto the corpus
+    * — the big side is never shuffled, and the row decision is
+    * hash-threshold (no RNG state, identical on retry and across
+    * engines).
+    *
+    * Cross-engine exactness: `alpha = 0.5` uses `sqrt` (IEEE
+    * correctly-rounded everywhere); other alphas use `pow`, whose last
+    * ulp may differ across libm implementations — oracle restatements
+    * should stick to 0.5. Each weight is cast to DECIMAL(38,14) before
+    * the sum so the total is order-independent, then the rate arithmetic
+    * is fixed-order double ops.
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+                         alpha: Double, targetFrac: Double): DataFrame = {
+    val nD = col("__g_n").cast("double")
+    val weight =
+      if (alpha == 0.5) sqrt(nD)
+      else if (alpha == 1.0) nD
+      else pow(nD, alpha)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__g_n"))
+    val totals = counts.agg(
+      sum("__g_n").cast("double").as("__g_total"),
+      sum(weight.cast("decimal(38,14)")).cast("double").as("__g_wsum"))
+    val rates = counts.crossJoin(totals).select(
+      col(strataCol),
+      least(lit(1.0),
+        lit(targetFrac) * col("__g_total") * weight / col("__g_wsum") / nD)
+        .as("__g_rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(hashBucket(col(idCol)) < col("__g_rate") * 65536)
+      .drop("__g_rate")
+  }
 }

@@ -228,6 +228,36 @@ object R5Queries {
           |FROM starts
           |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    Q("doc_mixture",
+      "Temperature-weighted source mixture (the training-mix sampler): " +
+        "source i gets probability ∝ n_i^0.5, realized as a per-source " +
+        "hash-threshold keep rate min(1, targetFrac·N·p_i/n_i). One tiny " +
+        "count shuffle + a broadcast rate dim; the corpus side is never " +
+        "shuffled and every row decision is md5-deterministic. Weights " +
+        "sum through DECIMAL(38,14) so the total is order-independent; " +
+        "the rate itself is fixed-order IEEE double ops, so the oracle's " +
+        "rates are bit-identical.",
+      (s, d) => Curation.temperatureMixture(Tables.documents(s, d),
+          "source", "doc_id", alpha = 0.5, targetFrac = 0.25)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id"),
+      Some(
+        """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          |t AS (SELECT cast(sum(n) AS DOUBLE) AS nn,
+          |             cast(sum(cast(sqrt(cast(n AS DOUBLE)) AS DECIMAL(38,14)))
+          |                  AS DOUBLE) AS wsum
+          |      FROM c),
+          |r AS (SELECT c.source,
+          |             least(CAST(1 AS DOUBLE),
+          |                   0.25 * t.nn * sqrt(cast(c.n AS DOUBLE)) / t.wsum
+          |                     / cast(c.n AS DOUBLE)) AS rate
+          |      FROM c, t)
+          |SELECT d.doc_id, d.source, d.lang
+          |FROM documents d JOIN r USING (source)
+          |WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT
+          |  < r.rate * 65536
+          |ORDER BY d.doc_id""".stripMargin)),
+
     Q("ta_html",
       "C4-style markup stripping: script/style blocks dropped first " +
         "(stray `<` comparisons inside would break a naive tag regex), " +

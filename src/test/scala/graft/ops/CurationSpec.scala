@@ -133,4 +133,38 @@ class CurationSpec extends SparkSpec {
       Map("en" -> 0.5), defaultRate = 0.1)
     assert(kept.orderBy("id").collect().toSeq == again.orderBy("id").collect().toSeq)
   }
+
+  test("temperatureMixture: alpha flattens the mix toward small sources") {
+    // big: 1600 docs, small: 100 docs. natural share of small = 100/1700.
+    val df = ((1L to 1600L).map(i => (i, "big")) ++
+      (2001L to 2100L).map(i => (i, "small"))).toDF("id", "src")
+
+    // alpha = 1 keeps natural proportions: every source's rate is exactly
+    // targetFrac, so kept counts track n_i * 0.5
+    val nat = Curation.temperatureMixture(df, "src", "id", alpha = 1.0,
+      targetFrac = 0.5).groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(nat("big") > 700 && nat("big") < 900)
+    assert(nat("small") > 30 && nat("small") < 70)
+
+    // alpha = 0.5 up-samples the small source: its share of the kept mix
+    // must exceed its natural share sqrt-fold (sqrt(1600)/sqrt(100) = 4:1
+    // weight ratio vs 16:1 natural)
+    val mix = Curation.temperatureMixture(df, "src", "id", alpha = 0.5,
+      targetFrac = 0.5).groupBy("src").count().as[(String, Long)].collect().toMap
+    val smallShare = mix("small").toDouble / (mix("small") + mix("big"))
+    assert(smallShare > 0.12, s"small share $smallShare should be ~4/20")
+
+    // alpha = 0: equal weight per source; the small source saturates at
+    // rate 1 (keep all 100), the big one takes the remainder
+    val flat = Curation.temperatureMixture(df, "src", "id", alpha = 0.0,
+      targetFrac = 0.5).groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(flat("small") == 100)
+
+    // deterministic rerun
+    val again = Curation.temperatureMixture(df, "src", "id", alpha = 0.5,
+      targetFrac = 0.5)
+    val first = Curation.temperatureMixture(df, "src", "id", alpha = 0.5,
+      targetFrac = 0.5)
+    assert(first.orderBy("id").collect().toSeq == again.orderBy("id").collect().toSeq)
+  }
 }
