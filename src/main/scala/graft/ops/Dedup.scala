@@ -111,6 +111,56 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Cross-document duplicated-line removal (the RefinedWeb/C4
+    * boilerplate filter): drop every line that appears verbatim in at
+    * least `minDocs` DISTINCT documents — navigation bars, cookie
+    * banners, and license headers repeat across pages while body text
+    * does not. A line duplicated only within its own document stays
+    * (that is repetition, a quality signal — see TextAnalysis — not
+    * boilerplate).
+    *
+    * Returns one row per input document: `idCol`, `clean_text` (kept
+    * lines re-joined in original order; empty string when every line was
+    * boilerplate), and `n_removed`.
+    *
+    * Plan shape at 100 TB: three shuffles, each on bounded keys —
+    * (1) the distinct-doc count groups by the line's md5 FINGERPRINT, so
+    * shuffle width is 32 hex chars regardless of line length, with
+    * two-level partial aggregation; (2) the anti-join against the
+    * boilerplate dictionary co-partitions on the same fingerprint (the
+    * dictionary side is the distinct boilerplate lines — tiny relative to
+    * the corpus — so AQE will usually broadcast it); (3) the rebuild
+    * groups by document id. Line order is restored from the captured
+    * posexplode index, never from a global sort.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minDocs: Int = 2): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("__g_pos", "__g_line")))
+      .withColumn("__g_h", md5(col("__g_line")))
+    val boilerplate = lines
+      .groupBy("__g_h")
+      .agg(countDistinct(col(idCol)).as("__g_nd"))
+      .filter(col("__g_nd") >= minDocs)
+      .select("__g_h")
+    val rebuilt = lines.join(boilerplate, Seq("__g_h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__g_pos"), col("__g_line")))),
+            _.getField("__g_line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("__g_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("__g_tot"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__g_tot") - coalesce(col("__g_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** MinHash-LSH candidate pairs with (bands × rowsPerBand) banding: a
     * band key is the concatenation of `rowsPerBand` minhashes, and a pair
     * is a candidate when ≥1 band agrees — P(candidate) =

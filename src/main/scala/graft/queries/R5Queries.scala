@@ -228,6 +228,42 @@ object R5Queries {
           |FROM starts
           |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    Q("ta_linededup",
+      "Cross-document duplicated-line removal (RefinedWeb boilerplate " +
+        "filter): the fixture text is first broken into 3-word lines " +
+        "(the fixtures are single-line), then every line appearing in " +
+        "≥3 distinct docs is dropped and survivors re-join in original " +
+        "order. Shuffles group on the line's md5 fingerprint (bounded " +
+        "width), the boilerplate dictionary anti-join co-partitions on " +
+        "the same key, and order restores from the posexplode index — " +
+        "no global sort anywhere.",
+      (s, d) => Dedup.dedupLines(
+          Tables.documents(s, d).withColumn("text",
+            regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")),
+          "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id"),
+      Some(
+        """WITH src AS (
+          |  SELECT doc_id,
+          |         regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+          |  FROM documents),
+          |la AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+          |lines AS (
+          |  SELECT doc_id, unnest(ls) AS line,
+          |         unnest(generate_series(1, len(ls))) AS pos
+          |  FROM la),
+          |dup AS (
+          |  SELECT md5(line) AS h FROM lines
+          |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+          |kept AS (SELECT * FROM lines WHERE md5(line) NOT IN (SELECT h FROM dup))
+          |SELECT s.doc_id,
+          |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS clean_text,
+          |  CAST(len(string_split(s.t, chr(10))) - count(k.line) AS BIGINT)
+          |    AS n_removed
+          |FROM src s LEFT JOIN kept k USING (doc_id)
+          |GROUP BY s.doc_id, s.t
+          |ORDER BY s.doc_id""".stripMargin)),
+
     Q("doc_mixture",
       "Temperature-weighted source mixture (the training-mix sampler): " +
         "source i gets probability ∝ n_i^0.5, realized as a per-source " +

@@ -107,6 +107,31 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("dedupLines drops cross-doc boilerplate, keeps in-doc repetition and order") {
+    val df = Seq(
+      (1L, "COOKIE BANNER\nbody one\nbody one\nFOOTER"),
+      (2L, "COOKIE BANNER\nbody two\nFOOTER"),
+      (3L, "unique document\nno boilerplate here")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    // banner+footer appear in 2 distinct docs -> removed everywhere;
+    // "body one" repeats only WITHIN doc 1 -> both copies stay, in order
+    assert(out(0) == ((1L, "body one\nbody one", 2L)))
+    assert(out(1) == ((2L, "body two", 2L)))
+    assert(out(2) == ((3L, "unique document\nno boilerplate here", 0L)))
+  }
+
+  test("dedupLines: a fully-boilerplate doc survives as an empty row") {
+    val df = Seq(
+      (1L, "SAME\nSAME"), (2L, "SAME"), (3L, "other text")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out(0) == ((1L, "", 2L)))
+    assert(out(1) == ((2L, "", 1L)))
+    assert(out(2) == ((3L, "other text", 0L)))
+    assert(out.length == 3)
+  }
+
   test("simhash16: deterministic, 16-bit range, identical texts collide") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("doc_id", "text")
