@@ -126,6 +126,44 @@ object ScaleProbe {
       graft.ops.Multimodal.extractMeta(fx, "payload")
         .filter(col("meta.format") === "png").count()
     }
+
+    // round-6: byte-budget repartition on a skewed-payload fixture — 1%
+    // of rows carry a 500× payload (the multimodal hot-row shape). The
+    // probe verifies the EXACT bound survives skew at two scales: max
+    // partition bytes <= target + max single row (a row is indivisible).
+    def byteProbe(rows: Long, tag: String): Unit = {
+      val skewed = spark.range(0L, rows).select(col("id"),
+        when(col("id") % 100 === 0,
+          // hot row: ~100 KB; cold row: ~200 B
+          concat_ws("", array_repeat(lit("x" * 1000), 100)))
+          .otherwise(concat_ws("", array_repeat(lit("y" * 100), 2)))
+          .as("payload")).localCheckpoint(true)
+      val target = 8L * 1024 * 1024
+      val t0 = System.nanoTime()
+      val out = graft.ops.Layout.repartitionByBytes(skewed, "payload", target)
+      val perPart = out.select(length(col("payload")).cast("long").as("b"))
+        .withColumn("p", expr("spark_partition_id()"))
+        .groupBy("p").agg(sum("b").as("bytes"))
+        .select("bytes").collect().map(_.getLong(0))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val maxRow = 100L * 1000
+      println(f"byte-budget $tag: $secs%.2f s, ${perPart.length} parts, " +
+        f"max ${perPart.max / 1e6}%.1f MB vs bound ${(target + maxRow) / 1e6}%.1f MB, " +
+        f"spread max/avg ${perPart.max.toDouble / (perPart.sum / perPart.length)}%.2f")
+      assert(perPart.max <= target + maxRow, "byte bound violated")
+    }
+    byteProbe(100000L, "100k skewed")
+    byteProbe(1000000L, "1M skewed (10x)")
+
+    // round-6: trained k-means pass-linearity — same k/iters at 1x and
+    // 10x the vectors; Lloyd's cost is (iters+1) scans + k·dims
+    // aggregates, so wall-time should grow ~linearly with the data and
+    // the round STRUCTURE (pass count) not at all.
+    def kmeansProbe(df: org.apache.spark.sql.DataFrame, tag: String): Unit =
+      time(s"kmeans k=8 iters=3 $tag")(graft.ops.Similarity.kmeansAssign(
+        df, "vec_id", "embedding", k = 8, iters = 3).count())
+    kmeansProbe(embBase, s"1x ($en vecs)")
+    kmeansProbe(emb, s"${mult}x")
     spark.stop()
   }
 }

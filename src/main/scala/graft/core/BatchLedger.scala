@@ -39,6 +39,31 @@ final class BatchLedger(spark: SparkSession, ledgerPath: String,
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
     catch { case _: java.io.FileNotFoundException => 0 }
 
+  private def tmpPath = new org.apache.hadoop.fs.Path(
+    ledgerPath.stripSuffix("/") + "__compact_tmp")
+
+  /** Crash recovery for the compaction swap: a driver that died between
+    * `delete(ledger)` and `rename(tmp, ledger)` leaves ONLY the tmp copy
+    * — without this step the next allocation would see "no ledger" and
+    * silently restart at batch_id 1, making idempotent sinks treat new
+    * batches as replays (data loss). Tmp present + ledger missing ⇒ the
+    * tmp copy IS the ledger: rename it back. Tmp present + ledger intact
+    * ⇒ the crash happened before the delete; the tmp copy is stale —
+    * drop it.
+    */
+  private def recoverCompaction(): Unit = {
+    val t = tmpPath
+    if (fs.exists(t)) {
+      if (!fs.exists(hadoopPath)) {
+        if (!fs.rename(t, hadoopPath))
+          throw new java.io.IOException(
+            s"ledger compaction recovery rename failed: $t -> $ledgerPath")
+      } else {
+        fs.delete(t, true)
+      }
+    }
+  }
+
   /** Rewrite the append-only ledger directory into ONE file once it
     * accretes more than `maxFragments` part-files: every allocation reads
     * max(batch_id) over the whole directory, so an unbounded fragment
@@ -46,12 +71,12 @@ final class BatchLedger(spark: SparkSession, ledgerPath: String,
     * listing + open storm. Compaction keeps the allocation read bounded
     * regardless of how many batches have ever run. Single-driver ledger
     * (class contract), so the rewrite cannot race an allocator; the
-    * temp-write → delete → rename sequence leaves a recoverable
-    * `__compact_tmp` copy if the driver dies mid-swap.
+    * temp-write → delete → rename sequence leaves a `__compact_tmp` copy
+    * that [[recoverCompaction]] (run before every allocation and read)
+    * renames back if the driver dies mid-swap.
     */
   private def compactIfNeeded(): Unit = if (fragmentCount > maxFragments) {
-    val tmp = new org.apache.hadoop.fs.Path(
-      ledgerPath.stripSuffix("/") + "__compact_tmp")
+    val tmp = tmpPath
     existing.foreach { df =>
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       fs.delete(hadoopPath, true)
@@ -64,6 +89,7 @@ final class BatchLedger(spark: SparkSession, ledgerPath: String,
   /** Allocate the next batch id and durably record the run row. */
   def newBatch(pipelineName: String, dateFrom: String, dateTo: String,
                comment: String): Long = {
+    recoverCompaction()
     compactIfNeeded()
     val nextId: Long = existing
       .flatMap(df => Option(df.agg(max("batch_id")).first().get(0)))
@@ -75,8 +101,10 @@ final class BatchLedger(spark: SparkSession, ledgerPath: String,
     nextId
   }
 
-  def history: DataFrame = existing.getOrElse(
-    spark.emptyDataFrame)
+  def history: DataFrame = {
+    recoverCompaction()
+    existing.getOrElse(spark.emptyDataFrame)
+  }
 }
 
 object BatchLedger {

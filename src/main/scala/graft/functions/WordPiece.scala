@@ -142,11 +142,20 @@ object WordPiece {
     * vocab ships once per executor JVM, not once per row or task.
     * Trailing CRs are stripped (Windows-written files) and blank lines
     * dropped; order is preserved (ids are positional in the HF format).
+    * Opened through the Hadoop FileSystem API (not java.io) so the vocab
+    * can live where checkpoint artifacts live at scale — hdfs:// or
+    * s3a:// paths work exactly like local ones.
     */
   def loadVocab(path: String): Seq[String] = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
-    try src.getLines().map(_.stripSuffix("\r")).filter(_.nonEmpty).toVector
-    finally src.close()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      p.getFileSystem(conf).open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .map(_.stripSuffix("\r")).filter(_.nonEmpty).toVector
+    finally reader.close()
   }
 
   /** Greedy WordPiece pieces of an (already tokenizer-ready) string. */

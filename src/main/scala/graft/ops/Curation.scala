@@ -165,6 +165,11 @@ object Curation {
     * should stick to 0.5. Each weight is cast to DECIMAL(38,14) before
     * the sum so the total is order-independent, then the rate arithmetic
     * is fixed-order double ops.
+    *
+    * NULL strata are a first-class source: `groupBy` already counts the
+    * NULL group, and the rate dimension joins back NULL-SAFELY (`<=>`),
+    * so NULL-strata rows are sampled at their own group's rate instead
+    * of silently vanishing through an inner equi-join's null-key drop.
     */
   def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
                          alpha: Double, targetFrac: Double): DataFrame = {
@@ -178,12 +183,12 @@ object Curation {
       sum("__g_n").cast("double").as("__g_total"),
       sum(weight.cast("decimal(38,14)")).cast("double").as("__g_wsum"))
     val rates = counts.crossJoin(totals).select(
-      col(strataCol),
+      col(strataCol).as("__g_strata"),
       least(lit(1.0),
         lit(targetFrac) * col("__g_total") * weight / col("__g_wsum") / nD)
         .as("__g_rate"))
-    df.join(broadcast(rates), strataCol)
+    df.join(broadcast(rates), col(strataCol) <=> col("__g_strata"))
       .filter(hashBucket(col(idCol)) < col("__g_rate") * 65536)
-      .drop("__g_rate")
+      .drop("__g_strata", "__g_rate")
   }
 }

@@ -134,12 +134,20 @@ object Dedup {
     * posexplode index, never from a global sort.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-                 minDocs: Int = 2): DataFrame = {
-    val lines = df
+                 minDocs: Int = 2, minLineChars: Int = 1): DataFrame = {
+    // cached: the exploded line relation feeds both the boilerplate
+    // dictionary and the rebuild (one explode pass, not two)
+    val lines = graft.core.Caches.track(df
       .select(col(idCol), posexplode(split(col(textCol), "\n"))
         .as(Seq("__g_pos", "__g_line")))
-      .withColumn("__g_h", md5(col("__g_line")))
+      .withColumn("__g_h", md5(col("__g_line"))))
+    // lines shorter than minLineChars never enter the dictionary: with
+    // the default (1) a blank line ("" from "\n\n") can never be
+    // classified boilerplate — otherwise every paragraph separator in
+    // the corpus would trip the >= minDocs test and be stripped
+    // corpus-wide
     val boilerplate = lines
+      .filter(length(col("__g_line")) >= minLineChars)
       .groupBy("__g_h")
       .agg(countDistinct(col(idCol)).as("__g_nd"))
       .filter(col("__g_nd") >= minDocs)
@@ -155,6 +163,73 @@ object Dedup {
         count(lit(1)).as("__g_kept"))
     df.select(col(idCol),
         size(split(col(textCol), "\n")).cast("long").as("__g_tot"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__g_tot") - coalesce(col("__g_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Cross-document exact SUBSTRING dedup — the scalable approximation of
+    * suffix-array span removal ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2021): any word span of length
+    * ≥ `k` that also appears in another document is removed from every
+    * document EXCEPT the one with the smallest id (first occurrence
+    * survives — the ExactSubstr policy). Word-granular: a duplicated
+    * passage of length L ≥ k is covered by its L−k+1 overlapping k-gram
+    * fingerprints, whose union is exactly the passage, so merging
+    * adjacent matching runs falls out of position-set union — no
+    * suffix array needed.
+    *
+    * Returns one row per input document: `idCol`, `clean_text` (kept
+    * words re-joined in original order) and `n_removed` (words removed).
+    *
+    * Plan shape at 100 TB — four bounded-key shuffles, no global sort:
+    * (1) the duplicated-gram dictionary groups by the k-gram's md5 (32
+    * hex chars regardless of k, two-level partial agg); (2) the coverage
+    * join co-partitions grams and dictionary on that same fingerprint
+    * (the dictionary is the duplicated grams only — tiny vs the corpus,
+    * usually AQE-broadcast); (3) covered positions dedup on (doc, pos);
+    * (4) the rebuild groups by document id with order restored from the
+    * captured posexplode index. The k-gram explode is k× the corpus in
+    * rows but each row is one fixed-width hash, not text.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, "span length k >= 2")
+    val nonBlank = df.filter(trim(col(textCol)) =!= "")
+      .withColumn("__g_w", split(trim(col(textCol)), "\\s+"))
+    // (doc, word, 0-based position) — feeds the rebuild
+    val words = nonBlank
+      .select(col(idCol), posexplode(col("__g_w")).as(Seq("__g_p", "__g_word")))
+    // (doc, 0-based start, gram md5) — feeds dictionary AND coverage: cache
+    val grams = graft.core.Caches.track(nonBlank
+      .filter(size(col("__g_w")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__g_w")) - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("__g_w"), i, lit(k))))))
+        .as(Seq("__g_i", "__g_h"))))
+    val dup = grams.groupBy("__g_h")
+      .agg(countDistinct(col(idCol)).as("__g_nd"), min(col(idCol)).as("__g_keep"))
+      .filter(col("__g_nd") >= minDocs)
+      .select("__g_h", "__g_keep")
+    // every position under a duplicated gram, in docs that are NOT the
+    // gram's survivor
+    val covered = grams.join(dup, "__g_h")
+      .filter(col(idCol) =!= col("__g_keep"))
+      .select(col(idCol),
+        explode(sequence(col("__g_i"), col("__g_i") + (k - 1))).as("__g_p"))
+      .distinct()
+    val rebuilt = words.join(covered, Seq(idCol, "__g_p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__g_p"), col("__g_word")))),
+            _.getField("__g_word")),
+          " ").as("clean_text"),
+        count(lit(1)).as("__g_kept"))
+    df.select(col(idCol),
+        TextAnalysis.tokenCountWs(col(textCol)).as("__g_tot"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
@@ -317,22 +392,39 @@ object Dedup {
     * The result is therefore EXACT while the join input shrinks to
     * ~(dup_rate + fpp) of incoming. The oracle is the plain anti-join.
     *
-    * Cost notes (the parts that are NOT lazy): `history.stat.bloomFilter`
-    * runs an EAGER aggregation job over history at call time — that scan
-    * is the price of shrinking the join, schedule it accordingly. The
-    * flagged incoming relation is evaluated ONCE and cached (tracked in
+    * Cost notes (the parts that are NOT lazy): the Bloom build is an
+    * EAGER aggregation job over history at call time — that scan is the
+    * price of shrinking the join, schedule it accordingly. The build and
+    * the probe are both NATIVE catalyst expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain` over
+    * `xxhash64(key)`, via the Shims seam — no Scala UDF), so the probe
+    * filter stays inside WholeStageCodegen. The flagged incoming
+    * relation is evaluated ONCE and cached (tracked in
     * [[graft.core.Caches]]): both the definitely-new branch and the
     * exact-check branch read the cached split, so incoming is neither
     * rescanned nor double-hashed by the union's two consumers.
+    *
+    * Null keys: `xxhash64(null)` is the (non-null) seed hash, so a null
+    * incoming key either skips the join as definitely-new or reaches the
+    * anti-join, where a null key never matches — kept either way, same
+    * as the exact plan.
     */
   def newAgainstHistory(incoming: DataFrame, history: DataFrame, keyCol: String,
                         expectedItems: Long = 1000000L,
                         fpp: Double = 0.01): DataFrame = {
-    val bf = history.stat.bloomFilter(keyCol, expectedItems, fpp) // eager job
-    val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    import org.apache.spark.sql.graft.Shims
+    // optimal bit count for the target fpp: -n·ln(p) / (ln 2)²
+    val numBits = math.max(64L, math.ceil(
+      -expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bfBytes = history
+      .select(Shims.bloomFilterAgg(xxhash64(col(keyCol)), expectedItems, numBits)
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf") // eager job
+    // the aggregate yields NULL over an empty history — everything is new
+    if (bfBytes == null) return incoming
     val flagged = graft.core.Caches.track(
-      incoming.withColumn("__graft_bf_hit", mightContain(col(keyCol))))
+      incoming.withColumn("__graft_bf_hit",
+        Shims.bloomMightContain(bfBytes, xxhash64(col(keyCol)))))
     val definitelyNew = flagged.filter(!col("__graft_bf_hit"))
     val needExactCheck = flagged.filter(col("__graft_bf_hit"))
       .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")

@@ -89,17 +89,38 @@ object TextAnalysis {
 
   /** Most-frequent-adjacent-bigram fraction (the second Gopher repetition
     * rule): occurrences of the commonest word pair × 2 / word count.
-    * Counting stays INSIDE one row (self-count via filter over the ~n
-    * bigram array, O(n²) on a bounded doc length) — the alternative, an
-    * explode + per-doc groupBy, shuffles every bigram of the corpus at
-    * 100 TB to compute a per-row statistic.
+    * Counting stays INSIDE one row (no explode — an explode + per-doc
+    * groupBy would shuffle every bigram of the corpus at 100 TB to
+    * compute a per-row statistic): the bigram array is sorted and the
+    * max multiplicity read off as the longest run of equal neighbors —
+    * O(n log n) per row, so a heavy-tailed 300k-word outlier document
+    * costs milliseconds instead of the 10¹⁰ comparisons a per-element
+    * self-count would (one such row would stall its whole stage).
     */
   def topBigramFrac(text: Column): Column = {
     val w = split(trim(text), "\\s+")
-    val bigrams = transform(sequence(lit(1), size(w) - 1),
-      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
-    val maxCnt = array_max(transform(bigrams,
-      b => size(filter(bigrams, x => x === b))))
+    // zip the words with their own 1-shifted slice: every array argument
+    // is evaluated ONCE per row. The transform/element_at(w, i) form
+    // would re-run the split per ELEMENT (higher-order lambdas get no
+    // subexpression elimination) — O(n²) in characters per row. The last
+    // zip slot pairs with null (concat → null) and is filtered out.
+    val bigrams = filter(
+      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    // longest equal run over the sorted array == max bigram count; the ""
+    // seed can never equal a real bigram (bigrams contain a space around
+    // non-empty words), so the first element always starts a run of 1
+    val maxCnt = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
     when(tokenCountWs(text) < 2, lit(0.0))
       .otherwise(maxCnt.cast("double") * 2 / size(w))
   }

@@ -18,14 +18,12 @@ import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
   */
 object R5Queries {
 
-  private val K = 4      // clusters
-  private val ITERS = 2  // Lloyd updates
-  private val DIMS = 64
+  private[queries] val K = 4      // clusters
+  private[queries] val ITERS = 2  // Lloyd updates
+  private[queries] val DIMS = 64
 
-  /** DuckDB restatement of Dedup.dotExact over index i (1-based; local
-    * copy to keep this file self-contained).
-    */
-  private def dotSql(a: String, b: String): String =
+  /** DuckDB restatement of Dedup.dotExact over index i (1-based). */
+  private[queries] def dotSql(a: String, b: String): String =
     s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
 
   /** The unrolled Lloyd chain: seeds (min-id vectors) → c0 (per-dim
@@ -35,24 +33,32 @@ object R5Queries {
     * forward for clusters that lost all members — mirrors
     * [[Similarity.kmeansCentroids]]). Exposes c$ITERS (final centroids)
     * and the final assignment a${ITERS+1}.
+    *
+    * `trainRel` is the relation Lloyd's trains on — seeds, per-iteration
+    * assignments and means all read it; the FINAL assignment pass always
+    * runs over the full `embeddings` table (the [[Similarity.kmeansAssign]]
+    * `train=` contract: train on a sample, assign the corpus).
     */
-  private val kmeansCtes: String = {
+  private[queries] def kmeansCtesOn(trainRel: String): String = {
     val seed =
       s"""seeds AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
          |         embedding
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $K)),
+         |  FROM (SELECT vec_id, embedding FROM $trainRel ORDER BY vec_id LIMIT $K)),
          |c0 AS (
          |  SELECT cluster, i, embedding[i]::DOUBLE AS c
          |  FROM seeds, generate_series(1, $DIMS) g(i))""".stripMargin
     def step(n: Int, withUpdate: Boolean): String = {
       val prev = s"c${n - 1}"
+      // training iterations assign the training relation; the final
+      // (no-update) pass assigns the full corpus
+      val rel = if (withUpdate) trainRel else "embeddings"
       val dist =
         s"""d$n AS (
            |  SELECT e.vec_id, c.cluster,
            |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
            |         AS DECIMAL(38,14))) AS DOUBLE) AS d
-           |  FROM embeddings e, $prev c
+           |  FROM $rel e, $prev c
            |  GROUP BY e.vec_id, c.cluster),
            |a$n AS (
            |  SELECT vec_id, cluster FROM d$n
@@ -63,7 +69,7 @@ object R5Queries {
            |  SELECT a.cluster, g.i,
            |    cast(sum(cast(e.embedding[g.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)
            |      / count(*) AS c
-           |  FROM embeddings e JOIN a$n a USING (vec_id),
+           |  FROM $trainRel e JOIN a$n a USING (vec_id),
            |       generate_series(1, $DIMS) g(i)
            |  GROUP BY a.cluster, g.i),
            |c$n AS (
@@ -73,6 +79,8 @@ object R5Queries {
     (seed +: (1 to ITERS + 1).map(n => step(n, withUpdate = n <= ITERS)))
       .mkString("," + System.lineSeparator())
   }
+
+  private val kmeansCtes: String = kmeansCtesOn("embeddings")
 
   val all: Seq[Q] = Seq(
 
@@ -253,7 +261,7 @@ object R5Queries {
           |         unnest(generate_series(1, len(ls))) AS pos
           |  FROM la),
           |dup AS (
-          |  SELECT md5(line) AS h FROM lines
+          |  SELECT md5(line) AS h FROM lines WHERE len(line) >= 1
           |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
           |kept AS (SELECT * FROM lines WHERE md5(line) NOT IN (SELECT h FROM dup))
           |SELECT s.doc_id,

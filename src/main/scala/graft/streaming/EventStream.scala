@@ -229,4 +229,46 @@ object EventStream {
     finally q.stop()
     spark.table(queryName)
     }
+
+  /** Streaming CURATION: the batch corpus-curation entry composed as an
+    * incremental query — quality gate (pure scan-stage expression, the
+    * same [[graft.ops.TextAnalysis.qualityScore]] the batch path runs)
+    * feeding streaming exact-dedup (`dropDuplicates` on the text's md5
+    * fingerprint, the stateful op behind `stream_dedup`). Append mode
+    * emits each fingerprint's FIRST arrival and suppresses repeats, so
+    * incremental ingest keeps the curated corpus exactly-once-per-text.
+    *
+    * Only the fingerprint column is emitted: which raw row arrives first
+    * is micro-batch-order-dependent in any engine, while the surviving
+    * KEY SET is deterministic — the same keys-only contract as
+    * `stream_dedup`, making the result ≡ the batch
+    * `SELECT DISTINCT md5(text) WHERE quality ≥ τ`.
+    *
+    * Documents carry no event time, so the key state is unbounded here;
+    * a production deployment keys by (ingest_date, fp) under
+    * `dropDuplicatesWithinWatermark` to bound it — the plan (filter →
+    * stateful dedup) is unchanged.
+    */
+  def runCurationStream(spark: SparkSession, sfDir: String,
+                        minQuality: Double = 0.5,
+                        queryName: String = "graft_curation_stream"): DataFrame =
+    withStatePartitions(spark) {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val curated = stream
+      .filter(graft.ops.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .select(md5(col("text")).as("fp"))
+      .dropDuplicates("fp")
+    val q = curated.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+    }
 }

@@ -66,6 +66,31 @@ object Shims {
     find(plan).map(_.selectedPartitions.partitionCount)
   }
 
+  /** Bloom-filter build as a native catalyst aggregate
+    * (`BloomFilterAggregate` has no public `functions._` surface):
+    * `value` must be a LongType hash (pair it with `xxhash64`, the hash
+    * [[bloomMightContain]] probes with). Returns the serialized filter
+    * as one binary value.
+    */
+  def bloomFilterAgg(value: Column, estimatedItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(value),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Codegen'd Bloom probe (`BloomFilterMightContain`) against a
+    * driver-held serialized filter — the native replacement for a Scala
+    * UDF closure over a broadcast sketch: stays inside WholeStageCodegen
+    * and keeps the enclosing filter pushdown-eligible. `value` must be
+    * the same `xxhash64` hash the filter was built from.
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      expression(value)))
+
   /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the seam custom
     * logical operators use to enter the public Dataset API.

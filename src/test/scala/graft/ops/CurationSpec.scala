@@ -167,4 +167,24 @@ class CurationSpec extends SparkSpec {
       targetFrac = 0.5)
     assert(first.orderBy("id").collect().toSeq == again.orderBy("id").collect().toSeq)
   }
+
+  test("temperatureMixture: NULL strata are a first-class source, not dropped") {
+    // an inner equi-join on the strata key silently discards NULL-key rows;
+    // the null-safe join must sample them at their own group's rate
+    val df = ((1L to 100L).map(i => (i, Option("web"))) ++
+      (201L to 300L).map(i => (i, Option.empty[String]))).toDF("id", "src")
+    // alpha=1, targetFrac=1: every source's rate is exactly 1 — ALL rows
+    // survive, including every NULL-strata row
+    val all = Curation.temperatureMixture(df, "src", "id", alpha = 1.0,
+      targetFrac = 1.0)
+    assert(all.count() == 200)
+    assert(all.filter($"src".isNull).count() == 100)
+    // at a partial rate the NULL group is sampled like any other stratum:
+    // both strata have n=100, so both get the same keep rate, and the
+    // NULL side keeps a non-empty hash-deterministic subset
+    val half = Curation.temperatureMixture(df, "src", "id", alpha = 0.5,
+      targetFrac = 0.5)
+    val nullKept = half.filter($"src".isNull).count()
+    assert(nullKept > 20 && nullKept < 80, s"null stratum kept $nullKept of 100")
+  }
 }

@@ -39,6 +39,28 @@ class DedupSpec extends SparkSpec {
     assert(sloppy == want)
   }
 
+  test("newAgainstHistory probes with the native Bloom expression (no UDF) " +
+    "and survives an empty history") {
+    val history = Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "fp")
+    val incoming = Seq((10L, "aaa"), (11L, "new1")).toDF("id", "fp")
+    val out = Dedup.newAgainstHistory(incoming, history, "fp", expectedItems = 100)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"Bloom probe left codegen:\n$plan")
+    // the probe column may sit inside a cached relation in the physical
+    // plan; the analyzed plan always shows the expression itself
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.contains("might_contain"),
+      s"native Bloom probe missing:\n$analyzed")
+    assert(out.select("id").as[Long].collect().toSet == Set(11L))
+    // empty history: the Bloom aggregate yields NULL — everything is new,
+    // not silently dropped
+    val empty = history.filter(lit(false))
+    val all = Dedup.newAgainstHistory(incoming, empty, "fp", expectedItems = 100)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(10L, 11L))
+  }
+
   test("minhashCandidates surfaces a planted near-dup, skips unrelated docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " tokTail" // J = 56/62 on word-5-gram space
@@ -119,6 +141,52 @@ class DedupSpec extends SparkSpec {
     assert(out(0) == ((1L, "body one\nbody one", 2L)))
     assert(out(1) == ((2L, "body two", 2L)))
     assert(out(2) == ((3L, "unique document\nno boilerplate here", 0L)))
+  }
+
+  test("dedupLines: blank lines are never boilerplate (paragraph separators survive)") {
+    // "" appears in all 3 docs — without the length exemption every
+    // paragraph break in the corpus would be stripped as boilerplate
+    val df = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "different first\n\ndifferent second"),
+      (3L, "third intro\n\nthird body")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out(0) == ((1L, "para one\n\npara two", 0L)))
+    assert(out(1) == ((2L, "different first\n\ndifferent second", 0L)))
+    assert(out(2) == ((3L, "third intro\n\nthird body", 0L)))
+  }
+
+  test("dedupSpans: a shared 60-word passage is removed from the later doc " +
+    "only; unique text and short overlaps survive") {
+    val passage = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val doc1 = s"intro one two three $passage outro alpha beta"
+    val doc2 = s"different opening words here $passage closing tail text"
+    val doc3 = "totally unrelated document with its own words entirely"
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    // doc 1 is the survivor: untouched
+    assert(out(0) == ((1L, doc1, 0L)))
+    // doc 2 loses exactly the 60 shared words, keeps its own frame
+    assert(out(1) == ((2L,
+      "different opening words here closing tail text", 60L)))
+    // doc 3: no cross-doc 8-gram, untouched
+    assert(out(2) == ((3L, doc3, 0L)))
+  }
+
+  test("dedupSpans: spans shorter than k survive; identical docs empty the later one") {
+    val seven = (1 to 7).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$seven padding1 x1 y1 z1"),
+      (2L, s"$seven padding2 x2 y2 z2"), // shares only 7 words: below k=8
+      (10L, "dup doc full match one two three four five six"),
+      (11L, "dup doc full match one two three four five six")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out(0)._3 == 0L && out(1)._3 == 0L) // sub-k overlap kept
+    assert(out(2) == ((10L, "dup doc full match one two three four five six", 0L)))
+    assert(out(3) == ((11L, "", 10L))) // exact dup: later doc fully removed
   }
 
   test("dedupLines: a fully-boilerplate doc survives as an empty row") {

@@ -32,6 +32,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5) == ((0.0, 0.0)))
   }
 
+  test("topBigramFrac is sub-quadratic: a 60k-word outlier doc completes " +
+    "in bounded time with the exact answer") {
+    // heavy-tailed corpora contain such rows; the old per-element
+    // self-count was O(n²) — ~3.6e9 comparisons here, minutes in one task
+    val n = 30000
+    val text = Seq.fill(n)("a b").mkString(" ") // 60k words
+    val t0 = System.nanoTime()
+    val got = Seq(text).toDF("t")
+      .select(TextAnalysis.topBigramFrac($"t").as("b")).as[Double].first()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // "a b" occurs n times over 2n words -> frac = n*2/(2n) = 1.0
+    assert(got == 1.0)
+    assert(secs < 60.0, f"topBigramFrac took $secs%.1f s on a 60k-word doc")
+  }
+
   test("token counts: ws vs BPE-ish regex") {
     val r = Seq("Hello, world! x2").toDF("t").select(
       TextAnalysis.tokenCountWs($"t").as("ws"),

@@ -72,4 +72,31 @@ class PipelinesSpec extends SparkSpec {
     // and no stray compaction temp directory is left behind
     assert(!new java.io.File(s"${path}__compact_tmp").exists())
   }
+
+  test("BatchLedger recovers a compaction swap that crashed mid-rename") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger_r").toString
+    val path = s"$dir/ledger"
+    val ledger = new BatchLedger(spark, path)
+    (1 to 3).foreach(i => ledger.newBatch("p", "20220101", "20230101", s"c$i"))
+    // crash between delete(ledger) and rename(tmp, ledger): only the tmp
+    // copy exists — exactly what a mid-swap driver death leaves behind
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"${path}__compact_tmp")
+    assert(fs.rename(p, tmp))
+    assert(!new java.io.File(path).exists())
+    // next allocation must recover the ledger and CONTINUE the sequence —
+    // a silent restart at 1 would alias new batches onto replayed ids
+    val id4 = ledger.newBatch("p", "20220101", "20230101", "c4")
+    assert(id4 == 4L, s"expected recovery to id 4, got $id4")
+    assert(ledger.history.count() == 4)
+    assert(!new java.io.File(s"${path}__compact_tmp").exists())
+    // crash BEFORE the delete: tmp copy beside an intact ledger is stale
+    // and gets dropped, allocation unaffected
+    fs.mkdirs(tmp)
+    val id5 = ledger.newBatch("p", "20220101", "20230101", "c5")
+    assert(id5 == 5L)
+    assert(!new java.io.File(s"${path}__compact_tmp").exists())
+  }
 }
