@@ -191,4 +191,40 @@ object Curation {
       .filter(hashBucket(col(idCol)) < col("__g_rate") * 65536)
       .drop("__g_strata", "__g_rate")
   }
+
+  /** Seeded deterministic corpus shuffle into training shards — the
+    * write-side of every pretraining run: break row-order correlations
+    * (sources arrive clustered; training wants them interleaved) and
+    * emit shard files a data loader can stream independently.
+    *
+    * Each row draws a reproducible key `md5(seed || ':' || id)`; its
+    * shard is the key's first 4 hex digits mod `nShards`, and its
+    * position is the key's rank WITHIN that shard. Determinism is total
+    * (same seed ⇒ same order, on any engine with md5, across retries);
+    * a different seed reshuffles everything.
+    *
+    * Plan shape at 100 TB: this is ONE hash-partitioned exchange on
+    * `shard` followed by a per-shard sort — `row_number` runs over
+    * `partitionBy(shard)`, never a global window, so shards sort in
+    * parallel and no single task sees more than ~corpus/nShards rows.
+    * (An EXACT-fixed-size variant would need a global row_number — a
+    * serialization point this design deliberately avoids; hash balance
+    * across 65536 key values keeps shard sizes within sampling noise,
+    * which is what real shard writers accept too.)
+    *
+    * Output: (shard, pos, id) — join back to the corpus on `id` to
+    * materialize payload-bearing shards, or pass a payload-bearing `df`
+    * directly and write `partitionBy("shard")`.
+    */
+  def seededShards(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String): DataFrame = {
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    df.select(col(idCol), key.as("__key"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col(idCol))
+  }
 }

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical language-model quality signals for corpus curation — the
+  * CCNet / DSIR family of filters: score every document against a trained
+  * reference distribution, keep the fluent / on-target tail.
+  * (North-star extension surface; reference analogue: the per-row
+  * text-scoring shape of
+  * /root/reference/diagnostic_group_pipeline_with_api.py:131.)
+  *
+  * Cross-engine determinism: no `ln`/`exp` anywhere (libm last-ulp drift
+  * would break the DuckDB hash gate). The fluency score is the MEAN
+  * IN-CONTEXT BIGRAM PROBABILITY — a monotone stand-in for (inverse)
+  * perplexity built from integer counts and IEEE-exact double division —
+  * and the DSIR signal is a linear probability contrast rather than a
+  * log-likelihood ratio. Every per-token addend is cast to a wide decimal
+  * before summing, so aggregation order can never change the result.
+  *
+  * Plan shape at 100 TB: the models are TINY relative to the corpus — a
+  * min-count-capped bigram table and a 65536-row bucket histogram — so
+  * both scoring joins are explicit broadcasts; the corpus itself is
+  * touched by one explode + one per-doc re-aggregation (a shuffle keyed
+  * by doc id, the unavoidable cost of a per-document statistic over
+  * exploded tokens). Model TRAINING reads the reference subset only —
+  * train on a hash-sample of the corpus (the [[Curation.hashBucket]]
+  * seam) and the training aggregations never see the full data.
+  */
+object LmSignals {
+
+  private def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Per-row (prefix, bigram) pairs as an array of structs: the word
+    * array zipped against its own 1-shifted slice, so the text is split
+    * ONCE per row (the [[TextAnalysis.topBigramFrac]] idiom — a
+    * `transform`/`element_at` form would re-split per element). Blank
+    * text yields `[""]` whose lone slot pairs with the null pad and is
+    * filtered out — zero bigrams, matching the SQL `generate_series(1,
+    * len-1)` restatement exactly.
+    */
+  private def bigramPairs(text: Column): Column = {
+    val w = words(text)
+    filter(
+      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => struct(a.as("prefix"), concat(a, lit(" "), b).as("big"))),
+      x => x.getField("big").isNotNull)
+  }
+
+  /** Add-one-smoothed bigram LM fluency score (CCNet-shaped quality
+    * filter): train bigram and unigram counts on `ref` (the clean
+    * reference subset — in-language Wikipedia in CCNet; here any
+    * filtered/sampled relation), then score each document by the mean
+    * probability its bigrams receive under the model,
+    *
+    *   p(b | a) = (C2(a b) + 1) / (C1(a) + V)
+    *
+    * with `C2` kept only above `minCount` (the df-cap idiom: the model
+    * stays bounded no matter how large the reference is — rare bigrams
+    * contribute through the smoothing floor alone) and `V` = reference
+    * vocabulary size. Unseen prefixes get the pure smoothing floor
+    * `1 / V`. Fluent in-distribution text scores high; gibberish and
+    * out-of-language text sink to the floor.
+    *
+    * Output: (id, n_bigrams, lm_score), one row per input document;
+    * documents with no bigrams score 0 by convention.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    ref: DataFrame, refTextCol: String,
+                    minCount: Long = 2L): DataFrame = {
+    val uni = ref
+      .select(explode(words(col(refTextCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c1"))
+    // vocab size as a 1-row relation (kept in-plan, not collected)
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val bi = ref
+      .select(explode(bigramPairs(col(refTextCol))).as("__p"))
+      .select(col("__p.big").as("__big"))
+      .groupBy("__big").agg(count(lit(1)).as("__c2"))
+      .filter(col("__c2") >= minCount)
+
+    val docBigrams = docs
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("__p"))
+      .select(col(idCol), col("__p.prefix").as("__prefix"),
+        col("__p.big").as("__big"))
+
+    val p = (coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double")
+    val joined = docBigrams
+      .join(broadcast(bi.withColumnRenamed("__big", "__mbig")),
+        col("__big") === col("__mbig"), "left")
+      .join(broadcast(uni.withColumnRenamed("__w", "__mw")),
+        col("__prefix") === col("__mw"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(p.cast(DecimalType(38, 14))).cast("double") / count(lit(1)))
+          .as("lm_score"))
+    docs.select(col(idCol))
+      .join(joined, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
+  /** DSIR-shaped importance signal (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): represent every word by
+    * a HASHED feature bucket ([[Curation.hashBucket]], 65536 buckets —
+    * fixed model size regardless of vocabulary), estimate the bucket
+    * distribution of a TARGET subset and of the RAW corpus, and score
+    * each document by the mean per-word probability contrast
+    *
+    *   score(d) = (1/|d|) · Σ_w  (p_target[b(w)] − p_raw[b(w)])
+    *
+    * — a linear discriminant toward the target distribution (the paper
+    * uses the log-ratio; the difference form ranks near-identically and
+    * is bit-portable, see the object doc). Positive ⇒ the document looks
+    * more like the target than the background; selection = top fraction
+    * by score.
+    *
+    * Output: (id, n_words, dsir_score) for every input document; empty
+    * documents score 0.
+    */
+  def dsirContrast(docs: DataFrame, idCol: String, textCol: String,
+                   targetFilter: Column): DataFrame = {
+    val tok = docs
+      .select(col(idCol), targetFilter.as("__is_t"),
+        explode(words(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .withColumn("__b", Curation.hashBucket(col("__w")))
+    // one pass builds both histograms: conditional counts per bucket
+    val hist = tok.groupBy("__b").agg(
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"),
+      count(lit(1)).as("__cr"))
+    val totals = hist.agg(
+      sum("__ct").as("__tt"), sum("__cr").as("__tr"))
+    val contrast = hist.crossJoin(totals).select(
+      col("__b").as("__mb"),
+      (col("__ct").cast("double") / col("__tt") -
+        col("__cr").cast("double") / col("__tr")).as("__diff"))
+    val scored = tok
+      .join(broadcast(contrast), col("__b") === col("__mb"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_words"),
+        (sum(col("__diff").cast(DecimalType(38, 14))).cast("double") /
+          count(lit(1))).as("dsir_score"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -123,5 +123,38 @@ object TextAnalysis {
       acc => acc.getField("mx"))
     when(tokenCountWs(text) < 2, lit(0.0))
       .otherwise(maxCnt.cast("double") * 2 / size(w))
+  }
+
+  /** Tokenizer-vocabulary construction with corpus coverage — the "how
+    * big must the vocab be" curve every tokenizer-training run starts
+    * from: whitespace-token frequencies, ranked, with the cumulative
+    * fraction of all token OCCURRENCES a top-`topK` vocabulary covers.
+    *
+    * Plan shape at scale: one map-side-combined word-count aggregation
+    * (the only corpus-sized shuffle), then `orderBy(freq).limit(topK)` —
+    * Spark plans TakeOrderedAndProject, never a global sort — and the
+    * running-coverage window runs over the `topK`-row survivor set only
+    * (a single tiny partition by construction, not a global window over
+    * the vocabulary). Ties broken by term so ranks are total.
+    *
+    * Output: (rank, term, freq, coverage), `topK` rows.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum("freq").as("__total"))
+    val top = counts.orderBy(col("freq").desc, col("term").asc).limit(topK)
+    val w = Window.orderBy(col("freq").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term").asc)).cast("long"))
+      .withColumn("coverage",
+        sum("freq").over(w).cast("double") / col("__total"))
+      .select("rank", "term", "freq", "coverage")
+      .orderBy("rank")
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Curation, Dedup, Similarity}
+import graft.ops.{Curation, Dedup, LmSignals, Similarity, TextAnalysis}
 
 /** Round-6 session queries, closing the VERDICT r5 asks:
   *
@@ -164,6 +164,143 @@ object R6Queries {
           |  FROM t)
           |SELECT DISTINCT md5(text) AS fp FROM t2
           |WHERE quality >= 0.5
-          |ORDER BY fp""".stripMargin))
+          |ORDER BY fp""".stripMargin)),
+
+    Q("ta_lmscore",
+      "CCNet-shaped statistical-LM quality filter: add-one-smoothed " +
+        "bigram model trained on the in-language reference subset " +
+        "(lang='en'), every document scored by its MEAN in-context " +
+        "bigram probability — a log-free, bit-portable stand-in for " +
+        "inverse perplexity (no ln/exp: libm last-ulp drift would break " +
+        "the hash gate). The model is min-count capped so it stays " +
+        "bounded at any reference size and both scoring joins broadcast.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        LmSignals.bigramLmScore(docs, "doc_id", "text",
+            docs.filter(col("lang") === "en"), "text", minCount = 2L)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |refuni AS (
+          |  SELECT word, count(*) AS c1 FROM (
+          |    SELECT unnest(ws) AS word FROM w WHERE lang = 'en')
+          |  WHERE word <> '' GROUP BY word),
+          |vocab AS (SELECT count(*) AS v FROM refuni),
+          |refbi AS (
+          |  SELECT big, count(*) AS c2 FROM (
+          |    SELECT ws[i] || ' ' || ws[i+1] AS big FROM (
+          |      SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          |      FROM w WHERE lang = 'en'))
+          |  GROUP BY big HAVING count(*) >= 2),
+          |docbi AS (
+          |  SELECT doc_id, ws[i] AS prefix, ws[i] || ' ' || ws[i+1] AS big
+          |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          |        FROM w)),
+          |scored AS (
+          |  SELECT doc_id, count(*) AS n_bigrams,
+          |    cast(sum(cast((coalesce(c2, 0) + 1)::DOUBLE /
+          |      (coalesce(c1, 0) + v)::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)
+          |      / count(*) AS lm_score
+          |  FROM docbi
+          |  LEFT JOIN refbi USING (big)
+          |  LEFT JOIN refuni ON docbi.prefix = refuni.word
+          |  CROSS JOIN vocab
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+          |       coalesce(lm_score, 0.0::DOUBLE) AS lm_score
+          |FROM documents d LEFT JOIN scored USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_dsir",
+      "DSIR-shaped importance signal (hashed n-gram importance " +
+        "resampling, Xie et al. 2023): words hashed to 65536 buckets " +
+        "(fixed model size at any vocabulary), target (lang='en') vs " +
+        "raw-corpus bucket distributions estimated in ONE conditional " +
+        "aggregation pass, each document scored by its mean per-word " +
+        "probability contrast toward the target — the linear form of " +
+        "the paper's log-ratio, chosen for bit portability. The 65536-" +
+        "row contrast dimension broadcasts; the corpus shuffles only " +
+        "for the per-doc re-aggregation.",
+      (s, d) => LmSignals.dsirContrast(Tables.documents(s, d),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id"),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, is_t, word,
+          |         ('0x' || substring(md5(word), 1, 4))::BIGINT AS b
+          |  FROM (SELECT doc_id, lang = 'en' AS is_t,
+          |               unnest(string_split_regex(trim(text), '\s+')) AS word
+          |        FROM documents)
+          |  WHERE word <> ''),
+          |hist AS (
+          |  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+          |         count(*) AS cr
+          |  FROM tok GROUP BY b),
+          |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM hist),
+          |contrast AS (
+          |  SELECT b, ct::DOUBLE / tt - cr::DOUBLE / tr AS diff
+          |  FROM hist CROSS JOIN tot),
+          |scored AS (
+          |  SELECT doc_id, count(*) AS n_words,
+          |    cast(sum(cast(diff AS DECIMAL(38,14))) AS DOUBLE) / count(*)
+          |      AS dsir_score
+          |  FROM tok LEFT JOIN contrast USING (b)
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+          |       coalesce(dsir_score, 0.0::DOUBLE) AS dsir_score
+          |FROM documents d LEFT JOIN scored USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("ta_vocab",
+      "Tokenizer-vocabulary construction with corpus coverage: " +
+        "whitespace-token frequencies (one map-side-combined " +
+        "aggregation — the only corpus-sized shuffle), top-50 via " +
+        "TakeOrderedAndProject (never a global sort), then the " +
+        "cumulative occurrence-coverage curve computed over the 50 " +
+        "survivors only. Ties broken by term so ranks are total.",
+      (s, d) => TextAnalysis.vocabCoverage(
+        Tables.documents(s, d), "text", topK = 50),
+      Some(
+        """WITH counts AS (
+          |  SELECT word AS term, count(*) AS freq
+          |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+          |        FROM documents)
+          |  WHERE word <> '' GROUP BY word),
+          |tot AS (SELECT sum(freq) AS total FROM counts),
+          |top AS (
+          |  SELECT term, freq FROM counts
+          |  ORDER BY freq DESC, term LIMIT 50)
+          |SELECT row_number() OVER (ORDER BY freq DESC, term) AS rank,
+          |  term, freq,
+          |  (sum(freq) OVER (ORDER BY freq DESC, term
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+          |    / total AS coverage
+          |FROM top CROSS JOIN tot
+          |ORDER BY rank""".stripMargin)),
+
+    Q("doc_shards",
+      "Seeded deterministic corpus shuffle into training shards: each " +
+        "row's reproducible key is md5(seed ':' id); shard = first 4 " +
+        "hex digits mod 16, position = key rank WITHIN the shard. One " +
+        "hash exchange + per-shard parallel sort — row_number runs over " +
+        "partitionBy(shard), never a global window, so no task sees " +
+        "more than ~corpus/nShards rows at any scale.",
+      (s, d) => Curation.seededShards(Tables.documents(s, d),
+          "doc_id", nShards = 16, seed = "r6")
+        .orderBy("shard", "pos"),
+      Some(
+        """WITH keyed AS (
+          |  SELECT doc_id, md5('r6:' || doc_id::VARCHAR) AS key,
+          |         ('0x' || substring(md5('r6:' || doc_id::VARCHAR), 1, 4))::BIGINT
+          |           % 16 AS shard
+          |  FROM documents)
+          |SELECT shard,
+          |  row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos,
+          |  doc_id
+          |FROM keyed
+          |ORDER BY shard, pos""".stripMargin))
   )
 }

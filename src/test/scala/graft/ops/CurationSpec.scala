@@ -187,4 +187,27 @@ class CurationSpec extends SparkSpec {
     val nullKept = half.filter($"src".isNull).count()
     assert(nullKept > 20 && nullKept < 80, s"null stratum kept $nullKept of 100")
   }
+
+  test("seededShards: total, deterministic, positions contiguous per shard") {
+    val df = spark.range(0L, 1000L).toDF("id")
+    val a = Curation.seededShards(df, "id", nShards = 8, seed = "s1")
+    val b = Curation.seededShards(df, "id", nShards = 8, seed = "s1")
+    assert(a.count() == 1000)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "same seed ⇒ same assignment")
+    // every shard's positions are 1..n with no gaps
+    val bad = a.groupBy("shard").agg(
+      count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter($"lo" =!= 1 || $"hi" =!= $"n")
+    assert(bad.isEmpty, "positions must be a contiguous 1..n per shard")
+    // shards are hash-balanced: no shard is empty or grossly oversized
+    val sizes = a.groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(sizes.size == 8 && sizes.values.forall(n => n > 60 && n < 200))
+  }
+
+  test("seededShards: a different seed produces a different order") {
+    val df = spark.range(0L, 500L).toDF("id")
+    val a = Curation.seededShards(df, "id", 4, "s1")
+    val b = Curation.seededShards(df, "id", 4, "s2")
+    assert(a.except(b).count() > 0, "reshuffle expected on seed change")
+  }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LmSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ref = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the rug"),
+    (3L, "the dog sat on the mat")).toDF("doc_id", "text")
+
+  test("bigramLmScore: seen bigrams beat the smoothing floor; empty doc scores 0") {
+    val docs = Seq(
+      (10L, "the cat sat"),     // both bigrams seen >= minCount
+      (11L, "zz qq"),           // unseen bigram, unseen prefix -> floor
+      (12L, ""),                // no bigrams
+      (13L, "onlyword")         // one word, no bigrams
+    ).toDF("doc_id", "text")
+    val got = LmSignals.bigramLmScore(docs, "doc_id", "text", ref, "text")
+      .orderBy("doc_id").collect()
+    // vocab of ref: the,cat,sat,on,mat,rug,dog = 7 distinct words
+    val v = 7.0
+    // "the cat": c2=2 (docs 1,2), c1(the)=6; "cat sat": c2=2, c1(cat)=2
+    val expect10 = ((2 + 1) / (6 + v) + (2 + 1) / (2 + v)) / 2
+    assert(math.abs(got(0).getDouble(2) - expect10) < 1e-12)
+    assert(got(0).getLong(1) == 2)
+    // floor: (0+1)/(0+7)
+    assert(math.abs(got(1).getDouble(2) - 1.0 / v) < 1e-12)
+    assert(got(2).getLong(1) == 0 && got(2).getDouble(2) == 0.0)
+    assert(got(3).getLong(1) == 0 && got(3).getDouble(2) == 0.0)
+  }
+
+  test("bigramLmScore: minCount cap drops rare bigrams to the smoothed path") {
+    // "dog sat" appears once in ref -> capped out at minCount=2, so a doc
+    // made of it scores (0+1)/(c1(dog)+V), not (1+1)/(...)
+    val docs = Seq((20L, "dog sat")).toDF("doc_id", "text")
+    val got = LmSignals.bigramLmScore(docs, "doc_id", "text", ref, "text",
+      minCount = 2L).collect()(0)
+    assert(math.abs(got.getDouble(2) - 1.0 / (1 + 7)) < 1e-12)
+    val gotUncapped = LmSignals.bigramLmScore(docs, "doc_id", "text", ref,
+      "text", minCount = 1L).collect()(0)
+    assert(math.abs(gotUncapped.getDouble(2) - 2.0 / (1 + 7)) < 1e-12)
+  }
+
+  test("bigramLmScore ranks fluent in-distribution text above shuffled text") {
+    val docs = Seq(
+      (30L, "the cat sat on the mat"),
+      (31L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val scores = LmSignals.bigramLmScore(docs, "doc_id", "text", ref, "text")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    assert(scores(0) > scores(1))
+  }
+
+  test("dsirContrast: target-heavy vocabulary scores positive, background negative") {
+    // target docs use apple/banana; background uses xray/young; a doc of
+    // target words must out-score a doc of background words
+    val docs = Seq(
+      (1L, "apple banana apple banana", true),
+      (2L, "apple banana banana apple", true),
+      (3L, "xray young xray young", false),
+      (4L, "young xray young xray", false)).toDF("doc_id", "text", "is_t")
+    val got = LmSignals.dsirContrast(docs, "doc_id", "text", col("is_t"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getDouble(2) > 0 && got(1).getDouble(2) > 0)
+    assert(got(2).getDouble(2) < 0 && got(3).getDouble(2) < 0)
+    assert(got.forall(_.getLong(1) == 4))
+  }
+
+  test("dsirContrast: empty docs score 0 and are not dropped") {
+    val docs = Seq((1L, "a b", true), (2L, "", false)).toDF("doc_id", "text", "t")
+    val got = LmSignals.dsirContrast(docs, "doc_id", "text", col("t"))
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(1).getLong(1) == 0 && got(1).getDouble(2) == 0.0)
+  }
+
+  test("scoring joins broadcast (model side never shuffles the corpus twice)") {
+    val docs = Seq((1L, "the cat sat", "en")).toDF("doc_id", "text", "lang")
+    val plan = LmSignals.bigramLmScore(docs, "doc_id", "text", docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

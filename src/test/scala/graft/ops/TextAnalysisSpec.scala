@@ -74,4 +74,27 @@ class TextAnalysisSpec extends SparkSpec {
     // row1: en=2 es=... ' data '=1 -> en; row2: es wins; row3: all 0 -> en (first)
     assert(df.as[String].collect().toSeq == Seq("en", "es", "en"))
   }
+
+  test("vocabCoverage: ranks by freq desc then term, coverage reaches 1 when k >= vocab") {
+    val docs = Seq("b a a", "c b a", "").toDF("text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", topK = 10).collect()
+    // freqs: a=3, b=2, c=1 -> total 6
+    assert(got.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    assert(got.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L))
+    val cov = got.map(_.getDouble(3))
+    assert(math.abs(cov(0) - 3.0 / 6) < 1e-12)
+    assert(math.abs(cov(1) - 5.0 / 6) < 1e-12)
+    assert(math.abs(cov(2) - 1.0) < 1e-12)
+    assert(cov.sliding(2).forall(p => p(0) <= p(1)), "coverage monotone")
+    // topK cuts the list but not the denominator
+    val top1 = TextAnalysis.vocabCoverage(docs, "text", topK = 1).collect()
+    assert(top1.length == 1 && math.abs(top1(0).getDouble(3) - 0.5) < 1e-12)
+  }
+
+  test("vocabCoverage: freq ties break by term ascending") {
+    val docs = Seq("z y x").toDF("text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", topK = 3).collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("x", "y", "z"))
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
 }
