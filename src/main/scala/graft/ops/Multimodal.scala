@@ -6,6 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Multimodal-column operators (north-star extension): treat image/audio/
@@ -164,6 +165,25 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Raw-file ingestion — the front door of a 100 TB multimodal corpus:
+    * Spark's `binaryFile` source reads a directory tree of media files
+    * into (uri, length, mod_time, payload) rows. Scale properties come
+    * from the source itself: files are PACKED into input partitions up to
+    * `spark.sql.files.maxPartitionBytes` (small-file batching for free),
+    * listing is distributed for large trees, and `pathGlobFilter` prunes
+    * non-media files at LISTING time (never opened, never read). Chain
+    * [[extractMeta]] / [[resize]] / [[Layout.repartitionByBytes]] behind
+    * it for the decode → layout pipeline.
+    */
+  def ingestBinaryFiles(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path").as("uri"), col("length"),
+        col("modificationTime").as("mod_time"), col("content").as("payload"))
 
   // ------------------------------------------------------------ operators
 

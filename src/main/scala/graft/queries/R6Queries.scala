@@ -301,6 +301,58 @@ object R6Queries {
           |  row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos,
           |  doc_id
           |FROM keyed
-          |ORDER BY shard, pos""".stripMargin))
+          |ORDER BY shard, pos""".stripMargin)),
+
+    Q("doc_curriculum",
+      "Curriculum ordering for training: documents bucketed by FIXED " +
+        "quality thresholds (scan-local CASE — a rank-based ntile would " +
+        "need a global sort, a serialization point at corpus scale), " +
+        "cleanest bucket first, seeded md5 order WITHIN each bucket " +
+        "(row_number over partitionBy(bucket) — per-bucket parallel " +
+        "sort, no global window). Bucket 0 = highest-quality tier.",
+      (s, d) => {
+        val q = TextAnalysis.qualityScore(col("text"))
+        val key = md5(concat(lit("cur:"), col("doc_id").cast("string")))
+        val bucket = when(q >= 0.75, 0).when(q >= 0.5, 1)
+          .when(q >= 0.25, 2).otherwise(3)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"))
+          .orderBy(col("__key").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("doc_id"), q.as("quality"), bucket.as("bucket"),
+            key.as("__key"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select("bucket", "pos", "doc_id", "quality")
+          .orderBy("bucket", "pos")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, length(text) AS n_chars,
+          |    CASE WHEN trim(text) = '' THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+          |    CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+          |         ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text) END AS punct_ratio,
+          |    ((length(text) - length(replace(text, ' the ', ''))) / 5::DOUBLE
+          |      + (length(text) - length(replace(text, ' a ', ''))) / 3::DOUBLE) AS stop_hits
+          |  FROM documents),
+          |t2 AS (
+          |  SELECT doc_id,
+          |    least(n_chars / 500.0::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
+          |      + (1.0::DOUBLE - punct_ratio) * 0.3::DOUBLE
+          |      + least((CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE
+          |               ELSE stop_hits / n_tokens END) * 4.0::DOUBLE,
+          |              1.0::DOUBLE) * 0.3::DOUBLE AS quality
+          |  FROM t),
+          |b AS (
+          |  SELECT doc_id, quality,
+          |    CASE WHEN quality >= 0.75 THEN 0 WHEN quality >= 0.5 THEN 1
+          |         WHEN quality >= 0.25 THEN 2 ELSE 3 END AS bucket,
+          |    md5('cur:' || doc_id::VARCHAR) AS key
+          |  FROM t2)
+          |SELECT bucket,
+          |  row_number() OVER (PARTITION BY bucket ORDER BY key, doc_id) AS pos,
+          |  doc_id, quality
+          |FROM b
+          |ORDER BY bucket, pos""".stripMargin))
   )
 }

@@ -68,6 +68,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("ingestBinaryFiles: glob prunes at listing, payload bytes survive, meta chains") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binf")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("nested"))
+    val ids = Seq(1L, 2L, 3L)
+    val pngs = ids.map { id =>
+      val png = Multimodal.encodePng(Multimodal.solidGray(
+        Multimodal.fixtureWidth(id), Multimodal.fixtureHeight(id),
+        Multimodal.fixtureGray(id)))
+      val target = if (id == 3L) sub else dir
+      java.nio.file.Files.write(target.resolve(s"img_$id.png"), png)
+      id -> png
+    }.toMap
+    // a decoy the glob must prune at listing time
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "not an image".getBytes)
+
+    val got = Multimodal.ingestBinaryFiles(spark, dir.toString, "*.png")
+    assert(got.columns.toSeq == Seq("uri", "length", "mod_time", "payload"))
+    val rows = got.orderBy("uri").collect()
+    assert(rows.length == 3, "glob must exclude notes.txt; recursion must find nested/")
+    rows.foreach { r =>
+      val id = r.getString(0).replaceAll(".*img_|\\.png", "").toLong
+      assert(r.getAs[Array[Byte]]("payload").toSeq == pngs(id).toSeq)
+      assert(r.getLong(1) == pngs(id).length.toLong)
+    }
+    // the decode stage chains directly on the ingested payload
+    val meta = Multimodal.extractMeta(got, "payload")
+      .select("meta.width", "meta.format").collect()
+    assert(meta.forall(_.getString(1) == "png"))
+  }
+
   test("resize: real decode→rescale→re-encode→re-decode roundtrip") {
     val png = Multimodal.encodePng(Multimodal.solidGray(9, 7, 77))
     val df = Seq((1L, png)).toDF("id", "payload")

@@ -24,6 +24,21 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back(1).isNullAt(1)) // empty string read back as null
   }
 
+  test("ORC round-trip preserves schema and values") {
+    val dir = tmp("graft_orc") + "/out"
+    val df = Seq((1L, "alpha", 1.5), (2L, null.asInstanceOf[String], -0.25))
+      .toDF("id", "name", "score")
+    Sinks.orc(df, dir)
+    val back = Tables.orc(spark, dir).orderBy("id")
+    // ORC reads widen nullability (file-level metadata has no NOT NULL);
+    // names and types must survive exactly
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val rows = back.collect()
+    assert(rows(0).getString(1) == "alpha" && rows(0).getDouble(2) == 1.5)
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == -0.25)
+  }
+
   test("apiSink batches partitions through the pluggable transport (K4)") {
     // task closures are serialized even in local mode: observe via accumulator
     val calls = spark.sparkContext.collectionAccumulator[Int]("api_calls")

@@ -40,4 +40,43 @@ class EventStreamSpec extends SparkSpec {
     assert(stream == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming foreachBatch + idempotent append is exactly-once across a " +
+      "crash between staging and publish, and across restarts") {
+    val sf = graft.SparkSpec.Sf0001
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eos").toString
+    val expected = spark.read.parquet(s"$sf/events.parquet").count()
+
+    def tableCount(name: String): Long =
+      try spark.read.jdbc(url, name, new java.util.Properties).count()
+      catch { case _: Exception => -1L }
+
+    // run 1: inject a crash AFTER staging, BEFORE the atomic publish —
+    // the worst window (work done, nothing recorded)
+    val boom = intercept[Throwable] {
+      EventStream.runExactlyOnceJdbc(spark, sf, url, ckpt,
+        dataTable = "ev_out", ledgerTable = "ev_ledger",
+        beforePublish = _ => throw new RuntimeException("injected crash"))
+    }
+    assert(Option(boom.getMessage).exists(_.contains("injected"))
+      || Option(boom.getCause).exists(c =>
+        Option(c.getMessage).exists(_.contains("injected"))),
+      s"unexpected failure: $boom")
+    assert(tableCount("ev_out") <= 0, "crash before publish must leave no visible rows")
+
+    // run 2: same checkpoint, fault removed — streaming replays batch 0
+    // with the SAME id, the append completes it exactly once
+    EventStream.runExactlyOnceJdbc(spark, sf, url, ckpt,
+      dataTable = "ev_out", ledgerTable = "ev_ledger")
+    assert(tableCount("ev_out") == expected)
+    assert(tableCount("ev_ledger") == 1, "one ledger row per published batch")
+
+    // run 3: same checkpoint again, no new source data — a restart must
+    // publish nothing new (no duplicate batches, no re-publish)
+    EventStream.runExactlyOnceJdbc(spark, sf, url, ckpt,
+      dataTable = "ev_out", ledgerTable = "ev_ledger")
+    assert(tableCount("ev_out") == expected)
+    assert(tableCount("ev_ledger") == 1)
+  }
 }
