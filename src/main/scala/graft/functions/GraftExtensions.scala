@@ -57,7 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     colFn("graft_fingerprint", graft.ops.TextOps.fingerprint),
     // greedy WordPiece pieces (fixture vocab) over normalized text —
     // SQL surface of graft.ops.Truncate.subwordPieces
-    colFn("graft_wordpiece", c => graft.ops.Truncate.subwordPieces(c)))
+    colFn("graft_wordpiece", c => graft.ops.Truncate.subwordPieces(c)),
+    // round-6 curation/quality signals
+    colFn("graft_hash_bucket", graft.ops.Curation.hashBucket),
+    colFn("graft_strip_markup", graft.ops.Curation.stripMarkup),
+    colFn("graft_dup_words", graft.ops.TextAnalysis.dupWordFrac),
+    colFn("graft_top_bigram", graft.ops.TextAnalysis.topBigramFrac))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     sqlFunctions.foreach(ext.injectFunction)

@@ -353,6 +353,83 @@ object R6Queries {
           |  row_number() OVER (PARTITION BY bucket ORDER BY key, doc_id) AS pos,
           |  doc_id, quality
           |FROM b
-          |ORDER BY bucket, pos""".stripMargin))
+          |ORDER BY bucket, pos""".stripMargin)),
+
+    Q("cdc_scd2",
+      "CDC merge / SCD type-2 dimension maintenance without a table " +
+        "format: the customer snapshot lifted to a versioned dimension, " +
+        "merged with a deterministic change batch (hash-bucketed " +
+        "updates, no-op echoes, and brand-new keys). Updated keys close " +
+        "their open version at the effective date and a new version is " +
+        "born; identical echoes cause NO version churn; new keys " +
+        "insert open. One co-partitioned full-outer sort-merge join " +
+        "whose exchanges the kept/closed/born branches REUSE, + a " +
+        "shuffle-free union with closed history.",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal")
+        val dim = cust
+          .withColumn("valid_from", lit(java.sql.Date.valueOf("2024-01-01")))
+          .withColumn("valid_to", lit(null).cast("date"))
+        val b = Curation.hashBucket(col("c_custkey"))
+        val upd = cust.filter(b < 16384)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        val noop = cust.filter(b >= 16384 && b < 20480)
+        val ins = cust.filter(b < 4096).select(
+          (col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"))
+        val changes = upd.unionByName(noop).unionByName(ins)
+        graft.ops.Cdc.scd2Merge(dim, changes, Seq("c_custkey"),
+            lit(java.sql.Date.valueOf("2024-06-01")))
+          .orderBy(col("c_custkey"), col("valid_from"),
+            col("valid_to").asc_nulls_last)
+      },
+      Some(
+        """WITH dim AS (
+          |  SELECT c_custkey, c_name, c_acctbal,
+          |         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+          |  FROM customer),
+          |hb AS (
+          |  SELECT c_custkey,
+          |         ('0x' || substring(md5(c_custkey::VARCHAR), 1, 4))::BIGINT AS b
+          |  FROM customer),
+          |upd AS (
+          |  SELECT c.c_custkey, c.c_name, c.c_acctbal + 100.0 AS c_acctbal
+          |  FROM customer c JOIN hb USING (c_custkey) WHERE hb.b < 16384),
+          |noop AS (
+          |  SELECT c.c_custkey, c.c_name, c.c_acctbal
+          |  FROM customer c JOIN hb USING (c_custkey)
+          |  WHERE hb.b >= 16384 AND hb.b < 20480),
+          |ins AS (
+          |  SELECT c.c_custkey + 1000000 AS c_custkey,
+          |         'NEW ' || c.c_name AS c_name, 0.0::DOUBLE AS c_acctbal
+          |  FROM customer c JOIN hb USING (c_custkey) WHERE hb.b < 4096),
+          |changes AS (
+          |  SELECT * FROM upd UNION ALL SELECT * FROM noop
+          |  UNION ALL SELECT * FROM ins),
+          |kept AS (
+          |  SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from, d.valid_to
+          |  FROM dim d LEFT JOIN changes ch ON d.c_custkey = ch.c_custkey
+          |  WHERE ch.c_custkey IS NULL
+          |     OR (d.c_name IS NOT DISTINCT FROM ch.c_name
+          |         AND d.c_acctbal IS NOT DISTINCT FROM ch.c_acctbal)),
+          |closed AS (
+          |  SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+          |         DATE '2024-06-01' AS valid_to
+          |  FROM dim d JOIN changes ch ON d.c_custkey = ch.c_custkey
+          |  WHERE NOT (d.c_name IS NOT DISTINCT FROM ch.c_name
+          |             AND d.c_acctbal IS NOT DISTINCT FROM ch.c_acctbal)),
+          |born AS (
+          |  SELECT ch.c_custkey, ch.c_name, ch.c_acctbal,
+          |         DATE '2024-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+          |  FROM changes ch LEFT JOIN dim d ON d.c_custkey = ch.c_custkey
+          |  WHERE d.c_custkey IS NULL
+          |     OR NOT (d.c_name IS NOT DISTINCT FROM ch.c_name
+          |             AND d.c_acctbal IS NOT DISTINCT FROM ch.c_acctbal))
+          |SELECT * FROM kept
+          |UNION ALL SELECT * FROM closed
+          |UNION ALL SELECT * FROM born
+          |ORDER BY c_custkey, valid_from, valid_to NULLS LAST""".stripMargin))
   )
 }

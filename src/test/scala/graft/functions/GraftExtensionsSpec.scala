@@ -53,6 +53,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == Seq("the", "##m", "##e", "p", "##l", "##a", "##y", "##ing"))
   }
 
+  test("round-6 signals are callable from SQL with API parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    registerAll()
+    val row = spark.sql(
+      """SELECT graft_hash_bucket('42') AS hb,
+        |       graft_strip_markup('<p>Hi &amp; bye</p>') AS sm,
+        |       graft_dup_words('a a b') AS dw,
+        |       graft_top_bigram('x y x y x y') AS tb""".stripMargin)
+      .collect()(0)
+    val api = Seq("42").toDF("t")
+      .select(graft.ops.Curation.hashBucket(col("t"))).collect()(0).getLong(0)
+    assert(row.getLong(0) == api)
+    assert(row.getString(1) == "Hi & bye")
+    assert(math.abs(row.getDouble(2) - (1.0 - 2.0 / 3)) < 1e-12)
+    // "x y" appears 3 times among 5 bigrams of 6 words: 3*2/6 = 1.0
+    assert(row.getDouble(3) == 1.0)
+  }
+
   test("wrong arity is a WRONG_NUM_ARGS analysis error, not a builder crash") {
     registerAll()
     val e1 = intercept[org.apache.spark.sql.AnalysisException] {

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("scd2Merge: update closes + reopens, no-op keeps, insert births, history passes through") {
+    val dim = Seq(
+      // closed history row — must pass through untouched
+      (1L, "alice", 10.0, d("2023-01-01"), Option(d("2024-01-01"))),
+      // open rows
+      (1L, "alice", 20.0, d("2024-01-01"), None: Option[java.sql.Date]),
+      (2L, "bob", 30.0, d("2024-01-01"), None),
+      (3L, "carol", 40.0, d("2024-01-01"), None)
+    ).toDF("id", "name", "bal", "valid_from", "valid_to")
+    val changes = Seq(
+      (1L, "alice", 25.0),  // update: bal differs
+      (2L, "bob", 30.0),    // no-op echo: identical
+      (9L, "zoe", 5.0)      // brand-new key
+    ).toDF("id", "name", "bal")
+
+    val got = Cdc.scd2Merge(dim, changes, Seq("id"), lit(d("2024-06-01")))
+      .orderBy(col("id"), col("valid_from"), col("valid_to").asc_nulls_last)
+      .collect()
+
+    val rows = got.map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      r.getDate(3).toString, Option(r.getDate(4)).map(_.toString)))
+    assert(rows.toSeq == Seq(
+      (1L, "alice", 10.0, "2023-01-01", Some("2024-01-01")), // history
+      (1L, "alice", 20.0, "2024-01-01", Some("2024-06-01")), // closed now
+      (1L, "alice", 25.0, "2024-06-01", None),               // reopened
+      (2L, "bob", 30.0, "2024-01-01", None),                 // no-op kept open
+      (3L, "carol", 40.0, "2024-01-01", None),               // untouched
+      (9L, "zoe", 5.0, "2024-06-01", None)))                 // born
+  }
+
+  test("scd2Merge: null attributes compare null-safely (null == null is a no-op)") {
+    val dim = Seq(
+      (1L, null.asInstanceOf[String], d("2024-01-01"), None: Option[java.sql.Date]),
+      (2L, "x", d("2024-01-01"), None)
+    ).toDF("id", "name", "valid_from", "valid_to")
+    val changes = Seq(
+      (1L, null.asInstanceOf[String]), // identical (both null) -> no churn
+      (2L, null.asInstanceOf[String])  // x -> null is a REAL change
+    ).toDF("id", "name")
+    val got = Cdc.scd2Merge(dim, changes, Seq("id"), lit(d("2024-06-01")))
+      .orderBy(col("id"), col("valid_from")).collect()
+    assert(got.length == 3)
+    assert(got(0).getLong(0) == 1L && got(0).isNullAt(3), "null no-op stays open")
+    assert(got(1).getLong(0) == 2L && got(1).getDate(3) == d("2024-06-01"))
+    assert(got(2).getLong(0) == 2L && got(2).isNullAt(1) && got(2).isNullAt(3))
+  }
+
+  test("scd2Merge: idempotent — replaying the same batch changes nothing") {
+    val dim = Seq((1L, "a", d("2024-01-01"), None: Option[java.sql.Date]))
+      .toDF("id", "name", "valid_from", "valid_to")
+    val changes = Seq((1L, "b")).toDF("id", "name")
+    val once = Cdc.scd2Merge(dim, changes, Seq("id"), lit(d("2024-06-01")))
+    val twice = Cdc.scd2Merge(once, changes, Seq("id"), lit(d("2024-06-01")))
+    assert(twice.except(once).isEmpty && once.except(twice).isEmpty,
+      "re-applying an applied batch must be a no-op")
+  }
+
+  test("scd2Merge rejects a change batch with wrong columns") {
+    val dim = Seq((1L, "a", d("2024-01-01"), None: Option[java.sql.Date]))
+      .toDF("id", "name", "valid_from", "valid_to")
+    val bad = Seq((1L, "a", 1.0)).toDF("id", "name", "extra")
+    intercept[IllegalArgumentException] {
+      Cdc.scd2Merge(dim, bad, Seq("id"), lit(d("2024-06-01")))
+    }
+  }
+
+  test("scd2Merge shuffles the dimension once: exchanges are reused across " +
+      "the kept/closed/born branches") {
+    val dim = spark.range(0L, 10000L).toDF("id")
+      .withColumn("name", concat(lit("n"), col("id")))
+      .withColumn("valid_from", lit(d("2024-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+    val changes = spark.range(0L, 100L).toDF("id")
+      .withColumn("name", lit("changed"))
+    val merged = Cdc.scd2Merge(dim, changes, Seq("id"), lit(d("2024-06-01")))
+    merged.count() // materialize so AQE finalizes the physical plan
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage")
+      || plan.count(_ == '\n') > 0 && "Exchange hashpartitioning".r
+        .findAllIn(plan).size <= 2,
+      s"branches must reuse the join exchanges, not re-shuffle:\n$plan")
+  }
+}
