@@ -142,6 +142,39 @@ object Curation {
     df.filter(hashBucket(col(idCol)) < rateCol * 65536)
   }
 
+  /** Deterministic train/validation/test split assignment: each row's
+    * [[hashBucket]] (md5-derived, uniform over [0, 65536)) is compared
+    * against the CUMULATIVE integer thresholds of the requested
+    * fractions, and the row gets the label of the first band it falls
+    * under (any remainder bucket left by the floor of the 65536
+    * quantization lands in the LAST label, so the assignment is total).
+    *
+    * Why this and not `randomSplit`: split membership must be a pure
+    * function of the row's id — stable across reruns, retries, engine
+    * versions, and partition layouts. A train/test boundary that moves
+    * between runs is silent test-set contamination, the worst corruption
+    * a training pipeline can have. Here rerunning on yesterday's corpus
+    * plus new rows never reassigns an old row.
+    *
+    * Plan shape at 100 TB: a scan-stage projection — zero shuffles, zero
+    * aggregates; composes under whatever partitioning the writer wants.
+    * Thresholds are integers (`floor(cumFrac · 65536)`) so the
+    * comparison is exact in any engine with md5.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.floor(f * 65536).toLong)
+    val bucket = hashBucket(col(idCol))
+    val label = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), thr), rest) =>
+      when(bucket < thr, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Temperature-weighted source mixture — the training-mix sampler
     * (UnifiedQA / GPT-3 style): source `i` with `n_i` documents gets
     * sampling probability `p_i ∝ n_i^alpha`, so `alpha = 1` keeps natural

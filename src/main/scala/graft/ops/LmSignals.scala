@@ -152,4 +152,55 @@ object LmSignals {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
   }
+
+  /** Corpus-level collocation mining: the top-k adjacent word pairs by
+    * pointwise mutual information, in the LOG-FREE ratio form
+    *
+    *   pmi_ratio(x y) = C2(x y)·N / (C1(x)·C1(y)),  N = corpus bigram total
+    *
+    * — proportional to `p(x y) / (p(x)·p(y))` with a corpus-constant
+    * factor, i.e. monotone in classic log PMI, so the top-k ranking is
+    * identical while the score stays pure IEEE multiplication/division
+    * (see the object doc on libm). `minCount` is the standard low-frequency
+    * guard: a pair seen twice in a 10¹²-token corpus gets an enormous
+    * ratio by chance; collocation mining always thresholds raw count
+    * first (Church & Hanks 1990).
+    *
+    * Plan shape at 100 TB: bigram and unigram counts are both map-side-
+    * combined aggregates over one explode each; the `minCount` filter
+    * shrinks the bigram relation BEFORE its two unigram joins, and the
+    * final top-k is `orderBy().limit(k)` = TakeOrderedAndProject (never
+    * a global sort). Counts multiply as doubles (`C2·N` at corpus scale
+    * overflows int64 — 10¹²·10¹² — so both factors cast first).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long, topK: Int): DataFrame = {
+    val pairs = docs
+      .select(explode(bigramPairs(col(textCol))).as("__p"))
+      .select(col("__p.prefix").as("__w1"), col("__p.big").as("big"))
+      // second word = the bigram minus "prefix + space" (prefix can be
+      // empty for leading whitespace; substring handles both)
+      .withColumn("__w2",
+        expr("substring(big, length(__w1) + 2, length(big))"))
+    val bi = pairs.groupBy("big", "__w1", "__w2")
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val uni = docs
+      .select(explode(words(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c1"))
+    val total = pairs.agg(count(lit(1)).as("__nbi"))
+    bi.join(uni.select(col("__w").as("__m1"), col("__c1").as("__ca")),
+        col("__w1") === col("__m1"))
+      .join(uni.select(col("__w").as("__m2"), col("__c1").as("__cb")),
+        col("__w2") === col("__m2"))
+      .crossJoin(broadcast(total))
+      .select(col("big").as("bigram"), col("pair_count"),
+        col("__ca").as("w1_count"), col("__cb").as("w2_count"),
+        ((col("pair_count").cast("double") * col("__nbi").cast("double")) /
+          (col("__ca").cast("double") * col("__cb").cast("double")))
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("bigram").asc)
+      .limit(topK)
+  }
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sparse text retrieval over the document corpus: a distributed inverted
+  * index and BM25 ranked search — the retrieval half of a training-data
+  * pipeline (dataset search, decontamination lookups, quality-by-query
+  * probes). (North-star extension surface; reference analogue: the
+  * keyword-filter scan shape of
+  * /root/reference/diagnostic_group_pipeline_with_api.py:131.)
+  *
+  * Cross-engine determinism (the DuckDB hash gate): BM25's idf is the
+  * LOG-FREE Robertson form `(N - df + 0.5) / (df + 0.5)` — the classic
+  * `ln` wrapper is monotone in it, so rankings for any single term agree
+  * and multi-term scores remain a valid relevance surrogate, while the
+  * score stays a pure IEEE-arithmetic expression (libm `ln` differs in
+  * the last ulp across engines and would break the bit-exact gate).
+  * Per-term addends are cast to a wide decimal before the per-document
+  * sum, so aggregation order can never change the score.
+  *
+  * Plan shape at 100 TB:
+  *  - the INDEX build never materializes an unbounded posting group: df
+  *    is counted first (map-side combinable), the stopword band
+  *    (`df > maxDf`) is dropped, and only then are postings collected —
+  *    the `collect_list` group size is bounded by `maxDf` by
+  *    construction. Stopword postings (the scale killer: "the" occurs in
+  *    every English document, a single-key list of 10¹⁰ ids) never
+  *    exist.
+  *  - BM25 prunes to the query's terms IMMEDIATELY after the token
+  *    explode (a handful of terms survive the scan stage), the per-term
+  *    df dimension is a ≤|query| row broadcast, and the final top-k is
+  *    `orderBy().limit(k)` = TakeOrderedAndProject — per-partition heaps
+  *    and a k-row driver merge, never a global sort.
+  */
+object Retrieval {
+
+  private def words(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => w =!= "")
+
+  /** Distributed inverted index with a stopword df-cap: one row per
+    * surviving term carrying its document frequency and the full
+    * posting list (doc ids, numerically sorted, comma-joined — a string
+    * so the row is hashable by any engine).
+    *
+    * Two keyed shuffles, both on `term`: (1) distinct (term, doc) pairs
+    * + df count, (2) the postings collect. The join feeding (2) is on
+    * the same key the collect groups by, so AQE/EnsureRequirements
+    * reuses the exchange rather than adding a third.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxDf: Long): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(words(col(textCol))).as("term"))
+      .distinct() // posting-list semantics: a doc appears once per term
+    val df = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    pairs.join(df, "term")
+      .groupBy("term", "df")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("__doc"))),
+          x => x.cast("string")), ",").as("postings"))
+      .select("term", "df", "postings")
+  }
+
+  /** BM25 ranked retrieval for a literal query: top-k documents by
+    *
+    *   score(d) = Σ_{t ∈ q ∩ d}  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with the log-free Robertson idf (object doc). `k1 = 1.2`,
+    * `b = 0.75` (the standard constants). Output: (id, n_terms, score)
+    * for the k best documents, score-desc / id-asc.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], topK: Int): DataFrame = {
+    val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    // corpus stats as a 1-row relation (kept in-plan): exact integer sum
+    // so avgdl is ONE double division, bit-identical in any engine
+    val stats = base.agg(
+      (sum(size(col("__ws"))).cast("double") / count(lit(1))).as("__avgdl"),
+      count(lit(1)).as("__n"))
+    val tf = base
+      .select(col(idCol), size(col("__ws")).as("__dl"),
+        explode(col("__ws")).as("__t"))
+      .filter(col("__t").isin(queryTerms: _*)) // prune in the scan stage
+      .groupBy(col(idCol), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    // per-query-term df: at most |queryTerms| rows -> broadcast back
+    val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val idf = (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    val tfc = (col("__tf").cast("double") * lit(2.2)) /
+      (col("__tf").cast("double") +
+        lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("__dl").cast("double") / col("__avgdl")))
+    // The addends are magnitude ~10¹ doubles, whose ulp (~4e-15) is FINER
+    // than a 1e-14 decimal quantum — engines that round the shortest
+    // decimal string (JVM BigDecimal.valueOf) vs the exact binary value
+    // can disagree in the 14th place. The exact decimal sum is therefore
+    // re-quantized to 6 decimals (10⁹ × coarser than any addend
+    // discrepancy) before the double cast. The quantization is spelled
+    // `floor(sum·10⁶ + ½)` rather than a decimal downscale-cast because
+    // rescale rounding is NOT portable (Spark rounds HALF_UP, DuckDB
+    // truncates); every step here is exact decimal arithmetic, and the
+    // final ≤2⁵³ integer divides by 10⁶ identically in any IEEE engine.
+    tf.join(broadcast(dfq), "__t").crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        (floor(sum((idf * tfc).cast(DecimalType(38, 14))) * lit(1000000) +
+          lit(0.5).cast(DecimalType(38, 14))).cast("double") /
+          lit(1000000.0)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), col("n_terms"), col("score"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Curation, LmSignals, Retrieval}
+
+/** Round-6 batch 3: sparse retrieval (inverted index + BM25), the
+  * deterministic train/val/test split, and PMI collocation mining —
+  * filling the retrieval/splitting corner of the LLM-pipeline surface
+  * (the reference has no retrieval layer; these are north-star extension
+  * operators like the dedup/similarity family).
+  */
+object R6bQueries {
+
+  private val QueryTerms = Seq("dup", "spark", "vector")
+
+  val all: Seq[Q] = Seq(
+
+    Q("ta_invindex",
+      "Distributed inverted index with the stopword df-cap: distinct " +
+        "(term, doc) pairs, df counted first (map-side combinable), the " +
+        "stopword band dropped, and ONLY THEN postings collected — the " +
+        "collect_list group is bounded by maxDf by construction, so the " +
+        "single-key 10^10-id posting list a naive build creates for " +
+        "'the' at corpus scale never exists. Postings emitted as the " +
+        "numerically-sorted comma-joined id string (engine-portable).",
+      (s, d) => Retrieval.invertedIndex(Tables.documents(s, d),
+          "doc_id", "text", maxDf = 390L)
+        .orderBy("term"),
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT doc_id, word AS term FROM (
+             |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+             |    FROM documents)
+             |  WHERE word <> ''),
+             |dfreq AS (
+             |  SELECT term, count(*) AS df FROM pairs
+             |  GROUP BY 1 HAVING count(*) <= 390)
+             |SELECT term, df,
+             |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+             |FROM pairs JOIN dfreq USING (term)
+             |GROUP BY term, df
+             |ORDER BY term""".stripMargin)),
+
+    Q("ta_bm25",
+      "BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query with " +
+        "the log-free Robertson idf (N-df+0.5)/(df+0.5) — monotone in " +
+        "the classic ln form, pure IEEE arithmetic (no libm). Terms " +
+        "pruned in the scan stage; per-term df is a |query|-row " +
+        "broadcast; per-doc sum decimal-cast (order-independent); " +
+        "top-k via orderBy().limit = TakeOrderedAndProject.",
+      (s, d) => Retrieval.bm25(Tables.documents(s, d),
+        "doc_id", "text", QueryTerms, topK = 15),
+      Some(s"""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\\s+'),
+             |                x -> x <> '') AS ws
+             |  FROM documents),
+             |stats AS (
+             |  SELECT cast(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl,
+             |         count(*) AS n
+             |  FROM base),
+             |tf AS (
+             |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+             |    SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM base)
+             |  WHERE t IN ('dup', 'spark', 'vector')
+             |  GROUP BY 1, 2, 3),
+             |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_terms,
+             |  cast(floor(sum(cast(
+             |    ((cast(n AS DOUBLE) - cast(df AS DOUBLE) + 0.5) /
+             |     (cast(df AS DOUBLE) + 0.5)) *
+             |    ((cast(tf AS DOUBLE) * 2.2) /
+             |     (cast(tf AS DOUBLE) +
+             |      1.2 * (1.0 - 0.75 + 0.75 * cast(dl AS DOUBLE) / avgdl)))
+             |    AS DECIMAL(38,14))) * 1000000
+             |    + cast(0.5 AS DECIMAL(38,14))) AS DOUBLE)
+             |    / 1000000.0 AS score
+             |FROM tf JOIN dfq USING (t) CROSS JOIN stats
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id
+             |LIMIT 15""".stripMargin)),
+
+    Q("doc_split",
+      "Deterministic stratum-free train/val/test assignment (80/10/10): " +
+        "split membership is a pure function of md5(doc_id) against " +
+        "integer cumulative thresholds — stable across reruns, retries " +
+        "and partition layouts (a moving train/test boundary is silent " +
+        "test-set contamination). Zero shuffles: a scan-stage projection.",
+      (s, d) => Curation.assignSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source,
+             |  CASE
+             |    WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+             |         < 52428 THEN 'train'
+             |    WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+             |         < 58982 THEN 'val'
+             |    ELSE 'test'
+             |  END AS split
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("ta_pmi",
+      "Top-20 collocations by log-free PMI ratio C2·N/(C1a·C1b) with the " +
+        "Church-Hanks min-count guard (>= 5) applied BEFORE the unigram " +
+        "joins; counts multiply as doubles (C2·N overflows int64 at " +
+        "corpus scale); top-k = TakeOrderedAndProject, tie-broken on the " +
+        "bigram text.",
+      (s, d) => LmSignals.pmiCollocations(Tables.documents(s, d),
+        "text", minCount = 5L, topK = 20),
+      Some("""WITH w AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+             |pairs AS (
+             |  SELECT ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS big FROM (
+             |    SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+             |bi AS (
+             |  SELECT big, w1, count(*) AS pair_count FROM pairs
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |uni AS (
+             |  SELECT word, count(*) AS c1 FROM (
+             |    SELECT unnest(ws) AS word FROM w)
+             |  WHERE word <> '' GROUP BY 1),
+             |tot AS (SELECT count(*) AS nbi FROM pairs)
+             |SELECT big AS bigram, pair_count,
+             |  u1.c1 AS w1_count, u2.c1 AS w2_count,
+             |  (cast(pair_count AS DOUBLE) * cast(nbi AS DOUBLE)) /
+             |  (cast(u1.c1 AS DOUBLE) * cast(u2.c1 AS DOUBLE)) AS pmi_ratio
+             |FROM bi
+             |JOIN uni u1 ON bi.w1 = u1.word
+             |JOIN uni u2 ON substring(big, length(w1) + 2) = u2.word
+             |CROSS JOIN tot
+             |ORDER BY pmi_ratio DESC, bigram
+             |LIMIT 20""".stripMargin)))
+}

@@ -210,4 +210,35 @@ class CurationSpec extends SparkSpec {
     val b = Curation.seededShards(df, "id", 4, "s2")
     assert(a.except(b).count() > 0, "reshuffle expected on seed change")
   }
+
+  test("assignSplit: total, deterministic, proportions near fractions") {
+    val df = spark.range(0L, 10000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Curation.assignSplit(df, "id", splits)
+    assert(a.count() == 10000, "assignment must be total")
+    val sizes = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > 7800 && sizes("train") < 8200, sizes.toString)
+    assert(sizes("val") > 800 && sizes("val") < 1200, sizes.toString)
+    // pure function of id: rerunning on a GROWN corpus never moves a row
+    val grown = Curation.assignSplit(
+      spark.range(0L, 20000L).toDF("id"), "id", splits)
+    assert(a.join(grown.withColumnRenamed("split", "s2"), "id")
+      .filter($"split" =!= $"s2").isEmpty,
+      "split membership moved when the corpus grew — contamination")
+  }
+
+  test("assignSplit: zero shuffles in the plan (scan-stage projection)") {
+    val plan = Curation.assignSplit(
+        spark.range(100).toDF("id"), "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("assignSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(spark.range(10).toDF("id"), "id",
+        Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple cherry cherry date"),
+    (10L, "banana banana banana"), // tf-heavy, shorter than avg matters
+    (4L, "")).toDF("doc_id", "text")
+
+  test("invertedIndex: sorted postings, set semantics, df-cap drops stopwords") {
+    val idx = Retrieval.invertedIndex(corpus, "doc_id", "text", maxDf = 2L)
+      .orderBy("term").collect()
+    // banana (df 3) and apple/cherry? apple in docs 1,3 (df 2), banana in
+    // 1,2,10 (df 3 -> dropped), cherry in 2,3 (df 2), date in 3 (df 1)
+    assert(idx.map(_.getString(0)).toSeq == Seq("apple", "cherry", "date"))
+    val apple = idx.find(_.getString(0) == "apple").get
+    assert(apple.getLong(1) == 2L && apple.getString(2) == "1,3")
+    // doc 3 has cherry TWICE but posts once (distinct pair semantics)
+    assert(idx.find(_.getString(0) == "cherry").get.getString(2) == "2,3")
+  }
+
+  test("invertedIndex: ids sort numerically, not lexically") {
+    val docs = Seq((2L, "zebra"), (10L, "zebra"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.invertedIndex(docs, "doc_id", "text", 10L).collect()
+    assert(got(0).getString(2) == "2,10") // "10,2" would be the lexical bug
+  }
+
+  test("bm25: rare term outranks common term; tf saturates; topK holds") {
+    val hit = Retrieval.bm25(corpus, "doc_id", "text",
+      Seq("date", "banana"), topK = 10).collect()
+    // 'date' (df 1) has far higher idf than 'banana' (df 3): doc 3 wins
+    assert(hit.head.getLong(0) == 3L)
+    assert(hit.head.getLong(1) == 1L)
+    // scores strictly ordered desc, ties impossible in this fixture
+    val scores = hit.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // every returned doc matched at least one query term
+    assert(hit.map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L, 3L, 10L)))
+    val top1 = Retrieval.bm25(corpus, "doc_id", "text",
+      Seq("date", "banana"), topK = 1).collect()
+    assert(top1.length == 1 && top1.head.getLong(0) == 3L)
+  }
+
+  test("bm25: k1 saturation — tf 3 in a short doc beats tf 1 but not 3x") {
+    val got = Retrieval.bm25(corpus, "doc_id", "text", Seq("banana"), 10)
+      .collect()
+    val byDoc = got.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byDoc(10L) > byDoc(2L)) // tf 3 > tf 1 (both short docs)
+    assert(byDoc(10L) < 3 * byDoc(2L)) // saturation, not linear in tf
+  }
+
+  test("bm25 plan: df dimension broadcasts and top-k avoids a global sort") {
+    val plan = Retrieval.bm25(corpus, "doc_id", "text", Seq("banana"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("pmiCollocations: collocated pair tops independent pairs; minCount guards") {
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, if (i % 2 == 0) "strong coffee please" else "strong tea please"))
+      .toDF("doc_id", "text")
+    val got = LmSignals.pmiCollocations(docs, "text", minCount = 2L, topK = 10)
+      .collect()
+    // 'coffee please' / 'tea please' bind tighter than 'strong coffee':
+    // p(coffee)=p(tea)=10/60 vs p(strong)=20/60, same pair counts
+    val top = got.head.getString(0)
+    assert(top == "coffee please" || top == "tea please")
+    // every surviving pair respects the count floor
+    assert(got.forall(_.getLong(1) >= 2L))
+    // minCount above any pair count -> empty
+    assert(LmSignals.pmiCollocations(docs, "text", 21L, 10).isEmpty)
+  }
+}
