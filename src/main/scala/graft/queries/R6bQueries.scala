@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Curation, LmSignals, Retrieval}
+import graft.ops.{BpeTrain, Curation, LmSignals, Retrieval}
 
 /** Round-6 batch 3: sparse retrieval (inverted index + BM25), the
   * deterministic train/val/test split, and PMI collocation mining —
@@ -14,6 +14,48 @@ import graft.ops.{Curation, LmSignals, Retrieval}
 object R6bQueries {
 
   private val QueryTerms = Seq("dup", "spark", "vector")
+
+  private val BpeSteps = 8
+
+  /** Unrolled BPE training as DuckDB CTEs (the unrolled-Lloyd idiom of
+    * R5Queries.kmeansCtesOn): w0 = the word-frequency table with each
+    * word as its boundary-wrapped symbol string; per step i, `pi` counts
+    * adjacent symbol pairs weighted by word frequency, `bi` takes the
+    * argmax (count desc, pair asc — the trainer's tie-break), and `wi`
+    * applies the winning merge with the same double `replace` the Spark
+    * side uses.
+    */
+  private def bpeCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS (
+        |  SELECT word,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym,
+        |    count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |""".stripMargin)
+    for (i <- 1 to n) {
+      sb.append(
+        s"""p$i AS (
+           |  SELECT ws[j] AS l, ws[j+1] AS r, sum(freq) AS cnt FROM (
+           |    SELECT ws, freq, unnest(generate_series(1, len(ws) - 1)) AS j
+           |    FROM (SELECT string_split(trim(sym), ' ') AS ws, freq FROM w${i - 1}))
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$i AS (
+           |  SELECT word,
+           |    replace(replace(sym, ' ' || b.l || ' ' || b.r || ' ',
+           |                         ' ' || b.l || b.r || ' '),
+           |            ' ' || b.l || ' ' || b.r || ' ',
+           |            ' ' || b.l || b.r || ' ') AS sym,
+           |    freq
+           |  FROM w${i - 1} CROSS JOIN b$i b),
+           |""".stripMargin)
+    }
+    sb.toString
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -132,5 +174,53 @@ object R6bQueries {
              |JOIN uni u2 ON substring(big, length(w1) + 2) = u2.word
              |CROSS JOIN tot
              |ORDER BY pmi_ratio DESC, bigram
-             |LIMIT 20""".stripMargin)))
+             |LIMIT 20""".stripMargin)),
+
+    Q("ta_bpe",
+      "Distributed BPE tokenizer training: the corpus is read ONCE into " +
+        "the word-frequency table, then every merge iteration runs on " +
+        "that vocab-bounded relation — pair counts as a map-side-combined " +
+        "aggregate, argmax via TakeOrderedAndProject, merge as a narrow " +
+        "codegen'd replace. The oracle replays all 8 iterations unrolled " +
+        "(the unrolled-Lloyd idiom), so the learned merge SEQUENCE " +
+        "hash-matches bit-for-bit.",
+      (s, d) => BpeTrain.learnMerges(Tables.documents(s, d), "text",
+        nMerges = BpeSteps),
+      Some {
+        val steps = (1 to BpeSteps).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, l AS merge_left, " +
+            s"r AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+          .mkString("\n UNION ALL ")
+        s"WITH ${bpeCtes(BpeSteps)}m AS (\n $steps)\nSELECT * FROM m ORDER BY step"
+      }),
+
+    Q("ta_bpe_encode",
+      "Tokenize the corpus with the merges learned by ta_bpe: the merge " +
+        "table is applied as a driver-side literal replace chain (a " +
+        "loaded tokenizer), so the whole encode is one shuffle-free " +
+        "codegen'd projection over the exploded words. Oracle re-derives " +
+        "the merges and joins the final word->pieces map back onto the " +
+        "corpus words — same result through a different (but equivalent) " +
+        "relational path.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = BpeTrain.learnMerges(docs, "text", BpeSteps)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        BpeTrain.encode(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("word_pos"),
+            array_join(col("pieces"), " ").as("pieces"))
+          .orderBy("doc_id", "word_pos")
+      },
+      Some(
+        s"""WITH ${bpeCtes(BpeSteps)}tok AS (
+           |  SELECT doc_id, j - 1 AS word_pos, ws[j] AS word FROM (
+           |    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j
+           |    FROM (SELECT doc_id,
+           |            list_filter(string_split_regex(trim(text), '\\s+'),
+           |                        x -> x <> '') AS ws
+           |          FROM documents)))
+           |SELECT doc_id, word_pos, trim(w$BpeSteps.sym) AS pieces
+           |FROM tok JOIN w$BpeSteps USING (word)
+           |ORDER BY doc_id, word_pos""".stripMargin)))
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the Sennrich-paper-style fixture: low x3, lower x2, newest x1
+  private def corpus = Seq(
+    (1L, "low low low"),
+    (2L, "lower lower newest")).toDF("doc_id", "text")
+
+  test("learnMerges reproduces the hand-computed merge sequence") {
+    val got = BpeTrain.learnMerges(corpus, "text", 4)
+      .orderBy("step")
+      .as[(Long, String, String, Long)].collect().toSeq
+    // pairs: (l,o)=5 ties (o,w)=5 -> lexicographic left wins; then
+    // (lo,w)=5; then (low,e)=2 ties (e,r)=2 -> 'e' < 'low'; then (low,er)=2
+    assert(got == Seq(
+      (1L, "l", "o", 5L),
+      (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L),
+      (4L, "low", "er", 2L)))
+  }
+
+  test("learnMerges stops early when the vocabulary runs out of pairs") {
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // single-char words have no adjacent pairs at all
+    assert(BpeTrain.learnMerges(tiny, "text", 5).isEmpty)
+    // one two-char word yields exactly one merge, then exhaustion
+    val one = Seq((1L, "ab")).toDF("doc_id", "text")
+    val m = BpeTrain.learnMerges(one, "text", 5).collect()
+    assert(m.length == 1 && m(0).getString(1) == "a" && m(0).getString(2) == "b")
+  }
+
+  test("encode applies merges in training order; unseen words stay chars") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
+    val docs = Seq((7L, "low lower lowest zap")).toDF("doc_id", "text")
+    val got = BpeTrain.encode(docs, "doc_id", "text", merges)
+      .orderBy("word_pos")
+      .select(array_join(col("pieces"), "|"))
+      .as[String].collect().toSeq
+    assert(got == Seq("low", "lower", "low|e|s|t", "zap".split("").mkString("|")))
+  }
+
+  test("encode plan is shuffle-free (scan-stage projection)") {
+    val docs = Seq((1L, "low")).toDF("doc_id", "text")
+    val plan = BpeTrain.encode(docs, "doc_id", "text", Seq(("l", "o")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
