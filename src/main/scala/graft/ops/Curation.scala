@@ -175,6 +175,56 @@ object Curation {
     df.withColumn("split", label)
   }
 
+  /** Exact-k-per-stratum sample: the k rows with the SMALLEST md5(id)
+    * inside every stratum — a deterministic reservoir (same k rows on
+    * every rerun, any partitioning, any engine), ranked so the output
+    * carries a stable `rk` in 1..k.
+    *
+    * Scale design — the naive form (`row_number` over
+    * `partitionBy(stratum)`) funnels every row of a stratum through one
+    * window partition: a 10¹¹-row web-crawl stratum serializes on a
+    * single task. Here the window only ever sees a PREFILTERED sliver:
+    * per-stratum counts (tiny, map-side-combined) size a hash-bucket
+    * threshold keeping ~`oversample`·k rows (floor: the 16-bit bucket
+    * granularity keeps ≥ n/65536), the threshold dimension broadcasts
+    * back, and rows outside it are dropped at the scan. Because the
+    * bucket is the md5's own 4-hex prefix, the filter is MONOTONE in the
+    * ranking key — it can only cut rows strictly above the k-th rank, so
+    * the survivor set provably contains the true top-k UNLESS the bucket
+    * histogram undershoots (P < e^-k by Chernoff at 4× oversampling);
+    * that case is not silent: a codegen'd `raise_error` guard fails the
+    * job and says to raise `oversample`.
+    */
+  def exactKPerStratum(df: DataFrame, strataCol: String, idCol: String,
+                       k: Int, oversample: Int = 4): DataFrame = {
+    require(k > 0 && oversample >= 2, s"need k>0, oversample>=2: $k, $oversample")
+    // effective expected survivor count >= 16 so even the k=1 case has
+    // P(zero survivors in a huge stratum) <= e^-16 — the one failure the
+    // row-level guard below cannot see (no surviving row to evaluate it)
+    val os = math.max(oversample.toDouble, 16.0 / k)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val thr = least(lit(65536L), greatest(lit(1L),
+      ceil(lit(os * k) * 65536 / col("__n")).cast("long")))
+    val dim = counts.select(col(strataCol).as("__g_strata"), col("__n"),
+      thr.as("__t"))
+    val pre = df.join(broadcast(dim), col(strataCol) <=> col("__g_strata"))
+      .filter(hashBucket(col(idCol)) < col("__t"))
+    val key = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key.asc, col(idCol).asc)
+    val wAll = Window.partitionBy(col(strataCol))
+    pre
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("__kept", count(lit(1)).over(wAll))
+      // fail fast instead of silently returning fewer than k rows when
+      // the prefilter undershot (it can never overshoot: the bucket is
+      // the ranking key's own prefix, so cuts only hit ranks above k)
+      .filter(col("rk") <= k &&
+        when(col("__kept") < least(lit(k.toLong), col("__n")),
+          raise_error(lit(s"exactKPerStratum: prefilter undershot k=$k — " +
+            "raise oversample"))).otherwise(lit(true)))
+      .drop("__g_strata", "__n", "__t", "__kept")
+  }
+
   /** Temperature-weighted source mixture — the training-mix sampler
     * (UnifiedQA / GPT-3 style): source `i` with `n_i` documents gets
     * sampling probability `p_i ∝ n_i^alpha`, so `alpha = 1` keeps natural

@@ -45,17 +45,25 @@ object Retrieval {
     * posting list (doc ids, numerically sorted, comma-joined — a string
     * so the row is hashable by any engine).
     *
-    * Two keyed shuffles, both on `term`: (1) distinct (term, doc) pairs
-    * + df count, (2) the postings collect. The join feeding (2) is on
-    * the same key the collect groups by, so AQE/EnsureRequirements
-    * reuses the exchange rather than adding a third.
+    * Shuffle structure, chosen for skew: the distinct hashes on
+    * (doc, term) — every partition of a stopword's pairs lands
+    * somewhere different, so no hot partition exists while the stopword
+    * is still alive. (The tempting alternative — pre-partition by term
+    * so the later aggregates reuse one exchange — funnels all 10¹⁰
+    * (the, doc) pairs through one task; one balanced shuffle plus two
+    * cheap keyed ones beats one skewed shuffle.) The df count is
+    * map-side combined (the term exchange carries partial counts, not
+    * pairs), and the postings exchange carries ONLY pairs whose term
+    * survived the df-cap — bounded groups by construction. The pairs
+    * relation feeds both aggregates and is cached (Caches.track, the
+    * dedupLines precedent) rather than recomputed from two corpus scans.
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     maxDf: Long): DataFrame = {
-    val pairs = docs
+    val pairs = graft.core.Caches.track(docs
       .select(col(idCol).cast("long").as("__doc"),
         explode(words(col(textCol))).as("term"))
-      .distinct() // posting-list semantics: a doc appears once per term
+      .distinct()) // posting-list semantics: a doc appears once per term
     val df = pairs.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     pairs.join(df, "term")

@@ -176,6 +176,27 @@ object R6bQueries {
              |ORDER BY pmi_ratio DESC, bigram
              |LIMIT 20""".stripMargin)),
 
+    Q("doc_stratum_k",
+      "Exact top-3-per-source deterministic reservoir: the 3 smallest " +
+        "md5(doc_id) per stratum. The stratum window only sees a hash-" +
+        "prefiltered sliver (per-stratum counts size a bucket threshold, " +
+        "broadcast back) — monotone in the ranking key, so provably " +
+        "lossless, with a codegen'd raise_error guard on the e^-16 " +
+        "undershoot tail. The naive all-rows-through-one-window-partition " +
+        "shape never exists.",
+      (s, d) => Curation.exactKPerStratum(Tables.documents(s, d),
+          "source", "doc_id", k = 3)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "doc_id"),
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+             |  FROM documents)
+             |SELECT doc_id, source, rk FROM ranked
+             |WHERE rk <= 3
+             |ORDER BY source, doc_id""".stripMargin)),
+
     Q("ta_bpe",
       "Distributed BPE tokenizer training: the corpus is read ONCE into " +
         "the word-frequency table, then every merge iteration runs on " +

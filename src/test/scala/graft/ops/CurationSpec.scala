@@ -241,4 +241,26 @@ class CurationSpec extends SparkSpec {
         Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("exactKPerStratum equals the naive full window, incl. NULL stratum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0L, 5000L)
+      .select($"id", when($"id" % 7 === 0, lit(null))
+        .otherwise(concat(lit("s"), $"id" % 5)).as("src"))
+    val got = Curation.exactKPerStratum(df, "src", "id", k = 4)
+      .select("id", "src", "rk")
+    val w = Window.partitionBy("src")
+      .orderBy(md5($"id".cast("string")).asc, $"id".asc)
+    val naive = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 4)
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    // every stratum (6 incl. NULL) contributes exactly k rows
+    assert(got.count() == 24)
+  }
+
+  test("exactKPerStratum: strata smaller than k return whole stratum") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val got = Curation.exactKPerStratum(df, "src", "id", k = 5)
+    assert(got.count() == 3)
+  }
 }
