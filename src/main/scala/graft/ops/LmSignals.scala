@@ -182,14 +182,18 @@ object LmSignals {
       // empty for leading whitespace; substring handles both)
       .withColumn("__w2",
         expr("substring(big, length(__w1) + 2, length(big))"))
-    val bi = pairs.groupBy("big", "__w1", "__w2")
-      .agg(count(lit(1)).as("pair_count"))
-      .filter(col("pair_count") >= minCount)
+    // ONE corpus pass builds the (vocab²-bounded, min-count-free) pair
+    // histogram; cached so the grand total and the capped set both read
+    // it instead of re-exploding the corpus
+    val biAll = graft.core.Caches.track(
+      pairs.groupBy("big", "__w1", "__w2")
+        .agg(count(lit(1)).as("pair_count")))
+    val bi = biAll.filter(col("pair_count") >= minCount)
     val uni = docs
       .select(explode(words(col(textCol))).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy("__w").agg(count(lit(1)).as("__c1"))
-    val total = pairs.agg(count(lit(1)).as("__nbi"))
+    val total = biAll.agg(sum("pair_count").as("__nbi"))
     bi.join(uni.select(col("__w").as("__m1"), col("__c1").as("__ca")),
         col("__w1") === col("__m1"))
       .join(uni.select(col("__w").as("__m2"), col("__c1").as("__cb")),

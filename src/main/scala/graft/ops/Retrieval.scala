@@ -90,12 +90,15 @@ object Retrieval {
     val stats = base.agg(
       (sum(size(col("__ws"))).cast("double") / count(lit(1))).as("__avgdl"),
       count(lit(1)).as("__n"))
-    val tf = base
+    // tf is tiny (<= |matching docs|·|query| rows) and feeds BOTH the df
+    // dimension and the scoring join — cached so the df aggregate does
+    // not recompute it from a second full corpus scan
+    val tf = graft.core.Caches.track(base
       .select(col(idCol), size(col("__ws")).as("__dl"),
         explode(col("__ws")).as("__t"))
       .filter(col("__t").isin(queryTerms: _*)) // prune in the scan stage
       .groupBy(col(idCol), col("__dl"), col("__t"))
-      .agg(count(lit(1)).as("__tf"))
+      .agg(count(lit(1)).as("__tf")))
     // per-query-term df: at most |queryTerms| rows -> broadcast back
     val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val idf = (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
