@@ -19,7 +19,17 @@ import org.apache.spark.sql.types.DecimalType
   * score stays a pure IEEE-arithmetic expression (libm `ln` differs in
   * the last ulp across engines and would break the bit-exact gate).
   * Per-term addends are cast to a wide decimal before the per-document
-  * sum, so aggregation order can never change the score.
+  * sum, so aggregation order can never change the score. The summed
+  * score is then re-quantized to 6 decimals: the addends are magnitude
+  * ~10¹ doubles whose ulp (~4e-15) is finer than the 1e-14 decimal
+  * quantum, so engines that round the shortest decimal string (JVM
+  * BigDecimal.valueOf) vs the exact binary value can disagree in the
+  * 14th place — 10⁻⁶ is 10⁹× coarser than any such discrepancy. The
+  * quantization is spelled `floor(sum·10⁶ + ½)` rather than a decimal
+  * downscale-cast because rescale rounding is NOT portable (Spark
+  * rounds HALF_UP, DuckDB truncates); every step is exact decimal
+  * arithmetic and the final ≤2⁵³ integer divides by 10⁶ identically in
+  * any IEEE engine.
   *
   * Plan shape at 100 TB:
   *  - the INDEX build never materializes an unbounded posting group: df
@@ -74,6 +84,80 @@ object Retrieval {
       .select("term", "df", "postings")
   }
 
+  /** Materialize the BM25 index AT REST (the ivfWriteLayout pattern for
+    * text): a postings table (term, doc, tf, dl) range-partitioned and
+    * sorted by term — so a term-equality query prunes to a handful of
+    * files via parquet min/max — plus a 1-row corpus-stats table holding
+    * EXACT integers (sum of doc lengths, doc count), so the served
+    * avgdl is the same single double division the corpus-scan path
+    * computes. Build cost: the one explode + one (doc, term) aggregate
+    * any index build pays; serving then never touches the corpus.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 path: String): Unit = {
+    val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    base.agg(sum(size(col("__ws"))).as("sum_dl"), count(lit(1)).as("n_docs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "/stats")
+    base
+      .select(col(idCol), size(col("__ws")).as("dl"),
+        explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("overwrite").parquet(path + "/postings")
+  }
+
+  /** BM25 served from the written index: the postings scan carries a
+    * pushed-down `term IN (...)` filter (file-level min/max pruning on
+    * the range-partitioned layout, then row-group pruning), so a query
+    * reads its terms' postings and the 1-row stats — never the corpus.
+    * Bit-identical to [[bm25]] on the same corpus (shared scoring
+    * expression; spec-pinned).
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, queryTerms: Seq[String],
+                    topK: Int): DataFrame = {
+    val stats = spark.read.parquet(path + "/stats")
+      .select((col("sum_dl").cast("double") / col("n_docs")).as("__avgdl"),
+        col("n_docs").as("__n"))
+    val tf = spark.read.parquet(path + "/postings")
+      .filter(col("term").isin(queryTerms: _*)) // pushed to the scan
+      .select(col(idCol), col("dl").as("__dl"), col("term").as("__t"),
+        col("tf").as("__tf"))
+    score(tf, idCol, stats, topK)
+  }
+
+  /** The shared BM25 scoring tail: per-term df (broadcast), the
+    * Robertson idf × saturated-tf product, decimal-exact per-doc sum,
+    * floor-quantization, TakeOrderedAndProject. Both the corpus-scan
+    * and the at-rest path end here, so their results are bit-identical
+    * by construction.
+    */
+  private def score(tf: DataFrame, idCol: String, stats: DataFrame,
+                    topK: Int): DataFrame = {
+    val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val idf = (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    val tfc = (col("__tf").cast("double") * lit(2.2)) /
+      (col("__tf").cast("double") +
+        lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("__dl").cast("double") / col("__avgdl")))
+    // See the class doc on the floor(sum·10⁶ + ½) quantization: decimal
+    // downscale rounding is not engine-portable (Spark half-up, DuckDB
+    // truncates), so the re-quantization is spelled in exact arithmetic.
+    tf.join(broadcast(dfq), "__t").crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        (floor(sum((idf * tfc).cast(DecimalType(38, 14))) * lit(1000000) +
+          lit(0.5).cast(DecimalType(38, 14))).cast("double") /
+          lit(1000000.0)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), col("n_terms"), col("score"))
+  }
+
   /** BM25 ranked retrieval for a literal query: top-k documents by
     *
     *   score(d) = Σ_{t ∈ q ∩ d}  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
@@ -99,32 +183,6 @@ object Retrieval {
       .filter(col("__t").isin(queryTerms: _*)) // prune in the scan stage
       .groupBy(col(idCol), col("__dl"), col("__t"))
       .agg(count(lit(1)).as("__tf")))
-    // per-query-term df: at most |queryTerms| rows -> broadcast back
-    val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val idf = (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
-      (col("__df").cast("double") + lit(0.5))
-    val tfc = (col("__tf").cast("double") * lit(2.2)) /
-      (col("__tf").cast("double") +
-        lit(1.2) * (lit(1.0) - lit(0.75) +
-          lit(0.75) * col("__dl").cast("double") / col("__avgdl")))
-    // The addends are magnitude ~10¹ doubles, whose ulp (~4e-15) is FINER
-    // than a 1e-14 decimal quantum — engines that round the shortest
-    // decimal string (JVM BigDecimal.valueOf) vs the exact binary value
-    // can disagree in the 14th place. The exact decimal sum is therefore
-    // re-quantized to 6 decimals (10⁹ × coarser than any addend
-    // discrepancy) before the double cast. The quantization is spelled
-    // `floor(sum·10⁶ + ½)` rather than a decimal downscale-cast because
-    // rescale rounding is NOT portable (Spark rounds HALF_UP, DuckDB
-    // truncates); every step here is exact decimal arithmetic, and the
-    // final ≤2⁵³ integer divides by 10⁶ identically in any IEEE engine.
-    tf.join(broadcast(dfq), "__t").crossJoin(broadcast(stats))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms"),
-        (floor(sum((idf * tfc).cast(DecimalType(38, 14))) * lit(1000000) +
-          lit(0.5).cast(DecimalType(38, 14))).cast("double") /
-          lit(1000000.0)).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(topK)
-      .select(col(idCol), col("n_terms"), col("score"))
+    score(tf, idCol, stats, topK)
   }
 }

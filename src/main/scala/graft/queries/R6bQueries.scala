@@ -123,6 +123,50 @@ object R6bQueries {
              |ORDER BY score DESC, doc_id
              |LIMIT 15""".stripMargin)),
 
+    Q("ta_bm25_index",
+      "BM25 served from the AT-REST index (the sim_ivf_layout pattern " +
+        "for text): writeIndex materializes postings (term, doc, tf, dl) " +
+        "range-partitioned and sorted by term plus exact 1-row corpus " +
+        "stats; the probe's term IN (...) filter pushes into the " +
+        "postings scan (file + row-group pruning) and the corpus is " +
+        "never touched. Result is defined bit-identical to ta_bm25 " +
+        "(shared scoring tail), so that query's oracle applies verbatim.",
+      (s, d) => {
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_bm25_idx_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Retrieval.writeIndex(Tables.documents(s, d), "doc_id", "text", path)
+        Retrieval.bm25FromIndex(s, path, "doc_id", QueryTerms, topK = 15)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\\s+'),
+             |                x -> x <> '') AS ws
+             |  FROM documents),
+             |stats AS (
+             |  SELECT cast(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl,
+             |         count(*) AS n
+             |  FROM base),
+             |tf AS (
+             |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+             |    SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM base)
+             |  WHERE t IN ('dup', 'spark', 'vector')
+             |  GROUP BY 1, 2, 3),
+             |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_terms,
+             |  cast(floor(sum(cast(
+             |    ((cast(n AS DOUBLE) - cast(df AS DOUBLE) + 0.5) /
+             |     (cast(df AS DOUBLE) + 0.5)) *
+             |    ((cast(tf AS DOUBLE) * 2.2) /
+             |     (cast(tf AS DOUBLE) +
+             |      1.2 * (1.0 - 0.75 + 0.75 * cast(dl AS DOUBLE) / avgdl)))
+             |    AS DECIMAL(38,14))) * 1000000
+             |    + cast(0.5 AS DECIMAL(38,14))) AS DOUBLE)
+             |    / 1000000.0 AS score
+             |FROM tf JOIN dfq USING (t) CROSS JOIN stats
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id
+             |LIMIT 15""".stripMargin)),
+
     Q("doc_split",
       "Deterministic stratum-free train/val/test assignment (80/10/10): " +
         "split membership is a pure function of md5(doc_id) against " +

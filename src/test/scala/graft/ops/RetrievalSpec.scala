@@ -63,6 +63,26 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("bm25FromIndex is bit-identical to the corpus-scan bm25") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx_spec").toString
+    Retrieval.writeIndex(corpus, "doc_id", "text", path)
+    val served = Retrieval.bm25FromIndex(spark, path, "doc_id",
+      Seq("date", "banana"), topK = 10)
+    val scanned = Retrieval.bm25(corpus, "doc_id", "text",
+      Seq("date", "banana"), topK = 10)
+    assert(served.collect().toSeq == scanned.collect().toSeq)
+  }
+
+  test("bm25FromIndex pushes the term filter into the postings scan") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_push_spec").toString
+    Retrieval.writeIndex(corpus, "doc_id", "text", path)
+    val plan = Retrieval.bm25FromIndex(spark, path, "doc_id",
+      Seq("date", "banana"), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("In(term, [banana,date])"), plan)
+  }
+
   test("pmiCollocations: collocated pair tops independent pairs; minCount guards") {
     val docs = Seq.tabulate(20)(i =>
       (i.toLong, if (i % 2 == 0) "strong coffee please" else "strong tea please"))
