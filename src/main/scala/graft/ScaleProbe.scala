@@ -164,6 +164,27 @@ object ScaleProbe {
         df, "vec_id", "embedding", k = 8, iters = 3).count())
     kmeansProbe(embBase, s"1x ($en vecs)")
     kmeansProbe(emb, s"${mult}x")
+
+    // round-6 batch 3: retrieval + tokenizer training at 1x and 10x.
+    // invindex/bm25/pmi are scan+keyed-agg shapes (expect ~linear);
+    // BPE's merge loop runs on the word table, whose size BARELY moves
+    // when the corpus replicates (same vocabulary, higher counts) — the
+    // probe shows training wall-time nearly FLAT at 10x the corpus,
+    // which is the whole point of the word-frequency formulation.
+    def retrievalProbe(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      time(s"invindex $tag")(graft.ops.Retrieval.invertedIndex(
+        df, "doc_id", "text", maxDf = Long.MaxValue).count())
+      time(s"bm25 $tag")(graft.ops.Retrieval.bm25(
+        df, "doc_id", "text", Seq("dup", "spark", "vector"), 15).count())
+      time(s"pmi $tag")(graft.ops.LmSignals.pmiCollocations(
+        df, "text", minCount = 5L, topK = 20).count())
+      time(s"bpe 8 merges $tag")(graft.ops.BpeTrain.learnMerges(
+        df, "text", nMerges = 8).count())
+      time(s"stratum-k $tag")(graft.ops.Curation.exactKPerStratum(
+        df.withColumn("src", col("doc_id") % 32), "src", "doc_id", 3).count())
+    }
+    retrievalProbe(base, s"1x ($n docs)")
+    retrievalProbe(docs, s"${mult}x")
     spark.stop()
   }
 }

@@ -104,7 +104,12 @@ object Retrieval {
         explode(col("__ws")).as("term"))
       .groupBy(col("term"), col(idCol), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("term"))
+      // range by (term, doc), not term alone: a stopword's postings
+      // would otherwise land in ONE range partition (range split points
+      // cannot divide a single key value) — the secondary key spreads a
+      // hot term across partitions while files stay term-sorted, so
+      // min/max pruning still skips everything outside the query terms
+      .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions("term", idCol)
       .write.mode("overwrite").parquet(path + "/postings")
   }
