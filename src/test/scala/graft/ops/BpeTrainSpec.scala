@@ -50,4 +50,31 @@ class BpeTrainSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("property: train->encode roundtrip never loses characters") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val textGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val texts = (0 until 40)
+      .flatMap(i => textGen(Gen.Parameters.default, Seed(i.toLong)))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, "text", 6)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // concatenating a word's pieces must reproduce the word exactly,
+    // and no piece may be empty — merges reorganize, never destroy
+    val words = docs.select(col("doc_id"), posexplode(
+        filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+        .as(Seq("word_pos", "__w")))
+      .withColumn("word_pos", col("word_pos").cast("long"))
+    val bad = BpeTrain.encode(docs, "doc_id", "text", merges)
+      .join(words, Seq("doc_id", "word_pos"))
+      .filter(concat_ws("", col("pieces")) =!= col("__w") ||
+        exists(col("pieces"), p => p === ""))
+    assert(bad.isEmpty, bad.collect().take(3).mkString("\n"))
+  }
 }
