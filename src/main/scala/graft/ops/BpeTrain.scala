@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE tokenizer training — learn the top-N byte-pair merges
@@ -76,11 +76,16 @@ object BpeTrain {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step.toLong, l, r, cnt))
-        val pat = lit(" " + l + " " + r + " ")
-        val rep = lit(" " + l + r + " ")
         cur = cur.select(
-          replace(replace(col("__sym"), pat, rep), pat, rep).as("__sym"),
-          col("__freq"))
+          applyMerge(col("__sym"), l, r).as("__sym"), col("__freq"))
+        // cut the lineage every few merges: without this, iteration i's
+        // 1-row collect replays all i-1 replace projections from the one
+        // cached base (O(nMerges²) recompute) and the expression tree
+        // nests 2·nMerges replace calls — at a realistic merge budget
+        // (10⁴-10⁵) that is quadratic planning and a codegen stack bomb.
+        // Re-tracking materializes the (vocab-bounded) word table so
+        // every iteration pays exactly one merge's worth of work.
+        if (step % RetrackEvery == 0) cur = graft.core.Caches.track(cur)
         step += 1
       }
     }
@@ -88,26 +93,64 @@ object BpeTrain {
       .toDF("step", "merge_left", "merge_right", "pair_count")
   }
 
-  /** Re-tokenize text with a learned merge table: apply the merges in
-    * training order to each word's symbol string and emit the resulting
-    * pieces. The merge list is a driver-side literal chain (bounded by
-    * the vocab budget, like a loaded tokenizer), so the whole encode is
-    * one narrow codegen'd projection — no shuffle, no UDF.
+  /** How many merge projections may stack before the word table is
+    * re-materialized (learn loop) or the encode dictionary is
+    * checkpointed (dict path) — bounds both lineage depth and the
+    * nested-replace expression depth.
+    */
+  private val RetrackEvery = 16
+
+  private def symInit(word: Column): Column =
+    concat(lit(" "), concat_ws(" ", split(word, "")), lit(" "))
+
+  private def applyMerge(sym: Column, l: String, r: String): Column = {
+    val pat = lit(" " + l + " " + r + " ")
+    val rep = lit(" " + l + r + " ")
+    replace(replace(sym, pat, rep), pat, rep)
+  }
+
+  /** Re-tokenize text with a learned merge table, applying the merges in
+    * training order to each word's symbol string and emitting the
+    * resulting pieces.
+    *
+    * Two plans behind one result: a merge table up to `chainLimit` is
+    * applied as a literal replace chain — one narrow codegen'd
+    * projection, no shuffle, no UDF. A REAL tokenizer's merge table
+    * (10⁴-10⁵ entries) would nest 2·|merges| replace calls in a single
+    * expression (quadratic analysis, codegen stack overflow), so larger
+    * tables go through the word DICTIONARY: distinct words (vocab-
+    * bounded at any corpus size) get the chain applied in
+    * `RetrackEvery`-sized batches with an eager localCheckpoint between
+    * batches (bounded expression depth, bounded lineage), and the
+    * pieces map joins back onto the exploded corpus — the standard
+    * build-once-apply-everywhere tokenizer shape.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             merges: Seq[(String, String)]): DataFrame = {
-    val sym0 = concat(lit(" "),
-      concat_ws(" ", split(col("__word"), "")), lit(" "))
-    val merged = merges.foldLeft(sym0) { case (s, (l, r)) =>
-      val pat = lit(" " + l + " " + r + " ")
-      val rep = lit(" " + l + r + " ")
-      replace(replace(s, pat, rep), pat, rep)
-    }
-    docs
+             merges: Seq[(String, String)],
+             chainLimit: Int = 64): DataFrame = {
+    val toks = docs
       .select(col(idCol), posexplode(
         filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""))
         .as(Seq("word_pos", "__word")))
       .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        col("__word"))
+    if (merges.size <= chainLimit) {
+      val merged = merges.foldLeft(symInit(col("__word"))) {
+        case (s, (l, r)) => applyMerge(s, l, r)
+      }
+      toks.select(col(idCol), col("word_pos"),
         split(trim(merged), " ").as("pieces"))
+    } else {
+      var dict = toks.select(col("__word")).distinct()
+        .withColumn("__sym", symInit(col("__word")))
+      merges.grouped(RetrackEvery).foreach { batch =>
+        dict = dict.withColumn("__sym", batch.foldLeft(col("__sym")) {
+          case (s, (l, r)) => applyMerge(s, l, r)
+        }).localCheckpoint() // eager: cut lineage + expression depth
+      }
+      toks.join(dict, "__word")
+        .select(col(idCol), col("word_pos"),
+          split(trim(col("__sym")), " ").as("pieces"))
+    }
   }
 }

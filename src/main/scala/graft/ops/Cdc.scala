@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   *    (`valid_to = effectiveTs`) and a new open version is born;
   *  - a batch key with no open row inserts a brand-new open version.
   *
+  * Batch hygiene: exact-duplicate change rows collapse silently
+  * (at-least-once CDC delivery), but two DIFFERING rows for one key in
+  * one batch fail fast with raise_error — both claim to be the open
+  * version effective at the same instant, and guessing would corrupt the
+  * dimension. NULL business keys are legal key VALUES (the join is
+  * null-safe and side-membership comes from presence markers, not key
+  * nullness), so null-keyed rows version like any other instead of
+  * silently vanishing.
+  *
   * Plan shape at scale: ONE full-outer equi-join between the open slice
   * and the change batch (Spark plans full outer as a co-partitioned
   * sort-merge — broadcast is not supported for this join type, and the
@@ -50,16 +59,35 @@ object Cdc {
       s"change batch must carry exactly key + tracked columns: ${keys ++ tracked}")
 
     val closedHist = dim.filter(col("valid_to").isNotNull)
+    // presence markers instead of key-null checks: a NULL business key is
+    // a legal key VALUE here (matched null-safely below), so "which side
+    // of the full outer produced this row" must come from columns that
+    // are never null on their own side
     val open = dim.filter(col("valid_to").isNull)
+      .withColumn("__dim_present", lit(true))
+    // exact-duplicate change rows collapse (at-least-once delivery is
+    // normal in CDC feeds); two DIFFERING rows for one key at one
+    // effectiveTs are a contradiction the merge must not guess about —
+    // the fanned-out full outer would otherwise birth two simultaneous
+    // open versions (silent SCD2 corruption), so it fails fast instead
+    val chW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(k => col(s"__ck_$k")): _*)
     val ch = changes.select(
-      keys.map(k => col(k).as(s"__ck_$k")) ++
-        tracked.map(t => col(t).as(s"__cv_$t")): _*)
+        keys.map(k => col(k).as(s"__ck_$k")) ++
+          tracked.map(t => col(t).as(s"__cv_$t")): _*)
+      .distinct()
+      .withColumn("__ch_present", lit(true))
+      .withColumn("__ch_dups", count(lit(1)).over(chW))
+      .filter(when(col("__ch_dups") > 1,
+        raise_error(lit("scd2Merge: conflicting change rows for one " +
+          "business key in a single batch"))).otherwise(lit(true)))
+      .drop("__ch_dups")
 
-    val joinCond = keys.map(k => col(k) === col(s"__ck_$k")).reduce(_ && _)
+    val joinCond = keys.map(k => col(k) <=> col(s"__ck_$k")).reduce(_ && _)
     val j = open.join(ch, joinCond, "full_outer")
 
-    val hasOpen = keys.map(k => col(k).isNotNull).reduce(_ && _)
-    val hasChange = keys.map(k => col(s"__ck_$k").isNotNull).reduce(_ && _)
+    val hasOpen = col("__dim_present").isNotNull
+    val hasChange = col("__ch_present").isNotNull
     val identical = tracked.map(t => col(t) <=> col(s"__cv_$t"))
       .reduceOption(_ && _).getOrElse(lit(true))
 

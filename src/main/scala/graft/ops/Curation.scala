@@ -295,9 +295,9 @@ object Curation {
     * across 65536 key values keeps shard sizes within sampling noise,
     * which is what real shard writers accept too.)
     *
-    * Output: (shard, pos, id) — join back to the corpus on `id` to
-    * materialize payload-bearing shards, or pass a payload-bearing `df`
-    * directly and write `partitionBy("shard")`.
+    * Output: the input columns plus (shard, pos) — a payload-bearing
+    * `df` can be written `partitionBy("shard")` directly, or a slim
+    * (id-only) projection joined back to the corpus on `id`.
     */
   def seededShards(df: DataFrame, idCol: String, nShards: Int,
                    seed: String): DataFrame = {
@@ -306,8 +306,8 @@ object Curation {
       lit(nShards.toLong))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__key").asc, col(idCol).asc)
-    df.select(col(idCol), key.as("__key"), shard.as("shard"))
+    df.withColumn("__key", key).withColumn("shard", shard)
       .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("shard"), col("pos"), col(idCol))
+      .drop("__key")
   }
 }

@@ -416,6 +416,19 @@ object Dedup {
     // optimal bit count for the target fpp: -n·ln(p) / (ln 2)²
     val numBits = math.max(64L, math.ceil(
       -expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently Math.min-caps its size at the session
+    // ceilings (maxNumBits 64M / maxNumItems 4M by default) — beyond ~7M
+    // history keys at 1% that degrades the effective fpp toward 1 and the
+    // "prefilter" flags everything, exactly where it was supposed to pay
+    // off. Raise the ceilings to the REQUESTED size so the documented
+    // fpp actually holds; the bits are driver+executor memory (n·ln p
+    // bound), which is the cost the caller asked for.
+    val spark = history.sparkSession
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
+      .foreach { case (k, needed) =>
+        if (spark.conf.get(k).toLong < needed) spark.conf.set(k, needed.toString)
+      }
     val bfBytes = history
       .select(Shims.bloomFilterAgg(xxhash64(col(keyCol)), expectedItems, numBits)
         .as("bf"))

@@ -86,8 +86,13 @@ object LmSignals {
       .select(col(idCol), col("__p.prefix").as("__prefix"),
         col("__p.big").as("__big"))
 
-    val p = (coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
+    // guard the V = 0 degenerate case (EMPTY reference): Spark's
+    // non-ANSI divide-by-zero yields NULL, which would surface as
+    // lm_score = NULL (not the documented 0) and silently fail every
+    // downstream `>= tau` filter — an empty model scores everything 0
+    val pRaw = (coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
       (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double")
+    val p = when(col("__v") > 0, pRaw).otherwise(lit(0.0))
     val joined = docBigrams
       .join(broadcast(bi.withColumnRenamed("__big", "__mbig")),
         col("__big") === col("__mbig"), "left")
@@ -135,11 +140,16 @@ object LmSignals {
       sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"),
       count(lit(1)).as("__cr"))
     val totals = hist.agg(
-      sum("__ct").as("__tt"), sum("__cr").as("__tr"))
+      coalesce(sum("__ct"), lit(0L)).as("__tt"),
+      coalesce(sum("__cr"), lit(0L)).as("__tr"))
+    // a zero total (targetFilter matched nothing / empty corpus) must
+    // contribute 0, not a NULL divide-by-zero that nulls every score
     val contrast = hist.crossJoin(totals).select(
       col("__b").as("__mb"),
-      (col("__ct").cast("double") / col("__tt") -
-        col("__cr").cast("double") / col("__tr")).as("__diff"))
+      (when(col("__tt") > 0, col("__ct").cast("double") / col("__tt"))
+        .otherwise(lit(0.0)) -
+        when(col("__tr") > 0, col("__cr").cast("double") / col("__tr"))
+          .otherwise(lit(0.0))).as("__diff"))
     val scored = tok
       .join(broadcast(contrast), col("__b") === col("__mb"), "left")
       .groupBy(col(idCol)).agg(

@@ -52,8 +52,9 @@ object Retrieval {
 
   /** Distributed inverted index with a stopword df-cap: one row per
     * surviving term carrying its document frequency and the full
-    * posting list (doc ids, numerically sorted, comma-joined — a string
-    * so the row is hashable by any engine).
+    * posting list (doc ids sorted by their native type's ordering —
+    * numeric for numeric ids — then comma-joined into a string so the
+    * row is hashable by any engine).
     *
     * Shuffle structure, chosen for skew: the distinct hashes on
     * (doc, term) — every partition of a stopword's pairs lands
@@ -70,8 +71,11 @@ object Retrieval {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     maxDf: Long): DataFrame = {
+    // the id keeps its NATIVE type end to end (a cast("long") here would
+    // silently null out string ids and collapse every posting list):
+    // sorting happens on the native type, stringification only at emit
     val pairs = graft.core.Caches.track(docs
-      .select(col(idCol).cast("long").as("__doc"),
+      .select(col(idCol).as("__doc"),
         explode(words(col(textCol))).as("term"))
       .distinct()) // posting-list semantics: a doc appears once per term
     val df = pairs.groupBy("term").agg(count(lit(1)).as("df"))

@@ -290,6 +290,7 @@ object R6Queries {
         "more than ~corpus/nShards rows at any scale.",
       (s, d) => Curation.seededShards(Tables.documents(s, d),
           "doc_id", nShards = 16, seed = "r6")
+        .select("shard", "pos", "doc_id")
         .orderBy("shard", "pos"),
       Some(
         """WITH keyed AS (

@@ -44,6 +44,14 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == Seq("low", "lower", "low|e|s|t", "zap".split("").mkString("|")))
   }
 
+  test("encode: dictionary path (large merge tables) equals the chain path") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
+    val docs = Seq((1L, "low lower lowest"), (2L, "newest low")).toDF("doc_id", "text")
+    val chain = BpeTrain.encode(docs, "doc_id", "text", merges)
+    val dict = BpeTrain.encode(docs, "doc_id", "text", merges, chainLimit = 2)
+    assert(dict.exceptAll(chain).isEmpty && chain.exceptAll(dict).isEmpty)
+  }
+
   test("encode plan is shuffle-free (scan-stage projection)") {
     val docs = Seq((1L, "low")).toDF("doc_id", "text")
     val plan = BpeTrain.encode(docs, "doc_id", "text", Seq(("l", "o")))

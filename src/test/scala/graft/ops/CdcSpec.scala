@@ -74,6 +74,41 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("scd2Merge: exact-duplicate change rows collapse; conflicting rows " +
+      "for one key fail fast") {
+    val dim = Seq((1L, "a", d("2024-01-01"), None: Option[java.sql.Date]))
+      .toDF("id", "name", "valid_from", "valid_to")
+    // at-least-once delivery: the same event twice is fine
+    val dup = Seq((1L, "b"), (1L, "b")).toDF("id", "name")
+    val merged = Cdc.scd2Merge(dim, dup, Seq("id"), lit(d("2024-06-01")))
+    assert(merged.filter($"valid_to".isNull).count() == 1,
+      "exactly one open version after a duplicated change event")
+    // two DIFFERING rows for one key at one effectiveTs is a contradiction
+    val conflict = Seq((1L, "b"), (1L, "c")).toDF("id", "name")
+    val ex = intercept[Exception] {
+      Cdc.scd2Merge(dim, conflict, Seq("id"), lit(d("2024-06-01"))).count()
+    }
+    assert(ex.getMessage.contains("conflicting change rows"), ex.getMessage)
+  }
+
+  test("scd2Merge: NULL business keys version like any other value") {
+    val dim = Seq(
+      (Option.empty[java.lang.Long], "a", d("2024-01-01"), None: Option[java.sql.Date]),
+      (Option(2L): Option[java.lang.Long], "x", d("2024-01-01"), None: Option[java.sql.Date]))
+      .toDF("id", "name", "valid_from", "valid_to")
+    val changes = Seq((Option.empty[java.lang.Long], "b"))
+      .toDF("id", "name")
+    val merged = Cdc.scd2Merge(dim, changes, Seq("id"), lit(d("2024-06-01")))
+      .orderBy($"id".asc_nulls_first, $"valid_from")
+    // the null-keyed open row was closed and a new version born; row 2 kept
+    assert(merged.count() == 3)
+    val nullRows = merged.filter($"id".isNull).collect()
+    assert(nullRows.length == 2)
+    assert(nullRows.count(_.isNullAt(3)) == 1, "one open null-key version")
+    assert(nullRows.exists(r => r.getString(1) == "b" && r.isNullAt(3)),
+      "the born version carries the new attributes")
+  }
+
   test("scd2Merge shuffles the dimension once: exchanges are reused across " +
       "the kept/closed/born branches") {
     val dim = spark.range(0L, 10000L).toDF("id")

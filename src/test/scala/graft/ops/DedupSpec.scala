@@ -39,6 +39,22 @@ class DedupSpec extends SparkSpec {
     assert(sloppy == want)
   }
 
+  test("newAgainstHistory raises the session Bloom ceilings so a large " +
+      "requested filter is not silently Math.min-capped") {
+    val history = Seq((1L, "aaa")).toDF("id", "fp")
+    val incoming = Seq((10L, "new")).toDF("id", "fp")
+    // 20M items at 1% needs ~1.9e8 bits — 2.9x the 64M-bit default cap
+    // that BloomFilterAggregate would otherwise apply without a word
+    Dedup.newAgainstHistory(incoming, history, "fp",
+      expectedItems = 20000000L, fpp = 0.01).count()
+    val bits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    val items = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    assert(bits >= 190000000L, s"numBits ceiling not raised: $bits")
+    assert(items >= 20000000L, s"numItems ceiling not raised: $items")
+  }
+
   test("newAgainstHistory probes with the native Bloom expression (no UDF) " +
     "and survives an empty history") {
     val history = Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "fp")
