@@ -125,6 +125,37 @@ object BpeTrain {
     * pieces map joins back onto the exploded corpus — the standard
     * build-once-apply-everywhere tokenizer shape.
     */
+  /** The learned vocabulary: every symbol left in the word table after
+    * applying a merge sequence, with corpus-frequency-weighted counts —
+    * the piece inventory a tokenizer ships (chars that never merged +
+    * every merged piece). Runs on the vocab-bounded word-frequency
+    * table: one corpus scan, then merges applied exactly as in
+    * [[encode]] (chain below `chainLimit`, checkpointed batches above).
+    */
+  def vocab(docs: DataFrame, textCol: String,
+            merges: Seq[(String, String)],
+            chainLimit: Int = 64): DataFrame = {
+    val words = docs
+      .select(explode(
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("__word"))
+      .groupBy("__word").agg(count(lit(1)).as("__freq"))
+    val dict =
+      if (merges.size <= chainLimit)
+        words.withColumn("__sym", merges.foldLeft(symInit(col("__word"))) {
+          case (s, (l, r)) => applyMerge(s, l, r)
+        })
+      else merges.grouped(RetrackEvery).foldLeft(
+        words.withColumn("__sym", symInit(col("__word")))) { (d, batch) =>
+        d.withColumn("__sym", batch.foldLeft(col("__sym")) {
+          case (s, (l, r)) => applyMerge(s, l, r)
+        }).localCheckpoint()
+      }
+    dict
+      .select(explode(split(trim(col("__sym")), " ")).as("piece"),
+        col("__freq"))
+      .groupBy("piece").agg(sum("__freq").as("n"))
+  }
+
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)],
              chainLimit: Int = 64): DataFrame = {

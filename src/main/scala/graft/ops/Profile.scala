@@ -35,4 +35,33 @@ object Profile {
       .select(col("p.col_name"), col("p.n_nonnull"), col("p.n_distinct"),
         col("p.min_s"), col("p.max_s"), col("n_rows"))
   }
+
+  /** Constraint-expectation gate (the dbt-test / Great-Expectations
+    * shape): each rule is a row-level boolean predicate the data is
+    * EXPECTED to satisfy; the report carries one row per rule with its
+    * violation count, evaluated in ONE conditional-aggregation pass —
+    * `sum(CASE WHEN NOT rule …)` per rule over a single scan, never a
+    * scan per rule. NULL predicate results (e.g. a comparison against a
+    * null column) count as violations: an expectation that cannot be
+    * shown true is not satisfied.
+    *
+    * The report is data, not control flow — callers gate on
+    * `n_violations > 0` (or wire it to raise_error) so the check
+    * composes into pipelines and its history can be written next to the
+    * batch ledger.
+    */
+  def expect(df: DataFrame,
+             rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one expectation rule")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, rule), i) =>
+        sum(when(coalesce(rule, lit(false)), 0L).otherwise(1L)).as(s"__v_$i")
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val entries = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__v_$i").as("n_violations"))
+    }
+    agged.select(explode(array(entries: _*)).as("r"), col("__n").as("n_rows"))
+      .select(col("r.rule"), col("r.n_violations"), col("n_rows"))
+  }
 }

@@ -259,6 +259,58 @@ object R6bQueries {
         s"WITH ${bpeCtes(BpeSteps)}m AS (\n $steps)\nSELECT * FROM m ORDER BY step"
       }),
 
+    Q("ta_bpe_vocab",
+      "The tokenizer's shipped piece inventory: every symbol left after " +
+        "the 8 learned merges, with corpus-frequency-weighted counts — " +
+        "computed on the vocab-bounded word table (one corpus scan), " +
+        "merges applied exactly as in encode. Oracle re-derives the " +
+        "merges (unrolled CTEs) and explodes the final word table's " +
+        "symbol strings.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = BpeTrain.learnMerges(docs, "text", BpeSteps)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        BpeTrain.vocab(docs, "text", merges).orderBy("piece")
+      },
+      Some(
+        s"""WITH ${bpeCtes(BpeSteps)}v AS (
+           |  SELECT unnest(string_split(trim(sym), ' ')) AS piece, freq
+           |  FROM w$BpeSteps)
+           |SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+           |FROM v GROUP BY piece ORDER BY piece""".stripMargin)),
+
+    Q("dq_expect",
+      "Constraint-expectation gate (the dbt-test shape): four row-level " +
+        "rules over lineitem evaluated as ONE conditional-aggregation " +
+        "pass — sum(CASE WHEN NOT rule) per rule on a single scan, " +
+        "never a scan per rule; NULL predicate results count as " +
+        "violations. The report is data: callers gate on n_violations.",
+      (s, d) => graft.ops.Profile.expect(Tables.lineitem(s, d), Seq(
+          "quantity_positive" -> (col("l_quantity") > 0),
+          "quantity_under_30" -> (col("l_quantity") < 30),
+          "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "discount_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.05)))
+        .orderBy("rule"),
+      Some("""SELECT rule, n_violations, n_rows FROM (
+             |  SELECT 'quantity_positive' AS rule,
+             |    CAST(sum(CASE WHEN coalesce(l_quantity > 0, false)
+             |        THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+             |    count(*) AS n_rows FROM lineitem
+             |  UNION ALL
+             |  SELECT 'quantity_under_30',
+             |    CAST(sum(CASE WHEN coalesce(l_quantity < 30, false)
+             |        THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'returnflag_domain',
+             |    CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A','N','R'), false)
+             |        THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'discount_range',
+             |    CAST(sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.05,
+             |        false) THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem)
+             |ORDER BY rule""".stripMargin)),
+
     Q("ta_bpe_encode",
       "Tokenize the corpus with the merges learned by ta_bpe: the merge " +
         "table is applied as a driver-side literal replace chain (a " +

@@ -59,6 +59,15 @@ class BpeTrainSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("vocab: piece inventory with frequency-weighted counts") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
+    val got = BpeTrain.vocab(corpus, "text", merges)
+      .as[(String, Long)].collect().toMap
+    // low x3 stays whole; lower x2 fully merges; newest stays chars
+    assert(got == Map("low" -> 3L, "lower" -> 2L, "n" -> 1L, "e" -> 2L,
+      "w" -> 1L, "s" -> 1L, "t" -> 1L))
+  }
+
   test("property: train->encode roundtrip never loses characters") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

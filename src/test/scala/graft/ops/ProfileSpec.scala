@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("expect: violation counts per rule in one pass; NULLs violate") {
+    val df = Seq(
+      (Some(5), "a"), (Some(-1), "b"), (None: Option[Int], "a"))
+      .toDF("x", "cat")
+    val asPairs = Profile.expect(df, Seq(
+        "x_positive" -> (col("x") > 0),
+        "cat_domain" -> col("cat").isin("a", "b")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // -1 fails, NULL cannot be shown positive -> 2 violations
+    assert(asPairs("x_positive") == (2L, 3L))
+    assert(asPairs("cat_domain") == (0L, 3L))
+  }
+
+  test("expect: single scan regardless of rule count") {
+    val df = spark.range(100).toDF("id")
+    val plan = Profile.expect(df, Seq(
+        "a" -> (col("id") >= 0), "b" -> (col("id") < 100),
+        "c" -> (col("id") % 2 === 0)))
+      .queryExecution.executedPlan.toString
+    assert("Range \\(".r.findAllIn(plan).length == 1,
+      s"rules must share one scan:\n$plan")
+  }
+
+  test("expect rejects an empty rule list") {
+    intercept[IllegalArgumentException] {
+      Profile.expect(spark.range(1).toDF("id"), Seq.empty)
+    }
+  }
+}
