@@ -83,9 +83,11 @@ object BpeTrain {
         // cached base (O(nMerges²) recompute) and the expression tree
         // nests 2·nMerges replace calls — at a realistic merge budget
         // (10⁴-10⁵) that is quadratic planning and a codegen stack bomb.
-        // Re-tracking materializes the (vocab-bounded) word table so
-        // every iteration pays exactly one merge's worth of work.
-        if (step % RetrackEvery == 0) cur = graft.core.Caches.track(cur)
+        // Eager localCheckpoint (not Caches.track: generations would PIN,
+        // accumulating nMerges/16 copies until the harness release)
+        // materializes the vocab-bounded table; superseded generations
+        // are unreferenced and the ContextCleaner reclaims them.
+        if (step % RetrackEvery == 0) cur = cur.localCheckpoint()
         step += 1
       }
     }
@@ -109,22 +111,6 @@ object BpeTrain {
     replace(replace(sym, pat, rep), pat, rep)
   }
 
-  /** Re-tokenize text with a learned merge table, applying the merges in
-    * training order to each word's symbol string and emitting the
-    * resulting pieces.
-    *
-    * Two plans behind one result: a merge table up to `chainLimit` is
-    * applied as a literal replace chain — one narrow codegen'd
-    * projection, no shuffle, no UDF. A REAL tokenizer's merge table
-    * (10⁴-10⁵ entries) would nest 2·|merges| replace calls in a single
-    * expression (quadratic analysis, codegen stack overflow), so larger
-    * tables go through the word DICTIONARY: distinct words (vocab-
-    * bounded at any corpus size) get the chain applied in
-    * `RetrackEvery`-sized batches with an eager localCheckpoint between
-    * batches (bounded expression depth, bounded lineage), and the
-    * pieces map joins back onto the exploded corpus — the standard
-    * build-once-apply-everywhere tokenizer shape.
-    */
   /** The learned vocabulary: every symbol left in the word table after
     * applying a merge sequence, with corpus-frequency-weighted counts —
     * the piece inventory a tokenizer ships (chars that never merged +
@@ -156,6 +142,22 @@ object BpeTrain {
       .groupBy("piece").agg(sum("__freq").as("n"))
   }
 
+  /** Re-tokenize text with a learned merge table, applying the merges in
+    * training order to each word's symbol string and emitting the
+    * resulting pieces.
+    *
+    * Two plans behind one result: a merge table up to `chainLimit` is
+    * applied as a literal replace chain — one narrow codegen'd
+    * projection, no shuffle, no UDF. A REAL tokenizer's merge table
+    * (10⁴-10⁵ entries) would nest 2·|merges| replace calls in a single
+    * expression (quadratic analysis, codegen stack overflow), so larger
+    * tables go through the word DICTIONARY: distinct words (vocab-
+    * bounded at any corpus size) get the chain applied in
+    * `RetrackEvery`-sized batches with an eager localCheckpoint between
+    * batches (bounded expression depth, bounded lineage), and the
+    * pieces map joins back onto the exploded corpus — the standard
+    * build-once-apply-everywhere tokenizer shape.
+    */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)],
              chainLimit: Int = 64): DataFrame = {

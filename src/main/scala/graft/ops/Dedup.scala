@@ -420,19 +420,27 @@ object Dedup {
     // ceilings (maxNumBits 64M / maxNumItems 4M by default) — beyond ~7M
     // history keys at 1% that degrades the effective fpp toward 1 and the
     // "prefilter" flags everything, exactly where it was supposed to pay
-    // off. Raise the ceilings to the REQUESTED size so the documented
-    // fpp actually holds; the bits are driver+executor memory (n·ln p
-    // bound), which is the cost the caller asked for.
+    // off. Raise the ceilings to the REQUESTED size around the eager
+    // build only, restoring them in finally: the caps exist to bound the
+    // OPTIMIZER's own injected runtime filters, and leaking a widened
+    // ceiling session-wide would let an unrelated later join build a
+    // multi-GB filter. The bits here are the caller's explicit ask.
     val spark = history.sparkSession
-    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
+    val ceilings = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
-      .foreach { case (k, needed) =>
-        if (spark.conf.get(k).toLong < needed) spark.conf.set(k, needed.toString)
-      }
-    val bfBytes = history
-      .select(Shims.bloomFilterAgg(xxhash64(col(keyCol)), expectedItems, numBits)
-        .as("bf"))
-      .head().getAs[Array[Byte]]("bf") // eager job
+    val saved = ceilings.map { case (k, _) => k -> spark.conf.get(k) }
+    val bfBytes =
+      try {
+        ceilings.foreach { case (k, needed) =>
+          if (spark.conf.get(k).toLong < needed)
+            spark.conf.set(k, needed.toString)
+        }
+        history
+          .select(Shims.bloomFilterAgg(xxhash64(col(keyCol)), expectedItems,
+            numBits).as("bf"))
+          .head().getAs[Array[Byte]]("bf") // eager job, inside the window
+      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
     // the aggregate yields NULL over an empty history — everything is new
     if (bfBytes == null) return incoming
     val flagged = graft.core.Caches.track(

@@ -53,9 +53,13 @@ object Profile {
   def expect(df: DataFrame,
              rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one expectation rule")
+    // outer coalesce: sum() over an EMPTY relation is NULL, and a
+    // vacuously-clean empty batch must report 0 violations, not a NULL
+    // that fails the caller's `n_violations === 0` gate
     val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
       case ((_, rule), i) =>
-        sum(when(coalesce(rule, lit(false)), 0L).otherwise(1L)).as(s"__v_$i")
+        coalesce(sum(when(coalesce(rule, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"__v_$i")
     }
     val agged = df.agg(aggs.head, aggs.tail: _*)
     val entries = rules.zipWithIndex.map { case ((name, _), i) =>

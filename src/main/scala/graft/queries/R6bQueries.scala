@@ -294,21 +294,21 @@ object R6bQueries {
         .orderBy("rule"),
       Some("""SELECT rule, n_violations, n_rows FROM (
              |  SELECT 'quantity_positive' AS rule,
-             |    CAST(sum(CASE WHEN coalesce(l_quantity > 0, false)
-             |        THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+             |    coalesce(CAST(sum(CASE WHEN coalesce(l_quantity > 0, false)
+             |        THEN 0 ELSE 1 END) AS BIGINT), 0) AS n_violations,
              |    count(*) AS n_rows FROM lineitem
              |  UNION ALL
              |  SELECT 'quantity_under_30',
-             |    CAST(sum(CASE WHEN coalesce(l_quantity < 30, false)
-             |        THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem
+             |    coalesce(CAST(sum(CASE WHEN coalesce(l_quantity < 30, false)
+             |        THEN 0 ELSE 1 END) AS BIGINT), 0), count(*) FROM lineitem
              |  UNION ALL
              |  SELECT 'returnflag_domain',
-             |    CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A','N','R'), false)
-             |        THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem
+             |    coalesce(CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A','N','R'), false)
+             |        THEN 0 ELSE 1 END) AS BIGINT), 0), count(*) FROM lineitem
              |  UNION ALL
              |  SELECT 'discount_range',
-             |    CAST(sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.05,
-             |        false) THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem)
+             |    coalesce(CAST(sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.05,
+             |        false) THEN 0 ELSE 1 END) AS BIGINT), 0), count(*) FROM lineitem)
              |ORDER BY rule""".stripMargin)),
 
     Q("ta_bpe_encode",

@@ -39,20 +39,22 @@ class DedupSpec extends SparkSpec {
     assert(sloppy == want)
   }
 
-  test("newAgainstHistory raises the session Bloom ceilings so a large " +
-      "requested filter is not silently Math.min-capped") {
+  test("newAgainstHistory widens the Bloom ceilings only around the build " +
+      "and restores them (no session-wide conf leak)") {
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val (bits0, items0) = (spark.conf.get(bitsKey), spark.conf.get(itemsKey))
     val history = Seq((1L, "aaa")).toDF("id", "fp")
-    val incoming = Seq((10L, "new")).toDF("id", "fp")
+    val incoming = Seq((10L, "new"), (11L, "aaa")).toDF("id", "fp")
     // 20M items at 1% needs ~1.9e8 bits — 2.9x the 64M-bit default cap
-    // that BloomFilterAggregate would otherwise apply without a word
-    Dedup.newAgainstHistory(incoming, history, "fp",
-      expectedItems = 20000000L, fpp = 0.01).count()
-    val bits = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
-    val items = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
-    assert(bits >= 190000000L, s"numBits ceiling not raised: $bits")
-    assert(items >= 20000000L, s"numItems ceiling not raised: $items")
+    // BloomFilterAggregate would silently Math.min down to; the op must
+    // honor the request during the build yet leave the session ceilings
+    // (which bound the OPTIMIZER's own injected filters) untouched after
+    val got = Dedup.newAgainstHistory(incoming, history, "fp",
+      expectedItems = 20000000L, fpp = 0.01).select("id").as[Long].collect()
+    assert(got.toSet == Set(10L))
+    assert(spark.conf.get(bitsKey) == bits0, "maxNumBits leaked")
+    assert(spark.conf.get(itemsKey) == items0, "maxNumItems leaked")
   }
 
   test("newAgainstHistory probes with the native Bloom expression (no UDF) " +

@@ -29,6 +29,12 @@ class ProfileSpec extends SparkSpec {
       s"rules must share one scan:\n$plan")
   }
 
+  test("expect: empty batch is vacuously clean (0 violations, never NULL)") {
+    val empty = spark.range(0).select(col("id").as("x"))
+    val got = Profile.expect(empty, Seq("pos" -> (col("x") > 0))).collect()(0)
+    assert(!got.isNullAt(1) && got.getLong(1) == 0L && got.getLong(2) == 0L)
+  }
+
   test("expect rejects an empty rule list") {
     intercept[IllegalArgumentException] {
       Profile.expect(spark.range(1).toDF("id"), Seq.empty)
