@@ -40,6 +40,46 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
+  /** Hard-negative mining for contrastive training — for every anchor,
+    * the k most-similar vectors carrying a DIFFERENT label (the
+    * negatives that actually teach a contrastive model something; random
+    * negatives are trivially separable). Standard piece of every
+    * embedding-training data pipeline (in-batch negatives → mined hard
+    * negatives, cf. DPR / SimCSE).
+    *
+    * Plan shape at 100 TB: the anchor batch (a training batch, bounded)
+    * broadcasts; the corpus is scanned ONCE for ALL anchors (batched
+    * multi-query, not a scan per anchor); and per-anchor top-k runs
+    * through the [[graft.functions.TopKAgg]] TypedImperativeAggregate —
+    * partial aggregation bounds the shuffle to ≤ k rows per (task,
+    * anchor), where the window formulation would funnel every scored
+    * row of an anchor through one partition. Cosine uses the exact
+    * decimal dot (oracle-portable); swap [[Dedup.dotFast]] in as a
+    * prefilter + exact rescore (the sim_quant pattern) when the anchor
+    * batch is large.
+    *
+    * Output: (anchor_id, rank, neg_id, cos_sim), rank 1..k per anchor.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchorIds: Seq[Long],
+                    k: Int): DataFrame = {
+    val anchors = emb.filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"),
+        col(labelCol).as("__albl"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter(!(col(labelCol) <=> col("__albl"))) // negatives only
+      .select(col("anchor_id"),
+        (Dedup.dotExact(col(vecCol), col("__avec")) /
+          (Dedup.normExact(col(vecCol)) * Dedup.normExact(col("__avec"))))
+          .as("__cos"),
+        col(idCol))
+    scored.groupBy(col("anchor_id"))
+      .agg(graft.functions.TopKAgg.topK(col("__cos"), col(idCol), k).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neg_id"), col("t.sort_key").as("cos_sim"))
+  }
+
   /** Per-cluster centroids: exact decimal mean per dimension, assembled
     * back into an ordered array. One shuffle of (cluster, dim, partial
     * sums); output is clusters × dims — tiny, broadcastable.

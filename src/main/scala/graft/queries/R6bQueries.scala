@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{BpeTrain, Curation, LmSignals, Retrieval}
+import graft.ops.{BpeTrain, Curation, LmSignals, Retrieval, Similarity}
 
 /** Round-6 batch 3: sparse retrieval (inverted index + BM25), the
   * deterministic train/val/test split, and PMI collocation mining —
@@ -257,6 +257,49 @@ object R6bQueries {
             s"r AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
           .mkString("\n UNION ALL ")
         s"WITH ${bpeCtes(BpeSteps)}m AS (\n $steps)\nSELECT * FROM m ORDER BY step"
+      }),
+
+    Q("sim_hardneg",
+      "Hard-negative mining (DPR/SimCSE-style): for each of 3 anchors, " +
+        "the 5 most-similar DIFFERENT-label vectors. Anchor batch " +
+        "broadcasts, corpus scanned once for all anchors, per-anchor " +
+        "top-k via the TopKByKey TypedImperativeAggregate (shuffle <= k " +
+        "rows per task-anchor — never a corpus-sized window partition). " +
+        "Oracle restates it as the window query over exact decimal " +
+        "cosines.",
+      (s, d) => Similarity.hardNegatives(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", anchorIds = Seq(0L, 1L, 2L), k = 5)
+        .orderBy("anchor_id", "rank"),
+      Some {
+        val dot = (a: String, b: String) =>
+          s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+        s"""WITH anchors AS (
+           |  SELECT vec_id AS anchor_id, embedding AS ae, label AS albl
+           |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+           |na AS (
+           |  SELECT anchor_id, sqrt(${dot("ae", "ae")}) AS nrm
+           |  FROM anchors, generate_series(1, 64) g(i) GROUP BY anchor_id),
+           |ne AS (
+           |  SELECT vec_id, sqrt(${dot("embedding", "embedding")}) AS nrm
+           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+           |dots AS (
+           |  SELECT a.anchor_id, e.vec_id,
+           |         ${dot("e.embedding", "a.ae")} AS dot
+           |  FROM embeddings e CROSS JOIN anchors a,
+           |       generate_series(1, 64) g(i)
+           |  WHERE e.label IS DISTINCT FROM a.albl
+           |  GROUP BY a.anchor_id, e.vec_id),
+           |ranked AS (
+           |  SELECT d.anchor_id, d.vec_id AS neg_id,
+           |         d.dot / (ne.nrm * na.nrm) AS cos_sim,
+           |         row_number() OVER (PARTITION BY d.anchor_id
+           |           ORDER BY d.dot / (ne.nrm * na.nrm) DESC, d.vec_id) AS rank
+           |  FROM dots d
+           |  JOIN ne ON d.vec_id = ne.vec_id
+           |  JOIN na ON d.anchor_id = na.anchor_id)
+           |SELECT anchor_id, rank, neg_id, cos_sim FROM ranked
+           |WHERE rank <= 5
+           |ORDER BY anchor_id, rank""".stripMargin
       }),
 
     Q("ta_bpe_vocab",

@@ -168,4 +168,32 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(ivf == brute)
   }
+
+  test("hardNegatives: different-label only, never the anchor, ranked desc") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val labels = emb.select("vec_id", "label")
+      .as[(Long, Long)].collect().toMap
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      anchorIds = Seq(0L, 7L), k = 4).collect()
+    assert(got.length == 8)
+    got.groupBy(_.getLong(0)).foreach { case (anchor, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse, "cos_sim must descend with rank")
+      rows.foreach { r =>
+        assert(r.getLong(2) != anchor, "anchor is never its own negative")
+        assert(labels(r.getLong(2)) != labels(anchor),
+          "negatives must carry a different label")
+      }
+    }
+  }
+
+  test("hardNegatives plan: anchors broadcast, no corpus-sized window") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val plan = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      Seq(0L), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Window"), s"top-k must be the bounded aggregate:\n$plan")
+  }
 }
