@@ -185,6 +185,14 @@ object ScaleProbe {
     }
     retrievalProbe(base, s"1x ($n docs)")
     retrievalProbe(docs, s"${mult}x")
+    // hard negatives: one scan for the whole anchor batch, bounded
+    // per-anchor aggregate — expect ~linear in vectors, flat in anchors
+    time(s"hardneg 1x ($en vecs, 4 anchors)")(graft.ops.Similarity
+      .hardNegatives(embBase, "vec_id", "embedding", "label",
+        Seq(0L, 1L, 2L, 3L), 10).count())
+    time(s"hardneg ${mult}x")(graft.ops.Similarity
+      .hardNegatives(emb, "vec_id", "embedding", "label",
+        Seq(0L, 1L, 2L, 3L), 10).count())
     spark.stop()
   }
 }
