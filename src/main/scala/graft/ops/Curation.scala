@@ -122,6 +122,62 @@ object Curation {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
   }
 
+  /** Corpus snapshot diff — dataset versioning's core primitive: compare
+    * two snapshots of a keyed corpus by content fingerprint and label
+    * every id `added` / `removed` / `changed` / `unchanged`. This is what
+    * a training-data registry records between crawl refreshes, and what
+    * incremental reprocessing keys off (only `added`+`changed` re-enter
+    * the pipeline).
+    *
+    * Plan shape at 100 TB: md5 fingerprints are computed in each side's
+    * scan stage (the text column never shuffles — only id + 32-byte
+    * hash), then ONE co-partitioned full-outer join on the id. Status is
+    * a null-safe projection over the join. No skew risk beyond the id
+    * key itself.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val p = prev.select(col(idCol), md5(col(textCol)).as("__ph"))
+    val c = cur.select(col(idCol).as("__cid"), md5(col(textCol)).as("__ch"))
+    p.join(c, col(idCol) === col("__cid"), "full_outer")
+      .select(
+        coalesce(col(idCol), col("__cid")).as(idCol),
+        when(col(idCol).isNull, lit("added"))
+          .when(col("__cid").isNull, lit("removed"))
+          .when(col("__ph") === col("__ch"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Epoch-weighted upsampling — the other half of mixture building:
+    * sources with rates ABOVE 1 (curated corpora a pretraining mix sees
+    * several times per epoch, e.g. 3.3 epochs of books) replicate rows
+    * instead of filtering them. Each row gets `floor(rate)` copies plus
+    * one more when its [[hashBucket]] falls under the fractional
+    * remainder — deterministic (stable across retries, no RNG state),
+    * and in expectation each source contributes exactly `rate · n` rows.
+    * An `epoch` column (0-based copy index) disambiguates replicas so
+    * downstream shuffles/shards treat them as distinct rows.
+    *
+    * Plan shape: a scan-stage `explode(sequence(...))` — rows expand in
+    * the map stage with no shuffle; rates arrive as a literal CASE over
+    * the (tiny) source map, so there is no dimension join at all.
+    */
+  def epochUpsample(df: DataFrame, strataCol: String, idCol: String,
+                    rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0), "rates >= 0")
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (rest, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(rest)
+    }
+    val base = floor(rateCol).cast("long")
+    val extra = when(
+      hashBucket(col(idCol)) < (rateCol - base) * 65536, 1L).otherwise(0L)
+    df.withColumn("__g_n", base + extra)
+      .filter(col("__g_n") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__g_n") - 1)))
+      .drop("__g_n")
+  }
+
   /** First 4 hex digits of md5(id) as a uniform value in [0, 65536) — the
     * deterministic coin for sampling decisions, identical in any engine
     * with md5.

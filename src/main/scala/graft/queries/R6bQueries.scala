@@ -259,6 +259,65 @@ object R6bQueries {
         s"WITH ${bpeCtes(BpeSteps)}m AS (\n $steps)\nSELECT * FROM m ORDER BY step"
       }),
 
+    Q("doc_diff",
+      "Corpus snapshot diff (dataset versioning): two derived snapshots " +
+        "of documents compared by content fingerprint — md5 computed in " +
+        "each scan stage (text never shuffles, only id + 32-byte hash), " +
+        "one co-partitioned full-outer join, null-safe status " +
+        "projection. added/removed/changed/unchanged per id; " +
+        "incremental reprocessing keys off added+changed.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val prev = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
+              .otherwise(col("text")))
+        val cur = docs.filter(col("doc_id") % 19 =!= 4)
+        Curation.snapshotDiff(prev, cur, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH prev AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 13 <> 0),
+             |cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 4)
+             |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+             |  CASE WHEN p.doc_id IS NULL THEN 'added'
+             |       WHEN c.doc_id IS NULL THEN 'removed'
+             |       WHEN md5(p.text) = md5(c.text) THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_epochs",
+      "Epoch-weighted upsampling — mixture rates ABOVE 1 (a pretraining " +
+        "mix seeing curated sources several times per epoch): floor(rate) " +
+        "copies per row plus one more when the md5 bucket falls under the " +
+        "fractional remainder; deterministic, exactly rate*n rows per " +
+        "source in expectation. Scan-stage explode(sequence(...)) — rows " +
+        "expand in the map stage, no shuffle, no dimension join.",
+      (s, d) => Curation.epochUpsample(Tables.documents(s, d),
+          "source", "doc_id",
+          rates = Map("src0" -> 2.5, "src1" -> 0.5), defaultRate = 1.0)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch"),
+      Some("""WITH rated AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN source = 'src0' THEN 2.5
+             |         WHEN source = 'src1' THEN 0.5
+             |         ELSE 1.0 END AS rate,
+             |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS b
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id, source,
+             |    CAST(floor(rate) AS BIGINT) +
+             |      CASE WHEN b < (rate - floor(rate)) * 65536
+             |           THEN 1 ELSE 0 END AS n
+             |  FROM rated)
+             |SELECT doc_id, source,
+             |       unnest(generate_series(0, n - 1)) AS epoch
+             |FROM n WHERE n > 0
+             |ORDER BY doc_id, epoch""".stripMargin)),
+
     Q("sim_hardneg",
       "Hard-negative mining (DPR/SimCSE-style): for each of 3 anchors, " +
         "the 5 most-similar DIFFERENT-label vectors. Anchor batch " +

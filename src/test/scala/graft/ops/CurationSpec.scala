@@ -263,4 +263,40 @@ class CurationSpec extends SparkSpec {
     val got = Curation.exactKPerStratum(df, "src", "id", k = 5)
     assert(got.count() == 3)
   }
+
+  test("snapshotDiff labels added/removed/changed/unchanged correctly") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val cur = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("id", "text")
+    val got = Curation.snapshotDiff(prev, cur, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("epochUpsample: integer rates replicate exactly; fractional rates " +
+      "land near rate*n; epoch indexes are contiguous") {
+    val df = spark.range(0L, 1000L).toDF("id")
+      .withColumn("src", concat(lit("s"), $"id" % 2))
+    val up = Curation.epochUpsample(df, "src", "id",
+      Map("s0" -> 3.0, "s1" -> 0.25), defaultRate = 1.0)
+    val bySrc = up.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("s0") == 1500, s"rate 3.0 must triple exactly: $bySrc")
+    assert(bySrc("s1") > 75 && bySrc("s1") < 175, s"rate 0.25: $bySrc")
+    // every replicated row carries epochs 0..n-1 with no gaps
+    val bad = up.filter($"src" === "s0").groupBy("id")
+      .agg(count(lit(1)).as("n"), min("epoch").as("lo"), max("epoch").as("hi"))
+      .filter($"n" =!= 3 || $"lo" =!= 0 || $"hi" =!= 2)
+    assert(bad.isEmpty)
+    // deterministic: same input -> identical replica set
+    val again = Curation.epochUpsample(df, "src", "id",
+      Map("s0" -> 3.0, "s1" -> 0.25), defaultRate = 1.0)
+    assert(up.exceptAll(again).isEmpty && again.exceptAll(up).isEmpty)
+  }
+
+  test("epochUpsample plan is shuffle-free (map-stage expansion)") {
+    val df = spark.range(100).toDF("id").withColumn("src", lit("a"))
+    val plan = Curation.epochUpsample(df, "src", "id", Map("a" -> 2.5), 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
