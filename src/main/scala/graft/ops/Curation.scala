@@ -144,7 +144,11 @@ object Curation {
         coalesce(col(idCol), col("__cid")).as(idCol),
         when(col(idCol).isNull, lit("added"))
           .when(col("__cid").isNull, lit("removed"))
-          .when(col("__ph") === col("__ch"), lit("unchanged"))
+          // null-safe: a NULL-text row present in both snapshots is
+          // UNCHANGED (md5(NULL) = NULL would otherwise null the plain
+          // equality and fall through to 'changed', making incremental
+          // reprocessing re-ingest every NULL-text row forever)
+          .when(col("__ph") <=> col("__ch"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 
@@ -165,9 +169,7 @@ object Curation {
   def epochUpsample(df: DataFrame, strataCol: String, idCol: String,
                     rates: Map[String, Double], defaultRate: Double): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(_ >= 0), "rates >= 0")
-    val rateCol = rates.foldLeft(lit(defaultRate)) { case (rest, (k, r)) =>
-      when(col(strataCol) === k, lit(r)).otherwise(rest)
-    }
+    val rateCol = rateCase(strataCol, rates, defaultRate)
     val base = floor(rateCol).cast("long")
     val extra = when(
       hashBucket(col(idCol)) < (rateCol - base) * 65536, 1L).otherwise(0L)
@@ -191,12 +193,19 @@ object Curation {
     * across retries/partitions) and the filter pushes down to the scan.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
-                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val rateCol = rates.foldLeft(lit(defaultRate)) { case (rest, (k, r)) =>
+                       rates: Map[String, Double], defaultRate: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) <
+      rateCase(strataCol, rates, defaultRate) * 65536)
+
+  /** Per-stratum rate as a literal CASE over the (tiny) rate map —
+    * shared by [[stratifiedSample]] and [[epochUpsample]] so rate
+    * semantics can never drift between the two.
+    */
+  private def rateCase(strataCol: String, rates: Map[String, Double],
+                       defaultRate: Double): Column =
+    rates.foldLeft(lit(defaultRate)) { case (rest, (k, r)) =>
       when(col(strataCol) === k, lit(r)).otherwise(rest)
     }
-    df.filter(hashBucket(col(idCol)) < rateCol * 65536)
-  }
 
   /** Deterministic train/validation/test split assignment: each row's
     * [[hashBucket]] (md5-derived, uniform over [0, 65536)) is compared

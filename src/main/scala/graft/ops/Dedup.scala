@@ -413,34 +413,7 @@ object Dedup {
                         expectedItems: Long = 1000000L,
                         fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.graft.Shims
-    // optimal bit count for the target fpp: -n·ln(p) / (ln 2)²
-    val numBits = math.max(64L, math.ceil(
-      -expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // BloomFilterAggregate silently Math.min-caps its size at the session
-    // ceilings (maxNumBits 64M / maxNumItems 4M by default) — beyond ~7M
-    // history keys at 1% that degrades the effective fpp toward 1 and the
-    // "prefilter" flags everything, exactly where it was supposed to pay
-    // off. Raise the ceilings to the REQUESTED size around the eager
-    // build only, restoring them in finally: the caps exist to bound the
-    // OPTIMIZER's own injected runtime filters, and leaking a widened
-    // ceiling session-wide would let an unrelated later join build a
-    // multi-GB filter. The bits here are the caller's explicit ask.
-    val spark = history.sparkSession
-    val ceilings = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
-    val saved = ceilings.map { case (k, _) => k -> spark.conf.get(k) }
-    val bfBytes =
-      try {
-        ceilings.foreach { case (k, needed) =>
-          if (spark.conf.get(k).toLong < needed)
-            spark.conf.set(k, needed.toString)
-        }
-        history
-          .select(Shims.bloomFilterAgg(xxhash64(col(keyCol)), expectedItems,
-            numBits).as("bf"))
-          .head().getAs[Array[Byte]]("bf") // eager job, inside the window
-      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    val bfBytes = buildHistoryBloom(history, keyCol, expectedItems, fpp)
     // the aggregate yields NULL over an empty history — everything is new
     if (bfBytes == null) return incoming
     val flagged = graft.core.Caches.track(
@@ -451,6 +424,48 @@ object Dedup {
       .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     definitelyNew.unionByName(needExactCheck).drop("__graft_bf_hit")
   }
+
+  /** Serialized history Bloom filter at the REQUESTED size (null over an
+    * empty history). BloomFilterAggregate silently Math.min-caps its
+    * size at the session ceilings (maxNumBits 64M / maxNumItems 4M by
+    * default) — beyond ~7M history keys at 1% that degrades the
+    * effective fpp toward 1 and the "prefilter" flags everything,
+    * exactly where it was supposed to pay off. The ceilings are raised
+    * to the requested size around the eager build only and restored in
+    * finally: they exist to bound the OPTIMIZER's own injected runtime
+    * filters, and leaking a widened ceiling session-wide would let an
+    * unrelated later join build a multi-GB filter. The widen-build-
+    * restore window is serialized through a JVM lock so two concurrent
+    * builds on one session cannot restore each other's ceilings
+    * mid-build (which would silently re-cap the larger request).
+    */
+  private[ops] def buildHistoryBloom(history: DataFrame, keyCol: String,
+                                     expectedItems: Long,
+                                     fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.graft.Shims
+    // optimal bit count for the target fpp: -n·ln(p) / (ln 2)²
+    val numBits = math.max(64L, math.ceil(
+      -expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val spark = history.sparkSession
+    val ceilings = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
+    bloomBuildLock.synchronized {
+      val saved = ceilings.map { case (k, _) => k -> spark.conf.get(k) }
+      try {
+        ceilings.foreach { case (k, needed) =>
+          if (spark.conf.get(k).toLong < needed)
+            spark.conf.set(k, needed.toString)
+        }
+        history
+          .select(Shims.bloomFilterAgg(xxhash64(col(keyCol)), expectedItems,
+            numBits).as("bf"))
+          .head().getAs[Array[Byte]]("bf") // eager job, inside the window
+      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+  }
+
+  private val bloomBuildLock = new Object
 
   /** Connected components over an undirected candidate-pair edge list —
     * the dedup endgame: near-dup PAIRS (minhash/simhash/jaccard output)

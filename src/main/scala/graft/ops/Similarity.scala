@@ -63,15 +63,26 @@ object Similarity {
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, anchorIds: Seq[Long],
                     k: Int): DataFrame = {
+    // norms are STAGED as columns (the quantTopK pattern): higher-order
+    // expressions get no subexpression elimination, so an inline
+    // normExact would re-run its O(dims) decimal fold once per (row,
+    // anchor) pair — the corpus-side norm is per-row and the anchor
+    // norms are B constants computed before the broadcast. The 1e-30
+    // floor keeps an all-zero vector (failed-embedding placeholder) at
+    // cosine 0 instead of 0/0 = NaN, which would poison TopKAgg's
+    // comparator (NaN is incomparable: intransitive sortWith can throw
+    // and k-compaction goes partition-order nondeterministic).
+    val nrm = (c: Column) => greatest(Dedup.normExact(c), lit(1e-30))
     val anchors = emb.filter(col(idCol).isin(anchorIds: _*))
       .select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"),
-        col(labelCol).as("__albl"))
-    val scored = emb.crossJoin(broadcast(anchors))
+        col(labelCol).as("__albl"), nrm(col(vecCol)).as("__anrm"))
+    val scored = emb
+      .withColumn("__nrm", nrm(col(vecCol)))
+      .crossJoin(broadcast(anchors))
       .filter(!(col(labelCol) <=> col("__albl"))) // negatives only
       .select(col("anchor_id"),
         (Dedup.dotExact(col(vecCol), col("__avec")) /
-          (Dedup.normExact(col(vecCol)) * Dedup.normExact(col("__avec"))))
-          .as("__cos"),
+          (col("__nrm") * col("__anrm"))).as("__cos"),
         col(idCol))
     scored.groupBy(col("anchor_id"))
       .agg(graft.functions.TopKAgg.topK(col("__cos"), col(idCol), k).as("top"))

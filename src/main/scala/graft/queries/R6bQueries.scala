@@ -283,7 +283,8 @@ object R6bQueries {
              |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
              |  CASE WHEN p.doc_id IS NULL THEN 'added'
              |       WHEN c.doc_id IS NULL THEN 'removed'
-             |       WHEN md5(p.text) = md5(c.text) THEN 'unchanged'
+             |       WHEN md5(p.text) IS NOT DISTINCT FROM md5(c.text)
+             |         THEN 'unchanged'
              |       ELSE 'changed' END AS status
              |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
              |ORDER BY doc_id""".stripMargin)),
@@ -336,10 +337,10 @@ object R6bQueries {
            |  SELECT vec_id AS anchor_id, embedding AS ae, label AS albl
            |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
            |na AS (
-           |  SELECT anchor_id, sqrt(${dot("ae", "ae")}) AS nrm
+           |  SELECT anchor_id, greatest(sqrt(${dot("ae", "ae")}), 1e-30) AS nrm
            |  FROM anchors, generate_series(1, 64) g(i) GROUP BY anchor_id),
            |ne AS (
-           |  SELECT vec_id, sqrt(${dot("embedding", "embedding")}) AS nrm
+           |  SELECT vec_id, greatest(sqrt(${dot("embedding", "embedding")}), 1e-30) AS nrm
            |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
            |dots AS (
            |  SELECT a.anchor_id, e.vec_id,

@@ -39,22 +39,28 @@ class DedupSpec extends SparkSpec {
     assert(sloppy == want)
   }
 
-  test("newAgainstHistory widens the Bloom ceilings only around the build " +
-      "and restores them (no session-wide conf leak)") {
+  test("newAgainstHistory honors a Bloom size beyond the session cap " +
+      "during the build and restores the ceilings (no conf leak)") {
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val (bits0, items0) = (spark.conf.get(bitsKey), spark.conf.get(itemsKey))
     val history = Seq((1L, "aaa")).toDF("id", "fp")
-    val incoming = Seq((10L, "new"), (11L, "aaa")).toDF("id", "fp")
     // 20M items at 1% needs ~1.9e8 bits — 2.9x the 64M-bit default cap
-    // BloomFilterAggregate would silently Math.min down to; the op must
-    // honor the request during the build yet leave the session ceilings
-    // (which bound the OPTIMIZER's own injected filters) untouched after
+    // BloomFilterAggregate would silently Math.min down to. The returned
+    // filter's byte size pins that the REQUEST was honored (a capped
+    // build would come back ~8 MB; correctness alone can't tell, the
+    // exact anti-join always cleans up false positives).
+    val bf = Dedup.buildHistoryBloom(history, "fp",
+      expectedItems = 20000000L, fpp = 0.01)
+    assert(bf.length.toLong * 8 >= 190000000L,
+      s"filter built below the requested size: ${bf.length} bytes")
+    assert(spark.conf.get(bitsKey) == bits0, "maxNumBits leaked")
+    assert(spark.conf.get(itemsKey) == items0, "maxNumItems leaked")
+    // the op end-to-end stays exact
+    val incoming = Seq((10L, "new"), (11L, "aaa")).toDF("id", "fp")
     val got = Dedup.newAgainstHistory(incoming, history, "fp",
       expectedItems = 20000000L, fpp = 0.01).select("id").as[Long].collect()
     assert(got.toSet == Set(10L))
-    assert(spark.conf.get(bitsKey) == bits0, "maxNumBits leaked")
-    assert(spark.conf.get(itemsKey) == items0, "maxNumItems leaked")
   }
 
   test("newAgainstHistory probes with the native Bloom expression (no UDF) " +
