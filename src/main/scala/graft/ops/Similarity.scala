@@ -91,6 +91,25 @@ object Similarity {
         col("t.id").as("neg_id"), col("t.sort_key").as("cos_sim"))
   }
 
+  /** Recall@k of an approximate result list against the exact one — the
+    * evaluation every ANN deployment runs before trusting an index
+    * (tune nprobe/bands until recall clears the bar, then ship). Both
+    * inputs are id lists (first `k` rows taken from each, so callers
+    * can pass the ranked frames directly); output is one row
+    * (k, hits, recall). Cost: two ≤k-row relations joined — nothing
+    * scales with the corpus, so it can run after every index build as
+    * a cheap gate.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String,
+                k: Int): DataFrame = {
+    val e = exact.select(col(idCol)).limit(k)
+    val a = approx.select(col(idCol)).limit(k)
+    a.join(e, idCol)
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(k.toLong).as("k"), col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** Per-cluster centroids: exact decimal mean per dimension, assembled
     * back into an ordered array. One shuffle of (cluster, dim, partial
     * sums); output is clusters × dims — tiny, broadcastable.

@@ -259,6 +259,60 @@ object R6bQueries {
         s"WITH ${bpeCtes(BpeSteps)}m AS (\n $steps)\nSELECT * FROM m ORDER BY step"
       }),
 
+    Q("sim_recall",
+      "Recall@10 of the trained-IVF ANN against exact brute force — the " +
+        "evaluation gate every index build runs before being trusted " +
+        "(tune nprobe until recall clears the bar). Exact and approx " +
+        "lists are both deterministic, so the recall itself is a " +
+        "hash-checkable scalar; the oracle replays the full Lloyd chain, " +
+        "the nprobe probe, the exact ranking, and the intersection.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        val approx = Similarity.ivfTrainedTopK(emb, "vec_id", "embedding", q,
+          k = 10, nprobe = 2, kClusters = R5Queries.K, iters = R5Queries.ITERS)
+        Similarity.recallAtK(exact, approx, "vec_id", 10)
+      },
+      Some {
+        val dot = R5Queries.dotSql _
+        val dims = R5Queries.DIMS
+        val aFinal = s"a${R5Queries.ITERS + 1}"
+        s"""WITH ${R5Queries.kmeansCtesOn("embeddings")},
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |nq AS (
+           |  SELECT sqrt(${dot("qe", "qe")}) AS nrm
+           |  FROM q, generate_series(1, $dims) g(i)),
+           |cdot AS (
+           |  SELECT c.cluster,
+           |    cast(sum(cast(c.c * q.qe[c.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE) AS dot,
+           |    sqrt(cast(sum(cast(c.c * c.c AS DECIMAL(38,14))) AS DOUBLE)) AS cn
+           |  FROM c${R5Queries.ITERS} c, q GROUP BY c.cluster),
+           |short AS (
+           |  SELECT cluster FROM cdot, nq
+           |  ORDER BY dot / (cn * nq.nrm) DESC, cluster LIMIT 2),
+           |ne AS (
+           |  SELECT vec_id, sqrt(${dot("embedding", "embedding")}) AS nrm
+           |  FROM embeddings, generate_series(1, $dims) g(i) GROUP BY vec_id),
+           |dots AS (
+           |  SELECT e.vec_id, ${dot("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e, q, generate_series(1, $dims) g(i)
+           |  GROUP BY e.vec_id),
+           |approx AS (
+           |  SELECT d.vec_id
+           |  FROM dots d JOIN ne USING (vec_id)
+           |       JOIN $aFinal ass USING (vec_id), nq
+           |  WHERE ass.cluster IN (SELECT cluster FROM short)
+           |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10),
+           |exact AS (
+           |  SELECT d.vec_id FROM dots d JOIN ne USING (vec_id), nq
+           |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10)
+           |SELECT CAST(10 AS BIGINT) AS k,
+           |  count(*) AS hits,
+           |  CAST(count(*) AS DOUBLE) / 10.0 AS recall
+           |FROM approx JOIN exact USING (vec_id)""".stripMargin
+      }),
+
     Q("doc_diff",
       "Corpus snapshot diff (dataset versioning): two derived snapshots " +
         "of documents compared by content fingerprint — md5 computed in " +

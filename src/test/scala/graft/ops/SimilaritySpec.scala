@@ -169,6 +169,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("recallAtK: identical lists = 1, disjoint = 0, full probe = 1") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    val self = Similarity.recallAtK(exact, exact, "vec_id", 10).collect()(0)
+    assert(self.getLong(1) == 10L && self.getDouble(2) == 1.0)
+    val disjoint = Similarity.recallAtK(exact,
+      exact.withColumn("vec_id", $"vec_id" + 100000L), "vec_id", 10)
+      .collect()(0)
+    assert(disjoint.getLong(1) == 0L && disjoint.getDouble(2) == 0.0)
+    // probing every cluster must recover the exact list: recall 1
+    val full = Similarity.ivfTrainedTopK(emb, "vec_id", "embedding", q,
+      k = 10, nprobe = 4, kClusters = 4, iters = 2)
+    val r = Similarity.recallAtK(exact, full, "vec_id", 10).collect()(0)
+    assert(r.getDouble(2) == 1.0)
+  }
+
   test("hardNegatives: different-label only, never the anchor, ranked desc") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
     val labels = emb.select("vec_id", "label")
