@@ -100,7 +100,8 @@ object Retrieval {
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String): Unit = {
     val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
-    base.agg(sum(size(col("__ws"))).as("sum_dl"), count(lit(1)).as("n_docs"))
+    base.agg(coalesce(sum(size(col("__ws"))), lit(0L)).as("sum_dl"),
+        count(lit(1)).as("n_docs"))
       .coalesce(1)
       .write.mode("overwrite").parquet(path + "/stats")
     base
@@ -116,6 +117,50 @@ object Retrieval {
       .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions("term", idCol)
       .write.mode("overwrite").parquet(path + "/postings")
+  }
+
+  /** Incremental index maintenance: append a batch of NEW documents to
+    * an existing at-rest index without rebuilding it. Correct by
+    * construction because the postings table is keyed (term, doc) and
+    * per-term df is derived at SERVE time from the postings themselves —
+    * new docs only ever ADD rows, so appending their postings files and
+    * refreshing the (1-row) corpus stats is the whole maintenance story;
+    * no index-wide df bookkeeping exists to go stale. The caller owns
+    * the only invariant: batch doc ids must be disjoint from the indexed
+    * ones (re-ingesting a doc would double-count its tf).
+    *
+    * Crash window: postings append before stats rewrite — a failure
+    * between the two leaves served avgdl slightly stale (scores shift in
+    * the 4th decimal, rankings essentially stable) until the next
+    * append; pipelines needing exactly-once maintenance wrap this in the
+    * [[graft.core.BatchLedger]] idempotent-batch pattern like any other
+    * sink.
+    */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+                    path: String): Unit = {
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    val delta = base
+      .agg(sum(size(col("__ws"))).as("sum_dl"), count(lit(1)).as("n_docs"))
+      .select(coalesce(col("sum_dl"), lit(0L)).as("sum_dl"), col("n_docs"))
+      .head()
+    base
+      .select(col(idCol), size(col("__ws")).as("dl"),
+        explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term"), col(idCol))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("append").parquet(path + "/postings")
+    val statsDf = spark.read.parquet(path + "/stats")
+      .select(col("sum_dl"), col("n_docs"))
+    val old = statsDf.head()
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(old.getLong(0) + delta.getLong(0),
+          old.getLong(1) + delta.getLong(1))),
+      statsDf.schema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "/stats")
   }
 
   /** BM25 served from the written index: the postings scan carries a

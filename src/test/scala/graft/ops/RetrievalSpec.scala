@@ -74,6 +74,23 @@ class RetrievalSpec extends SparkSpec {
     assert(served.collect().toSeq == scanned.collect().toSeq)
   }
 
+  test("appendToIndex: incremental build serves identically to a full build") {
+    val half1 = corpus.filter($"doc_id" <= 2)
+    val half2 = corpus.filter($"doc_id" > 2)
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft_bm25_inc_spec").toString
+    Retrieval.writeIndex(half1, "doc_id", "text", inc)
+    Retrieval.appendToIndex(half2, "doc_id", "text", inc)
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_bm25_full_spec").toString
+    Retrieval.writeIndex(corpus, "doc_id", "text", full)
+    val a = Retrieval.bm25FromIndex(spark, inc, "doc_id",
+      Seq("date", "banana"), 10).collect().toSeq
+    val b = Retrieval.bm25FromIndex(spark, full, "doc_id",
+      Seq("date", "banana"), 10).collect().toSeq
+    assert(a == b, "incrementally-maintained index must serve identically")
+  }
+
   test("bm25FromIndex pushes the term filter into the postings scan") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_bm25_push_spec").toString
