@@ -119,6 +119,35 @@ object Retrieval {
       .write.mode("overwrite").parquet(path + "/postings")
   }
 
+  /** Exact phrase search: documents containing the words of `phrase`
+    * ADJACENT and IN ORDER, with the match count per document. Runs as a
+    * single scan-stage expression — the word array is staged once per
+    * row (a column, so the split is never re-run per lambda element) and
+    * candidate start offsets are filtered with an indexed lookup per
+    * phrase word; no shuffle, no self-join. (The positional-join
+    * formulation — tokens self-joined on (doc, pos+1) — shuffles the
+    * whole token stream per phrase word; adjacency within a row never
+    * needs an exchange.) Compose with [[bm25]]/[[invertedIndex]] for the
+    * candidate-then-verify retrieval stack.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val k = phrase.length
+    val ws = col("__ws")
+    val starts = when(size(ws) >= k,
+      sequence(lit(1), size(ws) - (k - 1))) // 1-based start offsets
+      .otherwise(array().cast("array<integer>"))
+    val isMatch = (i: Column) => phrase.zipWithIndex.map {
+      case (t, j) => element_at(ws, (i + lit(j)).cast("integer")) === lit(t)
+    }.reduce(_ && _)
+    docs
+      .withColumn("__ws", words(col(textCol)))
+      .select(col(idCol),
+        size(filter(starts, i => isMatch(i))).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** Incremental index maintenance: append a batch of NEW documents to
     * an existing at-rest index without rebuilding it. Correct by
     * construction because the postings table is keyed (term, doc) and

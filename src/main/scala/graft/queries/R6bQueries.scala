@@ -259,6 +259,28 @@ object R6bQueries {
         s"WITH ${bpeCtes(BpeSteps)}m AS (\n $steps)\nSELECT * FROM m ORDER BY step"
       }),
 
+    Q("ta_phrase",
+      "Exact phrase search ('spark join', adjacent and in order) as ONE " +
+        "scan-stage expression — word array staged per row, candidate " +
+        "start offsets filtered with indexed lookups; no shuffle, no " +
+        "positional self-join (which would shuffle the whole token " +
+        "stream per phrase word).",
+      (s, d) => Retrieval.phraseSearch(Tables.documents(s, d),
+          "doc_id", "text", Seq("spark", "join"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                x -> x <> '') AS ws
+             |  FROM documents)
+             |SELECT doc_id, count(*) AS n_matches
+             |FROM (SELECT doc_id, ws,
+             |        unnest(generate_series(1, len(ws) - 1)) AS i
+             |      FROM w WHERE len(ws) >= 2)
+             |WHERE ws[i] = 'spark' AND ws[i+1] = 'join'
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("sim_recall",
       "Recall@10 of the trained-IVF ANN against exact brute force — the " +
         "evaluation gate every index build runs before being trusted " +

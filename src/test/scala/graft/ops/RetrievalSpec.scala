@@ -100,6 +100,33 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("In(term, [banana,date])"), plan)
   }
 
+  test("phraseSearch: adjacency + order; counts overlapping occurrences") {
+    val docs = Seq(
+      (1L, "big data big data big"),  // "big data" twice, "data big" twice
+      (2L, "data big"),               // reversed order only
+      (3L, "big red data"),           // not adjacent
+      (4L, "")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("big", "data")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L))
+    val rev = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("data", "big")).as[(Long, Long)].collect().toMap
+    assert(rev == Map(1L -> 2L, 2L -> 1L))
+    // 3-word phrase, and a phrase longer than any doc matches nothing
+    val tri = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("big", "data", "big")).as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 2L))
+    assert(Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq.fill(9)("big")).isEmpty)
+  }
+
+  test("phraseSearch plan is shuffle-free") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("pmiCollocations: collocated pair tops independent pairs; minCount guards") {
     val docs = Seq.tabulate(20)(i =>
       (i.toLong, if (i % 2 == 0) "strong coffee please" else "strong tea please"))
