@@ -100,23 +100,81 @@ object Retrieval {
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String): Unit = {
     val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
-    base.agg(coalesce(sum(size(col("__ws"))), lit(0L)).as("sum_dl"),
-        count(lit(1)).as("n_docs"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path + "/stats")
+    writeStats(docs.sparkSession, path, statsDelta(base))
+    writePostings(base, idCol, path, "overwrite")
+  }
+
+  /** One (sum_dl, n_docs) pair for a batch — exact integers, so the
+    * served avgdl is a single double division.
+    */
+  private def statsDelta(base: DataFrame): (Long, Long) = {
+    val r = base.agg(coalesce(sum(size(col("__ws"))), lit(0L)).as("sum_dl"),
+      count(lit(1)).as("n_docs")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The one postings layout, shared by the full build and the
+    * incremental append (only the save mode differs — layout drift
+    * between the two would silently break the serve-identical
+    * guarantee). Range by (term, doc), not term alone: a stopword's
+    * postings would otherwise land in ONE range partition (range split
+    * points cannot divide a single key value) — the secondary key
+    * spreads a hot term across partitions while files stay term-sorted,
+    * so min/max pruning still skips everything outside the query terms.
+    */
+  private def writePostings(base: DataFrame, idCol: String, path: String,
+                            mode: String): Unit =
     base
       .select(col(idCol), size(col("__ws")).as("dl"),
         explode(col("__ws")).as("term"))
       .groupBy(col("term"), col(idCol), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      // range by (term, doc), not term alone: a stopword's postings
-      // would otherwise land in ONE range partition (range split points
-      // cannot divide a single key value) — the secondary key spreads a
-      // hot term across partitions while files stay term-sorted, so
-      // min/max pruning still skips everything outside the query terms
       .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions("term", idCol)
-      .write.mode("overwrite").parquet(path + "/postings")
+      .write.mode(mode).parquet(path + "/postings")
+
+  /** Durable stats swap (the BatchLedger compaction pattern): write the
+    * 1-row table to `stats__tmp`, delete `stats`, rename tmp into
+    * place. A crash between delete and rename leaves only the tmp copy,
+    * which [[readStats]] renames back before reading — so the index is
+    * never left unserveable, which a plain mode("overwrite") (delete
+    * THEN recreate, no recovery) could do.
+    */
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+                         path: String, stats: (Long, Long)): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path + "/stats")
+    val tmp = new org.apache.hadoop.fs.Path(path + "/stats__tmp")
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(stats._1, stats._2)),
+        StructType(Seq(StructField("sum_dl", LongType, nullable = false),
+          StructField("n_docs", LongType, nullable = false))))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"stats swap rename failed: $tmp -> $dst")
+  }
+
+  /** Read the 1-row stats table, recovering a crashed [[writeStats]]
+    * swap first (tmp present + stats missing ⇒ tmp IS the stats).
+    */
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path + "/stats")
+    val tmp = new org.apache.hadoop.fs.Path(path + "/stats__tmp")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(dst)) {
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(
+            s"stats swap recovery rename failed: $tmp -> $dst")
+      } else fs.delete(tmp, true) // crash before delete: tmp is stale
+    }
+    spark.read.parquet(dst.toString).select(col("sum_dl"), col("n_docs"))
   }
 
   /** Exact phrase search: documents containing the words of `phrase`
@@ -158,38 +216,28 @@ object Retrieval {
     * the only invariant: batch doc ids must be disjoint from the indexed
     * ones (re-ingesting a doc would double-count its tf).
     *
-    * Crash window: postings append before stats rewrite — a failure
-    * between the two leaves served avgdl slightly stale (scores shift in
-    * the 4th decimal, rankings essentially stable) until the next
-    * append; pipelines needing exactly-once maintenance wrap this in the
-    * [[graft.core.BatchLedger]] idempotent-batch pattern like any other
-    * sink.
+    * Crash windows, honestly: postings append before stats swap — a
+    * failure between the two leaves served stats (avgdl AND idf's N)
+    * slightly stale until the next append (rankings essentially
+    * stable). The stats swap itself is the tmp-write → rename pattern
+    * with read-side recovery ([[writeStats]]/[[readStats]]), so no
+    * failure point leaves the index UNSERVEABLE. Pipelines needing
+    * exactly-once maintenance wrap this in the
+    * [[graft.core.BatchLedger]] idempotent-batch pattern like any
+    * other sink.
     */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
                     path: String): Unit = {
     val spark = docs.sparkSession
-    val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
-    val delta = base
-      .agg(sum(size(col("__ws"))).as("sum_dl"), count(lit(1)).as("n_docs"))
-      .select(coalesce(col("sum_dl"), lit(0L)).as("sum_dl"), col("n_docs"))
-      .head()
-    base
-      .select(col(idCol), size(col("__ws")).as("dl"),
-        explode(col("__ws")).as("term"))
-      .groupBy(col("term"), col(idCol), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("term"), col(idCol))
-      .sortWithinPartitions("term", idCol)
-      .write.mode("append").parquet(path + "/postings")
-    val statsDf = spark.read.parquet(path + "/stats")
-      .select(col("sum_dl"), col("n_docs"))
-    val old = statsDf.head()
-    spark.createDataFrame(java.util.List.of(
-        org.apache.spark.sql.Row(old.getLong(0) + delta.getLong(0),
-          old.getLong(1) + delta.getLong(1))),
-      statsDf.schema)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path + "/stats")
+    // cached: the batch feeds the stats delta AND the postings write —
+    // one tokenization pass, and the two can never disagree even over a
+    // non-deterministic source (the invertedIndex/bm25 precedent)
+    val base = graft.core.Caches.track(
+      docs.select(col(idCol), words(col(textCol)).as("__ws")))
+    val (dSum, dN) = statsDelta(base)
+    writePostings(base, idCol, path, "append")
+    val old = readStats(spark, path).head()
+    writeStats(spark, path, (old.getLong(0) + dSum, old.getLong(1) + dN))
   }
 
   /** BM25 served from the written index: the postings scan carries a
@@ -202,7 +250,7 @@ object Retrieval {
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     idCol: String, queryTerms: Seq[String],
                     topK: Int): DataFrame = {
-    val stats = spark.read.parquet(path + "/stats")
+    val stats = readStats(spark, path)
       .select((col("sum_dl").cast("double") / col("n_docs")).as("__avgdl"),
         col("n_docs").as("__n"))
     val tf = spark.read.parquet(path + "/postings")

@@ -82,6 +82,34 @@ object R5Queries {
 
   private val kmeansCtes: String = kmeansCtesOn("embeddings")
 
+  /** The IVF probe as CTEs over the trained chain (expects the
+    * [[kmeansCtesOn]] CTEs in scope): query vector + norm, centroid
+    * cosines against the final iteration's centroids, the nprobe
+    * shortlist, per-vector norms and query dots. Shared by
+    * sim_ivf_trained's oracle and R6b's sim_recall so the probe math can
+    * never drift between the two restatements.
+    */
+  private[queries] def ivfProbeCtes(nprobe: Int): String =
+    s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |nq AS (
+       |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+       |  FROM q, generate_series(1, $DIMS) g(i)),
+       |cdot AS (
+       |  SELECT c.cluster,
+       |    cast(sum(cast(c.c * q.qe[c.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE) AS dot,
+       |    sqrt(cast(sum(cast(c.c * c.c AS DECIMAL(38,14))) AS DOUBLE)) AS cn
+       |  FROM c$ITERS c, q GROUP BY c.cluster),
+       |short AS (
+       |  SELECT cluster FROM cdot, nq
+       |  ORDER BY dot / (cn * nq.nrm) DESC, cluster LIMIT $nprobe),
+       |ne AS (
+       |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings, generate_series(1, $DIMS) g(i) GROUP BY vec_id),
+       |dots AS (
+       |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+       |  FROM embeddings e, q, generate_series(1, $DIMS) g(i)
+       |  GROUP BY e.vec_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("sim_kmeans",
@@ -114,25 +142,7 @@ object R5Queries {
       },
       Some(
         s"""WITH $kmeansCtes,
-           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-           |nq AS (
-           |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
-           |  FROM q, generate_series(1, $DIMS) g(i)),
-           |cdot AS (
-           |  SELECT c.cluster,
-           |    cast(sum(cast(c.c * q.qe[c.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE) AS dot,
-           |    sqrt(cast(sum(cast(c.c * c.c AS DECIMAL(38,14))) AS DOUBLE)) AS cn
-           |  FROM c$ITERS c, q GROUP BY c.cluster),
-           |short AS (
-           |  SELECT cluster FROM cdot, nq
-           |  ORDER BY dot / (cn * nq.nrm) DESC, cluster LIMIT 2),
-           |ne AS (
-           |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
-           |  FROM embeddings, generate_series(1, $DIMS) g(i) GROUP BY vec_id),
-           |dots AS (
-           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
-           |  FROM embeddings e, q, generate_series(1, $DIMS) g(i)
-           |  GROUP BY e.vec_id)
+           |${ivfProbeCtes(nprobe = 2)}
            |SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos_sim
            |FROM dots d JOIN ne USING (vec_id)
            |     JOIN a${ITERS + 1} ass USING (vec_id), nq

@@ -297,29 +297,9 @@ object R6bQueries {
         Similarity.recallAtK(exact, approx, "vec_id", 10)
       },
       Some {
-        val dot = R5Queries.dotSql _
-        val dims = R5Queries.DIMS
         val aFinal = s"a${R5Queries.ITERS + 1}"
         s"""WITH ${R5Queries.kmeansCtesOn("embeddings")},
-           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-           |nq AS (
-           |  SELECT sqrt(${dot("qe", "qe")}) AS nrm
-           |  FROM q, generate_series(1, $dims) g(i)),
-           |cdot AS (
-           |  SELECT c.cluster,
-           |    cast(sum(cast(c.c * q.qe[c.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE) AS dot,
-           |    sqrt(cast(sum(cast(c.c * c.c AS DECIMAL(38,14))) AS DOUBLE)) AS cn
-           |  FROM c${R5Queries.ITERS} c, q GROUP BY c.cluster),
-           |short AS (
-           |  SELECT cluster FROM cdot, nq
-           |  ORDER BY dot / (cn * nq.nrm) DESC, cluster LIMIT 2),
-           |ne AS (
-           |  SELECT vec_id, sqrt(${dot("embedding", "embedding")}) AS nrm
-           |  FROM embeddings, generate_series(1, $dims) g(i) GROUP BY vec_id),
-           |dots AS (
-           |  SELECT e.vec_id, ${dot("e.embedding", "q.qe")} AS dot
-           |  FROM embeddings e, q, generate_series(1, $dims) g(i)
-           |  GROUP BY e.vec_id),
+           |${R5Queries.ivfProbeCtes(nprobe = 2)},
            |approx AS (
            |  SELECT d.vec_id
            |  FROM dots d JOIN ne USING (vec_id)
@@ -331,7 +311,10 @@ object R6bQueries {
            |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10)
            |SELECT CAST(10 AS BIGINT) AS k,
            |  count(*) AS hits,
-           |  CAST(count(*) AS DOUBLE) / 10.0 AS recall
+           |  CASE WHEN (SELECT count(*) FROM exact) > 0
+           |    THEN CAST(count(*) AS DOUBLE) /
+           |         least(CAST(10 AS BIGINT), (SELECT count(*) FROM exact))
+           |    ELSE 0.0 END AS recall
            |FROM approx JOIN exact USING (vec_id)""".stripMargin
       }),
 

@@ -184,6 +184,11 @@ class SimilaritySpec extends SparkSpec {
       k = 10, nprobe = 4, kClusters = 4, iters = 2)
     val r = Similarity.recallAtK(exact, full, "vec_id", 10).collect()(0)
     assert(r.getDouble(2) == 1.0)
+    // exact list smaller than k: a perfect match still scores 1.0 (the
+    // denominator is |exact|, not k)
+    val tiny = exact.limit(3)
+    val small = Similarity.recallAtK(tiny, tiny, "vec_id", 10).collect()(0)
+    assert(small.getLong(1) == 3L && small.getDouble(2) == 1.0)
   }
 
   test("hardNegatives: different-label only, never the anchor, ranked desc") {
