@@ -179,30 +179,37 @@ object Retrieval {
 
   /** Exact phrase search: documents containing the words of `phrase`
     * ADJACENT and IN ORDER, with the match count per document. Runs as a
-    * single scan-stage expression — the word array is staged once per
-    * row (a column, so the split is never re-run per lambda element) and
-    * candidate start offsets are filtered with an indexed lookup per
-    * phrase word; no shuffle, no self-join. (The positional-join
-    * formulation — tokens self-joined on (doc, pos+1) — shuffles the
-    * whole token stream per phrase word; adjacency within a row never
-    * needs an exchange.) Compose with [[bm25]]/[[invertedIndex]] for the
-    * candidate-then-verify retrieval stack.
+    * single scan-stage expression; no shuffle, no self-join. (The
+    * positional-join formulation — tokens self-joined on (doc, pos+1) —
+    * shuffles the whole token stream per phrase word; adjacency within
+    * a row never needs an exchange.)
+    *
+    * Expression shape matters here: an `element_at(ws, i+j)` lookup
+    * inside a lambda would get the staged word array INLINED back by
+    * CollapseProject and re-split the text once per candidate position —
+    * O(words²·chars) per row (measured 3s+ at sf0.1). Instead each
+    * phrase word contributes one boolean `transform` over the array and
+    * the k arrays are AND-combined through shifted `zip_with` slices
+    * (the bigramPairs idiom) — every array argument evaluates O(k)
+    * times per ROW, per-element work is O(1), total O(k·words).
+    * Compose with [[bm25]]/[[invertedIndex]] for the candidate-then-
+    * verify retrieval stack.
     */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one word")
-    val k = phrase.length
-    val ws = col("__ws")
-    val starts = when(size(ws) >= k,
-      sequence(lit(1), size(ws) - (k - 1))) // 1-based start offsets
-      .otherwise(array().cast("array<integer>"))
-    val isMatch = (i: Column) => phrase.zipWithIndex.map {
-      case (t, j) => element_at(ws, (i + lit(j)).cast("integer")) === lit(t)
-    }.reduce(_ && _)
+    val ws = words(col(textCol))
+    def eq(j: Int): Column = transform(ws, w => w === lit(phrase(j)))
+    // acc(i) = words i..i+j all match phrase(0..j); the shifted slice
+    // pads with null, and null lands false-side via the <=> filter
+    val acc = (1 until phrase.length).foldLeft(eq(0)) { (a, j) =>
+      zip_with(a,
+        slice(eq(j), lit(j + 1), greatest(size(ws) - j, lit(0))),
+        (x, y) => x && y)
+    }
     docs
-      .withColumn("__ws", words(col(textCol)))
       .select(col(idCol),
-        size(filter(starts, i => isMatch(i))).cast("long").as("n_matches"))
+        size(filter(acc, x => x <=> lit(true))).cast("long").as("n_matches"))
       .filter(col("n_matches") > 0)
   }
 

@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.{BpeTrain, Curation, LmSignals, Retrieval, Similarity}
 
-/** Round-6 batch 3: sparse retrieval (inverted index + BM25), the
-  * deterministic train/val/test split, and PMI collocation mining —
-  * filling the retrieval/splitting corner of the LLM-pipeline surface
-  * (the reference has no retrieval layer; these are north-star extension
-  * operators like the dedup/similarity family).
+/** Round-6 batch 3+: the retrieval / tokenizer-training / evaluation
+  * corner of the LLM-pipeline surface (the reference has none of these;
+  * north-star extension operators like the dedup/similarity family):
+  * sparse retrieval (inverted index, BM25 corpus-scan AND served from
+  * the at-rest index, exact phrase search), BPE tokenizer training +
+  * encode + vocab, the deterministic train/val/test split, PMI
+  * collocations, the constraint-expectation gate, hard-negative mining,
+  * ANN recall evaluation, corpus snapshot diff, and epoch-weighted
+  * upsampling.
   */
 object R6bQueries {
 
