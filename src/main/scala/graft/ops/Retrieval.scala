@@ -91,39 +91,53 @@ object Retrieval {
   /** Materialize the BM25 index AT REST (the ivfWriteLayout pattern for
     * text): a postings table (term, doc, tf, dl) range-partitioned and
     * sorted by term — so a term-equality query prunes to a handful of
-    * files via parquet min/max — plus a 1-row corpus-stats table holding
-    * EXACT integers (sum of doc lengths, doc count), so the served
-    * avgdl is the same single double division the corpus-scan path
-    * computes. Build cost: the one explode + one (doc, term) aggregate
-    * any index build pays; serving then never touches the corpus.
+    * files via parquet min/max — plus per-batch corpus-stats rows
+    * holding EXACT integers (sum of doc lengths, doc count), summed at
+    * serve time so avgdl is the same single double division the
+    * corpus-scan path computes. Build cost: the one explode + one
+    * (doc, term) aggregate any index build pays; serving then never
+    * touches the corpus. Layout is batch-structured ([[writeBatch]]) so
+    * [[appendToIndex]] maintenance is idempotent and crash-safe.
     */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String): Unit = {
-    val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
-    writeStats(docs.sparkSession, path, statsDelta(base))
-    writePostings(base, idCol, path, "overwrite")
+    // a fresh build owns the whole directory: clear any previous batches
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/postings"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/stats"), true)
+    writeBatch(docs, idCol, textCol, path, batchId = 0L)
   }
 
-  /** One (sum_dl, n_docs) pair for a batch — exact integers, so the
-    * served avgdl is a single double division.
+  /** One maintenance unit: this batch's postings and its 1-row stats
+    * delta, each written with OVERWRITE semantics into a `batch=<id>`
+    * subdirectory. This is what makes the index's maintenance story
+    * crash-safe without any swap/recovery machinery: a retry of the same
+    * batch id rewrites exactly its own two subdirectories (idempotent —
+    * no duplicate postings, no double-counted stats), a crash between
+    * the two writes is healed by that same retry, readers only ever see
+    * whole committed subdirectories, and nothing ever deletes a
+    * previously committed batch. Serve-side totals are a sum over the
+    * per-batch stats rows (exact integers), so avgdl/N are identical to
+    * a from-scratch build's.
+    *
+    * The postings layout (shared by full build and append — drift would
+    * break the serve-identical guarantee) ranges by (term, doc), not
+    * term alone: a stopword's postings would otherwise land in ONE range
+    * partition (range split points cannot divide a single key value);
+    * the secondary key spreads a hot term across partitions while files
+    * stay term-sorted, so min/max pruning still skips everything outside
+    * the query terms.
     */
-  private def statsDelta(base: DataFrame): (Long, Long) = {
-    val r = base.agg(coalesce(sum(size(col("__ws"))), lit(0L)).as("sum_dl"),
-      count(lit(1)).as("n_docs")).head()
-    (r.getLong(0), r.getLong(1))
-  }
-
-  /** The one postings layout, shared by the full build and the
-    * incremental append (only the save mode differs — layout drift
-    * between the two would silently break the serve-identical
-    * guarantee). Range by (term, doc), not term alone: a stopword's
-    * postings would otherwise land in ONE range partition (range split
-    * points cannot divide a single key value) — the secondary key
-    * spreads a hot term across partitions while files stay term-sorted,
-    * so min/max pruning still skips everything outside the query terms.
-    */
-  private def writePostings(base: DataFrame, idCol: String, path: String,
-                            mode: String): Unit =
+  private def writeBatch(docs: DataFrame, idCol: String, textCol: String,
+                         path: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    // cached: the batch feeds the stats delta AND the postings write —
+    // one tokenization pass, and the two can never disagree even over a
+    // non-deterministic source
+    val base = graft.core.Caches.track(
+      docs.select(col(idCol), words(col(textCol)).as("__ws")))
     base
       .select(col(idCol), size(col("__ws")).as("dl"),
         explode(col("__ws")).as("term"))
@@ -131,51 +145,25 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions("term", idCol)
-      .write.mode(mode).parquet(path + "/postings")
-
-  /** Durable stats swap (the BatchLedger compaction pattern): write the
-    * 1-row table to `stats__tmp`, delete `stats`, rename tmp into
-    * place. A crash between delete and rename leaves only the tmp copy,
-    * which [[readStats]] renames back before reading — so the index is
-    * never left unserveable, which a plain mode("overwrite") (delete
-    * THEN recreate, no recovery) could do.
-    */
-  private def writeStats(spark: org.apache.spark.sql.SparkSession,
-                         path: String, stats: (Long, Long)): Unit = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path + "/stats")
-    val tmp = new org.apache.hadoop.fs.Path(path + "/stats__tmp")
+      .write.mode("overwrite").parquet(s"$path/postings/batch=$batchId")
+    val d = base.agg(coalesce(sum(size(col("__ws"))), lit(0L)).as("sum_dl"),
+      count(lit(1)).as("n_docs")).head()
     spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(stats._1, stats._2)),
+        java.util.List.of(org.apache.spark.sql.Row(d.getLong(0), d.getLong(1))),
         StructType(Seq(StructField("sum_dl", LongType, nullable = false),
           StructField("n_docs", LongType, nullable = false))))
       .coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"stats swap rename failed: $tmp -> $dst")
+      .write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
   }
 
-  /** Read the 1-row stats table, recovering a crashed [[writeStats]]
-    * swap first (tmp present + stats missing ⇒ tmp IS the stats).
+  /** Served corpus totals: the sum over all committed per-batch stats
+    * rows — exact integer arithmetic, so avgdl is the same single
+    * double division a from-scratch build computes.
     */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path + "/stats")
-    val tmp = new org.apache.hadoop.fs.Path(path + "/stats__tmp")
-    if (fs.exists(tmp)) {
-      if (!fs.exists(dst)) {
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(
-            s"stats swap recovery rename failed: $tmp -> $dst")
-      } else fs.delete(tmp, true) // crash before delete: tmp is stale
-    }
-    spark.read.parquet(dst.toString).select(col("sum_dl"), col("n_docs"))
-  }
+                        path: String): DataFrame =
+    spark.read.parquet(path + "/stats")
+      .agg(sum("sum_dl").as("sum_dl"), sum("n_docs").as("n_docs"))
 
   /** Exact phrase search: documents containing the words of `phrase`
     * ADJACENT and IN ORDER, with the match count per document. Runs as a
@@ -223,28 +211,20 @@ object Retrieval {
     * the only invariant: batch doc ids must be disjoint from the indexed
     * ones (re-ingesting a doc would double-count its tf).
     *
-    * Crash windows, honestly: postings append before stats swap — a
-    * failure between the two leaves served stats (avgdl AND idf's N)
-    * slightly stale until the next append (rankings essentially
-    * stable). The stats swap itself is the tmp-write → rename pattern
-    * with read-side recovery ([[writeStats]]/[[readStats]]), so no
-    * failure point leaves the index UNSERVEABLE. Pipelines needing
-    * exactly-once maintenance wrap this in the
-    * [[graft.core.BatchLedger]] idempotent-batch pattern like any
-    * other sink.
+    * Crash safety by construction (see [[writeBatch]]): every batch
+    * writes its postings AND its stats delta into its own `batch=<id>`
+    * subdirectories with overwrite semantics — a crash anywhere is
+    * healed by retrying the SAME batch id (idempotent: the retry
+    * rewrites exactly its own subdirectories, never duplicating
+    * postings or double-counting stats), which is precisely the
+    * [[graft.core.BatchLedger]] idempotent-batch integration. Batch ids
+    * must be fresh per logical batch (a ledger allocation) and doc ids
+    * disjoint from already-indexed ones.
     */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-                    path: String): Unit = {
-    val spark = docs.sparkSession
-    // cached: the batch feeds the stats delta AND the postings write —
-    // one tokenization pass, and the two can never disagree even over a
-    // non-deterministic source (the invertedIndex/bm25 precedent)
-    val base = graft.core.Caches.track(
-      docs.select(col(idCol), words(col(textCol)).as("__ws")))
-    val (dSum, dN) = statsDelta(base)
-    writePostings(base, idCol, path, "append")
-    val old = readStats(spark, path).head()
-    writeStats(spark, path, (old.getLong(0) + dSum, old.getLong(1) + dN))
+                    path: String, batchId: Long): Unit = {
+    require(batchId > 0, "batch 0 is the full build; appends use fresh ids")
+    writeBatch(docs, idCol, textCol, path, batchId)
   }
 
   /** BM25 served from the written index: the postings scan carries a

@@ -104,15 +104,15 @@ object Similarity {
                 k: Int): DataFrame = {
     val e = exact.select(col(idCol)).limit(k)
     val a = approx.select(col(idCol)).limit(k)
-    // denominator = |exact list|, not k: on a corpus (or probe set)
-    // smaller than k a perfect index must still score 1.0, not |corpus|/k
+    // denominator = |exact list| (already limited to <= k): on a corpus
+    // (or probe set) smaller than k a perfect index must still score
+    // 1.0, not |corpus|/k
     val denom = e.agg(count(lit(1)).as("__n"))
     a.join(e, idCol)
       .agg(count(lit(1)).as("hits"))
       .crossJoin(broadcast(denom))
       .select(lit(k.toLong).as("k"), col("hits"),
-        when(col("__n") > 0,
-          col("hits").cast("double") / least(lit(k.toLong), col("__n")))
+        when(col("__n") > 0, col("hits").cast("double") / col("__n"))
           .otherwise(lit(0.0)).as("recall"))
   }
 

@@ -317,7 +317,7 @@ object R6bQueries {
            |  count(*) AS hits,
            |  CASE WHEN (SELECT count(*) FROM exact) > 0
            |    THEN CAST(count(*) AS DOUBLE) /
-           |         least(CAST(10 AS BIGINT), (SELECT count(*) FROM exact))
+           |         (SELECT count(*) FROM exact)
            |    ELSE 0.0 END AS recall
            |FROM approx JOIN exact USING (vec_id)""".stripMargin
       }),

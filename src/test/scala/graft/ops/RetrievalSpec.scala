@@ -74,21 +74,34 @@ class RetrievalSpec extends SparkSpec {
     assert(served.collect().toSeq == scanned.collect().toSeq)
   }
 
-  test("appendToIndex: incremental build serves identically to a full build") {
+  test("appendToIndex: incremental build serves identically to a full " +
+      "build, and batch retries (the crash story) are idempotent") {
     val half1 = corpus.filter($"doc_id" <= 2)
     val half2 = corpus.filter($"doc_id" > 2)
     val inc = java.nio.file.Files
       .createTempDirectory("graft_bm25_inc_spec").toString
     Retrieval.writeIndex(half1, "doc_id", "text", inc)
-    Retrieval.appendToIndex(half2, "doc_id", "text", inc)
+    Retrieval.appendToIndex(half2, "doc_id", "text", inc, batchId = 1L)
     val full = java.nio.file.Files
       .createTempDirectory("graft_bm25_full_spec").toString
     Retrieval.writeIndex(corpus, "doc_id", "text", full)
-    val a = Retrieval.bm25FromIndex(spark, inc, "doc_id",
-      Seq("date", "banana"), 10).collect().toSeq
     val b = Retrieval.bm25FromIndex(spark, full, "doc_id",
       Seq("date", "banana"), 10).collect().toSeq
-    assert(a == b, "incrementally-maintained index must serve identically")
+    def served = Retrieval.bm25FromIndex(spark, inc, "doc_id",
+      Seq("date", "banana"), 10).collect().toSeq
+    assert(served == b, "incrementally-maintained index must serve identically")
+    // crash-retry: simulate a failure after postings committed but
+    // before stats (delete the batch's stats subdir), then retry the
+    // SAME batch id — the overwrite-by-subdir layout heals it with no
+    // duplicate postings and no double-counted stats
+    val fs = new org.apache.hadoop.fs.Path(inc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(inc + "/stats/batch=1"), true)
+    Retrieval.appendToIndex(half2, "doc_id", "text", inc, batchId = 1L)
+    assert(served == b, "a retried batch must heal the crash, not duplicate")
+    // full double-retry (both subdirs already committed) is also a no-op
+    Retrieval.appendToIndex(half2, "doc_id", "text", inc, batchId = 1L)
+    assert(served == b)
   }
 
   test("bm25FromIndex pushes the term filter into the postings scan") {
