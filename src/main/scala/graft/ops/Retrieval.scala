@@ -140,9 +140,14 @@ object Retrieval {
       docs.select(col(idCol), words(col(textCol)).as("__ws")))
     base
       .select(col(idCol), size(col("__ws")).as("dl"),
-        explode(col("__ws")).as("term"))
+        posexplode(col("__ws")).as(Seq("__pos", "term")))
       .groupBy(col("term"), col(idCol), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      // POSITIONAL postings: tf for BM25, the sorted position list for
+      // phrase queries — one index serves both. Position lists are
+      // bounded by doc length per (term, doc), not corpus size.
+      .agg(count(lit(1)).as("tf"),
+        array_sort(collect_list(col("__pos").cast("integer")))
+          .as("positions"))
       .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions("term", idCol)
       .write.mode("overwrite").parquet(s"$path/postings/batch=$batchId")
@@ -164,6 +169,36 @@ object Retrieval {
                         path: String): DataFrame =
     spark.read.parquet(path + "/stats")
       .agg(sum("sum_dl").as("sum_dl"), sum("n_docs").as("n_docs"))
+
+  /** Exact phrase search SERVED FROM the at-rest index: the same answer
+    * as [[phraseSearch]] (spec-pinned) without touching the corpus. The
+    * postings scan reads only the phrase's terms (pushed-down filter →
+    * file/row-group pruning on the term-ranged layout); each term's
+    * (doc, positions) rows then join co-partitioned on the doc id —
+    * after the first exchange every subsequent join reuses the
+    * partitioning — and a document matches where term j's position list
+    * contains `p + j` for every start `p` of term 0. Work scales with
+    * the PHRASE TERMS' postings, not the corpus: the classic inverted-
+    * index phrase plan.
+    */
+  def phraseFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val posts = spark.read.parquet(path + "/postings")
+      .filter(col("term").isin(phrase.distinct: _*)) // pushed to the scan
+      .select(col(idCol), col("term"), col("positions"))
+    def termPositions(j: Int): DataFrame = posts
+      .filter(col("term") === phrase(j))
+      .select(col(idCol), col("positions").as(s"__p$j"))
+    val joined = (1 until phrase.length)
+      .foldLeft(termPositions(0))((acc, j) => acc.join(termPositions(j), idCol))
+    val matches = filter(col("__p0"), p =>
+      (1 until phrase.length).map(j =>
+        array_contains(col(s"__p$j"), p + lit(j))).foldLeft(lit(true))(_ && _))
+    joined
+      .select(col(idCol), size(matches).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
 
   /** Exact phrase search: documents containing the words of `phrase`
     * ADJACENT and IN ORDER, with the match count per document. Runs as a

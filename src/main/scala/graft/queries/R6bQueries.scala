@@ -285,6 +285,33 @@ object R6bQueries {
              |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("ta_phrase_index",
+      "Phrase search served from the positional at-rest index: postings " +
+        "scan reads ONLY the phrase's terms (pushed filter on the " +
+        "term-ranged layout), per-term position lists join co-partitioned " +
+        "on the doc id, adjacency = shifted position containment. Same " +
+        "answer as ta_phrase without touching the corpus, so that " +
+        "query's oracle applies verbatim.",
+      (s, d) => {
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_bm25_idx_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Retrieval.writeIndex(Tables.documents(s, d), "doc_id", "text", path)
+        Retrieval.phraseFromIndex(s, path, "doc_id", Seq("spark", "join"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                x -> x <> '') AS ws
+             |  FROM documents)
+             |SELECT doc_id, count(*) AS n_matches
+             |FROM (SELECT doc_id, ws,
+             |        unnest(generate_series(1, len(ws) - 1)) AS i
+             |      FROM w WHERE len(ws) >= 2)
+             |WHERE ws[i] = 'spark' AND ws[i+1] = 'join'
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("sim_recall",
       "Recall@10 of the trained-IVF ANN against exact brute force — the " +
         "evaluation gate every index build runs before being trusted " +

@@ -133,6 +133,26 @@ class RetrievalSpec extends SparkSpec {
       Seq.fill(9)("big")).isEmpty)
   }
 
+  test("phraseFromIndex equals the corpus-scan phraseSearch, incl. " +
+      "repeated-word phrases and single words") {
+    val docs = Seq(
+      (1L, "big data big data big"),
+      (2L, "data big"),
+      (3L, "big red data"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_phrase_idx_spec").toString
+    Retrieval.writeIndex(docs, "doc_id", "text", path)
+    for (phrase <- Seq(Seq("big", "data"), Seq("data", "big"),
+        Seq("big", "data", "big"), Seq("solo"), Seq("missing", "words"))) {
+      val scan = Retrieval.phraseSearch(docs, "doc_id", "text", phrase)
+        .collect().toSet
+      val idx = Retrieval.phraseFromIndex(spark, path, "doc_id", phrase)
+        .collect().toSet
+      assert(idx == scan, s"phrase $phrase: index $idx vs scan $scan")
+    }
+  }
+
   test("phraseSearch plan is shuffle-free") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val plan = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
