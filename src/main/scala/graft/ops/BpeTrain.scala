@@ -12,17 +12,19 @@ import org.apache.spark.sql.functions._
   *
   * The algorithm the scale argument rests on: BPE training never needs
   * the corpus — it needs the WORD-FREQUENCY TABLE. The corpus is read
-  * exactly once (one explode + one map-side-combined groupBy); everything
-  * after runs on the vocab-bounded word table (10⁵–10⁸ rows at any
-  * corpus size, vs 10¹² documents). Each of the N iterations is:
-  *
-  *   1. adjacent-symbol-pair counts weighted by word frequency — a
-  *      map-side-combined aggregate over the word table;
-  *   2. argmax pair — `orderBy().limit(1)` = TakeOrderedAndProject, a
-  *      1-row collect (the same bounded-collect seam as the k-means
-  *      centroid fetch, Similarity.scala);
-  *   3. merge — a narrow per-row `replace` over the word table with the
-  *      winning pair as a literal. No shuffle.
+  * exactly once (one explode + one map-side-combined groupBy); the
+  * resulting table is VOCAB-bounded (10⁵–10⁷ rows at any corpus size,
+  * vs 10¹² documents), so it is collected to the driver — the same
+  * bounded-collect seam as the k-means centroid fetch
+  * (Similarity.kmeansCentroids) — and merge learning runs DRIVER-LOCAL
+  * as classic fast BPE: pair counts are maintained incrementally (a
+  * merge touches only the words that contain the winning pair, found
+  * through a pair→words index), so learning a realistic tokenizer
+  * budget (10⁴–10⁵ merges) costs zero Spark jobs beyond the single
+  * corpus pass. The previous formulation ran one Spark job (plus a
+  * 1-row collect) PER merge — flat in data size but serialized in the
+  * merge budget: tens of thousands of sequential job barriers at a real
+  * vocabulary size, pure scheduling overhead no cluster can hide.
   *
   * Words are represented as their symbol sequence joined by single
   * spaces and wrapped in boundary spaces (`"cat"` → `" c a t "`), so a
@@ -47,53 +49,116 @@ object BpeTrain {
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs
+    learnMergesLocal(collectWordFreq(docs, textCol), nMerges)
+      .toDF("step", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** The ONE distributed pass: corpus → word-frequency table. The
+    * collect is vocab-bounded by construction (groupBy word), never
+    * corpus-bounded — see the object doc's scale argument.
+    */
+  private def collectWordFreq(docs: DataFrame,
+                              textCol: String): Array[(String, Long)] =
+    docs
       .select(explode(
         filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("__word"))
       .groupBy("__word").agg(count(lit(1)).as("__freq"))
-      .select(
-        concat(lit(" "), concat_ws(" ", split(col("__word"), "")), lit(" "))
-          .as("__sym"),
-        col("__freq"))
-    var cur = graft.core.Caches.track(words)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var step = 1
-    var exhausted = false
-    while (step <= nMerges && !exhausted) {
-      val syms = split(trim(col("__sym")), " ")
-      val best = cur
-        .select(col("__freq"), explode(
-          filter(zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
-            (a, b) => struct(a.as("l"), b.as("r"))),
-            p => p.getField("r").isNotNull)).as("__p"))
-        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
-        .agg(sum("__freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1)
-        .collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (l, r, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step.toLong, l, r, cnt))
-        cur = cur.select(
-          applyMerge(col("__sym"), l, r).as("__sym"), col("__freq"))
-        // cut the lineage every few merges: without this, iteration i's
-        // 1-row collect replays all i-1 replace projections from the one
-        // cached base (O(nMerges²) recompute) and the expression tree
-        // nests 2·nMerges replace calls — at a realistic merge budget
-        // (10⁴-10⁵) that is quadratic planning and a codegen stack bomb.
-        // Eager localCheckpoint (not Caches.track: generations would PIN,
-        // accumulating nMerges/16 copies until the harness release)
-        // materializes the vocab-bounded table; superseded generations
-        // are unreferenced and the ContextCleaner reclaims them.
-        if (step % RetrackEvery == 0) cur = cur.localCheckpoint()
-        step += 1
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Code-point order — what both Spark's UTF8String (byte-wise UTF-8)
+    * and DuckDB's binary collation sort strings by. Java's default
+    * String ordering is UTF-16 code-UNIT order, which disagrees above
+    * the BMP; ties in the merge argmax must break identically to the
+    * engines' `ORDER BY l, r`.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    val la = a.length; val lb = b.length
+    var i = 0
+    while (i < la && i < lb) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(la, lb)
+  }
+
+  private def pairsOf(sym: String): Array[(String, String)] = {
+    val parts = sym.trim.split(" ")
+    if (parts.length < 2) Array.empty
+    else Array.tabulate(parts.length - 1)(i => (parts(i), parts(i + 1)))
+  }
+
+  /** Classic fast BPE on the collected word-frequency table: pair counts
+    * and a pair→word-index are maintained incrementally, so each merge
+    * re-derives pairs only for the words that actually contained the
+    * winning pair. Semantics are bit-identical to the previous
+    * distributed loop (and the DuckDB oracle's unrolled CTEs): the same
+    * double-`replace` merge application, the same (count desc, left asc,
+    * right asc) tie-break in code-point order.
+    */
+  private[graft] def learnMergesLocal(
+      wordFreq: Array[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = wordFreq.map { case (w, _) =>
+      " " + w.split("").mkString(" ") + " " }
+    val freqs = wordFreq.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    var i = 0
+    while (i < syms.length) {
+      val f = freqs(i)
+      pairsOf(syms(i)).foreach { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + f)
+        occurs.getOrElseUpdate(p, mutable.BitSet.empty) += i
       }
+      i += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    while (step <= nMerges && counts.nonEmpty) {
+      var bl: String = null; var br: String = null; var bc = Long.MinValue
+      counts.foreach { case ((l, r), c) =>
+        if (c > bc || (c == bc && {
+          val cl = cpCompare(l, bl)
+          cl < 0 || (cl == 0 && cpCompare(r, br) < 0)
+        })) { bl = l; br = r; bc = c }
+      }
+      merges += ((step.toLong, bl, br, bc))
+      val pat = " " + bl + " " + br + " "
+      val rep = " " + bl + br + " "
+      // snapshot: the loop mutates this pair's occurrence set
+      val affected = occurs.getOrElse((bl, br), mutable.BitSet.empty).toArray
+      affected.foreach { idx =>
+        val old = syms(idx)
+        val neu = old.replace(pat, rep).replace(pat, rep)
+        val f = freqs(idx)
+        val oldPairs = pairsOf(old)
+        oldPairs.foreach { p =>
+          val c2 = counts.getOrElse(p, 0L) - f
+          if (c2 <= 0L) counts.remove(p) else counts.update(p, c2)
+        }
+        oldPairs.distinct.foreach(p => occurs.get(p).foreach(_ -= idx))
+        pairsOf(neu).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          occurs.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+        }
+        syms(idx) = neu
+      }
+      occurs.remove((bl, br))
+      step += 1
     }
     merges.toSeq
-      .toDF("step", "merge_left", "merge_right", "pair_count")
   }
+
+  /** [[learnMerges]] returning just the (left, right) pairs in training
+    * order — the shape [[encode]]/[[vocab]] consume. The shared trainer
+    * behind the `ta_bpe` query family: one training, many consumers.
+    */
+  def learnMergePairs(docs: DataFrame, textCol: String,
+                      nMerges: Int): Seq[(String, String)] =
+    learnMergesLocal(collectWordFreq(docs, textCol), nMerges)
+      .map(m => (m._2, m._3))
 
   /** How many merge projections may stack before the word table is
     * re-materialized (learn loop) or the encode dictionary is

