@@ -106,20 +106,27 @@ object Retrieval {
       .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/postings"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/stats"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/commits"), true)
     writeBatch(docs, idCol, textCol, path, batchId = 0L)
   }
 
   /** One maintenance unit: this batch's postings and its 1-row stats
     * delta, each written with OVERWRITE semantics into a `batch=<id>`
-    * subdirectory. This is what makes the index's maintenance story
-    * crash-safe without any swap/recovery machinery: a retry of the same
-    * batch id rewrites exactly its own two subdirectories (idempotent —
-    * no duplicate postings, no double-counted stats), a crash between
-    * the two writes is healed by that same retry, readers only ever see
-    * whole committed subdirectories, and nothing ever deletes a
+    * subdirectory, then a zero-byte COMMIT MARKER under `commits/`.
+    * Readers filter both postings and stats to marked batches, so a
+    * crash anywhere inside a batch write — including between the
+    * postings and stats writes, where the two would otherwise disagree
+    * about whether the batch exists — leaves the batch entirely
+    * invisible until the retry of the SAME batch id rewrites its
+    * subdirectories (idempotent: no duplicate postings, no
+    * double-counted stats) and re-marks it. Nothing ever deletes a
     * previously committed batch. Serve-side totals are a sum over the
-    * per-batch stats rows (exact integers), so avgdl/N are identical to
-    * a from-scratch build's.
+    * committed per-batch stats rows (exact integers), so avgdl/N are
+    * identical to a from-scratch build's.
+    *
+    * An EMPTY batch still writes a schema-bearing parquet file (the
+    * single-partition write below): an empty-corpus index must serve an
+    * empty result, not fail schema inference on a file-less directory.
     *
     * The postings layout (shared by full build and append — drift would
     * break the serve-identical guarantee) ranges by (term, doc), not
@@ -138,7 +145,9 @@ object Retrieval {
     // non-deterministic source
     val base = graft.core.Caches.track(
       docs.select(col(idCol), words(col(textCol)).as("__ws")))
-    base
+    val d = base.agg(coalesce(sum(size(col("__ws"))), lit(0L)).as("sum_dl"),
+      count(lit(1)).as("n_docs")).head()
+    val postings = base
       .select(col(idCol), size(col("__ws")).as("dl"),
         posexplode(col("__ws")).as(Seq("__pos", "term")))
       .groupBy(col("term"), col(idCol), col("dl"))
@@ -148,17 +157,49 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"),
         array_sort(collect_list(col("__pos").cast("integer")))
           .as("positions"))
-      .repartitionByRange(col("term"), col(idCol))
-      .sortWithinPartitions("term", idCol)
-      .write.mode("overwrite").parquet(s"$path/postings/batch=$batchId")
-    val d = base.agg(coalesce(sum(size(col("__ws"))), lit(0L)).as("sum_dl"),
-      count(lit(1)).as("n_docs")).head()
+    // empty batch: a range repartition of zero rows plans zero tasks and
+    // writes zero files, which would break schema inference on the serve
+    // path — force one (empty, schema-bearing) file instead
+    val laidOut =
+      if (d.getLong(1) == 0L) postings.repartition(1)
+      else postings.repartitionByRange(col("term"), col(idCol))
+        .sortWithinPartitions("term", idCol)
+    laidOut.write.mode("overwrite").parquet(s"$path/postings/batch=$batchId")
     spark.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(d.getLong(0), d.getLong(1))),
         StructType(Seq(StructField("sum_dl", LongType, nullable = false),
           StructField("n_docs", LongType, nullable = false))))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
+    // both halves down: mark the batch committed (readers filter on this)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/commits/batch_$batchId"),
+      true).close()
+  }
+
+  /** Batch ids whose commit marker exists — the only batches readers may
+    * serve. A tiny driver-side listing (one marker file per batch).
+    */
+  private def committedBatches(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path + "/commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_")).map(_.stripPrefix("batch_").toLong)
+  }
+
+  /** The committed postings relation: the `batch=<id>` partition column
+    * filter prunes uncommitted (crashed, in-flight) batch directories at
+    * the scan.
+    */
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame = {
+    val committed = committedBatches(spark, path)
+    spark.read.parquet(path + "/postings")
+      .filter(col("batch").isin(committed: _*))
   }
 
   /** Served corpus totals: the sum over all committed per-batch stats
@@ -166,38 +207,54 @@ object Retrieval {
     * double division a from-scratch build computes.
     */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame =
+                        path: String): DataFrame = {
+    val committed = committedBatches(spark, path)
     spark.read.parquet(path + "/stats")
-      .agg(sum("sum_dl").as("sum_dl"), sum("n_docs").as("n_docs"))
+      .filter(col("batch").isin(committed: _*))
+      .agg(coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"),
+        coalesce(sum("n_docs"), lit(0L)).as("n_docs"))
+  }
 
   /** Exact phrase search SERVED FROM the at-rest index: the same answer
     * as [[phraseSearch]] (spec-pinned) without touching the corpus. The
     * postings scan reads only the phrase's terms (pushed-down filter →
-    * file/row-group pruning on the term-ranged layout); each term's
-    * (doc, positions) rows then join co-partitioned on the doc id —
-    * after the first exchange every subsequent join reuses the
-    * partitioning — and a document matches where term j's position list
-    * contains `p + j` for every start `p` of term 0. Work scales with
+    * file/row-group pruning on the term-ranged layout); each posting row
+    * is then tagged with its phrase SLOT(s) via a broadcast of the
+    * (slot, term) list and its positions shifted by the slot index, so a
+    * phrase start `p` is a position present in EVERY slot's shifted
+    * list. One groupBy(doc) verifies all slots in a single pass —
+    * sort the slot structs, fold `array_intersect` across them — which
+    * makes the whole plan ONE exchange after the postings scan
+    * regardless of phrase length (spec-pinned; the previous formulation
+    * planned k−1 chained joins for a k-word phrase). Work scales with
     * the PHRASE TERMS' postings, not the corpus: the classic inverted-
     * index phrase plan.
     */
   def phraseFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       idCol: String, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one word")
-    val posts = spark.read.parquet(path + "/postings")
+    import spark.implicits._
+    val slots = phrase.zipWithIndex.map { case (t, j) => (j, t) }
+      .toDF("__slot", "term")
+    val starts = readPostings(spark, path)
       .filter(col("term").isin(phrase.distinct: _*)) // pushed to the scan
-      .select(col(idCol), col("term"), col("positions"))
-    def termPositions(j: Int): DataFrame = posts
-      .filter(col("term") === phrase(j))
-      .select(col(idCol), col("positions").as(s"__p$j"))
-    val joined = (1 until phrase.length)
-      .foldLeft(termPositions(0))((acc, j) => acc.join(termPositions(j), idCol))
-    val matches = filter(col("__p0"), p =>
-      (1 until phrase.length).map(j =>
-        array_contains(col(s"__p$j"), p + lit(j))).foldLeft(lit(true))(_ && _))
-    joined
-      .select(col(idCol), size(matches).cast("long").as("n_matches"))
-      .filter(col("n_matches") > 0)
+      .join(broadcast(slots), "term") // a repeated word fans out per slot
+      .select(col(idCol), col("__slot"),
+        // candidate phrase STARTS contributed by this slot: pos − slot
+        transform(col("positions"), p => p - col("__slot")).as("__starts"))
+    val sorted = array_sort(collect_list(struct(col("__slot"), col("__starts"))))
+    val inter = aggregate(
+      slice(sorted, lit(2), lit(math.max(phrase.length - 1, 0))),
+      sorted.getItem(0).getField("__starts"),
+      (acc, x) => array_intersect(acc, x.getField("__starts")))
+    starts.groupBy(col(idCol))
+      .agg(size(inter).cast("long").as("n_matches"),
+        count(lit(1)).as("__n_slots"))
+      // (term, doc) rows are unique, so a doc matches only with every
+      // slot present; drop docs missing any phrase word
+      .filter(col("__n_slots") === lit(phrase.length.toLong) &&
+        col("n_matches") > 0)
+      .select(col(idCol), col("n_matches"))
   }
 
   /** Exact phrase search: documents containing the words of `phrase`
@@ -262,20 +319,25 @@ object Retrieval {
     writeBatch(docs, idCol, textCol, path, batchId)
   }
 
-  /** BM25 served from the written index: the postings scan carries a
-    * pushed-down `term IN (...)` filter (file-level min/max pruning on
-    * the range-partitioned layout, then row-group pruning), so a query
-    * reads its terms' postings and the 1-row stats — never the corpus.
-    * Bit-identical to [[bm25]] on the same corpus (shared scoring
-    * expression; spec-pinned).
+  /** RATIO-IDF BM25 (the [[bm25]] variant — see that method's doc for
+    * the deviation from textbook BM25) served from the written index:
+    * the postings scan carries a pushed-down `term IN (...)` filter
+    * (file-level min/max pruning on the range-partitioned layout, then
+    * row-group pruning), so a query reads its terms' postings and the
+    * 1-row stats — never the corpus. Bit-identical to [[bm25]] on the
+    * same corpus (shared scoring expression; spec-pinned).
     */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     idCol: String, queryTerms: Seq[String],
                     topK: Int): DataFrame = {
     val stats = readStats(spark, path)
-      .select((col("sum_dl").cast("double") / col("n_docs")).as("__avgdl"),
+      // n_docs = 0 (an empty index) must serve an empty result, not a
+      // NaN-poisoned avgdl — the guard keeps the division well-defined
+      .select(when(col("n_docs") > 0,
+          col("sum_dl").cast("double") / col("n_docs"))
+          .otherwise(lit(1.0)).as("__avgdl"),
         col("n_docs").as("__n"))
-    val tf = spark.read.parquet(path + "/postings")
+    val tf = readPostings(spark, path)
       .filter(col("term").isin(queryTerms: _*)) // pushed to the scan
       .select(col(idCol), col("dl").as("__dl"), col("term").as("__t"),
         col("tf").as("__tf"))
@@ -311,11 +373,18 @@ object Retrieval {
       .select(col(idCol), col("n_terms"), col("score"))
   }
 
-  /** BM25 ranked retrieval for a literal query: top-k documents by
+  /** RATIO-IDF BM25 ranked retrieval for a literal query: top-k docs by
     *
     *   score(d) = Σ_{t ∈ q ∩ d}  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     *
-    * with the log-free Robertson idf (object doc). `k1 = 1.2`,
+    * with the LOG-FREE Robertson idf `(N−df+0.5)/(df+0.5)` (object doc).
+    * NOTE — a deliberate, named deviation from textbook BM25: the ratio
+    * idf is only rank-equivalent to the `ln` form per single term; in
+    * MULTI-term queries a rare term (df≈1) weighs ~N rather than ln(N),
+    * so rare terms dominate more than a reference BM25 implementation's
+    * ranking would. Chosen for bit-portable IEEE arithmetic (libm `ln`
+    * drifts in the last ulp across engines); callers needing textbook
+    * parity should wrap the idf factor in `ln` themselves. `k1 = 1.2`,
     * `b = 0.75` (the standard constants). Output: (id, n_terms, score)
     * for the k best documents, score-desc / id-asc.
     */

@@ -93,12 +93,15 @@ object Similarity {
 
   /** Recall@k of an approximate result list against the exact one — the
     * evaluation every ANN deployment runs before trusting an index
-    * (tune nprobe/bands until recall clears the bar, then ship). Both
-    * inputs are id lists (first `k` rows taken from each, so callers
-    * can pass the ranked frames directly); output is one row
-    * (k, hits, recall). Cost: two ≤k-row relations joined — nothing
-    * scales with the corpus, so it can run after every index build as
-    * a cheap gate.
+    * (tune nprobe/bands until recall clears the bar, then ship).
+    *
+    * CONTRACT: both inputs must already be RANKED frames (built with an
+    * `orderBy(...).limit(k)` tail, as every topK in this file produces) —
+    * the first `k` rows of each are taken as-is, and on an unranked
+    * frame larger than k that prefix is partition-order
+    * nondeterministic. Output is one row (k, hits, recall). Cost: two
+    * ≤k-row relations joined — nothing scales with the corpus, so it
+    * can run after every index build as a cheap gate.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String,
                 k: Int): DataFrame = {

@@ -154,6 +154,11 @@ object R6bQueries {
         "never touched. Result is defined bit-identical to ta_bm25 " +
         "(shared scoring tail), so that query's oracle applies verbatim.",
       (s, d) => {
+        // per-QUERY deterministic scratch dir (bounded: one per query ×
+        // dataset, overwritten each run; deletion can't precede the lazy
+        // result's consumption, so the dir persists until the next run) —
+        // ta_phrase_index owns a separate dir, so concurrent execution
+        // never races a rebuild against a read
         val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
           "/graft_bm25_idx_" + d.replaceAll("[^A-Za-z0-9.]", "_")
         Retrieval.writeIndex(Tables.documents(s, d), "doc_id", "text", path)
@@ -316,8 +321,9 @@ object R6bQueries {
         "answer as ta_phrase without touching the corpus, so that " +
         "query's oracle applies verbatim.",
       (s, d) => {
+        // own scratch dir — see ta_bm25_index's path note
         val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-          "/graft_bm25_idx_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+          "/graft_phrase_idx_" + d.replaceAll("[^A-Za-z0-9.]", "_")
         Retrieval.writeIndex(Tables.documents(s, d), "doc_id", "text", path)
         Retrieval.phraseFromIndex(s, path, "doc_id", Seq("spark", "join"))
           .orderBy("doc_id")

@@ -104,6 +104,65 @@ class RetrievalSpec extends SparkSpec {
     assert(served == b)
   }
 
+  test("an uncommitted batch (crash before the commit marker) is invisible " +
+      "to readers until its retry") {
+    val half1 = corpus.filter($"doc_id" <= 2)
+    val half2 = corpus.filter($"doc_id" > 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_marker_spec").toString
+    Retrieval.writeIndex(half1, "doc_id", "text", path)
+    val before = Retrieval.bm25FromIndex(spark, path, "doc_id",
+      Seq("banana"), 10).collect().toSeq
+    Retrieval.appendToIndex(half2, "doc_id", "text", path, batchId = 1L)
+    // simulate a crash BETWEEN the postings/stats writes and the marker:
+    // postings + stats exist but the batch was never marked committed
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/commits/batch_1"), false)
+    val crashed = Retrieval.bm25FromIndex(spark, path, "doc_id",
+      Seq("banana"), 10).collect().toSeq
+    assert(crashed == before,
+      "an unmarked batch must not leak postings or stats into serving")
+    // the retry re-marks it and the batch becomes fully visible
+    Retrieval.appendToIndex(half2, "doc_id", "text", path, batchId = 1L)
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_bm25_marker_full").toString
+    Retrieval.writeIndex(corpus, "doc_id", "text", full)
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id", Seq("banana"), 10)
+      .collect().toSeq ==
+      Retrieval.bm25FromIndex(spark, full, "doc_id", Seq("banana"), 10)
+        .collect().toSeq)
+  }
+
+  test("empty-corpus index serves empty results instead of failing " +
+      "schema inference") {
+    val empty = corpus.filter($"doc_id" < 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_empty_spec").toString
+    Retrieval.writeIndex(empty, "doc_id", "text", path)
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id",
+      Seq("banana"), 10).isEmpty)
+    assert(Retrieval.phraseFromIndex(spark, path, "doc_id",
+      Seq("big", "data")).isEmpty)
+  }
+
+  test("phraseFromIndex plans ONE exchange after the postings scan, " +
+      "independent of phrase length") {
+    val docs = Seq(
+      (1L, "a b c d e a b c d e"),
+      (2L, "e d c b a")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_phrase_plan_spec").toString
+    Retrieval.writeIndex(docs, "doc_id", "text", path)
+    for (phrase <- Seq(Seq("a", "b"), Seq("a", "b", "c", "d", "e"))) {
+      val df = Retrieval.phraseFromIndex(spark, path, "doc_id", phrase)
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"phrase $phrase planned $exchanges exchanges:\n$plan")
+      assert(df.collect().nonEmpty)
+    }
+  }
+
   test("bm25FromIndex pushes the term filter into the postings scan") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_bm25_push_spec").toString
