@@ -579,16 +579,24 @@ object Dedup {
     * (whose label relation stays |V| every round), the shuffled relation
     * here is the edge list, which contracts as stars form.
     *
+    * @param strict on round-cap exhaustion without convergence, raise
+    *        instead of logging and emitting the (valid but possibly
+    *        coarser-than-final) min-label-per-node fallback — for
+    *        callers that must not silently ship partially-merged
+    *        components (the fail-fast posture of raise_error guards
+    *        elsewhere in this codebase). Default keeps the permissive
+    *        behavior.
     * @return (id, label) — label is the min id of the node's component;
     *         identical output contract to [[connectedComponents]].
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-                              maxIter: Int = 25): DataFrame =
-    connectedComponentsStarWithRounds(pairs, aCol, bCol, maxIter)._1
+                              maxIter: Int = 25,
+                              strict: Boolean = false): DataFrame =
+    connectedComponentsStarWithRounds(pairs, aCol, bCol, maxIter, strict)._1
 
   private[graft] def connectedComponentsStarWithRounds(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): (DataFrame, Int) = {
+      maxIter: Int = 25, strict: Boolean = false): (DataFrame, Int) = {
     val nodes = graft.core.Caches.track(
       pairs.select(col(aCol).as("id"))
         .union(pairs.select(col(bCol).as("id"))).distinct())
@@ -641,6 +649,11 @@ object Dedup {
     val edgeLabels0 = edges.select(col("hi").as("id"), col("lo").as("label"))
     val edgeLabels =
       if (converged) edgeLabels0
+      else if (strict)
+        throw new IllegalStateException(
+          s"connectedComponentsStar: no convergence after $rounds rounds " +
+            s"(maxIter=$maxIter); raise maxIter or drop strict=true to " +
+            "accept a coarser-than-final (still valid) labeling")
       else {
         log.warn(
           s"connectedComponentsStar: no convergence after $rounds rounds; " +

@@ -303,6 +303,27 @@ class DedupSpec extends SparkSpec {
       s"star=$starRounds rounds, pointer-jumping=$pjRounds")
   }
 
+  test("connectedComponentsStar strict mode raises on a forced round cap; " +
+    "default still emits the coarser (valid) labeling") {
+    // a long chain cannot converge (stable edge signature) in 1 round
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStar(chain, "id_a", "id_b",
+        maxIter = 1, strict = true).collect()
+    }
+    assert(e.getMessage.contains("no convergence"))
+    // default (non-strict) on the same cap: one row per id, labels are a
+    // valid (possibly coarser) merge — every label <= its id
+    val lax = Dedup.connectedComponentsStar(chain, "id_a", "id_b", maxIter = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(lax.length == 65 && lax.forall(p => p._2 <= p._1))
+    // an easy graph converges under the cap: strict must stay silent
+    val pair = Seq((7L, 9L)).toDF("id_a", "id_b")
+    val ok = Dedup.connectedComponentsStar(pair, "id_a", "id_b",
+      maxIter = 5, strict = true).as[(Long, Long)].collect().toSeq
+    assert(ok.sortBy(_._1) == Seq(7L -> 7L, 9L -> 7L))
+  }
+
   test("connectedComponents: chain, triangle, pair each collapse to min id") {
     // chain 1-2-3-4-5 (diameter 4 -> multiple propagation rounds),
     // triangle 10-11-12 with a redundant edge, isolated pair 20-21
