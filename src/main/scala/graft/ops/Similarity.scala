@@ -258,20 +258,80 @@ object Similarity {
     * roundtrip could wobble a ULP and flip shortlist ordering). After
     * this rewrite a probe is a partition-pruned scan: files of
     * non-probed clusters are never opened.
+    *
+    * The data lives in `batch=<id>/ivf_cluster=<c>` subdirectories (the
+    * [[graft.ops.Retrieval]] batch-structured maintenance pattern): a
+    * fresh build is batch 0, [[ivfAppendLayout]] adds later batches
+    * against the SAME persisted centroids, and each batch write ends
+    * with a commit marker the probe filters on — so a crashed or
+    * in-flight batch is invisible until its (idempotent, same-id) retry,
+    * and ingesting new embeddings never rewrites the table.
     */
   def ivfWriteLayout(emb: DataFrame, idCol: String, vecCol: String,
                      path: String, kClusters: Int, iters: Int): Seq[Seq[Double]] = {
     import org.apache.spark.sql.SaveMode
     val spark = emb.sparkSession
+    // a fresh build owns the directory: clear previous batches + markers
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/data"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/commits"), true)
     val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
-    emb.withColumn("ivf_cluster", nearestCluster(col(vecCol), cents))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("ivf_cluster").parquet(path)
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(centroidsPath(path))
+    writeLayoutBatch(emb, idCol, vecCol, path, cents, batchId = 0L)
     cents
+  }
+
+  /** Incremental maintenance for the at-rest IVF layout: assign a NEW
+    * batch of embeddings with the centroids persisted by
+    * [[ivfWriteLayout]] (no retraining — the quantizer is the index's
+    * identity; the serve-side guarantee is "same answer as one
+    * assignment pass over the union") and write it under its own
+    * `batch=<id>` subdirectory with overwrite semantics plus a commit
+    * marker. Crash anywhere → the batch stays invisible; retry the SAME
+    * batch id → exactly its own subtree is rewritten and re-marked
+    * (idempotent, the [[graft.core.BatchLedger]] integration contract).
+    * Caller owns id-disjointness of batches, as in
+    * [[Retrieval.appendToIndex]]. At 100 TB this is the difference
+    * between per-ingest cost proportional to the BATCH and a full-table
+    * re-cluster + rewrite per ingest.
+    */
+  def ivfAppendLayout(emb: DataFrame, idCol: String, vecCol: String,
+                      path: String, batchId: Long): Unit = {
+    require(batchId > 0, "batch 0 is the full build; appends use fresh ids")
+    writeLayoutBatch(emb, idCol, vecCol, path,
+      readCentroids(emb.sparkSession, path), batchId)
+  }
+
+  /** The persisted coarse quantizer, ordered by cluster id. */
+  def readCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(centroidsPath(path))
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  private def writeLayoutBatch(emb: DataFrame, idCol: String, vecCol: String,
+                               path: String, cents: Seq[Seq[Double]],
+                               batchId: Long): Unit = {
+    import org.apache.spark.sql.SaveMode
+    emb.withColumn("ivf_cluster", nearestCluster(col(vecCol), cents))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("ivf_cluster").parquet(s"$path/data/batch=$batchId")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/commits/batch_$batchId"),
+      true).close()
+  }
+
+  private def committedBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path + "/commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_")).map(_.stripPrefix("batch_").toLong)
   }
 
   private def centroidsPath(path: String): String =
@@ -296,8 +356,12 @@ object Similarity {
       .orderBy(col("ccos").desc, col("cluster"))
       .limit(nprobe)
       .select("cluster").collect().map(_.getInt(0))
-    spark.read.parquet(path)
-      .filter(col("ivf_cluster").isin(clusters.map(Integer.valueOf): _*))
+    val committed = committedBatches(spark, path)
+    spark.read.parquet(path + "/data")
+      // both are partition columns: uncommitted batches and non-probed
+      // clusters prune at the scan, before any file opens
+      .filter(col("batch").isin(committed: _*) &&
+        col("ivf_cluster").isin(clusters.map(Integer.valueOf): _*))
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

@@ -140,8 +140,8 @@ class SimilaritySpec extends SparkSpec {
     val cents = Similarity.ivfWriteLayout(emb, "vec_id", "embedding", dir,
       kClusters = 4, iters = 2)
     assert(cents.size == 4)
-    // one directory per cluster on disk
-    val dirs = new java.io.File(dir).listFiles()
+    // one directory per cluster on disk, under the build's batch=0
+    val dirs = new java.io.File(dir + "/data/batch=0").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("ivf_cluster="))
     assert(dirs.length == 4, s"expected 4 partition dirs, got ${dirs.toSeq}")
 
@@ -156,6 +156,41 @@ class SimilaritySpec extends SparkSpec {
         k = 10, nprobe = 2, kClusters = 4, iters = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == trained)
+  }
+
+  test("ivfAppendLayout: appended batch becomes part of the served index; " +
+      "a crashed (unmarked) batch is invisible; same-id retry heals") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val base = emb.filter($"vec_id" % 4 =!= 1)
+    val rest = emb.filter($"vec_id" % 4 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+      .toString + "/emb"
+    Similarity.ivfWriteLayout(base, "vec_id", "embedding", dir,
+      kClusters = 4, iters = 2)
+    // probing EVERY cluster removes the approximation, so the served set
+    // must equal exact brute force over whatever batches are committed
+    def servedAll = Similarity.ivfProbeLayout(spark, dir, q, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def brute(d: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(d, "vec_id", "embedding", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedAll == brute(base))
+    Similarity.ivfAppendLayout(rest, "vec_id", "embedding", dir, batchId = 1L)
+    assert(servedAll == brute(emb), "appended batch must serve")
+    // crash simulation: batch data present but the commit marker missing
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/commits/batch_1"), false)
+    assert(servedAll == brute(base), "unmarked batch must not serve")
+    // retry of the SAME batch id: rewrites its own subtree, re-marks
+    Similarity.ivfAppendLayout(rest, "vec_id", "embedding", dir, batchId = 1L)
+    assert(servedAll == brute(emb))
+    // and a double retry stays idempotent (no duplicate rows: 10 distinct)
+    Similarity.ivfAppendLayout(rest, "vec_id", "embedding", dir, batchId = 1L)
+    assert(servedAll == brute(emb))
+    // appends never retrain: centroids on disk are the batch-0 training
+    assert(Similarity.readCentroids(spark, dir).size == 4)
   }
 
   test("ivfTrainedTopK with nprobe=kClusters equals brute force exactly") {
