@@ -91,6 +91,104 @@ object Similarity {
         col("t.id").as("neg_id"), col("t.sort_key").as("cos_sim"))
   }
 
+  /** Exact brute-force top-k for a BATCH of anchors in one corpus scan —
+    * the ground-truth side of the batch recall gate. Same plan shape as
+    * [[hardNegatives]] (anchors broadcast, per-anchor top-k via the
+    * TopKByKey partial aggregate, ≤k rows per task-anchor cross the
+    * exchange) minus the label exclusion: the anchor itself ranks first
+    * in its own list, as an exact index must reproduce.
+    * Output: (anchor_id, rank, id, cos_sim), rank 1..k per anchor.
+    */
+  def bruteForceTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                          anchorIds: Seq[Long], k: Int): DataFrame = {
+    val nrm = (c: Column) => greatest(Dedup.normExact(c), lit(1e-30))
+    val anchors = emb.filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"),
+        nrm(col(vecCol)).as("__anrm"))
+    val scored = emb
+      .withColumn("__nrm", nrm(col(vecCol)))
+      .crossJoin(broadcast(anchors))
+      .select(col("anchor_id"),
+        (Dedup.dotExact(col(vecCol), col("__avec")) /
+          (col("__nrm") * col("__anrm"))).as("__cos"),
+        col(idCol))
+    rankedFromTopK(scored, idCol, k)
+  }
+
+  /** Trained-IVF ANN for a BATCH of anchors: ONE Lloyd training, ONE
+    * narrow assignment pass, per-anchor nprobe shortlists computed on
+    * the tiny (clusters × anchors) relation, then a single corpus scan
+    * scores each row against exactly the anchors probing its cluster
+    * (broadcast shortlist join — no per-anchor scan, no corpus-sized
+    * window). The batched analogue of [[ivfTrainedTopK]].
+    */
+  def ivfTrainedTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                          anchorIds: Seq[Long], k: Int, nprobe: Int,
+                          kClusters: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
+    val nrm = (c: Column) => greatest(Dedup.normExact(c), lit(1e-30))
+    val anchors = emb.filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"),
+        nrm(col(vecCol)).as("__anrm"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("__ccos").desc, col("cluster"))
+    val shortlist = centroidsDf(emb.sparkSession, cents)
+      .crossJoin(anchors) // clusters × anchors: tiny
+      .select(col("anchor_id"), col("cluster"), col("__avec"), col("__anrm"),
+        (Dedup.dotExact(col("centroid"), col("__avec")) /
+          (Dedup.normExact(col("centroid")) * col("__anrm"))).as("__ccos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select("anchor_id", "cluster", "__avec", "__anrm")
+    val scored = emb
+      .withColumn("__nrm", nrm(col(vecCol)))
+      .withColumn("__g_cluster", nearestCluster(col(vecCol), cents))
+      .join(broadcast(shortlist), col("__g_cluster") === col("cluster"))
+      .select(col("anchor_id"),
+        (Dedup.dotExact(col(vecCol), col("__avec")) /
+          (col("__nrm") * col("__anrm"))).as("__cos"),
+        col(idCol))
+    rankedFromTopK(scored, idCol, k)
+  }
+
+  /** (anchor_id, __cos, id) → (anchor_id, rank, id, cos_sim) via the
+    * k-bounded TopKByKey aggregate (shared by the batch topK shapes).
+    */
+  private def rankedFromTopK(scored: DataFrame, idCol: String,
+                             k: Int): DataFrame =
+    scored.groupBy(col("anchor_id"))
+      .agg(graft.functions.TopKAgg.topK(col("__cos"), col(idCol), k).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as(idCol), col("t.sort_key").as("cos_sim"))
+
+  /** Mean recall@k over an anchor BATCH — [[recallAtK]] extended to the
+    * multi-anchor evaluation VERDICT r6 asked for (one atypical query
+    * vector can no longer hide a bad index region). Inputs are the
+    * batch-shaped ranked frames ((anchor_id, id) with ≤k rows per
+    * anchor, as [[bruteForceTopKBatch]] / [[ivfTrainedTopKBatch]]
+    * produce); per-anchor recall divides by that anchor's |exact| (the
+    * recallAtK denominator contract), and the mean is a decimal-exact
+    * sum / count. Output: one row (k, n_anchors, mean_recall).
+    */
+  def recallAtKBatch(exact: DataFrame, approx: DataFrame, anchorCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = exact.select(col(anchorCol), col(idCol))
+    val a = approx.select(col(anchorCol), col(idCol))
+    val denom = e.groupBy(anchorCol).agg(count(lit(1)).as("__n"))
+    val hits = a.join(e, Seq(anchorCol, idCol))
+      .groupBy(anchorCol).agg(count(lit(1)).as("__hits"))
+    denom.join(hits, Seq(anchorCol), "left")
+      .select((coalesce(col("__hits"), lit(0L)).cast("double") /
+        col("__n")).as("__recall"))
+      .agg(count(lit(1)).as("n_anchors"),
+        (sum(col("__recall").cast(DecimalType(38, 14))).cast("double") /
+          count(lit(1))).as("mean_recall"))
+      .select(lit(k.toLong).as("k"), col("n_anchors"), col("mean_recall"))
+  }
+
   /** Recall@k of an approximate result list against the exact one — the
     * evaluation every ANN deployment runs before trusting an index
     * (tune nprobe/bands until recall clears the bar, then ship).
@@ -374,13 +472,12 @@ object Similarity {
     * At 100 TB the assignment column is written once (table PARTITIONED BY
     * cluster) and this probe prunes partitions at the scan.
     */
-  def ivfTrainedTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     query: Seq[Float], k: Int, nprobe: Int,
-                     kClusters: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
-    val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
-    val qd = query.map(_.toDouble)
-    val centsDf = spark.createDataFrame(
+  /** The trained centroids as a 1-partition (cluster, centroid) relation
+    * — the exact binary doubles, never a lossy literal roundtrip.
+    */
+  private def centroidsDf(spark: SparkSession,
+                          cents: Seq[Seq[Double]]): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.parallelize(
         cents.zipWithIndex.map { case (c, i) =>
           org.apache.spark.sql.Row(i, c)
@@ -391,7 +488,14 @@ object Similarity {
         org.apache.spark.sql.types.StructField("centroid",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType), nullable = false))))
-    val shortlist = centsDf
+
+  def ivfTrainedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int, nprobe: Int,
+                     kClusters: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
+    val qd = query.map(_.toDouble)
+    val shortlist = centroidsDf(spark, cents)
       .select(col("cluster"),
         (Dedup.dotExact(col("centroid"), typedlit(qd)) /
           (Dedup.normExact(col("centroid")) * Dedup.normExact(typedlit(qd))))

@@ -204,6 +204,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("batch topK ops agree with their single-anchor counterparts; " +
+      "recallAtKBatch means per-anchor recalls") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val anchors = Seq(0L, 3L, 7L)
+    val batch = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      anchors, k = 5).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+      .toMap
+    for (a <- anchors) {
+      val single = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          Similarity.vectorOf(emb, "vec_id", "embedding", a), 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(a) == single, s"anchor $a batch/single mismatch")
+    }
+    // nprobe = kClusters removes the approximation: batch IVF == batch brute
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      anchors, 5)
+    val full = Similarity.ivfTrainedTopKBatch(emb, "vec_id", "embedding",
+      anchors, k = 5, nprobe = 4, kClusters = 4, iters = 2)
+    val r = Similarity.recallAtKBatch(exact, full, "anchor_id", "vec_id", 5)
+      .collect()(0)
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 1.0, r.toString)
+    // disjoint approx: mean recall 0
+    val none = Similarity.recallAtKBatch(exact,
+      full.withColumn("vec_id", $"vec_id" + 1000000L), "anchor_id", "vec_id", 5)
+      .collect()(0)
+    assert(none.getDouble(2) == 0.0)
+  }
+
   test("recallAtK: identical lists = 1, disjoint = 0, full probe = 1") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
     val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
