@@ -185,6 +185,29 @@ object ScaleProbe {
     }
     retrievalProbe(base, s"1x ($n docs)")
     retrievalProbe(docs, s"${mult}x")
+    // round-7: cross-doc substring dedup at 1x and 10x — the k-gram
+    // explode is k× corpus rows (fixed-width hashes, not text) and the
+    // coverage join sees only DUPLICATED grams, so expect ~linear
+    // wall-time. The salted replicas share every interior 8-gram, so the
+    // duplicated-gram dictionary grows with the duplication rate — the
+    // probe exercises exactly the dictionary-size dependence.
+    time(s"substring dedup 1x ($n docs)")(
+      Dedup.dedupSpans(base, "doc_id", "text", k = 8).count())
+    time(s"substring dedup ${mult}x")(
+      Dedup.dedupSpans(docs, "doc_id", "text", k = 8).count())
+    // round-7: BPE at a REAL merge budget — merge learning is driver-local
+    // on the collected vocab-bounded word table, so 125x the r6 query's
+    // merge budget must not multiply Spark job count (r6 ran one job per
+    // merge) and corpus replication must barely move wall-time.
+    def jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j0 = jobCount
+    time("bpe 1000 merges 1x")(graft.ops.BpeTrain.learnMerges(
+      base, "text", nMerges = 1000).count())
+    println(s"bpe 1000 merges 1x: ${jobCount - j0} Spark jobs")
+    val j1 = jobCount
+    time(s"bpe 1000 merges ${mult}x")(graft.ops.BpeTrain.learnMerges(
+      docs, "text", nMerges = 1000).count())
+    println(s"bpe 1000 merges ${mult}x: ${jobCount - j1} Spark jobs")
     // hard negatives: one scan for the whole anchor batch, bounded
     // per-anchor aggregate — expect ~linear in vectors, flat in anchors
     time(s"hardneg 1x ($en vecs, 4 anchors)")(graft.ops.Similarity

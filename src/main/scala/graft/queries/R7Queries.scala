@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.Similarity
+import graft.ops.{Curation, Dedup, LmSignals, Similarity, TextAnalysis}
 
 /** Round-7 session queries, closing the VERDICT r6 asks:
   *
@@ -25,6 +25,62 @@ object R7Queries {
     s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
 
   private val RecallAnchors = Seq(0L, 1L, 2L, 3L)
+
+  /** ExtQueries.minhashPairCtes generalized to any (relation, text
+    * column) — the pretraining pipeline runs MinHash over the
+    * quality-gated, span-deduped relation, not raw `documents`. Emits
+    * `sig/bands/bf/pairs` CTEs (2 bands × 3 rows over word 5-gram
+    * shingles, band-df cap 256 — the Dedup.minhashCandidates mirror).
+    */
+  private def minhashPairCtesOn(rel: String, c: String): String = {
+    def slice(i: Int) = s"substr(md5(s), ${i * 5 + 1}, 5)"
+    val mhs = (0 until 6).map(i =>
+      s"list_min(list_transform(${ExtQueries.wordShingleSqlPub(c, 5)}, s -> ${slice(i)})) AS mh$i")
+      .mkString(",\n    ")
+    val bands = (0 until 2).map(b =>
+      s"SELECT doc_id, $b AS band, mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2} AS h FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $mhs
+       |  FROM $rel),
+       |bands AS (
+       |  $bands),
+       |bf AS (
+       |  SELECT doc_id, band, h, count(*) OVER (PARTITION BY band, h) AS df_b
+       |  FROM bands),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band
+       |  FROM bf a JOIN bf b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.df_b <= 256
+       |  UNION ALL
+       |  SELECT id_a, id_b, band FROM (
+       |    SELECT doc_id AS id_a,
+       |           lead(doc_id) OVER (PARTITION BY band, h ORDER BY doc_id) AS id_b,
+       |           band
+       |    FROM bf WHERE df_b > 256)
+       |  WHERE id_b IS NOT NULL)""".stripMargin
+  }
+
+  /** The ta_quality quality-score expression over a text column `c`,
+    * emitted as a scalar SQL expression (the established feature mix:
+    * length, punctuation ratio, stopword ratio).
+    */
+  private def qualitySql(c: String): String =
+    s"""(least(length($c) / 500.0::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
+       |  + (1.0::DOUBLE -
+       |     CASE WHEN length($c) = 0 THEN 0.0::DOUBLE
+       |          ELSE length(regexp_replace($c, '[A-Za-z0-9\\s]', '', 'g'))
+       |               / length($c) END) * 0.3::DOUBLE
+       |  + least((CASE WHEN (CASE WHEN trim($c) = '' THEN 0
+       |                 ELSE len(string_split_regex(trim($c), '\\s+')) END) = 0
+       |           THEN 0.0::DOUBLE
+       |           ELSE (((length($c) - length(replace($c, ' the ', ''))) / 5::DOUBLE
+       |                  + (length($c) - length(replace($c, ' a ', ''))) / 3::DOUBLE))
+       |                / (CASE WHEN trim($c) = '' THEN 0
+       |                   ELSE len(string_split_regex(trim($c), '\\s+')) END) END)
+       |          * 4.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -260,6 +316,192 @@ object R7Queries {
            |    THEN CAST(count(*) AS DOUBLE) /
            |         (SELECT count(*) FROM exact)
            |    ELSE 0.0 END AS recall
-           |FROM approx JOIN exact USING (vec_id)""".stripMargin))
+           |FROM approx JOIN exact USING (vec_id)""".stripMargin)),
+
+    Q("pretrain_pipeline",
+      "The full pretraining-run flagship — every curation stage a real " +
+        "run chains, composed as ONE lazy Catalyst plan (multi-consumer " +
+        "stages cached at their reuse points, the dx_pipeline idiom): " +
+        "quality gate (>= 0.5 on raw text) → cross-doc SUBSTRING dedup " +
+        "(k-gram spans, first occurrence survives) → MinHash-LSH " +
+        "near-dup removal (keep-smaller-id pair policy — the lazy " +
+        "anti-join; cluster-exact removal is dedup_cluster's driver " +
+        "loop) → benchmark decontamination (doc_id % 10 = 0 as the " +
+        "held-out eval set) → DSIR importance filter (target lang='en', " +
+        "keep score >= 0) → temperature mixture (alpha 0.5, target " +
+        "half) → quality-curriculum buckets → 8 seeded shards → " +
+        "128-token sequence packing in curriculum order per shard. " +
+        "Output: one row per packed sequence. The oracle replays the " +
+        "ENTIRE chain as a single DuckDB WITH pipeline. Exchange audit " +
+        "in PLANS.md attributes every shuffle to its named stage.",
+      (s, d) => {
+        import graft.core.Caches
+        val docs = Tables.documents(s, d)
+        // 1. quality gate on the raw text
+        val gated = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        // 2. substring dedup; cleaned text replaces the original
+        val spans = Dedup.dedupSpans(gated, "doc_id", "text", k = 8, minDocs = 2)
+        val cleaned = Caches.track(
+          gated.select(col("doc_id"), col("source"), col("lang"))
+            .join(spans.select(col("doc_id"), col("clean_text").as("t")),
+              Seq("doc_id")))
+        // 3. MinHash near-dup removal: drop the larger id of every
+        // candidate pair (greedy keep-first; transitive-closure removal
+        // needs the CC driver loop, which would break the one-plan shape)
+        val pairs = Dedup.minhashCandidates(cleaned, "doc_id", "t",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+        val train = Caches.track(cleaned
+          .join(pairs.select(col("id_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .filter(col("doc_id") % 10 =!= 0))
+        // 4. decontamination against the held-out benchmark slice
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text").as("t"))
+        val contaminated = Dedup.contamination(train, bench, "doc_id", "t",
+          Dedup.Shingler.words(3), minCommon = 3)
+        val decon = Caches.track(train.join(
+          contaminated.select(col("id").as("doc_id")), Seq("doc_id"),
+          "left_anti"))
+        // 5. DSIR importance filter toward the English target
+        val dsir = LmSignals.dsirContrast(decon, "doc_id", "t",
+          col("lang") === "en")
+        val kept = Caches.track(decon.join(
+          dsir.filter(col("dsir_score") >= 0).select("doc_id"), Seq("doc_id")))
+        // 6. temperature mixture over sources
+        val mixed = Curation.temperatureMixture(kept, "source", "doc_id",
+          alpha = 0.5, targetFrac = 0.5)
+        // 7-9. curriculum buckets, seeded shards, packing
+        val q = TextAnalysis.qualityScore(col("t"))
+        val bucket = when(q >= 0.75, 0).when(q >= 0.5, 1)
+          .when(q >= 0.25, 2).otherwise(3)
+        val ordKey = concat(col("bucket").cast("string"), lit(":"),
+          md5(concat(lit("r7:"), col("doc_id").cast("string"))))
+        val sharded = Curation.seededShards(mixed.withColumn("bucket", bucket),
+          "doc_id", nShards = 8, seed = "r7")
+        Curation.packSequences(sharded.withColumn("__ord", ordKey),
+            "shard", "__ord", "t", budget = 128)
+          .groupBy(col("shard"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("seq_tokens"),
+            min("doc_id").as("first_doc"))
+          .orderBy("shard", "seq_id")
+      },
+      Some(
+        s"""WITH gated AS (
+           |  SELECT doc_id, source, lang, text FROM documents
+           |  WHERE ${qualitySql("text")} >= 0.5),
+           |w AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           |  FROM gated WHERE trim(text) <> ''),
+           |g0 AS (
+           |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+           |  FROM w WHERE len(ws) >= 8),
+           |g AS (
+           |  SELECT doc_id, i,
+           |         md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+           |  FROM g0),
+           |dup AS (
+           |  SELECT h, min(doc_id) AS keep_doc FROM g
+           |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, p FROM (
+           |    SELECT g.doc_id, unnest(generate_series(g.i, g.i + 7)) AS p
+           |    FROM g JOIN dup USING (h)
+           |    WHERE g.doc_id <> dup.keep_doc)),
+           |wp AS (
+           |  SELECT doc_id, unnest(ws) AS word,
+           |         unnest(generate_series(1, len(ws))) AS p
+           |  FROM w),
+           |kw AS (
+           |  SELECT wp.doc_id, wp.word, wp.p
+           |  FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.p = cov.p
+           |  WHERE cov.p IS NULL),
+           |cleaned AS (
+           |  SELECT gt.doc_id, gt.source, gt.lang,
+           |    coalesce(string_agg(kw.word, ' ' ORDER BY kw.p), '') AS t
+           |  FROM gated gt LEFT JOIN kw USING (doc_id)
+           |  GROUP BY gt.doc_id, gt.source, gt.lang),
+           |${minhashPairCtesOn("cleaned", "t")},
+           |train AS (
+           |  SELECT * FROM cleaned
+           |  WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+           |    AND doc_id % 10 <> 0),
+           |tsh AS (
+           |  SELECT doc_id AS id, unnest(${ExtQueries.wordShingleSqlPub("t", 3)}) AS sh
+           |  FROM train),
+           |bsh AS (
+           |  SELECT doc_id AS bid, unnest(${ExtQueries.wordShingleSqlPub("text", 3)}) AS sh
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |contaminated AS (
+           |  SELECT DISTINCT id FROM (
+           |    SELECT id, bid, count(*) AS n FROM tsh JOIN bsh USING (sh)
+           |    GROUP BY 1, 2)
+           |  WHERE n >= 3),
+           |decon AS (
+           |  SELECT * FROM train
+           |  WHERE doc_id NOT IN (SELECT id FROM contaminated)),
+           |tok AS (
+           |  SELECT doc_id, is_t, word,
+           |         ('0x' || substring(md5(word), 1, 4))::BIGINT AS b
+           |  FROM (SELECT doc_id, lang = 'en' AS is_t,
+           |               unnest(string_split_regex(trim(t), '\\s+')) AS word
+           |        FROM decon)
+           |  WHERE word <> ''),
+           |hist AS (
+           |  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+           |         count(*) AS cr
+           |  FROM tok GROUP BY b),
+           |tot AS (SELECT coalesce(sum(ct), 0) AS tt,
+           |               coalesce(sum(cr), 0) AS tr FROM hist),
+           |contrast AS (
+           |  SELECT b,
+           |    (CASE WHEN tt > 0 THEN ct::DOUBLE / tt ELSE 0.0::DOUBLE END
+           |     - CASE WHEN tr > 0 THEN cr::DOUBLE / tr ELSE 0.0::DOUBLE END)
+           |      AS diff
+           |  FROM hist CROSS JOIN tot),
+           |scored AS (
+           |  SELECT doc_id,
+           |    cast(sum(cast(diff AS DECIMAL(38,14))) AS DOUBLE) / count(*)
+           |      AS dsir
+           |  FROM tok LEFT JOIN contrast USING (b)
+           |  GROUP BY doc_id),
+           |kept AS (
+           |  SELECT d.* FROM decon d LEFT JOIN scored s USING (doc_id)
+           |  WHERE coalesce(s.dsir, 0.0::DOUBLE) >= 0),
+           |mc AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+           |mt AS (SELECT cast(sum(n) AS DOUBLE) AS nn,
+           |              cast(sum(cast(sqrt(cast(n AS DOUBLE)) AS DECIMAL(38,14)))
+           |                   AS DOUBLE) AS wsum
+           |       FROM mc),
+           |mr AS (SELECT mc.source,
+           |              least(CAST(1 AS DOUBLE),
+           |                    0.5 * mt.nn * sqrt(cast(mc.n AS DOUBLE)) / mt.wsum
+           |                      / cast(mc.n AS DOUBLE)) AS rate
+           |       FROM mc, mt),
+           |mixed AS (
+           |  SELECT k2.* FROM kept k2
+           |  JOIN mr ON k2.source IS NOT DISTINCT FROM mr.source
+           |  WHERE ('0x' || substring(md5(k2.doc_id::VARCHAR), 1, 4))::BIGINT
+           |    < mr.rate * 65536),
+           |keyed AS (
+           |  SELECT doc_id, t,
+           |    CASE WHEN ${qualitySql("t")} >= 0.75 THEN 0
+           |         WHEN ${qualitySql("t")} >= 0.5 THEN 1
+           |         WHEN ${qualitySql("t")} >= 0.25 THEN 2 ELSE 3 END AS bucket,
+           |    ('0x' || substring(md5('r7:' || doc_id::VARCHAR), 1, 4))::BIGINT
+           |      % 8 AS shard,
+           |    CASE WHEN trim(t) = '' THEN 0
+           |         ELSE len(string_split_regex(trim(t), '\\s+')) END AS n_tokens
+           |  FROM mixed),
+           |packed AS (
+           |  SELECT shard, doc_id, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY shard
+           |      ORDER BY bucket::VARCHAR || ':' || md5('r7:' || doc_id::VARCHAR)
+           |      ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+           |  FROM keyed)
+           |SELECT shard, CAST(floor(tok_before / 128) AS BIGINT) AS seq_id,
+           |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           |  min(doc_id) AS first_doc
+           |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
