@@ -320,8 +320,11 @@ object R7Queries {
 
     Q("pretrain_pipeline",
       "The full pretraining-run flagship — every curation stage a real " +
-        "run chains, composed as ONE lazy Catalyst plan (multi-consumer " +
-        "stages cached at their reuse points, the dx_pipeline idiom): " +
+        "run chains, one driver program with four lineage-cut barriers " +
+        "(eager localCheckpoint at each multi-consumer stage: plain " +
+        "caching leaves the whole logical tree for AQE to re-optimize " +
+        "at every exchange — measured 15s of driver re-planning vs " +
+        "<1s execution at sf0.01; no disk round-trips, no orchestrator): " +
         "quality gate (>= 0.5 on raw text) → cross-doc SUBSTRING dedup " +
         "(k-gram spans, first occurrence survives) → MinHash-LSH " +
         "near-dup removal (keep-smaller-id pair policy — the lazy " +
@@ -335,38 +338,50 @@ object R7Queries {
         "ENTIRE chain as a single DuckDB WITH pipeline. Exchange audit " +
         "in PLANS.md attributes every shuffle to its named stage.",
       (s, d) => {
-        import graft.core.Caches
         val docs = Tables.documents(s, d)
+        // Stage barriers are EAGER localCheckpoints, not plain caches: a
+        // persist keeps the whole logical tree, and AQE re-optimizes that
+        // tree at every one of the chain's ~25 exchanges — measured 15s+
+        // of pure driver re-planning at sf0.01 (O(stages × plan size)).
+        // The checkpoint truncates lineage at each multi-consumer stage,
+        // so each stage plans against a scan of the (post-filter, small
+        // relative to the corpus) previous barrier. Same data, same
+        // oracle; the documented tradeoff is executor-loss recompute, as
+        // in the CC loops.
         // 1. quality gate on the raw text
         val gated = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
         // 2. substring dedup; cleaned text replaces the original
         val spans = Dedup.dedupSpans(gated, "doc_id", "text", k = 8, minDocs = 2)
-        val cleaned = Caches.track(
-          gated.select(col("doc_id"), col("source"), col("lang"))
-            .join(spans.select(col("doc_id"), col("clean_text").as("t")),
-              Seq("doc_id")))
+        val cleaned = gated.select(col("doc_id"), col("source"), col("lang"))
+          .join(spans.select(col("doc_id"), col("clean_text").as("t")),
+            Seq("doc_id"))
+          .localCheckpoint()
         // 3. MinHash near-dup removal: drop the larger id of every
         // candidate pair (greedy keep-first; transitive-closure removal
-        // needs the CC driver loop, which would break the one-plan shape)
+        // needs the CC driver loop — dedup_cluster — when cluster-exact
+        // removal matters more)
         val pairs = Dedup.minhashCandidates(cleaned, "doc_id", "t",
           Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
-        val train = Caches.track(cleaned
+        val train = cleaned
           .join(pairs.select(col("id_b").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
-          .filter(col("doc_id") % 10 =!= 0))
+          .filter(col("doc_id") % 10 =!= 0)
+          .localCheckpoint()
         // 4. decontamination against the held-out benchmark slice
         val bench = docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), col("text").as("t"))
         val contaminated = Dedup.contamination(train, bench, "doc_id", "t",
           Dedup.Shingler.words(3), minCommon = 3)
-        val decon = Caches.track(train.join(
-          contaminated.select(col("id").as("doc_id")), Seq("doc_id"),
-          "left_anti"))
+        val decon = train.join(
+            contaminated.select(col("id").as("doc_id")), Seq("doc_id"),
+            "left_anti")
+          .localCheckpoint()
         // 5. DSIR importance filter toward the English target
         val dsir = LmSignals.dsirContrast(decon, "doc_id", "t",
           col("lang") === "en")
-        val kept = Caches.track(decon.join(
-          dsir.filter(col("dsir_score") >= 0).select("doc_id"), Seq("doc_id")))
+        val kept = decon.join(
+            dsir.filter(col("dsir_score") >= 0).select("doc_id"), Seq("doc_id"))
+          .localCheckpoint()
         // 6. temperature mixture over sources
         val mixed = Curation.temperatureMixture(kept, "source", "doc_id",
           alpha = 0.5, targetFrac = 0.5)
