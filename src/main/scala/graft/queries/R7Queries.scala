@@ -318,6 +318,114 @@ object R7Queries {
            |    ELSE 0.0 END AS recall
            |FROM approx JOIN exact USING (vec_id)""".stripMargin)),
 
+    Q("sim_lsh_multiprobe",
+      "Multi-probe SRP-LSH (Hamming radius 1): the recall lever the " +
+        "sim_recall_lsh gate demands — single-bucket recall measured " +
+        "0.40, so the probe expands to the 5 buckets within one flipped " +
+        "sign bit. The probe set enumerates DRIVER-side into an isin " +
+        "literal list (partition-prunable on a bucket-partitioned " +
+        "layout, unlike an in-plan bit_count filter); the query's own " +
+        "bucket is a 1-row evaluation of the same decimal-exact sign " +
+        "expression the corpus side uses.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.srpTopKMultiProbe(emb, "vec_id", "embedding", q,
+          k = 10, nPlanes = 4, hamming = 1)
+      },
+      Some(
+        s"""WITH planes AS (
+           |  SELECT j, i,
+           |    ((instr('0123456789abcdef', substr(md5(j || '_' || i), 1, 1)) - 9)::DOUBLE
+           |      / 16.0::DOUBLE) AS w
+           |  FROM generate_series(0, 3) t(j), generate_series(1, 64) g(i)),
+           |sigs AS (
+           |  SELECT e.vec_id, p.j,
+           |    cast(sum(cast(e.embedding[p.i]::DOUBLE * p.w AS DECIMAL(30,14))) AS DOUBLE) AS dot
+           |  FROM embeddings e, planes p
+           |  GROUP BY e.vec_id, p.j),
+           |buckets AS (
+           |  SELECT vec_id,
+           |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+           |  FROM sigs GROUP BY vec_id),
+           |qbucket AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |nq AS (
+           |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+           |  FROM q, generate_series(1, 64) g(i)),
+           |members AS (
+           |  SELECT e.vec_id, e.embedding
+           |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, qbucket
+           |  WHERE bit_count(xor(b.bucket::BIGINT, qbucket.bucket::BIGINT)) <= 1),
+           |ne AS (
+           |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |  FROM members, generate_series(1, 64) g(i) GROUP BY vec_id),
+           |dots AS (
+           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+           |  FROM members e, q, generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id)
+           |SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+           |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nq
+           |ORDER BY cos_sim DESC, d.vec_id
+           |LIMIT 10""".stripMargin)),
+
+    Q("sim_recall_lsh_multi",
+      "The multi-probe payoff under the gate: recall@10 of Hamming-1 " +
+        "SRP-LSH vs exact brute force — the number that justifies " +
+        "probing 5/16 buckets instead of 1/16 (single-probe measured " +
+        "0.40).",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        val approx = Similarity.srpTopKMultiProbe(emb, "vec_id", "embedding",
+          q, k = 10, nPlanes = 4, hamming = 1)
+        Similarity.recallAtK(exact, approx, "vec_id", 10)
+      },
+      Some(
+        s"""WITH planes AS (
+           |  SELECT j, i,
+           |    ((instr('0123456789abcdef', substr(md5(j || '_' || i), 1, 1)) - 9)::DOUBLE
+           |      / 16.0::DOUBLE) AS w
+           |  FROM generate_series(0, 3) t(j), generate_series(1, 64) g(i)),
+           |sigs AS (
+           |  SELECT e.vec_id, p.j,
+           |    cast(sum(cast(e.embedding[p.i]::DOUBLE * p.w AS DECIMAL(30,14))) AS DOUBLE) AS dot
+           |  FROM embeddings e, planes p
+           |  GROUP BY e.vec_id, p.j),
+           |buckets AS (
+           |  SELECT vec_id,
+           |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+           |  FROM sigs GROUP BY vec_id),
+           |qbucket AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |nq AS (
+           |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+           |  FROM q, generate_series(1, 64) g(i)),
+           |ne AS (
+           |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+           |dots AS (
+           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e, q, generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id),
+           |exact AS (
+           |  SELECT d.vec_id FROM dots d JOIN ne USING (vec_id), nq
+           |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10),
+           |approx AS (
+           |  SELECT d.vec_id
+           |  FROM dots d JOIN ne USING (vec_id)
+           |       JOIN buckets b ON d.vec_id = b.vec_id, nq, qbucket
+           |  WHERE bit_count(xor(b.bucket::BIGINT, qbucket.bucket::BIGINT)) <= 1
+           |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10)
+           |SELECT CAST(10 AS BIGINT) AS k,
+           |  count(*) AS hits,
+           |  CASE WHEN (SELECT count(*) FROM exact) > 0
+           |    THEN CAST(count(*) AS DOUBLE) /
+           |         (SELECT count(*) FROM exact)
+           |    ELSE 0.0 END AS recall
+           |FROM approx JOIN exact USING (vec_id)""".stripMargin)),
+
     Q("pretrain_pipeline",
       "The full pretraining-run flagship — every curation stage a real " +
         "run chains, one driver program with four lineage-cut barriers " +

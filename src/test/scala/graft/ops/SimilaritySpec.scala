@@ -193,6 +193,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.readCentroids(spark, dir).size == 4)
   }
 
+  test("srpTopKMultiProbe: hamming 0 equals single-probe; hamming = nPlanes " +
+      "equals brute force; recall is monotone in the radius") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val single = ids(Similarity.srpTopK(emb, "vec_id", "embedding", q, 10, 4))
+    assert(ids(Similarity.srpTopKMultiProbe(emb, "vec_id", "embedding", q,
+      10, nPlanes = 4, hamming = 0)) == single)
+    val brute = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10))
+    assert(ids(Similarity.srpTopKMultiProbe(emb, "vec_id", "embedding", q,
+      10, nPlanes = 4, hamming = 4)) == brute)
+    // wider radius never loses candidates: recall non-decreasing
+    val exactIds = brute.map(_._1).toSet
+    val recalls = Seq(0, 1, 2).map { h =>
+      ids(Similarity.srpTopKMultiProbe(emb, "vec_id", "embedding", q,
+        10, nPlanes = 4, hamming = h)).map(_._1).toSet
+        .intersect(exactIds).size
+    }
+    assert(recalls == recalls.sorted, recalls.toString)
+  }
+
   test("ivfTrainedTopK with nprobe=kClusters equals brute force exactly") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
     val q = Similarity.vectorOf(emb, "vec_id", "embedding", 3L)
