@@ -106,6 +106,7 @@ object Retrieval {
       .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/postings"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/stats"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/commits"), true)
     writeBatch(docs, idCol, textCol, path, batchId = 0L)
   }
@@ -179,40 +180,102 @@ object Retrieval {
       true).close()
   }
 
-  /** Batch ids whose commit marker exists — the only batches readers may
-    * serve. A tiny driver-side listing (one marker file per batch).
+  /** The SERVED view of the marker directory: which append batches and
+    * which delete (tombstone) batches a reader may see. Markers come in
+    * three kinds — `batch_<id>` (an append), `del_<id>` (a tombstone
+    * batch), `compact_<id>` (a compaction: reveals batch `<id>` AND
+    * supersedes every marker named in its file content, one name per
+    * line). Compactions replay in ascending id order, so a later
+    * compaction can supersede an earlier compaction's output batch.
+    * A tiny driver-side listing plus ≤1 small read per compaction.
     */
-  private def committedBatches(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Seq[Long] = {
+  private case class IndexState(batches: Seq[Long], deletes: Seq[Long])
+
+  private def servedState(spark: org.apache.spark.sql.SparkSession,
+                          path: String): IndexState = {
     val p = new org.apache.hadoop.fs.Path(path + "/commits")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_")).map(_.stripPrefix("batch_").toLong)
+    if (!fs.exists(p)) return IndexState(Seq.empty, Seq.empty)
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    var batches = names.filter(_.startsWith("batch_"))
+      .map(_.stripPrefix("batch_").toLong).toSet
+    var deletes = names.filter(_.startsWith("del_"))
+      .map(_.stripPrefix("del_").toLong).toSet
+    val compactions = names.filter(_.startsWith("compact_"))
+      .map(_.stripPrefix("compact_").toLong).sorted
+    for (cid <- compactions) {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/commits/compact_$cid"))
+      val superseded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      batches --= superseded.filter(_.startsWith("batch_"))
+        .map(_.stripPrefix("batch_").toLong)
+      deletes --= superseded.filter(_.startsWith("del_"))
+        .map(_.stripPrefix("del_").toLong)
+      batches += cid
+    }
+    IndexState(batches.toSeq.sorted, deletes.toSeq.sorted)
+  }
+
+  /** The served tombstone relation (raw committed rows; an id may
+    * repeat across delete batches if the caller re-deleted it — the
+    * postings anti-join is insensitive to duplicates, and the stats
+    * path deduplicates before subtracting). None when no committed
+    * delete batch exists: the common case pays zero reads and plans no
+    * anti-join at all.
+    */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             state: IndexState): Option[DataFrame] = {
+    if (state.deletes.isEmpty) None
+    else Some(spark.read.parquet(path + "/tombstones")
+      .filter(col("batch").isin(state.deletes: _*)))
   }
 
   /** The committed postings relation: the `batch=<id>` partition column
-    * filter prunes uncommitted (crashed, in-flight) batch directories at
-    * the scan.
+    * filter prunes uncommitted (crashed, in-flight) and superseded
+    * (compacted-away) batch directories at the scan, and committed
+    * tombstones anti-join away deleted docs. The anti-join joins on the
+    * doc id AFTER any term predicate has been pushed below it, so a
+    * query-term serve path carries only its own postings into the join.
     */
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
-                           path: String): DataFrame = {
-    val committed = committedBatches(spark, path)
-    spark.read.parquet(path + "/postings")
-      .filter(col("batch").isin(committed: _*))
+                           path: String, idCol: String): DataFrame = {
+    val state = servedState(spark, path)
+    val base = spark.read.parquet(path + "/postings")
+      .filter(col("batch").isin(state.batches: _*))
+    readTombstones(spark, path, state) match {
+      case None    => base
+      case Some(t) => base.join(t.select(col(idCol)), Seq(idCol), "left_anti")
+    }
   }
 
   /** Served corpus totals: the sum over all committed per-batch stats
-    * rows — exact integer arithmetic, so avgdl is the same single
-    * double division a from-scratch build computes.
+    * rows MINUS the committed tombstones' contribution (each deleted
+    * doc's length was captured once, at delete time, from its own
+    * postings) — exact integer arithmetic end to end, so avgdl is the
+    * same single double division a from-scratch build over the
+    * surviving corpus computes.
     */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame = {
-    val committed = committedBatches(spark, path)
-    spark.read.parquet(path + "/stats")
-      .filter(col("batch").isin(committed: _*))
+                        path: String, idCol: String): DataFrame = {
+    val state = servedState(spark, path)
+    val base = spark.read.parquet(path + "/stats")
+      .filter(col("batch").isin(state.batches: _*))
       .agg(coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"),
         coalesce(sum("n_docs"), lit(0L)).as("n_docs"))
+    readTombstones(spark, path, state) match {
+      case None => base
+      case Some(t) =>
+        // dedupe before subtracting: an id re-deleted by a second batch
+        // must reduce N and Σdl exactly once
+        val tomb = t.groupBy(col(idCol)).agg(max("dl").as("dl"))
+          .agg(coalesce(sum("dl"), lit(0L)).as("__tdl"),
+            count(lit(1)).as("__tn"))
+        base.crossJoin(tomb)
+          .select((col("sum_dl") - col("__tdl")).as("sum_dl"),
+            (col("n_docs") - col("__tn")).as("n_docs"))
+    }
   }
 
   /** Exact phrase search SERVED FROM the at-rest index: the same answer
@@ -236,7 +299,7 @@ object Retrieval {
     import spark.implicits._
     val slots = phrase.zipWithIndex.map { case (t, j) => (j, t) }
       .toDF("__slot", "term")
-    val starts = readPostings(spark, path)
+    val starts = readPostings(spark, path, idCol)
       .filter(col("term").isin(phrase.distinct: _*)) // pushed to the scan
       .join(broadcast(slots), "term") // a repeated word fans out per slot
       .select(col(idCol), col("__slot"),
@@ -319,6 +382,153 @@ object Retrieval {
     writeBatch(docs, idCol, textCol, path, batchId)
   }
 
+  /** Delete documents from the index WITHOUT rewriting any postings —
+    * the right-to-be-forgotten operation a 100 TB index cannot answer
+    * with a rebuild. A delete is its own batch unit: one `(id, dl)` row
+    * per doc actually present, written under `tombstones/batch=<id>`
+    * and committed with a `del_<id>` marker. Serving then anti-joins
+    * postings against the committed tombstones (after term pruning, so
+    * a query carries only its own terms' postings into the join) and
+    * subtracts the captured doc lengths from the corpus stats — scores
+    * are IDENTICAL to a from-scratch build over the surviving corpus
+    * (spec-pinned), because df is derived at serve time and avgdl/N
+    * come from exact integer arithmetic.
+    *
+    * Cost: ONE postings scan per delete batch (to capture each deleted
+    * doc's length — `dl` repeats on the doc's every posting row), ∝ the
+    * index, amortized across the batch; the per-query serve cost is the
+    * tombstone anti-join, ∝ deleted docs, reclaimed by [[compactIndex]].
+    *
+    * Idempotency/crash safety: a crash before the marker leaves the
+    * batch invisible; retrying the SAME id overwrites its own
+    * subdirectory and re-marks. A retry AFTER the marker exists is a
+    * no-op return — recomputing the delta then would see the doc
+    * already tombstone-filtered and write an empty batch over a
+    * committed one. Deleting an id that is not in the index contributes
+    * nothing; re-deleting an already-deleted id is serve-side
+    * deduplicated (max over identical dl values). The one caller-owned
+    * invariant mirrors the append's: a deleted id must never be
+    * re-ingested while its tombstone is live (the tombstone would
+    * silently hide the new doc); compaction retires tombstones.
+    */
+  def deleteFromIndex(docIds: DataFrame, idCol: String, path: String,
+                      batchId: Long): Unit = {
+    val spark = docIds.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/commits/del_$batchId")))
+      return // committed: the delta is already durable, recomputing would corrupt it
+    val tomb = readPostings(spark, path, idCol)
+      .join(docIds.select(col(idCol)).distinct(), Seq(idCol))
+      .groupBy(col(idCol)).agg(max("dl").as("dl"))
+    // one file: a delete batch is ∝ its deleted docs (id + length), tiny
+    // relative to the index — and the single-partition write doubles as
+    // the schema-bearing-empty-file guard writeBatch needs
+    tomb.repartition(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones/batch=$batchId")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/commits/del_$batchId"),
+      true).close()
+  }
+
+  /** Compact the index: fold every served batch and every served
+    * tombstone into ONE fresh batch — the LSM maintenance step that
+    * reclaims the per-query tombstone anti-join and the per-append
+    * small-file accumulation. The rewrite reads exactly what serving
+    * reads (tombstone-filtered postings, subtracted stats), lays it out
+    * identically to a fresh build (term-ranged, term-sorted files), and
+    * commits with ONE atomic rename of a `compact_<newBatchId>` marker
+    * whose content names every superseded marker — so readers flip from
+    * the old batch set to the compacted batch in a single filesystem
+    * operation, and a crash anywhere before the rename leaves the old
+    * state served untouched. Retrying a committed compaction is a
+    * no-op; retrying a crashed one overwrites its own directories.
+    * Superseded directories stay on disk (still readable mid-flight by
+    * concurrent queries planned against the old state) until
+    * [[vacuumIndex]] sweeps them.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   idCol: String, newBatchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/commits/compact_$newBatchId"))) return
+    val state = servedState(spark, path)
+    require(state.batches.forall(_ < newBatchId) &&
+      state.deletes.forall(_ < newBatchId),
+      s"compaction id $newBatchId must exceed every served batch id " +
+        s"(batches ${state.batches}, deletes ${state.deletes}): state " +
+        "replay is ordered by id")
+    val served = readPostings(spark, path, idCol).drop("batch")
+    val d = readStats(spark, path, idCol).head()
+    val laidOut =
+      if (d.getLong(1) == 0L) served.repartition(1) // schema-bearing empty file
+      else served.repartitionByRange(col("term"), col(idCol))
+        .sortWithinPartitions("term", idCol)
+    laidOut.write.mode("overwrite").parquet(s"$path/postings/batch=$newBatchId")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(d.getLong(0), d.getLong(1))),
+        StructType(Seq(StructField("sum_dl", LongType, nullable = false),
+          StructField("n_docs", LongType, nullable = false))))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats/batch=$newBatchId")
+    // the commit point: write the supersede list to a temp name, then
+    // one atomic rename both reveals the new batch and hides the old
+    val content = (state.batches.map(b => s"batch_$b") ++
+      state.deletes.map(dl => s"del_$dl")).mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/commits/.compact_$newBatchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(
+      s"$path/commits/compact_$newBatchId"))
+  }
+
+  /** Sweep directories no longer reachable from the served state —
+    * batches and tombstones superseded by a committed compaction. Data
+    * directories go first, markers last, so a crash mid-sweep leaves
+    * the superseded set still computable and the retry completes the
+    * job; readers are unaffected throughout (superseded ids are already
+    * excluded by the compaction marker, and a marker whose directory is
+    * gone contributes nothing). Returns how many batch units were
+    * removed.
+    */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path + "/commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val state = servedState(spark, path)
+    val liveBatch = state.batches.toSet
+    val liveDel = state.deletes.toSet
+    var n = 0
+    for (name <- names) {
+      val (dirs, live) = name match {
+        case b if b.startsWith("batch_") =>
+          val id = b.stripPrefix("batch_").toLong
+          (Seq(s"postings/batch=$id", s"stats/batch=$id"), liveBatch(id))
+        case dl if dl.startsWith("del_") =>
+          val id = dl.stripPrefix("del_").toLong
+          (Seq(s"tombstones/batch=$id"), liveDel(id))
+        case c if c.startsWith("compact_") =>
+          // a compaction's own OUTPUT lives under postings/stats; the
+          // marker is removable only once a later compaction superseded it
+          val id = c.stripPrefix("compact_").toLong
+          (Seq(s"postings/batch=$id", s"stats/batch=$id"), liveBatch(id))
+        case _ => (Seq.empty, true)
+      }
+      if (!live) {
+        dirs.foreach(dd =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dd"), true))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/commits/$name"), false)
+        n += 1
+      }
+    }
+    n
+  }
+
   /** RATIO-IDF BM25 (the [[bm25]] variant — see that method's doc for
     * the deviation from textbook BM25) served from the written index:
     * the postings scan carries a pushed-down `term IN (...)` filter
@@ -330,14 +540,14 @@ object Retrieval {
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     idCol: String, queryTerms: Seq[String],
                     topK: Int): DataFrame = {
-    val stats = readStats(spark, path)
+    val stats = readStats(spark, path, idCol)
       // n_docs = 0 (an empty index) must serve an empty result, not a
       // NaN-poisoned avgdl — the guard keeps the division well-defined
       .select(when(col("n_docs") > 0,
           col("sum_dl").cast("double") / col("n_docs"))
           .otherwise(lit(1.0)).as("__avgdl"),
         col("n_docs").as("__n"))
-    val tf = readPostings(spark, path)
+    val tf = readPostings(spark, path, idCol)
       .filter(col("term").isin(queryTerms: _*)) // pushed to the scan
       .select(col(idCol), col("dl").as("__dl"), col("term").as("__t"),
         col("tf").as("__tf"))

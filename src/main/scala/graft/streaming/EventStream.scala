@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ops.Retrieval
+
 /** Structured Streaming surface (SURVEY.md §2.9 — extension surface; the
   * reference is batch-only, the `events` fixture enables the demo).
   *
@@ -270,6 +272,46 @@ object EventStream {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
+    }
+
+  /** Streaming INDEX ingest: file stream of documents → `foreachBatch` →
+    * [[graft.ops.Retrieval.appendToIndex]], micro-batch id as the index
+    * batch id. The two idempotency layers compose into end-to-end
+    * exactly-once index maintenance: Structured Streaming REPLAYS a
+    * failed micro-batch under the SAME id, and appendToIndex's retry
+    * overwrites exactly that batch's subdirectories and re-marks it — a
+    * crash at any point (mid-postings, between postings and stats,
+    * before the commit marker) converges to the same committed index.
+    * The serve result is defined ≡ a batch build over the same corpus
+    * (the append-equivalence contract RetrievalSpec pins), which is what
+    * lets the `stream_index` query reuse ta_bm25's oracle verbatim.
+    *
+    * Returns the index path; callers serve from it with
+    * [[graft.ops.Retrieval.bm25FromIndex]].
+    */
+  def runIndexIngestStream(spark: SparkSession, sfDir: String,
+                           path: String): String =
+    withStatePartitions(spark) {
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      // reset: batch 0 is an empty full build owning the directory; every
+      // micro-batch then appends as batch id+1 (appendToIndex requires >0)
+      Retrieval.writeIndex(
+        spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+          schema),
+        "doc_id", "text", path)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          Retrieval.appendToIndex(df, "doc_id", "text", path, batchId = id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
     }
 
   /** Streaming EXACTLY-ONCE relational sink: file stream → `foreachBatch`

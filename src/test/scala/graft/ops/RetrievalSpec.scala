@@ -134,6 +134,121 @@ class RetrievalSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("deleteFromIndex serves identically to a rebuild without the " +
+      "deleted docs; nonexistent and repeated deletes are harmless") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_del_spec").toString
+    Retrieval.writeIndex(corpus, "doc_id", "text", path)
+    Retrieval.deleteFromIndex(Seq(3L, 99L).toDF("doc_id"), "doc_id", path,
+      batchId = 1L)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_bm25_del_rebuild").toString
+    Retrieval.writeIndex(corpus.filter($"doc_id" =!= 3), "doc_id", "text",
+      rebuilt)
+    def terms = Seq("date", "banana", "cherry")
+    def served = Retrieval.bm25FromIndex(spark, path, "doc_id", terms, 10)
+      .collect().toSeq
+    val want = Retrieval.bm25FromIndex(spark, rebuilt, "doc_id", terms, 10)
+      .collect().toSeq
+    assert(served == want,
+      "tombstoned serve must equal a rebuild without the deleted docs " +
+        "(df, avgdl and N all shift)")
+    assert(!served.exists(_.getLong(0) == 3L))
+    // re-deleting an already-deleted id in a NEW batch must not subtract
+    // its length twice from the corpus stats
+    Retrieval.deleteFromIndex(Seq(3L).toDF("doc_id"), "doc_id", path,
+      batchId = 2L)
+    assert(served == want, "double delete must dedupe in the stats")
+    // phrase serving honors tombstones too
+    assert(Retrieval.phraseFromIndex(spark, path, "doc_id",
+      Seq("cherry", "cherry")).collect().isEmpty) // doc 3 was the only match
+  }
+
+  test("deleteFromIndex crash/retry: unmarked tombstones are invisible; " +
+      "the retry heals; a committed retry is a no-op") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_del_crash").toString
+    Retrieval.writeIndex(corpus, "doc_id", "text", path)
+    val before = Retrieval.bm25FromIndex(spark, path, "doc_id",
+      Seq("banana"), 10).collect().toSeq
+    Retrieval.deleteFromIndex(Seq(2L).toDF("doc_id"), "doc_id", path, 1L)
+    val after = Retrieval.bm25FromIndex(spark, path, "doc_id",
+      Seq("banana"), 10).collect().toSeq
+    assert(after != before)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash simulation: tombstones written but the marker never made it
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/commits/del_1"), false)
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id", Seq("banana"), 10)
+      .collect().toSeq == before,
+      "unmarked tombstones must not be served")
+    // retry of the same batch id heals
+    Retrieval.deleteFromIndex(Seq(2L).toDF("doc_id"), "doc_id", path, 1L)
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id", Seq("banana"), 10)
+      .collect().toSeq == after)
+    // a retry AFTER commit must be a no-op — recomputing the delta would
+    // see doc 2 already filtered and overwrite a correct batch with an
+    // empty one
+    Retrieval.deleteFromIndex(Seq(2L).toDF("doc_id"), "doc_id", path, 1L)
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id", Seq("banana"), 10)
+      .collect().toSeq == after)
+  }
+
+  test("compactIndex + vacuumIndex: one batch replaces appends and " +
+      "tombstones, serving unchanged; crash before the marker keeps the " +
+      "old state; vacuum sweeps only superseded units") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_compact_spec").toString
+    Retrieval.writeIndex(corpus.filter($"doc_id" <= 2), "doc_id", "text", path)
+    Retrieval.appendToIndex(corpus.filter($"doc_id" > 2), "doc_id", "text",
+      path, batchId = 1L)
+    Retrieval.deleteFromIndex(Seq(2L).toDF("doc_id"), "doc_id", path, 2L)
+    def terms = Seq("date", "banana", "cherry")
+    val want = Retrieval.bm25FromIndex(spark, path, "doc_id", terms, 10)
+      .collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash: compacted postings+stats written, supersede marker never
+    // renamed into place — readers stay on the old batch set
+    Retrieval.compactIndex(spark, path, "doc_id", newBatchId = 3L)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/commits/compact_3"),
+      false)
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id", terms, 10)
+      .collect().toSeq == want, "uncommitted compaction must be invisible")
+    // retry commits; serving flips to the single compacted batch,
+    // bit-identically
+    Retrieval.compactIndex(spark, path, "doc_id", newBatchId = 3L)
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id", terms, 10)
+      .collect().toSeq == want)
+    // committed retry is a no-op
+    Retrieval.compactIndex(spark, path, "doc_id", newBatchId = 3L)
+    // vacuum removes exactly the superseded units (batches 0, 1, del 2)
+    assert(Retrieval.vacuumIndex(spark, path) == 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "/postings/batch=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "/tombstones/batch=2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + "/postings/batch=3")))
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id", terms, 10)
+      .collect().toSeq == want, "post-vacuum serve must be unchanged")
+    assert(Retrieval.vacuumIndex(spark, path) == 0, "vacuum is idempotent")
+    // the compacted index keeps accepting appends and later compactions
+    Retrieval.appendToIndex(
+      Seq((7L, "banana date")).toDF("doc_id", "text"), "doc_id", "text",
+      path, batchId = 4L)
+    Retrieval.compactIndex(spark, path, "doc_id", newBatchId = 5L)
+    Retrieval.vacuumIndex(spark, path)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_bm25_compact_rebuild").toString
+    Retrieval.writeIndex(
+      corpus.filter($"doc_id" =!= 2)
+        .union(Seq((7L, "banana date")).toDF("doc_id", "text")),
+      "doc_id", "text", rebuilt)
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id", terms, 10)
+      .collect().toSeq ==
+      Retrieval.bm25FromIndex(spark, rebuilt, "doc_id", terms, 10)
+        .collect().toSeq,
+      "chained compactions must keep serving the rebuild-equivalent result")
+  }
+
   test("empty-corpus index serves empty results instead of failing " +
       "schema inference") {
     val empty = corpus.filter($"doc_id" < 0)
