@@ -1,0 +1,142 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The commit-marker state machine shared by every batch-structured
+  * at-rest index (the BM25/positional text index in
+  * [[graft.ops.Retrieval]], the IVF vector layout in
+  * [[graft.ops.Similarity]]). One `commits/` directory per index holds
+  * three marker kinds:
+  *
+  *  - `batch_<id>` — an append unit (postings / layout rows + any
+  *    sidecar, each under its own `…/batch=<id>` subdirectory with
+  *    overwrite semantics);
+  *  - `del_<id>` — a tombstone unit;
+  *  - `compact_<id>` — a compaction: REVEALS batch `<id>` and
+  *    SUPERSEDES every marker named in its file content (one marker
+  *    name per line), committed by one atomic rename.
+  *
+  * Readers replay the markers in ascending compaction id order, so a
+  * later compaction can supersede an earlier compaction's output
+  * batch. Everything is a tiny driver-side listing plus ≤1 small read
+  * per compaction marker.
+  *
+  * The idempotency contract every writer follows: data first (overwrite
+  * semantics into the unit's own subdirectories), marker last — a crash
+  * anywhere before the marker leaves the unit invisible, and retrying
+  * the SAME id rewrites exactly that unit and re-marks it.
+  */
+object IndexCommits {
+
+  /** What a reader may serve: committed-and-not-superseded append
+    * batches and tombstone batches.
+    */
+  case class State(batches: Seq[Long], deletes: Seq[Long])
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def isCommitted(spark: SparkSession, path: String, marker: String): Boolean =
+    fs(spark, path).exists(new Path(s"$path/commits/$marker"))
+
+  /** Create `commits/<marker>` (data must already be durable). */
+  def mark(spark: SparkSession, path: String, marker: String): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(s"$path/commits"))
+    f.create(new Path(s"$path/commits/$marker"), true).close()
+  }
+
+  def servedState(spark: SparkSession, path: String): State = {
+    val p = new Path(path + "/commits")
+    val f = fs(spark, path)
+    if (!f.exists(p)) return State(Seq.empty, Seq.empty)
+    val names = f.listStatus(p).toSeq.map(_.getPath.getName)
+    var batches = names.filter(_.startsWith("batch_"))
+      .map(_.stripPrefix("batch_").toLong).toSet
+    var deletes = names.filter(_.startsWith("del_"))
+      .map(_.stripPrefix("del_").toLong).toSet
+    val compactions = names.filter(_.startsWith("compact_"))
+      .map(_.stripPrefix("compact_").toLong).sorted
+    for (cid <- compactions) {
+      val in = f.open(new Path(s"$path/commits/compact_$cid"))
+      val superseded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      batches --= superseded.filter(_.startsWith("batch_"))
+        .map(_.stripPrefix("batch_").toLong)
+      deletes --= superseded.filter(_.startsWith("del_"))
+        .map(_.stripPrefix("del_").toLong)
+      batches += cid
+    }
+    State(batches.toSeq.sorted, deletes.toSeq.sorted)
+  }
+
+  /** The compaction commit point: write the supersede list (every
+    * marker of `state`) under a temp name, then ONE atomic rename both
+    * reveals batch `newId` and hides the old set. Call only after the
+    * compacted unit's data is durable. Requires `newId` to exceed every
+    * served id — replay is ordered by id.
+    */
+  def requireFreshId(newId: Long, state: State): Unit =
+    require(state.batches.forall(_ < newId) &&
+      state.deletes.forall(_ < newId),
+      s"compaction id $newId must exceed every served batch id " +
+        s"(batches ${state.batches}, deletes ${state.deletes}): state " +
+        "replay is ordered by id")
+
+  def commitCompaction(spark: SparkSession, path: String, newId: Long,
+                       state: State): Unit = {
+    requireFreshId(newId, state)
+    val f = fs(spark, path)
+    val content = (state.batches.map(b => s"batch_$b") ++
+      state.deletes.map(d => s"del_$d")).mkString("\n")
+    val tmp = new Path(s"$path/commits/.compact_$newId.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    f.rename(tmp, new Path(s"$path/commits/compact_$newId"))
+  }
+
+  /** Sweep units unreachable from the served state. `dirsFor` maps a
+    * marker kind ("batch" | "del" | "compact") and id to the
+    * index-specific data directories of that unit (relative to `path`).
+    * Data directories are deleted first, the marker last, so a
+    * mid-sweep crash leaves the superseded set computable and the retry
+    * completes; readers are unaffected throughout (superseded ids are
+    * already excluded by the compaction marker, and a marker whose
+    * directory is gone contributes nothing). Returns units removed.
+    */
+  def vacuum(spark: SparkSession, path: String,
+             dirsFor: (String, Long) => Seq[String]): Int = {
+    val p = new Path(path + "/commits")
+    val f = fs(spark, path)
+    if (!f.exists(p)) return 0
+    val names = f.listStatus(p).toSeq.map(_.getPath.getName)
+    val state = servedState(spark, path)
+    val liveBatch = state.batches.toSet
+    val liveDel = state.deletes.toSet
+    var n = 0
+    for (name <- names) {
+      val (dirs, live) = name match {
+        case b if b.startsWith("batch_") =>
+          val id = b.stripPrefix("batch_").toLong
+          (dirsFor("batch", id), liveBatch(id))
+        case d if d.startsWith("del_") =>
+          val id = d.stripPrefix("del_").toLong
+          (dirsFor("del", id), liveDel(id))
+        case c if c.startsWith("compact_") =>
+          // a compaction's own output is removable only once a LATER
+          // compaction superseded it
+          val id = c.stripPrefix("compact_").toLong
+          (dirsFor("compact", id), liveBatch(id))
+        case _ => (Seq.empty, true)
+      }
+      if (!live) {
+        dirs.foreach(dd => f.delete(new Path(s"$path/$dd"), true))
+        f.delete(new Path(s"$path/commits/$name"), false)
+        n += 1
+      }
+    }
+    n
+  }
+}

@@ -173,49 +173,18 @@ object Retrieval {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
     // both halves down: mark the batch committed (readers filter on this)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/commits/batch_$batchId"),
-      true).close()
+    graft.core.IndexCommits.mark(spark, path, s"batch_$batchId")
   }
 
-  /** The SERVED view of the marker directory: which append batches and
-    * which delete (tombstone) batches a reader may see. Markers come in
-    * three kinds — `batch_<id>` (an append), `del_<id>` (a tombstone
-    * batch), `compact_<id>` (a compaction: reveals batch `<id>` AND
-    * supersedes every marker named in its file content, one name per
-    * line). Compactions replay in ascending id order, so a later
-    * compaction can supersede an earlier compaction's output batch.
-    * A tiny driver-side listing plus ≤1 small read per compaction.
-    */
-  private case class IndexState(batches: Seq[Long], deletes: Seq[Long])
+  // The marker state machine (batch_/del_/compact_ replay, atomic
+  // compaction commit, vacuum sweep) is the SHARED
+  // [[graft.core.IndexCommits]] — one implementation serves this text
+  // index and the IVF vector layout identically.
+  private type IndexState = graft.core.IndexCommits.State
 
   private def servedState(spark: org.apache.spark.sql.SparkSession,
-                          path: String): IndexState = {
-    val p = new org.apache.hadoop.fs.Path(path + "/commits")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return IndexState(Seq.empty, Seq.empty)
-    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
-    var batches = names.filter(_.startsWith("batch_"))
-      .map(_.stripPrefix("batch_").toLong).toSet
-    var deletes = names.filter(_.startsWith("del_"))
-      .map(_.stripPrefix("del_").toLong).toSet
-    val compactions = names.filter(_.startsWith("compact_"))
-      .map(_.stripPrefix("compact_").toLong).sorted
-    for (cid <- compactions) {
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/commits/compact_$cid"))
-      val superseded =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      batches --= superseded.filter(_.startsWith("batch_"))
-        .map(_.stripPrefix("batch_").toLong)
-      deletes --= superseded.filter(_.startsWith("del_"))
-        .map(_.stripPrefix("del_").toLong)
-      batches += cid
-    }
-    IndexState(batches.toSeq.sorted, deletes.toSeq.sorted)
-  }
+                          path: String): IndexState =
+    graft.core.IndexCommits.servedState(spark, path)
 
   /** The served tombstone relation (raw committed rows; an id may
     * repeat across delete batches if the caller re-deleted it — the
@@ -414,9 +383,7 @@ object Retrieval {
   def deleteFromIndex(docIds: DataFrame, idCol: String, path: String,
                       batchId: Long): Unit = {
     val spark = docIds.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/commits/del_$batchId")))
+    if (graft.core.IndexCommits.isCommitted(spark, path, s"del_$batchId"))
       return // committed: the delta is already durable, recomputing would corrupt it
     val tomb = readPostings(spark, path, idCol)
       .join(docIds.select(col(idCol)).distinct(), Seq(idCol))
@@ -426,9 +393,7 @@ object Retrieval {
     // the schema-bearing-empty-file guard writeBatch needs
     tomb.repartition(1).write.mode("overwrite")
       .parquet(s"$path/tombstones/batch=$batchId")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/commits/del_$batchId"),
-      true).close()
+    graft.core.IndexCommits.mark(spark, path, s"del_$batchId")
   }
 
   /** Compact the index: fold every served batch and every served
@@ -449,16 +414,10 @@ object Retrieval {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    idCol: String, newBatchId: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(
-        s"$path/commits/compact_$newBatchId"))) return
+    if (graft.core.IndexCommits.isCommitted(spark, path,
+        s"compact_$newBatchId")) return
     val state = servedState(spark, path)
-    require(state.batches.forall(_ < newBatchId) &&
-      state.deletes.forall(_ < newBatchId),
-      s"compaction id $newBatchId must exceed every served batch id " +
-        s"(batches ${state.batches}, deletes ${state.deletes}): state " +
-        "replay is ordered by id")
+    graft.core.IndexCommits.requireFreshId(newBatchId, state) // before any write
     val served = readPostings(spark, path, idCol).drop("batch")
     val d = readStats(spark, path, idCol).head()
     val laidOut =
@@ -473,61 +432,23 @@ object Retrieval {
           StructField("n_docs", LongType, nullable = false))))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats/batch=$newBatchId")
-    // the commit point: write the supersede list to a temp name, then
-    // one atomic rename both reveals the new batch and hides the old
-    val content = (state.batches.map(b => s"batch_$b") ++
-      state.deletes.map(dl => s"del_$dl")).mkString("\n")
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/commits/.compact_$newBatchId.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(
-      s"$path/commits/compact_$newBatchId"))
+    // the commit point: one atomic rename both reveals the new batch
+    // and hides the old set (IndexCommits enforces newId > served ids)
+    graft.core.IndexCommits.commitCompaction(spark, path, newBatchId, state)
   }
 
   /** Sweep directories no longer reachable from the served state —
-    * batches and tombstones superseded by a committed compaction. Data
-    * directories go first, markers last, so a crash mid-sweep leaves
-    * the superseded set still computable and the retry completes the
-    * job; readers are unaffected throughout (superseded ids are already
-    * excluded by the compaction marker, and a marker whose directory is
-    * gone contributes nothing). Returns how many batch units were
-    * removed.
+    * batches and tombstones superseded by a committed compaction (the
+    * shared [[graft.core.IndexCommits.vacuum]] sweep; this index's
+    * units are postings + stats per batch, tombstones per delete).
+    * Returns how many batch units were removed.
     */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
-                  path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path + "/commits")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return 0
-    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
-    val state = servedState(spark, path)
-    val liveBatch = state.batches.toSet
-    val liveDel = state.deletes.toSet
-    var n = 0
-    for (name <- names) {
-      val (dirs, live) = name match {
-        case b if b.startsWith("batch_") =>
-          val id = b.stripPrefix("batch_").toLong
-          (Seq(s"postings/batch=$id", s"stats/batch=$id"), liveBatch(id))
-        case dl if dl.startsWith("del_") =>
-          val id = dl.stripPrefix("del_").toLong
-          (Seq(s"tombstones/batch=$id"), liveDel(id))
-        case c if c.startsWith("compact_") =>
-          // a compaction's own OUTPUT lives under postings/stats; the
-          // marker is removable only once a later compaction superseded it
-          val id = c.stripPrefix("compact_").toLong
-          (Seq(s"postings/batch=$id", s"stats/batch=$id"), liveBatch(id))
-        case _ => (Seq.empty, true)
-      }
-      if (!live) {
-        dirs.foreach(dd =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dd"), true))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/commits/$name"), false)
-        n += 1
-      }
-    }
-    n
-  }
+                  path: String): Int =
+    graft.core.IndexCommits.vacuum(spark, path, {
+      case ("del", id) => Seq(s"tombstones/batch=$id")
+      case (_, id)     => Seq(s"postings/batch=$id", s"stats/batch=$id")
+    })
 
   /** RATIO-IDF BM25 (the [[bm25]] variant — see that method's doc for
     * the deviation from textbook BM25) served from the written index:

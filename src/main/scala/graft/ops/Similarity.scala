@@ -373,6 +373,7 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/data"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/commits"), true)
     val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
     import spark.implicits._
@@ -417,19 +418,79 @@ object Similarity {
     emb.withColumn("ivf_cluster", nearestCluster(col(vecCol), cents))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("ivf_cluster").parquet(s"$path/data/batch=$batchId")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/commits/batch_$batchId"),
-      true).close()
+    graft.core.IndexCommits.mark(emb.sparkSession, path, s"batch_$batchId")
   }
 
-  private def committedBatches(spark: SparkSession, path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path + "/commits")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_")).map(_.stripPrefix("batch_").toLong)
+  /** Tombstone-delete embeddings from the at-rest layout — the vector
+    * side of [[Retrieval.deleteFromIndex]], same marker discipline via
+    * the shared [[graft.core.IndexCommits]] state machine. A delete
+    * batch is just the id list (the probe has no corpus stats to
+    * maintain — scoring is per-row cosine), written under
+    * `tombstones/batch=<id>` and committed with a `del_<id>` marker;
+    * [[ivfProbeLayout]] anti-joins committed tombstones AFTER partition
+    * pruning, so the join input is the probed clusters' rows only.
+    * Embedding tables index PII-bearing content (a document's vector is
+    * as identifying as its text), so the right-to-be-forgotten path
+    * matters here exactly as much as on the text index.
+    * Idempotent/crash-safe: unmarked batch invisible, same-id retry
+    * overwrites, committed retry no-ops. Caller invariant (as
+    * everywhere): a deleted id is not re-ingested while its tombstone
+    * is live.
+    */
+  def ivfDeleteLayout(ids: DataFrame, idCol: String, path: String,
+                      batchId: Long): Unit = {
+    val spark = ids.sparkSession
+    if (graft.core.IndexCommits.isCommitted(spark, path, s"del_$batchId"))
+      return
+    ids.select(col(idCol)).distinct().repartition(1)
+      .write.mode("overwrite").parquet(s"$path/tombstones/batch=$batchId")
+    graft.core.IndexCommits.mark(spark, path, s"del_$batchId")
+  }
+
+  /** Compact the at-rest IVF layout: fold every served batch minus the
+    * served tombstones into ONE fresh batch (per-cluster partitioning
+    * preserved — rows keep their persisted assignment, no reassignment
+    * and no centroid change), committed by the shared atomic
+    * supersede-marker rename. Reclaims the per-probe tombstone
+    * anti-join and the per-append small files; a crash before the
+    * rename leaves the old state served (the [[Retrieval.compactIndex]]
+    * contract, spec-pinned here too).
+    */
+  def ivfCompactLayout(spark: SparkSession, path: String, idCol: String,
+                       newBatchId: Long): Unit = {
+    import org.apache.spark.sql.SaveMode
+    if (graft.core.IndexCommits.isCommitted(spark, path,
+        s"compact_$newBatchId")) return
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    graft.core.IndexCommits.requireFreshId(newBatchId, state)
+    servedRows(spark, path, idCol, state).drop("batch")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("ivf_cluster").parquet(s"$path/data/batch=$newBatchId")
+    graft.core.IndexCommits.commitCompaction(spark, path, newBatchId, state)
+  }
+
+  /** Sweep superseded layout batches and tombstones (shared
+    * [[graft.core.IndexCommits.vacuum]]). */
+  def ivfVacuumLayout(spark: SparkSession, path: String): Int =
+    graft.core.IndexCommits.vacuum(spark, path, {
+      case ("del", id) => Seq(s"tombstones/batch=$id")
+      case (_, id)     => Seq(s"data/batch=$id")
+    })
+
+  /** The served layout relation: committed batches, committed
+    * tombstones anti-joined away. Keeps the `batch` and `ivf_cluster`
+    * partition columns (callers prune/drop as needed).
+    */
+  private def servedRows(spark: SparkSession, path: String, idCol: String,
+                         state: graft.core.IndexCommits.State): DataFrame = {
+    val base = spark.read.parquet(path + "/data")
+      .filter(col("batch").isin(state.batches: _*))
+    if (state.deletes.isEmpty) base
+    else base.join(
+      spark.read.parquet(path + "/tombstones")
+        .filter(col("batch").isin(state.deletes: _*))
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
   }
 
   private def centroidsPath(path: String): String =
@@ -454,12 +515,12 @@ object Similarity {
       .orderBy(col("ccos").desc, col("cluster"))
       .limit(nprobe)
       .select("cluster").collect().map(_.getInt(0))
-    val committed = committedBatches(spark, path)
-    spark.read.parquet(path + "/data")
-      // both are partition columns: uncommitted batches and non-probed
-      // clusters prune at the scan, before any file opens
-      .filter(col("batch").isin(committed: _*) &&
-        col("ivf_cluster").isin(clusters.map(Integer.valueOf): _*))
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    servedRows(spark, path, idCol, state)
+      // both are partition columns: uncommitted/superseded batches and
+      // non-probed clusters prune at the scan, before any file opens
+      // (the cluster predicate pushes below the tombstone anti-join)
+      .filter(col("ivf_cluster").isin(clusters.map(Integer.valueOf): _*))
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

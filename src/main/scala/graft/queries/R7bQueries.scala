@@ -114,6 +114,49 @@ object R7bQueries {
       },
       Some(bm25Sql("doc_id % 7 <> 3"))),
 
+    Q("sim_ivf_lifecycle",
+      "The vector-index lifecycle under one gate (the ta_bm25_lifecycle " +
+        "chain on the IVF layout): build on vec_id % 4 <> 1, append the " +
+        "held-out quarter against the persisted centroids, tombstone-" +
+        "delete vec_id % 9 = 5 (no row rewritten — the probe anti-joins " +
+        "AFTER partition pruning, so the join input is the probed " +
+        "clusters only), compact batches-minus-tombstones into one " +
+        "fresh batch via the shared atomic supersede marker, vacuum, " +
+        "probe. Oracle: the sim_ivf_append chain (train on the subset, " +
+        "assign/probe the full union) minus the deleted ids — " +
+        "rebuild-over-survivors is the gated definition on this index " +
+        "too. Every crash point SimilaritySpec-pinned.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = graft.ops.Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val path = scratch("graft_ivf_lc", d)
+        graft.ops.Similarity.ivfWriteLayout(
+          emb.filter(col("vec_id") % 4 =!= 1), "vec_id", "embedding", path,
+          kClusters = R5Queries.K, iters = R5Queries.ITERS)
+        graft.ops.Similarity.ivfAppendLayout(
+          emb.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", path,
+          batchId = 1L)
+        graft.ops.Similarity.ivfDeleteLayout(
+          emb.filter(col("vec_id") % 9 === 5).select("vec_id"), "vec_id",
+          path, batchId = 2L)
+        graft.ops.Similarity.ivfCompactLayout(s, path, "vec_id",
+          newBatchId = 3L)
+        graft.ops.Similarity.ivfVacuumLayout(s, path)
+        graft.ops.Similarity.ivfProbeLayout(s, path, q, k = 10, nprobe = 2)
+      },
+      Some(
+        s"""WITH tr AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 1),
+           |${R5Queries.kmeansCtesOn("tr")},
+           |${R5Queries.ivfProbeCtes(nprobe = 2)}
+           |SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+           |FROM dots d JOIN ne USING (vec_id)
+           |     JOIN a${R5Queries.ITERS + 1} ass USING (vec_id), nq
+           |WHERE ass.cluster IN (SELECT cluster FROM short)
+           |  AND d.vec_id % 9 <> 5
+           |ORDER BY cos_sim DESC, d.vec_id
+           |LIMIT 10""".stripMargin)),
+
     Q("stream_index",
       "Structured Streaming maintains the at-rest BM25 index: document " +
         "file stream → foreachBatch → appendToIndex with the " +

@@ -193,6 +193,60 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.readCentroids(spark, dir).size == 4)
   }
 
+  test("IVF lifecycle: tombstone delete serves brute-force-over-survivors; " +
+      "crashed delete invisible; compaction + vacuum leave serving unchanged") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lc")
+      .toString + "/emb"
+    Similarity.ivfWriteLayout(emb.filter($"vec_id" % 4 =!= 1), "vec_id",
+      "embedding", dir, kClusters = 4, iters = 2)
+    Similarity.ivfAppendLayout(emb.filter($"vec_id" % 4 === 1), "vec_id",
+      "embedding", dir, batchId = 1L)
+    def servedAll = Similarity.ivfProbeLayout(spark, dir, q, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def brute(d: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(d, "vec_id", "embedding", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // delete a slice that includes top-ranked ids (vec 0 ranks itself
+    // first, so the result MUST change) plus a nonexistent id
+    val dead = Seq(0L, 2L, 99999L).toDF("vec_id")
+    Similarity.ivfDeleteLayout(dead, "vec_id", dir, batchId = 2L)
+    val survivors = emb.filter(!$"vec_id".isin(0L, 2L))
+    assert(servedAll == brute(survivors),
+      "a full-probe serve after delete must equal brute force over survivors")
+    // crash: tombstones on disk, marker gone → delete invisible
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/commits/del_2"), false)
+    assert(servedAll == brute(emb), "unmarked tombstones must not serve")
+    Similarity.ivfDeleteLayout(dead, "vec_id", dir, batchId = 2L) // retry heals
+    assert(servedAll == brute(survivors))
+    // compaction: crash before the marker rename keeps old state served
+    Similarity.ivfCompactLayout(spark, dir, "vec_id", newBatchId = 3L)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/commits/compact_3"), false)
+    assert(servedAll == brute(survivors), "uncommitted compaction invisible")
+    Similarity.ivfCompactLayout(spark, dir, "vec_id", newBatchId = 3L)
+    assert(servedAll == brute(survivors), "compacted serve unchanged")
+    // vacuum sweeps exactly the superseded units (batches 0, 1, del 2)
+    assert(Similarity.ivfVacuumLayout(spark, dir) == 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/data/batch=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/tombstones/batch=2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "/data/batch=3")))
+    assert(servedAll == brute(survivors), "post-vacuum serve unchanged")
+    assert(Similarity.ivfVacuumLayout(spark, dir) == 0)
+    // centroids survive the whole lifecycle (the quantizer is identity)
+    assert(Similarity.readCentroids(spark, dir).size == 4)
+    // partition pruning still holds on the compacted layout
+    val probe = Similarity.ivfProbeLayout(spark, dir, q, k = 5, nprobe = 2)
+    probe.collect()
+    val selected = org.apache.spark.sql.graft.Shims
+      .scanSelectedPartitionCount(probe.queryExecution.executedPlan)
+    assert(selected.contains(2),
+      s"probe over the compacted layout must still prune to nprobe " +
+        s"partitions, got $selected")
+  }
+
   test("srpTopKMultiProbe: hamming 0 equals single-probe; hamming = nPlanes " +
       "equals brute force; recall is monotone in the radius") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
