@@ -216,6 +216,33 @@ object ScaleProbe {
     time(s"hardneg ${mult}x")(graft.ops.Similarity
       .hardNegatives(emb, "vec_id", "embedding", "label",
         Seq(0L, 1L, 2L, 3L), 10).count())
+
+    // round-7: text-index lifecycle at 1x and 10x. Expected shapes:
+    // build ~linear in corpus; DELETE ~flat-plus-one-capture-scan (the
+    // tombstone unit is ∝ its deleted docs; the capture scan is columnar
+    // over the postings' id+dl); SERVE-with-tombstones pays an anti-join
+    // ∝ deleted docs after term pruning (should stay near the clean
+    // serve time); COMPACT ~linear in the index (the one rewrite).
+    def lifecycleProbe(df: org.apache.spark.sql.DataFrame, tag: String,
+                       total: Long): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_lc").toString + "/idx"
+      time(s"index build $tag")(
+        { graft.ops.Retrieval.writeIndex(df, "doc_id", "text", dir); total })
+      def serve = graft.ops.Retrieval.bm25FromIndex(spark, dir, "doc_id",
+        Seq("dup", "spark", "vector"), 15).count()
+      time(s"serve clean $tag")(serve)
+      time(s"delete 2pct $tag")(
+        { graft.ops.Retrieval.deleteFromIndex(
+            df.filter(col("doc_id") % 50 === 0).select("doc_id"),
+            "doc_id", dir, batchId = 1L); total / 50 })
+      time(s"serve tombstoned $tag")(serve)
+      time(s"compact $tag")(
+        { graft.ops.Retrieval.compactIndex(spark, dir, "doc_id", 2L); total })
+      time(s"serve compacted $tag")(serve)
+    }
+    lifecycleProbe(base, s"1x ($n docs)", n)
+    lifecycleProbe(docs, s"${mult}x", n * mult)
     spark.stop()
   }
 }
