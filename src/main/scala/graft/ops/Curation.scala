@@ -340,6 +340,50 @@ object Curation {
       .drop("__g_strata", "__g_rate")
   }
 
+  /** The token-budget plan behind a [[temperatureMixture]] run — the
+    * table a data-mixing decision is actually made from, because
+    * mixtures are allocated in TOKENS, not documents (a source of long
+    * documents eats budget faster than its doc share suggests). One
+    * map-side-combined pass computes per-stratum doc and token counts;
+    * the totals are a 1-row broadcast; every downstream number
+    * (shares, the alpha-tempered sampling rate, the expected doc and
+    * token draws under that rate) is arithmetic on those integers, so
+    * the whole plan is one exchange over |strata| rows regardless of
+    * corpus size. The rate column is EXACTLY [[temperatureMixture]]'s
+    * (same weight, same least(1, ·) cap): this is the dry-run report
+    * for the sampler that then materializes it.
+    *
+    * Expected token draw assumes sampling-uniform-within-stratum (the
+    * hash sampler's behavior): exp_tokens = rate · n_tokens.
+    */
+  def tokenBudget(df: DataFrame, strataCol: String, textCol: String,
+                  alpha: Double, targetFrac: Double): DataFrame = {
+    val nD = col("__g_n").cast("double")
+    val weight =
+      if (alpha == 0.5) sqrt(nD)
+      else if (alpha == 1.0) nD
+      else pow(nD, alpha)
+    val counts = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("__g_n"),
+      sum(graft.ops.TextAnalysis.tokenCountWs(col(textCol))).as("__g_tok"))
+    val totals = counts.agg(
+      sum("__g_n").cast("double").as("__g_total"),
+      sum("__g_tok").cast("double").as("__g_tok_total"),
+      sum(weight.cast("decimal(38,14)")).cast("double").as("__g_wsum"))
+    val rate = least(lit(1.0),
+      lit(targetFrac) * col("__g_total") * weight / col("__g_wsum") / nD)
+    counts.crossJoin(broadcast(totals)).select(
+      col(strataCol),
+      col("__g_n").as("n_docs"),
+      col("__g_tok").as("n_tokens"),
+      (nD / col("__g_total")).as("doc_share"),
+      (col("__g_tok").cast("double") / col("__g_tok_total"))
+        .as("token_share"),
+      rate.as("rate"),
+      (rate * nD).as("exp_docs"),
+      (rate * col("__g_tok").cast("double")).as("exp_tokens"))
+  }
+
   /** Seeded deterministic corpus shuffle into training shards — the
     * write-side of every pretraining run: break row-order correlations
     * (sources arrive clustered; training wants them interleaved) and

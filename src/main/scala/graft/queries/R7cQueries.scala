@@ -156,6 +156,52 @@ object R7cQueries {
            |FROM sig
            |ORDER BY doc_id""".stripMargin)),
 
+    Q("doc_token_budget",
+      "The token-budget plan a data-mixing decision is made from: " +
+        "mixtures are allocated in TOKENS, not documents (long-doc " +
+        "sources eat budget faster than their doc share suggests). ONE " +
+        "map-side-combined pass yields per-source doc and token " +
+        "counts; totals are a 1-row broadcast; shares, the alpha-" +
+        "tempered sampling rate (bit-identical to doc_mixture's — this " +
+        "is that sampler's dry-run report) and the expected doc/token " +
+        "draws are arithmetic on those integers. One exchange over " +
+        "|sources| rows at any corpus size.",
+      (s, d) => graft.ops.Curation.tokenBudget(
+        Tables.documents(s, d), "source", "text",
+        alpha = 0.5, targetFrac = 0.5).orderBy("source"),
+      Some(
+        s"""WITH tok AS (
+           |  SELECT source,
+           |    CASE WHEN trim(text) = '' THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\\s+')) END
+           |      AS tk
+           |  FROM documents),
+           |mc AS (
+           |  SELECT source, count(*) AS n, sum(tk)::BIGINT AS toks
+           |  FROM tok GROUP BY source),
+           |mt AS (
+           |  SELECT cast(sum(n) AS DOUBLE) AS nn,
+           |         cast(sum(toks) AS DOUBLE) AS tt,
+           |         cast(sum(cast(sqrt(cast(n AS DOUBLE))
+           |           AS DECIMAL(38,14))) AS DOUBLE) AS wsum
+           |  FROM mc)
+           |SELECT mc.source, mc.n AS n_docs, mc.toks AS n_tokens,
+           |  cast(mc.n AS DOUBLE) / mt.nn AS doc_share,
+           |  cast(mc.toks AS DOUBLE) / mt.tt AS token_share,
+           |  least(1.0::DOUBLE,
+           |    0.5 * mt.nn * sqrt(cast(mc.n AS DOUBLE)) / mt.wsum
+           |      / cast(mc.n AS DOUBLE)) AS rate,
+           |  least(1.0::DOUBLE,
+           |    0.5 * mt.nn * sqrt(cast(mc.n AS DOUBLE)) / mt.wsum
+           |      / cast(mc.n AS DOUBLE)) * cast(mc.n AS DOUBLE)
+           |    AS exp_docs,
+           |  least(1.0::DOUBLE,
+           |    0.5 * mt.nn * sqrt(cast(mc.n AS DOUBLE)) / mt.wsum
+           |      / cast(mc.n AS DOUBLE)) * cast(mc.toks AS DOUBLE)
+           |    AS exp_tokens
+           |FROM mc, mt
+           |ORDER BY source""".stripMargin)),
+
     Q("ta_c4",
       "C4 line cleaning (Raffel et al. 2020 §2.2) as one scan " +
         "projection: keep lines that end in terminal punctuation AND " +

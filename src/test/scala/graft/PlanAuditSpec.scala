@@ -115,6 +115,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"assignment must not aggregate:\n$p")
   }
 
+  test("ta_gopher: the whole rule suite is a zero-shuffle scan projection") {
+    val p = plan("ta_gopher")
+    // word/line statistics stay inside their row: no explode, no
+    // aggregate, no join — the only exchange is the presentation sort
+    assert(!p.contains("Generate"), s"no explode allowed:\n$p")
+    assert(!p.contains("HashAggregate"), s"no aggregate allowed:\n$p")
+    assert(!p.contains("Join"), s"no join allowed:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+      s"only the ORDER BY exchange expected:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("doc_token_budget: one data exchange (the |sources| aggregate)") {
+    val p = plan("doc_token_budget")
+    // groupBy(source) is the only hash exchange; totals broadcast; the
+    // presentation sort adds a range exchange over |sources| rows
+    assert("\\(\\d+\\) Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"expected a single hash exchange:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), // 1-row totals dim
+      s"totals must broadcast:\n$p")
+  }
+
   test("doc_sample: sampling filter sits on the scan, before any exchange") {
     val p = plan("doc_sample")
     // the md5-threshold predicate is a plain Filter (no aggregate/join),
