@@ -94,7 +94,12 @@ object IndexCommits {
     val tmp = new Path(s"$path/commits/.compact_$newId.tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    f.rename(tmp, new Path(s"$path/commits/compact_$newId"))
+    // rename reports failure as `false` (not an exception) on HDFS-like
+    // semantics — e.g. a racing compactor already created the destination.
+    // Returning normally then would claim a commit that never flipped.
+    require(f.rename(tmp, new Path(s"$path/commits/compact_$newId")),
+      s"compaction commit rename failed for compact_$newId (destination " +
+        "already exists or tmp marker missing — concurrent compactor?)")
   }
 
   /** Sweep units unreachable from the served state. `dirsFor` maps a
@@ -105,13 +110,30 @@ object IndexCommits {
     * completes; readers are unaffected throughout (superseded ids are
     * already excluded by the compaction marker, and a marker whose
     * directory is gone contributes nothing). Returns units removed.
+    *
+    * Marker deletion ORDER is the crash-safety invariant: superseded
+    * `batch_`/`del_` markers go FIRST (removing one never changes the
+    * replayed state — a live compaction already excludes it), and
+    * superseded `compact_` markers go last, in ASCENDING id order.
+    * Deleting a compaction marker resurrects whatever markers it
+    * superseded that still exist — sweeping its targets first (plain
+    * markers in phase 1, earlier compactions earlier in phase 2) makes
+    * that set empty at every prefix of the sweep, so a crash at ANY
+    * point leaves servedState unchanged and the retry completes.
+    * (Counter-example the ordering kills: batches 0,1 → compact_2 →
+    * compact_3; deleting compact_2's marker while batch_0/batch_1
+    * markers remain would re-serve 0 and 1 alongside their compacted
+    * copy in 3 — permanently, since the retry sees them as live.)
     */
   def vacuum(spark: SparkSession, path: String,
              dirsFor: (String, Long) => Seq[String]): Int = {
     val p = new Path(path + "/commits")
     val f = fs(spark, path)
     if (!f.exists(p)) return 0
-    val names = f.listStatus(p).toSeq.map(_.getPath.getName)
+    val raw = f.listStatus(p).toSeq.map(_.getPath.getName)
+    val names = raw.filterNot(_.startsWith("compact_")) ++
+      raw.filter(_.startsWith("compact_"))
+        .sortBy(_.stripPrefix("compact_").toLong)
     val state = servedState(spark, path)
     val liveBatch = state.batches.toSet
     val liveDel = state.deletes.toSet

@@ -137,8 +137,12 @@ object Dedup {
                  minDocs: Int = 2, minLineChars: Int = 1): DataFrame = {
     // cached: the exploded line relation feeds both the boilerplate
     // dictionary and the rebuild (one explode pass, not two)
+    // \n, \r\n and lone \r all delimit (CRLF web text would otherwise
+    // carry a hidden \r on every line and never match its LF twin);
+    // the rebuild re-joins with \n, i.e. line endings come out
+    // normalized — a cleaner owns its output encoding
     val lines = graft.core.Caches.track(df
-      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+      .select(col(idCol), posexplode(split(col(textCol), "\r\n|[\r\n]"))
         .as(Seq("__g_pos", "__g_line")))
       .withColumn("__g_h", md5(col("__g_line"))))
     // lines shorter than minLineChars never enter the dictionary: with
@@ -162,7 +166,7 @@ object Dedup {
           "\n").as("clean_text"),
         count(lit(1)).as("__g_kept"))
     df.select(col(idCol),
-        size(split(col(textCol), "\n")).cast("long").as("__g_tot"))
+        size(split(col(textCol), "\r\n|[\r\n]")).cast("long").as("__g_tot"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

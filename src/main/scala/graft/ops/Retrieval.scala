@@ -150,17 +150,28 @@ object Retrieval {
       count(lit(1)).as("n_docs")).head()
     val postings = base
       .select(col(idCol), size(col("__ws")).as("dl"),
-        posexplode(col("__ws")).as(Seq("__pos", "term")))
+        // OUTER: a zero-word doc (empty/whitespace text) emits one
+        // null-term MARKER row (tf 0, no positions). Queries never see
+        // it (every term predicate is an isin over non-null words), but
+        // deleteFromIndex derives its (id, dl) tombstones from postings
+        // rows — without the marker a zero-word doc could never be
+        // deleted from the corpus stats, leaving N one too high forever
+        // (breaking the rebuild-equivalence the specs pin). It also
+        // makes "n_docs > 0 ⟹ ≥1 postings row" true by construction,
+        // which is exactly what the empty-file guard below needs.
+        posexplode_outer(col("__ws")).as(Seq("__pos", "term")))
       .groupBy(col("term"), col(idCol), col("dl"))
       // POSITIONAL postings: tf for BM25, the sorted position list for
       // phrase queries — one index serves both. Position lists are
       // bounded by doc length per (term, doc), not corpus size.
-      .agg(count(lit(1)).as("tf"),
+      .agg(count(col("term")).as("tf"), // 0 on the marker row
         array_sort(collect_list(col("__pos").cast("integer")))
           .as("positions"))
     // empty batch: a range repartition of zero rows plans zero tasks and
     // writes zero files, which would break schema inference on the serve
-    // path — force one (empty, schema-bearing) file instead
+    // path — force one (empty, schema-bearing) file instead. n_docs == 0
+    // is exactly the zero-rows condition because every doc — including a
+    // zero-word one — emits at least its marker row (posexplode_outer).
     val laidOut =
       if (d.getLong(1) == 0L) postings.repartition(1)
       else postings.repartitionByRange(col("term"), col(idCol))
@@ -207,10 +218,16 @@ object Retrieval {
     * tombstones anti-join away deleted docs. The anti-join joins on the
     * doc id AFTER any term predicate has been pushed below it, so a
     * query-term serve path carries only its own postings into the join.
+    *
+    * Takes the state EXPLICITLY: every operation snapshots servedState
+    * exactly once and threads it to each read — two independent
+    * snapshots inside one operation would race a concurrent commit
+    * (e.g. a compaction whose supersede list omits a batch its postings
+    * read already folded in, double-serving that batch forever).
     */
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
-                           path: String, idCol: String): DataFrame = {
-    val state = servedState(spark, path)
+                           path: String, idCol: String,
+                           state: IndexState): DataFrame = {
     val base = spark.read.parquet(path + "/postings")
       .filter(col("batch").isin(state.batches: _*))
     readTombstones(spark, path, state) match {
@@ -227,8 +244,8 @@ object Retrieval {
     * surviving corpus computes.
     */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String, idCol: String): DataFrame = {
-    val state = servedState(spark, path)
+                        path: String, idCol: String,
+                        state: IndexState): DataFrame = {
     val base = spark.read.parquet(path + "/stats")
       .filter(col("batch").isin(state.batches: _*))
       .agg(coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"),
@@ -268,7 +285,7 @@ object Retrieval {
     import spark.implicits._
     val slots = phrase.zipWithIndex.map { case (t, j) => (j, t) }
       .toDF("__slot", "term")
-    val starts = readPostings(spark, path, idCol)
+    val starts = readPostings(spark, path, idCol, servedState(spark, path))
       .filter(col("term").isin(phrase.distinct: _*)) // pushed to the scan
       .join(broadcast(slots), "term") // a repeated word fans out per slot
       .select(col(idCol), col("__slot"),
@@ -385,7 +402,7 @@ object Retrieval {
     val spark = docIds.sparkSession
     if (graft.core.IndexCommits.isCommitted(spark, path, s"del_$batchId"))
       return // committed: the delta is already durable, recomputing would corrupt it
-    val tomb = readPostings(spark, path, idCol)
+    val tomb = readPostings(spark, path, idCol, servedState(spark, path))
       .join(docIds.select(col(idCol)).distinct(), Seq(idCol))
       .groupBy(col(idCol)).agg(max("dl").as("dl"))
     // one file: a delete batch is ∝ its deleted docs (id + length), tiny
@@ -418,8 +435,15 @@ object Retrieval {
         s"compact_$newBatchId")) return
     val state = servedState(spark, path)
     graft.core.IndexCommits.requireFreshId(newBatchId, state) // before any write
-    val served = readPostings(spark, path, idCol).drop("batch")
-    val d = readStats(spark, path, idCol).head()
+    // ONE state snapshot feeds the postings read, the stats read, AND the
+    // supersede list: a batch/delete committing mid-compaction is either
+    // entirely in (folded + superseded) or entirely out (still served
+    // beside the compacted batch) — never folded in but left live
+    val served = readPostings(spark, path, idCol, state).drop("batch")
+    val d = readStats(spark, path, idCol, state).head()
+    // n_docs == 0 ⟺ zero served rows (every doc carries at least its
+    // null-term marker row, and the tombstone anti-join removes marker
+    // and postings rows together)
     val laidOut =
       if (d.getLong(1) == 0L) served.repartition(1) // schema-bearing empty file
       else served.repartitionByRange(col("term"), col(idCol))
@@ -461,14 +485,18 @@ object Retrieval {
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     idCol: String, queryTerms: Seq[String],
                     topK: Int): DataFrame = {
-    val stats = readStats(spark, path, idCol)
+    // one snapshot for both reads: stats and postings must describe the
+    // SAME committed set, or a delete landing between them would subtract
+    // a doc's length while still scoring its postings
+    val state = servedState(spark, path)
+    val stats = readStats(spark, path, idCol, state)
       // n_docs = 0 (an empty index) must serve an empty result, not a
       // NaN-poisoned avgdl — the guard keeps the division well-defined
       .select(when(col("n_docs") > 0,
           col("sum_dl").cast("double") / col("n_docs"))
           .otherwise(lit(1.0)).as("__avgdl"),
         col("n_docs").as("__n"))
-    val tf = readPostings(spark, path, idCol)
+    val tf = readPostings(spark, path, idCol, state)
       .filter(col("term").isin(queryTerms: _*)) // pushed to the scan
       .select(col(idCol), col("dl").as("__dl"), col("term").as("__t"),
         col("tf").as("__tf"))

@@ -84,11 +84,7 @@ object Similarity {
         (Dedup.dotExact(col(vecCol), col("__avec")) /
           (col("__nrm") * col("__anrm"))).as("__cos"),
         col(idCol))
-    scored.groupBy(col("anchor_id"))
-      .agg(graft.functions.TopKAgg.topK(col("__cos"), col(idCol), k).as("top"))
-      .select(col("anchor_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("anchor_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("t.id").as("neg_id"), col("t.sort_key").as("cos_sim"))
+    rankedFromTopK(scored, idCol, k).withColumnRenamed(idCol, "neg_id")
   }
 
   /** Exact brute-force top-k for a BATCH of anchors in one corpus scan —
@@ -414,11 +410,41 @@ object Similarity {
   private def writeLayoutBatch(emb: DataFrame, idCol: String, vecCol: String,
                                path: String, cents: Seq[Seq[Double]],
                                batchId: Long): Unit = {
-    import org.apache.spark.sql.SaveMode
-    emb.withColumn("ivf_cluster", nearestCluster(col(vecCol), cents))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("ivf_cluster").parquet(s"$path/data/batch=$batchId")
+    writeLayoutRows(
+      emb.withColumn("ivf_cluster", nearestCluster(col(vecCol), cents)),
+      path, batchId)
     graft.core.IndexCommits.mark(emb.sparkSession, path, s"batch_$batchId")
+  }
+
+  /** The one physical layout writer (build, append and compaction all
+    * end here — drift would break the serve-identical guarantee). An
+    * EMPTY unit needs special handling: `partitionBy` of zero rows
+    * writes zero files, and a layout whose every live batch is file-less
+    * fails schema inference at the probe (the
+    * [[Retrieval.writeBatch]] empty-corpus guard, vector edition — here
+    * reachable via compaction of a fully-deleted layout once vacuum
+    * removes the old directories). The guard writes the empty frame
+    * directly under an `ivf_cluster=0` subdirectory — byte-identical to
+    * what partitionBy produces (partition values live in directory
+    * names, not the file), so partition discovery stays consistent and
+    * the probe serves an empty result instead of throwing.
+    */
+  private def writeLayoutRows(rows: DataFrame, path: String,
+                              batchId: Long): Unit = {
+    import org.apache.spark.sql.SaveMode
+    if (rows.isEmpty) {
+      // clear the whole unit first: the nested-subdir overwrite below
+      // only owns ivf_cluster=0, but a crashed partitioned attempt may
+      // have left other cluster dirs behind (retries must be exact)
+      graft.core.IndexCommits.fs(rows.sparkSession, path)
+        .delete(new org.apache.hadoop.fs.Path(s"$path/data/batch=$batchId"),
+          true)
+      rows.drop("ivf_cluster").repartition(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/data/batch=$batchId/ivf_cluster=0")
+    } else
+      rows.write.mode(SaveMode.Overwrite)
+        .partitionBy("ivf_cluster").parquet(s"$path/data/batch=$batchId")
   }
 
   /** Tombstone-delete embeddings from the at-rest layout — the vector
@@ -458,14 +484,14 @@ object Similarity {
     */
   def ivfCompactLayout(spark: SparkSession, path: String, idCol: String,
                        newBatchId: Long): Unit = {
-    import org.apache.spark.sql.SaveMode
     if (graft.core.IndexCommits.isCommitted(spark, path,
         s"compact_$newBatchId")) return
     val state = graft.core.IndexCommits.servedState(spark, path)
     graft.core.IndexCommits.requireFreshId(newBatchId, state)
-    servedRows(spark, path, idCol, state).drop("batch")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("ivf_cluster").parquet(s"$path/data/batch=$newBatchId")
+    // shared writer: a compaction of a fully-deleted layout writes a
+    // schema-bearing empty unit instead of a file-less directory
+    writeLayoutRows(servedRows(spark, path, idCol, state).drop("batch"),
+      path, newBatchId)
     graft.core.IndexCommits.commitCompaction(spark, path, newBatchId, state)
   }
 
@@ -697,12 +723,19 @@ object Similarity {
                         query: Seq[Float], k: Int, nPlanes: Int = 8,
                         hamming: Int = 1): DataFrame = {
     require(hamming >= 0 && hamming <= nPlanes, "0 <= hamming <= nPlanes")
+    require(nPlanes >= 1 && nPlanes <= 62, "1 <= nPlanes <= 62 (long bits)")
     val dims = query.length
     val qBucket = emb.sparkSession.range(1)
       .select(srpBucket(typedlit(query), nPlanes, dims).as("b"))
       .head().getLong(0)
-    val probes = (0L until (1L << nPlanes))
-      .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= hamming)
+    // enumerate the Hamming ball DIRECTLY — XOR each ≤hamming-sized
+    // plane-index combination into the query's bucket, Σ_{i≤h} C(n, i)
+    // values. (Filtering 0 until 2^nPlanes by popcount walks the whole
+    // bucket space: 4·10⁹ driver iterations at nPlanes=32, and the shift
+    // overflows outright at 63 — the ball itself stays tiny at any n.)
+    val probes = (0 to hamming).flatMap(h =>
+      (0 until nPlanes).combinations(h).map(c =>
+        c.foldLeft(qBucket)((b, j) => b ^ (1L << j))))
       .map(java.lang.Long.valueOf)
     emb.withColumn("__bucket", srpBucket(col(vecCol), nPlanes, dims))
       .filter(col("__bucket").isin(probes: _*))

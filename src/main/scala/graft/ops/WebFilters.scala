@@ -25,9 +25,15 @@ object WebFilters {
   private def words(c: Column): Column =
     filter(split(trim(c), "\\s+"), w => w =!= "")
 
-  /** Non-blank, trimmed lines. */
+  /** Non-blank, trimmed lines. The split handles \n, \r\n AND lone \r
+    * line endings: real web crawls are full of CRLF documents, and
+    * Spark's `trim` strips only spaces — splitting on \n alone would
+    * leave a trailing \r on every line, silently failing the
+    * terminal-punctuation and ellipsis rules (and making 'foo\r' ≠
+    * 'foo' in the duplicate-line counts) for ALL CRLF content.
+    */
   def lines(c: Column): Column =
-    filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+    filter(transform(split(c, "\r\n|[\r\n]"), l => trim(l)), l => l =!= "")
 
   // ---- Gopher / MassiveText word-level signals ---------------------------
 

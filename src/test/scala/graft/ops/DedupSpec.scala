@@ -167,6 +167,18 @@ class DedupSpec extends SparkSpec {
     assert(out(2) == ((3L, "unique document\nno boilerplate here", 0L)))
   }
 
+  test("dedupLines: CRLF boilerplate matches its LF twin (a CRLF doc's " +
+      "lines would otherwise carry a hidden \\r and never dedupe)") {
+    val df = Seq(
+      (1L, "COOKIE BANNER\r\nbody one\r\nFOOTER"), // CRLF document
+      (2L, "COOKIE BANNER\nbody two\nFOOTER")      // LF document
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out(0) == ((1L, "body one", 2L)))
+    assert(out(1) == ((2L, "body two", 2L)))
+  }
+
   test("dedupLines: blank lines are never boilerplate (paragraph separators survive)") {
     // "" appears in all 3 docs — without the length exemption every
     // paragraph break in the corpus would be stripped as boilerplate

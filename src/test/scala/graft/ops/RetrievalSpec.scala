@@ -164,6 +164,43 @@ class RetrievalSpec extends SparkSpec {
       Seq("cherry", "cherry")).collect().isEmpty) // doc 3 was the only match
   }
 
+  test("deleting a ZERO-WORD doc still decrements N/avgdl (marker-row " +
+      "tombstones), before and after compaction") {
+    // doc 4 has empty text: it is counted in n_docs but owns no postings
+    // rows — only its null-term marker row lets a delete find its (id,
+    // dl) pair. Without the marker, N stays one too high forever and
+    // every idf/avgdl drifts from the rebuild.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_zeroword").toString
+    Retrieval.writeIndex(corpus, "doc_id", "text", path)
+    Retrieval.deleteFromIndex(Seq(4L).toDF("doc_id"), "doc_id", path, 1L)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_bm25_zeroword_rebuild").toString
+    Retrieval.writeIndex(corpus.filter($"doc_id" =!= 4), "doc_id", "text",
+      rebuilt)
+    def terms = Seq("date", "banana")
+    assert(Retrieval.bm25FromIndex(spark, path, "doc_id", terms, 10)
+      .collect().toSeq ==
+      Retrieval.bm25FromIndex(spark, rebuilt, "doc_id", terms, 10)
+        .collect().toSeq,
+      "deleting a zero-word doc must shift N and avgdl exactly like a " +
+        "rebuild without it")
+    // marker rows survive compaction: compact FIRST, then delete the
+    // zero-word doc out of the compacted batch
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_bm25_zeroword2").toString
+    Retrieval.writeIndex(corpus, "doc_id", "text", path2)
+    Retrieval.compactIndex(spark, path2, "doc_id", newBatchId = 1L)
+    Retrieval.vacuumIndex(spark, path2)
+    Retrieval.deleteFromIndex(Seq(4L).toDF("doc_id"), "doc_id", path2, 2L)
+    assert(Retrieval.bm25FromIndex(spark, path2, "doc_id", terms, 10)
+      .collect().toSeq ==
+      Retrieval.bm25FromIndex(spark, rebuilt, "doc_id", terms, 10)
+        .collect().toSeq,
+      "compaction must preserve marker rows, or post-compaction deletes " +
+        "of zero-word docs silently stop adjusting the stats")
+  }
+
   test("deleteFromIndex crash/retry: unmarked tombstones are invisible; " +
       "the retry heals; a committed retry is a no-op") {
     val path = java.nio.file.Files

@@ -269,6 +269,73 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls == recalls.sorted, recalls.toString)
   }
 
+  test("srpTopKMultiProbe enumerates the Hamming BALL, not the bucket " +
+      "space: wide nPlanes stay cheap, and the probe set matches the " +
+      "popcount-filter semantics") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val dims = q.length
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // equivalence to the brute popcount filter at an enumerable width:
+    // probe buckets = { b : popcount(b ^ qBucket) <= h }, applied in the
+    // test as a reference filter over the full 2^n space
+    for ((n, h) <- Seq((6, 2), (10, 1))) {
+      val qBucket = spark.range(1)
+        .select(Similarity.srpBucket(
+          org.apache.spark.sql.functions.typedlit(q), n, dims).as("b"))
+        .head().getLong(0)
+      val ref = (0L until (1L << n))
+        .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= h)
+        .map(java.lang.Long.valueOf)
+      val want = ids(emb
+        .withColumn("__bucket",
+          Similarity.srpBucket(org.apache.spark.sql.functions.col("embedding"),
+            n, dims))
+        .filter(org.apache.spark.sql.functions.col("__bucket").isin(ref: _*))
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          Similarity.cosineToQuery(
+            org.apache.spark.sql.functions.col("embedding"), q).as("cos_sim"))
+        .orderBy(org.apache.spark.sql.functions.col("cos_sim").desc,
+          org.apache.spark.sql.functions.col("vec_id"))
+        .limit(10))
+      assert(ids(Similarity.srpTopKMultiProbe(emb, "vec_id", "embedding", q,
+        10, nPlanes = n, hamming = h)) == want, s"(n=$n, h=$h)")
+    }
+    // nPlanes=40 is 2^40 ≈ 10^12 buckets — the old popcount enumeration
+    // would never finish; the ball is 1 + 40 probes and runs instantly
+    assert(ids(Similarity.srpTopKMultiProbe(emb, "vec_id", "embedding", q,
+      10, nPlanes = 40, hamming = 1)).size <= 10)
+  }
+
+  test("IVF layout: compacting a fully-deleted layout (and appending an " +
+      "empty batch) serves EMPTY instead of failing schema inference") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+      .filter($"vec_id" < 40)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty")
+      .toString + "/emb"
+    Similarity.ivfWriteLayout(emb, "vec_id", "embedding", dir,
+      kClusters = 2, iters = 1)
+    // an EMPTY append batch is legal (an ingest tick with no new rows)
+    Similarity.ivfAppendLayout(emb.filter($"vec_id" < 0), "vec_id",
+      "embedding", dir, batchId = 1L)
+    def probe = Similarity.ivfProbeLayout(spark, dir, q, k = 5, nprobe = 2)
+    assert(probe.collect().nonEmpty, "empty append must not disturb serving")
+    // delete EVERYTHING, compact, vacuum: the only live batch is the
+    // empty compaction — data/ must still carry a schema-bearing file
+    Similarity.ivfDeleteLayout(emb.select($"vec_id"), "vec_id", dir,
+      batchId = 2L)
+    Similarity.ivfCompactLayout(spark, dir, "vec_id", newBatchId = 3L)
+    Similarity.ivfVacuumLayout(spark, dir)
+    assert(probe.collect().isEmpty,
+      "a fully-deleted, compacted, vacuumed layout must serve empty")
+    // and it comes back to life on a later append
+    Similarity.ivfAppendLayout(emb.filter($"vec_id" < 10), "vec_id",
+      "embedding", dir, batchId = 4L)
+    assert(probe.collect().nonEmpty)
+  }
+
   test("ivfTrainedTopK with nprobe=kClusters equals brute force exactly") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
     val q = Similarity.vectorOf(emb, "vec_id", "embedding", 3L)

@@ -53,6 +53,34 @@ class WebFiltersSpec extends SparkSpec {
     assert(!keep(Seq.fill(60)(goodDoc.take(40)).mkString("\n"))) // dup lines
   }
 
+  test("CRLF (and lone-CR) documents behave identically to LF — line " +
+      "rules must not see a hidden trailing \\r") {
+    val lf = Seq(
+      "This line has five words.",
+      "This line has five words.",
+      "ends with an ellipsis...",
+      "- bullet line here now.").mkString("\n")
+    val crlf = lf.replace("\n", "\r\n")
+    val cr = lf.replace("\n", "\r")
+    for (variant <- Seq(crlf, cr)) {
+      for ((name, sig) <- Seq[(String, String => Column)](
+          ("ellipsis", t => WebFilters.ellipsisLineFrac(col(t))),
+          ("bullet", t => WebFilters.bulletLineFrac(col(t))),
+          ("dupLine", t => WebFilters.dupLineFrac(col(t))),
+          ("dupChar", t => WebFilters.dupLineCharFrac(col(t)))))
+        assert(eval(variant, sig) == eval(lf, sig),
+          s"$name drifted on ${if (variant == crlf) "CRLF" else "CR"} input")
+      // C4 cleaning: the CRLF doc must keep the same lines (output is
+      // \n-normalized — a cleaner owns its output encoding)
+      assert(eval(variant, t => WebFilters.c4CleanLines(col(t))) ==
+        eval(lf, t => WebFilters.c4CleanLines(col(t))))
+    }
+    // the sanity direction: these lines DO trip the rules (non-zero),
+    // so the equalities above compare real signals, not four zeros
+    assert(eval(lf, t => WebFilters.ellipsisLineFrac(col(t))) == 0.25)
+    assert(eval(lf, t => WebFilters.dupLineFrac(col(t))) == 0.25)
+  }
+
   test("c4CleanLines keeps terminal-punctuated lines of >= minWords, in " +
       "order; c4Keep applies the doc rules on the CLEANED text") {
     val t = Seq(
