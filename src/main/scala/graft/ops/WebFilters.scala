@@ -108,14 +108,42 @@ object WebFilters {
     * (a line appearing k times contributes (k−1)·len duplicate chars):
     * Σlen(lines) − Σlen(distinct lines), over Σlen(lines).
     */
-  def dupLineCharFrac(text: Column): Column = {
-    val ls = lines(text)
+  def dupLineCharFrac(text: Column): Column =
+    dupSegCharFrac(lines(text))
+
+  private def dupSegCharFrac(segs: Column): Column = {
     def sumLen(a: Column): Column =
       aggregate(a, lit(0L), (acc, l) => acc + length(l))
-    val total = sumLen(ls)
+    val total = sumLen(segs)
     when(total === 0, lit(0.0)).otherwise(
-      (total - sumLen(array_distinct(ls))).cast("double") / total)
+      (total - sumLen(array_distinct(segs))).cast("double") / total)
   }
+
+  /** Non-blank, trimmed PARAGRAPHS: segments separated by one-or-more
+    * blank lines (lines holding only horizontal whitespace count as
+    * blank, and all three line-ending conventions delimit).
+    */
+  def paragraphs(c: Column): Column =
+    filter(
+      transform(split(c, "(\\r\\n|[\\r\\n])([ \\t]*(\\r\\n|[\\r\\n]))+"),
+        p => trim(p)),
+      p => p =!= "")
+
+  /** Duplicate-paragraph fraction (Gopher A1.1 rule #2, threshold 0.30):
+    * 1 − distinct(paragraphs)/paragraphs.
+    */
+  def dupParagraphFrac(text: Column): Column = {
+    val ps = paragraphs(text)
+    when(size(ps) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ps)).cast("double") / size(ps))
+  }
+
+  /** Duplicate-paragraph CHAR fraction (Gopher A1.1, threshold 0.20):
+    * a paragraph appearing k times contributes (k−1)·len duplicate
+    * characters.
+    */
+  def dupParagraphCharFrac(text: Column): Column =
+    dupSegCharFrac(paragraphs(text))
 
   /** The Gopher keep decision at the paper's published thresholds:
     * 50 ≤ words ≤ 100k, mean word length in [3, 10], symbol-to-word

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{TextAnalysis, WebFilters}
+
+/** The COMPLETE Gopher repetition table (Rae et al. 2021 A1.1) under the
+  * DuckDB gate: top 2/3/4-gram char fractions, duplicate 5…10-gram char
+  * fractions, and the duplicate-paragraph rules. The fixture text is a
+  * single line, so — the ta_gopher precedent — it is first RESHAPED
+  * deterministically in BOTH engines: 8-word lines ('.' every third
+  * line), then a BLANK line after every second line, giving the
+  * paragraph rules real structure. Every signal stays a pure scan-stage
+  * expression (sorted-run folds inside the row, no explode), so at
+  * 100 TB the full eleven-rule table is one codegen'd projection.
+  */
+object R7dQueries {
+
+  /** 8-word lines, '.' every 3rd line, a blank line after every 2nd
+    * line — deterministic paragraph structure from flat fixture text.
+    */
+  private def chunkParas(text: Column): Column = {
+    val ws = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val n = size(ws)
+    val lines = transform(sequence(lit(0), (ceil(n / lit(8.0)) - 1).cast("int")),
+      i => concat(
+        array_join(slice(ws, i * lit(8) + 1, lit(8)), " "),
+        when(i % 3 === 0, lit(".")).otherwise(lit(""))))
+    val nl = size(lines)
+    when(n === 0, lit("")).otherwise(
+      array_join(
+        transform(sequence(lit(0), (ceil(nl / lit(2.0)) - 1).cast("int")),
+          j => array_join(slice(lines, j * lit(2) + 1, lit(2)), "\n")),
+        "\n\n"))
+  }
+
+  /** The identical reshaping in DuckDB, plus the word array and
+    * normalized char count every n-gram rule divides by.
+    */
+  private val ParaCtes =
+    s"""w0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                x -> x <> '') AS ws
+       |  FROM documents),
+       |ln AS (
+       |  SELECT doc_id, ws,
+       |    list_transform(
+       |      generate_series(0, CAST(ceil(len(ws) / 8.0) AS INT) - 1),
+       |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ') ||
+       |           CASE WHEN i % 3 = 0 THEN '.' ELSE '' END) AS lines
+       |  FROM w0),
+       |lined AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) = 0 THEN '' ELSE
+       |      array_to_string(
+       |        list_transform(
+       |          generate_series(0, CAST(ceil(len(lines) / 2.0) AS INT) - 1),
+       |          j -> array_to_string(lines[j*2+1 : j*2+2], chr(10))),
+       |        chr(10) || chr(10)) END AS t
+       |  FROM ln),
+       |wl AS (
+       |  SELECT doc_id, t,
+       |    list_filter(string_split_regex(trim(t), '\\s+'),
+       |                x -> x <> '') AS w
+       |  FROM lined),
+       |nc AS (
+       |  SELECT doc_id,
+       |    length(array_to_string(w, ' '))::BIGINT AS chars
+       |  FROM wl)""".stripMargin
+
+  /** Per-n CTEs: the n-gram relation, and either the top-gram coverage
+    * (count × chars of the best gram under the count-desc, len-desc,
+    * gram-asc total order) or the duplicated-gram coverage.
+    */
+  private def gramCte(n: Int): String =
+    s"""g$n AS (
+       |  SELECT doc_id, array_to_string(w[i : i+${n - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, w,
+       |          unnest(generate_series(1, len(w) - ${n - 1})) AS i
+       |        FROM wl WHERE len(w) >= $n))""".stripMargin
+
+  private def topCte(n: Int): String =
+    s"""t$n AS (
+       |  SELECT doc_id, c * length(g) AS cov FROM (
+       |    SELECT doc_id, g, count(*) AS c,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY count(*) DESC, length(g) DESC, g ASC) AS rn
+       |    FROM g$n GROUP BY doc_id, g)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def dupCte(n: Int): String =
+    s"""d$n AS (
+       |  SELECT doc_id, sum(c * length(g))::BIGINT AS cov FROM (
+       |    SELECT doc_id, g, count(*) AS c
+       |    FROM g$n GROUP BY doc_id, g HAVING count(*) >= 2)
+       |  GROUP BY doc_id)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("ta_gopher_rep",
+      "The complete Gopher repetition-rule table (Rae et al. 2021 A1.1 " +
+        "rules the quality suite ta_gopher leaves to this query): top " +
+        "2/3/4-gram character fractions (thresholds .20/.18/.16), " +
+        "duplicate 5..10-gram character fractions (.15 down to .10), " +
+        "duplicate-paragraph and duplicate-paragraph-char fractions " +
+        "(.30/.20), and the combined keep decision. All eleven signals " +
+        "are computed INSIDE their row by sorted-run folds over shifted-" +
+        "slice n-gram arrays — O(len log len) per row, no explode: at " +
+        "100 TB this is a projection on the corpus scan with zero " +
+        "shuffles, where the unnest+groupBy formulation the oracle uses " +
+        "would shuffle every n-gram of the corpus nine times. Duplicate " +
+        "coverage counts each occurrence's full width (documented " +
+        "approximation of the paper's char marking; identical in both " +
+        "engines).",
+      (s, d) => {
+        val t = chunkParas(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.topNgramCharFrac(t, 2).as("top2_frac"),
+          TextAnalysis.topNgramCharFrac(t, 3).as("top3_frac"),
+          TextAnalysis.topNgramCharFrac(t, 4).as("top4_frac"),
+          TextAnalysis.dupNgramCharFrac(t, 5).as("dup5_frac"),
+          TextAnalysis.dupNgramCharFrac(t, 6).as("dup6_frac"),
+          TextAnalysis.dupNgramCharFrac(t, 7).as("dup7_frac"),
+          TextAnalysis.dupNgramCharFrac(t, 8).as("dup8_frac"),
+          TextAnalysis.dupNgramCharFrac(t, 9).as("dup9_frac"),
+          TextAnalysis.dupNgramCharFrac(t, 10).as("dup10_frac"),
+          WebFilters.dupParagraphFrac(t).as("dup_para_frac"),
+          WebFilters.dupParagraphCharFrac(t).as("dup_para_char_frac"),
+          (TextAnalysis.gopherRepetitionKeep(t) &&
+            WebFilters.dupParagraphFrac(t) < 0.3 &&
+            WebFilters.dupParagraphCharFrac(t) < 0.2).as("rep_keep")
+        ).orderBy("doc_id")
+      },
+      Some {
+        val grams = (2 to 10).map(gramCte).mkString(",\n")
+        val tops = (2 to 4).map(topCte).mkString(",\n")
+        val dups = (5 to 10).map(dupCte).mkString(",\n")
+        val topCols = (2 to 4).map(n =>
+          s"  coalesce(CASE WHEN nc.chars > 0 THEN t$n.cov::DOUBLE / nc.chars END, 0.0) AS top${n}_frac").mkString(",\n")
+        // coalesce the coverage BEFORE least(): DuckDB's least() skips
+        // NULL arguments, so least(1.0, NULL/chars) is 1.0, not NULL —
+        // a doc with no duplicated n-grams would read as fully duplicated
+        val dupCols = (5 to 10).map(n =>
+          s"  CASE WHEN nc.chars > 0 THEN least(1.0::DOUBLE, coalesce(d$n.cov, 0)::DOUBLE / nc.chars) ELSE 0.0::DOUBLE END AS dup${n}_frac").mkString(",\n")
+        val joins = (2 to 4).map(n => s"LEFT JOIN t$n ON t$n.doc_id = wl.doc_id")
+          .mkString(" ") + " " +
+          (5 to 10).map(n => s"LEFT JOIN d$n ON d$n.doc_id = wl.doc_id")
+            .mkString(" ")
+        s"""WITH $ParaCtes,
+           |$grams,
+           |$tops,
+           |$dups,
+           |paras AS (
+           |  SELECT doc_id,
+           |    list_filter(
+           |      list_transform(string_split(t, chr(10) || chr(10)),
+           |                     p -> trim(p)),
+           |      p -> p <> '') AS ps
+           |  FROM lined),
+           |pf AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(ps) = 0 THEN 0.0::DOUBLE ELSE
+           |      1.0 - len(list_distinct(ps))::DOUBLE / len(ps) END
+           |      AS dup_para_frac,
+           |    CASE WHEN len(ps) = 0 OR
+           |        list_aggregate(list_transform(ps, p -> length(p)),
+           |                       'sum') = 0
+           |      THEN 0.0::DOUBLE ELSE
+           |      CAST(list_aggregate(list_transform(ps, p -> length(p)),
+           |             'sum') -
+           |           list_aggregate(list_transform(list_distinct(ps),
+           |             p -> length(p)), 'sum') AS DOUBLE) /
+           |      list_aggregate(list_transform(ps, p -> length(p)), 'sum')
+           |      END AS dup_para_char_frac
+           |  FROM paras)
+           |SELECT wl.doc_id,
+           |$topCols,
+           |$dupCols,
+           |  pf.dup_para_frac, pf.dup_para_char_frac,
+           |  (coalesce(CASE WHEN nc.chars > 0 THEN t2.cov::DOUBLE / nc.chars END, 0.0) < 0.20 AND
+           |   coalesce(CASE WHEN nc.chars > 0 THEN t3.cov::DOUBLE / nc.chars END, 0.0) < 0.18 AND
+           |   coalesce(CASE WHEN nc.chars > 0 THEN t4.cov::DOUBLE / nc.chars END, 0.0) < 0.16 AND
+           |   coalesce(CASE WHEN nc.chars > 0 THEN coalesce(d5.cov, 0)::DOUBLE / nc.chars END, 0.0) < 0.15 AND
+           |   coalesce(CASE WHEN nc.chars > 0 THEN coalesce(d6.cov, 0)::DOUBLE / nc.chars END, 0.0) < 0.14 AND
+           |   coalesce(CASE WHEN nc.chars > 0 THEN coalesce(d7.cov, 0)::DOUBLE / nc.chars END, 0.0) < 0.13 AND
+           |   coalesce(CASE WHEN nc.chars > 0 THEN coalesce(d8.cov, 0)::DOUBLE / nc.chars END, 0.0) < 0.12 AND
+           |   coalesce(CASE WHEN nc.chars > 0 THEN coalesce(d9.cov, 0)::DOUBLE / nc.chars END, 0.0) < 0.11 AND
+           |   coalesce(CASE WHEN nc.chars > 0 THEN coalesce(d10.cov, 0)::DOUBLE / nc.chars END, 0.0) < 0.10 AND
+           |   pf.dup_para_frac < 0.3 AND pf.dup_para_char_frac < 0.2)
+           |    AS rep_keep
+           |FROM wl JOIN nc ON nc.doc_id = wl.doc_id
+           |JOIN pf ON pf.doc_id = wl.doc_id
+           |$joins
+           |ORDER BY wl.doc_id""".stripMargin
+      })
+  )
+}

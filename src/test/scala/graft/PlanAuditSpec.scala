@@ -128,6 +128,21 @@ class PlanAuditSpec extends SparkSpec {
       s"scan must prune to (doc_id, text):\n$p")
   }
 
+  test("ta_gopher_rep: all eleven repetition rules are a zero-shuffle " +
+      "scan projection") {
+    val p = plan("ta_gopher_rep")
+    // nine n-gram statistics + two paragraph rules, each a sorted-run
+    // fold INSIDE its row — the unnest+groupBy formulation the oracle
+    // uses would shuffle every n-gram of the corpus nine times
+    assert(!p.contains("Generate"), s"no explode allowed:\n$p")
+    assert(!p.contains("HashAggregate"), s"no aggregate allowed:\n$p")
+    assert(!p.contains("Join"), s"no join allowed:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+      s"only the ORDER BY exchange expected:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$p")
+  }
+
   test("doc_token_budget: one data exchange (the |sources| aggregate)") {
     val p = plan("doc_token_budget")
     // groupBy(source) is the only hash exchange; totals broadcast; the

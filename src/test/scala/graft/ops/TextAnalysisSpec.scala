@@ -47,6 +47,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(secs < 60.0, f"topBigramFrac took $secs%.1f s on a 60k-word doc")
   }
 
+  test("topNgramCharFrac / dupNgramCharFrac: hand-computed coverage, " +
+      "tie-breaks, and degenerate inputs") {
+    def top(t: String, n: Int): Double =
+      Seq(t).toDF("t").select(TextAnalysis.topNgramCharFrac($"t", n).as("v"))
+        .as[Double].first()
+    def dup(t: String, n: Int): Double =
+      Seq(t).toDF("t").select(TextAnalysis.dupNgramCharFrac($"t", n).as("v"))
+        .as[Double].first()
+    // "a b a b a b": trigrams = [a b a, b a b, a b a, b a b] -> counts
+    // tie at 2; both len 5 -> lexicographically smaller "a b a" wins;
+    // normalized chars = 11
+    assert(top("a b a b a b", 3) == 2.0 * 5 / 11)
+    // every trigram duplicated: overlap-counted coverage 20/11 caps at 1
+    assert(dup("a b a b a b", 3) == 1.0)
+    // uncapped case: "p q r s t" repeats at positions 1 and 6 -> 2 x 9
+    // chars over 29 normalized chars
+    assert(dup("p q r s t p q r s t u v w x y", 5) == 18.0 / 29)
+    // no duplicates -> dup 0; top gram occurs once
+    assert(dup("v w x y z", 2) == 0.0)
+    assert(top("v w x y z", 2) == 1.0 * 3 / 9)
+    // count ties break to the LONGER gram: "xx yy" (5 chars) beats
+    // "a b" (3 chars) when both occur twice
+    assert(top("a b c xx yy d a b e xx yy", 2) == 2.0 * 5 / 25)
+    // fewer words than n, blank, empty -> all zero
+    assert(top("one two", 3) == 0.0 && dup("one two", 3) == 0.0)
+    assert(top("  ", 2) == 0.0 && dup("", 2) == 0.0)
+    // words shorter than n leave NO n-gram: never NaN
+    assert(!top("solo", 4).isNaN)
+  }
+
+  test("gopherRepetitionKeep: clean text passes, an n-gram loop fails") {
+    def keep(t: String): Boolean =
+      Seq(t).toDF("t").select(TextAnalysis.gopherRepetitionKeep($"t").as("v"))
+        .as[Boolean].first()
+    // 60 distinct words: every n-gram unique
+    assert(keep((1 to 60).map(i => s"w$i").mkString(" ")))
+    // a looping 5-gram (machine-generated boilerplate shape)
+    assert(!keep(Seq.fill(12)("the same five word loop").mkString(" ")))
+  }
+
   test("token counts: ws vs BPE-ish regex") {
     val r = Seq("Hello, world! x2").toDF("t").select(
       TextAnalysis.tokenCountWs($"t").as("ws"),
