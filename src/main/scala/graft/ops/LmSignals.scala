@@ -110,6 +110,53 @@ object LmSignals {
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split
+    * the corpus into HEAD / MIDDLE / TAIL terciles by LM quality score —
+    * the partition CCNet publishes and most pretraining recipes consume
+    * (train on head+middle, hold tail for ablations). Scores come from
+    * [[bigramLmScore]] (higher = more fluent, so head = high score).
+    *
+    * The tercile THRESHOLDS are computed on a BOUNDED deterministic
+    * sample, the way CCNet itself fits its percentiles on a sample per
+    * language: the `sampleK` documents with the smallest md5(id) — an
+    * `orderBy(md5).limit(k)` = TakeOrderedAndProject, so exactly k rows
+    * ever reach the driver no matter the corpus size — are collected,
+    * and the scores at ranks ⌈k/3⌉ and ⌈2k/3⌉ (descending) become the
+    * head/middle cut values, embedded as literals in ONE narrow
+    * assignment projection over the scored corpus. Nothing global-sorts;
+    * the k-th VALUE is tie-insensitive, so the thresholds are a pure
+    * function of the corpus. Documents scoring exactly a threshold land
+    * in the better bucket (≥ comparisons).
+    *
+    * Output: (id, n_bigrams, lm_score, bucket ∈ {head, middle, tail}).
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   ref: DataFrame, refTextCol: String,
+                   minCount: Long = 2L, sampleK: Int = 999): DataFrame = {
+    require(sampleK >= 3, "need at least 3 sampled docs for terciles")
+    // cached: feeds the threshold sample AND the assignment pass — the
+    // model build + scoring joins run once, not twice
+    val scored = graft.core.Caches.track(
+      bigramLmScore(docs, idCol, textCol, ref, refTextCol, minCount))
+    val sample = scored
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleK)
+      .select(col("lm_score"))
+      .collect().map(_.getDouble(0))
+      .sorted(Ordering[Double].reverse)
+    val m = sample.length
+    if (m == 0)
+      // empty corpus: empty result, schema intact
+      return scored.select(col(idCol), col("n_bigrams"), col("lm_score"),
+        lit("tail").as("bucket")).filter(lit(false))
+    val tHi = sample((m + 2) / 3 - 1)      // score at rank ⌈m/3⌉ desc
+    val tLo = sample((2 * m + 2) / 3 - 1)  // score at rank ⌈2m/3⌉ desc
+    scored.select(col(idCol), col("n_bigrams"), col("lm_score"),
+      when(col("lm_score") >= tHi, lit("head"))
+        .when(col("lm_score") >= tLo, lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** DSIR-shaped importance signal (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): represent every word by
     * a HASHED feature bucket ([[Curation.hashBucket]], 65536 buckets —

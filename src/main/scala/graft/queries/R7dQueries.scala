@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{TextAnalysis, WebFilters}
+import graft.ops.{LmSignals, TextAnalysis, WebFilters}
 
 /** The COMPLETE Gopher repetition table (Rae et al. 2021 A1.1) under the
   * DuckDB gate: top 2/3/4-gram char fractions, duplicate 5…10-gram char
@@ -196,6 +196,75 @@ object R7dQueries {
            |JOIN pf ON pf.doc_id = wl.doc_id
            |$joins
            |ORDER BY wl.doc_id""".stripMargin
-      })
+      }),
+
+    Q("doc_ccnet_buckets",
+      "CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 " +
+        "S4.3) — the corpus partition most pretraining recipes consume. " +
+        "Tercile thresholds are fit on a BOUNDED deterministic sample " +
+        "(the 300 docs with the smallest md5(id): orderBy(md5).limit = " +
+        "TakeOrderedAndProject, k rows to the driver at ANY corpus " +
+        "size, the way CCNet fits its percentiles on a per-language " +
+        "sample), then ONE narrow projection assigns buckets by literal " +
+        "cut values — no global sort anywhere. Scores are the ta_lmscore " +
+        "bigram-LM means (head = fluent); a doc scoring exactly a cut " +
+        "lands in the better bucket.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        LmSignals.ccnetBuckets(docs, "doc_id", "text",
+            docs.filter(col("lang") === "en"), "text",
+            minCount = 2L, sampleK = 300)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |refuni AS (
+          |  SELECT word, count(*) AS c1 FROM (
+          |    SELECT unnest(ws) AS word FROM w WHERE lang = 'en')
+          |  WHERE word <> '' GROUP BY word),
+          |vocab AS (SELECT count(*) AS v FROM refuni),
+          |refbi AS (
+          |  SELECT big, count(*) AS c2 FROM (
+          |    SELECT ws[i] || ' ' || ws[i+1] AS big FROM (
+          |      SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          |      FROM w WHERE lang = 'en'))
+          |  GROUP BY big HAVING count(*) >= 2),
+          |docbi AS (
+          |  SELECT doc_id, ws[i] AS prefix, ws[i] || ' ' || ws[i+1] AS big
+          |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          |        FROM w)),
+          |scored AS (
+          |  SELECT doc_id, count(*) AS n_bigrams,
+          |    cast(sum(cast((coalesce(c2, 0) + 1)::DOUBLE /
+          |      (coalesce(c1, 0) + v)::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)
+          |      / count(*) AS lm_score
+          |  FROM docbi
+          |  LEFT JOIN refbi USING (big)
+          |  LEFT JOIN refuni ON docbi.prefix = refuni.word
+          |  CROSS JOIN vocab
+          |  GROUP BY doc_id),
+          |allscored AS (
+          |  SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+          |         coalesce(lm_score, 0.0::DOUBLE) AS lm_score
+          |  FROM documents d LEFT JOIN scored USING (doc_id)),
+          |samp AS (
+          |  SELECT lm_score FROM allscored
+          |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 300),
+          |ranked AS (
+          |  SELECT lm_score, row_number() OVER (ORDER BY lm_score DESC) AS rn,
+          |         count(*) OVER () AS m
+          |  FROM samp),
+          |thr AS (
+          |  SELECT max(CASE WHEN rn = (m + 2) // 3 THEN lm_score END) AS t_hi,
+          |         max(CASE WHEN rn = (2 * m + 2) // 3 THEN lm_score END) AS t_lo
+          |  FROM ranked)
+          |SELECT a.doc_id, a.n_bigrams, a.lm_score,
+          |  CASE WHEN a.lm_score >= t_hi THEN 'head'
+          |       WHEN a.lm_score >= t_lo THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM allscored a CROSS JOIN thr
+          |ORDER BY a.doc_id""".stripMargin))
   )
 }

@@ -76,6 +76,38 @@ class LmSignalsSpec extends SparkSpec {
     assert(got(1).getLong(1) == 0 && got(1).getDouble(2) == 0.0)
   }
 
+  test("ccnetBuckets: terciles split ~evenly, head holds the highest " +
+      "scores, thresholds are sample-size-bounded and deterministic") {
+    // 30 docs with clearly separable fluency: 10 fluent (reference
+    // phrasing), 10 mixed, 10 gibberish
+    val docs = ((0 until 10).map(i => (i.toLong, "the quick brown fox jumps")) ++
+      (10 until 20).map(i => (i.toLong, "the quick zzz qqq vvv")) ++
+      (20 until 30).map(i => (i.toLong, "zz qq vv xx yy")))
+      .toDF("doc_id", "text")
+    val ref = Seq.fill(5)("the quick brown fox jumps").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = LmSignals.ccnetBuckets(docs, "doc_id", "text", ref, "text",
+        minCount = 1L, sampleK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket("head") == (0L until 10L).toSet)
+    assert(byBucket("middle") == (10L until 20L).toSet)
+    assert(byBucket("tail") == (20L until 30L).toSet)
+    // determinism: a second run lands identically
+    val again = LmSignals.ccnetBuckets(docs, "doc_id", "text", ref, "text",
+        minCount = 1L, sampleK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a SMALL sample still yields valid thresholds (every doc bucketed)
+    val sampled = LmSignals.ccnetBuckets(docs, "doc_id", "text", ref, "text",
+        minCount = 1L, sampleK = 9)
+      .collect().map(_.getString(3)).toSet
+    assert(sampled.subsetOf(Set("head", "middle", "tail")))
+    // empty corpus: empty result, schema intact
+    assert(LmSignals.ccnetBuckets(docs.filter($"doc_id" < 0), "doc_id",
+      "text", ref, "text", 1L, 30).isEmpty)
+  }
+
   test("scoring joins broadcast (model side never shuffles the corpus twice)") {
     val docs = Seq((1L, "the cat sat", "en")).toDF("doc_id", "text", "lang")
     val plan = LmSignals.bigramLmScore(docs, "doc_id", "text", docs, "text")
