@@ -552,6 +552,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch probe over the at-rest IVF layout: serve a whole ANCHOR
+    * BATCH from the persisted index in one pass — per-anchor nprobe
+    * shortlists computed on the tiny (clusters × anchors) relation
+    * against the SAVED centroids, the scan pruned to the UNION of
+    * probed cluster partitions (files of unprobed clusters never open),
+    * and each row scored against exactly the anchors probing its
+    * cluster (broadcast shortlist join + the TopKByKey aggregate, ≤k
+    * rows per task-anchor across the exchange). The batched analogue of
+    * [[ivfProbeLayout]], and the serving shape a training job actually
+    * uses: one index scan for the whole batch, not a probe per anchor.
+    * Anchor vectors are looked up in the layout itself by id (one
+    * unpruned metadata-light scan, bounded output).
+    */
+  def ivfProbeLayoutBatch(spark: SparkSession, path: String,
+                          anchorIds: Seq[Long], k: Int, nprobe: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = readCentroids(spark, path)
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    val rows = servedRows(spark, path, idCol, state)
+    val nrm = (c: Column) => greatest(Dedup.normExact(c), lit(1e-30))
+    val anchors = rows.filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"),
+        nrm(col(vecCol)).as("__anrm"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("__ccos").desc, col("cluster"))
+    // cached: the shortlist feeds the driver-side partition list AND the
+    // broadcast scoring join — one computation of the anchors scan
+    val shortlist = graft.core.Caches.track(
+      centroidsDf(spark, cents).crossJoin(anchors)
+        .select(col("anchor_id"), col("cluster"), col("__avec"),
+          col("__anrm"),
+          (Dedup.dotExact(col("centroid"), col("__avec")) /
+            (Dedup.normExact(col("centroid")) * col("__anrm"))).as("__ccos"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nprobe)
+        .select("anchor_id", "cluster", "__avec", "__anrm"))
+    // the union of probed clusters, as LITERALS: prunes partitions at
+    // the scan (anchors × nprobe values — tiny by construction)
+    val probed = shortlist.select("cluster").distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0)))
+    val scored = rows
+      .filter(col("ivf_cluster").isin(probed: _*))
+      .withColumn("__nrm", nrm(col(vecCol)))
+      .join(broadcast(shortlist), col("ivf_cluster") === col("cluster"))
+      .select(col("anchor_id"),
+        (Dedup.dotExact(col(vecCol), col("__avec")) /
+          (col("__nrm") * col("__anrm"))).as("__cos"),
+        col(idCol))
+    rankedFromTopK(scored, idCol, k)
+  }
+
   /** IVF ANN over the TRAINED quantizer (closing the loop the plain
     * [[ivfTopK]] leaves open — there the cluster column pre-exists): rank
     * the trained centroids by cosine to the query, keep `nprobe`, then

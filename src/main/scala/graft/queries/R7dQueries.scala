@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{LmSignals, TextAnalysis, WebFilters}
+import graft.ops.{LmSignals, Similarity, TextAnalysis, WebFilters}
 
 /** The COMPLETE Gopher repetition table (Rae et al. 2021 A1.1) under the
   * DuckDB gate: top 2/3/4-gram char fractions, duplicate 5…10-gram char
@@ -265,6 +265,69 @@ object R7dQueries {
           |       WHEN a.lm_score >= t_lo THEN 'middle'
           |       ELSE 'tail' END AS bucket
           |FROM allscored a CROSS JOIN thr
-          |ORDER BY a.doc_id""".stripMargin))
+          |ORDER BY a.doc_id""".stripMargin)),
+
+    Q("sim_ivf_probe_batch",
+      "Batch serving from the at-rest IVF layout — the shape a training " +
+        "job actually uses (one index scan per anchor BATCH, not a " +
+        "probe per anchor): per-anchor nprobe shortlists against the " +
+        "PERSISTED centroids on the tiny clusters x anchors relation, " +
+        "the scan pruned to the UNION of probed cluster partitions, " +
+        "each row scored only against the anchors probing its cluster " +
+        "(broadcast shortlist + TopKByKey, <=k rows per task-anchor " +
+        "cross the exchange). Oracle replays the unrolled Lloyd chain, " +
+        "all four shortlists and the per-anchor rankings.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_ivf_pbatch_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Similarity.ivfWriteLayout(emb, "vec_id", "embedding", path,
+          kClusters = R5Queries.K, iters = R5Queries.ITERS)
+        Similarity.ivfProbeLayoutBatch(s, path, Seq(0L, 1L, 2L, 3L),
+            k = 10, nprobe = 2)
+          .orderBy("anchor_id", "rank")
+      },
+      Some {
+        val aFinal = s"a${R5Queries.ITERS + 1}"
+        def dotSql(a: String, b: String): String =
+          s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+        s"""WITH ${R5Queries.kmeansCtesOn("embeddings")},
+           |anchors AS (
+           |  SELECT vec_id AS anchor_id, embedding AS ae FROM embeddings
+           |  WHERE vec_id IN (0, 1, 2, 3)),
+           |na AS (
+           |  SELECT anchor_id, greatest(sqrt(${dotSql("ae", "ae")}), 1e-30) AS nrm
+           |  FROM anchors, generate_series(1, 64) g(i) GROUP BY anchor_id),
+           |ne AS (
+           |  SELECT vec_id,
+           |    greatest(sqrt(${dotSql("embedding", "embedding")}), 1e-30) AS nrm
+           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+           |adots AS (
+           |  SELECT a.anchor_id, e.vec_id, ${dotSql("e.embedding", "a.ae")} AS dot
+           |  FROM embeddings e CROSS JOIN anchors a,
+           |       generate_series(1, 64) g(i)
+           |  GROUP BY a.anchor_id, e.vec_id),
+           |cdot AS (
+           |  SELECT a.anchor_id, c.cluster,
+           |    cast(sum(cast(c.c * a.ae[c.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE) AS dot,
+           |    sqrt(cast(sum(cast(c.c * c.c AS DECIMAL(38,14))) AS DOUBLE)) AS cn
+           |  FROM c${R5Queries.ITERS} c CROSS JOIN anchors a
+           |  GROUP BY a.anchor_id, c.cluster),
+           |short AS (
+           |  SELECT anchor_id, cluster FROM cdot JOIN na USING (anchor_id)
+           |  QUALIFY row_number() OVER (PARTITION BY anchor_id
+           |    ORDER BY dot / (cn * na.nrm) DESC, cluster) <= 2)
+           |SELECT anchor_id, rank, vec_id, cos_sim FROM (
+           |  SELECT d.anchor_id, d.vec_id,
+           |    d.dot / (ne.nrm * na.nrm) AS cos_sim,
+           |    row_number() OVER (PARTITION BY d.anchor_id
+           |      ORDER BY d.dot / (ne.nrm * na.nrm) DESC, d.vec_id) AS rank
+           |  FROM adots d JOIN ne USING (vec_id) JOIN na USING (anchor_id)
+           |       JOIN $aFinal ass USING (vec_id)
+           |       JOIN short s ON s.anchor_id = d.anchor_id
+           |                  AND s.cluster = ass.cluster)
+           |WHERE rank <= 10
+           |ORDER BY anchor_id, rank""".stripMargin
+      })
   )
 }

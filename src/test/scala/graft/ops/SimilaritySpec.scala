@@ -336,6 +336,37 @@ class SimilaritySpec extends SparkSpec {
     assert(probe.collect().nonEmpty)
   }
 
+  test("ivfProbeLayoutBatch: per-anchor results equal the single-anchor " +
+      "layout probe; the scan prunes to the probed-cluster union") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pb")
+      .toString + "/emb"
+    Similarity.ivfWriteLayout(emb, "vec_id", "embedding", dir,
+      kClusters = 4, iters = 2)
+    val anchors = Seq(0L, 3L, 7L)
+    val batch = Similarity.ivfProbeLayoutBatch(spark, dir, anchors,
+        k = 5, nprobe = 2)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq).toMap
+    for (a <- anchors) {
+      val single = Similarity.ivfProbeLayout(spark, dir,
+          Similarity.vectorOf(emb, "vec_id", "embedding", a), k = 5,
+          nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(a) == single, s"anchor $a: batch probe diverged")
+    }
+    // partition pruning: one anchor, one probed cluster -> one selected
+    // partition at the scan
+    val probe = Similarity.ivfProbeLayoutBatch(spark, dir, Seq(0L),
+      k = 5, nprobe = 1)
+    probe.collect()
+    val selected = org.apache.spark.sql.graft.Shims
+      .scanSelectedPartitionCount(probe.queryExecution.executedPlan)
+    assert(selected.contains(1),
+      s"batch probe must prune to the probed-cluster union, got $selected")
+  }
+
   test("ivfTrainedTopK with nprobe=kClusters equals brute force exactly") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
     val q = Similarity.vectorOf(emb, "vec_id", "embedding", 3L)
