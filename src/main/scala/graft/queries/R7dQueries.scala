@@ -328,6 +328,39 @@ object R7dQueries {
            |                  AND s.cluster = ass.cluster)
            |WHERE rank <= 10
            |ORDER BY anchor_id, rank""".stripMargin
-      })
+      }),
+
+    Q("stream_ivf",
+      "Structured Streaming maintains the at-rest IVF layout: the base " +
+        "slice (vec_id % 4 <> 1) bootstraps the quantizer and batch 0; " +
+        "the embedding file stream then appends the held-out quarter " +
+        "via foreachBatch + ivfAppendLayout, assigned with the " +
+        "PERSISTED centroids under the micro-batch id. Streaming " +
+        "replays a failed micro-batch under the SAME id and the append " +
+        "retry rewrites exactly its own batch subtree — exactly-once " +
+        "index maintenance, the stream_index contract on the vector " +
+        "side. Serving the streamed layout == one assignment pass over " +
+        "the union, so the sim_ivf_append oracle applies verbatim.",
+      (s, d) => {
+        val path = graft.streaming.EventStream.runIvfIngestStream(
+          s, d,
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+            "/graft_stream_ivf_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
+          kClusters = R5Queries.K, iters = R5Queries.ITERS)
+        val q = Similarity.vectorOf(Tables.embeddings(s, d),
+          "vec_id", "embedding", 0L)
+        Similarity.ivfProbeLayout(s, path, q, k = 10, nprobe = 2)
+      },
+      Some(
+        s"""WITH tr AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 1),
+           |${R5Queries.kmeansCtesOn("tr")},
+           |${R5Queries.ivfProbeCtes(nprobe = 2)}
+           |SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+           |FROM dots d JOIN ne USING (vec_id)
+           |     JOIN a${R5Queries.ITERS + 1} ass USING (vec_id), nq
+           |WHERE ass.cluster IN (SELECT cluster FROM short)
+           |ORDER BY cos_sim DESC, d.vec_id
+           |LIMIT 10""".stripMargin))
   )
 }

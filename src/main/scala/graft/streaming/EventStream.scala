@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.Retrieval
+import graft.ops.{Retrieval, Similarity}
 
 /** Structured Streaming surface (SURVEY.md §2.9 — extension surface; the
   * reference is batch-only, the `events` fixture enables the demo).
@@ -307,6 +307,49 @@ object EventStream {
         .outputMode("append")
         .foreachBatch { (df: DataFrame, id: Long) =>
           Retrieval.appendToIndex(df, "doc_id", "text", path, batchId = id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
+  /** Streaming VECTOR-index ingest: embedding file stream →
+    * `foreachBatch` → [[graft.ops.Similarity.ivfAppendLayout]], the
+    * micro-batch id as the layout batch id — the
+    * [[runIndexIngestStream]] pattern applied to the IVF layout. The
+    * quantizer is the index's identity, so the layout is BOOTSTRAPPED
+    * first (train + write the base slice as batch 0 with the persisted
+    * centroids); the stream then assigns each arriving micro-batch with
+    * those same centroids and appends it — no retraining, no table
+    * rewrite, per-ingest cost ∝ the batch. Idempotency composes exactly
+    * as on the text index: streaming replays a failed micro-batch under
+    * the SAME id, the append retry rewrites exactly its own `batch=<id>`
+    * subtree and re-marks it, and an empty micro-batch writes a legal
+    * schema-bearing empty unit. Serving the streamed layout ≡ one
+    * assignment pass over the union (the SimilaritySpec append
+    * contract), which lets the `stream_ivf` query reuse the
+    * sim_ivf_append oracle shape verbatim.
+    *
+    * `bootstrapFilter`/`streamFilter` split the fixture table into the
+    * trained base and the streamed remainder; returns the layout path
+    * for [[graft.ops.Similarity.ivfProbeLayout]] serving.
+    */
+  def runIvfIngestStream(spark: SparkSession, sfDir: String, path: String,
+                         kClusters: Int, iters: Int): String =
+    withStatePartitions(spark) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Similarity.ivfWriteLayout(emb.filter(col("vec_id") % 4 =!= 1),
+        "vec_id", "embedding", path, kClusters, iters)
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          Similarity.ivfAppendLayout(df.filter(col("vec_id") % 4 === 1),
+            "vec_id", "embedding", path, batchId = id + 1)
         }
         .start()
       try q.processAllAvailable()

@@ -41,6 +41,33 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming IVF ingest serves identically to batch-maintained " +
+      "layout (bootstrap + append), which serves as one assignment pass") {
+    val sf = graft.SparkSpec.Sf0001
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.ops.Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    def probe(path: String) =
+      graft.ops.Similarity.ivfProbeLayout(spark, path, q, k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // streamed: bootstrap on 3/4, stream the held-out quarter
+    val streamed = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivf_spec").toString + "/emb"
+    EventStream.runIvfIngestStream(spark, sf, streamed,
+      kClusters = 4, iters = 2)
+    // batch-maintained twin: same bootstrap, same quarter via
+    // ivfAppendLayout directly
+    val batch = java.nio.file.Files
+      .createTempDirectory("graft_batch_ivf_spec").toString + "/emb"
+    graft.ops.Similarity.ivfWriteLayout(
+      emb.filter(emb("vec_id") % 4 =!= 1), "vec_id", "embedding", batch,
+      kClusters = 4, iters = 2)
+    graft.ops.Similarity.ivfAppendLayout(
+      emb.filter(emb("vec_id") % 4 === 1), "vec_id", "embedding", batch,
+      batchId = 1L)
+    assert(probe(streamed) == probe(batch),
+      "streamed layout must serve exactly like its batch-maintained twin")
+  }
+
   test("streaming foreachBatch + idempotent append is exactly-once across a " +
       "crash between staging and publish, and across restarts") {
     val sf = graft.SparkSpec.Sf0001
