@@ -197,6 +197,30 @@ object Curation {
     df.filter(hashBucket(col(idCol)) <
       rateCase(strataCol, rates, defaultRate) * 65536)
 
+  /** Quality-weighted SOFT sampling (the FineWeb/DCLM-style soft
+    * filter): instead of a hard keep/drop threshold on the quality
+    * score, every row keeps with probability `minRate + (maxRate −
+    * minRate) · clamp(score, 0, 1)` — low-quality text is DOWNSAMPLED,
+    * not erased (hard thresholds throw away the distribution tail a
+    * model still needs some exposure to), and high-quality text is
+    * kept at up to `maxRate`. The coin is the deterministic
+    * [[hashBucket]] (no RNG state, stable across retries and engines);
+    * the rate is pure +/× arithmetic on the score (no pow — a libm
+    * fractional exponent could drift an ulp across engines and flip a
+    * boundary decision), so the whole decision is a scan-stage filter
+    * that pushes down like any other predicate.
+    */
+  def qualityWeightedSample(df: DataFrame, idCol: String, score: Column,
+                            minRate: Double, maxRate: Double): DataFrame = {
+    require(minRate >= 0 && maxRate <= 1 && minRate <= maxRate,
+      "0 <= minRate <= maxRate <= 1")
+    val rate = (lit(minRate) +
+      (lit(maxRate) - lit(minRate)) *
+        least(greatest(score, lit(0.0)), lit(1.0))).as("rate")
+    df.withColumn("rate", rate)
+      .filter(hashBucket(col(idCol)) < col("rate") * 65536)
+  }
+
   /** Per-stratum rate as a literal CASE over the (tiny) rate map —
     * shared by [[stratifiedSample]] and [[epochUpsample]] so rate
     * semantics can never drift between the two.

@@ -103,6 +103,28 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
 
+  /** Survivor-selection POLICY over dedup clusters: keep the BEST row
+    * per cluster by `score` (ties to the lowest id) instead of the
+    * min-id default — what a production dedup actually ships (when a
+    * near-dup cluster collapses, keep the highest-quality copy; cf. the
+    * RefinedWeb/FineWeb keep-best convention). `cc` is the (id, label)
+    * relation [[connectedComponents]] emits; `docs` supplies the score
+    * column. The ranking window partitions by CLUSTER, whose width is
+    * bounded by cluster size (mass-duplicate floods are chained by the
+    * banding df-cap upstream), never by the corpus; the docs join is
+    * id-keyed. Output: (id, cluster, score, is_survivor) for every
+    * clustered row.
+    */
+  def survivorsByScore(cc: DataFrame, docs: DataFrame, idCol: String,
+                       score: Column): DataFrame = {
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("score").desc, col(idCol))
+    cc.select(col("id").as(idCol), col("label").as("cluster"))
+      .join(docs.select(col(idCol), score.as("score")), idCol)
+      .withColumn("is_survivor", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster"), col("score"), col("is_survivor"))
+  }
+
   /** Exact dedup: keep the minimum-id row per key (deterministic, unlike
     * dropDuplicates' arbitrary winner). One shuffle on the key.
     */

@@ -67,7 +67,7 @@ object R7Queries {
     * emitted as a scalar SQL expression (the established feature mix:
     * length, punctuation ratio, stopword ratio).
     */
-  private def qualitySql(c: String): String =
+  private[queries] def qualitySql(c: String): String =
     s"""(least(length($c) / 500.0::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
        |  + (1.0::DOUBLE -
        |     CASE WHEN length($c) = 0 THEN 0.0::DOUBLE

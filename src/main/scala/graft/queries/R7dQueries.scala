@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{LmSignals, Similarity, TextAnalysis, WebFilters}
+import graft.ops.{Curation, Dedup, LmSignals, Similarity, TextAnalysis, WebFilters}
 
 /** The COMPLETE Gopher repetition table (Rae et al. 2021 A1.1) under the
   * DuckDB gate: top 2/3/4-gram char fractions, duplicate 5…10-gram char
@@ -361,6 +361,69 @@ object R7dQueries {
            |     JOIN a${R5Queries.ITERS + 1} ass USING (vec_id), nq
            |WHERE ass.cluster IN (SELECT cluster FROM short)
            |ORDER BY cos_sim DESC, d.vec_id
-           |LIMIT 10""".stripMargin))
+           |LIMIT 10""".stripMargin)),
+
+    Q("dedup_survivor",
+      "Survivor-selection POLICY over near-dup clusters: when a MinHash " +
+        "cluster collapses, keep the HIGHEST-QUALITY copy (ties to the " +
+        "lowest id) instead of the min-id default — the RefinedWeb/" +
+        "FineWeb keep-best convention. Same candidate pairs and " +
+        "connected components as dedup_cluster; the ranking window " +
+        "partitions by CLUSTER (width bounded by cluster size, never " +
+        "the corpus) and the quality join is id-keyed. Oracle: the " +
+        "recursive-CTE components + the ta_quality score + row_number.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.survivorsByScore(cc, docs, "doc_id",
+            TextAnalysis.qualityScore(col("text")))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE ${ExtQueries.minhashPairCtes},
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS lab FROM edges
+           |  UNION
+           |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+           |cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+           |sc AS (
+           |  SELECT cc.id, cc.cluster,
+           |    ${R7Queries.qualitySql("d.text")} AS score
+           |  FROM cc JOIN documents d ON d.doc_id = cc.id)
+           |SELECT id AS doc_id, cluster, score,
+           |  row_number() OVER (PARTITION BY cluster
+           |    ORDER BY score DESC, id) = 1 AS is_survivor
+           |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_soft_sample",
+      "Quality-weighted SOFT sampling (the FineWeb/DCLM soft filter): " +
+        "every doc keeps with probability minRate + (maxRate-minRate) x " +
+        "clamp(quality, 0, 1) — low-quality text is DOWNSAMPLED rather " +
+        "than erased, high-quality capped at maxRate. The coin is the " +
+        "deterministic md5 hash bucket (doc_sample's), the rate pure " +
+        "+/x arithmetic on the score (no pow: libm exponent drift could " +
+        "flip a boundary decision) — the whole decision is a pushed-" +
+        "down scan filter at any corpus size.",
+      (s, d) => Curation.qualityWeightedSample(Tables.documents(s, d),
+          "doc_id", TextAnalysis.qualityScore(col("text")),
+          minRate = 0.1, maxRate = 0.9)
+        .select("doc_id", "lang", "rate")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH r AS (
+           |  SELECT doc_id, lang,
+           |    0.1::DOUBLE + (0.9::DOUBLE - 0.1::DOUBLE) *
+           |      least(greatest(${R7Queries.qualitySql("text")},
+           |                     0.0::DOUBLE), 1.0::DOUBLE) AS rate
+           |  FROM documents)
+           |SELECT doc_id, lang, rate FROM r
+           |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+           |      < rate * 65536
+           |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -293,6 +293,33 @@ class CurationSpec extends SparkSpec {
     assert(up.exceptAll(again).isEmpty && again.exceptAll(up).isEmpty)
   }
 
+  test("qualityWeightedSample: rate bounds hold, keep decisions are " +
+      "deterministic and monotone in the score") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 200L).map(i => (i, (i % 100) / 100.0))
+      .toDF("doc_id", "q")
+    val kept = Curation.qualityWeightedSample(docs, "doc_id", col("q"),
+      minRate = 0.1, maxRate = 0.9)
+    val rows = kept.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // rates live in [minRate, maxRate]
+    assert(rows.forall { case (_, r) => r >= 0.1 && r <= 0.9 })
+    // deterministic across runs
+    assert(Curation.qualityWeightedSample(docs, "doc_id", col("q"),
+        0.1, 0.9).collect().map(_.getLong(0)).toSeq ==
+      rows.map(_._1).toSeq)
+    // monotone per id: everything kept at rate r survives at rate r'>r
+    // (same hash coin) — raise both bounds and compare
+    val keptHigher = Curation.qualityWeightedSample(docs, "doc_id",
+        col("q"), 0.5, 1.0).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet.subsetOf(keptHigher))
+    // score clamp: negative and >1 scores stay in bounds, never throw
+    val wild = Seq((1L, -5.0), (2L, 7.0)).toDF("doc_id", "q")
+    val wr = Curation.qualityWeightedSample(wild, "doc_id", col("q"),
+      0.0, 1.0).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!wr.contains(1L) || wr(1L) == 0.0) // rate 0 keeps nothing
+    assert(wr.get(2L).forall(_ == 1.0))
+  }
+
   test("epochUpsample plan is shuffle-free (map-stage expansion)") {
     val df = spark.range(100).toDF("id").withColumn("src", lit("a"))
     val plan = Curation.epochUpsample(df, "src", "id", Map("a" -> 2.5), 1.0)

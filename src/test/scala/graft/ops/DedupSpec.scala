@@ -153,6 +153,21 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("survivorsByScore keeps the best-quality row per cluster, ties to " +
+      "the lowest id — not the min-id default") {
+    import org.apache.spark.sql.functions.col
+    // clusters {1,2,3} and {10,11}; scores make 2 win the first cluster
+    // and 10/11 tie (lowest id 10 must win)
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "label")
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (10L, 0.7), (11L, 0.7))
+      .toDF("doc_id", "q")
+    val got = Dedup.survivorsByScore(cc, docs, "doc_id", col("q"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false,
+      10L -> true, 11L -> false))
+  }
+
   test("dedupLines drops cross-doc boilerplate, keeps in-doc repetition and order") {
     val df = Seq(
       (1L, "COOKIE BANNER\nbody one\nbody one\nFOOTER"),
