@@ -531,7 +531,8 @@ object Similarity {
     */
   def ivfProbeLayout(spark: SparkSession, path: String, query: Seq[Float],
                      k: Int, nprobe: Int, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     pred: Column = lit(true)): DataFrame = {
     val qd = query.map(_.toDouble)
     val clusters = spark.read.parquet(centroidsPath(path))
       .select(col("cluster"),
@@ -545,8 +546,12 @@ object Similarity {
     servedRows(spark, path, idCol, state)
       // both are partition columns: uncommitted/superseded batches and
       // non-probed clusters prune at the scan, before any file opens
-      // (the cluster predicate pushes below the tombstone anti-join)
+      // (the cluster predicate pushes below the tombstone anti-join);
+      // `pred` (metadata-filtered ANN, see ivfTrainedTopKFiltered) is a
+      // data predicate on the same scan — a parquet PushedFilter inside
+      // the surviving nprobe directories, spec-pinned
       .filter(col("ivf_cluster").isin(clusters.map(Integer.valueOf): _*))
+      .filter(pred)
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
@@ -631,7 +636,30 @@ object Similarity {
 
   def ivfTrainedTopK(emb: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Float], k: Int, nprobe: Int,
-                     kClusters: Int, iters: Int): DataFrame = {
+                     kClusters: Int, iters: Int): DataFrame =
+    ivfTrainedTopKFiltered(emb, idCol, vecCol, lit(true), query, k,
+      nprobe, kClusters, iters)
+
+  /** Metadata-FILTERED ANN over the trained quantizer: top-k among only
+    * the rows satisfying `pred` — PRE-filter semantics (the predicate
+    * restricts the candidate set before ranking), never the post-filter
+    * truncation that silently returns fewer, worse neighbors. The
+    * quantizer is trained on the FULL corpus: one index serves every
+    * query's predicate, so the filter never forces a rebuild. The
+    * predicate is an ordinary Catalyst filter on the probed rows —
+    * pushed below the shortlist semi-join to the scan here, and on the
+    * at-rest layout ([[ivfProbeLayout]]'s `pred`) it composes with
+    * partition pruning: the scan opens only nprobe cluster directories
+    * AND applies the predicate as a parquet PushedFilter inside them.
+    * A highly selective predicate thins the probed clusters; callers
+    * raise `nprobe` to restore recall (the standard filtered-ANN
+    * trade-off — [[recallAtK]] gates it the same way as the unfiltered
+    * indexes).
+    */
+  def ivfTrainedTopKFiltered(emb: DataFrame, idCol: String, vecCol: String,
+                             pred: Column, query: Seq[Float], k: Int,
+                             nprobe: Int, kClusters: Int,
+                             iters: Int): DataFrame = {
     val spark = emb.sparkSession
     val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
     val qd = query.map(_.toDouble)
@@ -643,7 +671,7 @@ object Similarity {
       .orderBy(col("ccos").desc, col("cluster"))
       .limit(nprobe)
       .select("cluster")
-    val assigned = emb.withColumn("__g_cluster",
+    val assigned = emb.filter(pred).withColumn("__g_cluster",
       nearestCluster(col(vecCol), cents))
     assigned.join(broadcast(shortlist),
         assigned("__g_cluster") === shortlist("cluster"), "left_semi")

@@ -424,6 +424,37 @@ object R7dQueries {
            |SELECT doc_id, lang, rate FROM r
            |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
            |      < rate * 65536
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    Q("sim_ivf_filtered",
+      "Metadata-FILTERED ANN (every production vector store's WHERE " +
+        "clause): top-k among only the rows passing a predicate " +
+        "(label = 3), probed through the SAME trained quantizer as " +
+        "sim_ivf_trained — one index serves every predicate, and the " +
+        "filter PRE-restricts the candidate set (never post-truncates " +
+        "a ranked list). The predicate is an ordinary Catalyst filter " +
+        "pushed below the shortlist semi-join; on the at-rest layout " +
+        "it lands in the SAME scan as the partition pruning (nprobe " +
+        "dirs opened, label as a parquet PushedFilter inside them — " +
+        "spec-pinned). Oracle: sim_ivf_trained's unrolled-Lloyd CTE " +
+        "chain plus the label restriction.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.ivfTrainedTopKFiltered(emb, "vec_id", "embedding",
+          col("label") === 3, q, k = 10, nprobe = 2,
+          kClusters = R5Queries.K, iters = R5Queries.ITERS)
+      },
+      Some(
+        s"""WITH ${R5Queries.kmeansCtesOn("embeddings")},
+           |${R5Queries.ivfProbeCtes(nprobe = 2)}
+           |SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+           |FROM dots d JOIN ne USING (vec_id)
+           |     JOIN a${R5Queries.ITERS + 1} ass USING (vec_id)
+           |     JOIN embeddings e ON e.vec_id = d.vec_id, nq
+           |WHERE ass.cluster IN (SELECT cluster FROM short)
+           |  AND e.label = 3
+           |ORDER BY cos_sim DESC, d.vec_id
+           |LIMIT 10""".stripMargin))
   )
 }

@@ -158,6 +158,50 @@ class SimilaritySpec extends SparkSpec {
     assert(got == trained)
   }
 
+  test("filtered ANN: predicate pre-restricts candidates (full probe == " +
+      "brute force over the filtered corpus); the layout probe composes " +
+      "partition pruning with a pushed label filter in one scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // nprobe = kClusters: the filter is the only restriction, so the
+    // result must equal brute force over the pre-filtered corpus
+    val full = rows(Similarity.ivfTrainedTopKFiltered(emb, "vec_id",
+      "embedding", col("label") === 3, q, k = 5, nprobe = 4,
+      kClusters = 4, iters = 2))
+    val brute = rows(Similarity.bruteForceTopK(
+      emb.filter(col("label") === 3), "vec_id", "embedding", q, k = 5))
+    assert(full == brute)
+    assert(full.nonEmpty)
+    // and every survivor actually carries the filtered label
+    val l3 = emb.filter(col("label") === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(full.forall { case (id, _) => l3.contains(id) })
+
+    // at-rest layout: the SAME scan prunes to nprobe cluster dirs AND
+    // pushes the label predicate into the parquet reader
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_filt")
+      .toString + "/emb"
+    Similarity.ivfWriteLayout(emb, "vec_id", "embedding", dir,
+      kClusters = 4, iters = 2)
+    val probe = Similarity.ivfProbeLayout(spark, dir, q, k = 5, nprobe = 2,
+      pred = col("label") === 3)
+    val got = rows(probe)
+    val selected = org.apache.spark.sql.graft.Shims
+      .scanSelectedPartitionCount(probe.queryExecution.executedPlan)
+    assert(selected.contains(2), s"expected 2 pruned partitions, got $selected")
+    val ptxt = probe.queryExecution.executedPlan.toString
+    assert(ptxt.contains("PushedFilters") && ptxt.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the layout scan:\n$ptxt")
+    // parity with the in-memory filtered probe at the same params
+    val mem = rows(Similarity.ivfTrainedTopKFiltered(emb, "vec_id",
+      "embedding", col("label") === 3, q, k = 5, nprobe = 2,
+      kClusters = 4, iters = 2))
+    assert(got == mem)
+  }
+
   test("ivfAppendLayout: appended batch becomes part of the served index; " +
       "a crashed (unmarked) batch is invisible; same-id retry heals") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
