@@ -455,6 +455,51 @@ object R7dQueries {
            |WHERE ass.cluster IN (SELECT cluster FROM short)
            |  AND e.label = 3
            |ORDER BY cos_sim DESC, d.vec_id
-           |LIMIT 10""".stripMargin))
+           |LIMIT 10""".stripMargin)),
+
+    Q("sim_recall_filtered",
+      "Recall@10 gate for the FILTERED probe: exact brute force over " +
+        "the pre-filtered corpus (label = 3) vs the filtered " +
+        "nprobe = 2 probe, intersected. This is the trade-off the " +
+        "filtered-ANN doc names made measurable: a selective predicate " +
+        "thins the probed clusters, and this number tells callers " +
+        "whether to raise nprobe. The oracle replays the unrolled-" +
+        "Lloyd chain, both filtered rankings, and the intersection — " +
+        "the same shared CTE helpers as sim_ivf_filtered, so the gate " +
+        "and the gated query can never drift.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val exact = Similarity.bruteForceTopK(
+          emb.filter(col("label") === 3), "vec_id", "embedding", q, 10)
+        val approx = Similarity.ivfTrainedTopKFiltered(emb, "vec_id",
+          "embedding", col("label") === 3, q, k = 10, nprobe = 2,
+          kClusters = R5Queries.K, iters = R5Queries.ITERS)
+        Similarity.recallAtK(exact, approx, "vec_id", 10)
+      },
+      Some(
+        s"""WITH ${R5Queries.kmeansCtesOn("embeddings")},
+           |${R5Queries.ivfProbeCtes(nprobe = 2)},
+           |exact AS (
+           |  SELECT d.vec_id
+           |  FROM dots d JOIN ne USING (vec_id)
+           |       JOIN embeddings e ON e.vec_id = d.vec_id, nq
+           |  WHERE e.label = 3
+           |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10),
+           |approx AS (
+           |  SELECT d.vec_id
+           |  FROM dots d JOIN ne USING (vec_id)
+           |       JOIN a${R5Queries.ITERS + 1} ass USING (vec_id)
+           |       JOIN embeddings e ON e.vec_id = d.vec_id, nq
+           |  WHERE ass.cluster IN (SELECT cluster FROM short)
+           |    AND e.label = 3
+           |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10)
+           |SELECT CAST(10 AS BIGINT) AS k,
+           |  count(*) AS hits,
+           |  CASE WHEN (SELECT count(*) FROM exact) > 0
+           |    THEN CAST(count(*) AS DOUBLE) /
+           |         (SELECT count(*) FROM exact)
+           |    ELSE 0.0 END AS recall
+           |FROM approx JOIN exact USING (vec_id)""".stripMargin))
   )
 }
