@@ -25,11 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark cannot read natively — with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench
-    * sessions) it arrives as a nanosecond long; normalize to a proper
-    * TIMESTAMP (microsecond floor, matching DuckDB's ns→µs truncation).
+  /** The events fixture's `ts` physical type has varied across driver
+    * data generations: parquet TIMESTAMP(NANOS) (readable only as a
+    * nanosecond long under `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set by Verify/Bench sessions) and timezone-naive TIMESTAMP(MICROS)
+    * (which Spark reads as TIMESTAMP_NTZ — a type `unix_micros`,
+    * watermarks and streaming event time all reject). Normalize both to
+    * the session-zone TIMESTAMP. Every session pins
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast preserves the
+    * stored microsecond values exactly — the same instants DuckDB sees
+    * reading the naive column.
     */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(table(s, d, "events"))
@@ -40,6 +45,10 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

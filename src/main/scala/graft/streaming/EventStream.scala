@@ -129,13 +129,22 @@ object EventStream {
       .start()
     try {
       q.processAllAvailable()
-      // watermark flush: one far-future row (raw schema: ts is int64
-      // nanos pre-normalizeTs) closes every real session
-      val maxNs = spark.read.parquet(src.toString)
-        .agg(max(col("ts"))).head().getLong(0)
-      val farNs = maxNs + 366L * 24 * 3600 * 1000000000L
+      // watermark flush: one far-future row closes every real session.
+      // The flush value must match the RAW file schema (pre-normalizeTs),
+      // whose ts physical type varies by driver data generation — int64
+      // nanos or naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+      val maxRaw = spark.read.parquet(src.toString)
+        .agg(max(col("ts"))).head().get(0)
+      val farTs: Any = maxRaw match {
+        case ns: java.lang.Long => ns + 366L * 24 * 3600 * 1000000000L
+        case ldt: java.time.LocalDateTime => ldt.plusDays(366)
+        case t: java.sql.Timestamp =>
+          java.sql.Timestamp.from(t.toInstant.plus(java.time.Duration.ofDays(366)))
+        case other => throw new IllegalStateException(
+          s"unexpected raw ts type: ${other.getClass}")
+      }
       val flush = spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(-1L, farNs, -1L, "flush", 0.0, "{}")),
+        java.util.List.of(org.apache.spark.sql.Row(-1L, farTs, -1L, "flush", 0.0, "{}")),
         schema)
       flush.coalesce(1).write.mode("append").parquet(dir.toString)
       q.processAllAvailable()
