@@ -566,4 +566,53 @@ object Retrieval {
       .agg(count(lit(1)).as("__tf")))
     score(tf, idCol, stats, topK)
   }
+
+  /** Attach 1-based ranks to an ALREADY top-k-bounded result: rank by
+    * `(scoreCol desc, idCol asc)` — the total order every ranked query in
+    * this library emits. The single-partition window is deliberate and
+    * safe ONLY because the input is ≤ k rows (a TakeOrderedAndProject
+    * output); never call this on a corpus-sized relation — rank the
+    * bounded top-k, not the corpus.
+    */
+  def rankBounded(topk: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    topk.withColumn("rank",
+      row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    * the standard hybrid-retrieval combiner (sparse BM25 + dense ANN, the
+    * RAG-curation primitive): each list contributes `1/(rrfK + rank)` and
+    * a document's fused score is the sum over the lists that retrieved
+    * it. Rank-based fusion needs no score calibration between the
+    * modalities, which is exactly why production systems prefer it to
+    * score interpolation.
+    *
+    * Inputs are (id, rank) relations with rank 1..k (see [[rankBounded]]).
+    * Output: (id, rank_a, rank_b, rrf_score) for the fused top-k,
+    * score-desc / id-asc; an id absent from one list simply contributes a
+    * single addend (outer-join semantics) and carries a NULL rank for
+    * that side.
+    *
+    * Plan shape at 100 TB: the expensive work is the two retrievals,
+    * each already a bounded top-k produced by one corpus/index scan; the
+    * fusion itself joins two ≤k-row relations — driver-trivial at any
+    * corpus size. Score portability: each addend is ONE double division
+    * on integer inputs and the fused score is ONE double add of ≤2
+    * addends, spelled identically in the oracle — no accumulation-order
+    * ambiguity exists for a two-term sum.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    val ra = a.select(col(idCol), col("rank").as("rank_a"))
+    val rb = b.select(col(idCol), col("rank").as("rank_b"))
+    val addend = (r: Column) =>
+      coalesce(lit(1.0) / (lit(rrfK).cast("double") + r.cast("double")), lit(0.0))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        (addend(col("rank_a")) + addend(col("rank_b"))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }
