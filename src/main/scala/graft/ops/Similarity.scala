@@ -345,6 +345,91 @@ object Similarity {
     emb.withColumn(outCol, nearestCluster(col(vecCol), cents))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by trained
+    * k-means blocking — train the quantizer, score cosine pairs ONLY
+    * within each cluster, and drop every vector that has a "better"
+    * τ-close neighbor in its cluster. "Better" is the SemDeDup keep
+    * criterion: LOWER cosine to the cluster centroid (the survivor of
+    * each semantic-duplicate neighborhood is its most atypical member,
+    * preserving diversity), ties to the lower id. The rule is the
+    * EXISTS form — x is dropped iff some τ-close y beats it — so in a
+    * duplicate chain a⇠b⇠c the middle link b both drops (a beats it)
+    * and causes c to drop; exactly one extreme representative of every
+    * τ-connected neighborhood always survives.
+    *
+    * Plan shape at 100 TB: identical to [[graft.ops.Dedup.embeddingNearDups]]
+    * (which scores the pairs): nothing all-pairs — the join is blocked
+    * by the trained cluster, hot clusters split via `subBlocks`
+    * (1-Bucket-Theta replication), and the cheap double cosine prunes
+    * before the exact decimal rescore. The added machinery is one
+    * broadcast join against the (k × dims) centroid relation for the
+    * keep-criterion column and an id-keyed semi-join of the drop set —
+    * nothing new shuffles on the corpus.
+    *
+    * Output: one row per input vector — (id, cluster, cent_cos, kept),
+    * id-ascending.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    kClusters: Int, iters: Int, threshold: Double,
+                    subBlocks: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    // The trained means carry the JVM shortest-string double→decimal cast
+    // drift (Spark rounds BigDecimal.valueOf's 17-digit repr where DuckDB
+    // rounds the exact binary expansion — the discrepancy the BM25 score
+    // quantization exists for): measured, ~3% of centroid dims differ in
+    // the last ulp. cent_cos exposes centroid values directly, so pin
+    // them to the 1e-9 grid BEFORE any downstream math — a 9-digit
+    // double's decimal cast is exact in BOTH engines, making every
+    // assignment, dot and norm bit-identical by construction rather than
+    // probabilistically. 1e-9 is far below any semantic-duplicate
+    // threshold's meaningful resolution.
+    val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
+      .map(_.map(x => new java.math.BigDecimal(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue))
+    // feeds the pair join AND the keep-criterion/output projections —
+    // cache so assignment isn't recomputed from three corpus scans
+    val assigned = graft.core.Caches.track(
+      emb.select(col(idCol), col(vecCol))
+        .withColumn("__g_cluster", nearestCluster(col(vecCol), cents)))
+    // cent_cos via ORDERED double folds, not the decimal-cast dot: the
+    // fold runs WITHIN one row over array elements in fixed order, so
+    // plain double addition is bit-deterministic in any engine spelling
+    // the same left fold (oracle: list_reduce) — and it sidesteps the
+    // per-element double→decimal cast, whose rounding is NOT
+    // engine-portable for full-mantissa products (Spark rounds the
+    // shortest-string repr, DuckDB the exact binary value). The decimal
+    // idiom remains necessary only for cross-ROW sums, where Spark's
+    // partial-aggregation order is nondeterministic.
+    val dotOrd = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val withCc = assigned
+      .join(broadcast(centroidsDf(spark, cents)),
+        col("__g_cluster") === col("cluster"))
+      .select(col(idCol), col("cluster").cast("long").as("cluster"),
+        (dotOrd(col(vecCol), col("centroid")) /
+          (sqrt(dotOrd(col(vecCol), col(vecCol))) *
+            sqrt(dotOrd(col("centroid"), col("centroid")))))
+          .as("cent_cos"))
+    val pairs = Dedup.embeddingNearDups(assigned, idCol, vecCol,
+      "__g_cluster", threshold, subBlocks)
+    val cc = withCc.select(col(idCol).as("__cid"), col("cent_cos").as("__cc"))
+    // each τ-close pair drops its worse member (higher cent_cos; tie →
+    // higher id): the pair relation is the bounded near-dup set, and the
+    // two criterion lookups are id-keyed joins
+    val dropped = pairs
+      .join(cc.select(col("__cid").as("id_a"), col("__cc").as("__cc_a")), "id_a")
+      .join(cc.select(col("__cid").as("id_b"), col("__cc").as("__cc_b")), "id_b")
+      .select(when(col("__cc_a") < col("__cc_b") ||
+          (col("__cc_a") === col("__cc_b") && col("id_a") < col("id_b")),
+        col("id_b")).otherwise(col("id_a")).as("__dropped"))
+      .distinct()
+    withCc.join(dropped, withCc(idCol) === dropped("__dropped"), "left")
+      .select(withCc(idCol), col("cluster"), col("cent_cos"),
+        col("__dropped").isNull.as("kept"))
+      .orderBy(col(idCol))
+  }
+
   /** The IVF layout AT REST — the physical half of every "PARTITIONED BY
     * cluster" claim in this file: write the table partitioned by its
     * trained assignment (one directory per cluster) with the centroids

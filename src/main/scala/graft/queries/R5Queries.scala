@@ -39,12 +39,12 @@ object R5Queries {
     * runs over the full `embeddings` table (the [[Similarity.kmeansAssign]]
     * `train=` contract: train on a sample, assign the corpus).
     */
-  private[queries] def kmeansCtesOn(trainRel: String): String = {
+  private[queries] def kmeansCtesOn(trainRel: String, k: Int = K): String = {
     val seed =
       s"""seeds AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
          |         embedding
-         |  FROM (SELECT vec_id, embedding FROM $trainRel ORDER BY vec_id LIMIT $K)),
+         |  FROM (SELECT vec_id, embedding FROM $trainRel ORDER BY vec_id LIMIT $k)),
          |c0 AS (
          |  SELECT cluster, i, embedding[i]::DOUBLE AS c
          |  FROM seeds, generate_series(1, $DIMS) g(i))""".stripMargin

@@ -117,5 +117,88 @@ object R8Queries {
               |    AS rrf_score
               |FROM sparse s FULL OUTER JOIN dense dn ON s.doc_id = dn.vec_id
               |ORDER BY rrf_score DESC, doc_id
-              |LIMIT 10""".stripMargin)))
+              |LIMIT 10""".stripMargin)),
+
+    Q("dedup_semantic",
+      "SemDeDup (Abbas et al. 2023): semantic dedup by trained k-means " +
+        "blocking — 16 clusters, cosine pairs scored ONLY within a " +
+        "cluster, and each tau-close pair drops its member with the " +
+        "HIGHER cosine to the centroid (the survivor of every duplicate " +
+        "neighborhood is its most atypical member — the diversity-" +
+        "preserving keep rule). Same blocked pair-join shape as " +
+        "dedup_embedding (nothing all-pairs, subBlocks for hot " +
+        "clusters); the keep criterion adds one broadcast join against " +
+        "the kxdims centroid relation and an id-keyed semi-join.",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+        "vec_id", "embedding", kClusters = 16, iters = 2, threshold = 0.4),
+      Some {
+        val iters = R5Queries.ITERS
+        val cFin = s"c$iters"
+        // cq: the trained centroids pinned to the 1e-9 grid (see
+        // Similarity.semanticDedup — kills the shortest-string decimal
+        // cast drift in the means), and aq: the final full-corpus
+        // assignment recomputed AGAINST cq so both engines assign with
+        // the identical quantized quantizer (the helper's own final
+        // assignment uses the raw means and goes unreferenced).
+        s"""WITH ${R5Queries.kmeansCtesOn("embeddings", k = 16)},
+           |cq AS (
+           |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c
+           |  FROM $cFin),
+           |dq AS (
+           |  SELECT e.vec_id, c.cluster,
+           |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
+           |         AS DECIMAL(38,14))) AS DOUBLE) AS d
+           |  FROM embeddings e, cq c
+           |  GROUP BY e.vec_id, c.cluster),
+           |aq AS (
+           |  SELECT vec_id, cluster FROM dq
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+           |cent_arr AS (
+           |  SELECT cluster, list(c ORDER BY i) AS cv FROM cq GROUP BY cluster),
+           |ne2 AS (
+           |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+           |ccos AS (
+           |  SELECT e.vec_id, a.cluster,
+           |    list_reduce(list_transform(generate_series(1, 64),
+           |        i -> e.embedding[i]::DOUBLE * ca.cv[i]), (x, y) -> x + y)
+           |      / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y))
+           |         * sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |             i -> ca.cv[i] * ca.cv[i]), (x, y) -> x + y)))
+           |      AS cent_cos
+           |  FROM embeddings e
+           |  JOIN aq a USING (vec_id)
+           |  JOIN cent_arr ca ON ca.cluster = a.cluster),
+           |prs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM aq a JOIN aq b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+           |pdots AS (
+           |  SELECT p.id_a, p.id_b,
+           |    cast(sum(cast(ea.embedding[g.i]::DOUBLE * eb.embedding[g.i]::DOUBLE
+           |      AS DECIMAL(38,14))) AS DOUBLE) AS dot
+           |  FROM prs p
+           |  JOIN embeddings ea ON ea.vec_id = p.id_a
+           |  JOIN embeddings eb ON eb.vec_id = p.id_b,
+           |  generate_series(1, 64) g(i)
+           |  GROUP BY p.id_a, p.id_b),
+           |clse AS (
+           |  SELECT id_a, id_b FROM pdots
+           |  JOIN ne2 na ON na.vec_id = id_a
+           |  JOIN ne2 nb ON nb.vec_id = id_b
+           |  WHERE dot / (na.nrm * nb.nrm) >= 0.4),
+           |dropped AS (
+           |  SELECT DISTINCT
+           |    CASE WHEN ca.cent_cos < cb.cent_cos
+           |           OR (ca.cent_cos = cb.cent_cos AND id_a < id_b)
+           |         THEN id_b ELSE id_a END AS d
+           |  FROM clse
+           |  JOIN ccos ca ON ca.vec_id = clse.id_a
+           |  JOIN ccos cb ON cb.vec_id = clse.id_b)
+           |SELECT c.vec_id, cast(c.cluster AS BIGINT) AS cluster,
+           |  c.cent_cos, dr.d IS NULL AS kept
+           |FROM ccos c LEFT JOIN dropped dr ON dr.d = c.vec_id
+           |ORDER BY c.vec_id""".stripMargin
+      }))
 }

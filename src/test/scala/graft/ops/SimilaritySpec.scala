@@ -501,4 +501,28 @@ class SimilaritySpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("Window"), s"top-k must be the bounded aggregate:\n$plan")
   }
+
+  test("semanticDedup: policy invariants and sub-block invariance") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val res = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      kClusters = 8, iters = 1, threshold = 0.4).collect()
+    // total function: one verdict per input vector
+    assert(res.length == emb.count())
+    assert(res.exists(!_.getBoolean(3)), "threshold 0.4 must drop something")
+    // the best (lowest cent_cos, then lowest id) member of every cluster
+    // can have no better neighbor, so it always survives
+    res.groupBy(_.getLong(1)).foreach { case (cl, rows) =>
+      val best = rows.minBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(best.getBoolean(3), s"cluster $cl best member must be kept")
+    }
+    // a threshold above any cosine keeps everything
+    val all = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      kClusters = 8, iters = 1, threshold = 1.01).collect()
+    assert(all.forall(_.getBoolean(3)))
+    // 1-Bucket-Theta sub-blocking must not change the verdict set
+    val sub = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      kClusters = 8, iters = 1, threshold = 0.4, subBlocks = 4).collect()
+    assert(res.map(r => (r.getLong(0), r.getBoolean(3))).toSeq.sorted ==
+      sub.map(r => (r.getLong(0), r.getBoolean(3))).toSeq.sorted)
+  }
 }
