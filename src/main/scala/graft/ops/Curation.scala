@@ -221,6 +221,73 @@ object Curation {
       .filter(hashBucket(col(idCol)) < col("rate") * 65536)
   }
 
+  /** EXACT global top-`frac` selection by `(score desc, id asc)` WITHOUT
+    * a global sort — the "keep the best 20% of the corpus" curation cut
+    * that naive implementations spell `row_number() OVER (ORDER BY q)`,
+    * which serializes the entire corpus through one window partition.
+    *
+    * Two-pass distributed selection instead:
+    *  1. ONE aggregate builds a `buckets`-bin histogram of
+    *     `floor(score·B)` (map-side combinable; ≤ B rows reach the
+    *     driver) — this also yields the total count, so no separate
+    *     count pass. The driver walks the histogram top-down to find the
+    *     threshold bucket b* and how many rows `kRem` are still needed
+    *     from it.
+    *  2. Every row in a bucket above b* is kept by a pushed-down filter
+    *     (zero shuffles); ONLY the threshold bucket's rows — expected
+    *     n/B of the corpus — pass through a rank window to take the
+    *     best `kRem` by `(score desc, id asc)`.
+    *
+    * Bucketing is monotone in the score, so "all buckets above b* plus
+    * the top of b*" IS the global top-k — bit-for-bit the rows a global
+    * sort would select, at the cost of one bounded aggregate and one
+    * small window. Degenerate distributions (all mass in one bucket —
+    * e.g. a constant score) degrade the window to the full corpus;
+    * `buckets` = 4096 over the score's [0,1] domain keeps the expected
+    * window input at 0.02% of the corpus for any real quality
+    * distribution.
+    *
+    * `score` must lie in [0,1] (values are clamped into the edge
+    * buckets, which preserves correctness but can concentrate mass if
+    * the domain assumption is wrong). `k = ceil(frac·n)` rows are
+    * returned, with the id tie-break making the cut deterministic.
+    */
+  def selectTopFrac(df: DataFrame, idCol: String, score: Column,
+                    frac: Double, buckets: Int = 4096): DataFrame = {
+    require(frac >= 0 && frac <= 1, "0 <= frac <= 1")
+    val scored = graft.core.Caches.track(df.withColumn("__g_q", score)
+      .withColumn("__g_bkt",
+        least(greatest(floor(col("__g_q") * buckets), lit(0)),
+          lit(buckets - 1)).cast("int")))
+    val hist = scored.groupBy(col("__g_bkt")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = hist.valuesIterator.sum
+    val k = math.ceil(frac * n).toLong
+    if (k == 0L) {
+      scored.filter(lit(false)).drop("__g_bkt")
+    } else {
+      // walk buckets top-down: rows above b* are all in; kRem come from b*
+      var above = 0L
+      var bStar = buckets - 1
+      var i = buckets - 1
+      var found = false
+      while (i >= 0 && !found) {
+        val c = hist.getOrElse(i, 0L)
+        if (above + c >= k) { bStar = i; found = true }
+        else { above += c; i -= 1 }
+      }
+      val kRem = k - above
+      val upper = scored.filter(col("__g_bkt") > bStar)
+      val border = scored.filter(col("__g_bkt") === bStar)
+        .withColumn("__g_rn",
+          row_number().over(Window.partitionBy(lit(1))
+            .orderBy(col("__g_q").desc, col(idCol).asc)))
+        .filter(col("__g_rn") <= kRem)
+        .drop("__g_rn")
+      upper.unionByName(border).drop("__g_bkt")
+    }
+  }
+
   /** Per-stratum rate as a literal CASE over the (tiny) rate map —
     * shared by [[stratifiedSample]] and [[epochUpsample]] so rate
     * semantics can never drift between the two.

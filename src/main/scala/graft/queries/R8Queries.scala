@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Retrieval, Similarity}
+import graft.ops.{Curation, Retrieval, Similarity}
 
 /** Round-7 batch 5: hybrid retrieval (the RAG-curation primitive the
   * sparse and dense halves were built for) plus the remaining selection
@@ -200,5 +200,32 @@ object R8Queries {
            |  c.cent_cos, dr.d IS NULL AS kept
            |FROM ccos c LEFT JOIN dropped dr ON dr.d = c.vec_id
            |ORDER BY c.vec_id""".stripMargin
-      }))
+      }),
+
+    Q("doc_select_frac",
+      "EXACT top-20%-by-quality selection WITHOUT a global sort: one " +
+        "bounded histogram aggregate finds the threshold bucket, a " +
+        "pushed-down filter keeps every bucket above it, and only the " +
+        "threshold bucket's rows (expected n/4096 of the corpus) pass " +
+        "through the rank window — bit-identical rows to the global " +
+        "row_number() cut the oracle spells, without serializing the " +
+        "corpus through one window partition. Cut size ceil(frac*n) is " +
+        "computed with the same double arithmetic on both engines.",
+      (s, d) => Curation.selectTopFrac(Tables.documents(s, d), "doc_id",
+          graft.ops.TextAnalysis.qualityScore(col("text")), frac = 0.2)
+        .select(col("doc_id"), col("lang"), col("__g_q").as("q"))
+        .orderBy("doc_id"),
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, lang, ${R7Queries.qualitySql("text")} AS q
+              |  FROM documents),
+              |n AS (
+              |  SELECT cast(ceil(0.2::DOUBLE * count(*)) AS BIGINT) AS k
+              |  FROM s),
+              |r AS (
+              |  SELECT doc_id, lang, q,
+              |    row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+              |  FROM s)
+              |SELECT doc_id, lang, q FROM r, n
+              |WHERE rn <= n.k
+              |ORDER BY doc_id""".stripMargin)))
 }

@@ -326,4 +326,27 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("selectTopFrac equals the global-sort cut, without the global sort") {
+    val docs = graft.core.Tables.documents(spark, graft.SparkSpec.Sf0001)
+      .withColumn("q", graft.ops.TextAnalysis.qualityScore(col("text")))
+    val got = Curation.selectTopFrac(docs, "doc_id", col("q"), frac = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: the naive global row_number cut
+    val n = docs.count()
+    val k = math.ceil(0.3 * n).toLong
+    val want = docs.orderBy(col("q").desc, col("doc_id").asc)
+      .limit(k.toInt).select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.size == k)
+    // edges: frac 0 selects nothing; frac 1 selects everything
+    assert(Curation.selectTopFrac(docs, "doc_id", col("q"), 0.0).count() == 0)
+    assert(Curation.selectTopFrac(docs, "doc_id", col("q"), 1.0).count() == n)
+    // the rank window must see only the threshold bucket, not the corpus:
+    // the windowed branch's input is a filtered subset (bucket equality),
+    // so the union's window side carries a bucket filter in its plan
+    val plan = Curation.selectTopFrac(docs, "doc_id", col("q"), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__g_bkt"), plan)
+  }
 }
