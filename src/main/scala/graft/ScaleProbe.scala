@@ -243,6 +243,25 @@ object ScaleProbe {
     }
     lifecycleProbe(base, s"1x ($n docs)", n)
     lifecycleProbe(docs, s"${mult}x", n * mult)
+
+    // round-7 batch 5: SemDeDup and exact top-frac selection at 1x/10x.
+    // semanticDedup = Lloyd (pass-linear) + cluster-blocked pairs
+    // (quadratic IN CLUSTER SIZE — the replicated corpus grows every
+    // cluster 10x, so the pair stage is the probe's stress case and
+    // subBlocks the mitigation); selectTopFrac = one histogram aggregate
+    // + pushed filter + a window over ONLY the threshold bucket —
+    // expect ~linear with a small constant.
+    time(s"semantic dedup 1x ($en vecs)")(graft.ops.Similarity
+      .semanticDedup(embBase, "vec_id", "embedding", 16, 2, 0.4).count())
+    time(s"semantic dedup ${mult}x")(graft.ops.Similarity
+      .semanticDedup(emb, "vec_id", "embedding", 16, 2, 0.4,
+        subBlocks = 4).count())
+    time(s"select top-frac 1x ($n docs)")(graft.ops.Curation
+      .selectTopFrac(base, "doc_id",
+        graft.ops.TextAnalysis.qualityScore(col("text")), 0.2).count())
+    time(s"select top-frac ${mult}x")(graft.ops.Curation
+      .selectTopFrac(docs, "doc_id",
+        graft.ops.TextAnalysis.qualityScore(col("text")), 0.2).count())
     spark.stop()
   }
 }

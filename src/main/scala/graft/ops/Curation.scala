@@ -288,6 +288,71 @@ object Curation {
     }
   }
 
+  /** [[selectTopFrac]] per stratum — "the best `frac` of EVERY language
+    * / source", the cut production curation actually ships (a global cut
+    * silently drains low-resource strata because quality scores are not
+    * calibrated across languages). Same two-pass selection, vectorized
+    * over strata:
+    *
+    *  1. ONE aggregate builds the (stratum × bucket) histogram —
+    *     bounded by |strata|·B rows (strata are languages/sources:
+    *     inherently small); the driver finds each stratum's threshold
+    *     bucket and residual count.
+    *  2. The per-stratum thresholds become a literal CASE filter (the
+    *     [[rateCase]] idiom), and the rank window partitions BY STRATUM
+    *     over only the threshold-bucket rows — every stratum's border
+    *     ranks in parallel, each window seeing ~n_s/B rows.
+    *
+    * NULL strata are selected like any other stratum (null-safe CASE
+    * arms), mirroring temperatureMixture's null-stratum contract.
+    */
+  def selectTopFracByStratum(df: DataFrame, idCol: String, strataCol: String,
+                             score: Column, frac: Double,
+                             buckets: Int = 4096): DataFrame = {
+    require(frac >= 0 && frac <= 1, "0 <= frac <= 1")
+    val scored = graft.core.Caches.track(df.withColumn("__g_q", score)
+      .withColumn("__g_bkt",
+        least(greatest(floor(col("__g_q") * buckets), lit(0)),
+          lit(buckets - 1)).cast("int")))
+    val hist: Map[Any, Map[Int, Long]] = scored
+      .groupBy(col(strataCol).as("__g_s"), col("__g_bkt"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.get(0)).view
+      .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    // per-stratum threshold bucket + residual, the selectTopFrac walk
+    val cuts: Map[Any, (Int, Long)] = hist.map { case (s, h) =>
+      val k = math.ceil(frac * h.valuesIterator.sum).toLong
+      if (k == 0L) s -> (buckets, 0L) // above-filter can never fire
+      else {
+        var above = 0L; var i = buckets - 1; var bStar = -1
+        while (i >= 0 && bStar < 0) {
+          val c = h.getOrElse(i, 0L)
+          if (above + c >= k) bStar = i
+          else { above += c; i -= 1 }
+        }
+        s -> (bStar, k - above)
+      }
+    }
+    val strataLit = (v: Any) =>
+      if (v == null) lit(null) else lit(v)
+    // fallback = buckets: a stratum somehow absent from the histogram
+    // (impossible for in-data values) selects nothing rather than all
+    val bStarCase = cuts.foldLeft(lit(buckets)) { case (rest, (s, (b, _))) =>
+      when(col(strataCol) <=> strataLit(s), lit(b)).otherwise(rest)
+    }
+    val kRemCase = cuts.foldLeft(lit(0L)) { case (rest, (s, (_, kr))) =>
+      when(col(strataCol) <=> strataLit(s), lit(kr)).otherwise(rest)
+    }
+    val upper = scored.filter(col("__g_bkt") > bStarCase)
+    val border = scored.filter(col("__g_bkt") === bStarCase)
+      .withColumn("__g_rn",
+        row_number().over(Window.partitionBy(col(strataCol))
+          .orderBy(col("__g_q").desc, col(idCol).asc)))
+      .filter(col("__g_rn") <= kRemCase)
+      .drop("__g_rn")
+    upper.unionByName(border).drop("__g_bkt")
+  }
+
   /** Per-stratum rate as a literal CASE over the (tiny) rate map —
     * shared by [[stratifiedSample]] and [[epochUpsample]] so rate
     * semantics can never drift between the two.

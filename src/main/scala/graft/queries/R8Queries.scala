@@ -227,5 +227,32 @@ object R8Queries {
               |  FROM s)
               |SELECT doc_id, lang, q FROM r, n
               |WHERE rn <= n.k
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_select_frac_lang",
+      "Per-LANGUAGE exact top-20% quality cut (a global cut silently " +
+        "drains low-resource languages because quality scores are not " +
+        "calibrated across them): the doc_select_frac two-pass " +
+        "selection vectorized over strata — one (stratum x bucket) " +
+        "histogram aggregate, per-stratum literal-CASE threshold " +
+        "filters, and a rank window PARTITIONED BY language that sees " +
+        "only each stratum's threshold bucket.",
+      (s, d) => Curation.selectTopFracByStratum(Tables.documents(s, d),
+          "doc_id", "lang",
+          graft.ops.TextAnalysis.qualityScore(col("text")), frac = 0.2)
+        .select(col("doc_id"), col("lang"), col("__g_q").as("q"))
+        .orderBy("doc_id"),
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, lang, ${R7Queries.qualitySql("text")} AS q
+              |  FROM documents),
+              |n AS (
+              |  SELECT lang, cast(ceil(0.2::DOUBLE * count(*)) AS BIGINT) AS k
+              |  FROM s GROUP BY lang),
+              |r AS (
+              |  SELECT doc_id, lang, q,
+              |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn
+              |  FROM s)
+              |SELECT doc_id, r.lang, q FROM r JOIN n ON r.lang = n.lang
+              |WHERE rn <= n.k
               |ORDER BY doc_id""".stripMargin)))
 }

@@ -163,4 +163,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\(\\d+\\) Filter".r.findAllIn(p).nonEmpty)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"))
   }
+
+  test("ta_hybrid_rrf: both halves are bounded top-k; fusion never " +
+      "sort-merges") {
+    val p = plan("ta_hybrid_rrf")
+    // sparse BM25 and dense cosine each end in TakeOrderedAndProject
+    // (per-partition heaps + k-row driver merge), and the ≤k-row fusion
+    // join must not plan as a corpus-shaped SortMergeJoin
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_semantic: centroids broadcast; no cartesian pair join") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("BroadcastExchange"), s"centroid dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair join must stay cluster-blocked:\n$p")
+  }
 }

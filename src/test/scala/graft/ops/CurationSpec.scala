@@ -349,4 +349,31 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("__g_bkt"), plan)
   }
+
+  test("selectTopFracByStratum equals the per-stratum global-sort cut") {
+    val docs = graft.core.Tables.documents(spark, graft.SparkSpec.Sf0001)
+      .withColumn("q", graft.ops.TextAnalysis.qualityScore(col("text")))
+    val got = Curation.selectTopFracByStratum(docs, "doc_id", "lang",
+      col("q"), frac = 0.3).select("doc_id").as[Long].collect().toSet
+    // reference: per-language row_number cut via a window (small data)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val perLangN = docs.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val want = docs.withColumn("rn", row_number().over(w))
+      .filter(r => r.getAs[Int]("rn") <=
+        math.ceil(0.3 * perLangN(r.getAs[String]("lang"))).toLong)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    // every language is represented (the global cut would not promise this)
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    val gotLangs = Curation.selectTopFracByStratum(docs, "doc_id", "lang",
+      col("q"), 0.3).select("lang").distinct().as[String].collect().toSet
+    assert(gotLangs == langs)
+    // frac edges per stratum
+    assert(Curation.selectTopFracByStratum(docs, "doc_id", "lang",
+      col("q"), 0.0).count() == 0)
+    assert(Curation.selectTopFracByStratum(docs, "doc_id", "lang",
+      col("q"), 1.0).count() == docs.count())
+  }
 }
