@@ -384,8 +384,7 @@ object Similarity {
     // probabilistically. 1e-9 is far below any semantic-duplicate
     // threshold's meaningful resolution.
     val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
-      .map(_.map(x => new java.math.BigDecimal(x)
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue))
+      .map(_.map(quantize9))
     // feeds the pair join AND the keep-criterion/output projections —
     // cache so assignment isn't recomputed from three corpus scans
     val assigned = graft.core.Caches.track(
@@ -825,6 +824,105 @@ object Similarity {
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Pin a double to the 1e-9 decimal grid via EXACT binary expansion +
+    * HALF_UP. A 9-digit double's cast to any wider decimal is exact in
+    * both Spark and DuckDB, so grid-pinned values survive cross-engine
+    * decimal staging bit-for-bit — the defense [[semanticDedup]] and the
+    * PQ codebooks apply to every trained mean that reaches query output
+    * or drives a cross-engine-visible decision.
+    */
+  private[graft] def quantize9(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Product-quantization codebooks (Jégou et al. 2011): split every
+    * vector into `m` contiguous subspaces of `dims/m` dimensions and
+    * train an independent k-means codebook per subspace. Returns
+    * books(s)(code) = centroid (subDim doubles, grid-pinned via
+    * [[quantize9]]).
+    *
+    * At 100 TB: train each codebook on a SAMPLE (the sim_kmeans_sampled
+    * recipe — pass the sample as `emb`); encoding the corpus afterwards
+    * is one narrow map ([[pqEncode]]). m trainings of k centroids over
+    * subDim dims are m·(iters+1) bounded aggregates — nothing here
+    * scales with the corpus except the passes.
+    */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int, dims: Int): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dims % m == 0, "dims must divide into m subspaces")
+    val subDim = dims / m
+    (0 until m).map { s =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
+      kmeansCentroids(sliced, idCol, vecCol, k, iters)
+        .map(_.map(quantize9))
+    }
+  }
+
+  /** PQ code array for every row: code s = nearest codebook centroid of
+    * subspace s (exact decimal argmin, ties to the lower code — the
+    * [[nearestCluster]] contract per subspace). m codes of ⌈log2 k⌉ bits
+    * replace dims·32 bits of float — the compressed representation the
+    * ADC scan reads instead of vectors.
+    */
+  def pqEncode(emb: DataFrame, vecCol: String,
+               books: Seq[Seq[Seq[Double]]], dims: Int,
+               outCol: String = "pq_code"): DataFrame = {
+    val m = books.size
+    val subDim = dims / m
+    emb.withColumn(outCol, array(books.zipWithIndex.map { case (cb, s) =>
+      nearestCluster(slice(col(vecCol), s * subDim + 1, subDim), cb)
+    }: _*))
+  }
+
+  /** PQ-ADC ANN: asymmetric distance computation against a stored query
+    * vector. The query precomputes (m × k) tables of per-subspace
+    * partial dots and norms against the codebooks (driver-side — k·m
+    * doubles); every row's approximate cosine is then m table LOOKUPS
+    * summed — the scan touches only the code array, never a float
+    * vector (the memory-bandwidth shape that makes PQ the workhorse of
+    * billion-vector indexes). Top-`rescore` candidates by approximate
+    * cosine (TakeOrderedAndProject), exact decimal rescore, final top-k
+    * by exact cosine.
+    *
+    * Cross-engine bit-exactness: codebooks are grid-pinned; table
+    * entries are sequential left folds over exact inputs (oracle:
+    * list_reduce); the per-row sum is a fixed-order chain of m adds; so
+    * the approximate ranking — and therefore the shortlist — is
+    * IDENTICAL in both engines, and output values come only from the
+    * proven exact-decimal rescore.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Float], m: Int, k: Int, iters: Int, dims: Int,
+             rescore: Int, topK: Int): DataFrame = {
+    val books = pqTrain(emb, idCol, vecCol, m, k, iters, dims)
+    val subDim = dims / m
+    val qd = query.map(_.toDouble)
+    val tdot: Seq[Seq[Double]] = books.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => (0 until subDim).foldLeft(0.0)((acc, i) =>
+        acc + qd(s * subDim + i) * c(i)))
+    }
+    val tnorm: Seq[Seq[Double]] = books.map(_.map(c =>
+      (0 until subDim).foldLeft(0.0)((acc, i) => acc + c(i) * c(i))))
+    val nq = math.sqrt((0 until dims).foldLeft(0.0)((acc, i) =>
+      acc + qd(i) * qd(i)))
+    val coded = pqEncode(emb, vecCol, books, dims)
+    val lookup = (table: Seq[Seq[Double]]) =>
+      (0 until m).map(s => element_at(typedlit(table(s)),
+        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+    val short = coded
+      .withColumn("approx_sim",
+        lookup(tdot) / (sqrt(lookup(tnorm)) * lit(nq)))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(rescore)
+    short
+      .select(col(idCol), col("approx_sim"),
+        cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("cos_sim"))
   }
 
   // ---- SRP-LSH (signed random projections) -------------------------------

@@ -39,44 +39,47 @@ object R5Queries {
     * runs over the full `embeddings` table (the [[Similarity.kmeansAssign]]
     * `train=` contract: train on a sample, assign the corpus).
     */
-  private[queries] def kmeansCtesOn(trainRel: String, k: Int = K): String = {
+  private[queries] def kmeansCtesOn(trainRel: String, k: Int = K,
+                                    prefix: String = "", iters: Int = ITERS,
+                                    assignRel: String = "embeddings",
+                                    dims: Int = DIMS): String = {
     val seed =
-      s"""seeds AS (
+      s"""${prefix}seeds AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
          |         embedding
          |  FROM (SELECT vec_id, embedding FROM $trainRel ORDER BY vec_id LIMIT $k)),
-         |c0 AS (
+         |${prefix}c0 AS (
          |  SELECT cluster, i, embedding[i]::DOUBLE AS c
-         |  FROM seeds, generate_series(1, $DIMS) g(i))""".stripMargin
+         |  FROM ${prefix}seeds, generate_series(1, $dims) g(i))""".stripMargin
     def step(n: Int, withUpdate: Boolean): String = {
-      val prev = s"c${n - 1}"
+      val prev = s"${prefix}c${n - 1}"
       // training iterations assign the training relation; the final
       // (no-update) pass assigns the full corpus
-      val rel = if (withUpdate) trainRel else "embeddings"
+      val rel = if (withUpdate) trainRel else assignRel
       val dist =
-        s"""d$n AS (
+        s"""${prefix}d$n AS (
            |  SELECT e.vec_id, c.cluster,
            |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
            |         AS DECIMAL(38,14))) AS DOUBLE) AS d
            |  FROM $rel e, $prev c
            |  GROUP BY e.vec_id, c.cluster),
-           |a$n AS (
-           |  SELECT vec_id, cluster FROM d$n
+           |${prefix}a$n AS (
+           |  SELECT vec_id, cluster FROM ${prefix}d$n
            |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1)""".stripMargin
       if (!withUpdate) dist
       else dist + "," + System.lineSeparator() +
-        s"""u$n AS (
+        s"""${prefix}u$n AS (
            |  SELECT a.cluster, g.i,
            |    cast(sum(cast(e.embedding[g.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)
            |      / count(*) AS c
-           |  FROM $trainRel e JOIN a$n a USING (vec_id),
-           |       generate_series(1, $DIMS) g(i)
+           |  FROM $trainRel e JOIN ${prefix}a$n a USING (vec_id),
+           |       generate_series(1, $dims) g(i)
            |  GROUP BY a.cluster, g.i),
-           |c$n AS (
+           |${prefix}c$n AS (
            |  SELECT p.cluster, p.i, coalesce(u.c, p.c) AS c
-           |  FROM $prev p LEFT JOIN u$n u ON u.cluster = p.cluster AND u.i = p.i)""".stripMargin
+           |  FROM $prev p LEFT JOIN ${prefix}u$n u ON u.cluster = p.cluster AND u.i = p.i)""".stripMargin
     }
-    (seed +: (1 to ITERS + 1).map(n => step(n, withUpdate = n <= ITERS)))
+    (seed +: (1 to iters + 1).map(n => step(n, withUpdate = n <= iters)))
       .mkString("," + System.lineSeparator())
   }
 

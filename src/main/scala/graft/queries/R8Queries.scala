@@ -254,5 +254,139 @@ object R8Queries {
               |  FROM s)
               |SELECT doc_id, r.lang, q FROM r JOIN n ON r.lang = n.lang
               |WHERE rn <= n.k
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("sim_pq",
+      "Product-quantization ANN (Jegou et al. 2011, the billion-vector " +
+        "FAISS workhorse): 4 subspaces x 16 dims, an independent 8-code " +
+        "k-means codebook per subspace, every vector encoded as 4 small " +
+        "codes; query scoring is ADC — a driver-precomputed (m x k) " +
+        "table of per-subspace partial dots/norms, each row's " +
+        "approximate cosine = 4 table lookups, the scan never touches " +
+        "a float vector. Top-50 shortlist by approx cosine " +
+        "(TakeOrderedAndProject), exact decimal rescore, top-10 by " +
+        "exact cosine. Codebooks grid-pinned and tables built by " +
+        "ordered folds, so the shortlist is bit-identical cross-engine.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.pqTopK(emb, "vec_id", "embedding", qv, m = 4, k = 8,
+          iters = 1, dims = 64, rescore = 50, topK = 10)
+      },
+      Some {
+        s"""WITH $pqCtes,
+           |dots AS (
+           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q,
+           |       generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id)
+           |SELECT d.vec_id, d.dot / (ne.nrm * nqe.nrm) AS cos_sim
+           |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nqe
+           |ORDER BY cos_sim DESC, d.vec_id
+           |LIMIT 10""".stripMargin
+      }),
+
+    Q("sim_recall_pq",
+      "Recall@10 gate for the PQ index: exact brute force vs PQ-ADC " +
+        "shortlist(50) + exact rescore, intersected — the number that " +
+        "says whether 4x16-dim codebooks of 8 codes retain enough " +
+        "geometry, and the dial (m, k, rescore) to turn when they " +
+        "don't. Same single-query gate shape as sim_recall_quant / " +
+        "sim_recall_lsh; the batch gate (sim_recall_batch) covers the " +
+        "anchor-set variant for the trained-IVF path.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+        val approx = Similarity.pqTopK(emb, "vec_id", "embedding", qv,
+          m = 4, k = 8, iters = 1, dims = 64, rescore = 50, topK = 10)
+        Similarity.recallAtK(exact, approx, "vec_id", 10)
+      },
+      Some {
+        s"""WITH $pqCtes,
+           |dots AS (
+           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e, q, generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id),
+           |exact AS (
+           |  SELECT d.vec_id FROM dots d JOIN ne USING (vec_id), nqe
+           |  ORDER BY d.dot / (ne.nrm * nqe.nrm) DESC, d.vec_id LIMIT 10),
+           |approx AS (
+           |  SELECT d.vec_id
+           |  FROM dots d JOIN ne USING (vec_id) JOIN short s USING (vec_id), nqe
+           |  ORDER BY d.dot / (ne.nrm * nqe.nrm) DESC, d.vec_id LIMIT 10)
+           |SELECT CAST(10 AS BIGINT) AS k,
+           |  count(*) AS hits,
+           |  CASE WHEN (SELECT count(*) FROM exact) > 0
+           |    THEN CAST(count(*) AS DOUBLE) /
+           |         (SELECT count(*) FROM exact)
+           |    ELSE 0.0 END AS recall
+           |FROM approx JOIN exact USING (vec_id)""".stripMargin
+      }))
+
+  /** The PQ training/encode/ADC chain as CTEs ending in `short` (the
+    * rescore shortlist), plus the exact-norm CTEs (`ne`, `nqe`) the
+    * rescore tail needs — shared textually by sim_pq and its recall
+    * gate so the gate can never drift from the gated index.
+    */
+  private lazy val pqCtes: String = {
+    val M = 4; val SUB = 16
+    val subs = (0 until M).map { s =>
+      s"""sub$s AS (
+         |  SELECT vec_id, embedding[${s * SUB + 1}:${(s + 1) * SUB}] AS embedding
+         |  FROM embeddings)""".stripMargin
+    }.mkString("," + "\n")
+    val chains = (0 until M).map(s =>
+      R5Queries.kmeansCtesOn(s"sub$s", k = 8, prefix = s"p${s}_",
+        iters = 1, dims = SUB)).mkString("," + "\n")
+    val percode = (0 until M).map { s =>
+      s"""cq$s AS (
+         |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c
+         |  FROM p${s}_c1),
+         |dq$s AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
+         |         AS DECIMAL(38,14))) AS DOUBLE) AS d
+         |  FROM sub$s e, cq$s c GROUP BY e.vec_id, c.cluster),
+         |aq$s AS (
+         |  SELECT vec_id, cluster FROM dq$s
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+         |ca$s AS (
+         |  SELECT cluster, list(c ORDER BY i) AS cv FROM cq$s GROUP BY cluster),
+         |tb$s AS (
+         |  SELECT cluster,
+         |    list_reduce(list_transform(generate_series(1, $SUB),
+         |      i -> q.qe[${s * SUB} + i]::DOUBLE * cv[i]), (x, y) -> x + y) AS td,
+         |    list_reduce(list_transform(generate_series(1, $SUB),
+         |      i -> cv[i] * cv[i]), (x, y) -> x + y) AS tn
+         |  FROM ca$s, q)""".stripMargin
+    }.mkString("," + "\n")
+    s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |$subs,
+       |$chains,
+       |$percode,
+       |nqv AS (
+       |  SELECT sqrt(list_reduce(list_transform(generate_series(1, 64),
+       |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)) AS nq
+       |  FROM q),
+       |scores AS (
+       |  SELECT a0.vec_id,
+       |    (t0.td + t1.td + t2.td + t3.td) /
+       |    (sqrt(t0.tn + t1.tn + t2.tn + t3.tn) * nqv.nq) AS approx
+       |  FROM aq0 a0
+       |  JOIN aq1 a1 USING (vec_id)
+       |  JOIN aq2 a2 USING (vec_id)
+       |  JOIN aq3 a3 USING (vec_id)
+       |  JOIN tb0 t0 ON t0.cluster = a0.cluster
+       |  JOIN tb1 t1 ON t1.cluster = a1.cluster
+       |  JOIN tb2 t2 ON t2.cluster = a2.cluster
+       |  JOIN tb3 t3 ON t3.cluster = a3.cluster, nqv),
+       |short AS (SELECT vec_id FROM scores ORDER BY approx DESC, vec_id LIMIT 50),
+       |nqe AS (
+       |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+       |  FROM q, generate_series(1, 64) g(i)),
+       |ne AS (
+       |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id)""".stripMargin
+  }
 }

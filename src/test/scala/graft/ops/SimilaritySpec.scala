@@ -502,6 +502,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"top-k must be the bounded aggregate:\n$plan")
   }
 
+  test("PQ: codes in range; full-rescore budget reproduces brute force") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, dims = 64)
+    assert(books.size == 4 && books.forall(_.size == 8) &&
+      books.forall(_.forall(_.size == 16)))
+    val codes = Similarity.pqEncode(emb, "embedding", books, 64)
+      .select(explode(col("pq_code"))).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 8))
+    // ADC is approximate, but with rescore = |corpus| the exact rescore
+    // sees everything — the result must EQUAL brute force
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val n = emb.count().toInt
+    val full = Similarity.pqTopK(emb, "vec_id", "embedding", q,
+      m = 4, k = 8, iters = 1, dims = 64, rescore = n, topK = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+  }
+
   test("semanticDedup: policy invariants and sub-block invariance") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
     val res = Similarity.semanticDedup(emb, "vec_id", "embedding",
