@@ -925,6 +925,62 @@ object Similarity {
       .select(col(idCol), col("cos_sim"))
   }
 
+  /** IVF-PQ (non-residual variant): the two quantizers composed the way
+    * billion-vector indexes actually deploy — a COARSE k-means prunes
+    * the search to `nprobe` clusters (at rest: partition pruning, the
+    * [[ivfWriteLayout]] story), and PQ-ADC ranks within the probed rows
+    * reading only code arrays ([[pqTopK]]'s memory-bandwidth story),
+    * then the exact decimal rescore. One PQ codebook trained on the
+    * FULL corpus serves every probe (the [[ivfTrainedTopKFiltered]]
+    * one-index-many-queries contract). Residual encoding (PQ over
+    * vec − coarse centroid) is the standard refinement this variant
+    * trades for composability of the two existing oracles.
+    *
+    * The coarse shortlist is computed DRIVER-side over the grid-pinned
+    * centroids with ordered folds — k·dims doubles, bit-identical to
+    * the oracle's list_reduce restatement, so cluster pruning, ADC
+    * ranking and the rescore shortlist are all engine-exact.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Float], nprobe: Int, kCoarse: Int,
+                coarseIters: Int, m: Int, k: Int, iters: Int, dims: Int,
+                rescore: Int, topK: Int): DataFrame = {
+    val coarse = kmeansCentroids(emb, idCol, vecCol, kCoarse, coarseIters)
+      .map(_.map(quantize9))
+    val qd = query.map(_.toDouble)
+    val nq = math.sqrt((0 until dims).foldLeft(0.0)((acc, i) =>
+      acc + qd(i) * qd(i)))
+    val probed: Seq[Int] = coarse.zipWithIndex.map { case (c, i) =>
+      val dot = (0 until dims).foldLeft(0.0)((acc, j) => acc + qd(j) * c(j))
+      val cn = math.sqrt((0 until dims).foldLeft(0.0)((acc, j) =>
+        acc + c(j) * c(j)))
+      (dot / (cn * nq), i)
+    }.sortBy { case (cos, i) => (-cos, i) }.take(nprobe).map(_._2)
+    val inProbe = emb
+      .withColumn("__g_coarse", nearestCluster(col(vecCol), coarse))
+      .filter(col("__g_coarse").isin(probed: _*))
+    val books = pqTrain(emb, idCol, vecCol, m, k, iters, dims)
+    val subDim = dims / m
+    val tdot: Seq[Seq[Double]] = books.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => (0 until subDim).foldLeft(0.0)((acc, i) =>
+        acc + qd(s * subDim + i) * c(i)))
+    }
+    val tnorm: Seq[Seq[Double]] = books.map(_.map(c =>
+      (0 until subDim).foldLeft(0.0)((acc, i) => acc + c(i) * c(i))))
+    val lookup = (table: Seq[Seq[Double]]) =>
+      (0 until m).map(s => element_at(typedlit(table(s)),
+        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+    val short = pqEncode(inProbe, vecCol, books, dims)
+      .withColumn("approx_sim",
+        lookup(tdot) / (sqrt(lookup(tnorm)) * lit(nq)))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(rescore)
+    short
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
   // ---- SRP-LSH (signed random projections) -------------------------------
 
   /** Deterministic pseudo-random hyperplane j over `dims` dimensions:

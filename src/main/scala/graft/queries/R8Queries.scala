@@ -274,7 +274,7 @@ object R8Queries {
           iters = 1, dims = 64, rescore = 50, topK = 10)
       },
       Some {
-        s"""WITH $pqCtes,
+        s"""WITH ${pqCtes()},
            |dots AS (
            |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
            |  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q,
@@ -303,7 +303,7 @@ object R8Queries {
         Similarity.recallAtK(exact, approx, "vec_id", 10)
       },
       Some {
-        s"""WITH $pqCtes,
+        s"""WITH ${pqCtes()},
            |dots AS (
            |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
            |  FROM embeddings e, q, generate_series(1, 64) g(i)
@@ -322,14 +322,76 @@ object R8Queries {
            |         (SELECT count(*) FROM exact)
            |    ELSE 0.0 END AS recall
            |FROM approx JOIN exact USING (vec_id)""".stripMargin
+      }),
+
+    Q("sim_ivfpq",
+      "IVF-PQ (non-residual): the two quantizers composed as deployed " +
+        "billion-vector indexes do — the coarse k-means prunes to " +
+        "nprobe=2 of 4 clusters (partition pruning on the at-rest " +
+        "layout), PQ-ADC ranks WITHIN the probed rows reading only code " +
+        "arrays, exact decimal rescore on the 50-candidate shortlist. " +
+        "One full-corpus PQ codebook serves every probe. The coarse " +
+        "shortlist is a driver-side ordered-fold cosine over the " +
+        "grid-pinned centroids — bit-identical to the oracle's " +
+        "list_reduce restatement, so pruning, ADC ranking and rescore " +
+        "shortlist agree engine-exactly.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", qv, nprobe = 2,
+          kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1,
+          dims = 64, rescore = 50, topK = 10)
+      },
+      Some {
+        val coarse =
+          s""",
+             |${R5Queries.kmeansCtesOn("embeddings", k = 4, prefix = "pc_",
+                iters = 1, dims = 64)},
+             |cqc AS (
+             |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c
+             |  FROM pc_c1),
+             |dqc AS (
+             |  SELECT e.vec_id, c.cluster,
+             |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
+             |         AS DECIMAL(38,14))) AS DOUBLE) AS d
+             |  FROM embeddings e, cqc c GROUP BY e.vec_id, c.cluster),
+             |aqc AS (
+             |  SELECT vec_id, cluster FROM dqc
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+             |cac AS (
+             |  SELECT cluster, list(c ORDER BY i) AS cv FROM cqc GROUP BY cluster),
+             |ccosc AS (
+             |  SELECT cluster,
+             |    list_reduce(list_transform(generate_series(1, 64),
+             |      i -> q.qe[i]::DOUBLE * cv[i]), (x, y) -> x + y)
+             |    / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+             |        i -> cv[i] * cv[i]), (x, y) -> x + y)) * nqv.nq) AS cos
+             |  FROM cac, q, nqv),
+             |cshort AS (SELECT cluster FROM ccosc ORDER BY cos DESC, cluster LIMIT 2)""".stripMargin
+        s"""WITH ${pqCtes(extraAfterNqv = coarse,
+            scoresJoin = "\n  JOIN aqc ac ON ac.vec_id = a0.vec_id",
+            scoresWhere = "WHERE ac.cluster IN (SELECT cluster FROM cshort)")},
+           |dots AS (
+           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q,
+           |       generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id)
+           |SELECT d.vec_id, d.dot / (ne.nrm * nqe.nrm) AS cos_sim
+           |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nqe
+           |ORDER BY cos_sim DESC, d.vec_id
+           |LIMIT 10""".stripMargin
       }))
 
   /** The PQ training/encode/ADC chain as CTEs ending in `short` (the
     * rescore shortlist), plus the exact-norm CTEs (`ne`, `nqe`) the
-    * rescore tail needs — shared textually by sim_pq and its recall
-    * gate so the gate can never drift from the gated index.
+    * rescore tail needs — shared textually by sim_pq, its recall gate
+    * and sim_ivfpq so none can drift from the others. `extraAfterNqv`
+    * injects additional CTEs (the coarse-quantizer chain);
+    * `scoresJoin`/`scoresWhere` restrict the ADC scoring relation (the
+    * IVF probe).
     */
-  private lazy val pqCtes: String = {
+  private def pqCtes(extraAfterNqv: String = "", scoresJoin: String = "",
+                     scoresWhere: String = ""): String = {
     val M = 4; val SUB = 16
     val subs = (0 until M).map { s =>
       s"""sub$s AS (
@@ -368,7 +430,7 @@ object R8Queries {
        |nqv AS (
        |  SELECT sqrt(list_reduce(list_transform(generate_series(1, 64),
        |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)) AS nq
-       |  FROM q),
+       |  FROM q)$extraAfterNqv,
        |scores AS (
        |  SELECT a0.vec_id,
        |    (t0.td + t1.td + t2.td + t3.td) /
@@ -380,7 +442,8 @@ object R8Queries {
        |  JOIN tb0 t0 ON t0.cluster = a0.cluster
        |  JOIN tb1 t1 ON t1.cluster = a1.cluster
        |  JOIN tb2 t2 ON t2.cluster = a2.cluster
-       |  JOIN tb3 t3 ON t3.cluster = a3.cluster, nqv),
+       |  JOIN tb3 t3 ON t3.cluster = a3.cluster$scoresJoin, nqv
+       |  $scoresWhere),
        |short AS (SELECT vec_id FROM scores ORDER BY approx DESC, vec_id LIMIT 50),
        |nqe AS (
        |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
