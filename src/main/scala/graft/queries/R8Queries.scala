@@ -380,7 +380,83 @@ object R8Queries {
            |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nqe
            |ORDER BY cos_sim DESC, d.vec_id
            |LIMIT 10""".stripMargin
-      }))
+      }),
+
+    Q("ev_funnel",
+      "Strict sequential conversion funnel over the event stream: users " +
+        "whose first view precedes a click that precedes a purchase — " +
+        "each stage's timestamp must follow the previous stage's (the " +
+        "ordering constraint that separates a funnel from three " +
+        "independent counts). Per-stage relations are user-keyed " +
+        "aggregates; each stage joins the previous stage's (user, ts) " +
+        "dimension — co-partitioned on user_id, and the stage dims only " +
+        "shrink down the funnel. Final counts are three 1-row " +
+        "aggregates cross-joined; integer output, no float drift " +
+        "surface at all.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("__v"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("__v"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("__c"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("__c"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("__p"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS v FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS c
+             |  FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > v.v GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS p
+             |  FROM events e JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.c GROUP BY 1)
+             |SELECT (SELECT count(*) FROM v) AS n_view,
+             |       (SELECT count(*) FROM c) AS n_view_click,
+             |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin)),
+
+    Q("ev_retention",
+      "Cohort retention matrix: users grouped by signup week (their " +
+        "min signup event), counted as retained in every ISO week they " +
+        "show ANY activity — the (cohort x activity-week) grid every " +
+        "product-analytics stack draws. user-keyed cohort aggregate, " +
+        "(user, week) distinct, one co-partitioned join, bounded " +
+        "(weeks x weeks) output. Weeks emitted as date strings so the " +
+        "timestamp type never crosses the engine boundary.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("__ct"))
+          .select(col("user_id"),
+            date_format(date_trunc("week", col("__ct")), "yyyy-MM-dd").as("cohort_week"))
+        val activity = ev.select(col("user_id"),
+            date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("active_week"))
+          .distinct()
+        cohort.join(activity, "user_id")
+          .groupBy(col("cohort_week"), col("active_week"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("active_week"))
+      },
+      Some("""WITH cohort AS (
+             |  SELECT user_id,
+             |    strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week
+             |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |activity AS (
+             |  SELECT DISTINCT user_id,
+             |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS active_week
+             |  FROM events)
+             |SELECT cohort_week, active_week,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM cohort JOIN activity USING (user_id)
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)))
 
   /** The PQ training/encode/ADC chain as CTEs ending in `short` (the
     * rescore shortlist), plus the exact-norm CTEs (`ne`, `nqe`) the
