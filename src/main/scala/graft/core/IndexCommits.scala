@@ -47,11 +47,31 @@ object IndexCommits {
     f.create(new Path(s"$path/commits/$marker"), true).close()
   }
 
-  def servedState(spark: SparkSession, path: String): State = {
+  def servedState(spark: SparkSession, path: String): State =
+    servedStateAsOf(spark, path, Long.MaxValue)
+
+  /** TIME-TRAVEL snapshot: the served state considering ONLY markers
+    * with id ≤ `maxBatch` — the index exactly as a reader saw it after
+    * that batch committed. Sound because batch ids are assigned
+    * monotonically (the [[BatchLedger]] contract shared by every append
+    * path): a marker with a higher id can only describe a later commit,
+    * so dropping id > maxBatch replays the true prefix of index
+    * history — appends, deletes and compactions alike (a compaction's
+    * own id exceeds everything it supersedes, so a pre-compaction
+    * as-of serves the original batches it folded away, provided vacuum
+    * has not yet swept them — vacuum is the explicit retention horizon
+    * for time travel, same trade as every lakehouse table format).
+    */
+  def servedStateAsOf(spark: SparkSession, path: String,
+                      maxBatch: Long): State = {
     val p = new Path(path + "/commits")
     val f = fs(spark, path)
     if (!f.exists(p)) return State(Seq.empty, Seq.empty)
     val names = f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter { n =>
+        val id = n.dropWhile(!_.isDigit)
+        id.isEmpty || !id.forall(_.isDigit) || id.toLong <= maxBatch
+      }
     var batches = names.filter(_.startsWith("batch_"))
       .map(_.stripPrefix("batch_").toLong).toSet
     var deletes = names.filter(_.startsWith("del_"))

@@ -484,11 +484,15 @@ object Retrieval {
     */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     idCol: String, queryTerms: Seq[String],
-                    topK: Int): DataFrame = {
+                    topK: Int, asOf: Long = Long.MaxValue): DataFrame = {
     // one snapshot for both reads: stats and postings must describe the
     // SAME committed set, or a delete landing between them would subtract
-    // a doc's length while still scoring its postings
-    val state = servedState(spark, path)
+    // a doc's length while still scoring its postings. `asOf` < MaxValue
+    // serves the TIME-TRAVEL snapshot: only markers with id ≤ asOf
+    // replay ([[graft.core.IndexCommits.servedStateAsOf]]) — the index
+    // as it stood after that batch committed, with vacuum as the
+    // retention horizon.
+    val state = graft.core.IndexCommits.servedStateAsOf(spark, path, asOf)
     val stats = readStats(spark, path, idCol, state)
       // n_docs = 0 (an empty index) must serve an empty result, not a
       // NaN-poisoned avgdl — the guard keeps the division well-defined

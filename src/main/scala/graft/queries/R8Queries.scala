@@ -456,7 +456,59 @@ object R8Queries {
              |  count(DISTINCT user_id) AS n_users
              |FROM cohort JOIN activity USING (user_id)
              |GROUP BY 1, 2
-             |ORDER BY 1, 2""".stripMargin)))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("ta_bm25_asof",
+      "Index TIME TRAVEL: build the text index from the even-id half " +
+        "(batch 0), append the odd-id half (batch 1), then serve " +
+        "as-of batch 0 — only commit markers with id <= asOf replay, " +
+        "so the query sees the index exactly as a reader did after " +
+        "batch 0 committed (sound because batch ids are monotone, the " +
+        "BatchLedger contract; vacuum is the retention horizon, the " +
+        "same trade every lakehouse table format makes). The oracle is " +
+        "BM25 over only the even-id documents — time travel must equal " +
+        "a fresh build of the as-of corpus.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_bm25_asof_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Retrieval.writeIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", path)
+        Retrieval.appendToIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", path, batchId = 1L)
+        Retrieval.bm25FromIndex(s, path, "doc_id", QueryTerms,
+          topK = 15, asOf = 0L)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\\s+'),
+             |                x -> x <> '') AS ws
+             |  FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |stats AS (
+             |  SELECT cast(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl,
+             |         count(*) AS n
+             |  FROM base),
+             |tf AS (
+             |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+             |    SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM base)
+             |  WHERE t IN ('dup', 'spark', 'vector')
+             |  GROUP BY 1, 2, 3),
+             |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_terms,
+             |  cast(floor(sum(cast(
+             |    ((cast(n AS DOUBLE) - cast(df AS DOUBLE) + 0.5) /
+             |     (cast(df AS DOUBLE) + 0.5)) *
+             |    ((cast(tf AS DOUBLE) * 2.2) /
+             |     (cast(tf AS DOUBLE) +
+             |      1.2 * (1.0 - 0.75 + 0.75 * cast(dl AS DOUBLE) / avgdl)))
+             |    AS DECIMAL(38,14))) * 1000000
+             |    + cast(0.5 AS DECIMAL(38,14))) AS DOUBLE)
+             |    / 1000000.0 AS score
+             |FROM tf JOIN dfq USING (t) CROSS JOIN stats
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id
+             |LIMIT 15""".stripMargin)))
 
   /** The PQ training/encode/ADC chain as CTEs ending in `short` (the
     * rescore shortlist), plus the exact-norm CTEs (`ne`, `nqe`) the

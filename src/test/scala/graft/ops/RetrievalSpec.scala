@@ -164,6 +164,33 @@ class RetrievalSpec extends SparkSpec {
       Seq("cherry", "cherry")).collect().isEmpty) // doc 3 was the only match
   }
 
+  test("as-of time travel replays the true prefix of index history " +
+      "through appends, deletes and compaction") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_asof_spec").toString
+    val half1 = corpus.filter($"doc_id" <= 2)
+    val half2 = corpus.filter($"doc_id" > 2)
+    Retrieval.writeIndex(half1, "doc_id", "text", path)       // batch 0
+    Retrieval.appendToIndex(half2, "doc_id", "text", path, 1L) // batch 1
+    Retrieval.deleteFromIndex(Seq(3L).toDF("doc_id"), "doc_id", path, 2L)
+    Retrieval.compactIndex(spark, path, "doc_id", newBatchId = 3L)
+    def terms = Seq("date", "banana", "cherry")
+    def fresh(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bm25_asof_ref").toString
+      Retrieval.writeIndex(df, "doc_id", "text", p)
+      Retrieval.bm25FromIndex(spark, p, "doc_id", terms, 10).collect().toSeq
+    }
+    def asOf(b: Long) = Retrieval.bm25FromIndex(spark, path, "doc_id",
+      terms, 10, asOf = b).collect().toSeq
+    assert(asOf(0L) == fresh(half1), "as-of batch 0 = the initial build")
+    assert(asOf(1L) == fresh(corpus), "as-of batch 1 = after the append")
+    assert(asOf(2L) == fresh(corpus.filter($"doc_id" =!= 3)),
+      "as-of batch 2 = after the delete")
+    assert(asOf(3L) == asOf(Long.MaxValue),
+      "as-of the compaction = the current serve")
+  }
+
   test("deleting a ZERO-WORD doc still decrements N/avgdl (marker-row " +
       "tombstones), before and after compaction") {
     // doc 4 has empty text: it is counted in n_docs but owns no postings
