@@ -68,4 +68,46 @@ object Profile {
     agged.select(explode(array(entries: _*)).as("r"), col("__n").as("n_rows"))
       .select(col("r.rule"), col("r.n_violations"), col("n_rows"))
   }
+
+  /** Distribution-DRIFT gate between a reference and a current snapshot
+    * of a [0,1] score — the check that catches "the new crawl's quality
+    * distribution silently shifted" before a filter tuned on last
+    * month's corpus silently over- or under-cuts this month's. Both
+    * relations histogram over the same fixed `buckets` bins, and each
+    * bucket reports its two-sample CHI-SQUARE contribution
+    * `(cur − e)² / e`, where `e` is the reference count scaled to the
+    * current total — pure +,×,÷ on integer counts (no logs: a PSI/KL
+    * formulation would drag libm `ln` into the oracle gate). Σ contrib
+    * over buckets is the test statistic, left to the caller so the
+    * per-bucket attribution (WHICH quality band drifted) stays visible.
+    * A bucket absent from the reference (`ref_n = 0`, novel mass)
+    * reports a NULL contribution rather than a division by zero —
+    * callers treat novel mass as its own signal.
+    *
+    * Plan shape at 100 TB: tag + union + ONE conditional-aggregation
+    * pass (map-side combined, ≤ `buckets` groups), a 1-row totals
+    * aggregate broadcast back — never a join between the snapshots,
+    * never a per-bucket scan.
+    */
+  def drift(ref: DataFrame, cur: DataFrame,
+            score: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
+    def tagged(df: DataFrame, t: Int): DataFrame = df.select(
+      least(greatest(floor(score * buckets), lit(0)), lit(buckets - 1))
+        .cast("int").as("bucket"),
+      lit(t).as("__t"))
+    val h = tagged(ref, 0).unionByName(tagged(cur, 1))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__t") === 0, 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("__t") === 1, 1L).otherwise(0L)).as("cur_n"))
+    val totals = h.agg(sum("ref_n").as("__nr"), sum("cur_n").as("__nc"))
+    val e = col("ref_n").cast("double") *
+      (col("__nc").cast("double") / col("__nr").cast("double"))
+    h.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        when(col("ref_n") > 0,
+          (col("cur_n").cast("double") - e) *
+            (col("cur_n").cast("double") - e) / e)
+          .otherwise(lit(null).cast("double")).as("chi2_contrib"))
+      .orderBy(col("bucket"))
+  }
 }

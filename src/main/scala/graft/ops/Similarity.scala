@@ -616,7 +616,8 @@ object Similarity {
   def ivfProbeLayout(spark: SparkSession, path: String, query: Seq[Float],
                      k: Int, nprobe: Int, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     pred: Column = lit(true)): DataFrame = {
+                     pred: Column = lit(true),
+                     asOf: Long = Long.MaxValue): DataFrame = {
     val qd = query.map(_.toDouble)
     val clusters = spark.read.parquet(centroidsPath(path))
       .select(col("cluster"),
@@ -626,7 +627,12 @@ object Similarity {
       .orderBy(col("ccos").desc, col("cluster"))
       .limit(nprobe)
       .select("cluster").collect().map(_.getInt(0))
-    val state = graft.core.IndexCommits.servedState(spark, path)
+    // asOf < MaxValue = TIME-TRAVEL probe (the text index's
+    // servedStateAsOf contract — ONE state machine serves both indexes,
+    // so the vector layout gets the same monotone-prefix replay for
+    // free; centroids are the index's immutable identity and need no
+    // versioning)
+    val state = graft.core.IndexCommits.servedStateAsOf(spark, path, asOf)
     servedRows(spark, path, idCol, state)
       // both are partition columns: uncommitted/superseded batches and
       // non-probed clusters prune at the scan, before any file opens

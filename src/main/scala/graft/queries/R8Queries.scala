@@ -508,7 +508,49 @@ object R8Queries {
              |FROM tf JOIN dfq USING (t) CROSS JOIN stats
              |GROUP BY doc_id
              |ORDER BY score DESC, doc_id
-             |LIMIT 15""".stripMargin)))
+             |LIMIT 15""".stripMargin)),
+
+    Q("dq_drift",
+      "Distribution-drift gate: histogram the quality score of a " +
+        "reference snapshot (even doc ids) and a current snapshot (odd " +
+        "ids) over 16 shared buckets and report each bucket's " +
+        "two-sample chi-square contribution (cur-e)^2/e, e = reference " +
+        "count scaled to the current total — the pre-filter check that " +
+        "catches a silently shifted crawl before a tuned filter over- " +
+        "or under-cuts it. Log-free by design (PSI/KL would drag libm " +
+        "ln into the gate); one conditional-aggregation pass, never a " +
+        "join between snapshots; per-bucket attribution kept so WHICH " +
+        "band drifted stays visible; novel mass (ref 0) reports NULL.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val q = graft.ops.TextAnalysis.qualityScore(col("text"))
+        graft.ops.Profile.drift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), q, buckets = 16)
+      },
+      Some(s"""WITH t AS (
+              |  SELECT cast(least(greatest(floor((${R7Queries.qualitySql("text")}) * 16),
+              |                    0.0::DOUBLE), 15.0::DOUBLE) AS INTEGER) AS bucket,
+              |         doc_id % 2 AS half
+              |  FROM documents),
+              |h AS (
+              |  SELECT bucket,
+              |    cast(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+              |    cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+              |  FROM t GROUP BY bucket),
+              |tot AS (
+              |  SELECT cast(sum(ref_n) AS BIGINT) AS nr,
+              |         cast(sum(cur_n) AS BIGINT) AS nc FROM h)
+              |SELECT bucket, ref_n, cur_n,
+              |  CASE WHEN ref_n > 0 THEN
+              |    (cast(cur_n AS DOUBLE) -
+              |      cast(ref_n AS DOUBLE) * (cast(nc AS DOUBLE) / cast(nr AS DOUBLE))) *
+              |    (cast(cur_n AS DOUBLE) -
+              |      cast(ref_n AS DOUBLE) * (cast(nc AS DOUBLE) / cast(nr AS DOUBLE))) /
+              |    (cast(ref_n AS DOUBLE) * (cast(nc AS DOUBLE) / cast(nr AS DOUBLE)))
+              |  ELSE NULL END AS chi2_contrib
+              |FROM h, tot
+              |ORDER BY bucket""".stripMargin)))
 
   /** The PQ training/encode/ADC chain as CTEs ending in `short` (the
     * rescore shortlist), plus the exact-norm CTEs (`ne`, `nqe`) the

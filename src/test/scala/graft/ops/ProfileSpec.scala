@@ -40,4 +40,26 @@ class ProfileSpec extends SparkSpec {
       Profile.expect(spark.range(1).toDF("id"), Seq.empty)
     }
   }
+
+  test("drift: identical snapshots score exactly zero; novel mass is NULL") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, graft.SparkSpec.Sf0001)
+    val q = graft.ops.TextAnalysis.qualityScore(col("text"))
+    // same relation on both sides: e = ref_n exactly, so every bucket's
+    // chi-square contribution is exactly 0.0 (not merely small)
+    val same = Profile.drift(docs, docs, q, buckets = 16).collect()
+    assert(same.nonEmpty)
+    assert(same.forall(r => !r.isNullAt(3) && r.getDouble(3) == 0.0))
+    assert(same.forall(r => r.getLong(1) == r.getLong(2)))
+    // a bucket present only in the current snapshot: NULL contribution
+    // (novel mass, not a division by zero)
+    val ref = Seq(0.1, 0.1, 0.2).toDF("s")
+    val cur = Seq(0.1, 0.9).toDF("s")
+    val got = Profile.drift(ref, cur, col("s"), buckets = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(9).isNullAt(3), "ref-absent bucket must be NULL")
+    assert(!got(1).isNullAt(3))
+    // a drifted distribution scores strictly positive somewhere
+    assert(got.values.exists(r => !r.isNullAt(3) && r.getDouble(3) > 0))
+  }
 }

@@ -237,6 +237,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.readCentroids(spark, dir).size == 4)
   }
 
+  test("IVF layout as-of time travel: each as-of point serves brute force " +
+      "over the batches committed by then") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val base = emb.filter($"vec_id" % 4 =!= 1)
+    val rest = emb.filter($"vec_id" % 4 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_asof")
+      .toString + "/emb"
+    Similarity.ivfWriteLayout(base, "vec_id", "embedding", dir,
+      kClusters = 4, iters = 2)
+    Similarity.ivfAppendLayout(rest, "vec_id", "embedding", dir, batchId = 1L)
+    def served(asOf: Long) = Similarity.ivfProbeLayout(spark, dir, q,
+        k = 10, nprobe = 4, asOf = asOf) // all clusters: no approximation
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def brute(d: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(d, "vec_id", "embedding", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served(0L) == brute(base), "as-of batch 0 = the initial build")
+    assert(served(1L) == brute(emb), "as-of batch 1 = after the append")
+    assert(served(Long.MaxValue) == brute(emb))
+  }
+
   test("IVF lifecycle: tombstone delete serves brute-force-over-survivors; " +
       "crashed delete invisible; compaction + vacuum leave serving unchanged") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
