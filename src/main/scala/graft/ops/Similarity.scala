@@ -310,9 +310,11 @@ object Similarity {
     // per Lloyd update) — cache the two columns that matter, released by
     // the harness like every other internal persist
     val proj = graft.core.Caches.track(train.select(col(idCol), col(vecCol)))
+    // element-type-agnostic: raw embeddings are float arrays, residual
+    // vectors (IVFADC) arrive as double arrays — both widen exactly
     val seeds: Seq[Seq[Double]] = proj.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue).toSeq).toSeq
     require(seeds.size == k, s"need at least $k rows to seed $k clusters")
     var cents = seeds
     for (_ <- 1 to iters) {
@@ -979,6 +981,90 @@ object Similarity {
     val short = pqEncode(inProbe, vecCol, books, dims)
       .withColumn("approx_sim",
         lookup(tdot) / (sqrt(lookup(tnorm)) * lit(nq)))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(rescore)
+    short
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Residual IVF-PQ — true IVFADC (Jégou et al. 2011 §IV): PQ encodes
+    * the RESIDUAL `vec − coarse_centroid` rather than the raw vector,
+    * which is the refinement that makes the composition accurate (raw
+    * vectors spread across the whole space; residuals concentrate near
+    * zero, so the same codebook budget spends its resolution where the
+    * probed cluster actually lives). Scoring uses the precomputed-table
+    * decomposition FAISS ships:
+    *
+    *   dot(q, c + r)  = qc[cluster] + Σ_s td_s[code_s]
+    *   |c + r|²       = cn2[cluster] + Σ_s (2·cross_s[cluster][code_s]
+    *                                        + tn_s[code_s])
+    *
+    * where `cross_s[cluster][code]` = dot(coarse slice, codebook entry) —
+    * the m·kCoarse·kPq table that removes any need to reconstruct
+    * vectors at query time. All tables are driver-side ordered folds
+    * over grid-pinned quantizers (bit-identical to the oracle's
+    * list_reduce restatements); the scan reads codes + the coarse
+    * cluster id only. Shortlist by approximate cosine, exact decimal
+    * rescore, top-k.
+    */
+  def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Float], nprobe: Int, kCoarse: Int,
+                 coarseIters: Int, m: Int, k: Int, iters: Int, dims: Int,
+                 rescore: Int, topK: Int): DataFrame = {
+    val coarse = kmeansCentroids(emb, idCol, vecCol, kCoarse, coarseIters)
+      .map(_.map(quantize9))
+    val qd = query.map(_.toDouble)
+    val nq = math.sqrt((0 until dims).foldLeft(0.0)((acc, i) =>
+      acc + qd(i) * qd(i)))
+    val qc: Seq[Double] = coarse.map(c =>
+      (0 until dims).foldLeft(0.0)((acc, i) => acc + qd(i) * c(i)))
+    val cn2: Seq[Double] = coarse.map(c =>
+      (0 until dims).foldLeft(0.0)((acc, i) => acc + c(i) * c(i)))
+    val probed: Seq[Int] = coarse.indices.map { i =>
+      (qc(i) / (math.sqrt(cn2(i)) * nq), i)
+    }.sortBy { case (cos, i) => (-cos, i) }.take(nprobe).map(_._2)
+    // residual corpus: vec − assigned coarse centroid (exact double
+    // subtraction against the grid-pinned centroid array)
+    val assigned = graft.core.Caches.track(emb
+      .withColumn("__g_coarse", nearestCluster(col(vecCol), coarse)))
+    val resid = assigned
+      .join(broadcast(centroidsDf(emb.sparkSession, coarse)),
+        col("__g_coarse") === col("cluster"))
+      .select(col(idCol), col(vecCol), col("__g_coarse"),
+        zip_with(col(vecCol), col("centroid"),
+          (x, c) => x.cast("double") - c).as("__g_resid"))
+    val books = pqTrain(resid.select(col(idCol), col("__g_resid")),
+      idCol, "__g_resid", m, k, iters, dims)
+    val subDim = dims / m
+    val tdot: Seq[Seq[Double]] = books.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => (0 until subDim).foldLeft(0.0)((acc, i) =>
+        acc + qd(s * subDim + i) * c(i)))
+    }
+    val tnorm: Seq[Seq[Double]] = books.map(_.map(c =>
+      (0 until subDim).foldLeft(0.0)((acc, i) => acc + c(i) * c(i))))
+    val cross: Seq[Seq[Seq[Double]]] = books.zipWithIndex.map { case (cb, s) =>
+      coarse.map(cc => cb.map(r =>
+        (0 until subDim).foldLeft(0.0)((acc, i) =>
+          acc + cc(s * subDim + i) * r(i))))
+    }
+    val coded = pqEncode(
+      resid.filter(col("__g_coarse").isin(probed.map(Integer.valueOf): _*)),
+      "__g_resid", books, dims)
+    val codeAt = (s: Int) => element_at(col("pq_code"), s + 1)
+    val adot = (0 until m).foldLeft(
+      element_at(typedlit(qc), col("__g_coarse") + 1)) { (acc, s) =>
+      acc + element_at(typedlit(tdot(s)), codeAt(s) + 1)
+    }
+    val anorm2 = (0 until m).foldLeft(
+      element_at(typedlit(cn2), col("__g_coarse") + 1)) { (acc, s) =>
+      acc + (lit(2.0) * element_at(element_at(typedlit(cross(s)),
+        col("__g_coarse") + 1), codeAt(s) + 1) +
+        element_at(typedlit(tnorm(s)), codeAt(s) + 1))
+    }
+    val short = coded
+      .withColumn("approx_sim", adot / (sqrt(anorm2) * lit(nq)))
       .orderBy(col("approx_sim").desc, col(idCol))
       .limit(rescore)
     short

@@ -550,7 +550,140 @@ object R8Queries {
               |    (cast(ref_n AS DOUBLE) * (cast(nc AS DOUBLE) / cast(nr AS DOUBLE)))
               |  ELSE NULL END AS chi2_contrib
               |FROM h, tot
-              |ORDER BY bucket""".stripMargin)))
+              |ORDER BY bucket""".stripMargin)),
+
+    Q("sim_ivfadc",
+      "True IVFADC (Jegou et al. 2011 SIV): PQ encodes the RESIDUAL " +
+        "vec - coarse_centroid, concentrating the codebook budget where " +
+        "the probed cluster lives, and scoring uses the FAISS " +
+        "precomputed-table decomposition — dot(q,c+r) = qc[cluster] + " +
+        "sum td[code]; |c+r|^2 = cn2[cluster] + sum(2*cross[cluster]" +
+        "[code] + tn[code]) — so query time is pure table lookups over " +
+        "(coarse id, codes); no vector is reconstructed. Coarse prune " +
+        "to nprobe=2, ADC shortlist 50, exact decimal rescore. All " +
+        "tables are driver-side ordered folds over grid-pinned " +
+        "quantizers, bit-identical to the oracle's list_reduce chains.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.ivfAdcTopK(emb, "vec_id", "embedding", qv, nprobe = 2,
+          kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1,
+          dims = 64, rescore = 50, topK = 10)
+      },
+      Some {
+        val M = 4; val SUB = 16
+        val coarseChain = R5Queries.kmeansCtesOn("embeddings", k = 4,
+          prefix = "pc_", iters = 1, dims = 64)
+        val residChains = (0 until M).map { s =>
+          s"""rsub$s AS (
+             |  SELECT vec_id, embedding[${s * SUB + 1}:${(s + 1) * SUB}] AS embedding
+             |  FROM resid),
+             |${R5Queries.kmeansCtesOn(s"rsub$s", k = 8, prefix = s"r${s}_",
+                iters = 1, dims = SUB)},
+             |rcq$s AS (
+             |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c
+             |  FROM r${s}_c1),
+             |rdq$s AS (
+             |  SELECT e.vec_id, c.cluster,
+             |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
+             |         AS DECIMAL(38,14))) AS DOUBLE) AS d
+             |  FROM rsub$s e, rcq$s c GROUP BY e.vec_id, c.cluster),
+             |raq$s AS (
+             |  SELECT vec_id, cluster FROM rdq$s
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+             |rca$s AS (
+             |  SELECT cluster, list(c ORDER BY i) AS cv FROM rcq$s GROUP BY cluster),
+             |rtb$s AS (
+             |  SELECT cluster,
+             |    list_reduce(list_transform(generate_series(1, $SUB),
+             |      i -> q.qe[${s * SUB} + i]::DOUBLE * cv[i]), (x, y) -> x + y) AS td,
+             |    list_reduce(list_transform(generate_series(1, $SUB),
+             |      i -> cv[i] * cv[i]), (x, y) -> x + y) AS tn
+             |  FROM rca$s, q),
+             |xx$s AS (
+             |  SELECT cc.cluster AS ccl, b.cluster AS code,
+             |    list_reduce(list_transform(generate_series(1, $SUB),
+             |      i -> cc.cv[${s * SUB} + i] * b.cv[i]), (x, y) -> x + y) AS x
+             |  FROM cac cc, rca$s b)""".stripMargin
+        }.mkString("," + "\n")
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |nqv AS (
+           |  SELECT sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)) AS nq
+           |  FROM q),
+           |$coarseChain,
+           |cqc AS (
+           |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c
+           |  FROM pc_c1),
+           |dqc AS (
+           |  SELECT e.vec_id, c.cluster,
+           |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
+           |         AS DECIMAL(38,14))) AS DOUBLE) AS d
+           |  FROM embeddings e, cqc c GROUP BY e.vec_id, c.cluster),
+           |aqc AS (
+           |  SELECT vec_id, cluster FROM dqc
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+           |cac AS (
+           |  SELECT cluster, list(c ORDER BY i) AS cv FROM cqc GROUP BY cluster),
+           |qcv AS (
+           |  SELECT cluster,
+           |    list_reduce(list_transform(generate_series(1, 64),
+           |      i -> q.qe[i]::DOUBLE * cv[i]), (x, y) -> x + y) AS qc
+           |  FROM cac, q),
+           |cnv AS (
+           |  SELECT cluster,
+           |    list_reduce(list_transform(generate_series(1, 64),
+           |      i -> cv[i] * cv[i]), (x, y) -> x + y) AS cn2
+           |  FROM cac),
+           |cshort AS (
+           |  SELECT c.cluster FROM qcv c JOIN cnv n USING (cluster), nqv
+           |  ORDER BY c.qc / (sqrt(n.cn2) * nqv.nq) DESC, c.cluster LIMIT 2),
+           |resid AS (
+           |  SELECT e.vec_id, a.cluster AS coarse,
+           |    list_transform(generate_series(1, 64),
+           |      i -> e.embedding[i]::DOUBLE - ca.cv[i]) AS embedding
+           |  FROM embeddings e
+           |  JOIN aqc a USING (vec_id)
+           |  JOIN cac ca ON ca.cluster = a.cluster),
+           |$residChains,
+           |scores AS (
+           |  SELECT r.vec_id,
+           |    (qcv.qc + t0.td + t1.td + t2.td + t3.td) /
+           |    (sqrt(cnv.cn2 + (2 * x0.x + t0.tn) + (2 * x1.x + t1.tn)
+           |          + (2 * x2.x + t2.tn) + (2 * x3.x + t3.tn)) * nqv.nq) AS approx
+           |  FROM resid r
+           |  JOIN raq0 a0 ON a0.vec_id = r.vec_id
+           |  JOIN raq1 a1 ON a1.vec_id = r.vec_id
+           |  JOIN raq2 a2 ON a2.vec_id = r.vec_id
+           |  JOIN raq3 a3 ON a3.vec_id = r.vec_id
+           |  JOIN qcv ON qcv.cluster = r.coarse
+           |  JOIN cnv ON cnv.cluster = r.coarse
+           |  JOIN rtb0 t0 ON t0.cluster = a0.cluster
+           |  JOIN rtb1 t1 ON t1.cluster = a1.cluster
+           |  JOIN rtb2 t2 ON t2.cluster = a2.cluster
+           |  JOIN rtb3 t3 ON t3.cluster = a3.cluster
+           |  JOIN xx0 x0 ON x0.ccl = r.coarse AND x0.code = a0.cluster
+           |  JOIN xx1 x1 ON x1.ccl = r.coarse AND x1.code = a1.cluster
+           |  JOIN xx2 x2 ON x2.ccl = r.coarse AND x2.code = a2.cluster
+           |  JOIN xx3 x3 ON x3.ccl = r.coarse AND x3.code = a3.cluster, nqv
+           |  WHERE r.coarse IN (SELECT cluster FROM cshort)),
+           |short AS (SELECT vec_id FROM scores ORDER BY approx DESC, vec_id LIMIT 50),
+           |nqe AS (
+           |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+           |  FROM q, generate_series(1, 64) g(i)),
+           |ne AS (
+           |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+           |dots AS (
+           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q,
+           |       generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id)
+           |SELECT d.vec_id, d.dot / (ne.nrm * nqe.nrm) AS cos_sim
+           |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nqe
+           |ORDER BY cos_sim DESC, d.vec_id
+           |LIMIT 10""".stripMargin
+      }))
 
   /** The PQ training/encode/ADC chain as CTEs ending in `short` (the
     * rescore shortlist), plus the exact-norm CTEs (`ne`, `nqe`) the
