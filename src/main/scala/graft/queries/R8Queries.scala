@@ -342,45 +342,8 @@ object R8Queries {
           kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1,
           dims = 64, rescore = 50, topK = 10)
       },
-      Some {
-        val coarse =
-          s""",
-             |${R5Queries.kmeansCtesOn("embeddings", k = 4, prefix = "pc_",
-                iters = 1, dims = 64)},
-             |cqc AS (
-             |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c
-             |  FROM pc_c1),
-             |dqc AS (
-             |  SELECT e.vec_id, c.cluster,
-             |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
-             |         AS DECIMAL(38,14))) AS DOUBLE) AS d
-             |  FROM embeddings e, cqc c GROUP BY e.vec_id, c.cluster),
-             |aqc AS (
-             |  SELECT vec_id, cluster FROM dqc
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
-             |cac AS (
-             |  SELECT cluster, list(c ORDER BY i) AS cv FROM cqc GROUP BY cluster),
-             |ccosc AS (
-             |  SELECT cluster,
-             |    list_reduce(list_transform(generate_series(1, 64),
-             |      i -> q.qe[i]::DOUBLE * cv[i]), (x, y) -> x + y)
-             |    / (sqrt(list_reduce(list_transform(generate_series(1, 64),
-             |        i -> cv[i] * cv[i]), (x, y) -> x + y)) * nqv.nq) AS cos
-             |  FROM cac, q, nqv),
-             |cshort AS (SELECT cluster FROM ccosc ORDER BY cos DESC, cluster LIMIT 2)""".stripMargin
-        s"""WITH ${pqCtes(extraAfterNqv = coarse,
-            scoresJoin = "\n  JOIN aqc ac ON ac.vec_id = a0.vec_id",
-            scoresWhere = "WHERE ac.cluster IN (SELECT cluster FROM cshort)")},
-           |dots AS (
-           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
-           |  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q,
-           |       generate_series(1, 64) g(i)
-           |  GROUP BY e.vec_id)
-           |SELECT d.vec_id, d.dot / (ne.nrm * nqe.nrm) AS cos_sim
-           |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nqe
-           |ORDER BY cos_sim DESC, d.vec_id
-           |LIMIT 10""".stripMargin
-      }),
+      Some(s"""WITH $ivfPqChain,
+              |$rescoreTail""".stripMargin)),
 
     Q("ev_funnel",
       "Strict sequential conversion funnel over the event stream: users " +
@@ -570,7 +533,127 @@ object R8Queries {
           kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1,
           dims = 64, rescore = 50, topK = 10)
       },
-      Some {
+      Some(s"""WITH $ivfAdcChain,
+              |$rescoreTail""".stripMargin)),
+
+    Q("sim_recall_ivfpq",
+      "Recall@10 gate for the composed IVF-PQ index: exact brute force " +
+        "vs coarse-prune + ADC shortlist + exact rescore — catches both " +
+        "failure modes at once (a mis-ranked coarse shortlist hiding " +
+        "the true neighbors' clusters, and codebooks too coarse for the " +
+        "rescore budget). Shares the full IVF-PQ oracle chain with the " +
+        "gated index, so gate and gated can never drift.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+        val approx = Similarity.ivfPqTopK(emb, "vec_id", "embedding", qv,
+          nprobe = 2, kCoarse = 4, coarseIters = 1, m = 4, k = 8,
+          iters = 1, dims = 64, rescore = 50, topK = 10)
+        Similarity.recallAtK(exact, approx, "vec_id", 10)
+      },
+      Some(s"""WITH $ivfPqChain,
+              |$recallTail""".stripMargin)),
+
+    Q("sim_recall_ivfadc",
+      "Recall@10 gate for true IVFADC: the residual encoding should " +
+        "recover accuracy the raw-vector PQ loses inside a probed " +
+        "cluster — this row is the measurement (compare against " +
+        "sim_recall_ivfpq at identical nprobe/m/k/rescore budgets). " +
+        "Shares the full IVFADC oracle chain with the gated index.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+        val approx = Similarity.ivfAdcTopK(emb, "vec_id", "embedding", qv,
+          nprobe = 2, kCoarse = 4, coarseIters = 1, m = 4, k = 8,
+          iters = 1, dims = 64, rescore = 50, topK = 10)
+        Similarity.recallAtK(exact, approx, "vec_id", 10)
+      },
+      Some(s"""WITH $ivfAdcChain,
+              |$recallTail""".stripMargin)))
+
+  /** Exact-rescore tail shared by every ADC-family oracle: score the
+    * `short` candidates with the decimal-exact cosine, final top-10.
+    */
+  private lazy val rescoreTail: String =
+    s"""dots AS (
+       |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+       |  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q,
+       |       generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id)
+       |SELECT d.vec_id, d.dot / (ne.nrm * nqe.nrm) AS cos_sim
+       |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nqe
+       |ORDER BY cos_sim DESC, d.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** Recall-gate tail shared by the ADC-family gates: exact top-10 over
+    * the whole corpus vs the `short`-rescored top-10, intersected.
+    */
+  private lazy val recallTail: String =
+    s"""dots AS (
+       |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+       |  FROM embeddings e, q, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id),
+       |exact AS (
+       |  SELECT d.vec_id FROM dots d JOIN ne USING (vec_id), nqe
+       |  ORDER BY d.dot / (ne.nrm * nqe.nrm) DESC, d.vec_id LIMIT 10),
+       |approx AS (
+       |  SELECT d.vec_id
+       |  FROM dots d JOIN ne USING (vec_id) JOIN short s USING (vec_id), nqe
+       |  ORDER BY d.dot / (ne.nrm * nqe.nrm) DESC, d.vec_id LIMIT 10)
+       |SELECT CAST(10 AS BIGINT) AS k,
+       |  count(*) AS hits,
+       |  CASE WHEN (SELECT count(*) FROM exact) > 0
+       |    THEN CAST(count(*) AS DOUBLE) /
+       |         (SELECT count(*) FROM exact)
+       |    ELSE 0.0 END AS recall
+       |FROM approx JOIN exact USING (vec_id)""".stripMargin
+
+  /** The coarse-quantizer CTE block (train, quantize, assign, arrays,
+    * cosine shortlist) injected into the PQ chain for the IVF-PQ probe.
+    */
+  private lazy val coarseCtes: String =
+    s""",
+       |${R5Queries.kmeansCtesOn("embeddings", k = 4, prefix = "pc_",
+          iters = 1, dims = 64)},
+       |cqc AS (
+       |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c
+       |  FROM pc_c1),
+       |dqc AS (
+       |  SELECT e.vec_id, c.cluster,
+       |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)
+       |         AS DECIMAL(38,14))) AS DOUBLE) AS d
+       |  FROM embeddings e, cqc c GROUP BY e.vec_id, c.cluster),
+       |aqc AS (
+       |  SELECT vec_id, cluster FROM dqc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+       |cac AS (
+       |  SELECT cluster, list(c ORDER BY i) AS cv FROM cqc GROUP BY cluster),
+       |ccosc AS (
+       |  SELECT cluster,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> q.qe[i]::DOUBLE * cv[i]), (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+       |        i -> cv[i] * cv[i]), (x, y) -> x + y)) * nqv.nq) AS cos
+       |  FROM cac, q, nqv),
+       |cshort AS (SELECT cluster FROM ccosc ORDER BY cos DESC, cluster LIMIT 2)""".stripMargin
+
+  /** The full IVF-PQ chain: the shared PQ chain with the coarse block
+    * injected and scores restricted to the probed clusters — shared by
+    * sim_ivfpq and its recall gate.
+    */
+  private lazy val ivfPqChain: String =
+    pqCtes(extraAfterNqv = coarseCtes,
+      scoresJoin = "\n  JOIN aqc ac ON ac.vec_id = a0.vec_id",
+      scoresWhere = "WHERE ac.cluster IN (SELECT cluster FROM cshort)")
+
+  /** The full IVFADC chain (coarse quantizer, residual relation, four
+    * residual-slice PQ trainings, ADC score tables, probe-restricted
+    * scores, `short`, and the exact-norm CTEs) — shared by sim_ivfadc
+    * and its recall gate so index and gate can never drift.
+    */
+  private lazy val ivfAdcChain: String = {
         val M = 4; val SUB = 16
         val coarseChain = R5Queries.kmeansCtesOn("embeddings", k = 4,
           prefix = "pc_", iters = 1, dims = 64)
@@ -606,7 +689,7 @@ object R8Queries {
              |      i -> cc.cv[${s * SUB} + i] * b.cv[i]), (x, y) -> x + y) AS x
              |  FROM cac cc, rca$s b)""".stripMargin
         }.mkString("," + "\n")
-        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            |nqv AS (
            |  SELECT sqrt(list_reduce(list_transform(generate_series(1, 64),
            |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)) AS nq
@@ -673,17 +756,8 @@ object R8Queries {
            |  FROM q, generate_series(1, 64) g(i)),
            |ne AS (
            |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
-           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
-           |dots AS (
-           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
-           |  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q,
-           |       generate_series(1, 64) g(i)
-           |  GROUP BY e.vec_id)
-           |SELECT d.vec_id, d.dot / (ne.nrm * nqe.nrm) AS cos_sim
-           |FROM dots d JOIN ne ON d.vec_id = ne.vec_id, nqe
-           |ORDER BY cos_sim DESC, d.vec_id
-           |LIMIT 10""".stripMargin
-      }))
+           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id)""".stripMargin
+  }
 
   /** The PQ training/encode/ADC chain as CTEs ending in `short` (the
     * rescore shortlist), plus the exact-norm CTEs (`ne`, `nqe`) the
