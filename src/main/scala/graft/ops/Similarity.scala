@@ -904,8 +904,13 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              query: Seq[Float], m: Int, k: Int, iters: Int, dims: Int,
-             rescore: Int, topK: Int): DataFrame = {
-    val books = pqTrain(emb, idCol, vecCol, m, k, iters, dims)
+             rescore: Int, topK: Int,
+             trainedBooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    // trainedBooks: the one-training-many-consumers seam (the BPE
+    // mergeCache precedent) — training is a pure function of the
+    // corpus, so a caller-cached codebook changes nothing but cost
+    val books = trainedBooks.getOrElse(
+      pqTrain(emb, idCol, vecCol, m, k, iters, dims))
     val subDim = dims / m
     val qd = query.map(_.toDouble)
     val tdot: Seq[Seq[Double]] = books.zipWithIndex.map { case (cb, s) =>
@@ -952,9 +957,12 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 query: Seq[Float], nprobe: Int, kCoarse: Int,
                 coarseIters: Int, m: Int, k: Int, iters: Int, dims: Int,
-                rescore: Int, topK: Int): DataFrame = {
-    val coarse = kmeansCentroids(emb, idCol, vecCol, kCoarse, coarseIters)
-      .map(_.map(quantize9))
+                rescore: Int, topK: Int,
+                trainedCoarse: Option[Seq[Seq[Double]]] = None,
+                trainedBooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val coarse = trainedCoarse.getOrElse(
+      kmeansCentroids(emb, idCol, vecCol, kCoarse, coarseIters)
+        .map(_.map(quantize9)))
     val qd = query.map(_.toDouble)
     val nq = math.sqrt((0 until dims).foldLeft(0.0)((acc, i) =>
       acc + qd(i) * qd(i)))
@@ -967,7 +975,8 @@ object Similarity {
     val inProbe = emb
       .withColumn("__g_coarse", nearestCluster(col(vecCol), coarse))
       .filter(col("__g_coarse").isin(probed: _*))
-    val books = pqTrain(emb, idCol, vecCol, m, k, iters, dims)
+    val books = trainedBooks.getOrElse(
+      pqTrain(emb, idCol, vecCol, m, k, iters, dims))
     val subDim = dims / m
     val tdot: Seq[Seq[Double]] = books.zipWithIndex.map { case (cb, s) =>
       cb.map(c => (0 until subDim).foldLeft(0.0)((acc, i) =>
@@ -1012,65 +1021,216 @@ object Similarity {
   def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
                  query: Seq[Float], nprobe: Int, kCoarse: Int,
                  coarseIters: Int, m: Int, k: Int, iters: Int, dims: Int,
-                 rescore: Int, topK: Int): DataFrame = {
-    val coarse = kmeansCentroids(emb, idCol, vecCol, kCoarse, coarseIters)
-      .map(_.map(quantize9))
-    val qd = query.map(_.toDouble)
-    val nq = math.sqrt((0 until dims).foldLeft(0.0)((acc, i) =>
-      acc + qd(i) * qd(i)))
-    val qc: Seq[Double] = coarse.map(c =>
-      (0 until dims).foldLeft(0.0)((acc, i) => acc + qd(i) * c(i)))
-    val cn2: Seq[Double] = coarse.map(c =>
-      (0 until dims).foldLeft(0.0)((acc, i) => acc + c(i) * c(i)))
-    val probed: Seq[Int] = coarse.indices.map { i =>
-      (qc(i) / (math.sqrt(cn2(i)) * nq), i)
-    }.sortBy { case (cos, i) => (-cos, i) }.take(nprobe).map(_._2)
-    // residual corpus: vec − assigned coarse centroid (exact double
-    // subtraction against the grid-pinned centroid array)
-    val assigned = graft.core.Caches.track(emb
-      .withColumn("__g_coarse", nearestCluster(col(vecCol), coarse)))
-    val resid = assigned
-      .join(broadcast(centroidsDf(emb.sparkSession, coarse)),
-        col("__g_coarse") === col("cluster"))
-      .select(col(idCol), col(vecCol), col("__g_coarse"),
-        zip_with(col(vecCol), col("centroid"),
-          (x, c) => x.cast("double") - c).as("__g_resid"))
-    val books = pqTrain(resid.select(col(idCol), col("__g_resid")),
-      idCol, "__g_resid", m, k, iters, dims)
-    val subDim = dims / m
-    val tdot: Seq[Seq[Double]] = books.zipWithIndex.map { case (cb, s) =>
-      cb.map(c => (0 until subDim).foldLeft(0.0)((acc, i) =>
-        acc + qd(s * subDim + i) * c(i)))
-    }
-    val tnorm: Seq[Seq[Double]] = books.map(_.map(c =>
-      (0 until subDim).foldLeft(0.0)((acc, i) => acc + c(i) * c(i))))
-    val cross: Seq[Seq[Seq[Double]]] = books.zipWithIndex.map { case (cb, s) =>
-      coarse.map(cc => cb.map(r =>
-        (0 until subDim).foldLeft(0.0)((acc, i) =>
-          acc + cc(s * subDim + i) * r(i))))
-    }
+                 rescore: Int, topK: Int,
+                 trainedCoarse: Option[Seq[Seq[Double]]] = None,
+                 trainedBooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    // trainedBooks MUST be residual codebooks trained against
+    // trainedCoarse (see [[residualBooks]]) — the pair is one identity
+    val coarse = trainedCoarse.getOrElse(
+      kmeansCentroids(emb, idCol, vecCol, kCoarse, coarseIters)
+        .map(_.map(quantize9)))
+    val resid = residualRelation(emb, idCol, vecCol, coarse)
+    val books = trainedBooks.getOrElse(
+      pqTrain(resid.select(col(idCol), col("__g_resid")),
+        idCol, "__g_resid", m, k, iters, dims))
+    val t = adcTables(coarse, books, query.map(_.toDouble), dims)
+    val probed = adcCoarseShortlist(t, nprobe)
     val coded = pqEncode(
       resid.filter(col("__g_coarse").isin(probed.map(Integer.valueOf): _*)),
       "__g_resid", books, dims)
-    val codeAt = (s: Int) => element_at(col("pq_code"), s + 1)
-    val adot = (0 until m).foldLeft(
-      element_at(typedlit(qc), col("__g_coarse") + 1)) { (acc, s) =>
-      acc + element_at(typedlit(tdot(s)), codeAt(s) + 1)
-    }
-    val anorm2 = (0 until m).foldLeft(
-      element_at(typedlit(cn2), col("__g_coarse") + 1)) { (acc, s) =>
-      acc + (lit(2.0) * element_at(element_at(typedlit(cross(s)),
-        col("__g_coarse") + 1), codeAt(s) + 1) +
-        element_at(typedlit(tnorm(s)), codeAt(s) + 1))
-    }
     val short = coded
-      .withColumn("approx_sim", adot / (sqrt(anorm2) * lit(nq)))
+      .withColumn("approx_sim", adcApproxExpr(t, col("__g_coarse")))
       .orderBy(col("approx_sim").desc, col(idCol))
       .limit(rescore)
     short
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
+  }
+
+  /** The residual relation: every row tagged with its coarse cluster and
+    * `__g_resid` = vec − assigned coarse centroid (exact double
+    * subtraction against the grid-pinned centroid array).
+    */
+  private def residualRelation(emb: DataFrame, idCol: String,
+                               vecCol: String,
+                               coarse: Seq[Seq[Double]]): DataFrame = {
+    val assigned = graft.core.Caches.track(emb
+      .withColumn("__g_coarse", nearestCluster(col(vecCol), coarse)))
+    assigned
+      .join(broadcast(centroidsDf(emb.sparkSession, coarse)),
+        col("__g_coarse") === col("cluster"))
+      .select(col(idCol), col(vecCol), col("__g_coarse"),
+        zip_with(col(vecCol), col("centroid"),
+          (x, c) => x.cast("double") - c).as("__g_resid"))
+  }
+
+  /** Grid-pinned k-means: [[kmeansCentroids]] with every mean pinned to
+    * the 1e-9 grid ([[quantize9]]) — the form every cross-engine-visible
+    * quantizer in this file uses, exposed for one-training-many-
+    * consumers callers.
+    */
+  def kmeansQuantized(train: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Seq[Seq[Double]] =
+    kmeansCentroids(train, idCol, vecCol, k, iters).map(_.map(quantize9))
+
+  /** Residual PQ codebooks for a given coarse quantizer — the trainable
+    * half of the IVFADC identity, exposed so callers can train ONCE and
+    * serve many queries (pass the result as `trainedBooks` together
+    * with the same `trainedCoarse`).
+    */
+  def residualBooks(emb: DataFrame, idCol: String, vecCol: String,
+                    coarse: Seq[Seq[Double]], m: Int, k: Int, iters: Int,
+                    dims: Int): Seq[Seq[Seq[Double]]] = {
+    val resid = residualRelation(emb, idCol, vecCol, coarse)
+    pqTrain(resid.select(col(idCol), col("__g_resid")),
+      idCol, "__g_resid", m, k, iters, dims)
+  }
+
+  /** The IVFADC precomputed tables (FAISS's decomposition) for one query
+    * — every entry a sequential left fold over grid-pinned quantizer
+    * values, so both engines (and a persisted-layout reload) reproduce
+    * them bit-for-bit.
+    */
+  private case class AdcTables(qc: Seq[Double], cn2: Seq[Double],
+                               tdot: Seq[Seq[Double]],
+                               tnorm: Seq[Seq[Double]],
+                               cross: Seq[Seq[Seq[Double]]], nq: Double,
+                               m: Int)
+  private def adcTables(coarse: Seq[Seq[Double]],
+                        books: Seq[Seq[Seq[Double]]], qd: Seq[Double],
+                        dims: Int): AdcTables = {
+    val m = books.size
+    val subDim = dims / m
+    AdcTables(
+      qc = coarse.map(c =>
+        (0 until dims).foldLeft(0.0)((acc, i) => acc + qd(i) * c(i))),
+      cn2 = coarse.map(c =>
+        (0 until dims).foldLeft(0.0)((acc, i) => acc + c(i) * c(i))),
+      tdot = books.zipWithIndex.map { case (cb, s) =>
+        cb.map(c => (0 until subDim).foldLeft(0.0)((acc, i) =>
+          acc + qd(s * subDim + i) * c(i)))
+      },
+      tnorm = books.map(_.map(c =>
+        (0 until subDim).foldLeft(0.0)((acc, i) => acc + c(i) * c(i)))),
+      cross = books.zipWithIndex.map { case (cb, s) =>
+        coarse.map(cc => cb.map(r =>
+          (0 until subDim).foldLeft(0.0)((acc, i) =>
+            acc + cc(s * subDim + i) * r(i))))
+      },
+      nq = math.sqrt((0 until dims).foldLeft(0.0)((acc, i) =>
+        acc + qd(i) * qd(i))),
+      m = m)
+  }
+
+  /** Driver-side coarse shortlist by approximate-cosine rank over the
+    * precomputed tables — the probe decision both the scan path and the
+    * at-rest layout share.
+    */
+  private def adcCoarseShortlist(t: AdcTables, nprobe: Int): Seq[Int] =
+    t.qc.indices.map { i =>
+      (t.qc(i) / (math.sqrt(t.cn2(i)) * t.nq), i)
+    }.sortBy { case (cos, i) => (-cos, i) }.take(nprobe).map(_._2)
+
+  /** The per-row ADC approximate cosine: table lookups over the coarse
+    * id and the `pq_code` array, fixed-order add chains (mirrored
+    * textually by the oracle).
+    */
+  private def adcApproxExpr(t: AdcTables, coarseCol: Column): Column = {
+    val codeAt = (s: Int) => element_at(col("pq_code"), s + 1)
+    val adot = (0 until t.m).foldLeft(
+      element_at(typedlit(t.qc), coarseCol + 1)) { (acc, s) =>
+      acc + element_at(typedlit(t.tdot(s)), codeAt(s) + 1)
+    }
+    val anorm2 = (0 until t.m).foldLeft(
+      element_at(typedlit(t.cn2), coarseCol + 1)) { (acc, s) =>
+      acc + (lit(2.0) * element_at(element_at(typedlit(t.cross(s)),
+        coarseCol + 1), codeAt(s) + 1) +
+        element_at(typedlit(t.tnorm(s)), codeAt(s) + 1))
+    }
+    adot / (sqrt(anorm2) * lit(t.nq))
+  }
+
+  private def codebooksPath(path: String): String =
+    path.stripSuffix("/") + "_codebooks"
+
+  def readCodebooks(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(codebooksPath(path))
+      .orderBy("subspace", "code").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq)
+
+  /** The IVFADC layout AT REST: the [[ivfWriteLayout]] pattern plus the
+    * compressed representation — each row stores its coarse partition
+    * AND its m PQ codes, with centroids and codebooks persisted beside
+    * the data (exact binary doubles). A probe's ADC stage then reads
+    * ONLY (id, pq_code) from the nprobe pruned partitions — at 100 TB
+    * the scan bandwidth is m·log₂k bits per row instead of dims·32,
+    * THE reason billion-vector indexes store codes — and the exact
+    * rescore re-reads float vectors for just the ≤rescore shortlisted
+    * ids. Serving guarantee: defined bit-identical to [[ivfAdcTopK]]
+    * over the same corpus (same deterministic training, persisted
+    * exactly), so the scan-path oracle gates this layout verbatim.
+    */
+  def ivfAdcWriteLayout(emb: DataFrame, idCol: String, vecCol: String,
+                        path: String, kCoarse: Int, coarseIters: Int,
+                        m: Int, k: Int, iters: Int, dims: Int): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/data"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/commits"), true)
+    val coarse = kmeansCentroids(emb, idCol, vecCol, kCoarse, coarseIters)
+      .map(_.map(quantize9))
+    import spark.implicits._
+    coarse.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath(path))
+    val resid = residualRelation(emb, idCol, vecCol, coarse)
+    val books = pqTrain(resid.select(col(idCol), col("__g_resid")),
+      idCol, "__g_resid", m, k, iters, dims)
+    books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, code) => (s, code, c) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(codebooksPath(path))
+    val rows = pqEncode(resid, "__g_resid", books, dims)
+      .select(col(idCol), col(vecCol), col("pq_code"),
+        col("__g_coarse").as("ivf_cluster"))
+    writeLayoutRows(rows, path, batchId = 0L)
+    graft.core.IndexCommits.mark(spark, path, "batch_0")
+  }
+
+  /** Probe the at-rest IVFADC layout. Two pruned scans: the ADC stage
+    * reads (id, pq_code) from the nprobe partitions — never the float
+    * vectors (spec pins the ReadSchema) — and the rescore stage
+    * semi-joins the ≤rescore shortlist ids back against the same
+    * partitions reading (id, vec). Tables are recomputed from the
+    * persisted quantizers with the same ordered folds, so the result
+    * is bit-identical to the scan-path [[ivfAdcTopK]].
+    */
+  def ivfAdcProbeLayout(spark: SparkSession, path: String,
+                        query: Seq[Float], k: Int, nprobe: Int,
+                        rescore: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val coarse = readCentroids(spark, path)
+    val books = readCodebooks(spark, path)
+    val dims = query.length
+    val t = adcTables(coarse, books, query.map(_.toDouble), dims)
+    val probed = adcCoarseShortlist(t, nprobe)
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    def probedRows = servedRows(spark, path, idCol, state)
+      .filter(col("ivf_cluster").isin(probed.map(Integer.valueOf): _*))
+    val short = probedRows
+      .select(col(idCol), col("pq_code"), col("ivf_cluster"))
+      .withColumn("approx_sim", adcApproxExpr(t, col("ivf_cluster")))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(rescore)
+    probedRows.select(col(idCol), col(vecCol))
+      .join(broadcast(short.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
   }
 
   // ---- SRP-LSH (signed random projections) -------------------------------

@@ -259,6 +259,36 @@ class SimilaritySpec extends SparkSpec {
     assert(served(Long.MaxValue) == brute(emb))
   }
 
+  test("IVFADC layout: serves bit-identically to the scan path; ADC scan " +
+      "is vector-free and partition-pruned to nprobe") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_spec")
+      .toString + "/emb"
+    Similarity.ivfAdcWriteLayout(emb, "vec_id", "embedding", dir,
+      kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64)
+    val probe = Similarity.ivfAdcProbeLayout(spark, dir, q, k = 10,
+      nprobe = 2, rescore = 50)
+    val scan = Similarity.ivfAdcTopK(emb, "vec_id", "embedding", q,
+      nprobe = 2, kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1,
+      dims = 64, rescore = 50, topK = 10)
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      scan.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "at-rest serving must equal the scan path bit-for-bit")
+    // plan pins: every scan in the probe selects only nprobe of the 4
+    // cluster partitions, and the ADC stage's scan never reads the
+    // embedding column (codes + id only — the bandwidth claim)
+    val plan = probe.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(schemas.exists(s => s.contains("pq_code") &&
+      !s.contains("embedding")),
+      s"ADC scan must not read vectors:\n$plan")
+    val selected = org.apache.spark.sql.graft.Shims
+      .scanSelectedPartitionCount(probe.queryExecution.executedPlan)
+    assert(selected.nonEmpty && selected.forall(_ == 2),
+      s"every scan must prune to nprobe partitions, got $selected:\n$plan")
+  }
+
   test("IVF lifecycle: tombstone delete serves brute-force-over-survivors; " +
       "crashed delete invisible; compaction + vacuum leave serving unchanged") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
