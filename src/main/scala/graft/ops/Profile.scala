@@ -90,24 +90,41 @@ object Profile {
     * never a per-bucket scan.
     */
   def drift(ref: DataFrame, cur: DataFrame,
-            score: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
-    def tagged(df: DataFrame, t: Int): DataFrame = df.select(
+            score: org.apache.spark.sql.Column, buckets: Int): DataFrame =
+    driftHistogram(ref, cur,
       least(greatest(floor(score * buckets), lit(0)), lit(buckets - 1))
-        .cast("int").as("bucket"),
-      lit(t).as("__t"))
+        .cast("int"), "bucket")
+
+  /** [[drift]] over a CATEGORICAL key (language, source, format...) —
+    * the mix-shift gate: "did this crawl's language distribution move?"
+    * Same chi-square-per-group contract, grouped by the key's values
+    * instead of score buckets (NULL keys form their own group, the
+    * null-stratum convention). Caller contract: bounded-cardinality
+    * keys — the histogram is collected implicitly by the driver-facing
+    * result, exactly like every stratified operator here.
+    */
+  def driftByKey(ref: DataFrame, cur: DataFrame,
+                 key: org.apache.spark.sql.Column): DataFrame =
+    driftHistogram(ref, cur, key, "key")
+
+  private def driftHistogram(ref: DataFrame, cur: DataFrame,
+                             group: org.apache.spark.sql.Column,
+                             groupName: String): DataFrame = {
+    def tagged(df: DataFrame, t: Int): DataFrame =
+      df.select(group.as(groupName), lit(t).as("__t"))
     val h = tagged(ref, 0).unionByName(tagged(cur, 1))
-      .groupBy(col("bucket"))
+      .groupBy(col(groupName))
       .agg(sum(when(col("__t") === 0, 1L).otherwise(0L)).as("ref_n"),
         sum(when(col("__t") === 1, 1L).otherwise(0L)).as("cur_n"))
     val totals = h.agg(sum("ref_n").as("__nr"), sum("cur_n").as("__nc"))
     val e = col("ref_n").cast("double") *
       (col("__nc").cast("double") / col("__nr").cast("double"))
     h.crossJoin(broadcast(totals))
-      .select(col("bucket"), col("ref_n"), col("cur_n"),
+      .select(col(groupName), col("ref_n"), col("cur_n"),
         when(col("ref_n") > 0,
           (col("cur_n").cast("double") - e) *
             (col("cur_n").cast("double") - e) / e)
           .otherwise(lit(null).cast("double")).as("chi2_contrib"))
-      .orderBy(col("bucket"))
+      .orderBy(col(groupName))
   }
 }

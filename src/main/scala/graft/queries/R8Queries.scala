@@ -592,6 +592,42 @@ object R8Queries {
       Some(s"""WITH $ivfPqChain,
               |$recallTail""".stripMargin)),
 
+    Q("dq_drift_lang",
+      "Categorical drift gate: the chi-square mix-shift check over the " +
+        "LANGUAGE column between the even-id (reference) and odd-id " +
+        "(current) snapshot halves — 'did this crawl's language " +
+        "distribution move?' is the first question a mixture-targeted " +
+        "pipeline asks before trusting last month's sampling rates. " +
+        "Same log-free per-group chi-square as dq_drift, grouped by " +
+        "the key's values; one conditional-aggregation pass, never a " +
+        "join between snapshots.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.Profile.driftByKey(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), col("lang"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang AS key, doc_id % 2 AS half FROM documents),
+             |h AS (
+             |  SELECT key,
+             |    cast(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+             |    cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+             |  FROM t GROUP BY key),
+             |tot AS (
+             |  SELECT cast(sum(ref_n) AS BIGINT) AS nr,
+             |         cast(sum(cur_n) AS BIGINT) AS nc FROM h)
+             |SELECT key, ref_n, cur_n,
+             |  CASE WHEN ref_n > 0 THEN
+             |    (cast(cur_n AS DOUBLE) -
+             |      cast(ref_n AS DOUBLE) * (cast(nc AS DOUBLE) / cast(nr AS DOUBLE))) *
+             |    (cast(cur_n AS DOUBLE) -
+             |      cast(ref_n AS DOUBLE) * (cast(nc AS DOUBLE) / cast(nr AS DOUBLE))) /
+             |    (cast(ref_n AS DOUBLE) * (cast(nc AS DOUBLE) / cast(nr AS DOUBLE)))
+             |  ELSE NULL END AS chi2_contrib
+             |FROM h, tot
+             |ORDER BY key""".stripMargin)),
+
     Q("sim_ivfadc_layout",
       "The IVFADC layout AT REST: rows store (id, 4 PQ codes, vec) " +
         "partitioned by coarse cluster with centroids + codebooks " +
