@@ -50,6 +50,18 @@ object IndexCommits {
   def servedState(spark: SparkSession, path: String): State =
     servedStateAsOf(spark, path, Long.MaxValue)
 
+  /** Parse a marker name into (kind, id) — `batch_12` → ("batch", 12).
+    * Names that are not a known prefix followed by a clean Long (stray
+    * temp files, ids beyond Long range) parse to None and are EXCLUDED
+    * from state replay: serving an unparseable marker could silently
+    * include data outside an as-of snapshot, and a raw `.toLong` would
+    * fail every read of the index.
+    */
+  private[graft] def parseMarker(name: String): Option[(String, Long)] =
+    Seq("batch_", "del_", "compact_").collectFirst {
+      case pfx if name.startsWith(pfx) => (pfx.dropRight(1), name.stripPrefix(pfx))
+    }.flatMap { case (kind, suffix) => suffix.toLongOption.map(kind -> _) }
+
   /** TIME-TRAVEL snapshot: the served state considering ONLY markers
     * with id ≤ `maxBatch` — the index exactly as a reader saw it after
     * that batch committed. Sound because batch ids are assigned
@@ -67,26 +79,20 @@ object IndexCommits {
     val p = new Path(path + "/commits")
     val f = fs(spark, path)
     if (!f.exists(p)) return State(Seq.empty, Seq.empty)
-    val names = f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter { n =>
-        val id = n.dropWhile(!_.isDigit)
-        id.isEmpty || !id.forall(_.isDigit) || id.toLong <= maxBatch
-      }
-    var batches = names.filter(_.startsWith("batch_"))
-      .map(_.stripPrefix("batch_").toLong).toSet
-    var deletes = names.filter(_.startsWith("del_"))
-      .map(_.stripPrefix("del_").toLong).toSet
-    val compactions = names.filter(_.startsWith("compact_"))
-      .map(_.stripPrefix("compact_").toLong).sorted
+    val parsed = f.listStatus(p).toSeq.map(_.getPath.getName)
+      .flatMap(parseMarker)
+      .filter(_._2 <= maxBatch)
+    var batches = parsed.collect { case ("batch", id) => id }.toSet
+    var deletes = parsed.collect { case ("del", id) => id }.toSet
+    val compactions = parsed.collect { case ("compact", id) => id }.sorted
     for (cid <- compactions) {
       val in = f.open(new Path(s"$path/commits/compact_$cid"))
       val superseded =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
-      batches --= superseded.filter(_.startsWith("batch_"))
-        .map(_.stripPrefix("batch_").toLong)
-      deletes --= superseded.filter(_.startsWith("del_"))
-        .map(_.stripPrefix("del_").toLong)
+      val supersededIds = superseded.flatMap(parseMarker)
+      batches --= supersededIds.collect { case ("batch", id) => id }.toSet
+      deletes --= supersededIds.collect { case ("del", id) => id }.toSet
       batches += cid
     }
     State(batches.toSeq.sorted, deletes.toSeq.sorted)
@@ -150,28 +156,23 @@ object IndexCommits {
     val p = new Path(path + "/commits")
     val f = fs(spark, path)
     if (!f.exists(p)) return 0
+    // unparseable names are skipped (treated live): vacuum must never
+    // delete what state replay could not have accounted for
     val raw = f.listStatus(p).toSeq.map(_.getPath.getName)
-    val names = raw.filterNot(_.startsWith("compact_")) ++
-      raw.filter(_.startsWith("compact_"))
-        .sortBy(_.stripPrefix("compact_").toLong)
+      .flatMap(n => parseMarker(n).map { case (kind, id) => (n, kind, id) })
+    val names = raw.filterNot(_._2 == "compact") ++
+      raw.filter(_._2 == "compact").sortBy(_._3)
     val state = servedState(spark, path)
     val liveBatch = state.batches.toSet
     val liveDel = state.deletes.toSet
     var n = 0
-    for (name <- names) {
-      val (dirs, live) = name match {
-        case b if b.startsWith("batch_") =>
-          val id = b.stripPrefix("batch_").toLong
-          (dirsFor("batch", id), liveBatch(id))
-        case d if d.startsWith("del_") =>
-          val id = d.stripPrefix("del_").toLong
-          (dirsFor("del", id), liveDel(id))
-        case c if c.startsWith("compact_") =>
-          // a compaction's own output is removable only once a LATER
-          // compaction superseded it
-          val id = c.stripPrefix("compact_").toLong
-          (dirsFor("compact", id), liveBatch(id))
-        case _ => (Seq.empty, true)
+    for ((name, kind, id) <- names) {
+      val (dirs, live) = kind match {
+        case "batch" => (dirsFor("batch", id), liveBatch(id))
+        case "del"   => (dirsFor("del", id), liveDel(id))
+        // a compaction's own output is removable only once a LATER
+        // compaction superseded it
+        case "compact" => (dirsFor("compact", id), liveBatch(id))
       }
       if (!live) {
         dirs.foreach(dd => f.delete(new Path(s"$path/$dd"), true))

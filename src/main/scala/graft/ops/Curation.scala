@@ -255,7 +255,12 @@ object Curation {
   def selectTopFrac(df: DataFrame, idCol: String, score: Column,
                     frac: Double, buckets: Int = 4096): DataFrame = {
     require(frac >= 0 && frac <= 1, "0 <= frac <= 1")
+    // NULL scores are excluded before bucketing (a NULL bucket group
+    // would NPE the histogram walk): a row whose quality is unknown
+    // cannot rank in a top-fraction cut, matching the stratified
+    // variant's null handling
     val scored = graft.core.Caches.track(df.withColumn("__g_q", score)
+      .filter(col("__g_q").isNotNull)
       .withColumn("__g_bkt",
         least(greatest(floor(col("__g_q") * buckets), lit(0)),
           lit(buckets - 1)).cast("int")))
@@ -310,7 +315,10 @@ object Curation {
                              score: Column, frac: Double,
                              buckets: Int = 4096): DataFrame = {
     require(frac >= 0 && frac <= 1, "0 <= frac <= 1")
+    // NULL scores excluded as in selectTopFrac (NULL strata still
+    // select normally — only the SCORE must be known to rank)
     val scored = graft.core.Caches.track(df.withColumn("__g_q", score)
+      .filter(col("__g_q").isNotNull)
       .withColumn("__g_bkt",
         least(greatest(floor(col("__g_q") * buckets), lit(0)),
           lit(buckets - 1)).cast("int")))

@@ -125,6 +125,9 @@ object Profile {
           (col("cur_n").cast("double") - e) *
             (col("cur_n").cast("double") - e) / e)
           .otherwise(lit(null).cast("double")).as("chi2_contrib"))
-      .orderBy(col(groupName))
+      // NULLS LAST explicitly: Spark ASC defaults nulls-first, DuckDB
+      // nulls-last — a NULL key group would flip row order between the
+      // engines and fail the order-sensitive oracle hash
+      .orderBy(col(groupName).asc_nulls_last)
   }
 }

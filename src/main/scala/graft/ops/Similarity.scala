@@ -448,7 +448,8 @@ object Similarity {
     * and ingesting new embeddings never rewrites the table.
     */
   def ivfWriteLayout(emb: DataFrame, idCol: String, vecCol: String,
-                     path: String, kClusters: Int, iters: Int): Seq[Seq[Double]] = {
+                     path: String, kClusters: Int, iters: Int,
+                     trainedCents: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
     import org.apache.spark.sql.SaveMode
     val spark = emb.sparkSession
     // a fresh build owns the directory: clear previous batches + markers
@@ -457,7 +458,11 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(path + "/data"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/commits"), true)
-    val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
+    // trainedCents: the one-training-many-consumers seam the scan-path
+    // probes already have — build the layout from a sample-trained or
+    // previously trained quantizer instead of an in-builder full train
+    val cents = trainedCents.getOrElse(
+      kmeansCentroids(emb, idCol, vecCol, kClusters, iters))
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
@@ -700,6 +705,109 @@ object Similarity {
           (col("__nrm") * col("__anrm"))).as("__cos"),
         col(idCol))
     rankedFromTopK(scored, idCol, k)
+  }
+
+  /** The recall-vs-nprobe SWEEP over the at-rest IVF layout — the curve
+    * an index tuner actually needs (one fixed operating point per gate
+    * tells you pass/fail; the curve tells you WHERE to operate). One
+    * pass for every operating point:
+    *
+    *  1. the [[ivfProbeLayoutBatch]] clusters×anchors shortlist is
+    *     ranked ONCE and kept to rank ≤ max(nprobes) (`__crn` = the
+    *     cluster's shortlist rank for that anchor);
+    *  2. ONE scan, pruned to the union of partitions any operating
+    *     point probes, scores candidates tagged with `__crn`;
+    *  3. a TopKByKey aggregate bounds the relation to k rows per
+    *     (anchor, cluster-rank TIER) — sound because the union of tiers
+    *     ≤ p can only rank rows that are top-k within their own tier —
+    *     so everything after ONE exchange is anchors × maxNprobe × k;
+    *  4. each operating point is a rank filter over that same bounded
+    *     relation (`__crn` ≤ nprobe, re-rank, keep k), compared against
+    *     ONE exact ground truth per anchor.
+    *
+    * At 100 TB the sweep therefore costs one probe-batch scan + one
+    * ground-truth scan regardless of how many operating points it
+    * evaluates — never a scan per nprobe. Output: one row per operating
+    * point (nprobe, k, n_anchors, mean_recall), the [[recallAtKBatch]]
+    * mean per point.
+    */
+  def ivfRecallSweepLayout(spark: SparkSession, path: String,
+                           anchorIds: Seq[Long], k: Int, nprobes: Seq[Int],
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      "at least one operating point, each nprobe >= 1")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    val maxP = nprobes.max
+    val cents = readCentroids(spark, path)
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    val rows = servedRows(spark, path, idCol, state)
+    val nrm = (c: Column) => greatest(Dedup.normExact(c), lit(1e-30))
+    val anchors = rows.filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"),
+        nrm(col(vecCol)).as("__anrm"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("__ccos").desc, col("cluster"))
+    val shortlist = graft.core.Caches.track(
+      centroidsDf(spark, cents).crossJoin(anchors)
+        .select(col("anchor_id"), col("cluster"), col("__avec"),
+          col("__anrm"),
+          (Dedup.dotExact(col("centroid"), col("__avec")) /
+            (Dedup.normExact(col("centroid")) * col("__anrm"))).as("__ccos"))
+        .withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= maxP)
+        .select("anchor_id", "cluster", "__crn", "__avec", "__anrm"))
+    val probed = shortlist.select("cluster").distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0)))
+    val scored = rows
+      .filter(col("ivf_cluster").isin(probed: _*))
+      .withColumn("__nrm", nrm(col(vecCol)))
+      .join(broadcast(shortlist), col("ivf_cluster") === col("cluster"))
+      .select(col("anchor_id"), col("__crn"),
+        (Dedup.dotExact(col(vecCol), col("__avec")) /
+          (col("__nrm") * col("__anrm"))).as("__cos"),
+        col(idCol))
+    val tiered = scored.groupBy(col("anchor_id"), col("__crn"))
+      .agg(graft.functions.TopKAgg.topK(col("__cos"), col(idCol), k).as("top"))
+      .select(col("anchor_id"), col("__crn"), explode(col("top")).as("t"))
+      .select(col("anchor_id"), col("__crn"), col("t.id").as(idCol),
+        col("t.sort_key").as("__cos"))
+    // ONE exact ground truth per anchor over the full served layout
+    val exact = graft.core.Caches.track(rankedFromTopK(
+      rows.withColumn("__nrm", nrm(col(vecCol)))
+        .crossJoin(broadcast(anchors))
+        .select(col("anchor_id"),
+          (Dedup.dotExact(col(vecCol), col("__avec")) /
+            (col("__nrm") * col("__anrm"))).as("__cos"),
+          col(idCol)),
+      idCol, k).select(col("anchor_id"), col(idCol)))
+    val points = nprobes.toDF("nprobe")
+    val wp = Window.partitionBy("anchor_id", "nprobe")
+      .orderBy(col("__cos").desc, col(idCol))
+    val approx = tiered.crossJoin(broadcast(points))
+      .filter(col("__crn") <= col("nprobe"))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= k)
+      .select(col("nprobe"), col("anchor_id"), col(idCol))
+    val hits = approx.join(exact, Seq("anchor_id", idCol))
+      .groupBy("nprobe", "anchor_id").agg(count(lit(1)).as("__hits"))
+    val denom = exact.groupBy("anchor_id").agg(count(lit(1)).as("__n"))
+    // points × anchors scaffold so a zero-hit (nprobe, anchor) cell
+    // still contributes 0 to that point's mean instead of vanishing
+    points.crossJoin(denom)
+      .join(hits, Seq("nprobe", "anchor_id"), "left")
+      .select(col("nprobe"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("__n")).as("__recall"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_anchors"),
+        (sum(col("__recall").cast(DecimalType(38, 14))).cast("double") /
+          count(lit(1))).as("mean_recall"))
+      .select(col("nprobe"), lit(k.toLong).as("k"), col("n_anchors"),
+        col("mean_recall"))
+      .orderBy("nprobe")
   }
 
   /** IVF ANN over the TRAINED quantizer (closing the loop the plain
@@ -1174,7 +1282,9 @@ object Similarity {
     */
   def ivfAdcWriteLayout(emb: DataFrame, idCol: String, vecCol: String,
                         path: String, kCoarse: Int, coarseIters: Int,
-                        m: Int, k: Int, iters: Int, dims: Int): Unit = {
+                        m: Int, k: Int, iters: Int, dims: Int,
+                        trainedCoarse: Option[Seq[Seq[Double]]] = None,
+                        trainedBooks: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
     import org.apache.spark.sql.SaveMode
     val spark = emb.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -1182,14 +1292,22 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(path + "/data"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "/commits"), true)
-    val coarse = kmeansCentroids(emb, idCol, vecCol, kCoarse, coarseIters)
-      .map(_.map(quantize9))
+    // trainedCoarse/trainedBooks: build the layout from an injected
+    // quantizer pair (sample-trained, or shared across consumers — the
+    // scan path's seam, ivfAdcTopK). The pair is one identity: books
+    // must be RESIDUAL codebooks trained against trainedCoarse
+    // ([[residualBooks]]); persisting them beside the data makes that
+    // identity durable for every later append/probe.
+    val coarse = trainedCoarse.getOrElse(
+      kmeansCentroids(emb, idCol, vecCol, kCoarse, coarseIters)
+        .map(_.map(quantize9)))
     import spark.implicits._
     coarse.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath(path))
     val resid = residualRelation(emb, idCol, vecCol, coarse)
-    val books = pqTrain(resid.select(col(idCol), col("__g_resid")),
-      idCol, "__g_resid", m, k, iters, dims)
+    val books = trainedBooks.getOrElse(
+      pqTrain(resid.select(col(idCol), col("__g_resid")),
+        idCol, "__g_resid", m, k, iters, dims))
     books.zipWithIndex.flatMap { case (cb, s) =>
       cb.zipWithIndex.map { case (c, code) => (s, code, c) }
     }.toDF("subspace", "code", "centroid")
@@ -1199,6 +1317,43 @@ object Similarity {
         col("__g_coarse").as("ivf_cluster"))
     writeLayoutRows(rows, path, batchId = 0L)
     graft.core.IndexCommits.mark(spark, path, "batch_0")
+  }
+
+  /** Incremental maintenance for the at-rest IVFADC layout — the
+    * [[ivfAppendLayout]] contract on the compressed index: encode a NEW
+    * batch with the PERSISTED quantizer pair (coarse centroids for the
+    * assignment + residual, codebooks for the codes — the standard
+    * FAISS `add` path: the trained quantizers are the index's identity
+    * and are NEVER retrained on ingest) and write it under its own
+    * `batch=<id>` subdirectory with overwrite semantics plus a commit
+    * marker. Crash anywhere → the batch is invisible; same-id retry
+    * rewrites exactly its own subtree and re-marks (idempotent).
+    * Serve-side guarantee: probing the appended layout ≡ probing a
+    * layout built from the union with the same frozen quantizers.
+    *
+    * Delete/compact/vacuum parity is STRUCTURAL, not reimplemented:
+    * the ADC layout stores its codes as ordinary row columns under the
+    * same `batch=<id>/ivf_cluster=<c>` tree, so [[ivfDeleteLayout]]
+    * (id tombstones), [[ivfCompactLayout]] (fold served − tombstones
+    * into one batch; rows keep their persisted assignment AND codes)
+    * and [[ivfVacuumLayout]] apply to it unchanged — one
+    * [[graft.core.IndexCommits]] state machine, two index families.
+    * At 100 TB this closes the last rebuild-only maintenance path:
+    * per-ingest cost is encode-the-batch, never retrain-the-corpus.
+    */
+  def ivfAdcAppendLayout(emb: DataFrame, idCol: String, vecCol: String,
+                         path: String, batchId: Long): Unit = {
+    require(batchId > 0, "batch 0 is the full build; appends use fresh ids")
+    val spark = emb.sparkSession
+    val coarse = readCentroids(spark, path)
+    val books = readCodebooks(spark, path)
+    val dims = coarse.head.size
+    val rows = pqEncode(residualRelation(emb, idCol, vecCol, coarse),
+      "__g_resid", books, dims)
+      .select(col(idCol), col(vecCol), col("pq_code"),
+        col("__g_coarse").as("ivf_cluster"))
+    writeLayoutRows(rows, path, batchId)
+    graft.core.IndexCommits.mark(spark, path, s"batch_$batchId")
   }
 
   /** Probe the at-rest IVFADC layout. Two pruned scans: the ADC stage

@@ -35,9 +35,14 @@ object R5Queries {
     * and the final assignment a${ITERS+1}.
     *
     * `trainRel` is the relation Lloyd's trains on — seeds, per-iteration
-    * assignments and means all read it; the FINAL assignment pass always
-    * runs over the full `embeddings` table (the [[Similarity.kmeansAssign]]
-    * `train=` contract: train on a sample, assign the corpus).
+    * assignments and means all read it; the FINAL assignment pass runs
+    * over `assignRel`, defaulting to the full `embeddings` table (the
+    * [[Similarity.kmeansAssign]] `train=` contract: train on a sample,
+    * assign the corpus). Callers training on a SLICED sub-relation
+    * (e.g. a 16-dim subspace) must pass `assignRel` explicitly — the
+    * default's 64-dim rows against sliced centroids would silently
+    * compute prefix distances (list indexing past a short list reads
+    * NULL, no SQL error) if the final-assignment CTE were referenced.
     */
   private[queries] def kmeansCtesOn(trainRel: String, k: Int = K,
                                     prefix: String = "", iters: Int = ITERS,

@@ -381,27 +381,25 @@ object R8Queries {
     Q("ev_funnel",
       "Strict sequential conversion funnel over the event stream: users " +
         "whose first view precedes a click that precedes a purchase — " +
-        "each stage's timestamp must follow the previous stage's (the " +
-        "ordering constraint that separates a funnel from three " +
-        "independent counts). Per-stage relations are user-keyed " +
-        "aggregates; each stage joins the previous stage's (user, ts) " +
-        "dimension — co-partitioned on user_id, and the stage dims only " +
-        "shrink down the funnel. Final counts are three 1-row " +
-        "aggregates cross-joined; integer output, no float drift " +
-        "surface at all.",
+        "each stage's timestamp must strictly follow the previous " +
+        "stage's (the ordering constraint that separates a funnel from " +
+        "three independent counts). Served by the generic N-stage " +
+        "Funnel operator: ONE hash exchange on user_id collects each " +
+        "user's sorted relevant events, the greedy earliest-match chain " +
+        "runs INSIDE the row as a left fold, and the three counts are " +
+        "one conditional 1-row aggregate — the join-per-stage shape " +
+        "this replaced planned one exchange per stage. Integer output, " +
+        "no float drift surface at all.",
       (s, d) => {
-        val ev = Tables.events(s, d)
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("__v"))
-        val c = ev.filter(col("event_type") === "click")
-          .join(v, "user_id").filter(col("ts") > col("__v"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("__c"))
-        val p = ev.filter(col("event_type") === "purchase")
-          .join(c, "user_id").filter(col("ts") > col("__c"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("__p"))
-        v.agg(count(lit(1)).as("n_view"))
-          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+        val depths = graft.ops.Funnel.userDepths(Tables.events(s, d),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        depths.agg(
+          coalesce(sum(when(col("depth") >= 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_view"),
+          coalesce(sum(when(col("depth") >= 2, 1L).otherwise(0L)), lit(0L))
+            .as("n_view_click"),
+          coalesce(sum(when(col("depth") >= 3, 1L).otherwise(0L)), lit(0L))
+            .as("n_view_click_purchase"))
       },
       Some("""WITH v AS (
              |  SELECT user_id, min(ts) AS v FROM events
@@ -546,7 +544,7 @@ object R8Queries {
               |    (cast(ref_n AS DOUBLE) * (cast(nc AS DOUBLE) / cast(nr AS DOUBLE)))
               |  ELSE NULL END AS chi2_contrib
               |FROM h, tot
-              |ORDER BY bucket""".stripMargin)),
+              |ORDER BY bucket NULLS LAST""".stripMargin)),
 
     Q("sim_ivfadc",
       "True IVFADC (Jegou et al. 2011 SIV): PQ encodes the RESIDUAL " +
@@ -626,7 +624,7 @@ object R8Queries {
              |    (cast(ref_n AS DOUBLE) * (cast(nc AS DOUBLE) / cast(nr AS DOUBLE)))
              |  ELSE NULL END AS chi2_contrib
              |FROM h, tot
-             |ORDER BY key""".stripMargin)),
+             |ORDER BY key NULLS LAST""".stripMargin)),
 
     Q("sim_ivfadc_layout",
       "The IVFADC layout AT REST: rows store (id, 4 PQ codes, vec) " +
@@ -644,8 +642,13 @@ object R8Queries {
         val qv = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
         val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
           "/graft_ivfadc_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        // injected trained quantizers (the R8 memo): same training
+        // inputs as the in-builder path, so the layout is identical —
+        // the build now pays encode cost only, not a fifth re-training
         Similarity.ivfAdcWriteLayout(emb, "vec_id", "embedding", path,
-          kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64)
+          kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64,
+          trainedCoarse = Some(coarseCents(s, d)),
+          trainedBooks = Some(residBooks(s, d)))
         Similarity.ivfAdcProbeLayout(s, path, qv, k = 10, nprobe = 2,
           rescore = 50)
       },
@@ -675,7 +678,7 @@ object R8Queries {
   /** Exact-rescore tail shared by every ADC-family oracle: score the
     * `short` candidates with the decimal-exact cosine, final top-10.
     */
-  private lazy val rescoreTail: String =
+  private[queries] lazy val rescoreTail: String =
     s"""dots AS (
        |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
        |  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q,
@@ -752,16 +755,36 @@ object R8Queries {
     * scores, `short`, and the exact-norm CTEs) — shared by sim_ivfadc
     * and its recall gate so index and gate can never drift.
     */
-  private lazy val ivfAdcChain: String = {
+  private lazy val ivfAdcChain: String = ivfAdcChainOn("embeddings", None)
+
+  /** [[ivfAdcChain]] with the TRAINING relations parameterized — the
+    * oracle restatement of the frozen-quantizer append path: the coarse
+    * quantizer trains on `coarseTrainRel` (caller defines that CTE),
+    * the residual codebooks train on the residuals of rows matching
+    * `bookTrainPred`, and assignment/encoding/probing still cover the
+    * FULL corpus — exactly the union a build-then-append layout serves.
+    */
+  private[queries] def ivfAdcChainOn(coarseTrainRel: String,
+                                     bookTrainPred: Option[String]): String = {
         val M = 4; val SUB = 16
-        val coarseChain = R5Queries.kmeansCtesOn("embeddings", k = 4,
+        val coarseChain = R5Queries.kmeansCtesOn(coarseTrainRel, k = 4,
           prefix = "pc_", iters = 1, dims = 64)
+        val residTr = bookTrainPred.map(p => s""",
+           |residtr AS (
+           |  SELECT vec_id, coarse, embedding FROM resid WHERE $p)""".stripMargin)
+          .getOrElse("")
         val residChains = (0 until M).map { s =>
+          val trainCte = bookTrainPred.map(_ => s"""rsubtr$s AS (
+             |  SELECT vec_id, embedding[${s * SUB + 1}:${(s + 1) * SUB}] AS embedding
+             |  FROM residtr),
+             |""".stripMargin).getOrElse("")
+          val trainRel =
+            if (bookTrainPred.isDefined) s"rsubtr$s" else s"rsub$s"
           s"""rsub$s AS (
              |  SELECT vec_id, embedding[${s * SUB + 1}:${(s + 1) * SUB}] AS embedding
              |  FROM resid),
-             |${R5Queries.kmeansCtesOn(s"rsub$s", k = 8, prefix = s"r${s}_",
-                iters = 1, dims = SUB)},
+             |$trainCte${R5Queries.kmeansCtesOn(trainRel, k = 8, prefix = s"r${s}_",
+                iters = 1, assignRel = trainRel, dims = SUB)},
              |rcq$s AS (
              |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c
              |  FROM r${s}_c1),
@@ -826,7 +849,7 @@ object R8Queries {
            |      i -> e.embedding[i]::DOUBLE - ca.cv[i]) AS embedding
            |  FROM embeddings e
            |  JOIN aqc a USING (vec_id)
-           |  JOIN cac ca ON ca.cluster = a.cluster),
+           |  JOIN cac ca ON ca.cluster = a.cluster)$residTr,
            |$residChains,
            |scores AS (
            |  SELECT r.vec_id,
@@ -876,7 +899,7 @@ object R8Queries {
     }.mkString("," + "\n")
     val chains = (0 until M).map(s =>
       R5Queries.kmeansCtesOn(s"sub$s", k = 8, prefix = s"p${s}_",
-        iters = 1, dims = SUB)).mkString("," + "\n")
+        iters = 1, assignRel = s"sub$s", dims = SUB)).mkString("," + "\n")
     val percode = (0 until M).map { s =>
       s"""cq$s AS (
          |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c

@@ -366,6 +366,43 @@ object EventStream {
       path
     }
 
+  /** Streaming ingest for the COMPRESSED vector index —
+    * [[runIvfIngestStream]] on the IVFADC layout: bootstrap trains the
+    * coarse quantizer + residual codebooks on the base slice and writes
+    * batch 0 (optionally from injected `trainedCoarse`/`trainedBooks` —
+    * the one-training-many-consumers seam); each arriving micro-batch is
+    * then ENCODED with the persisted quantizer pair and appended via
+    * [[graft.ops.Similarity.ivfAdcAppendLayout]] under the micro-batch
+    * id. Same exactly-once story (same-id replay rewrites exactly its
+    * own `batch=<id>` subtree); per-ingest cost is encode-the-batch —
+    * the quantizers are never retrained on the hot path.
+    */
+  def runIvfAdcIngestStream(spark: SparkSession, sfDir: String, path: String,
+                            kCoarse: Int, coarseIters: Int, m: Int, k: Int,
+                            iters: Int, dims: Int,
+                            trainedCoarse: Option[Seq[Seq[Double]]] = None,
+                            trainedBooks: Option[Seq[Seq[Seq[Double]]]] = None): String =
+    withStatePartitions(spark) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Similarity.ivfAdcWriteLayout(emb.filter(col("vec_id") % 4 =!= 1),
+        "vec_id", "embedding", path, kCoarse, coarseIters, m, k, iters,
+        dims, trainedCoarse, trainedBooks)
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          Similarity.ivfAdcAppendLayout(df.filter(col("vec_id") % 4 === 1),
+            "vec_id", "embedding", path, batchId = id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
   /** Streaming EXACTLY-ONCE relational sink: file stream → `foreachBatch`
     * → [[graft.ops.Sinks.idempotentBatchAppend]] (stage → atomic
     * ledger+publish transaction per micro-batch). The two layers compose

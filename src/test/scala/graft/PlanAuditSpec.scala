@@ -143,6 +143,22 @@ class PlanAuditSpec extends SparkSpec {
       s"scan must prune to (doc_id, text):\n$p")
   }
 
+  test("ev_funnel_n: ONE hash exchange on user_id at five stages, no joins") {
+    val p = plan("ev_funnel_n")
+    // the whole N-stage match is an in-row fold over the per-user sorted
+    // event list: ONE user_id exchange regardless of stage count (the
+    // join-per-stage shape would plan five), plus only the 1-row final
+    // aggregate's single-partition exchange (formatted mode prints each
+    // exchange's partitioning on its detail "Arguments:" line)
+    assert("Arguments: hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id hash exchange:\n$p")
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1,
+      s"no hash exchange beyond the user_id one:\n$p")
+    assert(!p.contains("Join"), s"no per-stage joins allowed:\n$p")
+    assert(p.contains("ReadSchema: struct<ts:"),
+      s"scan must prune to (ts, user_id, event_type):\n$p")
+  }
+
   test("doc_token_budget: one data exchange (the |sources| aggregate)") {
     val p = plan("doc_token_budget")
     // groupBy(source) is the only hash exchange; totals broadcast; the

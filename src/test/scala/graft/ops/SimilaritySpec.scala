@@ -289,6 +289,87 @@ class SimilaritySpec extends SparkSpec {
       s"every scan must prune to nprobe partitions, got $selected:\n$plan")
   }
 
+  test("ivfAdcAppendLayout: frozen-quantizer append serves like a union " +
+      "build; crashed batch invisible; same-id retry heals; delete + " +
+      "compact + vacuum parity via the shared markers") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val base = emb.filter($"vec_id" % 4 =!= 1)
+    val rest = emb.filter($"vec_id" % 4 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_append")
+      .toString + "/emb"
+    Similarity.ivfAdcWriteLayout(base, "vec_id", "embedding", dir,
+      kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64)
+    def served = Similarity.ivfAdcProbeLayout(spark, dir, q, k = 10,
+        nprobe = 2, rescore = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val baseOnly = served
+    Similarity.ivfAdcAppendLayout(rest, "vec_id", "embedding", dir,
+      batchId = 1L)
+    // the reference: a from-scratch layout over the union built with the
+    // SAME frozen quantizers (read back from the appended layout) must
+    // serve bit-identically — the FAISS add-path guarantee
+    val coarse = Similarity.readCentroids(spark, dir)
+    val books = Similarity.readCodebooks(spark, dir)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivfadc_union")
+      .toString + "/emb"
+    Similarity.ivfAdcWriteLayout(emb, "vec_id", "embedding", dir2,
+      kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64,
+      trainedCoarse = Some(coarse), trainedBooks = Some(books))
+    val union = Similarity.ivfAdcProbeLayout(spark, dir2, q, k = 10,
+        nprobe = 2, rescore = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == union,
+      "append + frozen quantizers must equal the from-scratch union build")
+    // appends never retrain: the persisted pair is batch-0's training
+    assert(coarse.size == 4 && books.size == 4)
+    // crash: batch data durable but marker missing → invisible
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/commits/batch_1"), false)
+    assert(served == baseOnly, "unmarked ADC batch must not serve")
+    // same-id retry rewrites exactly its own subtree; double retry no-ops
+    Similarity.ivfAdcAppendLayout(rest, "vec_id", "embedding", dir,
+      batchId = 1L)
+    assert(served == union)
+    Similarity.ivfAdcAppendLayout(rest, "vec_id", "embedding", dir,
+      batchId = 1L)
+    assert(served == union)
+    // delete/compact/vacuum parity: ONE IndexCommits state machine, the
+    // ADC rows (codes included) flow through the same writer
+    Similarity.ivfDeleteLayout(Seq(0L).toDF("vec_id"), "vec_id", dir,
+      batchId = 2L)
+    val afterDel = served
+    assert(afterDel.nonEmpty && !afterDel.exists(_._1 == 0L),
+      "tombstoned id must not serve from the ADC layout")
+    Similarity.ivfCompactLayout(spark, dir, "vec_id", newBatchId = 3L)
+    assert(served == afterDel, "compacted ADC serve unchanged")
+    assert(Similarity.ivfVacuumLayout(spark, dir) == 3)
+    assert(served == afterDel, "post-vacuum ADC serve unchanged")
+  }
+
+  test("ivfWriteLayout/ivfAdcWriteLayout from injected trained quantizers " +
+      "equal the in-builder-trained layouts") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    // plain IVF: trainedCents injection
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 2)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_ivf_tr1")
+      .toString + "/emb"
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ivf_tr2")
+      .toString + "/emb"
+    Similarity.ivfWriteLayout(emb, "vec_id", "embedding", d1,
+      kClusters = 4, iters = 2)
+    Similarity.ivfWriteLayout(emb, "vec_id", "embedding", d2,
+      kClusters = 4, iters = 2, trainedCents = Some(cents))
+    def probe(d: String) = Similarity.ivfProbeLayout(spark, d, q,
+        k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(d1) == probe(d2),
+      "layout-from-trained must equal layout-from-scratch (same quantizer)")
+    assert(Similarity.readCentroids(spark, d2) == cents.map(_.toSeq))
+  }
+
   test("IVF lifecycle: tombstone delete serves brute-force-over-survivors; " +
       "crashed delete invisible; compaction + vacuum leave serving unchanged") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
