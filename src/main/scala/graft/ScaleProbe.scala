@@ -8,11 +8,14 @@ import graft.ops.Dedup
   * table `mult`× (shifted ids, salted text so replicas aren't exact dups)
   * and times minhash/jaccard, verifying the quadratic guards hold when
   * the corpus grows 10×. Usage:
-  *   sbt "runMain graft.ScaleProbe [mult]"
+  *   sbt "runMain graft.ScaleProbe [mult] [r8]"
+  * The optional `r8` arg skips the legacy sections and runs only the
+  * round-8 probes (IVFADC, batch probe, funnel, survivor policy).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val onlyR8 = args.contains("r8")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -34,11 +37,13 @@ object ScaleProbe {
       val rows = f
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
     }
-    time("warm minhash")(Dedup.minhashCandidates(
-      base.limit(500).cache(), "doc_id", "text").count())
-    time(s"minhash x$mult")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
-    time(s"jaccard x$mult")(Dedup.jaccardPairs(docs, "doc_id", "text").count())
-    time(s"simhash x$mult")(Dedup.simhash16(docs, "doc_id", "text").count())
+    if (!onlyR8) {
+      time("warm minhash")(Dedup.minhashCandidates(
+        base.limit(500).cache(), "doc_id", "text").count())
+      time(s"minhash x$mult")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
+      time(s"jaccard x$mult")(Dedup.jaccardPairs(docs, "doc_id", "text").count())
+      time(s"simhash x$mult")(Dedup.simhash16(docs, "doc_id", "text").count())
+    }
 
     val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val en = embBase.count()
@@ -47,17 +52,19 @@ object ScaleProbe {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _).repartition(32).cache()
     println(s"vectors: ${emb.count()}")
-    time(s"emb near-dup x$mult")(Dedup.embeddingNearDups(
-      emb, "vec_id", "embedding", "label", 0.4).count())
-    // hot-block fix: same op with B=4 sub-blocking (16 cells per block
-    // instead of 1 — the fixture's 10 clusters stop capping parallelism)
-    time(s"emb near-dup x$mult B=4")(Dedup.embeddingNearDups(
-      emb, "vec_id", "embedding", "label", 0.4, subBlocks = 4).count())
     val q = graft.ops.Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
-    time(s"brute topk x$mult")(
-      graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).count())
-    time(s"ivf topk x$mult")(graft.ops.Similarity.ivfTopK(
-      emb, "vec_id", "embedding", "label", q, 10, 3).count())
+    if (!onlyR8) {
+      time(s"emb near-dup x$mult")(Dedup.embeddingNearDups(
+        emb, "vec_id", "embedding", "label", 0.4).count())
+      // hot-block fix: same op with B=4 sub-blocking (16 cells per block
+      // instead of 1 — the fixture's 10 clusters stop capping parallelism)
+      time(s"emb near-dup x$mult B=4")(Dedup.embeddingNearDups(
+        emb, "vec_id", "embedding", "label", 0.4, subBlocks = 4).count())
+      time(s"brute topk x$mult")(
+        graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).count())
+      time(s"ivf topk x$mult")(graft.ops.Similarity.ivfTopK(
+        emb, "vec_id", "embedding", "label", q, 10, 3).count())
+    }
 
     // round-2 operators at scale: as-of join + connected components
     val evBase = graft.core.Tables.events(spark, "/root/testdata/sf0.1")
@@ -68,6 +75,7 @@ object ScaleProbe {
         col("event_type"), col("value"))
     }.reduce(_ unionByName _).repartition(32).cache()
     println(s"events: ${ev.count()}")
+    if (!onlyR8) {
     time(s"asof join x$mult") {
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
@@ -262,6 +270,53 @@ object ScaleProbe {
     time(s"select top-frac ${mult}x")(graft.ops.Curation
       .selectTopFrac(docs, "doc_id",
         graft.ops.TextAnalysis.qualityScore(col("text")), 0.2).count())
+    } // end !onlyR8
+
+    // round-8: the four heavies VERDICT r7 asked to probe. Expected
+    // shapes: IVFADC scan path = two trainings (pass-linear) + a
+    // code-only ADC projection (~linear) + a bounded rescore (flat);
+    // layout batch probe = one build (linear) + ONE pruned scan per
+    // anchor batch (sublinear in the table when nprobe/k prunes);
+    // funnel = one user-keyed exchange + in-row fold (~linear, flat in
+    // stage count); survivor policy = MinHash pairs + CC rounds +
+    // cluster-keyed argmax (the CC loop is the measured log-diameter
+    // driver; the argmax adds one keyed aggregate).
+    time(s"ivfadc scan 1x ($en vecs)")(graft.ops.Similarity.ivfAdcTopK(
+      embBase, "vec_id", "embedding", q, nprobe = 2, kCoarse = 4,
+      coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64,
+      rescore = 50, topK = 10).count())
+    time(s"ivfadc scan ${mult}x")(graft.ops.Similarity.ivfAdcTopK(
+      emb, "vec_id", "embedding", q, nprobe = 2, kCoarse = 4,
+      coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64,
+      rescore = 50, topK = 10).count())
+    def probeBatchProbe(df: org.apache.spark.sql.DataFrame,
+                        tag: String): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_pb").toString + "/emb"
+      time(s"ivf layout build $tag")(
+        { graft.ops.Similarity.ivfWriteLayout(df, "vec_id", "embedding",
+            dir, kClusters = 4, iters = 2); 4L })
+      time(s"ivf probe batch $tag")(graft.ops.Similarity
+        .ivfProbeLayoutBatch(spark, dir, Seq(0L, 1L, 2L, 3L),
+          k = 10, nprobe = 2).count())
+    }
+    probeBatchProbe(embBase, s"1x ($en vecs)")
+    probeBatchProbe(emb, s"${mult}x")
+    val stages = Seq("signup", "view", "click", "view", "purchase")
+    time(s"funnel n=5 1x ($evn events)")(graft.ops.Funnel.funnel(
+      evBase, "user_id", "ts", "event_type", stages).count())
+    time(s"funnel n=5 ${mult}x")(graft.ops.Funnel.funnel(
+      ev, "user_id", "ts", "event_type", stages).count())
+    def survivorProbe(df: org.apache.spark.sql.DataFrame,
+                      tag: String): Unit =
+      time(s"dedup survivor $tag") {
+        val pairs = Dedup.minhashCandidates(df, "doc_id", "text")
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.survivorsByScore(cc, df, "doc_id",
+          graft.ops.TextAnalysis.qualityScore(col("text"))).count()
+      }
+    survivorProbe(base, s"1x ($n docs)")
+    survivorProbe(docs, s"${mult}x")
     spark.stop()
   }
 }

@@ -23,6 +23,44 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Session conf key switching multi-stage pipeline barriers from
+    * `localCheckpoint` (executor-local, fast, recompute-from-barrier on
+    * executor loss) to reliable `checkpoint` (replicated/checkpoint-dir
+    * storage, survives executor loss). Default false.
+    */
+  val ReliableBarriersKey = "graft.pipeline.reliableBarriers"
+
+  /** A lineage-cut STAGE BARRIER for multi-stage curation programs (the
+    * pretrain_pipeline flagship): without one, AQE re-optimizes the
+    * whole accumulated logical tree at every downstream exchange —
+    * measured 15s of pure driver re-planning vs <1s execution at
+    * sf0.01 for the nine-stage chain.
+    *
+    * Two modes, chosen by [[ReliableBarriersKey]]:
+    *  - default `localCheckpoint` (eager): blocks live on executor
+    *    local disk/memory — no replicated writes, but a lost executor
+    *    recomputes from the previous barrier. Right for short
+    *    interactive runs and the bench loop.
+    *  - `reliable = true`: `Dataset.checkpoint` to the Spark checkpoint
+    *    directory (set lazily if absent) — the barrier data survives
+    *    executor loss, the right trade for multi-hour 100 TB curation
+    *    runs where a recompute-from-barrier cascade costs more than
+    *    the replicated write. Same data, same plan downstream, same
+    *    oracle either way (spec-pinned).
+    */
+  def stageBarrier(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(ReliableBarriersKey)
+      .exists(_.trim.equalsIgnoreCase("true"))
+    if (reliable) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+            "/graft_checkpoints")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
   /** PII patterns, portable across Java regex and RE2 (no backrefs,
     * no lookaround): email, international-ish phone, SSN shape, and long
     * digit runs (account/record ids).

@@ -619,4 +619,77 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of
+    * a BOUNDED retrieval shortlist: greedily select items maximizing
+    * `λ·relevance − (1−λ)·max cosine to the already-selected set` — the
+    * diversity pass a RAG stack runs over its fused shortlist so five
+    * near-identical chunks don't crowd out the second topic. Ties break
+    * to the lower id; the first pick has no diversity subtrahend
+    * (max over the empty set contributes 0).
+    *
+    * Plan shape: the expensive work already happened (the shortlist is
+    * a ≤k-row fusion output); this computes the k×k pairwise exact-
+    * decimal cosine matrix in one bounded crossJoin and runs the greedy
+    * DRIVER-side over the collected matrix — k² doubles, the
+    * [[graft.ops.Similarity]] bounded-collect convention (nothing here
+    * scales with the corpus). Candidates without a vector (retrieved by
+    * the sparse side only) carry similarity 0 — they never crowd
+    * anything and nothing crowds them.
+    *
+    * Determinism/portability: relevance scores arrive engine-exact
+    * (the RRF contract), pair cosines are exact-decimal dots over
+    * 1e-30-floored norms, and each MMR score is two multiplies and one
+    * subtract on those — bit-identical in any engine unrolling the
+    * same greedy (the oracle's unrolled CTE chain). `lambda` defaults
+    * to 0.5 (exact in binary).
+    *
+    * Output: (rank, id, relCol, mmr_score), rank 1..k in selection
+    * order. `idCol` must be LongType (every fixture id is).
+    */
+  def mmrRerank(candidates: DataFrame, idCol: String, relCol: String,
+                vectors: DataFrame, vecIdCol: String, vecCol: String,
+                k: Int, lambda: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = candidates.sparkSession
+    val cand = graft.core.Caches.track(
+      candidates.select(col(idCol), col(relCol).cast("double")))
+    val withVec = cand.join(
+      vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__vec")),
+      Seq(idCol), "left")
+    val a = withVec.select(col(idCol).as("__ida"), col("__vec").as("__va"))
+    val b = withVec.select(col(idCol).as("__idb"), col("__vec").as("__vb"))
+    val nrm = (c: Column) => greatest(Dedup.normExact(c), lit(1e-30))
+    val sims: Map[(Long, Long), Double] = a.crossJoin(b)
+      .select(col("__ida"), col("__idb"),
+        when(col("__va").isNull || col("__vb").isNull, lit(0.0))
+          .otherwise(Dedup.dotExact(col("__va"), col("__vb")) /
+            (nrm(col("__va")) * nrm(col("__vb")))).as("__sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val rels: Seq[(Long, Double)] = cand.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    while (selected.size < math.min(k, rels.size)) {
+      val best = remaining.map { case (id, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => sims((id, s._1))).max
+        (id, rel, lambda * rel - (1 - lambda) * maxSim)
+      }.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining -= best._1
+    }
+    val out = selected.zipWithIndex.map { case ((id, rel, mmr), i) =>
+      org.apache.spark.sql.Row((i + 1).toLong, id, rel, mmr)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      StructType(Seq(
+        StructField("rank", LongType, nullable = false),
+        StructField(idCol, LongType, nullable = false),
+        StructField(relCol, DoubleType, nullable = false),
+        StructField("mmr_score", DoubleType, nullable = false))))
+  }
 }

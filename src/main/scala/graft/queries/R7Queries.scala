@@ -429,10 +429,12 @@ object R7Queries {
     Q("pretrain_pipeline",
       "The full pretraining-run flagship — every curation stage a real " +
         "run chains, one driver program with four lineage-cut barriers " +
-        "(eager localCheckpoint at each multi-consumer stage: plain " +
+        "(eager stage barriers at each multi-consumer stage: plain " +
         "caching leaves the whole logical tree for AQE to re-optimize " +
         "at every exchange — measured 15s of driver re-planning vs " +
-        "<1s execution at sf0.01; no disk round-trips, no orchestrator): " +
+        "<1s execution at sf0.01; localCheckpoint by default, reliable " +
+        "checkpoint-to-dir via the graft.pipeline.reliableBarriers conf " +
+        "for long runs; no orchestrator): " +
         "quality gate (>= 0.5 on raw text) → cross-doc SUBSTRING dedup " +
         "(k-gram spans, first occurrence survives) → MinHash-LSH " +
         "near-dup removal (keep-smaller-id pair policy — the lazy " +
@@ -447,15 +449,18 @@ object R7Queries {
         "in PLANS.md attributes every shuffle to its named stage.",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // Stage barriers are EAGER localCheckpoints, not plain caches: a
+        // Stage barriers are EAGER lineage cuts, not plain caches: a
         // persist keeps the whole logical tree, and AQE re-optimizes that
         // tree at every one of the chain's ~25 exchanges — measured 15s+
         // of pure driver re-planning at sf0.01 (O(stages × plan size)).
-        // The checkpoint truncates lineage at each multi-consumer stage,
+        // The barrier truncates lineage at each multi-consumer stage,
         // so each stage plans against a scan of the (post-filter, small
         // relative to the corpus) previous barrier. Same data, same
-        // oracle; the documented tradeoff is executor-loss recompute, as
-        // in the CC loops.
+        // oracle. Default is localCheckpoint (executor-loss recompute,
+        // as in the CC loops); setting Curation.ReliableBarriersKey
+        // swaps in reliable checkpoint-to-dir for long runs where a
+        // recompute cascade costs more than the replicated write
+        // (PipelinesSpec pins reliable ≡ local row-for-row).
         // 1. quality gate on the raw text
         val gated = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
         // 2. substring dedup; cleaned text replaces the original
@@ -463,7 +468,7 @@ object R7Queries {
         val cleaned = gated.select(col("doc_id"), col("source"), col("lang"))
           .join(spans.select(col("doc_id"), col("clean_text").as("t")),
             Seq("doc_id"))
-          .localCheckpoint()
+          .transform(Curation.stageBarrier)
         // 3. MinHash near-dup removal: drop the larger id of every
         // candidate pair (greedy keep-first; transitive-closure removal
         // needs the CC driver loop — dedup_cluster — when cluster-exact
@@ -474,7 +479,7 @@ object R7Queries {
           .join(pairs.select(col("id_b").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
           .filter(col("doc_id") % 10 =!= 0)
-          .localCheckpoint()
+          .transform(Curation.stageBarrier)
         // 4. decontamination against the held-out benchmark slice
         val bench = docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), col("text").as("t"))
@@ -483,13 +488,13 @@ object R7Queries {
         val decon = train.join(
             contaminated.select(col("id").as("doc_id")), Seq("doc_id"),
             "left_anti")
-          .localCheckpoint()
+          .transform(Curation.stageBarrier)
         // 5. DSIR importance filter toward the English target
         val dsir = LmSignals.dsirContrast(decon, "doc_id", "t",
           col("lang") === "en")
         val kept = decon.join(
             dsir.filter(col("dsir_score") >= 0).select("doc_id"), Seq("doc_id"))
-          .localCheckpoint()
+          .transform(Curation.stageBarrier)
         // 6. temperature mixture over sources
         val mixed = Curation.temperatureMixture(kept, "source", "doc_id",
           alpha = 0.5, targetFrac = 0.5)

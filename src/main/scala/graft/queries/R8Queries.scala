@@ -51,7 +51,7 @@ object R8Queries {
     * `rankBounded(bm25(...))`. Kept textually beside the dense CTEs so
     * the fused oracle can never drift from the two gated halves.
     */
-  private def sparseCtes(topK: Int): String =
+  private[queries] def sparseCtes(topK: Int): String =
     s"""base AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(trim(text), '\\s+'),
@@ -91,7 +91,7 @@ object R8Queries {
     * (vec_id, rank_b) — the oracle restatement of
     * `rankBounded(bruteForceTopK(...))`.
     */
-  private def denseCtes(topK: Int): String =
+  private[queries] def denseCtes(topK: Int): String =
     s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |nq AS (
        |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.Similarity
+import graft.ops.{Retrieval, Similarity}
 
 /** Round-8 session queries: incremental maintenance for the COMPRESSED
   * vector index (the last rebuild-only family — VERDICT r7 ask #1/#5),
@@ -233,6 +233,91 @@ object R9Queries {
              |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
              |  UNION ALL SELECT 4, 'view', (SELECT count(*) FROM s4)
              |  UNION ALL SELECT 5, 'purchase', (SELECT count(*) FROM s5))
-             |ORDER BY stage_idx""".stripMargin))
+             |ORDER BY stage_idx""".stripMargin)),
+
+    Q("ta_mmr",
+      "MMR diversity re-rank (Carbonell & Goldstein 1998) over the " +
+        "hybrid-retrieval shortlist: greedily pick 5 of the 10 " +
+        "RRF-fused candidates maximizing 0.5*rrf_score - 0.5*max " +
+        "cosine to the already-selected set (ties to the lower id) — " +
+        "the diversity pass a RAG stack runs so near-identical chunks " +
+        "don't crowd out the second topic. The expensive work is the " +
+        "two retrievals (already bounded top-k); the re-rank is a k x k " +
+        "exact-decimal cosine matrix and a driver-side greedy over it. " +
+        "The oracle unrolls the same greedy as a five-step CTE chain " +
+        "over the shared sparse/dense/fused CTEs, so the re-rank can " +
+        "never drift from the fusion it consumes.",
+      (s, d) => {
+        val sparse = Retrieval.rankBounded(
+          Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+            Seq("dup", "spark", "vector"), topK = 15), "doc_id", "score")
+        val emb = Tables.embeddings(s, d)
+        val qv = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val dense = Retrieval.rankBounded(
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 15)
+            .withColumnRenamed("vec_id", "doc_id"), "doc_id", "cos_sim")
+        val fused = Retrieval.rrfFuse(sparse, dense, "doc_id",
+          rrfK = 60, topK = 10)
+        Retrieval.mmrRerank(fused.select(col("doc_id"), col("rrf_score")),
+          "doc_id", "rrf_score", emb, "vec_id", "embedding",
+          k = 5, lambda = 0.5)
+      },
+      Some {
+        def dotSql(a: String, b: String): String =
+          s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+        // steps 2..5 of the greedy, each picking the argmax of
+        // mmr = 0.5·rel − 0.5·max(sim to selected) over the rest
+        val steps = (2 to 5).map { i =>
+          s"""sel$i AS (
+             |  SELECT CAST($i AS BIGINT) AS rank, c.doc_id, c.rrf_score,
+             |    0.5::DOUBLE * c.rrf_score - 0.5::DOUBLE * (
+             |      SELECT max(s.sim) FROM sims s
+             |      JOIN selu${i - 1} t ON s.idb = t.doc_id
+             |      WHERE s.ida = c.doc_id) AS mmr_score
+             |  FROM fused c
+             |  WHERE c.doc_id NOT IN (SELECT doc_id FROM selu${i - 1})
+             |  ORDER BY mmr_score DESC, c.doc_id LIMIT 1),
+             |selu$i AS (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+        }.mkString("," + "\n")
+        s"""WITH ${R8Queries.sparseCtes(15)},
+           |${R8Queries.denseCtes(15)},
+           |fused AS (
+           |  SELECT coalesce(s.doc_id, dn.vec_id) AS doc_id,
+           |    coalesce(1.0 / (cast(60 AS DOUBLE) + cast(rank_a AS DOUBLE)), 0.0) +
+           |    coalesce(1.0 / (cast(60 AS DOUBLE) + cast(rank_b AS DOUBLE)), 0.0)
+           |      AS rrf_score
+           |  FROM sparse s FULL OUTER JOIN dense dn ON s.doc_id = dn.vec_id
+           |  ORDER BY rrf_score DESC, doc_id
+           |  LIMIT 10),
+           |cvec AS (
+           |  SELECT f.doc_id, e.embedding
+           |  FROM fused f LEFT JOIN embeddings e ON e.vec_id = f.doc_id),
+           |cnrm AS (
+           |  SELECT doc_id,
+           |    greatest(sqrt(${dotSql("embedding", "embedding")}), 1e-30) AS nrm
+           |  FROM cvec, generate_series(1, 64) g(i)
+           |  WHERE embedding IS NOT NULL GROUP BY doc_id),
+           |pdots AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |    ${dotSql("a.embedding", "b.embedding")} AS dot
+           |  FROM cvec a, cvec b, generate_series(1, 64) g(i)
+           |  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+           |  GROUP BY a.doc_id, b.doc_id),
+           |sims AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+           |    coalesce(p.dot / (na.nrm * nb.nrm), 0.0::DOUBLE) AS sim
+           |  FROM cvec a CROSS JOIN cvec b
+           |  LEFT JOIN pdots p ON p.ida = a.doc_id AND p.idb = b.doc_id
+           |  LEFT JOIN cnrm na ON na.doc_id = a.doc_id
+           |  LEFT JOIN cnrm nb ON nb.doc_id = b.doc_id),
+           |sel1 AS (
+           |  SELECT CAST(1 AS BIGINT) AS rank, doc_id, rrf_score,
+           |    0.5::DOUBLE * rrf_score - 0.5::DOUBLE * 0.0::DOUBLE AS mmr_score
+           |  FROM fused ORDER BY mmr_score DESC, doc_id LIMIT 1),
+           |selu1 AS (SELECT * FROM sel1),
+           |$steps
+           |SELECT rank, doc_id, rrf_score, mmr_score FROM selu5
+           |ORDER BY rank""".stripMargin
+      })
   )
 }

@@ -21,6 +21,23 @@ class PipelinesSpec extends SparkSpec {
     assert(labelRange.getLong(0) >= 0 && labelRange.getLong(1) <= 15)
   }
 
+  test("pretrain_pipeline reliable barriers: checkpoint-to-dir path " +
+      "produces the exact same rows as the localCheckpoint default") {
+    import graft.ops.Curation
+    def run() = graft.SparkEntry.queries("pretrain_pipeline")(
+      spark, graft.SparkSpec.Sf0001).collect().map(_.toSeq).toSeq
+    val local = run()
+    spark.conf.set(Curation.ReliableBarriersKey, "true")
+    try {
+      val reliable = run()
+      assert(reliable == local,
+        "reliable-checkpoint barriers must not change the result")
+      // the reliable path actually wrote through the checkpoint dir
+      assert(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliable barriers must have set a checkpoint dir")
+    } finally spark.conf.unset(Curation.ReliableBarriersKey)
+  }
+
   test("DxGroup stage composition matches staged execution (no hidden state)") {
     val docs = Seq((1L, "GROSS DESCRIPTION: Short Specimen MICROSCOPIC: cells"))
       .toDF("doc_id", "text")
