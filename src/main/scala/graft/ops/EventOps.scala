@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-sequence analytics beyond the funnel/retention pair: next-event
+  * transition matrices, conversion attribution, and dense time-series
+  * gap-filling. All three share the product-analytics scale shape — ONE
+  * exchange keyed by the entity (user) or the grid key, with every
+  * downstream relation bounded (types x types, channels, users x days) so
+  * nothing corpus-sized survives the first aggregate.
+  */
+object EventOps {
+
+  /** Markov next-event transition matrix: for every adjacent pair of
+    * events per user (ordered by (ts, tieCol) — the tiebreak makes equal
+    * timestamps deterministic), count (from_type -> to_type) and the
+    * per-source transition probability.
+    *
+    * Plan shape: one user-keyed exchange for the `lead` window, then a
+    * (from, to) aggregate whose partial (map-side) combine collapses each
+    * partition to at most |types|² rows before the second, trivially
+    * small exchange. The probability normalization is a window over the
+    * bounded matrix itself. At 100 TB the cost is the one user window —
+    * the same exchange sessionization already pays.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+    pairs.groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Last-touch conversion attribution: each conversion event is credited
+    * to the most recent STRICTLY-PRECEDING touch event (by (ts, tieCol));
+    * conversions with no prior touch in the stream credit the sentinel
+    * `(direct)` channel. Returns (channel, n_conversions, revenue) with
+    * the revenue summed exactly (order-independent decimal).
+    *
+    * Plan shape: the carry-forward is `last(..., ignoreNulls)` over a
+    * user-keyed window frame ending at the previous row — one exchange;
+    * the per-channel rollup partial-aggregates to |channels| rows. The
+    * window frame (UNBOUNDED PRECEDING → -1) is what makes "strictly
+    * preceding" exact even under equal timestamps: a touch at the same
+    * instant as the conversion sorts by the tiebreak, and only rows
+    * physically before the conversion are visible to the frame.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, tieCol: String,
+                           touchTypes: Seq[String],
+                           conversionType: String,
+                           valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val channel = last(
+      when(col(typeCol).isin(touchTypes: _*), col(typeCol)),
+      ignoreNulls = true).over(w)
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol), col(valueCol))
+      .withColumn("channel", coalesce(channel, lit("(direct)")))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast(DecimalType(28, 8))).cast("double").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** Dense daily gap-fill with zero-fill and last-observation-carried-
+    * forward: for the entities in `entities` (a SMALL, bounded relation —
+    * the dashboard's watchlist, not the corpus), emit one row per
+    * (entity, day) over the full [minDay, maxDay] observation window of
+    * `clock`, zero-filling days with no qualifying event and carrying the
+    * last seen daily revenue forward.
+    *
+    * Plan shape: the day spine is a 1-row min/max aggregate exploded to
+    * ~days rows and BROADCAST against the entity list (the grid is
+    * entities x days — bounded by construction); the sparse daily facts
+    * aggregate on (entity, day) and left-join the grid co-partitioned on
+    * the same key. The LOCF window runs over the bounded grid. Nothing
+    * here scans more than once or shuffles more than the daily aggregate.
+    */
+  def gapFillDaily(facts: DataFrame, clock: DataFrame, entityCol: String,
+                   tsCol: String, valueCol: String): DataFrame = {
+    val spine = clock
+      .agg(min(to_date(col(tsCol))).as("d0"), max(to_date(col(tsCol))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val entities = facts.select(col(entityCol)).distinct()
+    val grid = entities.crossJoin(broadcast(spine))
+    val daily = facts
+      .groupBy(col(entityCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(DecimalType(28, 8))).cast("double").as("__rev"))
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(entityCol, "day"), "left")
+      .select(col(entityCol),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("__n"), lit(0L)).as("n_events"),
+        coalesce(last(col("__rev"), ignoreNulls = true).over(w),
+          lit(0.0)).as("rev_locf"))
+      .orderBy(col(entityCol), col("day"))
+  }
+}
