@@ -942,6 +942,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sign bit-packing for binary embeddings: bit j (0-based) of the
+    * result is set iff dimension `lo + j` of the vector is > 0, for 32
+    * dimensions starting at 1-based index `lo`. Two 32-bit halves
+    * instead of one 64-bit word because a value built only from shifts
+    * 0..31 stays positive in any engine — `1 << 63` overflows signed
+    * arithmetic in engines that check (DuckDB raises), while two
+    * sub-2³² longs cross the Spark/SQL boundary untouched. Integer
+    * fold, codegen'd, no UDF.
+    */
+  def signBits(vecColName: String, lo: Int): Column =
+    expr(s"""aggregate(sequence($lo, ${lo + 31}), cast(0 as bigint),
+            |  (acc, i) -> acc + IF(element_at($vecColName, cast(i as int)) > cast(0 as float),
+            |                       shiftleft(cast(1 as bigint), cast(i as int) - $lo),
+            |                       cast(0 as bigint)))""".stripMargin)
+
+  /** Binary-embedding ANN (sign hash + Hamming distance + exact
+    * rescoring) — the 32×-compression end of the quantization family
+    * (one BIT per dimension vs int8's byte): pack every vector's sign
+    * pattern into two 32-bit words, shortlist by Hamming distance
+    * (bit_count of XOR — pure register arithmetic, the cheapest
+    * possible scan predicate at 100 TB), then exact decimal cosine on
+    * the survivors. Sign-random-projection theory (Charikar 2002) makes
+    * Hamming distance on sign bits a cosine estimator, which is why the
+    * shortlist ranked by it recalls true neighbors; the rescore tail
+    * restores exactness. Same plan skeleton as [[quantTopK]]:
+    * TakeOrderedAndProject shortlist (never a global sort), broadcast
+    * 1-row query, codes-only arithmetic until the ≤`rescore` survivors.
+    */
+  def hammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, k: Int, rescore: Int = 50): DataFrame = {
+    def staged(df: DataFrame): DataFrame = df
+      .withColumn("__blo", signBits(vecCol, 1))
+      .withColumn("__bhi", signBits(vecCol, 33))
+    val q = staged(emb.filter(col(idCol) === queryId))
+      .select(col(vecCol).as("__qv"), col("__blo").as("__qlo"),
+        col("__bhi").as("__qhi"))
+    val short = staged(emb).crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (expr("bit_count(__blo ^ __qlo)") + expr("bit_count(__bhi ^ __qhi)"))
+          .cast("long"))
+      .orderBy(col("hamming").asc, col(idCol))
+      .limit(rescore)
+    short
+      .select(col(idCol), col("hamming"),
+        (Dedup.dotExact(col(vecCol), col("__qv")) /
+          (Dedup.normExact(col(vecCol)) * Dedup.normExact(col("__qv"))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Pin a double to the 1e-9 decimal grid via EXACT binary expansion +
     * HALF_UP. A 9-digit double's cast to any wider decimal is exact in
     * both Spark and DuckDB, so grid-pinned values survive cross-engine

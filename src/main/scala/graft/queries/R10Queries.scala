@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.EventOps
+import graft.ops.{EventOps, Similarity}
 
 /** Round-8 session, part 2: the event-sequence analytics family beyond
   * funnel/retention — next-event transition matrix, last-touch
@@ -13,7 +13,98 @@ import graft.ops.EventOps
   */
 object R10Queries {
 
+  /** DuckDB restatement of Dedup.dotExact over index i (1-based). */
+  private def dotSql(a: String, b: String): String =
+    s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+
+  /** Shared CTEs for the binary-embedding family: sign-packed 32-bit
+    * halves per vector, the query's words, Hamming distances, the
+    * shortlist, and the query-vector norm for the exact rescore tail.
+    */
+  private def hammingCtes(rescore: Int): String =
+    s"""bits AS (
+       |  SELECT vec_id,
+       |    cast(sum(CASE WHEN embedding[i] > 0
+       |             THEN (1::BIGINT << (i-1)) ELSE 0 END) AS BIGINT) AS blo,
+       |    cast(sum(CASE WHEN embedding[i+32] > 0
+       |             THEN (1::BIGINT << (i-1)) ELSE 0 END) AS BIGINT) AS bhi
+       |  FROM embeddings, generate_series(1, 32) g(i) GROUP BY vec_id),
+       |qb AS (SELECT blo AS qlo, bhi AS qhi FROM bits WHERE vec_id = 0),
+       |hd AS (
+       |  SELECT b.vec_id,
+       |    cast(bit_count(xor(b.blo, qb.qlo)) +
+       |         bit_count(xor(b.bhi, qb.qhi)) AS BIGINT) AS hamming
+       |  FROM bits b, qb),
+       |short AS (SELECT * FROM hd ORDER BY hamming, vec_id LIMIT $rescore),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |nq AS (
+       |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+       |  FROM q, generate_series(1, 64) g(i))""".stripMargin
+
   val all: Seq[Q] = Seq(
+
+    Q("sim_hamming",
+      "Binary-embedding ANN: every vector's SIGN pattern packed into " +
+        "two 32-bit words (1 bit per dimension — 32x smaller than " +
+        "float32, the cheapest at-scale representation after PQ), " +
+        "shortlist by Hamming distance (bit_count of XOR, pure register " +
+        "arithmetic — sign-random-projection theory makes it a cosine " +
+        "estimator), exact decimal cosine on the <= 50 survivors only. " +
+        "Same skeleton as sim_quant: TakeOrderedAndProject shortlist, " +
+        "broadcast 1-row query, codes-only arithmetic until the tail.",
+      (s, d) => Similarity.hammingTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 10, rescore = 50),
+      Some(s"""WITH ${hammingCtes(50)},
+              |m AS (
+              |  SELECT e.vec_id, e.embedding FROM embeddings e
+              |  JOIN short s ON e.vec_id = s.vec_id),
+              |ne AS (
+              |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM m, generate_series(1, 64) g(i) GROUP BY vec_id),
+              |dots AS (
+              |  SELECT m.vec_id, ${dotSql("m.embedding", "q.qe")} AS dot
+              |  FROM m, q, generate_series(1, 64) g(i) GROUP BY m.vec_id)
+              |SELECT d.vec_id, s.hamming, d.dot / (ne.nrm * nq.nrm) AS cos_sim
+              |FROM dots d JOIN ne ON d.vec_id = ne.vec_id
+              |  JOIN short s ON d.vec_id = s.vec_id, nq
+              |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin)),
+
+    Q("sim_recall_hamming",
+      "Recall@10 gate for the binary sign-hash index: exact brute force " +
+        "vs sign-pack -> Hamming shortlist(50) -> exact rescore -> " +
+        "top-10, intersected — every index family ships with its gate. " +
+        "A drop here means 64 sign bits are too coarse for the rescore " +
+        "budget (the lever is `rescore`, not the representation).",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        val approx = Similarity.hammingTopK(emb, "vec_id", "embedding",
+          queryId = 0L, k = 10, rescore = 50)
+        Similarity.recallAtK(exact, approx, "vec_id", 10)
+      },
+      Some(s"""WITH ${hammingCtes(50)},
+              |ne AS (
+              |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+              |dots AS (
+              |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+              |  FROM embeddings e, q, generate_series(1, 64) g(i)
+              |  GROUP BY e.vec_id),
+              |exact AS (
+              |  SELECT d.vec_id FROM dots d JOIN ne USING (vec_id), nq
+              |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10),
+              |approx AS (
+              |  SELECT d.vec_id
+              |  FROM dots d JOIN ne USING (vec_id) JOIN short s USING (vec_id), nq
+              |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10)
+              |SELECT CAST(10 AS BIGINT) AS k,
+              |  count(*) AS hits,
+              |  CASE WHEN (SELECT count(*) FROM exact) > 0
+              |    THEN CAST(count(*) AS DOUBLE) /
+              |         (SELECT count(*) FROM exact)
+              |    ELSE 0.0 END AS recall
+              |FROM approx JOIN exact USING (vec_id)""".stripMargin)),
 
     Q("ev_transitions",
       "Markov next-event transition matrix: adjacent event pairs per " +

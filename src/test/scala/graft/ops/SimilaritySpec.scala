@@ -679,4 +679,34 @@ class SimilaritySpec extends SparkSpec {
     assert(res.map(r => (r.getLong(0), r.getBoolean(3))).toSeq.sorted ==
       sub.map(r => (r.getLong(0), r.getBoolean(3))).toSeq.sorted)
   }
+
+  test("signBits packs known sign patterns; hammingTopK ranks the query " +
+      "itself first with distance 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // dims 1..32: alternating +/- starting positive → bits 0,2,4,... set
+    // (0x55555555); dims 33..64 all negative → 0
+    val v = (0 until 64).map(i =>
+      if (i < 32) (if (i % 2 == 0) 1.0f else -1.0f) else -1.0f)
+    val df = Seq((0L, v)).toDF("vec_id", "embedding")
+    val bits = df.select(
+      Similarity.signBits("embedding", 1).as("lo"),
+      Similarity.signBits("embedding", 33).as("hi")).head()
+    assert(bits.getLong(0) == 0x55555555L)
+    assert(bits.getLong(1) == 0L)
+
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.Sf0001)
+    val top = Similarity.hammingTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, rescore = 50).collect()
+    assert(top.head.getLong(0) == 0L)     // self first by exact cosine
+    assert(top.head.getLong(1) == 0L)     // at Hamming distance 0
+    assert(top.forall(_.getLong(1) <= 64L))
+    // the shortlist recalls a sane share of the exact top-10
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    val recall = Similarity.recallAtK(exact,
+      Similarity.hammingTopK(emb, "vec_id", "embedding", 0L, 10, 50),
+      "vec_id", 10).head().getDouble(2)
+    assert(recall >= 0.5, s"binary-hash recall@10 too low: $recall")
+  }
 }
