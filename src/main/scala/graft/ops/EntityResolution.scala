@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution / record linkage over structured records: find which
+  * dirty records (typos, truncations, re-keyed copies) refer to the same
+  * real-world entity as a clean registry row — the classic
+  * blocking → pairwise-verify → cluster pipeline, distinct from document
+  * dedup (which fingerprints long text; here the match unit is a short
+  * identifying string and the metric is edit distance).
+  *
+  * Blocking is the FastSS / SymSpell deletion neighborhood (Bocek et al.
+  * 2007, "Fast Similarity Search in Large Dictionaries"): each string
+  * emits itself plus every single-character deletion as block keys. Two
+  * strings within edit distance 1 PROVABLY share a key (substitution →
+  * both delete the edited position; insertion/deletion → the longer
+  * side's deletion hits the shorter; equality → the identity key), so
+  * unlike phonetic or prefix blocking this never misses a true match at
+  * the configured radius — the candidate generation is EXACT, and
+  * levenshtein verification only removes false positives.
+  *
+  * Scale shape: L+1 keys per record of length L (strings here are short
+  * identifiers, so ~20 keys), an equi-join on the key — never a cross
+  * join — and per-key fan-out bounded by how many records actually share
+  * a deletion variant (the near-duplicate density itself, the quantity
+  * being measured). Verification runs per CANDIDATE pair, and the
+  * best-match reduction is a plain aggregate (min of a (dist, id)
+  * struct), not a window, so nothing corpus-sized crosses more than the
+  * one key exchange.
+  */
+object EntityResolution {
+
+  /** The deletion-neighborhood block keys of a string column: the string
+    * itself plus each single-character deletion, deduplicated. Pure
+    * codegen'd array expression — no UDF.
+    */
+  def deletionKeys(nameColName: String): Column =
+    expr(s"""array_union(array($nameColName),
+            |  transform(sequence(1, length($nameColName)),
+            |    i -> concat(substr($nameColName, 1, i-1),
+            |                substr($nameColName, i+1, length($nameColName)))))"""
+      .stripMargin)
+
+  /** Candidate pairs via deletion-neighborhood blocking: every (left,
+    * right) pair sharing at least one block key, each pair exactly once.
+    * Exact at radius 1 by the FastSS property; pairs at larger true
+    * distance may appear (false positives) and are removed by
+    * [[verifiedPairs]].
+    */
+  def candidates(left: DataFrame, leftId: String, right: DataFrame,
+                 rightId: String, nameCol: String): DataFrame = {
+    val lk = left
+      .select(col(leftId), col(nameCol).as("__ln"))
+      .withColumn("__k", explode(deletionKeys("__ln")))
+    val rk = right
+      .select(col(rightId), col(nameCol).as("__rn"))
+      .withColumn("__k", explode(deletionKeys("__rn")))
+    lk.join(rk, "__k")
+      .select(col(leftId), col("__ln"), col(rightId), col("__rn"))
+      .distinct()
+  }
+
+  /** Blocked candidates verified by true edit distance ≤ `maxDist`.
+    * Output: (leftId, rightId, dist). With the radius-1 blocking above,
+    * maxDist = 1 makes the whole pipeline EXACT: blocking guarantees no
+    * missed pair, verification guarantees no spurious one.
+    */
+  def verifiedPairs(left: DataFrame, leftId: String, right: DataFrame,
+                    rightId: String, nameCol: String,
+                    maxDist: Int = 1): DataFrame =
+    candidates(left, leftId, right, rightId, nameCol)
+      .withColumn("dist", levenshtein(col("__ln"), col("__rn")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col(leftId), col(rightId), col("dist"))
+
+  /** Best match per left record: the (lowest-distance, then lowest
+    * right-id) verified pair — one aggregate over the pair relation
+    * (min of a (dist, id) struct sorts lexicographically), no window.
+    */
+  def bestMatch(left: DataFrame, leftId: String, right: DataFrame,
+                rightId: String, nameCol: String,
+                maxDist: Int = 1): DataFrame =
+    verifiedPairs(left, leftId, right, rightId, nameCol, maxDist)
+      .groupBy(col(leftId))
+      .agg(min(struct(col("dist"), col(rightId))).as("__b"))
+      .select(col(leftId), col(s"__b.$rightId").as(rightId),
+        col("__b.dist").as("dist"))
+
+  /** Entity clusters over the union of both record sets: connected
+    * components (the shared [[Dedup.connectedComponents]] pointer-jumping
+    * loop) on the verified match edges, with records matching nothing
+    * kept as singleton clusters (their own id). Output: (id, cluster,
+    * cluster_size) — the golden-record grouping a merge step consumes.
+    */
+  def clusters(left: DataFrame, leftId: String, right: DataFrame,
+               rightId: String, nameCol: String,
+               maxDist: Int = 1): DataFrame = {
+    val pairs = verifiedPairs(left, leftId, right, rightId, nameCol, maxDist)
+    val labels = Dedup.connectedComponents(pairs, leftId, rightId)
+    val vertices = left.select(col(leftId).as("id"))
+      .union(right.select(col(rightId).as("id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("id"))
+  }
+}

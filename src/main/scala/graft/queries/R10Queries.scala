@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{EventOps, Similarity}
+import graft.ops.{EntityResolution, EventOps, Similarity}
 
 /** Round-8 session, part 2: the event-sequence analytics family beyond
   * funnel/retention — next-event transition matrix, last-touch
@@ -41,7 +41,122 @@ object R10Queries {
        |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
        |  FROM q, generate_series(1, 64) g(i))""".stripMargin
 
+  /** The ER fixture: the clean customer registry plus a deterministic
+    * dirty copy — one-third last-char substitutions, one-third last-char
+    * truncations, one-third exact re-keys — the three edit classes a
+    * radius-1 resolver must handle. Dirty ids live at +1,000,000 so the
+    * two id spaces never collide.
+    */
+  private val erSourceCtes: String =
+    """clean AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      |dirty AS (
+      |  SELECT c_custkey + 1000000 AS id,
+      |    CASE CAST(c_custkey % 3 AS INTEGER)
+      |      WHEN 0 THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+      |      WHEN 1 THEN substr(c_name, 1, length(c_name) - 1)
+      |      ELSE c_name END AS name
+      |  FROM customer)""".stripMargin
+
+  /** Deletion-neighborhood keys + verified radius-1 pairs, DuckDB side
+    * (the EntityResolution.verifiedPairs mirror).
+    */
+  private val erPairCtes: String =
+    """ck AS (
+      |  SELECT id, name, unnest(list_distinct(list_append(
+      |    list_transform(generate_series(1, length(name)),
+      |      i -> substr(name, 1, i - 1) || substr(name, i + 1, length(name))),
+      |    name))) AS k
+      |  FROM clean),
+      |dk AS (
+      |  SELECT id, name, unnest(list_distinct(list_append(
+      |    list_transform(generate_series(1, length(name)),
+      |      i -> substr(name, 1, i - 1) || substr(name, i + 1, length(name))),
+      |    name))) AS k
+      |  FROM dirty),
+      |cand AS (
+      |  SELECT DISTINCT d.id AS dirty_id, d.name AS dn,
+      |                  c.id AS clean_id, c.name AS cn
+      |  FROM dk d JOIN ck c USING (k)),
+      |ver AS (
+      |  SELECT dirty_id, clean_id,
+      |    CAST(levenshtein(dn, cn) AS BIGINT) AS dist
+      |  FROM cand WHERE levenshtein(dn, cn) <= 1)""".stripMargin
+
+  private def dirtyCustomers(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    Tables.customer(s, d).select(
+      (col("c_custkey") + 1000000L).as("id"),
+      when(col("c_custkey") % 3 === 0,
+        concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+        .when(col("c_custkey") % 3 === 1,
+          expr("substr(c_name, 1, length(c_name) - 1)"))
+        .otherwise(col("c_name")).as("name"))
+
+  private def cleanCustomers(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+
   val all: Seq[Q] = Seq(
+
+    Q("er_blocked",
+      "Entity resolution (record linkage): a dirty record set — " +
+        "last-char substitutions, truncations, exact re-keys of the " +
+        "customer registry — resolved back to its clean entity via " +
+        "FastSS deletion-neighborhood blocking (every string emits " +
+        "itself + each single-char deletion; radius-1 pairs PROVABLY " +
+        "share a key, so candidate generation is exact, never a cross " +
+        "join), levenshtein<=1 verification, and a best-match aggregate " +
+        "(min (dist, id) struct — no window). ~L+1 short keys per " +
+        "record, one key equi-join, per-key fan-out bounded by actual " +
+        "near-duplicate density.",
+      (s, d) => EntityResolution.bestMatch(
+        dirtyCustomers(s, d).withColumnRenamed("id", "dirty_id"), "dirty_id",
+        cleanCustomers(s, d).withColumnRenamed("id", "clean_id"), "clean_id",
+        "name"),
+      Some(s"""WITH $erSourceCtes,
+              |$erPairCtes,
+              |best AS (
+              |  SELECT dirty_id, clean_id, dist,
+              |    row_number() OVER (PARTITION BY dirty_id
+              |      ORDER BY dist, clean_id) AS rn
+              |  FROM ver)
+              |SELECT dirty_id, clean_id, dist FROM best WHERE rn = 1
+              |ORDER BY dirty_id""".stripMargin)),
+
+    Q("er_cluster",
+      "Entity clustering: connected components (the shared " +
+        "pointer-jumping CC loop) over ALL verified radius-1 match " +
+        "edges between the clean registry and its dirty copy, with " +
+        "unmatched records kept as singletons — the golden-record " +
+        "grouping a merge step consumes. Note clusters can span " +
+        "entities: adjacent registry names are themselves edit distance " +
+        "1 apart, so a truncated dirty name legitimately bridges them — " +
+        "exactly why ER needs CC rather than best-match alone. Oracle: " +
+        "recursive-CTE reachability over the same edge list.",
+      (s, d) => EntityResolution.clusters(
+        dirtyCustomers(s, d).withColumnRenamed("id", "dirty_id"), "dirty_id",
+        cleanCustomers(s, d).withColumnRenamed("id", "clean_id"), "clean_id",
+        "name"),
+      Some(s"""WITH RECURSIVE $erSourceCtes,
+              |$erPairCtes,
+              |edges AS (
+              |  SELECT dirty_id AS src, clean_id AS dst FROM ver
+              |  UNION SELECT clean_id, dirty_id FROM ver),
+              |reach AS (
+              |  SELECT src AS id, src AS lab FROM edges
+              |  UNION
+              |  SELECT e.dst AS id, r.lab FROM reach r
+              |  JOIN edges e ON e.src = r.id),
+              |cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+              |allv AS (
+              |  SELECT id FROM clean UNION ALL SELECT id FROM dirty),
+              |lab AS (
+              |  SELECT v.id, coalesce(cc.cluster, v.id) AS cluster
+              |  FROM allv v LEFT JOIN cc ON cc.id = v.id)
+              |SELECT id, cluster,
+              |  count(*) OVER (PARTITION BY cluster) AS cluster_size
+              |FROM lab ORDER BY id""".stripMargin)),
 
     Q("sim_hamming",
       "Binary-embedding ANN: every vector's SIGN pattern packed into " +

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def recs(rows: (Long, String)*) = rows.toDF("id", "name")
+
+  test("deletion blocking finds every radius-1 edit class and nothing past it") {
+    val clean = recs((1L, "alpha"), (2L, "bravo"), (3L, "omega"))
+    val dirty = recs(
+      (11L, "alpha"),  // exact
+      (12L, "alpht"),  // substitution of last char
+      (13L, "brav"),   // deletion
+      (14L, "bravoo"), // insertion
+      (15L, "xxxxx"))  // unrelated — must not match
+    val m = EntityResolution.verifiedPairs(dirty, "id",
+      clean.withColumnRenamed("id", "cid"), "cid", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m === Set((11L, 1L, 0L), (12L, 1L, 1L), (13L, 2L, 1L),
+      (14L, 2L, 1L)))
+  }
+
+  test("bestMatch picks lowest distance, then lowest right id") {
+    val clean = recs((1L, "aaab"), (2L, "aaac"))
+    val dirty = recs((10L, "aaab"), (20L, "aaaa"))
+    // 10 matches 1 at dist 0 (and 2 at dist 1): keep (1, 0)
+    // 20 matches both at dist 1: tie → lower clean id 1
+    val b = EntityResolution.bestMatch(dirty, "id",
+      clean.withColumnRenamed("id", "cid"), "cid", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(b === Set((10L, 1L, 0L), (20L, 1L, 1L)))
+  }
+
+  test("clusters: transitive bridge merges entities; unmatched stay singletons") {
+    val clean = recs((1L, "aaaa"), (2L, "aaab"), (3L, "zzzz"))
+    val dirty = recs((10L, "aaa"), (20L, "qqqq"))
+    // "aaa" is one insertion from BOTH "aaaa" and "aaab" → it bridges
+    // them into one cluster {1, 2, 10}; "zzzz" and "qqqq" stay singletons
+    val c = EntityResolution.clusters(dirty, "id",
+      clean.withColumnRenamed("id", "cid"), "cid", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(c === List((1L, 1L, 3L), (2L, 1L, 3L), (3L, 3L, 1L),
+      (10L, 1L, 3L), (20L, 20L, 1L)))
+  }
+
+  test("a dirty truncation can bridge two adjacent clean entities via CC") {
+    val clean = recs((1L, "id01"), (2L, "id02"))
+    val dirty = recs((10L, "id0")) // dist 1 to BOTH
+    val c = EntityResolution.clusters(dirty, "id",
+      clean.withColumnRenamed("id", "cid"), "cid", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(c === List((1L, 1L), (2L, 1L), (10L, 1L))) // one merged cluster
+  }
+}
