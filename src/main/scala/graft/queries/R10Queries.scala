@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{EntityResolution, EventOps, Similarity}
+import graft.ops.{EntityResolution, EventOps, IncrementalAgg, Similarity}
 
 /** Round-8 session, part 2: the event-sequence analytics family beyond
   * funnel/retention — next-event transition matrix, last-touch
@@ -157,6 +157,42 @@ object R10Queries {
               |SELECT id, cluster,
               |  count(*) OVER (PARTITION BY cluster) AS cluster_size
               |FROM lab ORDER BY id""".stripMargin)),
+
+    Q("inc_agg",
+      "Incremental aggregate maintenance (the materialized-view refresh " +
+        "shape): orders arrive in three batches, each contributing a " +
+        "PARTIAL per-status aggregate (count, exact decimal sum, " +
+        "min/max — all algebraically mergeable) persisted under the " +
+        "shared commit-marker state machine; serving merges the " +
+        "committed partials (keys x batches rows, the fact table is " +
+        "never rescanned) and derives avg from the merged pair. " +
+        "Because every partial is algebraic and the sum is exact " +
+        "decimal, the merge is bit-identical to the full recompute the " +
+        "oracle runs — per-refresh cost at 100 TB is O(new batch), not " +
+        "O(history).",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_incagg_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        (0L to 2L).foreach { b =>
+          IncrementalAgg.writeBatch(
+            IncrementalAgg.partials(
+              orders.filter(col("o_orderkey") % 3 === b),
+              "o_orderstatus", "o_totalprice"),
+            path, b)
+        }
+        IncrementalAgg.serve(s, path, "o_orderstatus")
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS total,
+             |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+             |    / count(*) AS avg_v
+             |FROM orders
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
 
     Q("sim_hamming",
       "Binary-embedding ANN: every vector's SIGN pattern packed into " +
