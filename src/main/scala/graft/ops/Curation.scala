@@ -621,4 +621,51 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__key")
   }
+
+  /** Length-grouped batching (the dynamic-batching / bucketing pass a
+    * training job runs so a 40-token doc never pads out a 2000-token
+    * batch): docs bucket by token-count tier (`bounds` are the tier
+    * lower edges), batch WITHIN (bucket, shard) in id order, and the
+    * report prices the padding — per batch the padded cost is
+    * max_tokens × batch_rows, so waste = padded − real tokens.
+    *
+    * Scale shape: the batching window partitions by (bucket, shard) —
+    * `nShards` deterministic hash shards per bucket, exactly the
+    * [[seededShards]] discipline — so no tier ever funnels through one
+    * partition the way a global per-bucket row_number would; each
+    * worker batches its shard locally, which is how distributed
+    * training loaders actually batch. All arithmetic is integer
+    * (counts, sums of counts), so the report is engine-exact; the one
+    * double (waste fraction) is a division of exact longs.
+    */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    bounds: Seq[Long], batchSize: Int,
+                    nShards: Int): DataFrame = {
+    require(bounds == bounds.sorted && bounds.nonEmpty, "sorted tier edges")
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokenCountWs(col(textCol)).as("n_tokens"))
+    val bucket = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("n_tokens") >= b, 1L).otherwise(0L)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard")).orderBy(col(idCol))
+    toks
+      .withColumn("bucket", bucket)
+      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+      .withColumn("batch",
+        ((row_number().over(w) - 1) / lit(batchSize)).cast("long"))
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("__nd"), max(col("n_tokens")).as("__mx"),
+        sum(col("n_tokens")).as("__st"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__nd")).as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("__st")).as("sum_tokens"),
+        sum(col("__mx") * col("__nd")).as("padded_tokens"))
+      .withColumn("waste_frac",
+        when(col("padded_tokens") > 0,
+          (col("padded_tokens") - col("sum_tokens")).cast("double") /
+            col("padded_tokens")).otherwise(lit(0.0)))
+      .orderBy(col("bucket"))
+  }
 }

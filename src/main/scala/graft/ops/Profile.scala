@@ -130,4 +130,40 @@ object Profile {
       // engines and fail the order-sensitive oracle hash
       .orderBy(col(groupName).asc_nulls_last)
   }
+
+  /** Per-group z-score outlier gate: ONE aggregation pass computes each
+    * group's (n, Σv, Σv²) through exact decimals, the tiny per-group
+    * stats broadcast back, and rows flag as outliers when
+    * |v − mean| > z·σ (population σ from the moment pair). Output is
+    * one row per group — n, mean, σ, outlier count/fraction — the gate
+    * a pipeline trips before accepting a batch.
+    *
+    * Determinism: mean and σ derive from exact decimal sums, so both
+    * are bit-identical cross-engine, and the per-row flag compares the
+    * same doubles. NULL values never flag (NULL comparison → no) but DO
+    * count in n — consistent in both engines. Scale: one narrow agg +
+    * one broadcast join; nothing group-sized crosses an exchange twice.
+    */
+  def outlierGate(df: DataFrame, keyCol: String, valueCol: String,
+                  z: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 8)
+    val stats = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(dec)).cast("double").as("__s"),
+        sum((col(valueCol) * col(valueCol)).cast(dec)).cast("double")
+          .as("__s2"))
+      .select(col(keyCol), col("n"),
+        (col("__s") / col("n")).as("mean"),
+        sqrt(greatest(col("__s2") / col("n") -
+          (col("__s") / col("n")) * (col("__s") / col("n")), lit(0.0)))
+          .as("std"))
+    df.join(broadcast(stats), keyCol)
+      .groupBy(col(keyCol), col("n"), col("mean"), col("std"))
+      .agg(sum(when(abs(col(valueCol) - col("mean")) > lit(z) * col("std"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_frac",
+        col("n_outliers").cast("double") / col("n"))
+      .orderBy(col(keyCol).asc_nulls_last)
+  }
 }

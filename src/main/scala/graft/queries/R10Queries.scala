@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{EntityResolution, EventOps, IncrementalAgg, Similarity}
+import graft.ops.{Curation, EntityResolution, EventOps, IncrementalAgg, Profile, Similarity}
 
 /** Round-8 session, part 2: the event-sequence analytics family beyond
   * funnel/retention — next-event transition matrix, last-touch
@@ -157,6 +157,82 @@ object R10Queries {
               |SELECT id, cluster,
               |  count(*) OVER (PARTITION BY cluster) AS cluster_size
               |FROM lab ORDER BY id""".stripMargin)),
+
+    Q("doc_length_buckets",
+      "Length-grouped batching (dynamic batching): docs bucket by " +
+        "token-count tier (edges 64/128/256/512), batch within " +
+        "(bucket, shard) in id order — 8 hash shards per tier so no " +
+        "bucket funnels through one partition, each worker batching " +
+        "its shard locally exactly like a distributed training loader " +
+        "— and the report prices the padding: per batch the padded " +
+        "cost is max_tokens x rows, waste = padded - real. All-integer " +
+        "arithmetic; the only double is a division of exact longs.",
+      (s, d) => Curation.lengthBuckets(Tables.documents(s, d),
+        "doc_id", "text", bounds = Seq(64L, 128L, 256L, 512L),
+        batchSize = 32, nShards = 8),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+'))
+             |    END AS n_tokens
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST((CASE WHEN n_tokens >= 64 THEN 1 ELSE 0 END) +
+             |         (CASE WHEN n_tokens >= 128 THEN 1 ELSE 0 END) +
+             |         (CASE WHEN n_tokens >= 256 THEN 1 ELSE 0 END) +
+             |         (CASE WHEN n_tokens >= 512 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS bucket,
+             |    doc_id % 8 AS shard
+             |  FROM t),
+             |r AS (
+             |  SELECT bucket, shard, n_tokens,
+             |    CAST((row_number() OVER (PARTITION BY bucket, shard
+             |      ORDER BY doc_id) - 1) // 32 AS BIGINT) AS batch
+             |  FROM b),
+             |pb AS (
+             |  SELECT bucket, shard, batch, count(*) AS nd,
+             |    max(n_tokens) AS mx, sum(n_tokens) AS st
+             |  FROM r GROUP BY 1, 2, 3)
+             |SELECT bucket, CAST(sum(nd) AS BIGINT) AS n_docs,
+             |  count(*) AS n_batches,
+             |  CAST(sum(st) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(mx * nd) AS BIGINT) AS padded_tokens,
+             |  CASE WHEN sum(mx * nd) > 0
+             |    THEN CAST(sum(mx * nd) - sum(st) AS DOUBLE) /
+             |         CAST(sum(mx * nd) AS BIGINT)
+             |    ELSE 0.0 END AS waste_frac
+             |FROM pb GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    Q("dq_outliers",
+      "Per-group z-score outlier gate over event values: one " +
+        "aggregation pass collects each type's (n, sum, sum-of-squares) " +
+        "through exact decimals, the 5-row stats broadcast back, and " +
+        "rows flag when |v - mean| > 3 sigma — the anomaly gate a " +
+        "pipeline trips before accepting a batch. Mean and sigma derive " +
+        "from exact sums so the flags are bit-identical cross-engine; " +
+        "one narrow agg + one broadcast join, nothing crosses an " +
+        "exchange twice.",
+      (s, d) => Profile.outlierGate(Tables.events(s, d),
+        "event_type", "value", z = 3.0),
+      Some("""WITH st AS (
+             |  SELECT event_type, count(*) AS n,
+             |    cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS s,
+             |    cast(sum(cast(value * value AS DECIMAL(28,8))) AS DOUBLE)
+             |      AS s2
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT event_type, n, s / n AS mean,
+             |    sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS std
+             |  FROM st)
+             |SELECT e.event_type, m.n, m.mean, m.std,
+             |  cast(sum(CASE WHEN abs(e.value - m.mean) > 3.0 * m.std
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  cast(sum(CASE WHEN abs(e.value - m.mean) > 3.0 * m.std
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / m.n AS outlier_frac
+             |FROM events e JOIN m USING (event_type)
+             |GROUP BY e.event_type, m.n, m.mean, m.std
+             |ORDER BY e.event_type""".stripMargin)),
 
     Q("inc_agg",
       "Incremental aggregate maintenance (the materialized-view refresh " +

@@ -376,4 +376,30 @@ class CurationSpec extends SparkSpec {
     assert(Curation.selectTopFracByStratum(docs, "doc_id", "lang",
       col("q"), 1.0).count() == docs.count())
   }
+
+  test("lengthBuckets: tiering, per-shard batching, and padding math") {
+    import spark.implicits._
+    // 4 docs of 2 tokens, 1 of 3 tokens (tier 0: < 4); 2 docs of 5 tokens
+    // (tier 1: >= 4). One shard, batch size 2.
+    val docs = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a b c"),
+      (5L, "a b c d e"), (6L, "a b c d e")).toDF("doc_id", "text")
+    val got = Curation.lengthBuckets(docs, "doc_id", "text",
+        bounds = Seq(4L), batchSize = 2, nShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // tier 0: batches (2,2),(2,2),(3) → padded 4+4+3 = 11, real 11... the
+    // id-ordered batches are [0,1],[2,3],[4]: padded 2·2 + 2·2 + 3·1 = 11,
+    // real 2+2+2+2+3 = 11 → zero waste (uniform batches)
+    // tier 1: one batch [5,6]: padded 10, real 10
+    assert(got === List((0L, 5L, 3L, 11L, 11L), (1L, 2L, 1L, 10L, 10L)))
+    // a mixed-length batch prices its padding: ids 4 and 0 batch together
+    // if size 5 → padded 3·5=15? — use batchSize 5 over tier 0 only
+    val waste = Curation.lengthBuckets(docs, "doc_id", "text",
+        bounds = Seq(4L), batchSize = 5, nShards = 1)
+      .filter(col("bucket") === 0).head()
+    assert(waste.getLong(4) == 15L)  // 5 docs × max 3 tokens
+    assert(waste.getLong(3) == 11L)
+    assert(math.abs(waste.getDouble(5) - 4.0 / 15.0) < 1e-15)
+  }
 }

@@ -62,4 +62,19 @@ class ProfileSpec extends SparkSpec {
     // a drifted distribution scores strictly positive somewhere
     assert(got.values.exists(r => !r.isNullAt(3) && r.getDouble(3) > 0))
   }
+
+  test("outlierGate flags the far value and only it; NULLs count in n " +
+      "but never flag") {
+    val df = (Seq.fill(20)(10.0) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => ("a", Option(v)) }
+      .toDF("k", "v")
+      .union(Seq(("a", None: Option[Double]), ("b", Some(5.0)))
+        .toDF("k", "v"))
+    val g = Profile.outlierGate(df, "k", "v", z = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getDouble(5))).toMap
+    assert(g("a")._1 == 22)          // 21 values + 1 NULL
+    assert(g("a")._2 == 1)           // only the 1000.0
+    assert(g("b") == ((1L, 0L, 0.0))) // singleton: sigma 0, no flag
+  }
 }
