@@ -317,6 +317,32 @@ object ScaleProbe {
       }
     survivorProbe(base, s"1x ($n docs)")
     survivorProbe(docs, s"${mult}x")
+
+    // r8b: entity resolution — deletion-neighborhood blocking growth.
+    // Replica names are salted (suffix per replica) so cross-replica
+    // records aren't all mutual matches: the probe measures the
+    // blocking/verify machinery's growth, not an artificial all-dup
+    // hot block (the same discipline as the doc replicas above).
+    val custBase = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    val cn = custBase.count()
+    val cust = (0 until mult).map { i =>
+      custBase.select((col("c_custkey") + lit(i * cn)).as("c_custkey"),
+        concat(col("c_name"), lit(s"_$i")).as("c_name"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    def erProbe(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val clean = df.select(col("c_custkey").as("clean_id"),
+        col("c_name").as("name"))
+      val dirty = df.select((col("c_custkey") + lit(10000000L)).as("dirty_id"),
+        when(col("c_custkey") % 3 === 0,
+          concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+          .when(col("c_custkey") % 3 === 1,
+            expr("substr(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")).as("name"))
+      time(s"er pairs+cc $tag")(graft.ops.EntityResolution.clusters(
+        dirty, "dirty_id", clean, "clean_id", "name").count())
+    }
+    erProbe(custBase, s"1x ($cn customers)")
+    erProbe(cust, s"${mult}x")
     spark.stop()
   }
 }

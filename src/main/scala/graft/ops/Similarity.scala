@@ -993,6 +993,74 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall-vs-rescore-budget curve for the binary sign-hash index in
+    * ONE pass — the scan-path analogue of [[ivfRecallSweepLayout]]'s
+    * nprobe sweep: the corpus is Hamming-ranked ONCE to max(budgets)
+    * (TakeOrderedAndProject, never a global sort), each operating point
+    * is then a rank filter over that same ≤max(budgets)-row shortlist
+    * re-ranked by its exact cosine, and all points share ONE exact
+    * ground truth. Three budgets cost one Hamming scan + one exact
+    * scan, never a scan per point — the curve that answers "how much
+    * rescore does 64 sign bits need", which is the tuning lever the
+    * sim_recall_hamming gate names. All sweep arithmetic runs on the
+    * bounded shortlist (windows over ≤max(budgets)·|budgets| rows).
+    */
+  def hammingRecallSweep(emb: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long, k: Int,
+                         budgets: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxB = budgets.max
+    def staged(df: DataFrame): DataFrame = df
+      .withColumn("__blo", signBits(vecCol, 1))
+      .withColumn("__bhi", signBits(vecCol, 33))
+    val q = staged(emb.filter(col(idCol) === queryId))
+      .select(col(vecCol).as("__qv"), col("__blo").as("__qlo"),
+        col("__bhi").as("__qhi"))
+    val short = staged(emb).crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (expr("bit_count(__blo ^ __qlo)") + expr("bit_count(__bhi ^ __qhi)"))
+          .cast("long"))
+      .orderBy(col("hamming").asc, col(idCol))
+      .limit(maxB)
+      .select(col(idCol), col("hamming"),
+        (Dedup.dotExact(col(vecCol), col("__qv")) /
+          (Dedup.normExact(col(vecCol)) * Dedup.normExact(col("__qv"))))
+          .as("__cos"))
+    // bounded-relation windows from here down (≤ maxB rows)
+    // partitionBy(lit(1)): the Retrieval.rankBounded idiom — the input is
+    // ≤ maxB rows by the limit above, so one partition is the point, not
+    // an accident worth a WindowExec warning
+    val ranked = short.withColumn("rank",
+      row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("hamming").asc, col(idCol))))
+    val pts = {
+      val s = emb.sparkSession
+      import s.implicits._
+      budgets.sorted.toDF("budget")
+    }
+    val per = ranked.crossJoin(broadcast(pts))
+      .filter(col("rank") <= col("budget"))
+      .withColumn("__crn", row_number().over(
+        Window.partitionBy(col("budget"))
+          .orderBy(col("__cos").desc, col(idCol))))
+      .filter(col("__crn") <= k)
+    val qv = vectorOf(emb, idCol, vecCol, queryId)
+    val exact = bruteForceTopK(emb, idCol, vecCol, qv, k)
+      .select(col(idCol))
+    val denom = exact.agg(count(lit(1)).as("__n"))
+    val hits = per.join(exact, idCol)
+      .groupBy(col("budget")).agg(count(lit(1)).as("hits"))
+    pts.join(hits, Seq("budget"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("budget").cast("long").as("budget"),
+        lit(k.toLong).as("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(col("__n") > 0,
+          coalesce(col("hits"), lit(0L)).cast("double") / col("__n"))
+          .otherwise(lit(0.0)).as("recall"))
+      .orderBy(col("budget"))
+  }
+
   /** Pin a double to the 1e-9 decimal grid via EXACT binary expansion +
     * HALF_UP. A 9-digit double's cast to any wider decimal is exact in
     * both Spark and DuckDB, so grid-pinned values survive cross-engine

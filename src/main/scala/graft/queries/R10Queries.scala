@@ -333,6 +333,82 @@ object R10Queries {
               |    ELSE 0.0 END AS recall
               |FROM approx JOIN exact USING (vec_id)""".stripMargin)),
 
+    Q("stream_inc_agg",
+      "Structured Streaming maintains the incremental AGGREGATE the " +
+        "same way it maintains the two index families: the historical " +
+        "third of orders bootstraps batch 0, the file stream appends " +
+        "each micro-batch's PARTIAL aggregate under the micro-batch id " +
+        "(replay rewrites exactly its own subtree before re-marking — " +
+        "exactly-once), and serving merges committed partials. " +
+        "Stream == batch: the same full-recompute oracle as inc_agg.",
+      (s, d) => {
+        val path = graft.streaming.EventStream.runIncAggStream(s, d,
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+            "/graft_stream_incagg_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        IncrementalAgg.serve(s, path, "o_orderstatus")
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS total,
+             |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+             |    / count(*) AS avg_v
+             |FROM orders
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("sim_recall_hamming_sweep",
+      "Recall-vs-rescore-budget CURVE for the binary sign-hash index " +
+        "in one pass — the scan-path analogue of sim_recall_sweep's " +
+        "nprobe curve: the corpus is Hamming-ranked ONCE to " +
+        "max(budgets), each operating point (10/25/50) is a rank " +
+        "filter over that same bounded shortlist re-ranked by exact " +
+        "cosine, and all points share one exact ground truth — the " +
+        "curve that answers how much rescore 64 sign bits need, " +
+        "which is exactly the lever sim_recall_hamming's gate names.",
+      (s, d) => Similarity.hammingRecallSweep(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 10,
+        budgets = Seq(10, 25, 50)),
+      Some(s"""WITH ${hammingCtes(50)},
+              |ranked AS (
+              |  SELECT vec_id, hamming,
+              |    row_number() OVER (ORDER BY hamming, vec_id) AS rank
+              |  FROM short),
+              |ne AS (
+              |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+              |dots AS (
+              |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+              |  FROM embeddings e, q, generate_series(1, 64) g(i)
+              |  GROUP BY e.vec_id),
+              |pts AS (SELECT unnest([10, 25, 50]) AS budget),
+              |exact AS (
+              |  SELECT d.vec_id FROM dots d JOIN ne USING (vec_id), nq
+              |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10),
+              |per AS (
+              |  SELECT budget, vec_id FROM (
+              |    SELECT p.budget, r.vec_id,
+              |      row_number() OVER (PARTITION BY p.budget
+              |        ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, r.vec_id)
+              |        AS crn
+              |    FROM ranked r JOIN dots d USING (vec_id)
+              |         JOIN ne USING (vec_id), nq, pts p
+              |    WHERE r.rank <= p.budget)
+              |  WHERE crn <= 10),
+              |hits AS (
+              |  SELECT budget, count(*) AS h
+              |  FROM per JOIN exact USING (vec_id) GROUP BY budget),
+              |den AS (SELECT count(*) AS n FROM exact)
+              |SELECT CAST(p.budget AS BIGINT) AS budget,
+              |  CAST(10 AS BIGINT) AS k,
+              |  coalesce(h.h, 0) AS hits,
+              |  CASE WHEN den.n > 0
+              |    THEN CAST(coalesce(h.h, 0) AS DOUBLE) / den.n
+              |    ELSE 0.0 END AS recall
+              |FROM pts p LEFT JOIN hits h ON h.budget = p.budget, den
+              |ORDER BY p.budget""".stripMargin)),
+
     Q("ev_transitions",
       "Markov next-event transition matrix: adjacent event pairs per " +
         "user (ordered by (ts, event_id) so equal timestamps are " +

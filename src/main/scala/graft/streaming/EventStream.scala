@@ -459,4 +459,42 @@ object EventStream {
       } finally q.stop()
       batches
     }
+
+  /** Structured Streaming maintains the incremental AGGREGATE the same
+    * way it maintains the two index families: the historical slice
+    * (o_orderkey % 3 = 0) bootstraps batch 0; the file stream then
+    * appends each arriving micro-batch's PARTIAL aggregate via
+    * [[graft.ops.IncrementalAgg.writeBatch]] under the micro-batch id —
+    * the streaming-materialized-view shape where refresh cost is the
+    * new batch's narrow aggregate, never a history rescan. Same
+    * exactly-once story as the index ingests: a replayed id rewrites
+    * exactly its own `batch=<id>` subtree before re-marking.
+    */
+  def runIncAggStream(spark: SparkSession, sfDir: String,
+                      path: String): String =
+    withStatePartitions(spark) {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      graft.ops.IncrementalAgg.writeBatch(
+        graft.ops.IncrementalAgg.partials(
+          orders.filter(col("o_orderkey") % 3 === 0),
+          "o_orderstatus", "o_totalprice"),
+        path, 0L)
+      val stream = spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.ops.IncrementalAgg.writeBatch(
+            graft.ops.IncrementalAgg.partials(
+              df.filter(col("o_orderkey") % 3 =!= 0),
+              "o_orderstatus", "o_totalprice"),
+            path, id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
 }

@@ -196,4 +196,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"pair join must stay cluster-blocked:\n$p")
   }
+
+  test("ev_transitions / ev_attribution: pure window + aggregate plans — " +
+      "no join anywhere") {
+    val pt = plan("ev_transitions")
+    assert(!pt.contains("Join"), s"transition matrix must not join:\n$pt")
+    assert(pt.contains("Window"))
+    val pa = plan("ev_attribution")
+    assert(!pa.contains("Join"), s"attribution must not join:\n$pa")
+    assert(pa.contains("Window"))
+  }
+
+  test("er_blocked: candidate generation is a key equi-join, never a " +
+      "cartesian or nested-loop product") {
+    val p = plan("er_blocked")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("doc_length_buckets: the batching window is (bucket, shard)-keyed " +
+      "— no single-partition funnel") {
+    val p = plan("doc_length_buckets")
+    // the only SinglePartition exchange allowed is the final ≤|tiers|-row
+    // ordering; the Window itself must partition by bucket AND shard
+    assert(p.contains("partitionBy=[bucket#") ||
+      p.contains("PartitionSpec: [bucket") ||
+      "hashpartitioning\\(bucket#\\d+L?, shard#".r.findAllIn(p).nonEmpty,
+      s"window must key on (bucket, shard):\n$p")
+  }
+
+  test("dq_outliers: per-group stats broadcast back; no sort-merge join") {
+    val p = plan("dq_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sim_hamming: shortlist and final top-k are TakeOrderedAndProject") {
+    val p = plan("sim_hamming")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+  }
 }
