@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics beyond connected components: PageRank
+  * (Brin & Page 1998) over an edge list — here used as duplicate-cluster
+  * centrality (the PageRank of a doc inside the near-dup similarity
+  * graph identifies the "canonical" member the way survivor policies
+  * want, and hub scores flag template/boilerplate families), but the
+  * operator is generic over any (src, dst) relation.
+  *
+  * Scale shape, mirroring [[Dedup.connectedComponents]]: the symmetrized
+  * edge list is computed ONCE, pre-joined with its out-degrees, and
+  * cached pre-partitioned on the join key, so every iteration shuffles
+  * only the (nodes-sized) rank relation — one join + one aggregate per
+  * iteration, rank updates partial-aggregated before the exchange.
+  * Fixed iteration count (power iteration converges geometrically in
+  * the damping factor; curation runs use few iterations, not
+  * convergence loops).
+  *
+  * Cross-engine determinism: each node's incoming mass sums through
+  * DECIMAL(38,20) — the per-edge contribution rank/deg is an IEEE
+  * double both engines compute identically, the decimal staging makes
+  * the SUM order-independent, and the damping update is then plain
+  * double arithmetic — so every iteration's ranks are bit-identical to
+  * the oracle's unrolled CTE chain.
+  *
+  * Contract: every node must have out-degree ≥ 1 (true by construction
+  * for a symmetrized edge list — the near-dup graph is undirected);
+  * dangling-mass redistribution is deliberately out of scope.
+  */
+object Graphs {
+
+  /** PageRank over the UNDIRECTED graph given by `pairs` (each row one
+    * edge; symmetrized and deduplicated here). Returns (id, pagerank)
+    * for every node with at least one edge.
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+               damping: Double = 0.85, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "at least one power iteration")
+    val dec = DecimalType(38, 20)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the static per-iteration join input: (src, dst, deg), cached
+    // pre-partitioned on src so only the rank side shuffles per round
+    val edgesDeg = graft.core.Caches.track(
+      edges.join(deg, "src").repartition(col("src")))
+    val n = graft.core.Caches.track(deg.agg(count(lit(1)).as("__n")))
+    def withN(df: DataFrame): DataFrame = df.crossJoin(broadcast(n))
+    var ranks = withN(deg.select(col("src").as("id")))
+      .select(col("id"), (lit(1.0) / col("__n")).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"), (col("r") / col("deg")).as("__c"))
+      ranks = withN(contribs.groupBy(col("dst").as("id"))
+          .agg(sum(col("__c").cast(dec)).cast("double").as("__s")))
+        .select(col("id"),
+          (lit(damping) * col("__s") + lit(1.0 - damping) / col("__n"))
+            .as("r"))
+    }
+    ranks.select(col("id"), col("r").as("pagerank")).orderBy(col("id"))
+  }
+}

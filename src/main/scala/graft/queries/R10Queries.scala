@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Curation, EntityResolution, EventOps, IncrementalAgg, Profile, Similarity}
+import graft.ops.{Curation, Dedup, EntityResolution, EventOps, Graphs, IncrementalAgg, Profile, Similarity}
 
 /** Round-8 session, part 2: the event-sequence analytics family beyond
   * funnel/retention — next-event transition matrix, last-touch
@@ -332,6 +332,46 @@ object R10Queries {
               |         (SELECT count(*) FROM exact)
               |    ELSE 0.0 END AS recall
               |FROM approx JOIN exact USING (vec_id)""".stripMargin)),
+
+    Q("graph_pagerank",
+      "PageRank over the near-dup similarity graph (MinHash candidate " +
+        "pairs, symmetrized) — duplicate-cluster CENTRALITY: the " +
+        "highest-rank member of a dup family is the canonical pick a " +
+        "survivor policy wants, and hub scores flag template families. " +
+        "Power iteration with the CC loop's scale shape: the edge list " +
+        "pre-joins its out-degrees once and caches pre-partitioned on " +
+        "the join key, so each of the 3 iterations shuffles only the " +
+        "nodes-sized rank relation (one join + one partial-aggregated " +
+        "sum). Incoming mass sums through DECIMAL(38,20), so every " +
+        "iteration is bit-identical to the oracle's unrolled CTEs.",
+      (s, d) => Graphs.pageRank(
+        Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3),
+        "id_a", "id_b", damping = 0.85, iters = 3),
+      Some {
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (
+             |  SELECT e.dst AS id,
+             |    cast(sum(cast(r.r / d.deg AS DECIMAL(38,20))) AS DOUBLE)
+             |      AS s
+             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+             |       JOIN deg d ON d.src = e.src
+             |  GROUP BY e.dst),
+             |r$i AS (
+             |  SELECT id, 0.85::DOUBLE * s +
+             |    (1.0::DOUBLE - 0.85::DOUBLE) / n AS r
+             |  FROM c$i, nn)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${ExtQueries.minhashPairCtes},
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS id, 1.0::DOUBLE / n AS r FROM deg, nn),
+           |$iterCtes
+           |SELECT id, r AS pagerank FROM r3 ORDER BY id""".stripMargin
+      }),
 
     Q("stream_inc_agg",
       "Structured Streaming maintains the incremental AGGREGATE the " +
