@@ -333,10 +333,13 @@ object ScaleProbe {
       val clean = df.select(col("c_custkey").as("clean_id"),
         col("c_name").as("name"))
       val dirty = df.select((col("c_custkey") + lit(10000000L)).as("dirty_id"),
-        when(col("c_custkey") % 3 === 0,
-          concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+        when(col("c_custkey") % 30 === 1,
+          expr("substr(c_name, 1, length(c_name) - 1)"))
+          .when(col("c_custkey") % 3 === 0,
+            concat(expr("substr(c_name, 1, 5)"), lit("X"),
+              expr("substr(c_name, 7)")))
           .when(col("c_custkey") % 3 === 1,
-            expr("substr(c_name, 1, length(c_name) - 1)"))
+            concat(expr("substr(c_name, 1, 5)"), expr("substr(c_name, 7)")))
           .otherwise(col("c_name")).as("name"))
       time(s"er pairs+cc $tag")(graft.ops.EntityResolution.clusters(
         dirty, "dirty_id", clean, "clean_id", "name").count())

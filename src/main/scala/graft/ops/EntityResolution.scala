@@ -87,16 +87,23 @@ object EntityResolution {
       .select(col(leftId), col(s"__b.$rightId").as(rightId),
         col("__b.dist").as("dist"))
 
-  /** Entity clusters over the union of both record sets: connected
-    * components (the shared [[Dedup.connectedComponents]] pointer-jumping
-    * loop) on the verified match edges, with records matching nothing
-    * kept as singleton clusters (their own id). Output: (id, cluster,
-    * cluster_size) — the golden-record grouping a merge step consumes.
+  /** Entity clusters over the union of both record sets — RESOLVE THEN
+    * GROUP: each left record contributes its single [[bestMatch]] edge
+    * (not every verified pair: with identifier-like names every
+    * one-digit neighbor is a legitimate distance-1 pair, and clustering
+    * ALL of them chains unrelated entities into mega-components — the
+    * false-merge failure mode golden-record grouping exists to avoid),
+    * then connected components (the shared
+    * [[Dedup.connectedComponents]] pointer-jumping loop) groups records
+    * around their resolved entities, records matching nothing kept as
+    * singleton clusters. A component is therefore a clean entity plus
+    * every dirty record resolved to it — never two clean entities
+    * merged. Output: (id, cluster, cluster_size).
     */
   def clusters(left: DataFrame, leftId: String, right: DataFrame,
                rightId: String, nameCol: String,
                maxDist: Int = 1): DataFrame = {
-    val pairs = verifiedPairs(left, leftId, right, rightId, nameCol, maxDist)
+    val pairs = bestMatch(left, leftId, right, rightId, nameCol, maxDist)
     val labels = Dedup.connectedComponents(pairs, leftId, rightId)
     val vertices = left.select(col(leftId).as("id"))
       .union(right.select(col(rightId).as("id")))

@@ -41,9 +41,14 @@ object Graphs {
                damping: Double = 0.85, iters: Int = 3): DataFrame = {
     require(iters >= 1, "at least one power iteration")
     val dec = DecimalType(38, 20)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+    // cache the symmetrized edges BEFORE deriving degrees: deg, n, the
+    // rank init and the per-round join all re-evaluate this plan, and
+    // without the cache each one re-runs the (possibly expensive)
+    // upstream pair generation — e.g. a MinHash banding join
+    val edges = graft.core.Caches.track(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // the static per-iteration join input: (src, dst, deg), cached
     // pre-partitioned on src so only the rank side shuffles per round
@@ -57,11 +62,16 @@ object Graphs {
       val contribs = edgesDeg
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"), (col("r") / col("deg")).as("__c"))
+      // eager localCheckpoint per round (the connectedComponents
+      // discipline): without it AQE re-optimizes the whole nested
+      // iteration tree at every exchange of every round — measured ~1s
+      // of driver re-planning per iteration on a sub-second data volume
       ranks = withN(contribs.groupBy(col("dst").as("id"))
           .agg(sum(col("__c").cast(dec)).cast("double").as("__s")))
         .select(col("id"),
           (lit(damping) * col("__s") + lit(1.0 - damping) / col("__n"))
             .as("r"))
+        .localCheckpoint(true)
     }
     ranks.select(col("id"), col("r").as("pagerank")).orderBy(col("id"))
   }

@@ -42,18 +42,31 @@ object R10Queries {
        |  FROM q, generate_series(1, 64) g(i))""".stripMargin
 
   /** The ER fixture: the clean customer registry plus a deterministic
-    * dirty copy — one-third last-char substitutions, one-third last-char
-    * truncations, one-third exact re-keys — the three edit classes a
-    * radius-1 resolver must handle. Dirty ids live at +1,000,000 so the
-    * two id spaces never collide.
+    * dirty copy covering the edit classes a radius-1 resolver must
+    * handle — a 1-in-30 slice of LAST-CHAR truncations (ambiguous:
+    * such a name is one insertion from every clean key in its decade,
+    * producing genuine multi-entity clusters), one-third mid-name
+    * substitutions, one-third mid-name deletions (both unambiguous —
+    * they edit the shared "Customer" prefix, so the only clean name
+    * within distance 1 is the record's own source), and the rest exact
+    * re-keys. The truncation share is deliberately small: real dirty
+    * data has occasional ambiguous records, not a bridge per record —
+    * and an all-truncation fixture chains every decade into one
+    * mega-component whose diameter makes CC pay tens of rounds
+    * (measured 65 s at sf0.1) while teaching nothing new. Dirty ids
+    * live at +1,000,000 so the two id spaces never collide.
     */
   private val erSourceCtes: String =
     """clean AS (SELECT c_custkey AS id, c_name AS name FROM customer),
       |dirty AS (
       |  SELECT c_custkey + 1000000 AS id,
-      |    CASE CAST(c_custkey % 3 AS INTEGER)
-      |      WHEN 0 THEN substr(c_name, 1, length(c_name) - 1) || 'X'
-      |      WHEN 1 THEN substr(c_name, 1, length(c_name) - 1)
+      |    CASE
+      |      WHEN c_custkey % 30 = 1
+      |        THEN substr(c_name, 1, length(c_name) - 1)
+      |      WHEN c_custkey % 3 = 0
+      |        THEN substr(c_name, 1, 5) || 'X' || substr(c_name, 7)
+      |      WHEN c_custkey % 3 = 1
+      |        THEN substr(c_name, 1, 5) || substr(c_name, 7)
       |      ELSE c_name END AS name
       |  FROM customer)""".stripMargin
 
@@ -86,10 +99,13 @@ object R10Queries {
                              d: String): org.apache.spark.sql.DataFrame =
     Tables.customer(s, d).select(
       (col("c_custkey") + 1000000L).as("id"),
-      when(col("c_custkey") % 3 === 0,
-        concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+      when(col("c_custkey") % 30 === 1,
+        expr("substr(c_name, 1, length(c_name) - 1)"))
+        .when(col("c_custkey") % 3 === 0,
+          concat(expr("substr(c_name, 1, 5)"), lit("X"),
+            expr("substr(c_name, 7)")))
         .when(col("c_custkey") % 3 === 1,
-          expr("substr(c_name, 1, length(c_name) - 1)"))
+          concat(expr("substr(c_name, 1, 5)"), expr("substr(c_name, 7)")))
         .otherwise(col("c_name")).as("name"))
 
   private def cleanCustomers(s: org.apache.spark.sql.SparkSession,
@@ -101,8 +117,9 @@ object R10Queries {
 
     Q("er_blocked",
       "Entity resolution (record linkage): a dirty record set — " +
-        "last-char substitutions, truncations, exact re-keys of the " +
-        "customer registry — resolved back to its clean entity via " +
+        "mid-name substitutions/deletions, a truncation slice, exact " +
+        "re-keys of the customer registry — resolved to its clean " +
+        "entity via " +
         "FastSS deletion-neighborhood blocking (every string emits " +
         "itself + each single-char deletion; radius-1 pairs PROVABLY " +
         "share a key, so candidate generation is exact, never a cross " +
@@ -125,24 +142,33 @@ object R10Queries {
               |ORDER BY dirty_id""".stripMargin)),
 
     Q("er_cluster",
-      "Entity clustering: connected components (the shared " +
-        "pointer-jumping CC loop) over ALL verified radius-1 match " +
-        "edges between the clean registry and its dirty copy, with " +
-        "unmatched records kept as singletons — the golden-record " +
-        "grouping a merge step consumes. Note clusters can span " +
-        "entities: adjacent registry names are themselves edit distance " +
-        "1 apart, so a truncated dirty name legitimately bridges them — " +
-        "exactly why ER needs CC rather than best-match alone. Oracle: " +
-        "recursive-CTE reachability over the same edge list.",
+      "Entity clustering, RESOLVE-THEN-GROUP: each dirty record " +
+        "contributes its single best-match edge (with identifier-like " +
+        "names every one-digit neighbor is a legitimate distance-1 " +
+        "pair — clustering ALL verified edges chains unrelated " +
+        "entities into mega-components, the false-merge failure mode " +
+        "golden-record grouping exists to avoid), then connected " +
+        "components groups records around their resolved entity, " +
+        "unmatched records kept as singletons. A cluster is one clean " +
+        "entity plus everything resolved to it — never two clean " +
+        "entities merged. Oracle: recursive-CTE reachability over the " +
+        "same best-edge list.",
       (s, d) => EntityResolution.clusters(
         dirtyCustomers(s, d).withColumnRenamed("id", "dirty_id"), "dirty_id",
         cleanCustomers(s, d).withColumnRenamed("id", "clean_id"), "clean_id",
         "name"),
       Some(s"""WITH RECURSIVE $erSourceCtes,
               |$erPairCtes,
+              |best AS (
+              |  SELECT dirty_id, clean_id FROM (
+              |    SELECT dirty_id, clean_id,
+              |      row_number() OVER (PARTITION BY dirty_id
+              |        ORDER BY dist, clean_id) AS rn
+              |    FROM ver)
+              |  WHERE rn = 1),
               |edges AS (
-              |  SELECT dirty_id AS src, clean_id AS dst FROM ver
-              |  UNION SELECT clean_id, dirty_id FROM ver),
+              |  SELECT dirty_id AS src, clean_id AS dst FROM best
+              |  UNION SELECT clean_id, dirty_id FROM best),
               |reach AS (
               |  SELECT src AS id, src AS lab FROM edges
               |  UNION

@@ -33,24 +33,29 @@ class EntityResolutionSpec extends SparkSpec {
     assert(b === Set((10L, 1L, 0L), (20L, 1L, 1L)))
   }
 
-  test("clusters: transitive bridge merges entities; unmatched stay singletons") {
+  test("clusters resolve-then-group: ambiguous record joins ONE entity; " +
+      "unmatched stay singletons") {
     val clean = recs((1L, "aaaa"), (2L, "aaab"), (3L, "zzzz"))
     val dirty = recs((10L, "aaa"), (20L, "qqqq"))
-    // "aaa" is one insertion from BOTH "aaaa" and "aaab" → it bridges
-    // them into one cluster {1, 2, 10}; "zzzz" and "qqqq" stay singletons
+    // "aaa" is one insertion from BOTH "aaaa" and "aaab", but clustering
+    // runs over best-match edges: it resolves to the lower id 1 only —
+    // the two clean entities must NOT merge through it
     val c = EntityResolution.clusters(dirty, "id",
       clean.withColumnRenamed("id", "cid"), "cid", "name")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
-    assert(c === List((1L, 1L, 3L), (2L, 1L, 3L), (3L, 3L, 1L),
-      (10L, 1L, 3L), (20L, 20L, 1L)))
+    assert(c === List((1L, 1L, 2L), (2L, 2L, 1L), (3L, 3L, 1L),
+      (10L, 1L, 2L), (20L, 20L, 1L)))
   }
 
-  test("a dirty truncation can bridge two adjacent clean entities via CC") {
+  test("clusters: several dirty records resolved to one entity form one " +
+      "star; clean entities never merge") {
     val clean = recs((1L, "id01"), (2L, "id02"))
-    val dirty = recs((10L, "id0")) // dist 1 to BOTH
+    val dirty = recs((10L, "id0"), (11L, "id01"), (12L, "xd01"))
     val c = EntityResolution.clusters(dirty, "id",
       clean.withColumnRenamed("id", "cid"), "cid", "name")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
-    assert(c === List((1L, 1L), (2L, 1L), (10L, 1L))) // one merged cluster
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // 10/11/12 all best-match entity 1 → star {1,10,11,12}; 2 singleton
+    assert(c === List((1L, 1L, 4L), (2L, 2L, 1L), (10L, 1L, 4L),
+      (11L, 1L, 4L), (12L, 1L, 4L)))
   }
 }
