@@ -31,7 +31,8 @@ object Funnel {
     * depth ≥ i, so absence is exact).
     */
   def userDepths(events: DataFrame, userCol: String, tsCol: String,
-                 stageCol: String, stages: Seq[String]): DataFrame = {
+                 stageCol: String, stages: Seq[String],
+                 maxGapSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage")
     val relevant = events
       .filter(col(stageCol).isin(stages: _*))
@@ -47,12 +48,29 @@ object Funnel {
     // the greedy sequential match as a left fold: acc = (depth, ts of
     // the last matched stage); an event advances the funnel iff it is
     // the next expected stage AND strictly later than the last match
+    // (and, with a conversion window, within maxGap of it — the
+    // "convert within N days" product-analytics contract; NOTE the
+    // windowed chain is still greedy-earliest, which can differ from
+    // the best achievable depth when skipping an early match would
+    // leave more window budget — the same greedy semantics every
+    // funnel product documents)
     val stageArr = typedlit(stages)
     // try_element_at: once the funnel is complete (d = N) the next-stage
     // lookup is out of bounds — NULL comparison, never a hit, fold coasts
     val advance = (acc: Column, x: Column) => {
+      // window check in exact integer MICROSECONDS (unix_micros), so the
+      // oracle's epoch_us comparison is the same arithmetic — a cast to
+      // whole seconds would truncate sub-second gaps engine-visibly
+      val inWindow = maxGapSeconds match {
+        case None => lit(true)
+        case Some(g) =>
+          acc.getField("last").isNull ||
+            unix_micros(x.getField("ts")) -
+              unix_micros(acc.getField("last")) <= g * 1000000L
+      }
       val hit = try_element_at(stageArr, acc.getField("d") + 1) === x.getField("st") &&
-        (acc.getField("last").isNull || x.getField("ts") > acc.getField("last"))
+        (acc.getField("last").isNull || x.getField("ts") > acc.getField("last")) &&
+        inWindow
       when(hit, struct((acc.getField("d") + 1).as("d"),
         x.getField("ts").as("last"))).otherwise(acc)
     }
@@ -70,8 +88,10 @@ object Funnel {
     * user-key exchange plus a 1-row final aggregate at any N.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             stageCol: String, stages: Seq[String]): DataFrame = {
-    val depths = userDepths(events, userCol, tsCol, stageCol, stages)
+             stageCol: String, stages: Seq[String],
+             maxGapSeconds: Option[Long] = None): DataFrame = {
+    val depths = userDepths(events, userCol, tsCol, stageCol, stages,
+      maxGapSeconds)
     val aggs = stages.zipWithIndex.map { case (_, i) =>
       coalesce(sum(when(col("depth") >= i + 1, 1L).otherwise(0L)), lit(0L))
         .as(s"__n_$i")

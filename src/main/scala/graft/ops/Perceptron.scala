@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed batch perceptron (Rosenblatt 1958; the batch/averaged
+  * variant of Collins 2002) over INTEGER features — a trainable
+  * quality/langid-style classifier whose training is exactly
+  * reproducible in any engine, because every quantity is an integer:
+  * labels are ±1, features are counts, the margin y·(w·x) is integer
+  * arithmetic, and each epoch's update Δw_j = Σ_misclassified y·x_j is
+  * an integer sum (order-independent — no floating-point, no seed, no
+  * learning-rate schedule to drift cross-engine).
+  *
+  * Scale shape — the parameter-server-free batch trainer: the model (a
+  * handful of longs) rides into the executors as LITERALS in the margin
+  * expression, each epoch is ONE narrow aggregate over the corpus
+  * (map-side combine collapses every partition to k+2 longs before the
+  * single exchange), and the driver applies the k-length update. Cost
+  * per epoch = one scan + one 1-row shuffle, independent of model
+  * quality; epochs compose driver-side like the k-means/CC loops.
+  */
+object Perceptron {
+
+  /** One training row per epoch: (epoch, n, n_misclassified, then the
+    * UPDATED weights named w_bias, w_<feature>...). n_misclassified is
+    * measured under the incoming weights (epoch e's error count is the
+    * training error of the model after e−1 updates — epoch 1 reports
+    * the all-zero model's error, where margin 0 counts as wrong).
+    */
+  def train(df: DataFrame, featureCols: Seq[String], labelCol: String,
+            epochs: Int): DataFrame = {
+    require(featureCols.nonEmpty && epochs >= 1)
+    val staged = graft.core.Caches.track(
+      df.select((col(labelCol).cast("long").as("__y") +:
+        featureCols.map(c => col(c).cast("long").as(s"__x_$c"))): _*))
+    var w = Array.fill[Long](featureCols.size + 1)(0L) // bias first
+    val out = Seq.newBuilder[Row]
+    for (e <- 1 to epochs) {
+      val margin: Column = col("__y") *
+        featureCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+          case (acc, (c, i)) => acc + lit(w(i + 1)) * col(s"__x_$c")
+        }
+      val mis = margin <= 0
+      val aggs =
+        count(lit(1)).as("n") +:
+          coalesce(sum(when(mis, lit(1L)).otherwise(0L)), lit(0L)).as("m") +:
+          coalesce(sum(when(mis, col("__y")).otherwise(0L)), lit(0L)).as("db") +:
+          featureCols.map(c =>
+            coalesce(sum(when(mis, col("__y") * col(s"__x_$c")).otherwise(0L)),
+              lit(0L)).as(s"d_$c"))
+      val r = staged.agg(aggs.head, aggs.tail: _*).head()
+      w = w.indices.map(i => w(i) + r.getLong(2 + i)).toArray
+      out += Row.fromSeq(
+        Seq(e.toLong, r.getLong(0), r.getLong(1)) ++ w.toSeq)
+    }
+    val schema = StructType(
+      Seq(StructField("epoch", LongType), StructField("n", LongType),
+        StructField("n_misclassified", LongType),
+        StructField("w_bias", LongType)) ++
+        featureCols.map(c => StructField(s"w_$c", LongType)))
+    df.sparkSession
+      .createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(out.result()).asJava), schema)
+      .orderBy("epoch")
+  }
+}

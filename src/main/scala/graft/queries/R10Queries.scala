@@ -359,6 +359,112 @@ object R10Queries {
               |    ELSE 0.0 END AS recall
               |FROM approx JOIN exact USING (vec_id)""".stripMargin)),
 
+    Q("ev_funnel_window",
+      "The sequential funnel with a CONVERSION WINDOW — signup -> view " +
+        "-> purchase where each stage must land within 1 hour of the " +
+        "previous match (the 'convert within N' contract every funnel " +
+        "product ships): same ONE user-key exchange and in-row greedy " +
+        "fold as ev_funnel_n, the window test in exact integer " +
+        "microseconds (unix_micros == the oracle's epoch_us, no " +
+        "truncation drift). The oracle unrolls the min-ts join chain " +
+        "with the same strict-after + within-window predicate — " +
+        "equivalent because the greedy match IS the earliest " +
+        "qualifying event.",
+      (s, d) => graft.ops.Funnel.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), maxGapSeconds = Some(3600L)),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND e.ts > s1.t
+             |    AND epoch_us(e.ts) - epoch_us(s1.t) <= 3600000000
+             |  GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t
+             |  FROM events e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             |    AND epoch_us(e.ts) - epoch_us(s2.t) <= 3600000000
+             |  GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT 1 AS stage_idx, 'signup' AS stage,
+             |         (SELECT count(*) FROM s1) AS n_users
+             |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+             |ORDER BY stage_idx""".stripMargin)),
+
+    Q("ml_perceptron",
+      "Distributed batch perceptron training with EXACT cross-engine " +
+        "semantics: an integer-arithmetic linear classifier (label " +
+        "lang='en' as +1/-1; features = whitespace tokens, chars, " +
+        "punctuation count, bias) where each epoch is ONE narrow " +
+        "aggregate — the margin carries the weights as literals, " +
+        "misclassified-row update sums are map-side-combined integers, " +
+        "the driver applies the k-length update (parameter-server-free " +
+        "batch training, the k-means/CC loop discipline). No floats, " +
+        "no seed, no schedule: the oracle replays the three unrolled " +
+        "epochs in integer SQL bit-for-bit. The trainable seam a " +
+        "learned quality filter (fastText-style) plugs into.",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          graft.ops.TextAnalysis.tokenCountWs(col("text")).as("toks"),
+          length(col("text")).cast("long").as("chars"),
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+            .cast("long").as("punct"))
+        graft.ops.Perceptron.train(docs, Seq("toks", "chars", "punct"),
+          "y", epochs = 3)
+      },
+      Some {
+        val epochCtes = (1 to 3).map { e =>
+          s"""m$e AS (
+             |  SELECT count(*) AS n,
+             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+             |      w.wc * chars + w.wp * punct) <= 0 THEN 1 END), 0)
+             |      AS BIGINT) AS m,
+             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+             |      w.wc * chars + w.wp * punct) <= 0 THEN y END), 0)
+             |      AS BIGINT) AS db,
+             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+             |      w.wc * chars + w.wp * punct) <= 0 THEN y * toks END), 0)
+             |      AS BIGINT) AS dt,
+             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+             |      w.wc * chars + w.wp * punct) <= 0 THEN y * chars END), 0)
+             |      AS BIGINT) AS dc,
+             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+             |      w.wc * chars + w.wp * punct) <= 0 THEN y * punct END), 0)
+             |      AS BIGINT) AS dp
+             |  FROM f, w${e - 1} w),
+             |w$e AS (
+             |  SELECT w.b + m.db AS b, w.wt + m.dt AS wt,
+             |         w.wc + m.dc AS wc, w.wp + m.dp AS wp
+             |  FROM w${e - 1} w, m$e m)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH f AS (
+           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           |    CAST(CASE WHEN trim(text) = '' THEN 0
+           |      ELSE len(string_split_regex(trim(text), '\\s+'))
+           |      END AS BIGINT) AS toks,
+           |    CAST(length(text) AS BIGINT) AS chars,
+           |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           |      AS BIGINT) AS punct
+           |  FROM documents),
+           |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS wt,
+           |              CAST(0 AS BIGINT) AS wc, CAST(0 AS BIGINT) AS wp),
+           |$epochCtes
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS epoch, m1.n, m1.m AS n_misclassified,
+           |    w1.b AS w_bias, w1.wt AS w_toks, w1.wc AS w_chars,
+           |    w1.wp AS w_punct FROM m1, w1
+           |  UNION ALL SELECT 2, m2.n, m2.m, w2.b, w2.wt, w2.wc, w2.wp
+           |    FROM m2, w2
+           |  UNION ALL SELECT 3, m3.n, m3.m, w3.b, w3.wt, w3.wc, w3.wp
+           |    FROM m3, w3)
+           |ORDER BY epoch""".stripMargin
+      }),
+
     Q("graph_pagerank",
       "PageRank over the near-dup similarity graph (MinHash candidate " +
         "pairs, symmetrized) — duplicate-cluster CENTRALITY: the " +

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PerceptronSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("separable data: training error reaches 0 and the final weights " +
+      "classify every row") {
+    // y = +1 iff x1 > x2, with a wide margin — batch perceptron separates
+    // this in few epochs
+    val rows = (1 to 20).map { i =>
+      if (i % 2 == 0) (1L, 10L + i, 1L) else (-1L, 1L, 10L + i)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val out = Perceptron.train(df, Seq("x1", "x2"), "y", epochs = 6)
+      .collect()
+    assert(out.length == 6)
+    // epoch 1 starts from the zero model: everything misclassified
+    assert(out.head.getLong(2) == 20L)
+    val last = out.last
+    assert(last.getLong(2) == 0L, s"should separate: ${out.toList}")
+    // once error hits 0 the weights stop moving (no misclassified rows)
+    val zeroEpochs = out.filter(_.getLong(2) == 0L)
+    assert(zeroEpochs.map(r => (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .distinct.length == 1)
+    // and the frozen weights really classify every row
+    val (wb, w1, w2) = (last.getLong(3), last.getLong(4), last.getLong(5))
+    assert(rows.forall { case (y, x1, x2) => y * (wb + w1 * x1 + w2 * x2) > 0 })
+  }
+
+  test("update is the exact integer sum over misclassified rows") {
+    val df = Seq((1L, 3L), (-1L, 5L)).toDF("y", "x")
+    val out = Perceptron.train(df, Seq("x"), "y", epochs = 1).head()
+    // zero model misclassifies both (margin 0): db = 1-1 = 0,
+    // dx = 1*3 + (-1)*5 = -2
+    assert(out.getLong(2) == 2L)
+    assert(out.getLong(3) == 0L)
+    assert(out.getLong(4) == -2L)
+  }
+}
