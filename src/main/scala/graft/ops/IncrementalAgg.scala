@@ -53,6 +53,45 @@ object IncrementalAgg {
     IndexCommits.mark(partialRows.sparkSession, path, s"batch_$batchId")
   }
 
+  /** Per-key HLL sketch partials of one batch — the MERGEABLE
+    * distinct-count unit (a distinct count itself does not merge across
+    * batches; the sketch does, which is the whole reason sketches exist
+    * at 100 TB). Datasketches HLL via the native hll_sketch_agg
+    * aggregate; persist through [[writeBatch]] like any other partial.
+    */
+  def sketchPartials(batch: DataFrame, keyCol: String,
+                     valueCol: String): DataFrame =
+    batch.groupBy(col(keyCol))
+      .agg(expr(s"hll_sketch_agg($valueCol, 12)").as("sk"))
+
+  /** Serve the merged distinct-count estimate from COMMITTED sketch
+    * batches (hll_union_agg over keys × batches sketch rows — facts
+    * never rescanned for the estimate), gated against the exact count
+    * the caller supplies: the output carries the exact value
+    * (hash-checked cross-engine) plus a boolean asserting the merged
+    * estimate lands within `tol` of it — the ev_sketch bounded-error
+    * oracle pattern, so a broken merge fails the round while in-bound
+    * sketch wobble does not.
+    */
+  def serveDistinct(spark: SparkSession, path: String, facts: DataFrame,
+                    keyCol: String, valueCol: String,
+                    tol: Double = 0.05): DataFrame = {
+    val state = IndexCommits.servedState(spark, path)
+    val merged = spark.read.parquet(s"$path/data")
+      .filter(col("batch").isin(state.batches: _*))
+      .groupBy(col(keyCol))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("__est"))
+    val exact = facts.groupBy(col(keyCol))
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    exact.join(merged, keyCol)
+      .select(col(keyCol), col("exact_distinct"),
+        when(col("exact_distinct") === 0, col("__est") === 0)
+          .otherwise(abs(col("__est") - col("exact_distinct")) /
+            col("exact_distinct") < tol)
+          .as("hll_within_tol"))
+      .orderBy(col(keyCol))
+  }
+
   /** Serve the merged aggregate from COMMITTED batches only: sum the
     * counts and decimal sums, min/max the extrema, derive the average
     * from the merged pair. Input is keys × batches rows — the fact table

