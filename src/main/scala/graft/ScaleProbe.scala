@@ -326,8 +326,13 @@ object ScaleProbe {
     val custBase = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
     val cn = custBase.count()
     val cust = (0 until mult).map { i =>
+      // salt at the FRONT: the dirty derivation's truncation class
+      // strips the LAST character, so a suffix salt would be deleted
+      // and all replicas of a customer would collapse onto one
+      // truncated name — exactly the cross-replica hot block the salt
+      // exists to prevent
       custBase.select((col("c_custkey") + lit(i * cn)).as("c_custkey"),
-        concat(col("c_name"), lit(s"_$i")).as("c_name"))
+        concat(lit(s"r${i}_"), col("c_name")).as("c_name"))
     }.reduce(_ unionByName _).repartition(32).cache()
     def erProbe(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
       val clean = df.select(col("c_custkey").as("clean_id"),

@@ -86,6 +86,7 @@ object EntityResolution {
       .agg(min(struct(col("dist"), col(rightId))).as("__b"))
       .select(col(leftId), col(s"__b.$rightId").as(rightId),
         col("__b.dist").as("dist"))
+      .orderBy(col(leftId))
 
   /** Entity clusters over the union of both record sets — RESOLVE THEN
     * GROUP: each left record contributes its single [[bestMatch]] edge
@@ -105,8 +106,13 @@ object EntityResolution {
                maxDist: Int = 1): DataFrame = {
     val pairs = bestMatch(left, leftId, right, rightId, nameCol, maxDist)
     val labels = Dedup.connectedComponents(pairs, leftId, rightId)
+    // distinct: an id appearing in BOTH record sets would otherwise emit
+    // duplicate membership rows and double-count in cluster_size (ids
+    // are usually disjoint by construction, but the operator shouldn't
+    // silently corrupt sizes when they aren't)
     val vertices = left.select(col(leftId).as("id"))
       .union(right.select(col(rightId).as("id")))
+      .distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
     vertices.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.DecimalType
   * convergence loops).
   *
   * Cross-engine determinism: each node's incoming mass sums through
-  * DECIMAL(38,20) — the per-edge contribution rank/deg is an IEEE
+  * DECIMAL(38,14) — the per-edge contribution rank/deg is an IEEE
   * double both engines compute identically, the decimal staging makes
   * the SUM order-independent, and the damping update is then plain
   * double arithmetic — so every iteration's ranks are bit-identical to
@@ -40,7 +40,12 @@ object Graphs {
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
                damping: Double = 0.85, iters: Int = 3): DataFrame = {
     require(iters >= 1, "at least one power iteration")
-    val dec = DecimalType(38, 20)
+    // scale 14, NOT deeper: past ~15 significant decimals the
+    // double→decimal cast is engine-specific (Spark casts the shortest
+    // decimal representation, DuckDB the exact binary expansion), so a
+    // deeper scale BREAKS cross-engine equality instead of tightening
+    // it — 14 is the repo-wide dotExact/dotSql staging depth
+    val dec = DecimalType(38, 14)
     // cache the symmetrized edges BEFORE deriving degrees: deg, n, the
     // rank init and the per-round join all re-evaluate this plan, and
     // without the cache each one re-runs the (possibly expensive)

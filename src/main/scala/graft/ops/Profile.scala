@@ -141,8 +141,13 @@ object Profile {
     * Determinism: mean and σ derive from exact decimal sums, so both
     * are bit-identical cross-engine, and the per-row flag compares the
     * same doubles. NULL values never flag (NULL comparison → no) but DO
-    * count in n — consistent in both engines. Scale: one narrow agg +
-    * one broadcast join; nothing group-sized crosses an exchange twice.
+    * count in n — consistent in both engines. A NULL group KEY is
+    * excluded from the report entirely: the stats join back to the rows
+    * is an equi-join, and NULL = NULL matches in neither engine — the
+    * deliberate contract (gate keys are dimensions; a null dimension is
+    * a data-quality failure for [[expect]], not a group to z-score).
+    * Scale: one narrow agg + one broadcast join; nothing group-sized
+    * crosses an exchange twice.
     */
   def outlierGate(df: DataFrame, keyCol: String, valueCol: String,
                   z: Double): DataFrame = {

@@ -13,9 +13,12 @@ import graft.ops.{Curation, Dedup, EntityResolution, EventOps, Graphs, Increment
   */
 object R10Queries {
 
-  /** DuckDB restatement of Dedup.dotExact over index i (1-based). */
+  /** DuckDB restatement of Dedup.dotExact over index i (1-based) — the
+    * shared R5Queries helper, not a fourth private copy: the staging
+    * depth must stay identical across every query file's oracle.
+    */
   private def dotSql(a: String, b: String): String =
-    s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+    R5Queries.dotSql(a, b)
 
   /** Shared CTEs for the binary-embedding family: sign-packed 32-bit
     * halves per vector, the query's words, Hamming distances, the
@@ -504,7 +507,7 @@ object R10Queries {
         "pre-joins its out-degrees once and caches pre-partitioned on " +
         "the join key, so each of the 3 iterations shuffles only the " +
         "nodes-sized rank relation (one join + one partial-aggregated " +
-        "sum). Incoming mass sums through DECIMAL(38,20), so every " +
+        "sum). Incoming mass sums through DECIMAL(38,14), so every " +
         "iteration is bit-identical to the oracle's unrolled CTEs.",
       (s, d) => Graphs.pageRank(
         Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
@@ -514,7 +517,7 @@ object R10Queries {
         val iterCtes = (1 to 3).map { i =>
           s"""c$i AS (
              |  SELECT e.dst AS id,
-             |    cast(sum(cast(r.r / d.deg AS DECIMAL(38,20))) AS DOUBLE)
+             |    cast(sum(cast(r.r / d.deg AS DECIMAL(38,14))) AS DOUBLE)
              |      AS s
              |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
              |       JOIN deg d ON d.src = e.src
