@@ -66,4 +66,32 @@ object Perceptron {
           .SeqHasAsJava(out.result()).asJava), schema)
       .orderBy("epoch")
   }
+
+  /** Score every row with a trained weight vector (bias first, then one
+    * weight per feature — [[train]]'s output order) and report the
+    * confusion matrix + accuracy: one scan, weights as literals, a
+    * single 1-row aggregate (four conditional integer sums), the
+    * accuracy ratio a division of exact longs. Margin 0 predicts −1,
+    * mirroring train's "margin ≤ 0 is wrong" convention.
+    */
+  def evaluate(df: DataFrame, featureCols: Seq[String], labelCol: String,
+               weights: Seq[Long]): DataFrame = {
+    require(weights.size == featureCols.size + 1,
+      "bias + one weight per feature")
+    val score = featureCols.zipWithIndex.foldLeft(lit(weights.head): Column) {
+      case (acc, (c, i)) => acc + lit(weights(i + 1)) * col(c).cast("long")
+    }
+    val pred = when(score > 0, 1L).otherwise(-1L)
+    val y = col(labelCol).cast("long")
+    def cell(cond: Column) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+    df.agg(
+        count(lit(1)).as("n"),
+        cell(y === 1L && pred === 1L).as("tp"),
+        cell(y === -1L && pred === 1L).as("fp"),
+        cell(y === 1L && pred === -1L).as("fn"),
+        cell(y === -1L && pred === -1L).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double") / col("n")).as("accuracy"))
+  }
 }

@@ -116,6 +116,63 @@ object R10Queries {
     Tables.customer(s, d)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
 
+  /** The perceptron fixture: ±1 label (lang='en') and integer count
+    * features over documents — shared by train and eval.
+    */
+  private def perceptronDocs(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      graft.ops.TextAnalysis.tokenCountWs(col("text")).as("toks"),
+      length(col("text")).cast("long").as("chars"),
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+        .cast("long").as("punct"))
+
+  /** DuckDB mirror of [[perceptronDocs]] + three unrolled training
+    * epochs: CTEs f (features), w0 (zero model), and m1/w1 … m3/w3
+    * (per-epoch misclassified sums and updated weights) — shared by the
+    * ml_perceptron and ml_perceptron_eval oracles so training can never
+    * drift between them.
+    */
+  private val perceptronCtes: String = {
+    val epochs = (1 to 3).map { e =>
+      s"""m$e AS (
+         |  SELECT count(*) AS n,
+         |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+         |      w.wc * chars + w.wp * punct) <= 0 THEN 1 END), 0)
+         |      AS BIGINT) AS m,
+         |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+         |      w.wc * chars + w.wp * punct) <= 0 THEN y END), 0)
+         |      AS BIGINT) AS db,
+         |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+         |      w.wc * chars + w.wp * punct) <= 0 THEN y * toks END), 0)
+         |      AS BIGINT) AS dt,
+         |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+         |      w.wc * chars + w.wp * punct) <= 0 THEN y * chars END), 0)
+         |      AS BIGINT) AS dc,
+         |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
+         |      w.wc * chars + w.wp * punct) <= 0 THEN y * punct END), 0)
+         |      AS BIGINT) AS dp
+         |  FROM f, w${e - 1} w),
+         |w$e AS (
+         |  SELECT w.b + m.db AS b, w.wt + m.dt AS wt,
+         |         w.wc + m.dc AS wc, w.wp + m.dp AS wp
+         |  FROM w${e - 1} w, m$e m)""".stripMargin
+    }.mkString(",\n")
+    s"""f AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    CAST(CASE WHEN trim(text) = '' THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+'))
+       |      END AS BIGINT) AS toks,
+       |    CAST(length(text) AS BIGINT) AS chars,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |      AS BIGINT) AS punct
+       |  FROM documents),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS wt,
+       |              CAST(0 AS BIGINT) AS wc, CAST(0 AS BIGINT) AS wp),
+       |$epochs""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("er_blocked",
@@ -410,53 +467,10 @@ object R10Queries {
         "no seed, no schedule: the oracle replays the three unrolled " +
         "epochs in integer SQL bit-for-bit. The trainable seam a " +
         "learned quality filter (fastText-style) plugs into.",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select(
-          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-          graft.ops.TextAnalysis.tokenCountWs(col("text")).as("toks"),
-          length(col("text")).cast("long").as("chars"),
-          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-            .cast("long").as("punct"))
-        graft.ops.Perceptron.train(docs, Seq("toks", "chars", "punct"),
-          "y", epochs = 3)
-      },
-      Some {
-        val epochCtes = (1 to 3).map { e =>
-          s"""m$e AS (
-             |  SELECT count(*) AS n,
-             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
-             |      w.wc * chars + w.wp * punct) <= 0 THEN 1 END), 0)
-             |      AS BIGINT) AS m,
-             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
-             |      w.wc * chars + w.wp * punct) <= 0 THEN y END), 0)
-             |      AS BIGINT) AS db,
-             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
-             |      w.wc * chars + w.wp * punct) <= 0 THEN y * toks END), 0)
-             |      AS BIGINT) AS dt,
-             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
-             |      w.wc * chars + w.wp * punct) <= 0 THEN y * chars END), 0)
-             |      AS BIGINT) AS dc,
-             |    CAST(coalesce(sum(CASE WHEN y * (w.b + w.wt * toks +
-             |      w.wc * chars + w.wp * punct) <= 0 THEN y * punct END), 0)
-             |      AS BIGINT) AS dp
-             |  FROM f, w${e - 1} w),
-             |w$e AS (
-             |  SELECT w.b + m.db AS b, w.wt + m.dt AS wt,
-             |         w.wc + m.dc AS wc, w.wp + m.dp AS wp
-             |  FROM w${e - 1} w, m$e m)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH f AS (
-           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-           |    CAST(CASE WHEN trim(text) = '' THEN 0
-           |      ELSE len(string_split_regex(trim(text), '\\s+'))
-           |      END AS BIGINT) AS toks,
-           |    CAST(length(text) AS BIGINT) AS chars,
-           |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-           |      AS BIGINT) AS punct
-           |  FROM documents),
-           |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS wt,
-           |              CAST(0 AS BIGINT) AS wc, CAST(0 AS BIGINT) AS wp),
-           |$epochCtes
+      (s, d) => graft.ops.Perceptron.train(perceptronDocs(s, d),
+        Seq("toks", "chars", "punct"), "y", epochs = 3),
+      Some(
+        s"""WITH $perceptronCtes
            |SELECT * FROM (
            |  SELECT CAST(1 AS BIGINT) AS epoch, m1.n, m1.m AS n_misclassified,
            |    w1.b AS w_bias, w1.wt AS w_toks, w1.wc AS w_chars,
@@ -465,8 +479,45 @@ object R10Queries {
            |    FROM m2, w2
            |  UNION ALL SELECT 3, m3.n, m3.m, w3.b, w3.wt, w3.wc, w3.wp
            |    FROM m3, w3)
-           |ORDER BY epoch""".stripMargin
-      }),
+           |ORDER BY epoch""".stripMargin)),
+
+    Q("ml_perceptron_eval",
+      "Train -> predict -> evaluate, end to end: the 3-epoch integer " +
+        "perceptron's FINAL weights score every document (one scan, " +
+        "weights as literals) into a confusion matrix + accuracy — the " +
+        "classifier-evaluation report a learned quality filter ships " +
+        "with. Predictions, counts and the accuracy ratio are all " +
+        "derived from integer arithmetic, so the whole " +
+        "train-then-evaluate chain replays bit-for-bit in the oracle's " +
+        "unrolled SQL.",
+      (s, d) => {
+        val docs = perceptronDocs(s, d)
+        val trained = graft.ops.Perceptron.train(docs,
+          Seq("toks", "chars", "punct"), "y", epochs = 3)
+          .collect().maxBy(_.getLong(0))
+        graft.ops.Perceptron.evaluate(docs, Seq("toks", "chars", "punct"),
+          "y", (3 to 6).map(trained.getLong))
+      },
+      Some(
+        s"""WITH $perceptronCtes,
+           |p AS (
+           |  SELECT y, CASE WHEN (w.b + w.wt * toks + w.wc * chars +
+           |    w.wp * punct) > 0 THEN 1 ELSE -1 END AS pred
+           |  FROM f, w3 w),
+           |cm AS (
+           |  SELECT count(*) AS n,
+           |    CAST(coalesce(sum(CASE WHEN y = 1 AND pred = 1
+           |      THEN 1 END), 0) AS BIGINT) AS tp,
+           |    CAST(coalesce(sum(CASE WHEN y = -1 AND pred = 1
+           |      THEN 1 END), 0) AS BIGINT) AS fp,
+           |    CAST(coalesce(sum(CASE WHEN y = 1 AND pred = -1
+           |      THEN 1 END), 0) AS BIGINT) AS fn,
+           |    CAST(coalesce(sum(CASE WHEN y = -1 AND pred = -1
+           |      THEN 1 END), 0) AS BIGINT) AS tn
+           |  FROM p)
+           |SELECT n, tp, fp, fn, tn,
+           |  CAST(tp + tn AS DOUBLE) / n AS accuracy
+           |FROM cm""".stripMargin)),
 
     Q("inc_distinct",
       "Incremental DISTINCT-count view via mergeable sketches: a " +

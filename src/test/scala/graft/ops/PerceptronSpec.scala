@@ -29,6 +29,20 @@ class PerceptronSpec extends SparkSpec {
     assert(rows.forall { case (y, x1, x2) => y * (wb + w1 * x1 + w2 * x2) > 0 })
   }
 
+  test("evaluate: trained weights on separable data give a clean " +
+      "confusion matrix") {
+    val rows = (1 to 20).map { i =>
+      if (i % 2 == 0) (1L, 10L + i, 1L) else (-1L, 1L, 10L + i)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val last = Perceptron.train(df, Seq("x1", "x2"), "y", epochs = 6)
+      .collect().last
+    val r = Perceptron.evaluate(df, Seq("x1", "x2"), "y",
+      (3 to 5).map(last.getLong)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == ((20L, 10L, 0L, 0L, 10L, 1.0)))
+  }
+
   test("update is the exact integer sum over misclassified rows") {
     val df = Seq((1L, 3L), (-1L, 5L)).toDF("y", "x")
     val out = Perceptron.train(df, Seq("x"), "y", epochs = 1).head()
