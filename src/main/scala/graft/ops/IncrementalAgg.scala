@@ -95,10 +95,17 @@ object IncrementalAgg {
   /** Serve the merged aggregate from COMMITTED batches only: sum the
     * counts and decimal sums, min/max the extrema, derive the average
     * from the merged pair. Input is keys × batches rows — the fact table
-    * is never touched.
+    * is never touched. `asOf` time-travels the VIEW: only batches with
+    * id ≤ asOf replay (sound because batch ids are monotone — the same
+    * marker-replay contract as the index layouts), so a reader sees the
+    * aggregate exactly as it stood after that batch committed.
     */
-  def serve(spark: SparkSession, path: String, keyCol: String): DataFrame = {
-    val state = IndexCommits.servedState(spark, path)
+  def serve(spark: SparkSession, path: String, keyCol: String,
+            asOf: Option[Long] = None): DataFrame = {
+    val state = asOf match {
+      case Some(b) => IndexCommits.servedStateAsOf(spark, path, b)
+      case None => IndexCommits.servedState(spark, path)
+    }
     val parts = spark.read.parquet(s"$path/data")
       .filter(col("batch").isin(state.batches: _*))
     parts.groupBy(col(keyCol))

@@ -519,6 +519,39 @@ object R10Queries {
            |  CAST(tp + tn AS DOUBLE) / n AS accuracy
            |FROM cm""".stripMargin)),
 
+    Q("inc_agg_asof",
+      "TIME TRAVEL for the incremental view: after all three batches " +
+        "commit, serve AS-OF batch 1 — only markers with id <= 1 " +
+        "replay (monotone batch ids make that the true prefix of view " +
+        "history, the same contract the index layouts' as-of uses), so " +
+        "the reader sees the aggregate exactly as it stood after batch " +
+        "1 committed. Oracle: the direct recompute over the first two " +
+        "thirds of orders.",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_incagg_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        (0L to 2L).foreach { b =>
+          IncrementalAgg.writeBatch(
+            IncrementalAgg.partials(
+              orders.filter(col("o_orderkey") % 3 === b),
+              "o_orderstatus", "o_totalprice"),
+            path, b)
+        }
+        IncrementalAgg.serve(s, path, "o_orderstatus", asOf = Some(1L))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS total,
+             |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+             |    / count(*) AS avg_v
+             |FROM orders
+             |WHERE o_orderkey % 3 <= 1
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     Q("inc_distinct",
       "Incremental DISTINCT-count view via mergeable sketches: a " +
         "distinct count does not merge across batches, its HLL sketch " +

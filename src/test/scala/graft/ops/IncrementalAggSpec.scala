@@ -25,6 +25,10 @@ class IncrementalAggSpec extends SparkSpec {
     }
     val merged = IncrementalAgg.serve(spark, path, "o_orderstatus")
       .orderBy("o_orderstatus").collect()
+    // as-of batch 0 sees exactly the first batch's contribution
+    val asOf0 = IncrementalAgg.serve(spark, path, "o_orderstatus",
+      asOf = Some(0L)).agg(sum("n")).head().getLong(0)
+    assert(asOf0 == orders.filter(col("o_orderkey") % 3 === 0).count())
     val direct = orders.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast("decimal(28,8)")).cast("double")
