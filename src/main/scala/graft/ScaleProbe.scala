@@ -351,6 +351,12 @@ object ScaleProbe {
     }
     erProbe(custBase, s"1x ($cn customers)")
     erProbe(cust, s"${mult}x")
+    def prProbe(df: org.apache.spark.sql.DataFrame, tag: String): Unit =
+      time(s"pagerank $tag")(graft.ops.Graphs.pageRank(
+        Dedup.minhashCandidates(df, "doc_id", "text"),
+        "id_a", "id_b", damping = 0.85, iters = 3).count())
+    prProbe(base, s"1x ($n docs)")
+    prProbe(docs, s"${mult}x")
     spark.stop()
   }
 }
