@@ -74,6 +74,57 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** RFM (recency / frequency / monetary) customer scoring — the
+    * segmentation backbone of every CRM/analytics stack: per entity the
+    * days since last conversion (vs the stream's last observed day),
+    * the conversion count, and the exact-decimal revenue, each scored
+    * into quintiles 1–5 (5 = best: most recent / most frequent /
+    * highest spend).
+    *
+    * Scale shape: the classic ntile(5) formulation global-sorts the
+    * entity relation through ONE partition — corpus-sized at scale.
+    * Here the quintile boundaries come from ONE exact-percentile
+    * aggregate (the q21 percentile ≡ quantile_cont cross-engine
+    * equivalence) broadcast back, and each entity scores by comparing
+    * against the four thresholds — scan-stage, no global sort. Exact
+    * thresholds + IEEE comparisons make the scores engine-identical.
+    */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          typeCol: String, conversionType: String,
+          valueCol: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === conversionType)
+    val lastDay = conv.agg(max(to_date(col(tsCol))).as("__d1"))
+    val per = conv.groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast(DecimalType(28, 8))).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(lastDay))
+      .select(col(userCol),
+        datediff(col("__d1"), col("__last")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val th = per.agg(
+      percentile(col("recency_days"), typedlit(Seq(0.2, 0.4, 0.6, 0.8)))
+        .as("__tr"),
+      percentile(col("frequency"), typedlit(Seq(0.2, 0.4, 0.6, 0.8)))
+        .as("__tf"),
+      percentile(col("monetary"), typedlit(Seq(0.2, 0.4, 0.6, 0.8)))
+        .as("__tm"))
+    def quintile(v: Column, t: Column): Column =
+      (1 to 4).foldLeft(lit(1L)) { (acc, i) =>
+        acc + when(v > element_at(t, i), 1L).otherwise(0L)
+      }
+    per.crossJoin(broadcast(th))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"),
+        // low recency = recently active = best
+        (lit(6L) - quintile(col("recency_days").cast("double"), col("__tr")))
+          .as("r_score"),
+        quintile(col("frequency").cast("double"), col("__tf")).as("f_score"),
+        quintile(col("monetary"), col("__tm")).as("m_score"))
+      .orderBy(col(userCol))
+  }
+
   /** Dense daily gap-fill with zero-fill and last-observation-carried-
     * forward: for the entities in `entities` (a SMALL, bounded relation —
     * the dashboard's watchlist, not the corpus), emit one row per

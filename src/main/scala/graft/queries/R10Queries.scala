@@ -173,6 +173,42 @@ object R10Queries {
        |$epochs""".stripMargin
   }
 
+  /** Shared oracle texts for the event family — referenced both by the
+    * standalone queries and by the ev_pipeline flagship's UNION, so the
+    * flagship can never drift from the operators it composes.
+    */
+  private[queries] val transitionsOracle: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |tc AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  cast(n AS DOUBLE) /
+      |    cast(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM tc
+      |ORDER BY from_type, to_type""".stripMargin
+
+  private[queries] val attributionOracle: String =
+    """WITH attr AS (
+      |  SELECT event_type, value,
+      |    coalesce(last_value(CASE WHEN event_type IN
+      |        ('click', 'view', 'signup') THEN event_type END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      '(direct)') AS channel
+      |  FROM events)
+      |SELECT channel, count(*) AS n_conversions,
+      |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |FROM attr
+      |WHERE event_type = 'purchase'
+      |GROUP BY channel
+      |ORDER BY channel""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("er_blocked",
@@ -698,6 +734,129 @@ object R10Queries {
               |FROM pts p LEFT JOIN hits h ON h.budget = p.budget, den
               |ORDER BY p.budget""".stripMargin)),
 
+    Q("ev_pipeline",
+      "The event-analytics flagship — sessionization, the 5-stage " +
+        "funnel, last-touch attribution, cohort retention and the " +
+        "transition matrix composed into ONE KPI report (long format: " +
+        "metric, k1, k2, n, v), the product-analytics counterpart of " +
+        "pretrain_pipeline. Each branch is the already-verified " +
+        "operator (same code paths), reshaped and unioned lazily — " +
+        "Spark runs the five branches as one query. The oracle UNIONs " +
+        "the very oracle texts of the standalone queries (shared " +
+        "string constants, subquery-wrapped), so the flagship can " +
+        "never drift from the operators it composes.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        import org.apache.spark.sql.Column
+        def shape(metric: String, k1: Column, k2: Column, n: Column,
+                  v: Column)(df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(metric).as("metric"), k1.cast("string").as("k1"),
+            k2.cast("string").as("k2"), n.cast("long").as("n"),
+            v.cast("double").as("v"))
+        val sessions = shape("sessions", lit(""), lit(""), col("__c"),
+          col("__e").cast("double") / col("__c"))(
+          ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .agg(count(lit(1)).as("__c"), sum(col("n_events")).as("__e")))
+        val funnel = shape("funnel", col("stage"), col("stage_idx"),
+          col("n_users"), lit(0.0))(
+          graft.ops.Funnel.funnel(ev, "user_id", "ts", "event_type",
+            Seq("signup", "view", "click", "view", "purchase")))
+        val attrib = shape("attribution", col("channel"), lit(""),
+          col("n_conversions"), col("revenue"))(
+          EventOps.lastTouchAttribution(ev, "user_id", "ts", "event_type",
+            "event_id", Seq("click", "view", "signup"), "purchase", "value"))
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("__ct"))
+          .select(col("user_id"),
+            date_format(date_trunc("week", col("__ct")), "yyyy-MM-dd")
+              .as("cohort_week"))
+        val activity = ev.select(col("user_id"),
+            date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+              .as("active_week"))
+          .distinct()
+        val retention = shape("retention", col("cohort_week"),
+          col("active_week"), col("n_users"), lit(0.0))(
+          cohort.join(activity, "user_id")
+            .groupBy(col("cohort_week"), col("active_week"))
+            .agg(countDistinct(col("user_id")).as("n_users")))
+        val transitions = shape("transition", col("from_type"),
+          col("to_type"), col("n"), col("p"))(
+          EventOps.transitions(ev, "user_id", "ts", "event_type",
+            "event_id"))
+        sessions.unionByName(funnel).unionByName(attrib)
+          .unionByName(retention).unionByName(transitions)
+          .orderBy(col("metric"), col("k1"), col("k2"))
+      },
+      Some {
+        // wrap each standalone oracle as a subquery; the funnel and
+        // retention texts live beside their own queries and are pulled
+        // from the registry objects so they stay single-sourced
+        val funnelO = R9Queries.all.find(_.name == "ev_funnel_n").get
+          .oracle.get
+        val retentionO = R8Queries.all.find(_.name == "ev_retention").get
+          .oracle.get
+        val sessionsO = ExtQueries.all.find(_.name == "ev_sessionize").get
+          .oracle.get
+        s"""SELECT * FROM (
+           |SELECT 'sessions' AS metric, '' AS k1, '' AS k2,
+           |  count(*) AS n,
+           |  cast(sum(n_events) AS DOUBLE) / count(*) AS v
+           |FROM ($sessionsO)
+           |UNION ALL
+           |SELECT 'funnel', stage, CAST(stage_idx AS VARCHAR), n_users, 0.0
+           |FROM ($funnelO)
+           |UNION ALL
+           |SELECT 'attribution', channel, '', n_conversions, revenue
+           |FROM ($attributionOracle)
+           |UNION ALL
+           |SELECT 'retention', cohort_week, active_week, n_users, 0.0
+           |FROM ($retentionO)
+           |UNION ALL
+           |SELECT 'transition', from_type, to_type, n, p
+           |FROM ($transitionsOracle)
+           |) ORDER BY metric, k1, k2""".stripMargin
+      }),
+
+    Q("ev_rfm",
+      "RFM customer scoring (recency / frequency / monetary quintiles, " +
+        "5 = best) — the CRM segmentation backbone. The classic " +
+        "ntile(5) would global-sort the user relation through one " +
+        "partition; here the quintile boundaries come from ONE exact " +
+        "percentile aggregate (the q21 percentile == quantile_cont " +
+        "cross-engine equivalence) broadcast back, and every user " +
+        "scores by threshold comparison at scan stage — no global " +
+        "sort at any size.",
+      (s, d) => EventOps.rfm(Tables.events(s, d), "user_id", "ts",
+        "event_type", conversionType = "purchase", valueCol = "value"),
+      Some {
+        def q(v: String, t: String): String =
+          "(1 + " + (1 to 4).map(i =>
+            s"(CASE WHEN $v > $t[$i] THEN 1 ELSE 0 END)").mkString(" + ") + ")"
+        s"""WITH conv AS (
+           |  SELECT * FROM events WHERE event_type = 'purchase'),
+           |d1 AS (SELECT max(ts::DATE) AS d1 FROM conv),
+           |per AS (
+           |  SELECT user_id,
+           |    CAST(datediff('day', max(ts::DATE), (SELECT d1 FROM d1))
+           |      AS BIGINT) AS recency_days,
+           |    count(*) AS frequency,
+           |    cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS monetary
+           |  FROM conv GROUP BY user_id),
+           |th AS (
+           |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS tr,
+           |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS tf,
+           |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS tm
+           |  FROM per)
+           |SELECT user_id, recency_days, frequency, monetary,
+           |  CAST(6 - ${q("recency_days::DOUBLE", "tr")} AS BIGINT)
+           |    AS r_score,
+           |  CAST(${q("frequency::DOUBLE", "tf")} AS BIGINT) AS f_score,
+           |  CAST(${q("monetary", "tm")} AS BIGINT) AS m_score
+           |FROM per, th
+           |ORDER BY user_id""".stripMargin
+      }),
+
     Q("ev_transitions",
       "Markov next-event transition matrix: adjacent event pairs per " +
         "user (ordered by (ts, event_id) so equal timestamps are " +
@@ -710,19 +869,7 @@ object R10Queries {
         "matrix itself.",
       (s, d) => EventOps.transitions(Tables.events(s, d),
         "user_id", "ts", "event_type", "event_id"),
-      Some("""WITH seq AS (
-             |  SELECT event_type AS from_type,
-             |    lead(event_type) OVER (PARTITION BY user_id
-             |      ORDER BY ts, event_id) AS to_type
-             |  FROM events),
-             |tc AS (
-             |  SELECT from_type, to_type, count(*) AS n
-             |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
-             |SELECT from_type, to_type, n,
-             |  cast(n AS DOUBLE) /
-             |    cast(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
-             |FROM tc
-             |ORDER BY from_type, to_type""".stripMargin)),
+      Some(transitionsOracle)),
 
     Q("ev_attribution",
       "Last-touch conversion attribution: every purchase credits the " +
@@ -738,21 +885,7 @@ object R10Queries {
         "user_id", "ts", "event_type", "event_id",
         touchTypes = Seq("click", "view", "signup"),
         conversionType = "purchase", valueCol = "value"),
-      Some("""WITH attr AS (
-             |  SELECT event_type, value,
-             |    coalesce(last_value(CASE WHEN event_type IN
-             |        ('click', 'view', 'signup') THEN event_type END
-             |        IGNORE NULLS)
-             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |      '(direct)') AS channel
-             |  FROM events)
-             |SELECT channel, count(*) AS n_conversions,
-             |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS revenue
-             |FROM attr
-             |WHERE event_type = 'purchase'
-             |GROUP BY channel
-             |ORDER BY channel""".stripMargin)),
+      Some(attributionOracle)),
 
     Q("ev_gapfill",
       "Dense daily time series for a bounded watchlist (users with " +
