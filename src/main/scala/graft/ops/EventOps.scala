@@ -74,12 +74,54 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** Per-session rows via the built-in session_window operator with an
+    * inactivity gap — the batch plan of the same stateful shape
+    * Structured Streaming runs. Single-sourced here so the standalone
+    * ev_sessionize query and the ev_pipeline flagship run the SAME
+    * code path (the oracle restates it as lag + cumulative sum).
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 valueCol: String, gap: String = "30 minutes"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    events
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max(us) - min(us)).as("duration_us"),
+        min(us).as("session_start_us"),
+        sum(col(valueCol).cast(DecimalType(28, 8))).cast("double")
+          .as("sum_value"))
+      .select(userCol, "session_start_us", "n_events", "duration_us",
+        "sum_value")
+  }
+
+  /** Cohort retention grid: users grouped by their first `cohortType`
+    * event's week, counted as retained in every week with ANY activity
+    * — the (cohort × activity-week) matrix. Single-sourced for the
+    * standalone ev_retention query and the ev_pipeline flagship.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, cohortType: String): DataFrame = {
+    val cohort = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__ct"))
+      .select(col(userCol),
+        date_format(date_trunc("week", col("__ct")), "yyyy-MM-dd")
+          .as("cohort_week"))
+    val activity = events.select(col(userCol),
+        date_format(date_trunc("week", col(tsCol)), "yyyy-MM-dd")
+          .as("active_week"))
+      .distinct()
+    cohort.join(activity, userCol)
+      .groupBy(col("cohort_week"), col("active_week"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** RFM (recency / frequency / monetary) customer scoring — the
     * segmentation backbone of every CRM/analytics stack: per entity the
-    * days since last conversion (vs the stream's last observed day),
-    * the conversion count, and the exact-decimal revenue, each scored
-    * into quintiles 1–5 (5 = best: most recent / most frequent /
-    * highest spend).
+    * days since last conversion (anchored to the last observed
+    * CONVERSION day across the stream — trailing non-conversion
+    * activity does not move the anchor), the conversion count, and the
+    * exact-decimal revenue, each scored into quintiles 1–5 (5 = best:
+    * most recent / most frequent / highest spend).
     *
     * Scale shape: the classic ntile(5) formulation global-sorts the
     * entity relation through ONE partition — corpus-sized at scale.
@@ -94,7 +136,10 @@ object EventOps {
           valueCol: String): DataFrame = {
     val conv = events.filter(col(typeCol) === conversionType)
     val lastDay = conv.agg(max(to_date(col(tsCol))).as("__d1"))
-    val per = conv.groupBy(col(userCol))
+    // cached: the per-user relation feeds BOTH the threshold aggregate
+    // and the scoring join — without the cache each one re-scans the
+    // event stream (the Graphs.pageRank discipline)
+    val per = graft.core.Caches.track(conv.groupBy(col(userCol))
       .agg(max(to_date(col(tsCol))).as("__last"),
         count(lit(1)).as("frequency"),
         sum(col(valueCol).cast(DecimalType(28, 8))).cast("double")
@@ -102,7 +147,7 @@ object EventOps {
       .crossJoin(broadcast(lastDay))
       .select(col(userCol),
         datediff(col("__d1"), col("__last")).cast("long").as("recency_days"),
-        col("frequency"), col("monetary"))
+        col("frequency"), col("monetary")))
     val th = per.agg(
       percentile(col("recency_days"), typedlit(Seq(0.2, 0.4, 0.6, 0.8)))
         .as("__tr"),

@@ -71,8 +71,12 @@ object Perceptron {
     * weight per feature — [[train]]'s output order) and report the
     * confusion matrix + accuracy: one scan, weights as literals, a
     * single 1-row aggregate (four conditional integer sums), the
-    * accuracy ratio a division of exact longs. Margin 0 predicts −1,
-    * mirroring train's "margin ≤ 0 is wrong" convention.
+    * accuracy ratio a division of exact longs. Raw score 0 predicts −1
+    * — so a y = +1 row at score 0 is an error in BOTH train's margin
+    * ≤ 0 count and this matrix, while a y = −1 row at score 0 counts
+    * as a train error (margin 0) but lands in tn here: the perceptron
+    * update deliberately pushes on boundary rows of either class, the
+    * confusion matrix only cares about the predicted label.
     */
   def evaluate(df: DataFrame, featureCols: Seq[String], labelCol: String,
                weights: Seq[Long]): DataFrame = {

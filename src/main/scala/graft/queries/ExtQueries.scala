@@ -436,17 +436,9 @@ object ExtQueries {
         "Structured Streaming runs); oracle restates it as the classic " +
         "lag + cumulative-sum window formulation — two independent " +
         "definitions, one result.",
-      (s, d) => {
-        val us = unix_micros(col("ts"))
-        Tables.events(s, d)
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"),
-            (max(us) - min(us)).as("duration_us"),
-            min(us).as("session_start_us"),
-            OracleCompat.dsum(col("value")).as("sum_value"))
-          .select("user_id", "session_start_us", "n_events", "duration_us", "sum_value")
-          .orderBy("user_id", "session_start_us")
-      },
+      (s, d) => graft.ops.EventOps.sessionize(Tables.events(s, d),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "session_start_us"),
       Some("""WITH g AS (
              |  SELECT user_id, epoch_us(ts) AS us, value,
              |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -209,6 +209,27 @@ object R10Queries {
       |GROUP BY channel
       |ORDER BY channel""".stripMargin
 
+  /** The incremental-view fixture, defined ONCE for inc_agg and
+    * inc_agg_asof: orders split into three batches by o_orderkey % 3,
+    * each batch's per-status partials written + committed under the
+    * shared path. Idempotent (writeBatch overwrites exactly its own
+    * subtree), so either query can run first or both can rebuild.
+    */
+  private def writeIncAggBatches(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String = {
+    val orders = Tables.orders(s, d)
+    val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_incagg_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    (0L to 2L).foreach { b =>
+      IncrementalAgg.writeBatch(
+        IncrementalAgg.partials(
+          orders.filter(col("o_orderkey") % 3 === b),
+          "o_orderstatus", "o_totalprice"),
+        path, b)
+    }
+    path
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("er_blocked",
@@ -368,20 +389,9 @@ object R10Queries {
         "decimal, the merge is bit-identical to the full recompute the " +
         "oracle runs — per-refresh cost at 100 TB is O(new batch), not " +
         "O(history).",
-      (s, d) => {
-        val orders = Tables.orders(s, d)
-        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-          "/graft_incagg_" + d.replaceAll("[^A-Za-z0-9.]", "_")
-        (0L to 2L).foreach { b =>
-          IncrementalAgg.writeBatch(
-            IncrementalAgg.partials(
-              orders.filter(col("o_orderkey") % 3 === b),
-              "o_orderstatus", "o_totalprice"),
-            path, b)
-        }
-        IncrementalAgg.serve(s, path, "o_orderstatus")
-          .orderBy("o_orderstatus")
-      },
+      (s, d) => IncrementalAgg.serve(s, writeIncAggBatches(s, d),
+          "o_orderstatus")
+        .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus, count(*) AS n,
              |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
              |    AS total,
@@ -563,20 +573,9 @@ object R10Queries {
         "the reader sees the aggregate exactly as it stood after batch " +
         "1 committed. Oracle: the direct recompute over the first two " +
         "thirds of orders.",
-      (s, d) => {
-        val orders = Tables.orders(s, d)
-        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-          "/graft_incagg_" + d.replaceAll("[^A-Za-z0-9.]", "_")
-        (0L to 2L).foreach { b =>
-          IncrementalAgg.writeBatch(
-            IncrementalAgg.partials(
-              orders.filter(col("o_orderkey") % 3 === b),
-              "o_orderstatus", "o_totalprice"),
-            path, b)
-        }
-        IncrementalAgg.serve(s, path, "o_orderstatus", asOf = Some(1L))
-          .orderBy("o_orderstatus")
-      },
+      (s, d) => IncrementalAgg.serve(s, writeIncAggBatches(s, d),
+          "o_orderstatus", asOf = Some(1L))
+        .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus, count(*) AS n,
              |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
              |    AS total,
@@ -755,8 +754,7 @@ object R10Queries {
             v.cast("double").as("v"))
         val sessions = shape("sessions", lit(""), lit(""), col("__c"),
           col("__e").cast("double") / col("__c"))(
-          ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-            .agg(count(lit(1)).as("n_events"))
+          EventOps.sessionize(ev, "user_id", "ts", "value")
             .agg(count(lit(1)).as("__c"), sum(col("n_events")).as("__e")))
         val funnel = shape("funnel", col("stage"), col("stage_idx"),
           col("n_users"), lit(0.0))(
@@ -766,20 +764,10 @@ object R10Queries {
           col("n_conversions"), col("revenue"))(
           EventOps.lastTouchAttribution(ev, "user_id", "ts", "event_type",
             "event_id", Seq("click", "view", "signup"), "purchase", "value"))
-        val cohort = ev.filter(col("event_type") === "signup")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("__ct"))
-          .select(col("user_id"),
-            date_format(date_trunc("week", col("__ct")), "yyyy-MM-dd")
-              .as("cohort_week"))
-        val activity = ev.select(col("user_id"),
-            date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
-              .as("active_week"))
-          .distinct()
         val retention = shape("retention", col("cohort_week"),
           col("active_week"), col("n_users"), lit(0.0))(
-          cohort.join(activity, "user_id")
-            .groupBy(col("cohort_week"), col("active_week"))
-            .agg(countDistinct(col("user_id")).as("n_users")))
+          EventOps.cohortRetention(ev, "user_id", "ts", "event_type",
+            cohortType = "signup"))
         val transitions = shape("transition", col("from_type"),
           col("to_type"), col("n"), col("p"))(
           EventOps.transitions(ev, "user_id", "ts", "event_type",

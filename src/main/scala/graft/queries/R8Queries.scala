@@ -424,20 +424,9 @@ object R8Queries {
         "(user, week) distinct, one co-partitioned join, bounded " +
         "(weeks x weeks) output. Weeks emitted as date strings so the " +
         "timestamp type never crosses the engine boundary.",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-        val cohort = ev.filter(col("event_type") === "signup")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("__ct"))
-          .select(col("user_id"),
-            date_format(date_trunc("week", col("__ct")), "yyyy-MM-dd").as("cohort_week"))
-        val activity = ev.select(col("user_id"),
-            date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("active_week"))
-          .distinct()
-        cohort.join(activity, "user_id")
-          .groupBy(col("cohort_week"), col("active_week"))
-          .agg(countDistinct(col("user_id")).as("n_users"))
-          .orderBy(col("cohort_week"), col("active_week"))
-      },
+      (s, d) => graft.ops.EventOps.cohortRetention(Tables.events(s, d),
+          "user_id", "ts", "event_type", cohortType = "signup")
+        .orderBy(col("cohort_week"), col("active_week")),
       Some("""WITH cohort AS (
              |  SELECT user_id,
              |    strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week
