@@ -235,4 +235,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("sim_hamming")
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
   }
+
+  test("ev_rfm: quintile scoring plans WITHOUT any window operator — " +
+      "thresholds broadcast, no ntile global sort") {
+    val p = plan("ev_rfm")
+    assert(!p.contains("Window"), s"rfm must not plan a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("ev_pipeline: five branches, no cartesian product anywhere") {
+    val p = plan("ev_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Union"))
+  }
 }
