@@ -15,7 +15,8 @@ import graft.ops.Dedup
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
-    val onlyR8 = args.contains("r8")
+    val onlyR8c = args.contains("r8c") // session-3 probes only
+    val onlyR8 = args.contains("r8") || onlyR8c
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -281,6 +282,7 @@ object ScaleProbe {
     // stage count); survivor policy = MinHash pairs + CC rounds +
     // cluster-keyed argmax (the CC loop is the measured log-diameter
     // driver; the argmax adds one keyed aggregate).
+    if (!onlyR8c) {
     time(s"ivfadc scan 1x ($en vecs)")(graft.ops.Similarity.ivfAdcTopK(
       embBase, "vec_id", "embedding", q, nprobe = 2, kCoarse = 4,
       coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64,
@@ -357,6 +359,44 @@ object ScaleProbe {
         "id_a", "id_b", damping = 0.85, iters = 3).count())
     prProbe(base, s"1x ($n docs)")
     prProbe(docs, s"${mult}x")
+    } // end !onlyR8c
+
+    // r8c: session-3 operators at 1x/10x. Expected shapes:
+    // triangles = the minhash pair stage (~linear, banding-capped) +
+    // degree-oriented wedge join whose fan-out is bounded by the
+    // oriented out-degree (O(sqrt(m)) worst case — replicas multiply
+    // FAMILIES, not family size, so wedge work should stay ~linear);
+    // heavy hitters = one sketch scan (no shuffle) + a recount keyed
+    // only by the <=k·P candidates (~linear scan, flat shuffle);
+    // exact quantiles = two scans + one 256-row exchange + a
+    // TakeOrdered over one bin (~linear scans, flat tail);
+    // randproj = projection scan (~linear) + bounded rescore (flat);
+    // daily anomalies = one keyed daily aggregate (~linear) + stats
+    // over the tiny (types x days) relation (flat).
+    def triProbe(df: org.apache.spark.sql.DataFrame, tag: String): Unit =
+      time(s"triangles $tag")(graft.ops.Graphs.triangles(
+        Dedup.minhashCandidates(df, "doc_id", "text"), "id_a", "id_b")
+        .count())
+    triProbe(base, s"1x ($n docs)")
+    triProbe(docs, s"${mult}x")
+    time(s"heavyhitters 1x ($n docs)")(graft.ops.Frequent.heavyHitters(
+      graft.ops.Frequent.wsTokens(base, "text"), "token", 0.002, 1024)
+      .count())
+    time(s"heavyhitters ${mult}x")(graft.ops.Frequent.heavyHitters(
+      graft.ops.Frequent.wsTokens(docs, "text"), "token", 0.002, 1024)
+      .count())
+    time(s"quantiles 1x ($evn events)")(graft.ops.Profile.quantilesExact(
+      evBase, "value", Seq(0.5, 0.9, 0.99)).count())
+    time(s"quantiles ${mult}x")(graft.ops.Profile.quantilesExact(
+      ev, "value", Seq(0.5, 0.9, 0.99)).count())
+    time(s"randproj topk 1x ($en vecs)")(graft.ops.Similarity.randProjTopK(
+      embBase, "vec_id", "embedding", queryId = 0L, k = 10).count())
+    time(s"randproj topk ${mult}x")(graft.ops.Similarity.randProjTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10).count())
+    time(s"daily anomalies 1x ($evn events)")(graft.ops.EventOps
+      .dailyAnomalies(evBase, "event_type", "ts").count())
+    time(s"daily anomalies ${mult}x")(graft.ops.EventOps
+      .dailyAnomalies(ev, "event_type", "ts").count())
     spark.stop()
   }
 }

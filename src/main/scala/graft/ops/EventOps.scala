@@ -205,4 +205,51 @@ object EventOps {
           lit(0.0)).as("rev_locf"))
       .orderBy(col(entityCol), col("day"))
   }
+
+  /** Volume-anomaly detection on the daily event stream: each
+    * (key, day) count is z-scored against ITS OWN key's day-count
+    * distribution, and days beyond `z` standard deviations flag — the
+    * ops-monitoring query every event pipeline runs ("did checkout
+    * volume crater on Tuesday?"), and at curation scale the drop/spike
+    * detector for ingest feeds.
+    *
+    * Scale shape: one shuffle to the (key, day) daily aggregate (counts
+    * partial-aggregate map-side), then the per-key statistics are a
+    * second aggregate over the SMALL daily relation (keys × days rows),
+    * broadcast back onto it — the raw event scan happens once and
+    * nothing else is data-sized.
+    *
+    * Cross-engine exactness: daily counts are integers, so their sums
+    * and sums of squares are exact BIGINT arithmetic — mean, variance,
+    * and z then derive through the identical IEEE double expressions in
+    * any engine, no decimal staging needed. Variance uses the
+    * population form E[x²]−mean² (clamped at 0 for rounding), matching
+    * the oracle text symbol-for-symbol.
+    */
+  def dailyAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                     z: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__days"),
+        sum(col("n_events")).as("__s"),
+        sum(col("n_events") * col("n_events")).as("__s2"))
+      .select(col(keyCol),
+        (col("__s").cast("double") / col("__days")).as("__mean"),
+        sqrt(greatest(
+          col("__s2").cast("double") / col("__days") -
+            (col("__s").cast("double") / col("__days")) *
+            (col("__s").cast("double") / col("__days")),
+          lit(0.0))).as("__std"))
+    daily.join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("__mean").as("mean_daily"),
+        when(col("__std") > 0,
+          (col("n_events") - col("__mean")) / col("__std"))
+          .otherwise(lit(0.0)).as("zscore"))
+      .withColumn("is_anomaly", abs(col("zscore")) > lit(z))
+      .orderBy(col(keyCol), col("day"))
+  }
 }

@@ -171,4 +171,74 @@ object Profile {
         col("n_outliers").cast("double") / col("n"))
       .orderBy(col(keyCol).asc_nulls_last)
   }
+
+  /** Exact quantiles WITHOUT a global sort — histogram-guided selection,
+    * the mergeable-sketch pattern every profiling pass needs at 100 TB:
+    *
+    *   1. one pass: exact min/max/count (1-row aggregate);
+    *   2. one pass: an equi-width `bins`-bin histogram — per-partition
+    *      partial counts merge associatively (THE mergeable sketch;
+    *      ≤ `bins` rows cross the exchange);
+    *   3. per requested q: the cumulative histogram locates the single
+    *      bin holding order statistic ⌈q·n⌉ and how deep in that bin it
+    *      sits, and a TakeOrdered over JUST that bin's rows (expected
+    *      n/bins of the data, scanned but never globally sorted) reads
+    *      the exact value.
+    *
+    * The histogram alone already answers with error ≤ one bin width
+    * (the `est` column, and the `within_bin` gate pins |exact−est| to
+    * it); the residual selection upgrades the answer to EXACT for one
+    * extra filtered scan. Size `bins` so n/bins rows fit one driver
+    * TakeOrdered — 4096 bins puts a 10¹²-row column at ~2.4·10⁸ rows
+    * per bin; for heavier tails raise `bins` (the histogram relation
+    * stays tiny either way).
+    *
+    * Cross-engine exactness: bin indexes are ⌊(v−min)/width⌋ on IEEE
+    * doubles both engines compute identically; the order statistic is a
+    * VALUE AT A POSITION (no interpolation, no tie sensitivity), so the
+    * result hash-matches an engine that finds it by brute-force sort.
+    * NULL values are excluded (quantiles are over present values).
+    */
+  def quantilesExact(df: DataFrame, valueCol: String, qs: Seq[Double],
+                     bins: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0,1]")
+    require(bins >= 2, "at least two bins")
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val stats0 = vals.agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+      max(col("__v")).as("hi")).head()
+    val n = stats0.getLong(0)
+    require(n > 0, s"no non-null values in $valueCol")
+    val (lo, hi) = (stats0.getDouble(1), stats0.getDouble(2))
+    val width = (hi - lo) / bins
+    val binCol =
+      if (width == 0.0) lit(0)
+      else least(floor((col("__v") - lit(lo)) / lit(width)), lit(bins - 1))
+        .cast("int")
+    // the mergeable sketch: <= `bins` rows, collected once
+    val hist = vals.select(binCol.as("__b")).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c")).orderBy(col("__b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val cum = hist.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c) }.drop(1)
+    val spark = df.sparkSession
+    val perQ = qs.map { q =>
+      val pos = math.ceil(q * n).toLong max 1L
+      val (bin, cumBefore) = {
+        val i = cum.indexWhere(_._2 >= pos)
+        (cum(i)._1, if (i == 0) 0L else cum(i - 1)._2)
+      }
+      val posInBin = pos - cumBefore
+      require(posInBin <= Int.MaxValue,
+        s"bin for q=$q holds >2^31 rows before the target — raise `bins`")
+      val est = if (width == 0.0) lo else lo + bin * width
+      // residual selection: ~n/bins rows filtered, TakeOrdered posInBin
+      val exact = vals.filter(binCol === bin)
+        .orderBy(col("__v")).limit(posInBin.toInt)
+        .agg(max(col("__v"))).head().getDouble(0)
+      (q, exact, est, math.abs(exact - est) <= (if (width == 0.0) 0.0 else width))
+    }
+    import spark.implicits._
+    perQ.toDF("q", "quantile", "est", "within_bin").orderBy(col("q"))
+  }
 }

@@ -1061,6 +1061,79 @@ object Similarity {
       .orderBy(col("budget"))
   }
 
+  /** Rademacher random-projection of a `dims`-dim vector column down to
+    * `outDims` dims (Achlioptas 2003: a ±1 sign matrix satisfies the
+    * Johnson–Lindenstrauss lemma — distances in the projected space
+    * concentrate around the originals, so the projection is an ANN
+    * shortlist metric). The sign s(i,j) is a fixed pseudo-random
+    * function of the (row i, column j) index pair in pure INTEGER
+    * arithmetic — `((i·37 + j·101) mod 97) mod 2` — so any engine
+    * derives the identical matrix from the formula alone: no trained
+    * state, no stored matrix, nothing to persist or broadcast. Each
+    * output coordinate sums its 64 signed addends through
+    * DECIMAL(38,14) (the repo-wide dotExact staging), so the projected
+    * vectors are bit-identical cross-engine. The conventional 1/√d'
+    * JL scaling is omitted on purpose: it is a constant factor on
+    * every distance, so the shortlist ranking it feeds is unchanged.
+    */
+  def rademacherProj(vecColName: String, dims: Int, outDims: Int): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    // LOSSLESS accumulation: Spark's Add on (38,14)+(38,14) adjusts the
+    // result to (38,13) — a per-step rounding that drifts ~1e-13 from
+    // DuckDB's exact 128-bit decimal sum (measured on this projection).
+    // Keeping the accumulator at precision 30 and the addends at 24
+    // makes Add resolve to (31,14): scale preserved, no precision-loss
+    // adjustment, so the fold is the EXACT sum of the 1e-14-quantized
+    // addends — bit-identical to sum(CAST(x AS DECIMAL(38,14))) in any
+    // exact-decimal engine. Headroom: 16 integer digits carries sums to
+    // 1e16, far above any unit-scale embedding.
+    val accT = DecimalType(30, 14)
+    val addT = DecimalType(24, 14)
+    transform(sequence(lit(1), lit(outDims)), j =>
+      aggregate(sequence(lit(1), lit(dims)),
+        lit(0).cast(accT),
+        (acc, i) => (acc +
+          (element_at(col(vecColName), i.cast("int")).cast("double") *
+            when(((i * 37 + j * 101) % 97) % 2 === 0, lit(1.0))
+              .otherwise(lit(-1.0))).cast(addT)).cast(accT),
+        _.cast("double")))
+  }
+
+  /** Random-projection ANN with exact rescoring — the dimensionality-
+    * reduction member of the scan-path family ([[quantTopK]] shrinks
+    * bits per dimension, [[hammingTopK]] shrinks to one bit,
+    * this shrinks the NUMBER of dimensions): project the corpus and the
+    * query to `projDims` via [[rademacherProj]], shortlist the
+    * `rescore` nearest by squared L2 in the projected space
+    * (TakeOrderedAndProject, never a global sort), then exact decimal
+    * cosine on the survivors only. At 100 TB the projected scan reads
+    * 4× fewer multiply-adds per row at projDims=16 — and unlike the
+    * quantizers there is NOTHING to train or store: any executor (or
+    * engine) re-derives the matrix from the index formula, which also
+    * makes the index trivially consistent under appends.
+    */
+  def randProjTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, k: Int, rescore: Int = 50,
+                   dims: Int = 64, projDims: Int = 16): DataFrame = {
+    def staged(df: DataFrame): DataFrame =
+      df.withColumn("__p", rademacherProj(vecCol, dims, projDims))
+    val q = staged(emb.filter(col(idCol) === queryId))
+      .select(col(vecCol).as("__qv"), col("__p").as("__pq"))
+    val short = staged(emb).crossJoin(broadcast(q))
+      .withColumn("approx_dist", Dedup.dotExact(
+        zip_with(col("__p"), col("__pq"), (x, y) => x - y),
+        zip_with(col("__p"), col("__pq"), (x, y) => x - y)))
+      .orderBy(col("approx_dist").asc, col(idCol))
+      .limit(rescore)
+    short
+      .select(col(idCol), col("approx_dist"),
+        (Dedup.dotExact(col(vecCol), col("__qv")) /
+          (Dedup.normExact(col(vecCol)) * Dedup.normExact(col("__qv"))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Pin a double to the 1e-9 decimal grid via EXACT binary expansion +
     * HALF_UP. A 9-digit double's cast to any wider decimal is exact in
     * both Spark and DuckDB, so grid-pinned values survive cross-engine

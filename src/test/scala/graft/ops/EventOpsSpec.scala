@@ -94,4 +94,32 @@ class EventOpsSpec extends SparkSpec {
       (1L, "2024-01-04", 1L, 1.0),
       (1L, "2024-01-05", 0L, 1.0)))  // after last fact: carried
   }
+
+  test("dailyAnomalies: the spike day flags, steady days don't, " +
+      "constant series z-scores 0") {
+    // type a: 1 event/day for 10 days, then a 6-event spike on day 11
+    // (z = 4.5455/1.4374 ~ 3.16 — note a single outlier among n days
+    // caps at z = sqrt(n-1), so 5 steady days could never clear 2.0)
+    val aDays = (1 to 10).map(d =>
+      (d.toLong, 1L, f"2024-01-$d%02d 10:00:00", "a", 0.0)) ++
+      (20 to 25).map(i => (i.toLong, 1L, "2024-01-11 10:00:00", "a", 0.0))
+    // type b: exactly 2 events on each of 3 days — zero variance
+    val bDays = for { d <- 1 to 3; k <- 0 to 1 }
+      yield ((100 + d * 10 + k).toLong, 1L, f"2024-01-0$d 11:0$k:00", "b", 0.0)
+    val e = ev(aDays ++ bDays: _*)
+    val g = EventOps.dailyAnomalies(e, "event_type", "ts", z = 2.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(4), r.getBoolean(5)))).toMap
+    val aVals = g.filter(_._1._1 == "a")
+    assert(aVals.size == 11)
+    assert(g(("a", "2024-01-11")) == ((6L,
+      g(("a", "2024-01-11"))._2, true)), "spike day must flag")
+    assert(math.abs(g(("a", "2024-01-11"))._2 - 3.1623) < 1e-3)
+    assert(aVals.filter(_._1._2 != "2024-01-11").forall(!_._2._3),
+      "steady days must not flag")
+    val bVals = g.filter(_._1._1 == "b")
+    assert(bVals.size == 3)
+    assert(bVals.forall(v => v._2._2 == 0.0 && !v._2._3),
+      s"constant series: z=0, no flags: $bVals")
+  }
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class FrequentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heavyHitters: exact counts, complete above threshold, nothing below") {
+    // skewed stream: item i appears 2^(10-i) times, i = 1..10, N = 1023
+    val rows = (1 to 10).flatMap(i => Seq.fill(1 << (10 - i))(s"t$i"))
+    val df = new scala.util.Random(7)
+      .shuffle(rows).toDF("item").repartition(4)
+    val n = rows.size.toDouble
+    val thr = 0.02 // t1..t5 are above 2% of 1023; t6.. below
+    val got = Frequent.heavyHitters(df, "item", thr, k = 64).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 > thr * n).toMap
+    assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
+    want.foreach { case (t, c) =>
+      assert(got(t)._1 == c, s"$t exact count")
+      assert(got(t)._2 == c / n, s"$t share")
+    }
+  }
+
+  test("heavyHitters: guarantee precondition k+1 >= 1/threshold enforced") {
+    val df = Seq("a", "b").toDF("item")
+    intercept[IllegalArgumentException] {
+      Frequent.heavyHitters(df, "item", threshold = 0.001, k = 10)
+    }
+  }
+
+  test("heavyHitters: tiny-k sketch still finds the dominant item " +
+      "across many partitions (the MG no-false-negative bound)") {
+    // one item at 40%, the rest unique: k=2 counters must surface it
+    val rows = Seq.fill(400)("big") ++ (1 to 600).map(i => s"u$i")
+    val df = new scala.util.Random(3)
+      .shuffle(rows).toDF("item").repartition(8)
+    val got = Frequent.heavyHitters(df, "item", threshold = 0.3, k = 4)
+      .collect()
+    assert(got.length == 1 && got.head.getString(0) == "big" &&
+      got.head.getLong(1) == 400L)
+  }
+
+  test("wsTokens: trims, splits on runs, drops empties") {
+    val df = Seq("  a  b\tc ", "", "   ").toDF("text")
+    val toks = Frequent.wsTokens(df, "text").as[String].collect().sorted
+    assert(toks.toSeq == Seq("a", "b", "c"))
+  }
+}

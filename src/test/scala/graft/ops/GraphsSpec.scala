@@ -33,4 +33,40 @@ class GraphsSpec extends SparkSpec {
         s"ring must stay uniform at iters=$it: ${r.toList}")
     }
   }
+
+  test("triangles: K4 minus an edge — per-vertex counts and LCC") {
+    // K4 on 1..4 without edge (3,4): triangles {1,2,3} and {1,2,4}
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val r = Graphs.triangles(pairs, "a", "b").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(1L) == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(r(2L) == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(r(3L) == ((2L, 1L, 1.0)))
+    assert(r(4L) == ((2L, 1L, 1.0)))
+  }
+
+  test("triangles: star has none; duplicate/reversed/self edges collapse") {
+    // star 1-2..5 with noisy input: dup edges, both orientations, a loop
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (1L, 4L),
+        (1L, 5L), (3L, 3L))
+      .toDF("a", "b")
+    val r = Graphs.triangles(pairs, "a", "b").collect()
+    assert(r.forall(_.getLong(2) == 0L), "a star graph has no triangles")
+    val byId = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(byId(1L) == 4L && byId(2L) == 1L, s"degrees dedup: $byId")
+    assert(r.forall(_.getDouble(3) == 0.0))
+  }
+
+  test("triangles: clique count matches C(n,3) per vertex C(n-1,2)") {
+    val n = 7
+    val pairs = (for (i <- 1 to n; j <- i + 1 to n) yield (i.toLong, j.toLong))
+      .toDF("a", "b")
+    val r = Graphs.triangles(pairs, "a", "b").collect()
+    val per = (n - 1) * (n - 2) / 2
+    assert(r.length == n)
+    assert(r.forall(x => x.getLong(2) == per && x.getDouble(3) == 1.0),
+      s"K$n: every vertex in C(${n - 1},2)=$per triangles with LCC 1")
+  }
 }

@@ -77,4 +77,30 @@ class ProfileSpec extends SparkSpec {
     assert(g("a")._2 == 1)           // only the 1000.0
     assert(g("b") == ((1L, 0L, 0.0))) // singleton: sigma 0, no flag
   }
+
+  test("quantilesExact: matches brute-force order statistics; sketch " +
+      "estimate stays within one bin") {
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(1000)(rnd.nextDouble() * 100 - 50)
+    val df = vals.toDF("v").repartition(4)
+    val qs = Seq(0.1, 0.5, 0.9, 0.99, 1.0)
+    val got = Profile.quantilesExact(df, "v", qs, bins = 32).collect()
+    val sorted = vals.sorted
+    got.foreach { r =>
+      val (q, quant, est, within) =
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      val pos = math.ceil(q * vals.size).toLong.max(1L).toInt
+      assert(quant == sorted(pos - 1), s"q=$q exact order statistic")
+      assert(within, s"q=$q estimate within one bin")
+      assert(est <= quant, s"q=$q est is the bin lower edge")
+    }
+  }
+
+  test("quantilesExact: all-equal values (zero width) and NULLs") {
+    val df = (Seq.fill(10)(Some(7.5)) :+ (None: Option[Double])).toDF("v")
+    val got = Profile.quantilesExact(df, "v", Seq(0.5, 1.0)).collect()
+    got.foreach { r =>
+      assert(r.getDouble(1) == 7.5 && r.getDouble(2) == 7.5 && r.getBoolean(3))
+    }
+  }
 }
