@@ -89,11 +89,17 @@ object Profile {
     * aggregate broadcast back — never a join between the snapshots,
     * never a per-bucket scan.
     */
+  /** The shared [0,1]-score binning: bucket i covers [i/b, (i+1)/b),
+    * clamped into range so boundary scores can't fall off either end.
+    */
+  def scoreBucket(score: org.apache.spark.sql.Column, buckets: Int)
+      : org.apache.spark.sql.Column =
+    least(greatest(floor(score * buckets), lit(0)), lit(buckets - 1))
+      .cast("int")
+
   def drift(ref: DataFrame, cur: DataFrame,
             score: org.apache.spark.sql.Column, buckets: Int): DataFrame =
-    driftHistogram(ref, cur,
-      least(greatest(floor(score * buckets), lit(0)), lit(buckets - 1))
-        .cast("int"), "bucket")
+    driftHistogram(ref, cur, scoreBucket(score, buckets), "bucket")
 
   /** [[drift]] over a CATEGORICAL key (language, source, format...) —
     * the mix-shift gate: "did this crawl's language distribution move?"
@@ -116,6 +122,15 @@ object Profile {
       .groupBy(col(groupName))
       .agg(sum(when(col("__t") === 0, 1L).otherwise(0L)).as("ref_n"),
         sum(when(col("__t") === 1, 1L).otherwise(0L)).as("cur_n"))
+    chi2Report(h, groupName)
+  }
+
+  /** The drift gate's scoring tail over an already-merged histogram
+    * (groupName, ref_n, cur_n) — shared between the batch gates above
+    * and [[driftServe]]'s merged streaming partials, so both compute
+    * the identical chi-square contributions.
+    */
+  private[graft] def chi2Report(h: DataFrame, groupName: String): DataFrame = {
     val totals = h.agg(sum("ref_n").as("__nr"), sum("cur_n").as("__nc"))
     val e = col("ref_n").cast("double") *
       (col("__nc").cast("double") / col("__nr").cast("double"))
@@ -240,5 +255,41 @@ object Profile {
     }
     import spark.implicits._
     perQ.toDF("q", "quantile", "est", "within_bin").orderBy(col("q"))
+  }
+
+  /** One snapshot's mergeable drift-histogram partial: bucket counts
+    * tagged onto the (ref_n, cur_n) pair so reference and current
+    * batches share one schema and one merge (a SUM per column). The
+    * reference snapshot writes as `asRef = true` (usually once, batch
+    * 0); every monitored ingest batch writes `asRef = false`. Bucket
+    * counts are algebraic, so the merged histogram — and therefore the
+    * chi-square report — is bit-identical to the batch [[drift]] gate
+    * over the same rows, which is exactly what the stream_drift oracle
+    * asserts.
+    */
+  def driftPartials(df: DataFrame, score: org.apache.spark.sql.Column,
+                    buckets: Int, asRef: Boolean): DataFrame = {
+    val n = count(lit(1))
+    df.select(scoreBucket(score, buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg((if (asRef) n else lit(0L)).as("ref_n"),
+        (if (asRef) lit(0L) else n).as("cur_n"))
+  }
+
+  /** Serve the drift gate from committed streaming partials: merge the
+    * committed batches' (bucket, ref_n, cur_n) rows (≤ buckets ×
+    * batches tiny rows — the monitored stream is never rescanned) and
+    * run the shared chi-square tail. Crash/replay semantics are the
+    * [[IncrementalAgg]] contract: an unmarked batch directory is
+    * invisible, a replayed id rewrites exactly its own subtree.
+    */
+  def driftServe(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame = {
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    val h = spark.read.parquet(s"$path/data")
+      .filter(col("batch").isin(state.batches: _*))
+      .groupBy(col("bucket"))
+      .agg(sum(col("ref_n")).as("ref_n"), sum(col("cur_n")).as("cur_n"))
+    chi2Report(h, "bucket")
   }
 }

@@ -264,6 +264,24 @@ object R11Queries {
              |           THEN (d.n_events - x.mean_daily) / x.std
              |           ELSE 0.0 END) > 2.0 AS is_anomaly
              |FROM daily d JOIN x USING (event_type)
-             |ORDER BY d.event_type, d.day""".stripMargin))
+             |ORDER BY d.event_type, d.day""".stripMargin)),
+
+    Q("stream_drift",
+      "Structured Streaming runs the drift gate as an ingest MONITOR: " +
+        "the reference snapshot's 16-bucket score histogram bootstraps " +
+        "batch 0, each micro-batch appends its own bucket-count " +
+        "partial under the commit-marker state machine, and serving " +
+        "merges committed partials through the SAME chi-square tail as " +
+        "the batch gate — bucket counts are algebraic, so " +
+        "stream == batch bit-for-bit and dq_drift's oracle applies " +
+        "verbatim. Per-batch cost is one narrow aggregate; the " +
+        "reference is never rescanned.",
+      (s, d) => {
+        val path = graft.streaming.EventStream.runDriftStream(s, d,
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+            "/graft_stream_drift_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        graft.ops.Profile.driftServe(s, path)
+      },
+      R8Queries.all.find(_.name == "dq_drift").get.oracle)
   )
 }

@@ -497,4 +497,44 @@ object EventStream {
       finally q.stop()
       path
     }
+
+  /** Structured Streaming runs the DRIFT GATE as a monitor: the
+    * reference snapshot's score histogram bootstraps batch 0 (written
+    * once — the reference never rescans), and each arriving micro-batch
+    * appends its own bucket-count partial via
+    * [[graft.ops.Profile.driftPartials]] under the micro-batch id.
+    * Serving merges the committed partials and scores chi-square —
+    * bit-identical to the batch gate over the same rows, because bucket
+    * counts are algebraic and the scoring tail is shared code. This is
+    * the shape a production ingest monitor runs: per-batch cost is one
+    * narrow aggregate of the new files, and "has this feed drifted off
+    * the reference?" is answerable after every micro-batch from
+    * buckets × batches tiny rows.
+    */
+  def runDriftStream(spark: SparkSession, sfDir: String,
+                     path: String): String =
+    withStatePartitions(spark) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val score = graft.ops.TextAnalysis.qualityScore(col("text"))
+      graft.ops.IncrementalAgg.writeBatch(
+        graft.ops.Profile.driftPartials(
+          docs.filter(col("doc_id") % 2 === 0), score, 16, asRef = true),
+        path, 0L)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.ops.IncrementalAgg.writeBatch(
+            graft.ops.Profile.driftPartials(
+              df.filter(col("doc_id") % 2 === 1), score, 16, asRef = false),
+            path, id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
 }

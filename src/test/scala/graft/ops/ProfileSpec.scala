@@ -103,4 +103,32 @@ class ProfileSpec extends SparkSpec {
       assert(r.getDouble(1) == 7.5 && r.getDouble(2) == 7.5 && r.getBoolean(3))
     }
   }
+
+  test("driftServe over committed partials equals the batch gate; an " +
+      "unmarked batch stays invisible until its marked retry") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_driftserve").toString
+    val ref = (1 to 100).map(_ / 100.0).toDF("s")
+    val cur1 = (1 to 40).map(_ / 50.0 / 2).toDF("s")   // skewed low
+    val cur2 = (60 to 99).map(_ / 100.0).toDF("s")     // skewed high
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)))).toList
+    IncrementalAgg.writeBatch(
+      Profile.driftPartials(ref, col("s"), 8, asRef = true), dir, 0L)
+    IncrementalAgg.writeBatch(
+      Profile.driftPartials(cur1, col("s"), 8, asRef = false), dir, 1L)
+    // batch 2 written WITHOUT its marker: a crashed ingest
+    Profile.driftPartials(cur2, col("s"), 8, asRef = false)
+      .write.mode("overwrite").parquet(s"$dir/data/batch=2")
+    assert(rows(Profile.driftServe(spark, dir)) ==
+      rows(Profile.drift(ref, cur1, col("s"), 8)),
+      "serve == batch gate over committed rows only")
+    // marked retry lands the batch; serve now covers both snapshots
+    IncrementalAgg.writeBatch(
+      Profile.driftPartials(cur2, col("s"), 8, asRef = false), dir, 2L)
+    assert(rows(Profile.driftServe(spark, dir)) ==
+      rows(Profile.drift(ref, cur1.union(cur2), col("s"), 8)))
+  }
 }
