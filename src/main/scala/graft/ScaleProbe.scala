@@ -397,6 +397,44 @@ object ScaleProbe {
       .dailyAnomalies(evBase, "event_type", "ts").count())
     time(s"daily anomalies ${mult}x")(graft.ops.EventOps
       .dailyAnomalies(ev, "event_type", "ts").count())
+    // r8c batch 2: correlation matrix = one scan + 1-row exchange
+    // (~linear scans, flat tail); PPR = the pagerank iteration shape;
+    // containment = the jaccard overlap core with a different tail;
+    // rolling active users = one (user, day) dedup + bounded coverage
+    // expansion (cost tracks user-days × Σwindows, not raw events —
+    // the replicas multiply users, so expect ~linear).
+    // fixture pruned to the correlated columns: the operator's scan
+    // prunes anyway; an all-columns cache would time the fixture, not
+    // the op
+    val liBase = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val ln = liBase.count()
+    val li = (0 until mult).map(_ => liBase).reduce(_ unionByName _)
+      .repartition(32).cache()
+    time(s"corr matrix 1x ($ln rows)")(graft.ops.Profile.correlations(
+      liBase, Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .count())
+    time(s"corr matrix ${mult}x")(graft.ops.Profile.correlations(
+      li, Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .count())
+    def pprProbe(df: org.apache.spark.sql.DataFrame, tag: String): Unit =
+      time(s"ppr $tag") {
+        val pairs = Dedup.minhashCandidates(df, "doc_id", "text")
+        val seed = pairs.agg(min(least(col("id_a"), col("id_b"))))
+          .head().getLong(0)
+        graft.ops.Graphs.personalizedPageRank(pairs, "id_a", "id_b", seed)
+          .count()
+      }
+    pprProbe(base, s"1x ($n docs)")
+    pprProbe(docs, s"${mult}x")
+    time(s"containment 1x ($n docs)")(graft.ops.Dedup.containmentPairs(
+      base, "doc_id", "text").count())
+    time(s"containment ${mult}x")(graft.ops.Dedup.containmentPairs(
+      docs, "doc_id", "text").count())
+    time(s"active users 1x ($evn events)")(graft.ops.EventOps
+      .rollingActiveUsers(evBase, "user_id", "ts", Seq(1, 7, 28)).count())
+    time(s"active users ${mult}x")(graft.ops.EventOps
+      .rollingActiveUsers(ev, "user_id", "ts", Seq(1, 7, 28)).count())
     spark.stop()
   }
 }

@@ -347,7 +347,23 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingler: Shingler = Shingler.words(3),
                    threshold: Double = 0.5,
-                   maxShingleDf: Int = 64, sampleHex: Int = 16): DataFrame = {
+                   maxShingleDf: Int = 64, sampleHex: Int = 16): DataFrame =
+    pairOverlap(df, idCol, textCol, shingler, maxShingleDf, sampleHex)
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+
+  /** Shared overlap core for the set-similarity family: per-pair
+    * (id_a < id_b) distinct-shingle intersection size plus both sides'
+    * shingle counts, on the df-capped (and optionally mod-p sampled)
+    * shingle universe. All three columns MUST come from the same
+    * capped universe — capping only the join would deflate numerators
+    * against uncapped denominators.
+    */
+  private def pairOverlap(df: DataFrame, idCol: String, textCol: String,
+                          shingler: Shingler, maxShingleDf: Int,
+                          sampleHex: Int): DataFrame = {
     val (staged, shCol) = shingler.stage(df, textCol)
     val shAll = staged.select(col(idCol).as("id"), explode(shCol).as("sh"))
     // multiple consumers — cache the sampled shingle relation instead of
@@ -357,10 +373,6 @@ object Dedup {
       else shAll.filter(substring(md5(col("sh")), 1, 1) < lit(f"${sampleHex}%x")))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
       .filter(col("df_sh") <= maxShingleDf).select("sh")
-    // Jaccard is computed entirely on the df-capped universe: counts and
-    // common counts MUST use the same shingle set, or capping deflates
-    // the numerator against an uncapped denominator and near-dups vanish
-    // once boilerplate frequency crosses the cap.
     val filtered = graft.core.Caches.track(sh.join(rare, "sh"))
     val counts = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = filtered.as("a")
@@ -370,11 +382,36 @@ object Dedup {
     common
       .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_common", "jaccard")
   }
+
+  /** Near-CONTAINMENT pairs (Broder 1997's asymmetric companion to
+    * Jaccard): |A∩B| / |A| for the SMALLER shingle set A — the measure
+    * that catches a short document embedded in a longer one (a wire
+    * story inside an aggregator page, a quoted post inside a thread),
+    * where symmetric Jaccard stays low because the union is dominated
+    * by the container. Emits one row per pair in the contained →
+    * container direction: (contained, container, n_common, containment)
+    * with containment = n_common / n_contained ≥ threshold; the
+    * contained side is the smaller set (ties → lower id), whose
+    * containment is necessarily the larger of the two directions. Same
+    * df-capped overlap core and scale guards as [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingler: Shingler = Shingler.words(3),
+                       threshold: Double = 0.8,
+                       maxShingleDf: Int = 64, sampleHex: Int = 16): DataFrame =
+    pairOverlap(df, idCol, textCol, shingler, maxShingleDf, sampleHex)
+      .select(
+        when(col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("id_a") < col("id_b")),
+          col("id_a")).otherwise(col("id_b")).as("contained"),
+        when(col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("id_a") < col("id_b")),
+          col("id_b")).otherwise(col("id_a")).as("container"),
+        col("n_common"),
+        (col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
 
   /** Benchmark decontamination: flag TRAIN documents sharing at least
     * `minCommon` distinct shingles with any BENCHMARK document — the

@@ -80,6 +80,87 @@ object Funnel {
         advance, _.getField("d")).as("depth"))
   }
 
+  /** Per-user matched-stage TIMESTAMPS: (user, times array) where
+    * times(i) is when the greedy earliest-match chain reached stage
+    * i+1 (array length = the user's depth). Same single user-key
+    * exchange and in-row fold as [[userDepths]], with the accumulator
+    * carrying the matched-time list (≤ |stages| entries — bounded row
+    * state); times(i) equals the min-ts chain recurrence's i-th value
+    * by the same greedy-earliest argument the funnel property test
+    * pins. This is the input to conversion-TIMING analytics: stage
+    * gaps, time-to-convert distributions.
+    */
+  def userStageTimes(events: DataFrame, userCol: String, tsCol: String,
+                     stageCol: String, stages: Seq[String],
+                     maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    val relevant = events
+      .filter(col(stageCol).isin(stages: _*))
+      .select(col(userCol), col(tsCol).as("__ts"), col(stageCol).as("__st"))
+    val tsType = relevant.schema("__ts").dataType
+    val sorted = relevant.groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(col("__ts").as("ts"),
+        col("__st").as("st")))).as("__evs"))
+    val stageArr = typedlit(stages)
+    val advance = (acc: Column, x: Column) => {
+      val inWindow = maxGapSeconds match {
+        case None => lit(true)
+        case Some(g) =>
+          acc.getField("last").isNull ||
+            unix_micros(x.getField("ts")) -
+              unix_micros(acc.getField("last")) <= g * 1000000L
+      }
+      val hit = try_element_at(stageArr, acc.getField("d") + 1) === x.getField("st") &&
+        (acc.getField("last").isNull || x.getField("ts") > acc.getField("last")) &&
+        inWindow
+      when(hit, struct((acc.getField("d") + 1).as("d"),
+        x.getField("ts").as("last"),
+        concat(acc.getField("times"), array(x.getField("ts"))).as("times")))
+        .otherwise(acc)
+    }
+    sorted.select(col(userCol),
+      aggregate(col("__evs"),
+        struct(lit(0).as("d"), lit(null).cast(tsType).as("last"),
+          array().cast(org.apache.spark.sql.types.ArrayType(tsType))
+            .as("times")),
+        advance, _.getField("times")).as("times"))
+  }
+
+  /** Conversion-TIMING report: one row per adjacent stage transition —
+    * (from_idx, stage_from, stage_to, n_converted, mean_gap_s,
+    * p50_gap_s) over the users whose greedy chain reached the later
+    * stage. Gaps are exact integer MICROSECONDS from
+    * [[userStageTimes]] (the funnel family's no-float-drift
+    * discipline); the mean divides an exact decimal-staged sum, and
+    * the median interpolates on integers (percentile ≡ quantile_cont —
+    * the one interpolation both engines define identically). Plan: the
+    * one user-key exchange, a bounded per-user explode (≤ |stages|−1
+    * rows), one aggregate.
+    */
+  def funnelTiming(events: DataFrame, userCol: String, tsCol: String,
+                   stageCol: String, stages: Seq[String],
+                   maxGapSeconds: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val times = userStageTimes(events, userCol, tsCol, stageCol, stages,
+      maxGapSeconds)
+    val trans = (1 until stages.size).map { i =>
+      struct(lit(i).as("from_idx"),
+        lit(stages(i - 1)).as("stage_from"), lit(stages(i)).as("stage_to"),
+        (unix_micros(try_element_at(col("times"), lit(i + 1))) -
+          unix_micros(try_element_at(col("times"), lit(i)))).as("gap_us"))
+    }
+    times.select(explode(array(trans: _*)).as("t"))
+      .select(col("t.from_idx"), col("t.stage_from"), col("t.stage_to"),
+        col("t.gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("from_idx"), col("stage_from"), col("stage_to"))
+      .agg(count(lit(1)).as("n_converted"),
+        (sum(col("gap_us").cast(DecimalType(38, 0))).cast("double") /
+          count(lit(1)) / lit(1000000.0)).as("mean_gap_s"),
+        (expr("percentile(gap_us, 0.5)") / lit(1000000.0)).as("p50_gap_s"))
+      .orderBy(col("from_idx"))
+  }
+
   /** The funnel report: one row per stage — (stage_idx, stage, n_users
     * reaching that stage in order). The per-stage counts are ONE
     * conditional-aggregation pass over [[userDepths]] (the

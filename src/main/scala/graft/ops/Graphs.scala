@@ -81,6 +81,48 @@ object Graphs {
     ranks.select(col("id"), col("r").as("pagerank")).orderBy(col("id"))
   }
 
+  /** PERSONALIZED PageRank (Page et al. 1999 §6; the random surfer
+    * teleports back to ONE seed node instead of anywhere): proximity of
+    * every node to the seed through the graph's structure — on the
+    * near-dup graph this ranks "documents related to this one" beyond
+    * its direct neighbors, the walk-based related-items query every
+    * similarity graph eventually serves. Same per-iteration plan as
+    * [[pageRank]] (cached pre-partitioned edge list, only the
+    * nodes-sized rank relation shuffles, decimal-staged mass sums); the
+    * only deltas are the restart vector — rank starts as the seed's
+    * indicator — and the teleport term landing solely on the seed.
+    * Ranks therefore sum to ~1 concentrated around the seed; nodes
+    * unreachable from it stay at exactly 0.
+    */
+  def personalizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
+                           seed: Long, damping: Double = 0.85,
+                           iters: Int = 3): DataFrame = {
+    require(iters >= 1, "at least one power iteration")
+    val dec = DecimalType(38, 14)
+    val edges = graft.core.Caches.track(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = graft.core.Caches.track(
+      edges.join(deg, "src").repartition(col("src")))
+    def teleport(id: Column): Column =
+      when(id === seed, lit(1.0 - damping)).otherwise(lit(0.0))
+    var ranks = deg.select(col("src").as("id"),
+      when(col("src") === seed, lit(1.0)).otherwise(lit(0.0)).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"), (col("r") / col("deg")).as("__c"))
+      ranks = contribs.groupBy(col("dst").as("id"))
+        .agg(sum(col("__c").cast(dec)).cast("double").as("__s"))
+        .select(col("id"),
+          (lit(damping) * col("__s") + teleport(col("id"))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r").as("ppr")).orderBy(col("id"))
+  }
+
   /** Per-vertex triangle counts + local clustering coefficient over the
     * UNDIRECTED graph given by `pairs` (each row one edge; deduplicated
     * here) — the structural signal a dedup graph analysis wants next

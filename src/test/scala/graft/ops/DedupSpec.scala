@@ -153,6 +153,27 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("containmentPairs: a short doc inside a long one scores 1.0 " +
+      "where Jaccard stays low; direction points contained -> container") {
+    // doc 2's whole text is a substring of doc 1: every word 3-gram of
+    // 2 appears in 1, but 1 has many more shingles
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val small = "delta epsilon zeta eta theta"
+    val df = Seq((1L, big), (2L, small), (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text",
+      Dedup.Shingler.words(3), threshold = 0.9, maxShingleDf = 64).collect()
+    assert(cont.length == 1)
+    assert(cont(0).getAs[Long]("contained") == 2L &&
+      cont(0).getAs[Long]("container") == 1L)
+    assert(cont(0).getAs[Double]("containment") == 1.0)
+    // the same pair stays below a symmetric-Jaccard near-dup bar
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text",
+      Dedup.Shingler.words(3), threshold = 0.5, maxShingleDf = 64).collect()
+    assert(jac.isEmpty, "containment must catch what Jaccard misses")
+  }
+
   test("survivorsByScore keeps the best-quality row per cluster, ties to " +
       "the lowest id — not the min-id default") {
     import org.apache.spark.sql.functions.col

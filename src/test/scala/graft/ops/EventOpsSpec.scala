@@ -95,6 +95,28 @@ class EventOpsSpec extends SparkSpec {
       (1L, "2024-01-05", 0L, 1.0)))  // after last fact: carried
   }
 
+  test("rollingActiveUsers: window extension counts a user once, " +
+      "cover days clip at the data's last day") {
+    // user 1 active on day 1 and 2; user 2 on day 1 only; last day = 3
+    val e = ev(
+      (1L, 1L, "2024-01-01 08:00:00", "view", 0.0),
+      (2L, 1L, "2024-01-01 09:00:00", "view", 0.0), // same user+day: dedup
+      (3L, 1L, "2024-01-02 08:00:00", "view", 0.0),
+      (4L, 2L, "2024-01-01 08:00:00", "view", 0.0),
+      (5L, 3L, "2024-01-03 08:00:00", "view", 0.0))
+    val g = EventOps.rollingActiveUsers(e, "user_id", "ts", Seq(1, 3))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(g == Map(
+      (1, "2024-01-01") -> 2L,  // users 1, 2
+      (1, "2024-01-02") -> 1L,  // user 1
+      (1, "2024-01-03") -> 1L,  // user 3
+      (3, "2024-01-01") -> 2L,
+      (3, "2024-01-02") -> 2L,  // 1 (active twice in window: once) + 2
+      (3, "2024-01-03") -> 3L), // all three within the trailing 3 days
+      s"got $g")
+  }
+
   test("dailyAnomalies: the spike day flags, steady days don't, " +
       "constant series z-scores 0") {
     // type a: 1 event/day for 10 days, then a 6-event spike on day 11

@@ -34,6 +34,23 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank: mass concentrates at the seed, " +
+      "disconnected component stays exactly 0, total mass 1") {
+    // path 1-2-3 (seed 1) plus an isolated pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val r = Graphs.personalizedPageRank(pairs, "a", "b", seed = 1L,
+        damping = 0.85, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(5L) == 0.0 && r(6L) == 0.0, "unreachable nodes exactly 0")
+    // the seed dominates; 2 and 3 need not order by distance (degree
+    // effects: 2 splits its mass both ways, the path end keeps it)
+    assert(r(1L) > r(2L) && r(1L) > r(3L),
+      s"the seed outranks the rest: $r")
+    assert(r(2L) > 0 && r(3L) > 0, "reachable nodes get mass")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      "teleport-to-seed preserves total mass")
+  }
+
   test("triangles: K4 minus an edge — per-vertex counts and LCC") {
     // K4 on 1..4 without edge (3,4): triangles {1,2,3} and {1,2,4}
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))

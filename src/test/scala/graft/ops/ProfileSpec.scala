@@ -104,6 +104,39 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("correlations: perfect linear ±1, zero-variance NULL, " +
+      "complete-case n") {
+    val df = Seq(
+      (1.0, 5.0, 10.0, Some(1.0)),
+      (2.0, 7.0, 8.0, Some(2.0)),
+      (3.0, 9.0, 6.0, None),
+      (4.0, 11.0, 4.0, Some(4.0))).toDF("x", "y", "z", "w")
+    // complete-case drops the None row everywhere
+    val got = Profile.correlations(df, Seq("x", "y", "z", "w")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got.size == 6)
+    assert(got.values.forall(_._1 == 3L), "n = complete cases")
+    assert(math.abs(got(("x", "y"))._2.get - 1.0) < 1e-12, "y = 2x+3")
+    assert(math.abs(got(("x", "z"))._2.get + 1.0) < 1e-12, "z = -2x+12")
+    assert(math.abs(got(("x", "w"))._2.get - 1.0) < 1e-12)
+    // constant column over the complete cases: NULL, not NaN
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "b")
+    val g2 = Profile.correlations(const, Seq("a", "b")).collect()
+    assert(g2.length == 1 && g2.head.isNullAt(3))
+  }
+
+  test("correlations: values quantize to the 0.01 grid (documented " +
+      "contract)") {
+    // sub-cent noise must not move the result: corr of the quantized
+    // values is exactly 1
+    val df = Seq((1.001, 2.004), (2.004, 4.001), (2.996, 6.004))
+      .toDF("a", "b")
+    val g = Profile.correlations(df, Seq("a", "b")).collect().head
+    assert(math.abs(g.getDouble(3) - 1.0) < 1e-9)
+  }
+
   test("driftServe over committed partials equals the batch gate; an " +
       "unmarked batch stays invisible until its marked retry") {
     import org.apache.spark.sql.functions.col
