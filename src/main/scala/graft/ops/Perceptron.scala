@@ -98,4 +98,46 @@ object Perceptron {
       .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
         ((col("tp") + col("tn")).cast("double") / col("n")).as("accuracy"))
   }
+
+  /** CALIBRATION report — the reliability diagram's table: rows
+    * bucketed into margin quintiles (boundaries from one exact
+    * percentile aggregate, broadcast back, assigned by comparison —
+    * the RFM no-global-sort pattern), each bucket reporting its size,
+    * positive fraction, and mean margin. A well-calibrated scorer's
+    * positive fraction rises monotonically with the margin bucket;
+    * a flat curve means the margin carries no signal — the check a
+    * learned quality filter runs before its scores become sampling
+    * weights. Margins are integers (the perceptron family's exact-
+    * arithmetic discipline), so boundaries, bucket assignment, counts,
+    * and the decimal-staged mean are all engine-identical.
+    */
+  def calibration(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                  weights: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(weights.size == featureCols.size + 1,
+      "bias + one weight per feature")
+    val score = featureCols.zipWithIndex.foldLeft(lit(weights.head): Column) {
+      case (acc, (c, i)) => acc + lit(weights(i + 1)) * col(c).cast("long")
+    }
+    val scored = graft.core.Caches.track(
+      df.select(col(labelCol).cast("long").as("__y"), score.as("__m")))
+    val th = scored.agg(
+      percentile(col("__m"), typedlit(Seq(0.2, 0.4, 0.6, 0.8))).as("__t"))
+    val bucket = (1 to 4).foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col("__m").cast("double") > element_at(col("__t"), i), 1L)
+        .otherwise(0L)
+    }
+    scored.crossJoin(broadcast(th))
+      .select(bucket.as("bucket"), col("__y"), col("__m"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__y") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("n_pos"),
+        (sum(col("__m").cast(DecimalType(38, 0))).cast("double") /
+          count(lit(1))).as("mean_margin"))
+      .withColumn("frac_pos", col("n_pos").cast("double") / col("n"))
+      .select(col("bucket"), col("n"), col("n_pos"), col("frac_pos"),
+        col("mean_margin"))
+      .orderBy(col("bucket"))
+  }
 }

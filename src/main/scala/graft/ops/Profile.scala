@@ -257,6 +257,81 @@ object Profile {
     perQ.toDF("q", "quantile", "est", "within_bin").orderBy(col("q"))
   }
 
+  /** [[quantilesExact]] PER KEY — grouped exact quantiles with no
+    * per-key scans and no global sort, for bounded-cardinality keys
+    * (the stratified-operator contract): one pass computes every key's
+    * (n, lo, hi); one pass builds every key's equi-width histogram
+    * (per-key bin geometry via a broadcast stats join — ≤ keys×bins
+    * tiny rows collected); the driver locates each (key, q) order
+    * statistic's bin; and ONE final pass reads every exact value
+    * together — the target (key, bin, pos) set broadcast-joins onto
+    * the rows, and a window partitioned by (key, bin) ranks only the
+    * ~n/bins-rows-per-target subset. Three scans total for ANY number
+    * of keys × quantiles, vs keys×qs filtered scans for the naive
+    * per-key loop. NULL values are excluded; NULL keys are excluded
+    * (the gate-key dimension contract, as [[outlierGate]]).
+    */
+  def quantilesByKey(df: DataFrame, keyCol: String, valueCol: String,
+                     qs: Seq[Double], bins: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0,1]")
+    require(bins >= 2, "at least two bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = graft.core.Caches.track(
+      df.select(col(keyCol).cast("string").as("__k"),
+          col(valueCol).cast("double").as("__v"))
+        .filter(col("__k").isNotNull && col("__v").isNotNull))
+    val stats = vals.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), min(col("__v")).as("__lo"),
+        max(col("__v")).as("__hi"))
+    val statRows = stats.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    def binColFor(lo: org.apache.spark.sql.Column,
+                  width: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      when(width === 0.0, lit(0))
+        .otherwise(least(floor((col("__v") - lo) / width), lit(bins - 1))
+          .cast("int"))
+    val withBin = vals.join(broadcast(stats), Seq("__k"))
+      .withColumn("__w", (col("__hi") - col("__lo")) / bins)
+      .withColumn("__b", binColFor(col("__lo"), col("__w")))
+    val hist = withBin.groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // driver: locate each (key, q)'s bin + in-bin position
+    val targets = for {
+      (k, (n, lo, hi)) <- statRows.toSeq
+      q <- qs
+    } yield {
+      val width = (hi - lo) / bins
+      val pos = math.ceil(q * n).toLong max 1L
+      val cum = (0 until bins).scanLeft(0L)((acc, b) =>
+        acc + hist.getOrElse((k, b), 0L)).drop(1)
+      val bin = cum.indexWhere(_ >= pos)
+      val posInBin = pos - (if (bin == 0) 0L else cum(bin - 1))
+      require(posInBin <= Int.MaxValue,
+        s"bin for ($k, q=$q) holds >2^31 rows before the target — raise `bins`")
+      val est = if (width == 0.0) lo else lo + bin * width
+      (k, q, bin, posInBin, est, if (width == 0.0) 0.0 else width)
+    }
+    val tdf = targets.toDF("__k", "q", "__b", "__pos", "est", "__w2")
+    // the one residual pass: rank only rows in targeted (key, bin) cells
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"), col("__b")).orderBy(col("__v"))
+    withBin.join(broadcast(tdf.select(col("__k"), col("__b")).distinct()),
+        Seq("__k", "__b"), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(tdf),
+        Seq("__k", "__b")) // row qualifies for any target in its cell
+      .filter(col("__rn") === col("__pos"))
+      .select(col("__k").as("key"), col("q"), col("__v").as("quantile"),
+        col("est"),
+        (abs(col("__v") - col("est")) <= col("__w2")).as("within_bin"))
+      .orderBy(col("key"), col("q"))
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns in ONE
     * scan — the feature-redundancy profile a curation pipeline checks
     * before trusting a scorer ("is this quality signal just length

@@ -119,7 +119,7 @@ object R10Queries {
   /** The perceptron fixture: ±1 label (lang='en') and integer count
     * features over documents — shared by train and eval.
     */
-  private def perceptronDocs(s: org.apache.spark.sql.SparkSession,
+  private[queries] def perceptronDocs(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d).select(
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
@@ -134,7 +134,7 @@ object R10Queries {
     * ml_perceptron and ml_perceptron_eval oracles so training can never
     * drift between them.
     */
-  private val perceptronCtes: String = {
+  private[queries] val perceptronCtes: String = {
     val epochs = (1 to 3).map { e =>
       s"""m$e AS (
          |  SELECT count(*) AS n,

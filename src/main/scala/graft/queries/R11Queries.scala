@@ -550,6 +550,92 @@ object R11Queries {
              |  cast(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0,
              |  quantile_cont(gap_us, 0.5) / 1000000.0
              |FROM g2
-             |ORDER BY from_idx""".stripMargin))
+             |ORDER BY from_idx""".stripMargin)),
+
+    Q("dq_quantiles_by",
+      "Grouped exact quantiles — dq_quantiles per event type, with no " +
+        "per-key scans: one stats pass, one per-key-geometry histogram " +
+        "pass (keys x bins tiny rows), driver bin location, then ONE " +
+        "residual pass ranks only the targeted (key, bin) cells via a " +
+        "broadcast-semi-join + bounded window. Three scans for any " +
+        "number of keys x quantiles; est/within_bin hash-check the " +
+        "per-key sketch geometry like the global gate.",
+      (s, d) => Profile.quantilesByKey(Tables.events(s, d),
+        "event_type", "value", Seq(0.5, 0.9, 0.99), bins = 256),
+      Some("""WITH v AS (
+             |  SELECT event_type AS k, value::DOUBLE AS v FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |st AS (
+             |  SELECT k, count(*) AS n, min(v) AS lo, max(v) AS hi
+             |  FROM v GROUP BY k),
+             |qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)),
+             |r AS (
+             |  SELECT k, v,
+             |    row_number() OVER (PARTITION BY k ORDER BY v) AS rn
+             |  FROM v),
+             |ex AS (
+             |  SELECT st.k, qs.q, st.lo, st.hi,
+             |    (SELECT r.v FROM r WHERE r.k = st.k
+             |     AND rn = greatest(CAST(ceil(qs.q * st.n) AS BIGINT), 1))
+             |      AS quantile
+             |  FROM st, qs)
+             |SELECT k AS key, q, quantile,
+             |  CASE WHEN hi = lo THEN lo
+             |       ELSE lo + least(floor((quantile - lo) /
+             |                             ((hi - lo) / 256.0)), 255) *
+             |            ((hi - lo) / 256.0) END AS est,
+             |  abs(quantile -
+             |    (CASE WHEN hi = lo THEN lo
+             |          ELSE lo + least(floor((quantile - lo) /
+             |                                ((hi - lo) / 256.0)), 255) *
+             |               ((hi - lo) / 256.0) END))
+             |    <= (CASE WHEN hi = lo THEN 0.0
+             |             ELSE (hi - lo) / 256.0 END) AS within_bin
+             |FROM ex
+             |ORDER BY key, q""".stripMargin)),
+
+    Q("ml_calibration",
+      "Calibration (reliability) report for the trained perceptron: " +
+        "rows bucket into margin QUINTILES (boundaries from one exact " +
+        "percentile aggregate broadcast back — the RFM no-global-sort " +
+        "pattern), each bucket reporting size, positive fraction, and " +
+        "mean margin. Monotone frac_pos across buckets = the score " +
+        "carries signal; flat = it doesn't — the check a learned " +
+        "quality filter passes before its scores become sampling " +
+        "weights. Margins are integers, so every number replays " +
+        "bit-for-bit through the oracle's unrolled training.",
+      (s, d) => {
+        val docs = R10Queries.perceptronDocs(s, d)
+        val trained = graft.ops.Perceptron.train(docs,
+          Seq("toks", "chars", "punct"), "y", epochs = 3)
+          .collect().maxBy(_.getLong(0))
+        graft.ops.Perceptron.calibration(docs,
+          Seq("toks", "chars", "punct"), "y", (3 to 6).map(trained.getLong))
+      },
+      Some {
+        val bucket = "1 + (CASE WHEN m > t[1] THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN m > t[2] THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN m > t[3] THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN m > t[4] THEN 1 ELSE 0 END)"
+        s"""WITH ${R10Queries.perceptronCtes},
+           |sc AS (
+           |  SELECT y, CAST(w.b + w.wt * toks + w.wc * chars +
+           |    w.wp * punct AS BIGINT) AS mi,
+           |    CAST(w.b + w.wt * toks + w.wc * chars +
+           |    w.wp * punct AS DOUBLE) AS m
+           |  FROM f, w3 w),
+           |th AS (SELECT quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS t
+           |       FROM sc)
+           |SELECT CAST($bucket AS BIGINT) AS bucket,
+           |  count(*) AS n,
+           |  CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT)
+           |    AS n_pos,
+           |  CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0) AS DOUBLE)
+           |    / count(*) AS frac_pos,
+           |  CAST(sum(mi) AS DOUBLE) / count(*) AS mean_margin
+           |FROM sc, th
+           |GROUP BY 1
+           |ORDER BY bucket""".stripMargin
+      })
   )
 }

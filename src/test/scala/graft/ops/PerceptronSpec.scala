@@ -52,4 +52,22 @@ class PerceptronSpec extends SparkSpec {
     assert(out.getLong(3) == 0L)
     assert(out.getLong(4) == -2L)
   }
+
+  test("calibration: a perfectly separating margin gives monotone " +
+      "frac_pos 0 -> 1 across buckets; counts and means exact") {
+    // margin = x (weights b=0, w=1); y = sign-correlated perfectly
+    val rows = (1 to 50).map(i => (if (i > 25) 1L else -1L, i.toLong))
+    val df = rows.toDF("y", "x")
+    val g = Perceptron.calibration(df, Seq("x"), "y", Seq(0L, 1L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(g.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(g.values.map(_._1).sum == 50L, "buckets partition the rows")
+    val fracs = (1L to 5L).map(b => g(b)._3)
+    assert(fracs == fracs.sorted, s"monotone frac_pos: $fracs")
+    assert(g(1L)._3 == 0.0 && g(5L)._3 == 1.0)
+    // bucket 1 = margins 1..10 -> mean 5.5
+    assert(g(1L)._4 == 5.5, s"exact mean margin: ${g(1L)._4}")
+  }
 }

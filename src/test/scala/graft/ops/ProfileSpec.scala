@@ -137,6 +137,29 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(g.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("quantilesByKey: per-key brute-force order statistics; NULL " +
+      "key/value excluded; constant key handled") {
+    val rnd = new scala.util.Random(5)
+    val a = Seq.fill(500)(("a", Some(rnd.nextDouble() * 10)))
+    val b = Seq.fill(300)(("b", Some(rnd.nextDouble() * 1000 - 500)))
+    val c = Seq.fill(10)(("c", Some(42.0)))
+    val noise = Seq((null.asInstanceOf[String], Some(1.0)), ("a", None))
+    val df = (a ++ b ++ c ++ noise).toDF("k", "v")
+    val qs = Seq(0.25, 0.5, 0.99)
+    val got = Profile.quantilesByKey(df, "k", "v", qs, bins = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getDouble(2), r.getBoolean(4)))).toMap
+    assert(got.size == 9)
+    val byKey = Map("a" -> a.map(_._2.get), "b" -> b.map(_._2.get),
+      "c" -> c.map(_._2.get))
+    for ((k, vs) <- byKey; q <- qs) {
+      val sorted = vs.sorted
+      val pos = math.ceil(q * vs.size).toLong.max(1L).toInt
+      assert(got((k, q))._1 == sorted(pos - 1), s"($k, $q) exact")
+      assert(got((k, q))._2, s"($k, $q) within one bin")
+    }
+  }
+
   test("driftServe over committed partials equals the batch gate; an " +
       "unmarked batch stays invisible until its marked retry") {
     import org.apache.spark.sql.functions.col
