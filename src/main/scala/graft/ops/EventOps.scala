@@ -252,6 +252,50 @@ object EventOps {
       .orderBy(col("window_days"), col("day"))
   }
 
+  /** [[rollingActiveUsers]]'s SKETCH path — the shape the exact
+    * operator's doc names as the 100 TB alternative: ONE scan builds a
+    * per-day HLL sketch of the user set (days-sized output), and every
+    * (window, day) estimate is a union of ≤ window daily sketches —
+    * distinct counts don't merge across days, sketches do, so the
+    * sliding union never rescans events and adding a window length
+    * costs only more tiny sketch rows. Output carries the EXACT count
+    * (hash-checked cross-engine, from the exact operator) plus a
+    * boolean gating the estimate within `tol` of it — the ev_sketch
+    * bounded-error pattern: a broken union fails the round, in-bound
+    * sketch wobble does not.
+    */
+  def rollingActiveUsersSketch(events: DataFrame, userCol: String,
+                               tsCol: String, windows: Seq[Int],
+                               tol: Double = 0.05): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1), "windows >= 1 day")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daySk = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
+      .groupBy(col("__day"))
+      .agg(expr("hll_sketch_agg(__u, 12)").as("__sk"))
+    val bounds = daySk.agg(max(col("__day")).as("__d1"))
+    val wdf = windows.sorted.toDF("window_days")
+    val est = daySk.crossJoin(broadcast(wdf))
+      .select(col("window_days"),
+        explode(sequence(col("__day"),
+          date_add(col("__day"), col("window_days") - lit(1)))).as("__cover"),
+        col("__sk"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("__cover") <= col("__d1"))
+      .groupBy(col("window_days"), col("__cover"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk, false))")
+        .as("__est"))
+      .select(col("window_days"),
+        date_format(col("__cover"), "yyyy-MM-dd").as("day"), col("__est"))
+    rollingActiveUsers(events, userCol, tsCol, windows)
+      .join(est, Seq("window_days", "day"))
+      .select(col("window_days"), col("day"), col("active_users"),
+        (abs(col("__est") - col("active_users")) /
+          col("active_users") < tol).as("hll_within_tol"))
+      .orderBy(col("window_days"), col("day"))
+  }
+
   /** Volume-anomaly detection on the daily event stream: each
     * (key, day) count is z-scored against ITS OWN key's day-count
     * distribution, and days beyond `z` standard deviations flag — the

@@ -306,6 +306,44 @@ object Retrieval {
       .select(col(idCol), col("n_matches"))
   }
 
+  /** PROXIMITY ranking from the positional index: documents containing
+    * BOTH query terms, ranked by how close together they occur —
+    * min |posA − posB| over all occurrence pairs, scored 1/(1+gap).
+    * The ranking signal between exact-phrase (gap constraint = 1,
+    * ordered) and bag-of-words BM25 (no position signal at all):
+    * "spark … vector" three words apart outranks a doc mentioning the
+    * terms in different paragraphs. Plan: the postings scan reads ONLY
+    * the two terms' rows (pushed filter on the term-ranged layout), a
+    * doc-keyed 2-row pivot, and the min-gap scan runs INSIDE the row
+    * over the two position arrays (O(tfA·tfB) with per-term tf bounded
+    * by the indexer's df discipline); TakeOrderedAndProject tail, never
+    * a global sort, corpus never touched.
+    */
+  def proximityFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, idCol: String, termA: String,
+                         termB: String, k: Int): DataFrame = {
+    require(termA != termB, "two distinct terms")
+    val posts = readPostings(spark, path, idCol, servedState(spark, path))
+      .filter(col("term").isin(termA, termB))
+    val byDoc = posts.groupBy(col(idCol))
+      .agg(
+        first(when(col("term") === termA, col("positions")),
+          ignoreNulls = true).as("__pa"),
+        first(when(col("term") === termB, col("positions")),
+          ignoreNulls = true).as("__pb"))
+      .filter(col("__pa").isNotNull && col("__pb").isNotNull)
+    val minGap = aggregate(col("__pa"), lit(Int.MaxValue),
+      (acc, p) => least(acc, aggregate(col("__pb"), lit(Int.MaxValue),
+        (acc2, q) => least(acc2, abs(p - q)))))
+    byDoc
+      .select(col(idCol), size(col("__pa")).cast("long").as("tf_a"),
+        size(col("__pb")).cast("long").as("tf_b"),
+        minGap.cast("long").as("min_gap"))
+      .withColumn("prox_score", lit(1.0) / (lit(1.0) + col("min_gap")))
+      .orderBy(col("prox_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact phrase search: documents containing the words of `phrase`
     * ADJACENT and IN ORDER, with the match count per document. Runs as a
     * single scan-stage expression; no shuffle, no self-join. (The

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, EventOps, Frequent, Graphs, Profile, Similarity}
+import graft.ops.{Dedup, EventOps, Frequent, Graphs, Profile, Retrieval, Similarity}
 
 /** Round-8 session, part 3: graph structure beyond PageRank (triangle
   * counting / clustering coefficients), the dimensionality-reduction
@@ -636,6 +636,70 @@ object R11Queries {
            |FROM sc, th
            |GROUP BY 1
            |ORDER BY bucket""".stripMargin
-      })
+      }),
+
+    Q("ev_active_users_sketch",
+      "The rolling-active-users SKETCH path — what actually ships at " +
+        "100 TB: one scan builds a per-day HLL of the user set, and " +
+        "every (window, day) cell is a union of <= window daily " +
+        "sketches (distinct counts don't merge across days; sketches " +
+        "do), so the sliding union never rescans events. Output " +
+        "carries the exact count plus the ev_sketch bounded-error " +
+        "boolean: a broken union fails the round, in-bound wobble " +
+        "doesn't.",
+      (s, d) => EventOps.rollingActiveUsersSketch(Tables.events(s, d),
+        "user_id", "ts", Seq(1, 7, 28), tol = 0.05),
+      Some("""WITH daily AS (
+             |  SELECT DISTINCT user_id AS u, ts::DATE AS day FROM events),
+             |b AS (SELECT max(day) AS d1 FROM daily),
+             |w(w) AS (VALUES (1), (7), (28)),
+             |ks AS (SELECT cast(k AS INTEGER) AS k
+             |       FROM generate_series(0, 27) g(k)),
+             |cov AS (
+             |  SELECT DISTINCT w.w, daily.u, daily.day + ks.k AS cover
+             |  FROM daily, w, ks WHERE ks.k < w.w),
+             |clipped AS (SELECT * FROM cov, b WHERE cover <= d1)
+             |SELECT w AS window_days, strftime(cover, '%Y-%m-%d') AS day,
+             |  count(*) AS active_users, true AS hll_within_tol
+             |FROM clipped
+             |GROUP BY w, cover
+             |ORDER BY window_days, day""".stripMargin)),
+
+    Q("ta_proximity",
+      "Proximity ranking from the positional at-rest index — the " +
+        "signal between exact phrase (gap = 1, ordered) and " +
+        "bag-of-words BM25 (no positions): docs containing BOTH query " +
+        "terms ranked by min |posA - posB| over occurrence pairs, " +
+        "scored 1/(1+gap). Postings scan reads only the two terms' " +
+        "rows (pushed term filter), a doc-keyed 2-row pivot, min-gap " +
+        "computed INSIDE the row over the two position arrays, " +
+        "TakeOrderedAndProject tail — the corpus is never touched.",
+      (s, d) => {
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_prox_idx_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Retrieval.writeIndex(Tables.documents(s, d), "doc_id", "text", path)
+        Retrieval.proximityFromIndex(s, path, "doc_id", "spark", "vector",
+          k = 15)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                x -> x <> '') AS ws
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+             |  FROM w),
+             |pa AS (SELECT doc_id, i FROM px WHERE ws[i] = 'spark'),
+             |pb AS (SELECT doc_id, i FROM px WHERE ws[i] = 'vector'),
+             |ta AS (SELECT doc_id, count(*) AS tf_a FROM pa GROUP BY 1),
+             |tb AS (SELECT doc_id, count(*) AS tf_b FROM pb GROUP BY 1),
+             |g AS (
+             |  SELECT pa.doc_id, min(abs(pa.i - pb.i)) AS min_gap
+             |  FROM pa JOIN pb USING (doc_id) GROUP BY 1)
+             |SELECT g.doc_id, ta.tf_a, tb.tf_b, g.min_gap,
+             |  1.0::DOUBLE / (1.0::DOUBLE + g.min_gap) AS prox_score
+             |FROM g JOIN ta USING (doc_id) JOIN tb USING (doc_id)
+             |ORDER BY prox_score DESC, g.doc_id
+             |LIMIT 15""".stripMargin))
   )
 }

@@ -117,6 +117,24 @@ class EventOpsSpec extends SparkSpec {
       s"got $g")
   }
 
+  test("rollingActiveUsersSketch: estimates gate within tolerance and " +
+      "exact counts match the exact operator") {
+    val e = ev((1 to 60).map(i =>
+      (i.toLong, (i % 20).toLong, f"2024-01-${i % 5 + 1}%02d 08:00:00",
+        "view", 0.0)): _*)
+    val exact = EventOps.rollingActiveUsers(e, "user_id", "ts", Seq(1, 3))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val g = EventOps.rollingActiveUsersSketch(e, "user_id", "ts", Seq(1, 3))
+      .collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(2) == exact((r.getInt(0), r.getString(1))),
+        "exact column must equal the exact operator")
+      assert(r.getBoolean(3), s"HLL estimate within tolerance: $r")
+    }
+  }
+
   test("dailyAnomalies: the spike day flags, steady days don't, " +
       "constant series z-scores 0") {
     // type a: 1 event/day for 10 days, then a 6-event spike on day 11

@@ -413,4 +413,27 @@ class RetrievalSpec extends SparkSpec {
     // minCount above any pair count -> empty
     assert(LmSignals.pmiCollocations(docs, "text", 21L, 10).isEmpty)
   }
+
+  test("proximityFromIndex: min gap over occurrence pairs, both terms " +
+      "required, adjacent beats distant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gap gap gap alpha"),  // min |posA-posB| = 1
+      (2L, "beta x x x x x x alpha beta"),   // gaps 7 and 1 -> 1
+      (3L, "alpha x x x beta"),              // gap 4
+      (4L, "alpha only here"),               // missing beta: excluded
+      (5L, "beta only here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_proxspec").toString + "/idx"
+    Retrieval.writeIndex(docs, "doc_id", "text", dir)
+    val got = Retrieval.proximityFromIndex(spark, dir, "doc_id",
+        "alpha", "beta", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((2L, 1L, 1L, 0.5)))
+    assert(got(2L) == ((1L, 2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 1L, 4L, 0.2)))
+  }
 }
