@@ -334,6 +334,63 @@ object Dedup {
       .agg(count(lit(1)).as("bands_matched"))
   }
 
+  /** [[minhashCandidates]] at SEVERAL banding configurations from ONE
+    * shared signature — the tuning sweep behind the banding S-curve
+    * P(candidate) = 1−(1−J^r)^b: more rows per band rejects the
+    * merely-similar harder, more bands recalls weaker pairs. All
+    * configurations read the same cached (docs × maxHashes) signature
+    * relation (the hash slices are shared — config (b, r) uses slices
+    * 0..b·r−1), so a k-point sweep costs ONE shingle/hash pass plus k
+    * band-key exchanges instead of k full runs. Output: one candidate
+    * pair row per configuration, tagged (bands_n, rows_per_band); same
+    * maxBandDf chain-degradation guard per configuration as the single
+    * operator.
+    */
+  def minhashCandidatesSweep(df: DataFrame, idCol: String, textCol: String,
+                             shingler: Shingler = Shingler.words(5),
+                             configs: Seq[(Int, Int)],
+                             maxBandDf: Int = 256): DataFrame = {
+    require(configs.nonEmpty, "at least one (bands, rowsPerBand) config")
+    val numHashes = configs.map { case (b, r) => b * r }.max
+    require(numHashes <= MaxHashes, s"at most $MaxHashes hashes (two md5 digests)")
+    val (staged, shCol) = shingler.stage(df, textCol)
+    val sh0 = staged.select(col(idCol), explode(shCol).as("s"))
+      .withColumn("h1", md5(col("s")))
+    val sh = if (numHashes > 6) sh0.withColumn("h2", md5(concat(lit("x"), col("s"))))
+      else sh0.withColumn("h2", lit(""))
+    val mins = (0 until numHashes).map(i =>
+      min(hashSlice(i)(col("h1"), col("h2"))).as(s"mh$i"))
+    val sig = graft.core.Caches.track(
+      sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*))
+    val perConfig = configs.map { case (bandsN, rowsPerBand) =>
+      val bandKeys = (0 until bandsN).map(b =>
+        struct(lit(b).as("band"),
+          concat((0 until rowsPerBand).map(r =>
+            col(s"mh${b * rowsPerBand + r}")): _*).as("h")))
+      val wBand = Window.partitionBy("band", "h")
+      val bands = graft.core.Caches.track(
+        sig.select(col(idCol), explode(array(bandKeys: _*)).as("bh"))
+          .select(col(idCol), col("bh.band"), col("bh.h"))
+          .withColumn("df_b", count(lit(1)).over(wBand)))
+      val small = bands.filter(col("df_b") <= maxBandDf)
+      val smallPairs = small.as("a").join(small.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h")
+            && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      val chainPairs = bands.filter(col("df_b") > maxBandDf)
+        .withColumn("next_id", lead(col(idCol), 1).over(wBand.orderBy(col(idCol))))
+        .filter(col("next_id").isNotNull)
+        .select(col(idCol).as("id_a"), col("next_id").as("id_b"))
+      smallPairs.unionByName(chainPairs)
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("bands_matched"))
+        .select(lit(bandsN).as("bands_n"),
+          lit(rowsPerBand).as("rows_per_band"),
+          col("id_a"), col("id_b"), col("bands_matched"))
+    }
+    perConfig.reduce(_ unionByName _)
+  }
+
   /** n-gram Jaccard near-dup pairs. Two scale guards:
     *  - `maxShingleDf` drops shingles appearing in more than that many
     *    docs (boilerplate guard — bounds the self-join at

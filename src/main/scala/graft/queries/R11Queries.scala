@@ -462,10 +462,15 @@ object R11Queries {
         "relations.",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
-          Dedup.Shingler.words(5), threshold = 0.5, maxShingleDf = 64)
-        val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
-          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+        // cached: each pair relation feeds its own count AND the
+        // intersect count — without the cache the shingle/band joins
+        // re-run per consumer (measured 6.4s -> the pair cost once)
+        val truth = graft.core.Caches.track(
+          Dedup.jaccardPairs(docs, "doc_id", "text",
+            Dedup.Shingler.words(5), threshold = 0.5, maxShingleDf = 64))
+        val cand = graft.core.Caches.track(
+          Dedup.minhashCandidates(docs, "doc_id", "text",
+            Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3))
         val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
         truth.agg(count(lit(1)).as("__nt"))
           .crossJoin(cand.agg(count(lit(1)).as("__nc")))
@@ -510,6 +515,119 @@ object R11Queries {
            |    THEN (SELECT count(*) FROM h)::DOUBLE /
            |         (SELECT count(*) FROM cand)
            |    ELSE 0.0 END AS precision""".stripMargin)),
+
+    Q("dedup_recall_sweep",
+      "The banding TUNING CURVE behind dedup_recall's single point: " +
+        "recall/precision at (bands, rows) = (1,6), (2,3), (3,2) " +
+        "against the same exact-Jaccard ground truth, all three " +
+        "configurations reading ONE shared cached signature (the hash " +
+        "slices are common — a k-point sweep costs one shingle/hash " +
+        "pass plus k band-key exchanges, not k full runs). The curve " +
+        "shows the S-curve trade directly: more rows per band rejects " +
+        "the merely-similar, more bands recalls weaker pairs — the " +
+        "lever a curation run tunes before committing to a banding.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val truth = graft.core.Caches.track(
+          Dedup.jaccardPairs(docs, "doc_id", "text",
+            Dedup.Shingler.words(5), threshold = 0.5, maxShingleDf = 64))
+        val sweep = graft.core.Caches.track(
+          Dedup.minhashCandidatesSweep(docs, "doc_id", "text",
+            Dedup.Shingler.words(5), Seq((1, 6), (2, 3), (3, 2))))
+        val keys = Seq("bands_n", "rows_per_band")
+        val cfgs = Seq((1, 6), (2, 3), (3, 2)).toDF(keys: _*)
+        val nCand = sweep.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__nc"))
+        val hits = sweep.join(truth.select("id_a", "id_b"),
+            Seq("id_a", "id_b"), "left_semi")
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__nh"))
+        cfgs.join(nCand, keys, "left").join(hits, keys, "left")
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+          .select(col("bands_n"), col("rows_per_band"), col("n_true"),
+            coalesce(col("__nc"), lit(0L)).as("n_candidates"),
+            coalesce(col("__nh"), lit(0L)).as("hits"),
+            when(col("n_true") > 0,
+              coalesce(col("__nh"), lit(0L)).cast("double") / col("n_true"))
+              .otherwise(lit(0.0)).as("recall"),
+            when(coalesce(col("__nc"), lit(0L)) > 0,
+              coalesce(col("__nh"), lit(0L)).cast("double") / col("__nc"))
+              .otherwise(lit(0.0)).as("precision"))
+          .orderBy(col("bands_n"), col("rows_per_band"))
+      },
+      Some {
+        def slice(i: Int) = s"substr(md5(s), ${i * 5 + 1}, 5)"
+        val mhs = (0 until 6).map(i =>
+          s"list_min(list_transform(${ExtQueries.wordShingleSqlPub("text", 5)}, " +
+            s"s -> ${slice(i)})) AS mh$i").mkString(",\n    ")
+        val configs = Seq((1, 6), (2, 3), (3, 2))
+        val perCfg = configs.map { case (bn, rpb) =>
+          val sfx = s"_${bn}_$rpb"
+          val bands = (0 until bn).map(b =>
+            s"SELECT doc_id, $b AS band, " +
+              (0 until rpb).map(r => s"mh${b * rpb + r}").mkString(" || ") +
+              " AS h FROM sig").mkString("\n  UNION ALL ")
+          s"""bands$sfx AS (
+             |  $bands),
+             |bf$sfx AS (
+             |  SELECT doc_id, band, h,
+             |    count(*) OVER (PARTITION BY band, h) AS df_b
+             |  FROM bands$sfx),
+             |pairs$sfx AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bf$sfx a JOIN bf$sfx b
+             |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+             |  WHERE a.df_b <= 256
+             |  UNION ALL
+             |  SELECT id_a, id_b FROM (
+             |    SELECT doc_id AS id_a,
+             |      lead(doc_id) OVER (PARTITION BY band, h ORDER BY doc_id)
+             |        AS id_b
+             |    FROM bf$sfx WHERE df_b > 256)
+             |  WHERE id_b IS NOT NULL),
+             |cand$sfx AS (SELECT DISTINCT id_a, id_b FROM pairs$sfx),
+             |h$sfx AS (SELECT * FROM truth INTERSECT
+             |          SELECT * FROM cand$sfx)""".stripMargin
+        }.mkString(",\n")
+        val rows = configs.map { case (bn, rpb) =>
+          val sfx = s"_${bn}_$rpb"
+          s"""SELECT $bn AS bands_n, $rpb AS rows_per_band,
+             |  (SELECT count(*) FROM truth) AS n_true,
+             |  (SELECT count(*) FROM cand$sfx) AS n_candidates,
+             |  (SELECT count(*) FROM h$sfx) AS hits,
+             |  CASE WHEN (SELECT count(*) FROM truth) > 0
+             |    THEN (SELECT count(*) FROM h$sfx)::DOUBLE /
+             |         (SELECT count(*) FROM truth)
+             |    ELSE 0.0 END AS recall,
+             |  CASE WHEN (SELECT count(*) FROM cand$sfx) > 0
+             |    THEN (SELECT count(*) FROM h$sfx)::DOUBLE /
+             |         (SELECT count(*) FROM cand$sfx)
+             |    ELSE 0.0 END AS precision""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH sig AS (
+           |  SELECT doc_id,
+           |    $mhs
+           |  FROM documents),
+           |jsh AS (
+           |  SELECT doc_id AS id,
+           |    unnest(${ExtQueries.wordShingleSqlPub("text", 5)}) AS sh
+           |  FROM documents),
+           |jrare AS (SELECT sh FROM jsh GROUP BY sh HAVING count(*) <= 64),
+           |jf AS (SELECT jsh.id, jsh.sh FROM jsh JOIN jrare USING (sh)),
+           |jcounts AS (SELECT id, count(*) AS n_sh FROM jf GROUP BY id),
+           |jcommon AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+           |  FROM jf a JOIN jf b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT id_a, id_b FROM jcommon
+           |  JOIN jcounts ca ON ca.id = id_a
+           |  JOIN jcounts cb ON cb.id = id_b
+           |  WHERE n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common) >= 0.5),
+           |$perCfg
+           |$rows
+           |ORDER BY bands_n, rows_per_band""".stripMargin
+      }),
 
     Q("ev_funnel_timing",
       "Conversion-timing report for the view → click → purchase " +
@@ -700,6 +818,41 @@ object R11Queries {
              |  1.0::DOUBLE / (1.0::DOUBLE + g.min_gap) AS prox_score
              |FROM g JOIN ta USING (doc_id) JOIN tb USING (doc_id)
              |ORDER BY prox_score DESC, g.doc_id
-             |LIMIT 15""".stripMargin))
+             |LIMIT 15""".stripMargin)),
+
+    Q("q28_grouping_sets",
+      "Explicit GROUPING SETS — the arbitrary-subset member of the " +
+        "cube/rollup family (q23/q13 cover the full lattice and the " +
+        "prefix chain; real reports ask for a hand-picked set): " +
+        "(returnflag, linestatus), (returnflag), (suppkey mod 10), () " +
+        "— all four sets in ONE partial-aggregable Expand pass, " +
+        "distinguished by grouping_id.",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("supp_bucket", col("l_suppkey") % 10)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("supp_bucket")), Seq()),
+          col("l_returnflag"), col("l_linestatus"), col("supp_bucket"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          OracleCompat.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first,
+          col("supp_bucket").asc_nulls_first)
+        .select("l_returnflag", "l_linestatus", "supp_bucket", "gid",
+          "n", "sum_qty"),
+      Some("""WITH li AS (
+             |  SELECT *, l_suppkey % 10 AS supp_bucket FROM lineitem)
+             |SELECT l_returnflag, l_linestatus, supp_bucket,
+             |  grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2 +
+             |    grouping(supp_bucket) AS gid,
+             |  count(*) AS n,
+             |  cast(sum(cast(l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM li
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_returnflag), (supp_bucket), ())
+             |ORDER BY gid, l_returnflag NULLS FIRST,
+             |  l_linestatus NULLS FIRST, supp_bucket NULLS FIRST""".stripMargin))
   )
 }

@@ -174,6 +174,25 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty, "containment must catch what Jaccard misses")
   }
 
+  test("minhashCandidatesSweep: each configuration equals the " +
+      "standalone operator at that configuration") {
+    val docs = graft.core.Tables.documents(spark, graft.SparkSpec.Sf0001)
+    val sweep = Dedup.minhashCandidatesSweep(docs, "doc_id", "text",
+      Dedup.Shingler.words(5), Seq((1, 6), (2, 3)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    for ((bn, rpb) <- Seq((1, 6), (2, 3))) {
+      val standalone = rows(Dedup.minhashCandidates(docs, "doc_id", "text",
+        Dedup.Shingler.words(5), bandsN = bn, rowsPerBand = rpb)
+        .select("id_a", "id_b", "bands_matched"))
+      val fromSweep = rows(sweep
+        .filter(col("bands_n") === bn && col("rows_per_band") === rpb)
+        .select("id_a", "id_b", "bands_matched"))
+      assert(fromSweep == standalone, s"config ($bn, $rpb)")
+    }
+  }
+
   test("survivorsByScore keeps the best-quality row per cluster, ties to " +
       "the lowest id — not the min-id default") {
     import org.apache.spark.sql.functions.col
