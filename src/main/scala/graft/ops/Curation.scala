@@ -492,6 +492,65 @@ object Curation {
       .drop("__g_strata", "__n", "__t", "__kept")
   }
 
+  /** NEYMAN-allocation stratified sample (Neyman 1934): a total budget
+    * splits across strata ∝ N_h·σ_h — variable strata get more of the
+    * budget than their share of rows, because that's where sample
+    * variance hides; the optimal allocation for estimating a stratified
+    * mean, and the statistically-motivated sibling of the proportional
+    * mixture samplers here. Per-stratum sizes derive in-plan from one
+    * exact-moment aggregate: σ from integer-valued `valueCol`'s exact
+    * decimal sums (the division-first moment form), the weight N·σ
+    * rounded to an integer so the budget split
+    * k_h = min(N_h, budget·w_h DIV Σw) is PURE INTEGER arithmetic —
+    * engine-exact with no order-dependent float summation across
+    * strata. Selection per stratum is the md5-ranked deterministic
+    * draw with [[exactKPerStratum]]'s prefilter discipline (the bucket
+    * is the ranking key's own prefix, so the cut only removes ranks
+    * above k_h and the output is prefilter-invariant; an undershoot
+    * raises instead of silently under-sampling). Bounded-strata
+    * contract, as every stratified operator here.
+    */
+  def neymanSample(df: DataFrame, strataCol: String, idCol: String,
+                   valueCol: String, totalBudget: Long,
+                   oversample: Int = 4): DataFrame = {
+    require(totalBudget > 0, "positive budget")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val v = col(valueCol).cast("long")
+    val stats = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast(dec)).cast("double").as("__s"),
+        sum((v * v).cast(dec)).cast("double").as("__s2"))
+    val sigma = sqrt(greatest(
+      col("__s2") / col("__n") -
+        (col("__s") / col("__n")) * (col("__s") / col("__n")), lit(0.0)))
+    val weighted = stats.withColumn("__wq",
+      round(col("__n") * sigma).cast("long"))
+    val tot = weighted.agg(sum(col("__wq")).as("__W"))
+    val dim = weighted.crossJoin(broadcast(tot))
+      .filter(col("__W") > 0)
+      .select(col(strataCol).as("__g_strata"), col("__n"),
+        least(col("__n"),
+          expr(s"($totalBudget * __wq) div __W")).as("__kh"))
+    val thr = least(lit(65536L), greatest(lit(1L),
+      ceil(greatest(lit(oversample.toDouble) * col("__kh"), lit(16.0)) *
+        65536 / col("__n")).cast("long")))
+    val key = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key.asc, col(idCol).asc)
+    val wAll = Window.partitionBy(col(strataCol))
+    df.join(broadcast(dim.withColumn("__t", thr)),
+        col(strataCol) <=> col("__g_strata"))
+      .filter(hashBucket(col(idCol)) < col("__t"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("__kept", count(lit(1)).over(wAll))
+      .filter(col("rk") <= col("__kh") &&
+        when(col("__kept") < least(col("__kh"), col("__n")),
+          raise_error(lit("neymanSample: prefilter undershot — raise " +
+            "oversample"))).otherwise(lit(true)))
+      .withColumn("n_h", col("__kh"))
+      .drop("__g_strata", "__n", "__t", "__kept", "__kh")
+  }
+
   /** Temperature-weighted source mixture — the training-mix sampler
     * (UnifiedQA / GPT-3 style): source `i` with `n_i` documents gets
     * sampling probability `p_i ∝ n_i^alpha`, so `alpha = 1` keeps natural

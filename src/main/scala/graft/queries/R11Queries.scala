@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, EventOps, Frequent, Graphs, Profile, Retrieval, Similarity}
+import graft.ops.{Curation, Dedup, EventOps, Frequent, Graphs, Profile, Retrieval, Similarity}
 
 /** Round-8 session, part 3: graph structure beyond PageRank (triangle
   * counting / clustering coefficients), the dimensionality-reduction
@@ -819,6 +819,46 @@ object R11Queries {
              |FROM g JOIN ta USING (doc_id) JOIN tb USING (doc_id)
              |ORDER BY prox_score DESC, g.doc_id
              |LIMIT 15""".stripMargin)),
+
+    Q("doc_neyman",
+      "Neyman-allocation stratified sample: a 60-doc budget splits " +
+        "across sources proportional to N_h x sigma_h (variable strata " +
+        "earn more budget than their row share — the optimal " +
+        "allocation for a stratified mean, vs the proportional/" +
+        "temperature mixtures). Sigma derives from one exact-moment " +
+        "aggregate; the weight rounds to an integer so the split is " +
+        "pure integer arithmetic (no cross-strata float summation); " +
+        "selection is the md5-ranked deterministic draw with the " +
+        "exactKPerStratum prefilter discipline (output " +
+        "prefilter-invariant, undershoot raises).",
+      (s, d) => Curation.neymanSample(Tables.documents(s, d), "source",
+          "doc_id", "n_chars", totalBudget = 60)
+        .select(col("source"), col("doc_id"), col("rk"), col("n_h"))
+        .orderBy(col("source"), col("rk")),
+      Some("""WITH st AS (
+             |  SELECT source AS g, count(*) AS n,
+             |    cast(sum(cast(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             |    cast(sum(cast(n_chars * n_chars AS DECIMAL(38,0)))
+             |      AS DOUBLE) AS s2
+             |  FROM documents GROUP BY 1),
+             |w AS (
+             |  SELECT g, n,
+             |    CAST(round(n * sqrt(greatest(
+             |      s2 / n - (s / n) * (s / n), 0.0))) AS BIGINT) AS wq
+             |  FROM st),
+             |tot AS (SELECT sum(wq) AS W FROM w),
+             |k AS (
+             |  SELECT g, CAST(least(n, (60 * wq) // W) AS BIGINT) AS kh
+             |  FROM w, tot WHERE W > 0),
+             |r AS (
+             |  SELECT source AS g, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT r.g AS source, r.doc_id, r.rk, k.kh AS n_h
+             |FROM r JOIN k USING (g)
+             |WHERE r.rk <= k.kh
+             |ORDER BY source, rk""".stripMargin)),
 
     Q("q28_grouping_sets",
       "Explicit GROUPING SETS — the arbitrary-subset member of the " +

@@ -402,4 +402,24 @@ class CurationSpec extends SparkSpec {
     assert(waste.getLong(3) == 11L)
     assert(math.abs(waste.getDouble(5) - 4.0 / 15.0) < 1e-15)
   }
+
+  test("neymanSample: budget flows to the variable stratum, a " +
+      "zero-variance stratum gets nothing, allocation caps at N_h") {
+    import spark.implicits._
+    // stratum a: 100 rows, constant value (sigma 0) -> weight 0
+    // stratum b: 100 rows, high spread  -> earns ~whole budget, capped
+    val rows = (1 to 100).map(i => (i.toLong, "a", 50L)) ++
+      (101 to 200).map(i => (i.toLong, "b", (i % 2) * 1000L))
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val got = Curation.neymanSample(df, "source", "doc_id", "n_chars",
+      totalBudget = 30).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[String]("source") == "b"),
+      "zero-sigma stratum must receive no budget")
+    assert(got.length == 30, s"full budget lands on b: ${got.length}")
+    // budget larger than the stratum: capped at N_h
+    val capped = Curation.neymanSample(df, "source", "doc_id", "n_chars",
+      totalBudget = 500).collect()
+    assert(capped.length == 100, "allocation caps at the stratum size")
+  }
 }
