@@ -113,4 +113,43 @@ object Cdc {
 
     closedHist.unionByName(keptOpen).unionByName(closedNow).unionByName(bornNow)
   }
+
+  /** Latest-wins UPSERT merge — the MERGE INTO / CDC-compaction shape
+    * that maintains a CURRENT snapshot (where [[scd2Merge]] maintains
+    * history): apply a change batch of inserts/updates/deletes to a
+    * base snapshot, keeping for each key only the change with the
+    * highest sequence number. Semantics: the winning change REPLACES
+    * the base row wholly (op 'I'/'U' both upsert — CDC feeds replay,
+    * so an insert for an existing key is a legal replace), op 'D'
+    * removes the key; keys untouched by the batch pass through.
+    *
+    * Plan shape at 100 TB: the change batch collapses to one row per
+    * key via a max-of-struct aggregate ordered by the sequence (no
+    * window, partial-aggregable); the base side pays ONE co-partitioned
+    * left-anti join against the collapsed (batch-sized, usually tiny)
+    * key set plus a union — the base is never windowed or sorted.
+    * Contract: (keys, seqCol) unique within the batch — the struct max
+    * would otherwise tie-break on payload bytes, which is a feed
+    * corruption to fix upstream, not semantics to rely on.
+    *
+    * @param changes base's columns + `opCol` ('I'|'U'|'D') + `seqCol`
+    */
+  def upsertLatest(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   seqCol: String, opCol: String): DataFrame = {
+    val baseCols = base.columns.toSeq
+    require(changes.columns.toSet == (baseCols ++ Seq(seqCol, opCol)).toSet,
+      s"changes must carry base columns + $seqCol + $opCol")
+    val payload = baseCols.filterNot(keys.contains)
+    val latest = changes.groupBy(keys.map(col): _*)
+      .agg(max(struct(
+        (col(seqCol) +: col(opCol) +: payload.map(col)): _*)).as("__m"))
+      .select(keys.map(col) ++
+        Seq(col(s"__m.$opCol").as("__op")) ++
+        payload.map(p => col(s"__m.$p").as(p)): _*)
+    val latestC = graft.core.Caches.track(latest)
+    val antiCond = keys.map(k => base(k) <=> latestC(k)).reduce(_ && _)
+    base.join(latestC.select(keys.map(col): _*), antiCond, "left_anti")
+      .unionByName(latestC.filter(col("__op") =!= "D")
+        .select(baseCols.map(col): _*))
+  }
 }

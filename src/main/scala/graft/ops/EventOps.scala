@@ -266,25 +266,62 @@ object EventOps {
     */
   def rollingActiveUsersSketch(events: DataFrame, userCol: String,
                                tsCol: String, windows: Seq[Int],
-                               tol: Double = 0.05): DataFrame = {
+                               tol: Double = 0.05): DataFrame =
+    activeUsersGate(dailyUserSketches(events, userCol, tsCol),
+      events, userCol, tsCol, windows, tol)
+
+  /** One relation's per-day HLL user sketches: (day, sk) — the
+    * mergeable ingest unit for [[rollingActiveUsersServeSketch]]
+    * (persist per batch via [[IncrementalAgg.writeBatch]]; sketches
+    * for the same day union across batches at serve time).
+    */
+  def dailyUserSketches(events: DataFrame, userCol: String,
+                        tsCol: String): DataFrame =
+    events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(__u, 12)").as("sk"))
+
+  /** Serve the rolling-active-users gate from COMMITTED per-batch daily
+    * sketches: same-day sketches union across batches first (an
+    * uncommitted batch's days stay invisible — the IncrementalAgg
+    * contract), then the shared window expansion and bounded-error
+    * gate. Per-refresh cost is one narrow daily aggregate of the new
+    * batch; serving reads days × batches sketch rows, never events —
+    * except for the exact column, which the GATE recomputes from
+    * `events` the way every recall/sketch gate here pays for its own
+    * ground truth.
+    */
+  def rollingActiveUsersServeSketch(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, events: DataFrame,
+                                    userCol: String, tsCol: String,
+                                    windows: Seq[Int],
+                                    tol: Double = 0.05): DataFrame = {
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    val daySk = spark.read.parquet(s"$path/data")
+      .filter(col("batch").isin(state.batches: _*))
+      .groupBy(col("day"))
+      .agg(expr("hll_union_agg(sk, false)").as("sk"))
+    activeUsersGate(daySk, events, userCol, tsCol, windows, tol)
+  }
+
+  private def activeUsersGate(daySk: DataFrame, events: DataFrame,
+                              userCol: String, tsCol: String,
+                              windows: Seq[Int], tol: Double): DataFrame = {
     require(windows.nonEmpty && windows.forall(_ >= 1), "windows >= 1 day")
     val spark = events.sparkSession
     import spark.implicits._
-    val daySk = events
-      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
-      .groupBy(col("__day"))
-      .agg(expr("hll_sketch_agg(__u, 12)").as("__sk"))
-    val bounds = daySk.agg(max(col("__day")).as("__d1"))
+    val bounds = daySk.agg(max(col("day")).as("__d1"))
     val wdf = windows.sorted.toDF("window_days")
     val est = daySk.crossJoin(broadcast(wdf))
       .select(col("window_days"),
-        explode(sequence(col("__day"),
-          date_add(col("__day"), col("window_days") - lit(1)))).as("__cover"),
-        col("__sk"))
+        explode(sequence(col("day"),
+          date_add(col("day"), col("window_days") - lit(1)))).as("__cover"),
+        col("sk"))
       .crossJoin(broadcast(bounds))
       .filter(col("__cover") <= col("__d1"))
       .groupBy(col("window_days"), col("__cover"))
-      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk, false))")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
         .as("__est"))
       .select(col("window_days"),
         date_format(col("__cover"), "yyyy-MM-dd").as("day"), col("__est"))

@@ -16,6 +16,27 @@ object R11Queries {
 
   private def dotSql(a: String, b: String): String = R5Queries.dotSql(a, b)
 
+  /** Shared by ev_active_users_sketch and stream_active_users: the
+    * exact coverage-expansion counts with the always-true gate column
+    * (the ev_sketch bounded-error pattern).
+    */
+  private val activeUsersSketchOracle: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id AS u, ts::DATE AS day FROM events),
+      |b AS (SELECT max(day) AS d1 FROM daily),
+      |w(w) AS (VALUES (1), (7), (28)),
+      |ks AS (SELECT cast(k AS INTEGER) AS k
+      |       FROM generate_series(0, 27) g(k)),
+      |cov AS (
+      |  SELECT DISTINCT w.w, daily.u, daily.day + ks.k AS cover
+      |  FROM daily, w, ks WHERE ks.k < w.w),
+      |clipped AS (SELECT * FROM cov, b WHERE cover <= d1)
+      |SELECT w AS window_days, strftime(cover, '%Y-%m-%d') AS day,
+      |  count(*) AS active_users, true AS hll_within_tol
+      |FROM clipped
+      |GROUP BY w, cover
+      |ORDER BY window_days, day""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("graph_triangles",
@@ -767,21 +788,7 @@ object R11Queries {
         "doesn't.",
       (s, d) => EventOps.rollingActiveUsersSketch(Tables.events(s, d),
         "user_id", "ts", Seq(1, 7, 28), tol = 0.05),
-      Some("""WITH daily AS (
-             |  SELECT DISTINCT user_id AS u, ts::DATE AS day FROM events),
-             |b AS (SELECT max(day) AS d1 FROM daily),
-             |w(w) AS (VALUES (1), (7), (28)),
-             |ks AS (SELECT cast(k AS INTEGER) AS k
-             |       FROM generate_series(0, 27) g(k)),
-             |cov AS (
-             |  SELECT DISTINCT w.w, daily.u, daily.day + ks.k AS cover
-             |  FROM daily, w, ks WHERE ks.k < w.w),
-             |clipped AS (SELECT * FROM cov, b WHERE cover <= d1)
-             |SELECT w AS window_days, strftime(cover, '%Y-%m-%d') AS day,
-             |  count(*) AS active_users, true AS hll_within_tol
-             |FROM clipped
-             |GROUP BY w, cover
-             |ORDER BY window_days, day""".stripMargin)),
+      Some(activeUsersSketchOracle)),
 
     Q("ta_proximity",
       "Proximity ranking from the positional at-rest index — the " +
@@ -819,6 +826,89 @@ object R11Queries {
              |FROM g JOIN ta USING (doc_id) JOIN tb USING (doc_id)
              |ORDER BY prox_score DESC, g.doc_id
              |LIMIT 15""".stripMargin)),
+
+    Q("stream_active_users",
+      "Structured Streaming maintains the DAU/WAU/MAU sketch store: " +
+        "the historical half of events bootstraps batch 0's per-day " +
+        "HLL sketches, each micro-batch appends its own daily " +
+        "sketches under the commit-marker state machine, and serving " +
+        "unions same-day sketches across committed batches before the " +
+        "shared window expansion — per-refresh cost is one narrow " +
+        "daily aggregate of the new files, and the board reads " +
+        "days x batches sketch rows, never events. Gate: exact counts " +
+        "hash-check (ev_active_users' oracle shape), the union's " +
+        "estimate bounded within 5%.",
+      (s, d) => {
+        val path = graft.streaming.EventStream.runActiveUsersStream(s, d,
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+            "/graft_stream_au_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        EventOps.rollingActiveUsersServeSketch(s, path,
+          Tables.events(s, d), "user_id", "ts", Seq(1, 7, 28), tol = 0.05)
+      },
+      Some(activeUsersSketchOracle)),
+
+    Q("cdc_upsert",
+      "Latest-wins UPSERT merge (the MERGE INTO / CDC-compaction " +
+        "shape, maintaining the CURRENT snapshot where cdc_scd2 " +
+        "maintains history): a change batch with replayed updates " +
+        "(seq 1 and 2 for the same key — highest sequence wins), " +
+        "deletes that override earlier updates, and fresh inserts " +
+        "applies to the customer base. The batch collapses to one row " +
+        "per key via a max-of-struct aggregate (no window); the base " +
+        "pays one left-anti join against the collapsed key set plus a " +
+        "union — never windowed or sorted.",
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        def ch(pred: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column,
+               bal: org.apache.spark.sql.Column, op: String, seq: Int,
+               keyShift: Long = 0L) =
+          base.filter(pred).select(
+            (col("c_custkey") + lit(keyShift)).as("c_custkey"),
+            name.as("c_name"), bal.as("c_acctbal"),
+            lit(op).as("op"), lit(seq).as("seq"))
+        val changes =
+          ch(col("c_custkey") % 5 === 0,
+            concat(lit("UPDATED_"), col("c_name")),
+            col("c_acctbal") + 10.0, "U", 1)
+          .unionByName(ch(col("c_custkey") % 10 === 0,
+            concat(lit("UPDATED2_"), col("c_name")),
+            col("c_acctbal") + 20.0, "U", 2))
+          .unionByName(ch(col("c_custkey") % 7 === 3,
+            col("c_name"), col("c_acctbal"), "D", 3))
+          .unionByName(ch(lit(true), concat(lit("NEW_"), col("c_name")),
+            col("c_acctbal"), "I", 1, keyShift = 1000000L))
+        graft.ops.Cdc.upsertLatest(base, changes, Seq("c_custkey"),
+          "seq", "op").orderBy("c_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name, c_acctbal FROM customer),
+             |ch AS (
+             |  SELECT c_custkey, 'UPDATED_' || c_name AS c_name,
+             |    c_acctbal + 10.0 AS c_acctbal, 'U' AS op, 1 AS seq
+             |  FROM base WHERE c_custkey % 5 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, 'UPDATED2_' || c_name,
+             |    c_acctbal + 20.0, 'U', 2
+             |  FROM base WHERE c_custkey % 10 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal, 'D', 3
+             |  FROM base WHERE c_custkey % 7 = 3
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'NEW_' || c_name,
+             |    c_acctbal, 'I', 1
+             |  FROM base),
+             |latest AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+             |      ORDER BY seq DESC) AS rn
+             |    FROM ch) WHERE rn = 1)
+             |SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
+             |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+             |UNION ALL
+             |SELECT c_custkey, c_name, c_acctbal FROM latest
+             |WHERE op <> 'D'
+             |ORDER BY c_custkey""".stripMargin)),
 
     Q("doc_neyman",
       "Neyman-allocation stratified sample: a 60-doc budget splits " +

@@ -511,6 +511,43 @@ object EventStream {
     * the reference?" is answerable after every micro-batch from
     * buckets × batches tiny rows.
     */
+  /** Structured Streaming maintains the ACTIVE-USERS sketch store: the
+    * historical half of events (even ids) bootstraps batch 0's per-day
+    * HLL sketches, each arriving micro-batch appends its own daily
+    * sketches under the micro-batch id, and serving unions same-day
+    * sketches across committed batches before the window expansion —
+    * per-refresh cost is one narrow daily aggregate of the new files,
+    * and the DAU/WAU/MAU board is answerable after every micro-batch
+    * from days × batches sketch rows.
+    */
+  def runActiveUsersStream(spark: SparkSession, sfDir: String,
+                           path: String): String =
+    withStatePartitions(spark) {
+      val ev = graft.core.Tables.events(spark, sfDir)
+      graft.ops.IncrementalAgg.writeBatch(
+        graft.ops.EventOps.dailyUserSketches(
+          ev.filter(col("event_id") % 2 === 0), "user_id", "ts"),
+        path, 0L)
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val stream = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.ops.IncrementalAgg.writeBatch(
+            graft.ops.EventOps.dailyUserSketches(
+              graft.core.Tables.normalizeTs(df)
+                .filter(col("event_id") % 2 === 1), "user_id", "ts"),
+            path, id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
   def runDriftStream(spark: SparkSession, sfDir: String,
                      path: String): String =
     withStatePartitions(spark) {

@@ -125,4 +125,32 @@ class CdcSpec extends SparkSpec {
         .findAllIn(plan).size <= 2,
       s"branches must reuse the join exchanges, not re-shuffle:\n$plan")
   }
+
+  test("upsertLatest: highest seq wins, delete overrides earlier " +
+      "update, insert lands, untouched keys pass through") {
+    val base = Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "one_v1", 11.0, "U", 1),   // superseded by seq 2
+      (1L, "one_v2", 12.0, "U", 2),   // wins
+      (2L, "two_x", 0.0, "U", 1),     // superseded by the delete
+      (2L, "two_x", 0.0, "D", 2),     // key 2 gone
+      (9L, "nine", 90.0, "I", 1))     // new key
+      .toDF("k", "name", "bal", "op", "seq")
+    val got = Cdc.upsertLatest(base, changes, Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(got == Map(
+      1L -> (("one_v2", 12.0)),
+      3L -> (("three", 30.0)),
+      9L -> (("nine", 90.0))), s"got $got")
+  }
+
+  test("upsertLatest rejects a change batch with extra or missing columns") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((1L, "a", "U")).toDF("k", "v", "op")
+    intercept[IllegalArgumentException] {
+      Cdc.upsertLatest(base, bad, Seq("k"), "seq", "op")
+    }
+  }
 }
