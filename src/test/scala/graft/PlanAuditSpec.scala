@@ -249,4 +249,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Union"))
   }
+
+  test("cdc_upsert: no window, no sort-merge join — the change batch " +
+      "collapses via aggregate and broadcasts into the anti join") {
+    val p = plan("cdc_upsert")
+    assert(!p.contains("Window"), s"upsert must not plan a window:\n$p")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
+  }
+
+  test("ev_active_users: the raw event stream crosses exactly one " +
+      "exchange (the user-day dedup); expansion and count ride on it") {
+    val p = plan("ev_active_users")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p) // windows dim + bounds
+  }
+
+  test("ta_heavyhitters: the recount semi-joins the BROADCAST " +
+      "candidate set — the vocabulary never shuffles for the answer") {
+    val p = plan("ta_heavyhitters")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("dq_corr: the whole matrix is ONE aggregate over one scan — " +
+      "no join, a single pair of exchanges") {
+    val p = plan("dq_corr")
+    assert(!p.contains("Join"), s"corr must not join:\n$p")
+    // one partial+final agg pair: a single shuffle (tree + detail)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("graph_triangles: every join is key-equi (no cartesian), " +
+      "closing edge is a semi join") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
 }
