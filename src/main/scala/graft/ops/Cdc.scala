@@ -152,4 +152,34 @@ object Cdc {
       .unionByName(latestC.filter(col("__op") =!= "D")
         .select(baseCols.map(col): _*))
   }
+
+  /** Persist one snapshot VERSION under the shared commit-marker state
+    * machine (`data/batch=<version>` + marker after the data) — the
+    * table-format discipline in miniature: a crashed write is
+    * invisible, a replayed version overwrites exactly its own subtree,
+    * and the committed version chain is the table's time-travel axis.
+    */
+  def writeSnapshot(df: DataFrame, path: String, version: Long): Unit = {
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/data/batch=$version")
+    graft.core.IndexCommits.mark(df.sparkSession, path, s"batch_$version")
+  }
+
+  /** Read the LATEST committed snapshot version (or, with `asOf`, the
+    * latest committed version ≤ it — snapshot time travel, the
+    * [[graft.core.IndexCommits]] as-of contract). Each version is a
+    * full snapshot, so serving reads exactly ONE version's files:
+    * unlike the delta-replay stores here (indexes, incremental
+    * aggregates), an upsert snapshot is its own compaction.
+    */
+  def serveSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+                    asOf: Option[Long] = None): DataFrame = {
+    val state = asOf match {
+      case Some(v) => graft.core.IndexCommits.servedStateAsOf(spark, path, v)
+      case None => graft.core.IndexCommits.servedState(spark, path)
+    }
+    require(state.batches.nonEmpty, s"no committed snapshot under $path")
+    val latest = state.batches.max
+    spark.read.parquet(s"$path/data/batch=$latest")
+  }
 }

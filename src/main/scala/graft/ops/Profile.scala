@@ -408,6 +408,41 @@ object Profile {
       .orderBy(col("col_a"), col("col_b"))
   }
 
+  /** WINSORIZATION report — outlier treatment by clipping instead of
+    * [[outlierGate]]'s flagging: per key, values clip to that key's
+    * [pLo, pHi] percentile band (boundaries from ONE exact percentile
+    * aggregate, broadcast back — the no-global-sort RFM pattern), and
+    * the report carries clip counts plus the mean before/after through
+    * exact decimal sums — the "how much did the tail move my mean"
+    * answer a feature pipeline wants before shipping a clipped column.
+    * One scan + one keyed aggregate + a broadcast join; nothing
+    * key-sized crosses an exchange twice.
+    */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "0 <= pLo < pHi <= 1")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 8)
+    val v = col(valueCol)
+    val th = df.groupBy(col(keyCol))
+      .agg(percentile(v, typedlit(Seq(pLo, pHi))).as("__t"))
+    val lo = element_at(col("__t"), 1)
+    val hi = element_at(col("__t"), 2)
+    val clipped = least(greatest(v, lo), hi)
+    df.join(broadcast(th), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(v < lo, 1L).otherwise(0L)), lit(0L))
+          .as("n_clipped_lo"),
+        coalesce(sum(when(v > hi, 1L).otherwise(0L)), lit(0L))
+          .as("n_clipped_hi"),
+        (sum(v.cast(dec)).cast("double") / count(lit(1)))
+          .as("mean_before"),
+        (sum(clipped.cast(dec)).cast("double") / count(lit(1)))
+          .as("mean_after"))
+      .orderBy(col(keyCol))
+  }
+
   /** One snapshot's mergeable drift-histogram partial: bucket counts
     * tagged onto the (ref_n, cur_n) pair so reference and current
     * batches share one schema and one merge (a SUM per column). The

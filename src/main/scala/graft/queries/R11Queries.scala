@@ -37,6 +37,67 @@ object R11Queries {
       |GROUP BY w, cover
       |ORDER BY window_days, day""".stripMargin
 
+  /** The cdc_upsert/stream_upsert change-batch fixture: replayed
+    * updates (seq 1 and 2 for %10 keys), deletes that override
+    * earlier updates (seq 3), and inserts at shifted keys — derived
+    * deterministically from the base so the batch and streamed paths
+    * apply identical changes.
+    */
+  private def upsertChanges(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def ch(pred: org.apache.spark.sql.Column,
+           name: org.apache.spark.sql.Column,
+           bal: org.apache.spark.sql.Column, op: String, seq: Int,
+           keyShift: Long = 0L) =
+      base.filter(pred).select(
+        (col("c_custkey") + lit(keyShift)).as("c_custkey"),
+        name.as("c_name"), bal.as("c_acctbal"),
+        lit(op).as("op"), lit(seq).as("seq"))
+    ch(col("c_custkey") % 5 === 0,
+      concat(lit("UPDATED_"), col("c_name")),
+      col("c_acctbal") + 10.0, "U", 1)
+    .unionByName(ch(col("c_custkey") % 10 === 0,
+      concat(lit("UPDATED2_"), col("c_name")),
+      col("c_acctbal") + 20.0, "U", 2))
+    .unionByName(ch(col("c_custkey") % 7 === 3,
+      col("c_name"), col("c_acctbal"), "D", 3))
+    .unionByName(ch(lit(true), concat(lit("NEW_"), col("c_name")),
+      col("c_acctbal"), "I", 1, keyShift = 1000000L))
+  }
+
+  /** Shared by cdc_upsert and stream_upsert: the latest-wins apply
+    * of [[upsertChanges]] replayed in SQL.
+    */
+  private val upsertOracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |ch AS (
+      |  SELECT c_custkey, 'UPDATED_' || c_name AS c_name,
+      |    c_acctbal + 10.0 AS c_acctbal, 'U' AS op, 1 AS seq
+      |  FROM base WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 'UPDATED2_' || c_name,
+      |    c_acctbal + 20.0, 'U', 2
+      |  FROM base WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, 'D', 3
+      |  FROM base WHERE c_custkey % 7 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW_' || c_name,
+      |    c_acctbal, 'I', 1
+      |  FROM base),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |      ORDER BY seq DESC) AS rn
+      |    FROM ch) WHERE rn = 1)
+      |SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
+      |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal FROM latest
+      |WHERE op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("graph_triangles",
@@ -827,6 +888,33 @@ object R11Queries {
              |ORDER BY prox_score DESC, g.doc_id
              |LIMIT 15""".stripMargin)),
 
+    Q("dq_winsorize",
+      "Winsorization report per event type — outlier treatment by " +
+        "CLIPPING where dq_outliers flags: values clip to their " +
+        "type's [p05, p95] band (boundaries from one exact percentile " +
+        "aggregate broadcast back — the RFM no-global-sort pattern), " +
+        "reporting clip counts and the mean before/after through " +
+        "exact decimal sums — 'how much did the tail move my mean' " +
+        "before a feature pipeline ships the clipped column.",
+      (s, d) => Profile.winsorize(Tables.events(s, d),
+        "event_type", "value", pLo = 0.05, pHi = 0.95),
+      Some("""WITH th AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, [0.05, 0.95]) AS t
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type, count(*) AS n,
+             |  CAST(coalesce(sum(CASE WHEN value < t[1] THEN 1
+             |    ELSE 0 END), 0) AS BIGINT) AS n_clipped_lo,
+             |  CAST(coalesce(sum(CASE WHEN value > t[2] THEN 1
+             |    ELSE 0 END), 0) AS BIGINT) AS n_clipped_hi,
+             |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE)
+             |    / count(*) AS mean_before,
+             |  cast(sum(cast(least(greatest(value, t[1]), t[2])
+             |    AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean_after
+             |FROM events e JOIN th USING (event_type)
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
     Q("stream_active_users",
       "Structured Streaming maintains the DAU/WAU/MAU sketch store: " +
         "the historical half of events bootstraps batch 0's per-day " +
@@ -860,55 +948,31 @@ object R11Queries {
       (s, d) => {
         val base = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        def ch(pred: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column,
-               bal: org.apache.spark.sql.Column, op: String, seq: Int,
-               keyShift: Long = 0L) =
-          base.filter(pred).select(
-            (col("c_custkey") + lit(keyShift)).as("c_custkey"),
-            name.as("c_name"), bal.as("c_acctbal"),
-            lit(op).as("op"), lit(seq).as("seq"))
-        val changes =
-          ch(col("c_custkey") % 5 === 0,
-            concat(lit("UPDATED_"), col("c_name")),
-            col("c_acctbal") + 10.0, "U", 1)
-          .unionByName(ch(col("c_custkey") % 10 === 0,
-            concat(lit("UPDATED2_"), col("c_name")),
-            col("c_acctbal") + 20.0, "U", 2))
-          .unionByName(ch(col("c_custkey") % 7 === 3,
-            col("c_name"), col("c_acctbal"), "D", 3))
-          .unionByName(ch(lit(true), concat(lit("NEW_"), col("c_name")),
-            col("c_acctbal"), "I", 1, keyShift = 1000000L))
-        graft.ops.Cdc.upsertLatest(base, changes, Seq("c_custkey"),
-          "seq", "op").orderBy("c_custkey")
+        graft.ops.Cdc.upsertLatest(base, upsertChanges(base),
+          Seq("c_custkey"), "seq", "op").orderBy("c_custkey")
       },
-      Some("""WITH base AS (
-             |  SELECT c_custkey, c_name, c_acctbal FROM customer),
-             |ch AS (
-             |  SELECT c_custkey, 'UPDATED_' || c_name AS c_name,
-             |    c_acctbal + 10.0 AS c_acctbal, 'U' AS op, 1 AS seq
-             |  FROM base WHERE c_custkey % 5 = 0
-             |  UNION ALL
-             |  SELECT c_custkey, 'UPDATED2_' || c_name,
-             |    c_acctbal + 20.0, 'U', 2
-             |  FROM base WHERE c_custkey % 10 = 0
-             |  UNION ALL
-             |  SELECT c_custkey, c_name, c_acctbal, 'D', 3
-             |  FROM base WHERE c_custkey % 7 = 3
-             |  UNION ALL
-             |  SELECT c_custkey + 1000000, 'NEW_' || c_name,
-             |    c_acctbal, 'I', 1
-             |  FROM base),
-             |latest AS (
-             |  SELECT * FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY c_custkey
-             |      ORDER BY seq DESC) AS rn
-             |    FROM ch) WHERE rn = 1)
-             |SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
-             |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
-             |UNION ALL
-             |SELECT c_custkey, c_name, c_acctbal FROM latest
-             |WHERE op <> 'D'
-             |ORDER BY c_custkey""".stripMargin)),
+      Some(upsertOracle)),
+
+    Q("stream_upsert",
+      "Structured Streaming maintains the UPSERT SNAPSHOT — the " +
+        "mini-lakehouse MERGE loop: version 0 is the base customer " +
+        "snapshot, the micro-batch derives the cdc_upsert change set " +
+        "and applies the latest-wins merge against the latest " +
+        "COMMITTED version, writing the result as version id+1 under " +
+        "the commit-marker state machine (crash leaves the previous " +
+        "version serving; replay recomputes from the same committed " +
+        "parent, so the chain never forks). Serving the latest " +
+        "version equals the batch merge, so cdc_upsert's oracle " +
+        "applies verbatim — and the committed chain is snapshot time " +
+        "travel for free (serveSnapshot asOf).",
+      (s, d) => {
+        val path = graft.streaming.EventStream.runUpsertStream(s, d,
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+            "/graft_stream_upsert_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
+          upsertChanges)
+        graft.ops.Cdc.serveSnapshot(s, path).orderBy("c_custkey")
+      },
+      Some(upsertOracle)),
 
     Q("doc_neyman",
       "Neyman-allocation stratified sample: a 60-doc budget splits " +

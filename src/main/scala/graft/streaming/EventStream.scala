@@ -548,6 +548,45 @@ object EventStream {
       path
     }
 
+  /** Structured Streaming maintains an UPSERT SNAPSHOT (the
+    * mini-lakehouse MERGE loop): version 0 is the base snapshot; each
+    * micro-batch derives its change set, applies
+    * [[graft.ops.Cdc.upsertLatest]] against the latest COMMITTED
+    * version, and writes the result as the next version under the
+    * commit-marker state machine. A crashed write leaves the previous
+    * version serving; a replay recomputes from the same committed
+    * parent, so the version chain never forks. `deriveChanges` is the
+    * caller's CDC feed seam (here a deterministic function of the
+    * batch, so replays are exact).
+    */
+  def runUpsertStream(spark: SparkSession, sfDir: String, path: String,
+                      deriveChanges: DataFrame => DataFrame): String =
+    withStatePartitions(spark) {
+      val base = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.ops.Cdc.writeSnapshot(base, path, 0L)
+      val raw = spark.read.parquet(s"$sfDir/customer.parquet")
+      val stream = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "customer.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val cur = graft.ops.Cdc.serveSnapshot(spark, path, Some(id))
+          val changes = deriveChanges(
+            df.select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+          graft.ops.Cdc.writeSnapshot(
+            graft.ops.Cdc.upsertLatest(cur, changes, Seq("c_custkey"),
+              "seq", "op"),
+            path, id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
   def runDriftStream(spark: SparkSession, sfDir: String,
                      path: String): String =
     withStatePartitions(spark) {

@@ -153,4 +153,23 @@ class CdcSpec extends SparkSpec {
       Cdc.upsertLatest(base, bad, Seq("k"), "seq", "op")
     }
   }
+
+  test("snapshot store: unmarked version invisible until its marked " +
+      "retry; asOf time-travels the version chain") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snap").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v1 = Seq((1L, "a2"), (3L, "c")).toDF("k", "v")
+    Cdc.writeSnapshot(v0, dir, 0L)
+    // crashed v1: data without its marker
+    v1.write.mode("overwrite").parquet(s"$dir/data/batch=1")
+    assert(rows(Cdc.serveSnapshot(spark, dir)) == rows(v0),
+      "unmarked version must stay invisible")
+    Cdc.writeSnapshot(v1, dir, 1L) // marked retry
+    assert(rows(Cdc.serveSnapshot(spark, dir)) == rows(v1))
+    assert(rows(Cdc.serveSnapshot(spark, dir, asOf = Some(0L))) == rows(v0),
+      "asOf reads the chain as of that version")
+  }
 }
