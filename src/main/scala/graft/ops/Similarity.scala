@@ -1134,6 +1134,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall-vs-rescore-budget curve for the random-projection index in
+    * ONE pass — [[hammingRecallSweep]]'s shape on the JL member of the
+    * scan family: the corpus is projected-distance-ranked ONCE to
+    * max(budgets) (TakeOrderedAndProject), each operating point is a
+    * rank filter over that same bounded shortlist re-ranked by its
+    * exact cosine, and all points share one exact ground truth — the
+    * curve that answers "how much rescore do 16 projected dims need",
+    * the lever sim_recall_randproj's gate names.
+    */
+  def randProjRecallSweep(emb: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long, k: Int, budgets: Seq[Int],
+                          dims: Int = 64, projDims: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxB = budgets.max
+    def staged(df: DataFrame): DataFrame =
+      df.withColumn("__p", rademacherProj(vecCol, dims, projDims))
+    val q = staged(emb.filter(col(idCol) === queryId))
+      .select(col(vecCol).as("__qv"), col("__p").as("__pq"))
+    val short = staged(emb).crossJoin(broadcast(q))
+      .withColumn("approx_dist", Dedup.dotExact(
+        zip_with(col("__p"), col("__pq"), (x, y) => x - y),
+        zip_with(col("__p"), col("__pq"), (x, y) => x - y)))
+      .orderBy(col("approx_dist").asc, col(idCol))
+      .limit(maxB)
+      .select(col(idCol), col("approx_dist"),
+        (Dedup.dotExact(col(vecCol), col("__qv")) /
+          (Dedup.normExact(col(vecCol)) * Dedup.normExact(col("__qv"))))
+          .as("__cos"))
+    // bounded-relation windows from here down (≤ maxB rows; the
+    // partitionBy(lit(1)) is the rankBounded idiom, see hammingRecallSweep)
+    val ranked = short.withColumn("rank",
+      row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("approx_dist").asc, col(idCol))))
+    val pts = {
+      val s = emb.sparkSession
+      import s.implicits._
+      budgets.sorted.toDF("budget")
+    }
+    val per = ranked.crossJoin(broadcast(pts))
+      .filter(col("rank") <= col("budget"))
+      .withColumn("__crn", row_number().over(
+        Window.partitionBy(col("budget"))
+          .orderBy(col("__cos").desc, col(idCol))))
+      .filter(col("__crn") <= k)
+    val qv = vectorOf(emb, idCol, vecCol, queryId)
+    val exact = bruteForceTopK(emb, idCol, vecCol, qv, k)
+      .select(col(idCol))
+    val denom = exact.agg(count(lit(1)).as("__n"))
+    val hits = per.join(exact, idCol)
+      .groupBy(col("budget")).agg(count(lit(1)).as("hits"))
+    pts.join(hits, Seq("budget"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("budget").cast("long").as("budget"),
+        lit(k.toLong).as("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(col("__n") > 0,
+          coalesce(col("hits"), lit(0L)).cast("double") / col("__n"))
+          .otherwise(lit(0.0)).as("recall"))
+      .orderBy(col("budget"))
+  }
+
   /** Pin a double to the 1e-9 decimal grid via EXACT binary expansion +
     * HALF_UP. A 9-digit double's cast to any wider decimal is exact in
     * both Spark and DuckDB, so grid-pinned values survive cross-engine

@@ -250,6 +250,78 @@ object R11Queries {
            |    ELSE 0.0 END AS recall
            |FROM approx JOIN exact USING (vec_id)""".stripMargin)),
 
+    Q("sim_recall_randproj_sweep",
+      "Recall-vs-rescore-budget CURVE for the random-projection " +
+        "index in one pass — the JL member gets the same treatment as " +
+        "the sign-hash and IVF families (every index: a gate AND its " +
+        "tuning curve): projected-distance ranking ONCE to " +
+        "max(budgets), each operating point (10/25/50) a rank filter " +
+        "over the same bounded shortlist re-ranked by exact cosine, " +
+        "one shared ground truth.",
+      (s, d) => Similarity.randProjRecallSweep(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 10,
+        budgets = Seq(10, 25, 50)),
+      Some(
+        s"""WITH proj AS (
+           |  SELECT vec_id, j,
+           |    CAST(sum(CAST(embedding[i]::DOUBLE *
+           |      (CASE WHEN ((i * 37 + j * 101) % 97) % 2 = 0
+           |            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+           |      AS DECIMAL(38,14))) AS DOUBLE) AS p
+           |  FROM embeddings, generate_series(1, 64) g(i),
+           |       generate_series(1, 16) h(j)
+           |  GROUP BY vec_id, j),
+           |pq AS (SELECT j, p FROM proj WHERE vec_id = 0),
+           |pd AS (
+           |  SELECT a.vec_id,
+           |    CAST(sum(CAST((a.p - b.p) * (a.p - b.p)
+           |      AS DECIMAL(38,14))) AS DOUBLE) AS approx_dist
+           |  FROM proj a JOIN pq b USING (j) GROUP BY a.vec_id),
+           |short AS (
+           |  SELECT vec_id, approx_dist FROM pd
+           |  ORDER BY approx_dist, vec_id LIMIT 50),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |nq AS (
+           |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+           |  FROM q, generate_series(1, 64) g(i)),
+           |ranked AS (
+           |  SELECT vec_id, approx_dist,
+           |    row_number() OVER (ORDER BY approx_dist, vec_id) AS rank
+           |  FROM short),
+           |ne AS (
+           |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+           |dots AS (
+           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e, q, generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id),
+           |pts AS (SELECT unnest([10, 25, 50]) AS budget),
+           |exact AS (
+           |  SELECT d.vec_id FROM dots d JOIN ne USING (vec_id), nq
+           |  ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, d.vec_id LIMIT 10),
+           |per AS (
+           |  SELECT budget, vec_id FROM (
+           |    SELECT p.budget, r.vec_id,
+           |      row_number() OVER (PARTITION BY p.budget
+           |        ORDER BY d.dot / (ne.nrm * nq.nrm) DESC, r.vec_id)
+           |        AS crn
+           |    FROM ranked r JOIN dots d USING (vec_id)
+           |         JOIN ne USING (vec_id), nq, pts p
+           |    WHERE r.rank <= p.budget)
+           |  WHERE crn <= 10),
+           |hits AS (
+           |  SELECT budget, count(*) AS h
+           |  FROM per JOIN exact USING (vec_id) GROUP BY budget),
+           |den AS (SELECT count(*) AS n FROM exact)
+           |SELECT CAST(p.budget AS BIGINT) AS budget,
+           |  CAST(10 AS BIGINT) AS k,
+           |  coalesce(h.h, 0) AS hits,
+           |  CASE WHEN den.n > 0
+           |    THEN CAST(coalesce(h.h, 0) AS DOUBLE) / den.n
+           |    ELSE 0.0 END AS recall
+           |FROM pts p LEFT JOIN hits h ON h.budget = p.budget, den
+           |ORDER BY p.budget""".stripMargin)),
+
     Q("ta_heavyhitters",
       "Heavy hitters over the corpus token stream via per-partition " +
         "Misra–Gries summaries (O(k) memory, no shuffle) + exact " +
