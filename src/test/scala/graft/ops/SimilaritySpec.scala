@@ -727,4 +727,21 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", 10).head().getDouble(2)
     assert(curve.last._2 == gate)
   }
+
+  test("randProjRecallSweep: recall non-decreasing in budget, max " +
+      "budget point equals the standalone gate") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.Sf0001)
+    val curve = Similarity.randProjRecallSweep(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, budgets = Seq(10, 25, 50))
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(curve.map(_._1).toList == List(10L, 25L, 50L))
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall must not drop as budget grows: ${curve.toList}")
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val gate = Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10),
+      Similarity.randProjTopK(emb, "vec_id", "embedding", 0L, 10, 50),
+      "vec_id", 10).head().getDouble(2)
+    assert(curve.last._2 == gate)
+  }
 }
