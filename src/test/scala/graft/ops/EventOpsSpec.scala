@@ -135,6 +135,32 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("rollingActiveUsersServeSketch: an unmarked sketch batch stays " +
+      "invisible until its marked retry") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_austream").toString
+    val half1 = ev((1 to 10).map(i =>
+      (i.toLong, i.toLong, "2024-01-01 08:00:00", "view", 0.0)): _*)
+    val half2 = ev((11 to 30).map(i =>
+      (i.toLong, i.toLong, "2024-01-02 08:00:00", "view", 0.0)): _*)
+    val all = half1.unionByName(half2)
+    IncrementalAgg.writeBatch(
+      EventOps.dailyUserSketches(half1, "user_id", "ts"), dir, 0L)
+    // crashed batch: sketch data without its marker
+    EventOps.dailyUserSketches(half2, "user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/data/batch=1")
+    def counts(events: org.apache.spark.sql.DataFrame) =
+      EventOps.rollingActiveUsersServeSketch(spark, dir, events,
+        "user_id", "ts", Seq(1)).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // served sketches cover only day 1; the gate's exact side is the
+    // caller's events — use half1 so exact matches the committed state
+    assert(counts(half1) == Map("2024-01-01" -> 10L))
+    IncrementalAgg.writeBatch(
+      EventOps.dailyUserSketches(half2, "user_id", "ts"), dir, 1L)
+    assert(counts(all) == Map("2024-01-01" -> 10L, "2024-01-02" -> 20L))
+  }
+
   test("dailyAnomalies: the spike day flags, steady days don't, " +
       "constant series z-scores 0") {
     // type a: 1 event/day for 10 days, then a 6-event spike on day 11
