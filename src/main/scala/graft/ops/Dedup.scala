@@ -470,6 +470,77 @@ object Dedup {
           .as("containment"))
       .filter(col("containment") >= threshold)
 
+  /** EXACT Jaccard-threshold set-similarity self-join via PREFIX
+    * FILTERING (the AllPairs/PPJoin family: Chaudhuri et al. ICDE'06,
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08) — the exact complement
+    * to [[minhashCandidates]]: zero false negatives AND zero false
+    * positives, without [[jaccardPairs]]'s full postings self-join.
+    *
+    * The pruning theorem: order the shingle universe globally by
+    * ascending document frequency (rarest first, ties by shingle text)
+    * and give each document a PREFIX of its first
+    * `|x| − ⌈θ·|x|⌉ + 1` shingles in that order. J(A,B) ≥ θ implies
+    * |A∩B| ≥ θ·|A∪B| ≥ ⌈θ·max(|A|,|B|)⌉, so if the FIRST shared
+    * shingle (in the global order) were outside A's prefix, ALL ≥
+    * ⌈θ|A|⌉ shared shingles would have to fit in A's last
+    * ⌈θ|A|⌉ − 1 positions — impossible; same for B. Hence every
+    * qualifying pair shares a shingle inside BOTH prefixes, and the
+    * prefix equi-join is a complete candidate generator.
+    *
+    * 100 TB shape: only prefix postings — a (1−θ) fraction of the
+    * shingle universe, and by construction the RAREST shingles, so
+    * per-key posting lists are short where it matters — enter the
+    * self-join; the size filter θ·|b| ≤ |a| ≤ |b|/θ (J ≥ θ forces
+    * sizes within a 1/θ factor) is pushed into the join condition; the
+    * verify pass touches full postings only for candidate pairs (a
+    * semi-join bounded by the candidate count, not n²). Boilerplate
+    * shingles with huge df sort to the END of the global order and
+    * thus rarely reach a prefix — the df cap [[jaccardPairs]] needs
+    * for its full self-join is built into the ordering here, with no
+    * exactness loss. (PPJoin's positional upper-bound refinement would
+    * prune candidates further; AllPairs prefixes already deliver the
+    * asymptotics, so we keep the join condition codegen-simple.)
+    *
+    * @return (id_a, id_b, n_common, jaccard) for all pairs with
+    *         J ≥ threshold — the same row shape as [[jaccardPairs]].
+    */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
+                  shingler: Shingler = Shingler.words(3),
+                  threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val (staged, shCol) = shingler.stage(df, textCol)
+    // postings feed three consumers (rank, candidate verify ×2) — cache
+    val sh = graft.core.Caches.track(
+      staged.select(col(idCol).as("id"), explode(shCol).as("sh")))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df_sh"), col("sh"))
+    val pref = sh.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(wDoc))
+      .join(counts, "id")
+      .filter(col("rk") <=
+        col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
+      .select("id", "sh", "n_sh")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
   /** Benchmark decontamination: flag TRAIN documents sharing at least
     * `minCommon` distinct shingles with any BENCHMARK document — the
     * standard eval-leakage guard in training-corpus curation (the same

@@ -94,6 +94,75 @@ object EventOps {
         "sum_value")
   }
 
+  /** Top-k session PATHS: the full ordered event-type sequence of each
+    * session (gap-based, [[sessionize]] semantics) joined into a
+    * `view>click>purchase` path string, counted across sessions, top-k
+    * by frequency — the "what do users actually do" report next to the
+    * funnel's "do they do THIS".
+    *
+    * Plan shape: the one session_window exchange on the user key (the
+    * same exchange sessionize pays), path assembly INSIDE the row
+    * (sort_array over the per-session event list — bounded by session
+    * length, the unit every analytics store already shards by), then a
+    * path-keyed count whose map-side partial combine collapses each
+    * partition to its distinct paths, and a TakeOrderedAndProject for
+    * the top-k (never a global sort). Ties in ts are broken by `tieCol`
+    * so the path string is deterministic cross-engine.
+    */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, tieCol: String,
+                   gap: String = "30 minutes", topK: Int = 20): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    events
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(us.as("us"),
+            col(tieCol).as("tie"), col(typeCol).as("et")))),
+          _.getField("et"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
+  /** Segment-overlap matrix: for every pair of event-type segments, how
+    * many users belong to BOTH, with the Jaccard affinity |A∩B|/|A∪B| —
+    * the audience-overlap report behind "do users who error also
+    * purchase?" questions. Segment membership is "engaged": at least
+    * `minEvents` events of that type (with minEvents = 1 this is plain
+    * did-the-thing membership, which on uniformly generated fixtures is
+    * everyone-everywhere — the threshold is what makes the report say
+    * something).
+    *
+    * Plan shape: ONE (user, type) aggregate — the only corpus-sized
+    * exchange, map-side combinable — then a self-join co-partitioned on
+    * the user key whose per-user fanout is bounded by |types|² (types
+    * is a bounded vocabulary, so each user contributes at most
+    * types·(types−1)/2 pair rows), collapsing map-side into the
+    * ≤ |types|² output. The per-type sizes reuse the same membership
+    * relation; nothing user-cardinality-sized crosses a second
+    * exchange.
+    */
+  def segmentOverlap(events: DataFrame, userCol: String,
+                     typeCol: String, minEvents: Long = 1L): DataFrame = {
+    val ut = graft.core.Caches.track(
+      events.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= minEvents).select("u", "t"))
+    val sizes = ut.groupBy("t").agg(count(lit(1)).as("n"))
+    val both = ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(sizes.select(col("t").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("t").as("type_b"), col("n").as("n_b")), "type_b")
+      .withColumn("jaccard", col("n_both").cast("double") /
+        (col("n_a") + col("n_b") - col("n_both")))
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard")
+  }
+
   /** Cohort retention grid: users grouped by their first `cohortType`
     * event's week, counted as retained in every week with ANY activity
     * — the (cohort × activity-week) matrix. Single-sourced for the

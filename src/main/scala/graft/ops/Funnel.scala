@@ -170,11 +170,20 @@ object Funnel {
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              stageCol: String, stages: Seq[String],
-             maxGapSeconds: Option[Long] = None): DataFrame = {
-    val depths = userDepths(events, userCol, tsCol, stageCol, stages,
-      maxGapSeconds)
+             maxGapSeconds: Option[Long] = None): DataFrame =
+    depthCounts(userDepths(events, userCol, tsCol, stageCol, stages,
+      maxGapSeconds), stages)
+
+  /** The depth → per-stage-counts step of [[funnel]], separated so any
+    * producer of (user, depth) rows — the batch fold above, the
+    * incremental streaming state machine
+    * ([[graft.streaming.StatefulFunnel]]) — shares the one
+    * conditional-aggregation report.
+    */
+  def depthCounts(depths: DataFrame, stages: Seq[String],
+                  depthCol: String = "depth"): DataFrame = {
     val aggs = stages.zipWithIndex.map { case (_, i) =>
-      coalesce(sum(when(col("depth") >= i + 1, 1L).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col(depthCol) >= i + 1, 1L).otherwise(0L)), lit(0L))
         .as(s"__n_$i")
     }
     val agged = depths.agg(aggs.head, aggs.tail: _*)

@@ -613,4 +613,57 @@ object EventStream {
       finally q.stop()
       path
     }
+
+  /** Streaming N-stage funnel: feeds the event table to
+    * [[StatefulFunnel]] in `chunks` event-time-ordered micro-batches
+    * (chunk membership is a threshold on exact event-time MICROS, so
+    * equal timestamps can never straddle a batch boundary — the
+    * precondition under which the incremental per-user fold equals the
+    * batch fold), then reports the same per-stage counts as the batch
+    * [[graft.ops.Funnel.funnel]]. Depth per user is monotone across
+    * batches, so the memory sink's final answer is max(depth).
+    */
+  def runFunnelStream(spark: SparkSession, sfDir: String,
+                      stages: Seq[String], chunks: Int = 3,
+                      queryName: String = "graft_funnel_stream"): DataFrame =
+    withStatePartitions(spark) {
+      import java.nio.file.Files
+      import org.apache.spark.sql.types._
+      val events = graft.core.Tables.events(spark, sfDir)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("event_type"))
+      val us = unix_micros(col("ts"))
+      val bounds = events.agg(min(us), max(us)).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val dir = Files.createTempDirectory("graft_funnel_src")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("event_type", StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      import spark.implicits._
+      val depths = StatefulFunnel.depths(stream.as[StatefulFunnel.Ev], stages)
+      val q = depths.toDF().writeStream
+        .outputMode("append").format("memory").queryName(queryName).start()
+      try {
+        (1 to chunks).foreach { i =>
+          // [loB, hiB) micro-thresholds; the last chunk's bound is hi+1
+          // so max-ts events are included
+          val loB = lo + (hi - lo + 1) * (i - 1).toLong / chunks
+          val hiB = lo + (hi - lo + 1) * i.toLong / chunks
+          events.filter(us >= loB && us < hiB)
+            .coalesce(1).write.mode("append").parquet(dir.toString)
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+      graft.ops.Funnel.depthCounts(
+        spark.table(queryName).groupBy("user_id")
+          .agg(max(col("depth")).as("depth")), stages)
+    }
 }
