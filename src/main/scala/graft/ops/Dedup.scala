@@ -508,6 +508,20 @@ object Dedup {
                   shingler: Shingler = Shingler.words(3),
                   threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    // θ arithmetic must be EXACT or the zero-false-negative guarantee
+    // breaks: in binary doubles 0.55*20 = 11.000000000000002, so
+    // ceil(θ·n) misrounds up and the prefix is one shingle too short.
+    // Take θ as the decimal the caller wrote (threshold.toString is the
+    // shortest decimal that round-trips the double) and reduce to a
+    // rational p/q so every comparison below is integer-only:
+    //   ceil(n·p/q)  =  (n·p + q − 1) div q        (n, p, q > 0)
+    //   θ·b ≤ a      ⇔  p·b ≤ q·a
+    //   J ≥ θ        ⇔  q·n_common ≥ p·(n_a + n_b − n_common)
+    val dec = BigDecimal(threshold.toString)
+    val q0 = BigInt(10).pow(dec.scale max 0)
+    val p0 = (dec * BigDecimal(q0)).toBigInt
+    val g = p0.gcd(q0)
+    val (thP, thQ) = ((p0 / g).toLong, (q0 / g).toLong)
     val (staged, shCol) = shingler.stage(df, textCol)
     // postings feed three consumers (rank, candidate verify ×2) — cache
     val sh = graft.core.Caches.track(
@@ -519,12 +533,13 @@ object Dedup {
       .withColumn("rk", row_number().over(wDoc))
       .join(counts, "id")
       .filter(col("rk") <=
-        col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
+        col("n_sh") -
+          expr(s"(n_sh * ${thP}L + ${thQ - 1}L) div ${thQ}L") + 1)
       .select("id", "sh", "n_sh")
     val cand = pref.as("a").join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
-          col("a.n_sh") * lit(threshold) <= col("b.n_sh"))
+          col("b.n_sh") * lit(thP) <= col("a.n_sh") * lit(thQ) &&
+          col("a.n_sh") * lit(thP) <= col("b.n_sh") * lit(thQ))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val common = cand
@@ -537,7 +552,8 @@ object Dedup {
       .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("n_common") * lit(thQ) >=
+        (col("n_a") + col("n_b") - col("n_common")) * lit(thP))
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 

@@ -43,11 +43,19 @@ object R5Queries {
     * default's 64-dim rows against sliced centroids would silently
     * compute prefix distances (list indexing past a short list reads
     * NULL, no SQL error) if the final-assignment CTE were referenced.
+    * That contract is ENFORCED, not just documented: a sliced chain
+    * (dims ≠ $DIMS) refuses the `embeddings` default at construction
+    * time — sliced callers must name their assignment relation.
     */
   private[queries] def kmeansCtesOn(trainRel: String, k: Int = K,
                                     prefix: String = "", iters: Int = ITERS,
-                                    assignRel: String = "embeddings",
+                                    assignRel: String = "",
                                     dims: Int = DIMS): String = {
+    require(assignRel.nonEmpty || dims == DIMS,
+      s"kmeansCtesOn(dims=$dims): a sliced chain cannot default its " +
+        s"final-assignment relation to the $DIMS-dim `embeddings` table " +
+        "(prefix-distance hazard) — pass assignRel explicitly")
+    val assignRelResolved = if (assignRel.nonEmpty) assignRel else "embeddings"
     val seed =
       s"""${prefix}seeds AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
@@ -60,7 +68,7 @@ object R5Queries {
       val prev = s"${prefix}c${n - 1}"
       // training iterations assign the training relation; the final
       // (no-update) pass assigns the full corpus
-      val rel = if (withUpdate) trainRel else assignRel
+      val rel = if (withUpdate) trainRel else assignRelResolved
       val dist =
         s"""${prefix}d$n AS (
            |  SELECT e.vec_id, c.cluster,

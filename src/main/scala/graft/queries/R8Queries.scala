@@ -752,9 +752,15 @@ object R8Queries {
     * the residual codebooks train on the residuals of rows matching
     * `bookTrainPred`, and assignment/encoding/probing still cover the
     * FULL corpus — exactly the union a build-then-append layout serves.
+    * `servePred` restricts which rows the index SERVES (the tombstone
+    * filter of a delete/compact lifecycle) without touching training:
+    * deleted rows still shaped the quantizers, they just never reach
+    * the ADC shortlist — exactly what a tombstoned/compacted layout
+    * computes.
     */
   private[queries] def ivfAdcChainOn(coarseTrainRel: String,
-                                     bookTrainPred: Option[String]): String = {
+                                     bookTrainPred: Option[String],
+                                     servePred: Option[String] = None): String = {
         val M = 4; val SUB = 16
         val coarseChain = R5Queries.kmeansCtesOn(coarseTrainRel, k = 4,
           prefix = "pc_", iters = 1, dims = 64)
@@ -860,7 +866,8 @@ object R8Queries {
            |  JOIN xx1 x1 ON x1.ccl = r.coarse AND x1.code = a1.cluster
            |  JOIN xx2 x2 ON x2.ccl = r.coarse AND x2.code = a2.cluster
            |  JOIN xx3 x3 ON x3.ccl = r.coarse AND x3.code = a3.cluster, nqv
-           |  WHERE r.coarse IN (SELECT cluster FROM cshort)),
+           |  WHERE r.coarse IN (SELECT cluster FROM cshort)${
+             servePred.map(p => s"\n    AND ($p)").getOrElse("")}),
            |short AS (SELECT vec_id FROM scores ORDER BY approx DESC, vec_id LIMIT 50),
            |nqe AS (
            |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm

@@ -23,15 +23,15 @@ object R9Queries {
   private val baseBooksCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
 
-  private def baseSlice(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def baseSlice(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") % 4 =!= 1)
 
-  private def baseCoarse(s: org.apache.spark.sql.SparkSession,
+  private[queries] def baseCoarse(s: org.apache.spark.sql.SparkSession,
                          d: String): Seq[Seq[Double]] =
     baseCoarseCache.computeIfAbsent(d, _ => Similarity.kmeansQuantized(
       baseSlice(s, d), "vec_id", "embedding", 4, 1))
 
-  private def baseBooks(s: org.apache.spark.sql.SparkSession,
+  private[queries] def baseBooks(s: org.apache.spark.sql.SparkSession,
                         d: String): Seq[Seq[Seq[Double]]] =
     baseBooksCache.computeIfAbsent(d, _ => Similarity.residualBooks(
       baseSlice(s, d), "vec_id", "embedding", baseCoarse(s, d), 4, 8, 1, 64))

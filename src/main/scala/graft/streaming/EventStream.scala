@@ -625,11 +625,24 @@ object EventStream {
     */
   def runFunnelStream(spark: SparkSession, sfDir: String,
                       stages: Seq[String], chunks: Int = 3,
-                      queryName: String = "graft_funnel_stream"): DataFrame =
+                      queryNamePrefix: String = "graft_funnel_stream"): DataFrame =
     withStatePartitions(spark) {
       import java.nio.file.Files
       import org.apache.spark.sql.types._
+      // unique per invocation: a fixed name would collide with a
+      // concurrent run (duplicate active query) and a sequential re-run
+      // would replace the memory-sink temp view under an unconsumed
+      // earlier result
+      val queryName =
+        queryNamePrefix + "_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+      // Ev.user_id is a primitive Long: a null user would crash the
+      // Dataset encoder mid-stream. Anonymous events carry no
+      // attributable funnel state — drop them up front instead of
+      // crashing on dirty input (documented stream-side contract; the
+      // fixtures carry no null users, so batch ≡ stream holds there).
       val events = graft.core.Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull)
         .select(col("user_id").cast("long").as("user_id"), col("ts"),
           col("event_type"))
       val us = unix_micros(col("ts"))
@@ -662,8 +675,16 @@ object EventStream {
             .foreach(p => Files.deleteIfExists(p))
         } catch { case _: Throwable => () }
       }
-      graft.ops.Funnel.depthCounts(
+      // materialize (stage-count-bounded rows) BEFORE dropping the
+      // memory-sink temp view, so the returned DataFrame doesn't lazily
+      // read a view a later run could have replaced
+      val res = graft.ops.Funnel.depthCounts(
         spark.table(queryName).groupBy("user_id")
           .agg(max(col("depth")).as("depth")), stages)
+      val out = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
+        res.schema)
+      spark.catalog.dropTempView(queryName)
+      out
     }
 }
