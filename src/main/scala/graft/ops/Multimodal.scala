@@ -352,6 +352,141 @@ object Multimodal {
     * schema/explode shape is what a real frame sampler produces — for the
     * REAL image-decoder form see [[sampleImageFrames]].
     */
+  // -------------------------------------------------- perceptual hashing
+
+  /** 64-bit DIFFERENCE HASH (dHash, Krawetz's "Kind of Like That"
+    * family) over a decoded image — the image analogue of MinHash: two
+    * images that differ only by re-encoding, mild rescaling, or small
+    * local edits land within a few bits of each other, so the
+    * [[Dedup.simhashPairs]] Hamming pigeonhole machinery finds
+    * near-duplicate images with an equi-join, never a cross join.
+    *
+    * All arithmetic is EXACT integers, so Spark, the oracle SQL and the
+    * spec compute bit-identical signatures:
+    *  - per-pixel luma = 299·R + 587·G + 114·B (fixed-point ITU-R 601,
+    *    the /1000 deferred — comparisons are scale-invariant); getRGB
+    *    makes grayscale and truecolor decodes of the same image agree;
+    *  - a 9×8 grid of cells by exact integer area partition: pixel x
+    *    belongs to cell ⌊x·9/w⌋ (resp. ⌊y·8/h⌋) — cell luma sums and
+    *    pixel counts accumulate in Long;
+    *  - bit cy·8+cx is set iff cell (cx+1, cy)'s MEAN luma is strictly
+    *    greater than cell (cx, cy)'s, compared exactly by
+    *    cross-multiplied sums (sumB·cntA > sumA·cntB — no double
+    *    division anywhere).
+    *
+    * Images narrower/shorter than the grid leave some cells empty
+    * (count 0 compares as mean 0); real pipelines hash after a resize
+    * to at least 9×8, which [[resize]] provides.
+    */
+  private[graft] def dHash64(img: BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.ofDim[Long](gh, gw)
+    val cnts = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * gh / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * gw / w).toInt
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        sums(cy)(cx) += luma
+        cnts(cy)(cx) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        if (sums(cy)(cx + 1) * cnts(cy)(cx) > sums(cy)(cx) * cnts(cy)(cx + 1))
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** Decode a binary image column and append its [[dHash64]] as a
+    * `phash` LongType column (null when no codec recognizes the
+    * payload) — micro-batched mapPartitions like [[extractMeta]].
+    * Near-dup pipeline: `perceptualHash` → rename to `simhash` →
+    * [[Dedup.simhashPairs]](bits = 64).
+    */
+  def perceptualHash(df: DataFrame, binCol: String,
+                     batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("phash", LongType, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val h = decodeImage(row.getAs[Array[Byte]](binIdx)) match {
+            case Some((_, img)) => java.lang.Long.valueOf(dHash64(img))
+            case None           => null
+          }
+          Row.fromSeq(row.toSeq :+ h)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Structured-gradient fixture for the perceptual-hash oracle: each id
+    * becomes a REAL 18×16 grayscale PNG of 2×2 constant cells whose
+    * gray values are a pure function of the id — and consecutive id
+    * PAIRS (gid = id/2) share the same pattern up to one bumped cell,
+    * planting near-duplicates the mm_neardup query must find. Cell
+    * (cx, cy) of image id has gray
+    * `32 + (gid·7 + cx·5 + cy·3 + (id%2)·bump(cx,cy)) % 64` with
+    * bump = 9 at (4, 3) and 0 elsewhere, so an odd image differs from
+    * its even partner in exactly one cell (≤ 2 dHash bits) while
+    * different gids shift the whole mod-64 pattern. 18×16 makes each
+    * dHash grid cell exactly one 2×2 fixture cell — the oracle
+    * restates the hash directly over the cell function with no
+    * area-averaging to express in SQL.
+    */
+  def gradientFixture(df: DataFrame, idCol: String,
+                      batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("payload", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          Row.fromSeq(row.toSeq :+ encodePng(gradientImage(id)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private[graft] def gradientCellGray(id: Long, cx: Int, cy: Int): Int = {
+    val gid = Math.floorDiv(id, 2L)
+    val odd = Math.floorMod(id, 2L)
+    val bump = if (cx == 4 && cy == 3) 9L else 0L
+    (32L + Math.floorMod(gid * 7L + cx * 5L + cy * 3L + odd * bump, 64L)).toInt
+  }
+
+  private[graft] def gradientImage(id: Long): BufferedImage = {
+    val img = new BufferedImage(18, 16, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        raster.setSample(x, y, 0, gradientCellGray(id, x / 2, y / 2))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
                    chunkBytes: Int = 64, stride: Int = 4): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)

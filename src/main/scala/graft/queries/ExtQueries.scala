@@ -442,7 +442,7 @@ object ExtQueries {
       Some("""WITH g AS (
              |  SELECT user_id, epoch_us(ts) AS us, value,
              |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
              |         THEN 1 ELSE 0 END AS new_sess
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

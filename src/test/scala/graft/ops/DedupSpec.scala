@@ -410,4 +410,42 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq(1L -> 1L, 2L -> 1L)) // single edge closes in 1 round
   }
+
+  test("ppjoinPairs: exact rational threshold arithmetic - the J = 0.55 " +
+      "borderline pair survives where binary-double ceil(0.55*20) = 12 " +
+      "would shorten the prefix AND fail the size filter") {
+    // A = 11 shared words; B = the same 11 plus 9 unique. J = 11/20 =
+    // 0.55 exactly. B's unique words have df=1 and sort FIRST, so B's
+    // correct prefix (20 - ceil(11) + 1 = 10) ends exactly on the first
+    // shared word - one misrounded ceil (11.000000000000002 -> 12) and
+    // the pair has no co-prefix shingle; the size filter 20*0.55 <= 11
+    // misrounds the same way. Both must be exact.
+    val shared = (1 to 11).map(i => f"s$i%02d")
+    val uniq = (1 to 9).map(i => f"u$i%02d")
+    val docs = Seq(
+      (1L, shared.mkString(" ")),
+      (2L, (shared ++ uniq).mkString(" "))).toDF("id", "text")
+    val rows = Dedup.ppjoinPairs(docs, "id", "text",
+      Dedup.Shingler.words(1), threshold = 0.55).collect()
+    assert(rows.length == 1, s"borderline pair pruned: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 11L)
+    assert(r.getDouble(3) == 0.55)
+  }
+
+  test("ppjoinPairs at the exact threshold still agrees with jaccardPairs " +
+      "on the fixture corpus (threshold 0.55, both exact methods)") {
+    val docs = graft.core.Tables.documents(spark, graft.SparkSpec.Sf0001)
+      .select(col("doc_id").as("id"), col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "n_common").as[(Long, Long, Long)]
+        .collect().sortBy(t => (t._1, t._2)).toSeq
+    val pp = canon(Dedup.ppjoinPairs(docs, "id", "text",
+      Dedup.Shingler.words(3), threshold = 0.55))
+    // uncapped jaccardPairs (maxShingleDf large) = ground truth
+    val jc = canon(Dedup.jaccardPairs(docs, "id", "text",
+      Dedup.Shingler.words(3), threshold = 0.55,
+      maxShingleDf = Int.MaxValue, sampleHex = 16))
+    assert(pp == jc, s"ppjoin ${pp.size} pairs vs jaccard ${jc.size}")
+  }
 }

@@ -188,4 +188,24 @@ class EventOpsSpec extends SparkSpec {
     assert(bVals.forall(v => v._2._2 == 0.0 && !v._2._3),
       s"constant series: z=0, no flags: $bVals")
   }
+
+  test("sessionize: an exactly-30-minute gap stays in the SAME session " +
+      "(session_window merges when newStart <= currentEnd, boundary " +
+      "INCLUSIVE - fixture-verified; the oracle's strict > 1800000000 " +
+      "pin matches), while one microsecond past the gap splits") {
+    // gap == 30 min exactly: merged
+    val merged = EventOps.sessionize(ev(
+        (1L, 1L, "2024-01-01 00:00:00", "view", 1.0),
+        (2L, 1L, "2024-01-01 00:30:00", "view", 1.0)),
+      "user_id", "ts", "value").collect()
+    assert(merged.length == 1 && merged.head.getLong(2) == 2L,
+      s"exact-gap event must merge into the session: ${merged.toSeq}")
+    // gap == 30 min + 1 ms: split
+    val split = EventOps.sessionize(ev(
+        (1L, 1L, "2024-01-01 00:00:00", "view", 1.0),
+        (2L, 1L, "2024-01-01 00:30:00.001", "view", 1.0)),
+      "user_id", "ts", "value").collect()
+    assert(split.length == 2,
+      s"past-gap event must open a new session: ${split.toSeq}")
+  }
 }

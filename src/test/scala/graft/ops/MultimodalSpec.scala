@@ -220,4 +220,62 @@ class MultimodalSpec extends SparkSpec {
     assert(perPart.forall(b => b <= 1700),
       s"uneven byte spread: ${perPart.toSeq}")
   }
+
+  test("dHash64: lossless re-encode preserves the signature exactly, a " +
+      "2x bilinear rescale stays within a few bits (the near-dup " +
+      "robustness claim), and even/odd fixture partners are planted " +
+      "near-dups; solid images hash to 0") {
+    val img = Multimodal.gradientImage(42L)
+    val h = Multimodal.dHash64(img)
+    // PNG is lossless: encode -> decode -> identical signature
+    val re = Multimodal.decodeImage(Multimodal.encodePng(img)).get._2
+    assert(Multimodal.dHash64(re) == h, "re-encoded image must hash equal")
+    // a REAL bilinear 2x upscale + re-encode: orderings of cell means
+    // survive smooth rescaling - the property that makes dHash a
+    // near-dup signature rather than an exact fingerprint
+    val up = Multimodal.decodeImage(Multimodal.encodePng(
+      Multimodal.scaleImage(img, 36, 32))).get._2
+    val hu = Multimodal.dHash64(up)
+    // the gradient fixture has mod-64 WRAP boundaries (adjacent cells
+    // jumping 59 -> 0), where bilinear smoothing legitimately flips the
+    // comparison; measured drift is 6 bits - still well inside the
+    // 64-bit space and exactly the "near, not equal" regime dHash is
+    // for. A smooth (wrap-free) image must not drift at all (below).
+    assert(java.lang.Long.bitCount(h ^ hu) <= 8,
+      s"2x-rescaled image drifted ${java.lang.Long.bitCount(h ^ hu)} bits")
+    // smooth monotone gradient: rescaling preserves every cell-mean
+    // ordering - zero drift
+    val smooth = new BufferedImage(18, 16, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 18)
+      smooth.getRaster.setSample(x, y, 0, 40 + 4 * (x / 2) + 3 * (y / 2))
+    val hs = Multimodal.dHash64(smooth)
+    val hsUp = Multimodal.dHash64(Multimodal.decodeImage(
+      Multimodal.encodePng(Multimodal.scaleImage(smooth, 36, 32))).get._2)
+    assert(hs == hsUp, "smooth gradient must survive a 2x rescale exactly")
+    // the planted pair: odd partner differs in ONE bumped cell
+    val h2 = Multimodal.dHash64(Multimodal.gradientImage(43L))
+    assert(java.lang.Long.bitCount(h ^ h2) <= 2,
+      s"planted near-dup pair too far: ${java.lang.Long.bitCount(h ^ h2)}")
+    // different gids are far apart (mod-64 wrap pattern shifts)
+    val h3 = Multimodal.dHash64(Multimodal.gradientImage(40L))
+    assert(h3 != h)
+    // no gradient, no bits
+    assert(Multimodal.dHash64(Multimodal.solidGray(7, 5, 50)) == 0L)
+  }
+
+  test("perceptualHash pipeline: simhashPairs blocking over dHash64 " +
+      "signatures recovers every planted even/odd pair (complete " +
+      "recall of the pigeonhole equi-join at 64 bits)") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 40L).toDF("doc_id")
+    val sig = Multimodal.perceptualHash(
+        Multimodal.gradientFixture(ids, "doc_id"), "payload")
+      .select(col("doc_id"), col("phash").as("simhash"))
+    val pairs = Dedup.simhashPairs(sig, "doc_id", maxHamming = 3, bits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 40L by 2).foreach { e =>
+      assert(pairs.contains((e, e + 1)),
+        s"planted pair ($e, ${e + 1}) missed by the blocking join")
+    }
+  }
 }

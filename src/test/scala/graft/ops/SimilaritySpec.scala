@@ -348,6 +348,58 @@ class SimilaritySpec extends SparkSpec {
     assert(served == afterDel, "post-vacuum ADC serve unchanged")
   }
 
+  test("ivfCompactLayout on the ADC layout: the compacted batch PRESERVES " +
+      "pq codes and coarse assignments byte-for-byte (nothing re-encoded), " +
+      "a crash before the supersede rename keeps the old state served, and " +
+      "the same-id retry heals") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_cmp")
+      .toString + "/emb"
+    Similarity.ivfAdcWriteLayout(emb.filter($"vec_id" % 4 =!= 1),
+      "vec_id", "embedding", dir,
+      kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64)
+    Similarity.ivfAdcAppendLayout(emb.filter($"vec_id" % 4 === 1),
+      "vec_id", "embedding", dir, batchId = 1L)
+    Similarity.ivfDeleteLayout(Seq(3L, 7L).toDF("vec_id"), "vec_id", dir,
+      batchId = 2L)
+    def served = Similarity.ivfAdcProbeLayout(spark, dir, q, k = 10,
+        nprobe = 2, rescore = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // (id -> (cluster, codes)) before compaction: the identity the fold
+    // must carry — compaction moves rows, it never re-encodes them
+    def codeMap = spark.read.parquet(dir + "/data")
+      .filter(!$"vec_id".isin(3L, 7L))
+      .select($"vec_id", $"ivf_cluster", $"pq_code")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2).toList))
+      .toMap
+    val before = served
+    val codesBefore = codeMap
+    // crash: compaction data written, supersede marker rename not run
+    Similarity.ivfCompactLayout(spark, dir, "vec_id", newBatchId = 3L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/commits/compact_3"),
+      false)
+    assert(served == before, "uncommitted ADC compaction must be invisible")
+    // retry heals; the single surviving batch serves identically
+    Similarity.ivfCompactLayout(spark, dir, "vec_id", newBatchId = 3L)
+    assert(Similarity.ivfVacuumLayout(spark, dir) == 3)
+    assert(served == before,
+      "compaction + vacuum must not change what the ADC layout serves")
+    // the compacted batch carries the schema AND the values: pq_code +
+    // ivf_cluster columns present, every surviving row's codes identical
+    val compacted = spark.read.parquet(dir + "/data/batch=3")
+    assert(compacted.columns.contains("pq_code") &&
+      compacted.columns.contains("embedding"),
+      s"compacted ADC batch lost columns: ${compacted.columns.toSeq}")
+    assert(codeMap == codesBefore,
+      "compaction must preserve every row's coarse assignment and pq codes")
+    assert(!codeMap.contains(3L) && !codeMap.contains(7L),
+      "tombstoned rows must not survive compaction")
+  }
+
   test("ivfWriteLayout/ivfAdcWriteLayout from injected trained quantizers " +
       "equal the in-builder-trained layouts") {
     val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
