@@ -298,6 +298,46 @@ object R13Queries {
               |WHERE bit_count(xor(a.phash, b.phash)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("stream_late",
+      "LATE DATA under a real event-time watermark: the events table " +
+        "replays as on-time body (below an hour-aligned cutoff, minus " +
+        "the event_id % 13 = 4 'arrives late' subset), then a second " +
+        "batch of the tail PLUS the late subset, then a far-future " +
+        "flush. The 1-hour watermark freezes after batch 1, so late " +
+        "rows whose window closed at or before it are DROPPED while " +
+        "late rows inside it still count — append mode then emits " +
+        "every closed window once. Oracle: recompute the watermark " +
+        "from the same batch-1 membership predicate " +
+        "(millisecond-truncated, as Spark's EventTimeStats tracks it) " +
+        "and aggregate events minus the dropped set — kept-vs-dropped " +
+        "is hash-checked, not assumed.",
+      (s, d) => graft.streaming.EventStream.runLateStream(s, d)
+        .orderBy("hour_start", "event_type"),
+      Some("""WITH bounds AS (
+             |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+             |  FROM events),
+             |cut AS (
+             |  SELECT ((lo + ((hi - lo) * 4) // 5) // 3600000000)
+             |           * 3600000000 AS c_us
+             |  FROM bounds),
+             |wm AS (
+             |  SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us
+             |  FROM events, cut
+             |  WHERE epoch_us(ts) < c_us AND NOT (event_id % 13 = 4)),
+             |kept AS (
+             |  SELECT e.* FROM events e, cut, wm
+             |  WHERE NOT (e.event_id % 13 = 4
+             |             AND epoch_us(e.ts) < c_us
+             |             AND (epoch_us(e.ts) // 3600000000 + 1)
+             |                   * 3600000000 <= wm.wm_us))
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             |         AS hour_start,
+             |  event_type, count(*) AS n,
+             |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+             |FROM kept
+             |GROUP BY 1, 2
+             |ORDER BY hour_start, event_type""".stripMargin)),
+
     Q("sim_ivfadc_lifecycle",
       "The COMPRESSED vector index lifecycle under one gate (the " +
         "sim_ivf_lifecycle chain on the IVFADC layout): build on " +

@@ -614,6 +614,82 @@ object EventStream {
       path
     }
 
+  /** LATE-DATA correctness for the watermarked windowed aggregate — the
+    * semantics append mode actually enforces, exercised deliberately
+    * instead of incidentally:
+    *
+    *  - file 1: the "on-time body" — events below a pinned hour-aligned
+    *    cutoff C (min + 4/5 of the time range, floored to the hour),
+    *    MINUS a deterministic "arrives late" subset (event_id % 13 = 4);
+    *  - after file 1 commits, the query's event-time watermark is
+    *    wm = maxTs(file 1) − 1 hour (millisecond-truncated, exactly as
+    *    Spark's EventTimeStats tracks it);
+    *  - file 2: the on-time tail (ts ≥ C) PLUS the late subset. Late
+    *    rows whose 1-hour window closed at or before wm are DROPPED by
+    *    the aggregation's late-row filter; late rows within the
+    *    watermark still count — both behaviors in one batch;
+    *  - file 3: one far-future flush row pushes the watermark past
+    *    every real window so append mode emits them all (the flush
+    *    row's own window stays open and is filtered out by type).
+    *
+    * The oracle recomputes wm from the same file-1 membership predicate
+    * and aggregates events minus the dropped set — kept-vs-dropped is
+    * hash-checked, not assumed. The fixture guarantees no window end
+    * lands exactly ON the watermark (wm carries real sub-hour
+    * milliseconds), so the boundary convention cannot mask a drift.
+    */
+  def runLateStream(spark: SparkSession, sfDir: String,
+                    queryNamePrefix: String = "graft_late_stream"): DataFrame =
+    withStatePartitions(spark) {
+      import java.nio.file.Files
+      val queryName = queryNamePrefix + "_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val events = graft.core.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      val us = unix_micros(col("ts"))
+      val b = events.agg(min(us), max(us)).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val hourUs = 3600L * 1000000L
+      val cutoff = (lo + (hi - lo) * 4L / 5L) / hourUs * hourUs
+      val late = col("event_id") % 13 === 4
+      val dir = Files.createTempDirectory("graft_late_src")
+      def writeChunk(df: org.apache.spark.sql.DataFrame): Unit =
+        df.coalesce(1).write.mode("append").parquet(dir.toString)
+      writeChunk(events.filter(us < cutoff && !late))
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val agg = windowedAgg(stream.withWatermark("ts", "1 hour"))
+      val q = agg.writeStream
+        .outputMode("append").format("memory").queryName(queryName).start()
+      try {
+        q.processAllAvailable()
+        writeChunk(events.filter(us >= cutoff || late))
+        q.processAllAvailable()
+        val flushTs = (hi / 1000L) * 1000L + 366L * 24 * 3600 * 1000000L
+        writeChunk(events.limit(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"),
+          timestamp_micros(lit(flushTs)).as("ts"),
+          lit("__flush").as("event_type"),
+          lit(0.0).as("value")))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+      val res = spark.table(queryName)
+        .filter(col("event_type") =!= "__flush")
+      val out = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
+        res.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    }
+
   /** Streaming N-stage funnel: feeds the event table to
     * [[StatefulFunnel]] in `chunks` event-time-ordered micro-batches
     * (chunk membership is a threshold on exact event-time MICROS, so
