@@ -318,6 +318,18 @@ object Dedup {
       sig.select(col(idCol), explode(array(bandKeys: _*)).as("bh"))
         .select(col(idCol), col("bh.band"), col("bh.h"))
         .withColumn("df_b", count(lit(1)).over(wBand)))
+    pairsFromBands(bands, idCol, maxBandDf)
+  }
+
+  /** The pair stage shared by [[minhashCandidates]] and the at-rest
+    * [[bandIndexCandidates]]: small band groups (df ≤ cap) emit all
+    * pairs via the band-key self-join, oversized groups degrade to the
+    * id-ordered chain; pairs aggregate to (id_a, id_b, bands_matched).
+    * Expects `bands` to carry (idCol, band, h, df_b).
+    */
+  private def pairsFromBands(bands: DataFrame, idCol: String,
+                             maxBandDf: Int): DataFrame = {
+    val wBand = Window.partitionBy("band", "h")
     val small = bands.filter(col("df_b") <= maxBandDf)
     val a = small.as("a")
     val b = small.as("b")
@@ -332,6 +344,170 @@ object Dedup {
     smallPairs.unionByName(chainPairs)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("bands_matched"))
+  }
+
+  // ---- MinHash band index AT REST ----------------------------------------
+
+  /** The per-batch band-row computation behind the at-rest dedup index:
+    * (id, band, h) — the same signature/banding arithmetic as
+    * [[minhashCandidates]], WITHOUT the corpus-wide band-frequency
+    * window (df is a serve-time property of the whole served set, not
+    * of one batch).
+    */
+  private def bandRowsOf(df: DataFrame, idCol: String, textCol: String,
+                         shingler: Shingler, bandsN: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val numHashes = bandsN * rowsPerBand
+    require(numHashes <= MaxHashes, s"at most $MaxHashes hashes (two md5 digests)")
+    val (staged, shCol) = shingler.stage(df, textCol)
+    val sh0 = staged.select(col(idCol), explode(shCol).as("s"))
+      .withColumn("h1", md5(col("s")))
+    val sh = if (numHashes > 6)
+      sh0.withColumn("h2", md5(concat(lit("x"), col("s"))))
+    else sh0.withColumn("h2", lit(""))
+    val mins = (0 until numHashes).map(i =>
+      min(hashSlice(i)(col("h1"), col("h2"))).as(s"mh$i"))
+    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bandKeys = (0 until bandsN).map(b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}")): _*).as("h")))
+    sig.select(col(idCol), explode(array(bandKeys: _*)).as("bh"))
+      .select(col(idCol), col("bh.band"), col("bh.h"))
+  }
+
+  /** The MinHash BAND TABLE at rest — incremental dedup against 100 TB
+    * of history with EXACT candidate recovery (the at-rest complement
+    * of [[newAgainstHistory]]'s Bloom filter, which only answers
+    * "definitely new", never "near-dup of WHOM"):
+    *
+    *  - the index stores (id, band, h) — tens of bytes per document vs
+    *    the corpus text, so serving candidates reads the band table,
+    *    never the historical corpus;
+    *  - ingesting a batch shingles/hashes ONLY that batch (cost ∝
+    *    batch) and appends under `batch=<id>` with the shared
+    *    [[graft.core.IndexCommits]] marker discipline — crash-invisible,
+    *    same-id retry idempotent, the [[Retrieval.appendToIndex]] /
+    *    [[Similarity.ivfAppendLayout]] contract on a third index family;
+    *  - deletes are id tombstones; compaction folds served − tombstones
+    *    into one batch via the atomic supersede rename; vacuum sweeps;
+    *  - serving recomputes the band-frequency guard OVER THE SERVED SET
+    *    (one window on the (band, h) key — the same exchange the
+    *    candidate join needs anyway), so batch-incremental candidates
+    *    are DEFINED equal to a full rebuild's: same rows in, same
+    *    banding, same df cap, same pairs.
+    */
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, shingler: Shingler = Shingler.words(5),
+                     bandsN: Int = 2, rowsPerBand: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    val fsys = graft.core.IndexCommits.fs(spark, path)
+    fsys.delete(new org.apache.hadoop.fs.Path(path + "/data"), true)
+    fsys.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+    fsys.delete(new org.apache.hadoop.fs.Path(path + "/commits"), true)
+    writeBandBatch(
+      bandRowsOf(docs, idCol, textCol, shingler, bandsN, rowsPerBand),
+      path, 0L)
+    graft.core.IndexCommits.mark(spark, path, "batch_0")
+  }
+
+  /** Incremental ingest: band rows of the NEW batch only. Caller owns
+    * id-disjointness while a doc's tombstone is live (as everywhere).
+    */
+  def appendToBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, batchId: Long,
+                        shingler: Shingler = Shingler.words(5),
+                        bandsN: Int = 2, rowsPerBand: Int = 3): Unit = {
+    require(batchId > 0, "batch 0 is the full build; appends use fresh ids")
+    writeBandBatch(
+      bandRowsOf(docs, idCol, textCol, shingler, bandsN, rowsPerBand),
+      path, batchId)
+    graft.core.IndexCommits.mark(docs.sparkSession, path, s"batch_$batchId")
+  }
+
+  private def writeBandBatch(rows: DataFrame, path: String,
+                             batchId: Long): Unit = {
+    import org.apache.spark.sql.SaveMode
+    if (rows.isEmpty) {
+      // schema-bearing empty unit (the Similarity.writeLayoutRows guard):
+      // clear any crashed partitioned attempt, then write the empty
+      // frame under one band directory so partition discovery survives
+      graft.core.IndexCommits.fs(rows.sparkSession, path)
+        .delete(new org.apache.hadoop.fs.Path(s"$path/data/batch=$batchId"),
+          true)
+      rows.drop("band").repartition(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/data/batch=$batchId/band=0")
+    } else
+      rows.write.mode(SaveMode.Overwrite)
+        .partitionBy("band").parquet(s"$path/data/batch=$batchId")
+  }
+
+  /** Tombstone-delete documents from the band index (id list under
+    * `tombstones/batch=<id>`, `del_<id>` marker — the shared state
+    * machine; serving anti-joins AFTER batch pruning).
+    */
+  def deleteFromBandIndex(ids: DataFrame, idCol: String, path: String,
+                          batchId: Long): Unit = {
+    val spark = ids.sparkSession
+    if (graft.core.IndexCommits.isCommitted(spark, path, s"del_$batchId"))
+      return
+    ids.select(col(idCol)).distinct().repartition(1)
+      .write.mode("overwrite").parquet(s"$path/tombstones/batch=$batchId")
+    graft.core.IndexCommits.mark(spark, path, s"del_$batchId")
+  }
+
+  private def servedBandRows(spark: org.apache.spark.sql.SparkSession,
+                             path: String, idCol: String,
+                             state: graft.core.IndexCommits.State): DataFrame = {
+    val base = spark.read.parquet(path + "/data")
+      .filter(col("batch").isin(state.batches: _*))
+    if (state.deletes.isEmpty) base
+    else base.join(
+      spark.read.parquet(path + "/tombstones")
+        .filter(col("batch").isin(state.deletes: _*))
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Fold served − tombstones into one fresh batch (band partitioning
+    * preserved; rows keep their persisted signatures — nothing is
+    * re-shingled), committed by the atomic supersede-marker rename.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, idCol: String, newBatchId: Long): Unit = {
+    if (graft.core.IndexCommits.isCommitted(spark, path,
+        s"compact_$newBatchId")) return
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    graft.core.IndexCommits.requireFreshId(newBatchId, state)
+    writeBandBatch(servedBandRows(spark, path, idCol, state).drop("batch"),
+      path, newBatchId)
+    graft.core.IndexCommits.commitCompaction(spark, path, newBatchId, state)
+  }
+
+  def vacuumBandIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int =
+    graft.core.IndexCommits.vacuum(spark, path, {
+      case ("del", id) => Seq(s"tombstones/batch=$id")
+      case (_, id)     => Seq(s"data/batch=$id")
+    })
+
+  /** Serve near-dup candidates from the at-rest band table: committed
+    * batches minus committed tombstones, the band-frequency window
+    * recomputed over the SERVED set, then the exact
+    * [[minhashCandidates]] pair stage — batch-incremental candidates ≡
+    * full-rebuild candidates, by construction and by oracle.
+    */
+  def bandIndexCandidates(spark: org.apache.spark.sql.SparkSession,
+                          path: String, idCol: String,
+                          maxBandDf: Int = 256): DataFrame = {
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    val wBand = Window.partitionBy("band", "h")
+    val bands = graft.core.Caches.track(
+      servedBandRows(spark, path, idCol, state)
+        .select(col(idCol), col("band"), col("h"))
+        .withColumn("df_b", count(lit(1)).over(wBand)))
+    pairsFromBands(bands, idCol, maxBandDf)
   }
 
   /** [[minhashCandidates]] at SEVERAL banding configurations from ONE

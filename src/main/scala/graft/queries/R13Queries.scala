@@ -298,6 +298,44 @@ object R13Queries {
               |WHERE bit_count(xor(a.phash, b.phash)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("dedup_index",
+      "The MinHash band table AT REST — incremental dedup against 100 " +
+        "TB of history with EXACT candidate recovery (the at-rest " +
+        "complement of dedup_incremental's Bloom filter, which answers " +
+        "'definitely new' but never 'near-dup of WHOM'): build the " +
+        "(id, band, h) table on doc_id % 4 <> 1, append the held-out " +
+        "quarter shingling ONLY that batch, tombstone-delete doc_id % " +
+        "17 = 3, compact served-minus-tombstones (signatures preserved, " +
+        "nothing re-shingled), vacuum, then serve candidates with the " +
+        "band-frequency guard recomputed over the served set. Oracle: " +
+        "the dedup_minhash banding CTEs over the surviving corpus — " +
+        "batch-incremental candidates == full-rebuild candidates is " +
+        "the gated definition. Serving reads the compact band table, " +
+        "never the historical corpus text.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val path = scratch("graft_dedup_idx", d)
+        Dedup.writeBandIndex(docs.filter(col("doc_id") % 4 =!= 1),
+          "doc_id", "text", path)
+        Dedup.appendToBandIndex(docs.filter(col("doc_id") % 4 === 1),
+          "doc_id", "text", path, batchId = 1L)
+        Dedup.deleteFromBandIndex(
+          docs.filter(col("doc_id") % 17 === 3).select("doc_id"),
+          "doc_id", path, batchId = 2L)
+        Dedup.compactBandIndex(s, path, "doc_id", newBatchId = 3L)
+        Dedup.vacuumBandIndex(s, path)
+        Dedup.bandIndexCandidates(s, path, "doc_id")
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        s"""WITH documents AS (
+           |  SELECT * FROM main.documents WHERE doc_id % 17 <> 3),
+           |${ExtQueries.minhashPairCtes}
+           |SELECT id_a, id_b, count(*) AS bands_matched
+           |FROM pairs
+           |GROUP BY 1, 2
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("stream_late",
       "LATE DATA under a real event-time watermark: the events table " +
         "replays as on-time body (below an hour-aligned cutoff, minus " +

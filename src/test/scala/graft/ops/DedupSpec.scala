@@ -448,4 +448,52 @@ class DedupSpec extends SparkSpec {
       maxShingleDf = Int.MaxValue, sampleHex = 16))
     assert(pp == jc, s"ppjoin ${pp.size} pairs vs jaccard ${jc.size}")
   }
+
+  test("band index at rest: build/append/delete/compact/vacuum serve " +
+      "rebuild-identical candidates; crashed batches and compactions " +
+      "stay invisible; same-id retry heals") {
+    val docs = graft.core.Tables.documents(spark, graft.SparkSpec.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_idx")
+      .toString + "/idx"
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "bands_matched").as[(Long, Long, Long)]
+        .collect().sortBy(t => (t._1, t._2)).toSeq
+    def served = canon(Dedup.bandIndexCandidates(spark, dir, "doc_id"))
+    def rebuild(d: org.apache.spark.sql.DataFrame) =
+      canon(Dedup.minhashCandidates(d, "doc_id", "text",
+        Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3))
+    Dedup.writeBandIndex(docs.filter($"doc_id" % 4 =!= 1),
+      "doc_id", "text", dir)
+    val baseOnly = served
+    assert(baseOnly == rebuild(docs.filter($"doc_id" % 4 =!= 1)),
+      "base build must equal a direct banding run")
+    Dedup.appendToBandIndex(docs.filter($"doc_id" % 4 === 1),
+      "doc_id", "text", dir, batchId = 1L)
+    val full = served
+    assert(full == rebuild(docs), "append must serve like a union rebuild")
+    // crash: appended data durable, marker gone -> invisible; retry heals
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/commits/batch_1"), false)
+    assert(served == baseOnly, "unmarked band batch must not serve")
+    Dedup.appendToBandIndex(docs.filter($"doc_id" % 4 === 1),
+      "doc_id", "text", dir, batchId = 1L)
+    assert(served == full)
+    // delete: candidates = rebuild over survivors (df window shifts too)
+    Dedup.deleteFromBandIndex(
+      docs.filter($"doc_id" % 17 === 3).select("doc_id"), "doc_id", dir,
+      batchId = 2L)
+    val afterDel = served
+    assert(afterDel == rebuild(docs.filter($"doc_id" % 17 =!= 3)),
+      "tombstoned serve must equal rebuild over survivors")
+    // compaction crash before the supersede rename: old state served
+    Dedup.compactBandIndex(spark, dir, "doc_id", newBatchId = 3L)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/commits/compact_3"),
+      false)
+    assert(served == afterDel, "uncommitted compaction must be invisible")
+    Dedup.compactBandIndex(spark, dir, "doc_id", newBatchId = 3L)
+    assert(Dedup.vacuumBandIndex(spark, dir) == 3)
+    assert(served == afterDel,
+      "compaction + vacuum must not change served candidates")
+  }
 }
