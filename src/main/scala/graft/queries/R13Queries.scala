@@ -180,6 +180,45 @@ object R13Queries {
       |    AND v.piece NOT IN (SELECT piece FROM top2)),
       |t2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v2)""".stripMargin
 
+  /** Per-candidate distortion chains for the OPQ oracle: for each of
+    * the 4 subspaces of `srcRel`, the unrolled kmeans training
+    * (prefix-isolated), the DECIMAL(38,9)-quantized codebook
+    * ([[graft.ops.Similarity.pqTrain]]'s grid pin), the decimal-exact
+    * squared distances against it, the per-vector min, and the
+    * decimal-exact total `${prefix}dist` — the value
+    * [[graft.ops.Similarity.pqDistortion]] computes, restated.
+    */
+  private def pqDistortionCtes(prefix: String, srcRel: String): String = {
+    val M = 4; val SUB = 16
+    val chains = (0 until M).map { s =>
+      s"""${prefix}sub$s AS MATERIALIZED (
+         |  SELECT vec_id, embedding[${s * SUB + 1}:${(s + 1) * SUB}] AS embedding
+         |  FROM $srcRel),
+         |${R5Queries.kmeansCtesOn(s"${prefix}sub$s", k = 8,
+            prefix = s"${prefix}p${s}_", iters = 1,
+            assignRel = s"${prefix}sub$s", dims = SUB)},
+         |${prefix}cq$s AS (
+         |  SELECT cluster, i, cast(cast(c AS DECIMAL(38,9)) AS DOUBLE) AS c
+         |  FROM ${prefix}p${s}_c1),
+         |${prefix}dq$s AS (
+         |  SELECT e.vec_id,
+         |    cast(sum(cast((e.embedding[c.i]::DOUBLE - c.c)
+         |                  * (e.embedding[c.i]::DOUBLE - c.c)
+         |         AS DECIMAL(38,14))) AS DOUBLE) AS d,
+         |    c.cluster
+         |  FROM ${prefix}sub$s e, ${prefix}cq$s c
+         |  GROUP BY e.vec_id, c.cluster),
+         |${prefix}md$s AS (
+         |  SELECT vec_id, min(d) AS d FROM ${prefix}dq$s GROUP BY vec_id)""".stripMargin
+    }.mkString("," + System.lineSeparator())
+    s"""$chains,
+       |${prefix}dist AS MATERIALIZED (
+       |  SELECT sum(cast(d AS DECIMAL(38,14))) AS dist FROM (
+       |    SELECT d FROM ${prefix}md0 UNION ALL SELECT d FROM ${prefix}md1
+       |    UNION ALL SELECT d FROM ${prefix}md2
+       |    UNION ALL SELECT d FROM ${prefix}md3))""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("ta_unigram",
@@ -297,6 +336,96 @@ object R13Queries {
               |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.phash, b.phash)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("sim_recall_opq",
+      "Recall@10 gate for OPQ-style PQ — the trained orthogonal " +
+        "transform restricted to dimension PERMUTATIONS (Ge et al. " +
+        "CVPR'13; permutations are OPQ's own initialization family), " +
+        "selected by OPQ's REAL objective: train PQ codebooks for each " +
+        "candidate (identity; variance-balanced snake from the " +
+        "division-free decimal-exact key n*Sx2 - Sx*Sx), measure exact " +
+        "quantization distortion, keep the argmin (ties to identity), " +
+        "then run the IDENTICAL PQ chain (4x16, 8 codes, ADC shortlist " +
+        "50, exact rescore) at the SAME code budget as sim_recall_pq. " +
+        "Orthogonality keeps the exact ground truth invariant. On the " +
+        "near-isotropic fixture the trainer correctly selects identity " +
+        "(every rotation is a no-op by symmetry — distortion says so: " +
+        "422.60 vs 423.24), so recall == sim_recall_pq by construction " +
+        "rather than seeding luck; SimilaritySpec constructs the " +
+        "anisotropic case where the same trainer picks the balanced " +
+        "permutation and measurably lifts recall. The oracle re-derives " +
+        "BOTH candidates' codebooks and distortions and replays the " +
+        "argmin choice.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val perm = Similarity.opqTrainedPermutation(emb, "vec_id",
+          "embedding", m = 4, k = 8, iters = 1, dims = 64)
+        val pemb = Similarity.permuteVectors(emb, "embedding", perm)
+        val qv = Similarity.vectorOf(pemb, "vec_id", "embedding", 0L)
+        val exact = Similarity.bruteForceTopK(pemb, "vec_id", "embedding",
+          qv, 10)
+        val approx = Similarity.pqTopK(pemb, "vec_id", "embedding", qv,
+          m = 4, k = 8, iters = 1, dims = 64, rescore = 50, topK = 10)
+        Similarity.recallAtK(exact, approx, "vec_id", 10)
+      },
+      Some {
+        val dotSql = (a: String, b: String) =>
+          s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+        s"""WITH vstats AS (
+           |  SELECT g.i,
+           |    CAST(count(*) AS DOUBLE) *
+           |      CAST(sum(cast(e.embedding[g.i]::DOUBLE * e.embedding[g.i]::DOUBLE
+           |               AS DECIMAL(38,14))) AS DOUBLE)
+           |    - CAST(sum(cast(e.embedding[g.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)
+           |      * CAST(sum(cast(e.embedding[g.i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)
+           |      AS vkey
+           |  FROM main.embeddings e, generate_series(1, 64) g(i)
+           |  GROUP BY g.i),
+           |rankedv AS (
+           |  SELECT i AS orig_dim, row_number() OVER (ORDER BY vkey DESC, i) - 1 AS t
+           |  FROM vstats),
+           |assignv AS (
+           |  SELECT orig_dim, t,
+           |    CASE WHEN (t // 4) % 2 = 0 THEN t % 4 ELSE 3 - (t % 4) END AS sub
+           |  FROM rankedv),
+           |permv AS (
+           |  SELECT orig_dim,
+           |    sub * 16 + row_number() OVER (PARTITION BY sub ORDER BY t) - 1
+           |      AS new_pos
+           |  FROM assignv),
+           |pembc AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |    list(CAST(e.embedding[p.orig_dim] AS FLOAT) ORDER BY p.new_pos)
+           |      AS embedding
+           |  FROM main.embeddings e, permv p
+           |  GROUP BY e.vec_id),
+           |${pqDistortionCtes("ia", "main.embeddings")},
+           |${pqDistortionCtes("sn", "pembc")},
+           |embeddings AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |    CASE WHEN (SELECT dist FROM iadist) <= (SELECT dist FROM sndist)
+           |         THEN e.embedding ELSE pe.embedding END AS embedding
+           |  FROM main.embeddings e JOIN pembc pe USING (vec_id)),
+           |${R8Queries.pqCtes()},
+           |dots AS (
+           |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e, q, generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id),
+           |exact AS (
+           |  SELECT d.vec_id FROM dots d JOIN ne USING (vec_id), nqe
+           |  ORDER BY d.dot / (ne.nrm * nqe.nrm) DESC, d.vec_id LIMIT 10),
+           |approx AS (
+           |  SELECT d.vec_id
+           |  FROM dots d JOIN ne USING (vec_id) JOIN short s USING (vec_id), nqe
+           |  ORDER BY d.dot / (ne.nrm * nqe.nrm) DESC, d.vec_id LIMIT 10)
+           |SELECT CAST(10 AS BIGINT) AS k,
+           |  count(*) AS hits,
+           |  CASE WHEN (SELECT count(*) FROM exact) > 0
+           |    THEN CAST(count(*) AS DOUBLE) /
+           |         (SELECT count(*) FROM exact)
+           |    ELSE 0.0 END AS recall
+           |FROM approx JOIN exact USING (vec_id)""".stripMargin
+      }),
 
     Q("dedup_index",
       "The MinHash band table AT REST — incremental dedup against 100 " +

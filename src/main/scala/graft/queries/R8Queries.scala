@@ -885,7 +885,7 @@ object R8Queries {
     * `scoresJoin`/`scoresWhere` restrict the ADC scoring relation (the
     * IVF probe).
     */
-  private def pqCtes(extraAfterNqv: String = "", scoresJoin: String = "",
+  private[queries] def pqCtes(extraAfterNqv: String = "", scoresJoin: String = "",
                      scoresWhere: String = ""): String = {
     val M = 4; val SUB = 16
     val subs = (0 until M).map { s =>

@@ -796,4 +796,69 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", 10).head().getDouble(2)
     assert(curve.last._2 == gate)
   }
+
+  test("OPQ trained permutation: on anisotropic data the distortion " +
+      "argmin picks the variance-balanced permutation and lifts PQ " +
+      "recall at the same code budget; permutation preserves exact " +
+      "geometry") {
+    // anisotropic corpus: all the variance lives in the FIRST subspace
+    // (dims 0..15 spread wide, the rest nearly constant) - the shape
+    // OPQ exists for. Deterministic integer-derived floats.
+    val dims = 64
+    val rows = (0L until 200L).map { id =>
+      val v = (0 until dims).map { i =>
+        if (i < 16) ((id * 37 + i * 101) % 97).toFloat / 97f
+        else 0.5f + (((id * 13 + i * 7) % 11).toFloat / 1100f)
+      }
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val perm = Similarity.opqTrainedPermutation(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, dims = dims)
+    assert(perm != (0 until dims), "anisotropic data must train a real permutation")
+    // the balanced permutation spreads the 16 high-variance dims 4-per-subspace
+    val hot = perm.zipWithIndex.filter(_._1 < 16).map(_._2 / 16)
+    assert(hot.groupBy(identity).values.forall(_.size == 4),
+      s"high-variance dims must balance 4 per subspace: $hot")
+    val qv = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    def recallOf(frame: org.apache.spark.sql.DataFrame, q: Seq[Float]) = {
+      val exact = Similarity.bruteForceTopK(frame, "vec_id", "embedding", q, 10)
+      val approx = Similarity.pqTopK(frame, "vec_id", "embedding", q,
+        m = 4, k = 8, iters = 1, dims = dims, rescore = 20, topK = 10)
+      Similarity.recallAtK(exact, approx, "vec_id", 10)
+        .collect().head.getDouble(2)
+    }
+    val pemb = Similarity.permuteVectors(emb, "embedding", perm)
+    val qp = Similarity.vectorOf(pemb, "vec_id", "embedding", 0L)
+    val base = recallOf(emb, qv)
+    val opq = recallOf(pemb, qp)
+    assert(opq >= base,
+      s"balanced permutation must not lose recall: opq=$opq base=$base")
+    // exact geometry invariant: brute-force top-10 ids identical
+    val e1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val e2 = Similarity.bruteForceTopK(pemb, "vec_id", "embedding", qp, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(e1 == e2, "permutation must preserve exact cosine ranking")
+  }
+
+  test("OPQ trained permutation returns the candidate with the measured " +
+      "minimum distortion (ties to identity) and is deterministic") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    def distortionOf(perm: Seq[Int]) = {
+      val p = Similarity.permuteVectors(emb, "embedding", perm)
+      Similarity.pqDistortion(p, "embedding",
+        Similarity.pqTrain(p, "vec_id", "embedding", 4, 8, 1, 64), 64)
+    }
+    val identity: Seq[Int] = 0 until 64
+    val snake = Similarity.opqVariancePermutation(emb, "embedding", 4, 64)
+    val (dId, dSn) = (distortionOf(identity), distortionOf(snake))
+    val perm = Similarity.opqTrainedPermutation(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, dims = 64)
+    val expected = if (dId.compareTo(dSn) <= 0) identity else snake
+    assert(perm == expected,
+      s"trainer must return the distortion argmin (id=$dId snake=$dSn)")
+    assert(perm == Similarity.opqTrainedPermutation(emb, "vec_id",
+      "embedding", m = 4, k = 8, iters = 1, dims = 64))
+  }
 }
