@@ -1736,13 +1736,18 @@ object Similarity {
   def ivfAdcProbeLayout(spark: SparkSession, path: String,
                         query: Seq[Float], k: Int, nprobe: Int,
                         rescore: Int, idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        asOf: Long = Long.MaxValue): DataFrame = {
     val coarse = readCentroids(spark, path)
     val books = readCodebooks(spark, path)
     val dims = query.length
     val t = adcTables(coarse, books, query.map(_.toDouble), dims)
     val probed = adcCoarseShortlist(t, nprobe)
-    val state = graft.core.IndexCommits.servedState(spark, path)
+    // asOf < MaxValue = TIME-TRAVEL probe (ivfProbeLayout's contract on
+    // the compressed layout — ONE IndexCommits state machine; the
+    // persisted quantizer pair is the index's immutable identity, so
+    // every historical state decodes with the same tables)
+    val state = graft.core.IndexCommits.servedStateAsOf(spark, path, asOf)
     def probedRows = servedRows(spark, path, idCol, state)
       .filter(col("ivf_cluster").isin(probed.map(Integer.valueOf): _*))
     val short = probedRows

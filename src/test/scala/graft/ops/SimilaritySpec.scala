@@ -361,11 +361,12 @@ class SimilaritySpec extends SparkSpec {
       kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1, dims = 64)
     Similarity.ivfAdcAppendLayout(emb.filter($"vec_id" % 4 === 1),
       "vec_id", "embedding", dir, batchId = 1L)
-    Similarity.ivfDeleteLayout(Seq(3L, 7L).toDF("vec_id"), "vec_id", dir,
-      batchId = 2L)
     def served = Similarity.ivfAdcProbeLayout(spark, dir, q, k = 10,
         nprobe = 2, rescore = 50)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val preDelete = served
+    Similarity.ivfDeleteLayout(Seq(3L, 7L).toDF("vec_id"), "vec_id", dir,
+      batchId = 2L)
     // (id -> (cluster, codes)) before compaction: the identity the fold
     // must carry — compaction moves rows, it never re-encodes them
     def codeMap = spark.read.parquet(dir + "/data")
@@ -385,6 +386,15 @@ class SimilaritySpec extends SparkSpec {
     assert(served == before, "uncommitted ADC compaction must be invisible")
     // retry heals; the single surviving batch serves identically
     Similarity.ivfCompactLayout(spark, dir, "vec_id", newBatchId = 3L)
+    // TIME TRAVEL on the compressed layout (pre-vacuum): as-of batch 1
+    // replays append-no-deletes; as-of 2 replays the tombstoned state
+    def servedAsOf(ts: Long) = Similarity.ivfAdcProbeLayout(spark, dir, q,
+        k = 10, nprobe = 2, rescore = 50, asOf = ts)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedAsOf(1L) == preDelete,
+      "as-of 1 must replay the pre-delete index state exactly")
+    assert(servedAsOf(2L) == before,
+      "as-of 2 must replay the post-delete, pre-compaction state")
     assert(Similarity.ivfVacuumLayout(spark, dir) == 3)
     assert(served == before,
       "compaction + vacuum must not change what the ADC layout serves")
