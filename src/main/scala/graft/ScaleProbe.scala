@@ -15,8 +15,9 @@ import graft.ops.Dedup
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val onlyR9 = args.contains("r9")  // round-9 probes only
     val onlyR8c = args.contains("r8c") // session-3 probes only
-    val onlyR8 = args.contains("r8") || onlyR8c
+    val onlyR8 = (args.contains("r8") || onlyR8c) && !onlyR9
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -53,6 +54,70 @@ object ScaleProbe {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _).repartition(32).cache()
     println(s"vectors: ${emb.count()}")
+
+    if (onlyR9) {
+      // r9 probes. Expected shapes:
+      // band-index ingest = shingle/hash ONLY the appended batch (~flat
+      // as history grows: cost ∝ batch); serve = (id, band, h) rows +
+      // one (band, h) window + the banding-capped pair join (~linear in
+      // served rows, never corpus text);
+      // phash near-dup = a per-row integer hash (scan-linear) + the
+      // 64-bit pigeonhole equi-join (fan-out = real near-dup density);
+      // unigram train = ONE corpus pass to the word table (~linear) +
+      // driver-local EM on the vocab-bounded table (flat);
+      // opq train = one variance aggregate + 2 PQ trainings + 2
+      // distortion aggregates — pass-linear, zero per-row training.
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_probe_bidx")
+        .toString + "/idx"
+      time(s"band-index build 1x ($n docs)") {
+        Dedup.writeBandIndex(base, "doc_id", "text", idxDir); 0L
+      }
+      time(s"band-index ${mult}x history build + 1-batch append") {
+        // history is the big multiplied corpus; the append is ONE replica
+        Dedup.writeBandIndex(docs, "doc_id", "text", idxDir)
+        val t0 = System.nanoTime()
+        Dedup.appendToBandIndex(
+          base.select((col("doc_id") + lit(mult.toLong * n)).as("doc_id"),
+            concat(col("text"), lit(" replica_marker_x")).as("text")),
+          "doc_id", "text", idxDir, batchId = 1L)
+        println(f"  (append alone: ${(System.nanoTime() - t0) / 1e9}%.2f s)")
+        0L
+      }
+      time(s"band-index serve ${mult}x+1 batches")(
+        Dedup.bandIndexCandidates(spark, idxDir, "doc_id").count())
+      time(s"minhash rebuild ${mult}x (serve comparison)")(
+        Dedup.minhashCandidates(docs, "doc_id", "text").count())
+      time(s"phash neardup 1x ($n docs)") {
+        val sig = graft.ops.Multimodal.perceptualHash(
+            graft.ops.Multimodal.gradientFixture(
+              base.select("doc_id"), "doc_id"), "payload")
+          .select(col("doc_id"), col("phash").as("simhash"))
+        Dedup.simhashPairs(sig, "doc_id", maxHamming = 3, bits = 64).count()
+      }
+      time(s"phash neardup ${mult}x") {
+        val sig = graft.ops.Multimodal.perceptualHash(
+            graft.ops.Multimodal.gradientFixture(
+              docs.select("doc_id"), "doc_id"), "payload")
+          .select(col("doc_id"), col("phash").as("simhash"))
+        Dedup.simhashPairs(sig, "doc_id", maxHamming = 3, bits = 64).count()
+      }
+      time(s"unigram train 1x ($n docs)") {
+        graft.ops.UnigramLm.train(base, "text"); 0L
+      }
+      time(s"unigram train ${mult}x") {
+        graft.ops.UnigramLm.train(docs, "text"); 0L
+      }
+      time(s"opq train 1x (${en} vecs)") {
+        graft.ops.Similarity.opqTrainedPermutation(
+          embBase, "vec_id", "embedding", 4, 8, 1, 64); 0L
+      }
+      time(s"opq train ${mult}x") {
+        graft.ops.Similarity.opqTrainedPermutation(
+          emb, "vec_id", "embedding", 4, 8, 1, 64); 0L
+      }
+      spark.stop()
+      return
+    }
     val q = graft.ops.Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
     if (!onlyR8) {
       time(s"emb near-dup x$mult")(Dedup.embeddingNearDups(
