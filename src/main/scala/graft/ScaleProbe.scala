@@ -101,6 +101,14 @@ object ScaleProbe {
           .select(col("doc_id"), col("phash").as("simhash"))
         Dedup.simhashPairs(sig, "doc_id", maxHamming = 3, bits = 64).count()
       }
+      time(s"phash neardup ${mult}x capped (maxChunkDf=256)") {
+        val sig = graft.ops.Multimodal.perceptualHash(
+            graft.ops.Multimodal.gradientFixture(
+              docs.select("doc_id"), "doc_id"), "payload")
+          .select(col("doc_id"), col("phash").as("simhash"))
+        Dedup.simhashPairs(sig, "doc_id", maxHamming = 3, bits = 64,
+          maxChunkDf = 256).count()
+      }
       time(s"unigram train 1x ($n docs)") {
         graft.ops.UnigramLm.train(base, "text"); 0L
       }

@@ -1078,23 +1078,63 @@ object Dedup {
     * Complete recall, and the shuffle carries (id, chunk, ≤16-bit value).
     */
   def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 2,
-                   bits: Int = 16): DataFrame = {
+                   bits: Int = 16,
+                   maxChunkDf: Int = Int.MaxValue): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = (bits + nChunks - 1) / nChunks
     val mask = (1L << chunkBits) - 1L
     val chunkKeys = (0 until nChunks).map(c => struct(lit(c).as("chunk"),
       shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask)).as("cv")))
-    val chunks = sig.select(col(idCol), col("simhash"),
+    val chunks0 = sig.select(col(idCol), col("simhash"),
         explode(array(chunkKeys: _*)).as("ck"))
       .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.cv"))
-    val a = chunks.as("a"); val b = chunks.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv")
-        && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
-          .as("hamming"))
-      .distinct() // a pair can match on several chunks
-      .filter(col("hamming") <= maxHamming)
+    if (maxChunkDf == Int.MaxValue) {
+      // EXACT mode: all pairs at Hamming ≤ r (complete recall + precision)
+      val a = chunks0.as("a"); val b = chunks0.as("b")
+      a.join(b, col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+            .as("hamming"))
+        .distinct() // a pair can match on several chunks
+        .filter(col("hamming") <= maxHamming)
+    } else {
+      // MASS-DUPLICATE GUARD (the minhashCandidates maxBandDf pattern):
+      // a corpus with thousands of IDENTICAL signatures (boilerplate
+      // pages, template images) makes every small chunk group quadratic
+      // — the r9 scale probe measured 106M pairs from 50k fixture images.
+      // Chunk groups over the cap degrade to the id-ordered chain:
+      // O(group) pairs whose connected components are unchanged (every
+      // group member shares the chunk value, so the chain connects them
+      // all). Chain pairs carry the REAL pairwise Hamming distance,
+      // which for an oversized group of merely-similar (not identical)
+      // signatures can exceed maxHamming — those rows keep hamming as
+      // measured and are NOT filtered, because dropping them would
+      // disconnect the component. Use capped mode for CLUSTERING
+      // consumers only; pair-level verify filters need exact mode
+      // (same caveat as minhashCandidates' chain pairs).
+      val wChunk = Window.partitionBy("chunk", "cv")
+      val chunks = graft.core.Caches.track(
+        chunks0.withColumn("df_c", count(lit(1)).over(wChunk)))
+      val small = chunks.filter(col("df_c") <= maxChunkDf)
+      val smallPairs = small.as("a").join(small.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv")
+            && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+      val chainPairs = chunks.filter(col("df_c") > maxChunkDf)
+        .withColumn("next_id", lead(col(idCol), 1).over(wChunk.orderBy(col(idCol))))
+        .withColumn("next_sh", lead(col("simhash"), 1).over(wChunk.orderBy(col(idCol))))
+        .filter(col("next_id").isNotNull)
+        .select(col(idCol).as("id_a"), col("next_id").as("id_b"),
+          bit_count(col("simhash").bitwiseXOR(col("next_sh"))).cast("long")
+            .as("hamming"))
+        .distinct()
+      smallPairs.unionByName(chainPairs).distinct()
+    }
   }
 
   // Precision 30 (not 38): decimal(38,14)+decimal(38,14) hits Spark's

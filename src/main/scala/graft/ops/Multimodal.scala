@@ -487,6 +487,165 @@ object Multimodal {
     img
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Real WAV encode via `javax.sound.sampled` (ships with the JDK, like
+    * ImageIO): PCM16 signed little-endian mono samples → a genuine RIFF
+    * container written by `AudioSystem.write`.
+    */
+  private[graft] def encodeWavPcm16(samples: Array[Short],
+                                    rate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt,
+      samples.length)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode: `AudioSystem` parses the RIFF header and streams
+    * the PCM frames; None for unrecognized/corrupt payloads or formats
+    * outside 16-bit mono PCM (the only shape the fixtures emit — a real
+    * pipeline would transcode first).
+    */
+  private[graft] def decodeWavPcm16(bytes: Array[Byte]): Option[(Float, Array[Short])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (fmt.isBigEndian)
+                (((data(2 * i) & 0xff) << 8) | (data(2 * i + 1) & 0xff)).toShort
+              else
+                (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          Some((fmt.getSampleRate, out))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio fixture contract — sample values and counts are pure integer
+    * functions of the row id, so every decoded statistic is predictable
+    * in SQL while the RIFF encode/decode is a real codec roundtrip:
+    * n = 400 + (id % 5)·40 samples at 8 kHz,
+    * sample(i) = (id·31 + i·17) % 2001 − 1000 (fits int16).
+    */
+  private[graft] def fixtureSampleCount(id: Long): Int =
+    (400 + Math.floorMod(id, 5L) * 40).toInt
+  private[graft] def fixtureSample(id: Long, i: Int): Short =
+    (Math.floorMod(id * 31L + i * 17L, 2001L) - 1000L).toShort
+  private[graft] val FixtureRate = 8000f
+
+  /** Append a `payload` column of REAL WAV bytes (AudioSystem-encoded
+    * PCM16 mono from the [[fixtureSample]] function of `idCol`).
+    */
+  def wavFixture(df: DataFrame, idCol: String, batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("payload", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          val samples = Array.tabulate(fixtureSampleCount(id))(i =>
+            fixtureSample(id, i))
+          Row.fromSeq(row.toSeq :+ encodeWavPcm16(samples, FixtureRate))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_samples", LongType, nullable = false),
+    StructField("sum_squares", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false)))
+
+  /** Decode a binary audio column into integer-exact signal statistics:
+    * sample count, Σs and Σs² (the content fingerprint — exact BIGINTs a
+    * SQL oracle can predict for constructed signals, where an md5 of raw
+    * PCM bytes could not be restated portably), and the zero-crossing
+    * count (sign(s) with s ≥ 0 as non-negative; a crossing is any
+    * adjacent sign change — the classic voiced/unvoiced signal feature).
+    * Null struct when no codec recognizes the payload.
+    */
+  def audioMeta(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("audio", audioMetaSchema, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val meta = decodeWavPcm16(row.getAs[Array[Byte]](binIdx)) match {
+            case Some((rate, s)) =>
+              var sum = 0L; var sq = 0L; var zc = 0L
+              var i = 0
+              while (i < s.length) {
+                sum += s(i); sq += s(i).toLong * s(i)
+                if (i > 0 && ((s(i - 1) >= 0) != (s(i) >= 0))) zc += 1
+                i += 1
+              }
+              Row(rate.toLong, s.length.toLong, sum, sq, zc)
+            case None => null
+          }
+          Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame-level energy: decode, split the signal into fixed
+    * `frameSize`-sample frames (last frame ragged), emit one row per
+    * frame with its exact Σs² — the feature-extraction shape every
+    * audio pipeline's VAD/quality gate starts from. Undecodable
+    * payloads contribute no rows.
+    */
+  def audioFrameEnergy(df: DataFrame, idCol: String, binCol: String,
+                       frameSize: Int = 160): DataFrame = {
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("n_in_frame", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        decodeWavPcm16(row.getAs[Array[Byte]](binIdx)) match {
+          case Some((_, s)) =>
+            s.grouped(frameSize).zipWithIndex.map { case (frame, f) =>
+              var sq = 0L
+              frame.foreach(v => sq += v.toLong * v)
+              Row(row.get(idIdx), f.toLong, frame.length.toLong, sq)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
                    chunkBytes: Int = 64, stride: Int = 4): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)

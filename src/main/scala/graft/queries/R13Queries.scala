@@ -337,6 +337,29 @@ object R13Queries {
               |WHERE bit_count(xor(a.phash, b.phash)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("stream_dedup_index",
+      "Structured Streaming maintains the at-rest MinHash band index: " +
+        "document file stream -> foreachBatch -> appendToBandIndex with " +
+        "the micro-batch id as the index batch id — the exactly-once " +
+        "maintenance pattern (streaming replay + same-id idempotent " +
+        "append) on the FOURTH index family. Each micro-batch shingles " +
+        "only itself; the band-df guard is recomputed at serve time " +
+        "over the served union, so candidates from the streamed index " +
+        "== a batch banding run over the same corpus and the " +
+        "dedup_minhash oracle applies verbatim.",
+      (s, d) => {
+        val path = graft.streaming.EventStream.runBandIndexIngestStream(
+          s, d, scratch("graft_stream_bidx", d))
+        Dedup.bandIndexCandidates(s, path, "doc_id")
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        s"""WITH ${ExtQueries.minhashPairCtes}
+           |SELECT id_a, id_b, count(*) AS bands_matched
+           |FROM pairs
+           |GROUP BY 1, 2
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("sim_recall_opq",
       "Recall@10 gate for OPQ-style PQ — the trained orthogonal " +
         "transform restricted to dimension PERMUTATIONS (Ge et al. " +
@@ -504,6 +527,68 @@ object R13Queries {
              |FROM kept
              |GROUP BY 1, 2
              |ORDER BY hour_start, event_type""".stripMargin)),
+
+    Q("mm_audio_meta",
+      "Multimodal AUDIO with a REAL codec: each doc_id becomes a " +
+        "genuine RIFF/WAV container (AudioSystem-encoded PCM16 mono, " +
+        "8 kHz, sample values and counts pure integer functions of the " +
+        "id), javax.sound.sampled parses the header and streams the " +
+        "frames, and audioMeta reports integer-EXACT signal stats: " +
+        "n_samples, sum, sum of squares and zero crossings — the " +
+        "content fingerprint a SQL oracle can predict for constructed " +
+        "signals (an md5 of raw PCM bytes could not be restated " +
+        "portably). The codec work is real, the expectations are " +
+        "constructed — the mm_meta contract, audio edition.",
+      (s, d) => Multimodal.audioMeta(
+          Multimodal.wavFixture(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+          "payload")
+        .select(col("doc_id"), col("audio.sample_rate"),
+          col("audio.n_samples"), col("audio.sum_samples"),
+          col("audio.sum_squares"), col("audio.zero_crossings"))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, g.i,
+             |    (d.doc_id * 31 + g.i * 17) % 2001 - 1000 AS v
+             |  FROM documents d, generate_series(0, 599) g(i)
+             |  WHERE g.i < 400 + (d.doc_id % 5) * 40)
+             |SELECT doc_id,
+             |  CAST(8000 AS BIGINT) AS sample_rate,
+             |  count(*) AS n_samples,
+             |  CAST(sum(v) AS BIGINT) AS sum_samples,
+             |  CAST(sum(v * v) AS BIGINT) AS sum_squares,
+             |  CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+             |             AND ((prev >= 0) <> (v >= 0)) THEN 1 END), 0)
+             |       AS BIGINT) AS zero_crossings
+             |FROM (SELECT doc_id, i, v,
+             |        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+             |      FROM s)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_audio_energy",
+      "Frame-level audio energy — the feature-extraction shape every " +
+        "VAD/quality gate starts from: decode the WAV fixture, split " +
+        "into 160-sample frames (20 ms at 8 kHz, last frame ragged), " +
+        "emit each frame's exact sum-of-squares. Decode runs batched " +
+        "per partition; the oracle restates frames as i // 160 groups " +
+        "over the sample function.",
+      (s, d) => Multimodal.audioFrameEnergy(
+          Multimodal.wavFixture(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+          "doc_id", "payload")
+        .orderBy("doc_id", "frame_no"),
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, g.i,
+             |    (d.doc_id * 31 + g.i * 17) % 2001 - 1000 AS v
+             |  FROM documents d, generate_series(0, 599) g(i)
+             |  WHERE g.i < 400 + (d.doc_id % 5) * 40)
+             |SELECT doc_id, i // 160 AS frame_no,
+             |  count(*) AS n_in_frame,
+             |  CAST(sum(v * v) AS BIGINT) AS energy
+             |FROM s
+             |GROUP BY doc_id, frame_no
+             |ORDER BY doc_id, frame_no""".stripMargin)),
 
     Q("sim_ivfadc_lifecycle",
       "The COMPRESSED vector index lifecycle under one gate (the " +

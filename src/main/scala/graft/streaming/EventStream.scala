@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Retrieval, Similarity}
+import graft.ops.{Dedup, Retrieval, Similarity}
 
 /** Structured Streaming surface (SURVEY.md §2.9 — extension surface; the
   * reference is batch-only, the `events` fixture enables the demo).
@@ -316,6 +316,42 @@ object EventStream {
         .outputMode("append")
         .foreachBatch { (df: DataFrame, id: Long) =>
           Retrieval.appendToIndex(df, "doc_id", "text", path, batchId = id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
+  /** Streaming DEDUP-index ingest: document file stream →
+    * `foreachBatch` → [[graft.ops.Dedup.appendToBandIndex]] — the
+    * [[runIndexIngestStream]] pattern on the FOURTH index family (the
+    * at-rest MinHash band table). Each micro-batch is shingled/hashed
+    * alone (cost ∝ batch) and its (id, band, h) rows land under the
+    * micro-batch id; a replayed micro-batch rewrites exactly its own
+    * subtree. Serving candidates from the streamed index ≡ one banding
+    * pass over the union (the band-df guard is a serve-time window),
+    * so the batch dedup_minhash oracle gates the streamed index
+    * verbatim.
+    */
+  def runBandIndexIngestStream(spark: SparkSession, sfDir: String,
+                               path: String): String =
+    withStatePartitions(spark) {
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      // batch 0 = an empty full build owning the directory
+      Dedup.writeBandIndex(
+        spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+          schema),
+        "doc_id", "text", path)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          Dedup.appendToBandIndex(df, "doc_id", "text", path,
+            batchId = id + 1)
         }
         .start()
       try q.processAllAvailable()

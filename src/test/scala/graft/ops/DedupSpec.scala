@@ -496,4 +496,33 @@ class DedupSpec extends SparkSpec {
     assert(served == afterDel,
       "compaction + vacuum must not change served candidates")
   }
+
+  test("simhashPairs maxChunkDf guard: oversized identical-signature " +
+      "groups degrade to the id-ordered chain with unchanged connected " +
+      "components; exact mode below the cap is untouched") {
+    // 30 identical signatures (a mass-duplicate block) + one distinct
+    val sig = ((0L until 30L).map(i => (i, 0x0f0f0f0fL)) :+
+      (100L, 0x70f0f0f0L)).toDF("id", "simhash")
+    val exact = Dedup.simhashPairs(sig, "id", maxHamming = 3, bits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 30 * 29 / 2, "exact mode emits all pairs")
+    val capped = Dedup.simhashPairs(sig, "id", maxHamming = 3, bits = 64,
+      maxChunkDf = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.size < exact.size, "cap must shrink the pair set")
+    // same components: both connect 0..29 into one cluster
+    def comps(pairs: Set[(Long, Long)]) =
+      Dedup.connectedComponents(
+        pairs.toSeq.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    val ce = comps(exact); val cc = comps(capped)
+    (0L until 30L).foreach { i =>
+      assert(cc(i) == ce(i), s"component of $i must survive the cap")
+    }
+    // small groups unaffected by a generous cap
+    val uncapped = Dedup.simhashPairs(sig, "id", maxHamming = 3, bits = 64,
+      maxChunkDf = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == exact)
+  }
 }

@@ -278,4 +278,49 @@ class MultimodalSpec extends SparkSpec {
         s"planted pair ($e, ${e + 1}) missed by the blocking join")
     }
   }
+
+  test("WAV codec roundtrip: encode -> AudioSystem decode recovers every " +
+      "sample exactly; corrupt payloads decode to None") {
+    val samples = Array.tabulate(500)(i => Multimodal.fixtureSample(7L, i))
+    val wav = Multimodal.encodeWavPcm16(samples, Multimodal.FixtureRate)
+    // real RIFF container
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val Some((rate, decoded)) = Multimodal.decodeWavPcm16(wav)
+    assert(rate == 8000f)
+    assert(decoded.toSeq == samples.toSeq, "PCM roundtrip must be lossless")
+    assert(Multimodal.decodeWavPcm16("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm16(Array.emptyByteArray).isEmpty)
+    // truncated header
+    assert(Multimodal.decodeWavPcm16(wav.take(10)).isEmpty)
+  }
+
+  test("audioMeta/audioFrameEnergy: stats match a direct fold over the " +
+      "fixture function; undecodable rows yield null meta / no frames") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(3L, 4L).toDF("doc_id")
+    val meta = Multimodal.audioMeta(
+        Multimodal.wavFixture(df, "doc_id"), "payload")
+      .select(col("doc_id"), col("audio.n_samples"), col("audio.sum_samples"),
+        col("audio.sum_squares"), col("audio.zero_crossings"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    Seq(3L, 4L).foreach { id =>
+      val s = Array.tabulate(Multimodal.fixtureSampleCount(id))(i =>
+        Multimodal.fixtureSample(id, i))
+      val zc = (1 until s.length).count(i => (s(i - 1) >= 0) != (s(i) >= 0))
+      assert(meta(id) == ((s.length.toLong,
+        s.map(_.toLong).sum, s.map(v => v.toLong * v).sum, zc.toLong)),
+        s"id $id")
+    }
+    val frames = Multimodal.audioFrameEnergy(
+        Multimodal.wavFixture(df, "doc_id"), "doc_id", "payload")
+      .collect()
+    // id 3: 520 samples -> 4 frames of (160,160,160,40)
+    val f3 = frames.filter(_.getLong(0) == 3L).map(_.getLong(2)).toSeq
+    assert(f3 == Seq(160L, 160L, 160L, 40L), s"frame sizes: $f3")
+    // corrupt payload: null meta, zero frames
+    val bad = Seq((9L, "junk".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.audioMeta(bad, "payload").collect().head.isNullAt(2))
+    assert(Multimodal.audioFrameEnergy(bad, "doc_id", "payload").count() == 0)
+  }
 }
