@@ -546,14 +546,23 @@ object Multimodal {
 
   /** Audio fixture contract — sample values and counts are pure integer
     * functions of the row id, so every decoded statistic is predictable
-    * in SQL while the RIFF encode/decode is a real codec roundtrip:
-    * n = 400 + (id % 5)·40 samples at 8 kHz,
-    * sample(i) = (id·31 + i·17) % 2001 − 1000 (fits int16).
+    * in SQL while the RIFF encode/decode is a real codec roundtrip.
+    * Like [[gradientCellGray]], consecutive id PAIRS (gid = id/2) share
+    * the signal up to one bumped FRAME, planting audio near-duplicates:
+    * n = 400 + (gid % 5)·40 samples at 8 kHz,
+    * sample(id, i) = (gid·31 + i·17) % 2001 − 1000
+    *                 + (id % 2)·25·[i/8 = 7]  (fits int16),
+    * so an odd signal differs from its even partner only inside frame 7
+    * (≤ 2 energy-delta hash bits) while different gids shift the whole
+    * mod-2001 phase.
     */
   private[graft] def fixtureSampleCount(id: Long): Int =
-    (400 + Math.floorMod(id, 5L) * 40).toInt
-  private[graft] def fixtureSample(id: Long, i: Int): Short =
-    (Math.floorMod(id * 31L + i * 17L, 2001L) - 1000L).toShort
+    (400 + Math.floorMod(Math.floorDiv(id, 2L), 5L) * 40).toInt
+  private[graft] def fixtureSample(id: Long, i: Int): Short = {
+    val gid = Math.floorDiv(id, 2L)
+    val bump = if (i / 8 == 7) Math.floorMod(id, 2L) * 25L else 0L
+    (Math.floorMod(gid * 31L + i * 17L, 2001L) - 1000L + bump).toShort
+  }
   private[graft] val FixtureRate = 8000f
 
   /** Append a `payload` column of REAL WAV bytes (AudioSystem-encoded
@@ -610,6 +619,45 @@ object Multimodal {
             case None => null
           }
           Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** 64-bit ENERGY-DELTA hash — dHash for audio: decode, compute
+    * `frameSize`-sample frame energies (exact Σs² in Long), set bit f
+    * iff energy(f+1) > energy(f), for f < min(63, frames−1). Robust the
+    * way dHash is: re-encoding is lossless (PCM), small localized edits
+    * flip only their frames' delta bits, and gain changes that scale
+    * all samples equally preserve every comparison. Near-dup pipeline:
+    * rename to `simhash` → [[Dedup.simhashPairs]](bits = 64) — the
+    * SAME Hamming pigeonhole blocking as text SimHash and image dHash,
+    * completing near-dup across all three modalities. Null when the
+    * payload doesn't decode.
+    */
+  def audioDHash(df: DataFrame, binCol: String, frameSize: Int = 8,
+                 batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("ahash", LongType, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val h = decodeWavPcm16(row.getAs[Array[Byte]](binIdx)) match {
+            case Some((_, s)) =>
+              val energies = s.grouped(frameSize).map { fr =>
+                var sq = 0L; fr.foreach(v => sq += v.toLong * v); sq
+              }.toArray
+              var hash = 0L
+              var f = 0
+              while (f < 64 && f + 1 < energies.length) {
+                if (energies(f + 1) > energies(f)) hash |= 1L << f
+                f += 1
+              }
+              java.lang.Long.valueOf(hash)
+            case None => null
+          }
+          Row.fromSeq(row.toSeq :+ h)
         }
       }
     }(Encoders.row(outSchema))

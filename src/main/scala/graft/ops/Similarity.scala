@@ -1318,20 +1318,33 @@ object Similarity {
     */
   def opqTrainedPermutation(emb: DataFrame, idCol: String, vecCol: String,
                             m: Int, k: Int, iters: Int,
-                            dims: Int): Seq[Int] = {
+                            dims: Int): Seq[Int] =
+    opqTrainedPermutationWithBooks(emb, idCol, vecCol, m, k, iters, dims)._1
+
+  /** [[opqTrainedPermutation]] returning the winning candidate's
+    * ALREADY-TRAINED codebooks too — training is a pure function of the
+    * (permuted) corpus, so handing them to the index builder skips a
+    * redundant third training with identical results (the
+    * one-training-many-consumers seam).
+    */
+  def opqTrainedPermutationWithBooks(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int,
+      dims: Int): (Seq[Int], Seq[Seq[Seq[Double]]]) = {
     val candidates = Seq(
       (0 until dims): Seq[Int],
       opqVariancePermutation(emb, vecCol, m, dims))
-    val dists = candidates.map { perm =>
+    val trained = candidates.map { perm =>
       val p = permuteVectors(emb, vecCol, perm)
       val books = pqTrain(p, idCol, vecCol, m, k, iters, dims)
-      pqDistortion(p, vecCol, books, dims)
+      (perm, books, pqDistortion(p, vecCol, books, dims))
     }
-    candidates(dists.zipWithIndex.minBy { case (d, i) =>
+    val best = trained.zipWithIndex.minBy { case ((_, _, d), i) =>
       (d: java.math.BigDecimal, i)
     }(Ordering.Tuple2(Ordering.comparatorToOrdering(
       java.util.Comparator.naturalOrder[java.math.BigDecimal]()),
-      Ordering.Int))._2)
+      Ordering.Int))._1
+    (best._1, best._2)
   }
 
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,

@@ -315,12 +315,40 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.audioFrameEnergy(
         Multimodal.wavFixture(df, "doc_id"), "doc_id", "payload")
       .collect()
-    // id 3: 520 samples -> 4 frames of (160,160,160,40)
+    // id 3: gid 1 -> 440 samples -> frames (160,160,120)
     val f3 = frames.filter(_.getLong(0) == 3L).map(_.getLong(2)).toSeq
-    assert(f3 == Seq(160L, 160L, 160L, 40L), s"frame sizes: $f3")
+    assert(f3 == Seq(160L, 160L, 120L), s"frame sizes: $f3")
     // corrupt payload: null meta, zero frames
     val bad = Seq((9L, "junk".getBytes)).toDF("doc_id", "payload")
     assert(Multimodal.audioMeta(bad, "payload").collect().head.isNullAt(2))
     assert(Multimodal.audioFrameEnergy(bad, "doc_id", "payload").count() == 0)
+  }
+
+  test("audioDHash: planted even/odd fixture pairs are near-dups; the " +
+      "hash is invariant to lossless re-encode and uniform gain") {
+    def hashOf(samples: Array[Short]): Long = {
+      import org.apache.spark.sql.functions.col
+      val wav = Multimodal.encodeWavPcm16(samples, Multimodal.FixtureRate)
+      Multimodal.audioDHash(
+          Seq((1L, wav)).toDF("doc_id", "payload"), "payload")
+        .select(col("ahash")).collect().head.getLong(0)
+    }
+    val even = Array.tabulate(Multimodal.fixtureSampleCount(42L))(i =>
+      Multimodal.fixtureSample(42L, i))
+    val odd = Array.tabulate(Multimodal.fixtureSampleCount(43L))(i =>
+      Multimodal.fixtureSample(43L, i))
+    val (he, ho) = (hashOf(even), hashOf(odd))
+    assert(java.lang.Long.bitCount(he ^ ho) <= 2,
+      s"planted audio pair too far: ${java.lang.Long.bitCount(he ^ ho)}")
+    // different gid: phase-shifted signal, different hash
+    val other = Array.tabulate(Multimodal.fixtureSampleCount(40L))(i =>
+      Multimodal.fixtureSample(40L, i))
+    assert(hashOf(other) != he)
+    // uniform gain x2 preserves every energy comparison
+    assert(hashOf(even.map(v => (v * 2).toShort)) == he,
+      "uniform gain must not move the energy-delta hash")
+    // losslessly re-encoded bytes hash identically (roundtrip spec above
+    // already proves sample equality; this pins the operator end-to-end)
+    assert(hashOf(even) == he)
   }
 }
