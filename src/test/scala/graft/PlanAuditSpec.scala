@@ -286,4 +286,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("mm_phash / mm_neardup: signature stage is a shuffle-free " +
+      "mapPartitions scan; pairing is a key-equi join, never cartesian") {
+    val pp = plan("mm_phash")
+    assert(!pp.contains("Exchange hashpartitioning"),
+      s"phash must not shuffle:\n$pp")
+    val pn = plan("mm_neardup")
+    assert(!pn.contains("CartesianProduct"), pn)
+    assert(pn.contains("Join"), pn)
+  }
+
+  test("dedup_index serve: committed-batch partition pruning reaches the " +
+      "scan; live tombstones anti-join; the pair stage is key-equi") {
+    // the registry query compacts+vacuums (no tombstones left by serve),
+    // so audit the serve plan of a mid-lifecycle index: build + append +
+    // a LIVE tombstone batch, no compaction
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, SparkSpec.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bidx_audit")
+      .toString + "/idx"
+    graft.ops.Dedup.writeBandIndex(docs.filter(col("doc_id") % 4 =!= 1),
+      "doc_id", "text", dir)
+    graft.ops.Dedup.appendToBandIndex(docs.filter(col("doc_id") % 4 === 1),
+      "doc_id", "text", dir, batchId = 1L)
+    graft.ops.Dedup.deleteFromBandIndex(
+      docs.filter(col("doc_id") % 17 === 3).select("doc_id"), "doc_id",
+      dir, batchId = 2L)
+    val df = graft.ops.Dedup.bandIndexCandidates(spark, dir, "doc_id")
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), s"tombstone anti-join missing:\n$p")
+    assert(p.contains("PartitionFilters") || p.contains("batch#"),
+      s"batch pruning must reach the scan:\n$p")
+  }
+
+  test("ta_unigram_encode: the Viterbi expression rides the exploded-word " +
+      "projection with no join and no UDF barrier") {
+    val p = plan("ta_unigram_encode")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(!p.contains("Join"), s"encode must not join:\n$p")
+  }
+
+  test("mm_audio_meta / mm_audio_energy: decode stages are shuffle-free " +
+      "partition-local scans") {
+    Seq("mm_audio_meta", "mm_audio_energy").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
 }
