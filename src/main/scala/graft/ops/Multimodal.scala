@@ -412,6 +412,55 @@ object Multimodal {
     hash
   }
 
+  /** Integer luma statistics of a decoded image: Σ over pixels of the
+    * fixed-point ITU-R 601 luma (299R + 587G + 114B — the [[dHash64]]
+    * scale, /1000 deferred) as an exact Long `sum_luma`, plus the pixel
+    * count. The brightness/exposure quality signal a multimodal
+    * curation gate filters on, exact enough for a SQL oracle to restate
+    * from constructed images. Null for undecodable payloads.
+    */
+  def imageLumaStats(df: DataFrame, binCol: String,
+                     batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("sum_luma", LongType, nullable = true))
+      .add(StructField("n_pixels", LongType, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          decodeImage(row.getAs[Array[Byte]](binIdx)) match {
+            case Some((_, img)) =>
+              // single-band grayscale: luma = raw sample × 1000 (the
+              // stored value — getRGB would route it through the gray →
+              // sRGB color-space curve, which is monotone (dHash-safe)
+              // but not identity, and the gate compares absolute sums)
+              val gray = img.getColorModel.getNumComponents == 1
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum +=
+                    (if (gray) 1000L * img.getRaster.getSample(x, y, 0)
+                     else {
+                       val rgb = img.getRGB(x, y)
+                       299L * ((rgb >> 16) & 0xff) +
+                         587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                     })
+                  x += 1
+                }
+                y += 1
+              }
+              Row.fromSeq(row.toSeq :+ sum :+
+                (img.getWidth.toLong * img.getHeight))
+            case None => Row.fromSeq(row.toSeq :+ null :+ null)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Decode a binary image column and append its [[dHash64]] as a
     * `phash` LongType column (null when no codec recognizes the
     * payload) — micro-batched mapPartitions like [[extractMeta]].

@@ -666,6 +666,69 @@ object R13Queries {
              |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("mm_pipeline",
+      "The MULTIMODAL CURATION FLAGSHIP — the ops composing end-to-end " +
+        "the way an image-corpus curation run chains them: real PNG " +
+        "decode -> integer-exact brightness gate (sum of fixed-point " +
+        "lumas >= threshold — the exposure/quality filter) -> dHash64 " +
+        "signatures -> Hamming pigeonhole near-dup pairs among the " +
+        "SURVIVING images only -> connected components -> min-id " +
+        "survivor per cluster (singletons are their own cluster). One " +
+        "lazy plan up to the CC driver loop; the gate and the hash ride " +
+        "the same decode pass. Oracle: the whole chain restated — cell " +
+        "lumas, gate, signatures, brute-force pairs, recursive-CTE " +
+        "reachability.",
+      (s, d) => {
+        val imgs = Multimodal.perceptualHash(
+          Multimodal.imageLumaStats(
+            Multimodal.gradientFixture(
+              Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+            "payload"),
+          "payload")
+        val gated = graft.core.Caches.track(
+          imgs.filter(col("sum_luma") >= 18144000L)
+            .select(col("doc_id"), col("phash").as("simhash")))
+        val pairs = Dedup.simhashPairs(gated, "doc_id", maxHamming = 3,
+          bits = 64)
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+        gated.select(col("doc_id"))
+          .join(cc.select(col("id").as("doc_id"),
+            col("label").as("cluster")), Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .withColumn("is_survivor", col("doc_id") === col("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $phashSigCtes,
+              |lum AS (
+              |  SELECT doc_id, CAST(sum(4000 * g) AS BIGINT) AS sum_luma
+              |  FROM cells GROUP BY doc_id),
+              |gated AS (
+              |  SELECT doc_id FROM lum WHERE sum_luma >= 18144000),
+              |gsig AS (
+              |  SELECT s.doc_id, s.phash FROM sig s JOIN gated USING (doc_id)),
+              |gpairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM gsig a JOIN gsig b ON a.doc_id < b.doc_id
+              |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM gpairs
+              |  UNION SELECT id_b, id_a FROM gpairs),
+              |reach AS (
+              |  SELECT src AS id, src AS lab FROM edges
+              |  UNION
+              |  SELECT e.dst AS id, r.lab FROM reach r
+              |  JOIN edges e ON e.src = r.id),
+              |cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+              |fullset AS (
+              |  SELECT g.doc_id, coalesce(cc.cluster, g.doc_id) AS cluster
+              |  FROM gated g LEFT JOIN cc ON cc.id = g.doc_id)
+              |SELECT doc_id, cluster,
+              |       count(*) OVER (PARTITION BY cluster) AS cluster_size,
+              |       doc_id = cluster AS is_survivor
+              |FROM fullset ORDER BY doc_id""".stripMargin)),
+
     Q("sim_ivfadc_lifecycle",
       "The COMPRESSED vector index lifecycle under one gate (the " +
         "sim_ivf_lifecycle chain on the IVFADC layout): build on " +
