@@ -673,6 +673,68 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Real audio RESAMPLE — the audio analogue of [[resize]]: decode,
+    * linear-interpolate to the target rate, re-encode as a genuine WAV,
+    * and decode AGAIN for the reported stats (the roundtrip proves the
+    * codec, not the request). Interpolation is EXACT integer rational
+    * arithmetic, floor-rounded, so an oracle restates every output
+    * sample: output i sits at source position i·src/dst = lo + r/dst
+    * (lo = (i·src) div dst, r = (i·src) mod dst), and
+    * out(i) = (s(lo)·(dst−r) + s(lo+1)·r) / dst TRUNCATED toward zero
+    * (the div both engines share: Long `/` here, `//` on positive-and-
+    * negative BIGINTs in DuckDB), with the last source sample clamped
+    * (s(n) ≡ s(n−1)). Output length
+    * n_out = ⌈n·dst/src⌉ covers the same duration. Output columns:
+    * `resampled` (binary WAV, null if undecodable) + `resampled_meta`
+    * ([[audioMetaSchema]], decoded from the re-encoded bytes).
+    */
+  def audioResample(df: DataFrame, binCol: String, dstRate: Int,
+                    batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("resampled", BinaryType, nullable = true))
+      .add(StructField("resampled_meta", audioMetaSchema, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          decodeWavPcm16(row.getAs[Array[Byte]](binIdx)) match {
+            case Some((srcRateF, s)) if s.nonEmpty =>
+              val src = srcRateF.toLong
+              val dst = dstRate.toLong
+              val nOut = ((s.length * dst + src - 1) / src).toInt
+              val out = new Array[Short](nOut)
+              var i = 0
+              while (i < nOut) {
+                val num = i.toLong * src
+                val lo = (num / dst).toInt
+                val r = num % dst
+                val a = s(math.min(lo, s.length - 1)).toLong
+                val b = s(math.min(lo + 1, s.length - 1)).toLong
+                out(i) = ((a * (dst - r) + b * r) / dst).toShort
+                i += 1
+              }
+              val wav = encodeWavPcm16(out, dstRate.toFloat)
+              val meta = decodeWavPcm16(wav) match {
+                case Some((rate, d)) =>
+                  var sum = 0L; var sq = 0L; var zc = 0L
+                  var j = 0
+                  while (j < d.length) {
+                    sum += d(j); sq += d(j).toLong * d(j)
+                    if (j > 0 && ((d(j - 1) >= 0) != (d(j) >= 0))) zc += 1
+                    j += 1
+                  }
+                  Row(rate.toLong, d.length.toLong, sum, sq, zc)
+                case None => null
+              }
+              Row.fromSeq(row.toSeq :+ wav :+ meta)
+            case _ => Row.fromSeq(row.toSeq :+ null :+ null)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** 64-bit ENERGY-DELTA hash — dHash for audio: decode, compute
     * `frameSize`-sample frame energies (exact Σs² in Long), set bit f
     * iff energy(f+1) > energy(f), for f < min(63, frames−1). Robust the

@@ -608,6 +608,61 @@ object R13Queries {
              |GROUP BY doc_id, frame_no
              |ORDER BY doc_id, frame_no""".stripMargin)),
 
+    Q("mm_audio_resample",
+      "Real audio RESAMPLE roundtrip (the mm_resize contract, audio " +
+        "edition): decode the 8 kHz WAV fixture, linear-interpolate to " +
+        "6 kHz with EXACT integer rational arithmetic (out(i) = " +
+        "(s(lo)*(dst-r) + s(lo+1)*r) / dst truncated toward zero, lo = " +
+        "i*src div dst, last sample clamped), re-encode as a genuine " +
+        "WAV, decode AGAIN and report the integer-exact stats of the " +
+        "re-decoded signal — the roundtrip proves the codec. Oracle " +
+        "restates every interpolated sample from the fixture function.",
+      (s, d) => Multimodal.audioResample(
+          Multimodal.wavFixture(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+          "payload", dstRate = 6000)
+        .select(col("doc_id"), col("resampled_meta.sample_rate"),
+          col("resampled_meta.n_samples"),
+          col("resampled_meta.sum_samples"),
+          col("resampled_meta.sum_squares"),
+          col("resampled_meta.zero_crossings"))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, g.i,
+             |    ((d.doc_id // 2) * 31 + g.i * 17) % 2001 - 1000
+             |      + (d.doc_id % 2) *
+             |        (CASE WHEN g.i // 8 = 7 THEN 25 ELSE 0 END) AS v
+             |  FROM documents d, generate_series(0, 599) g(i)
+             |  WHERE g.i < 400 + ((d.doc_id // 2) % 5) * 40),
+             |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+             |oidx AS (
+             |  SELECT n.doc_id, n.n,
+             |    unnest(generate_series(0,
+             |      CAST((n.n * 6000 + 7999) // 8000 AS INT) - 1)) AS i
+             |  FROM n),
+             |o AS (
+             |  SELECT x.doc_id, x.i,
+             |    (sa.v * (6000 - (x.i * 8000) % 6000)
+             |     + sb.v * ((x.i * 8000) % 6000)) // 6000 AS v
+             |  FROM oidx x
+             |  JOIN s sa ON sa.doc_id = x.doc_id
+             |    AND sa.i = least((x.i * 8000) // 6000, x.n - 1)
+             |  JOIN s sb ON sb.doc_id = x.doc_id
+             |    AND sb.i = least((x.i * 8000) // 6000 + 1, x.n - 1))
+             |SELECT doc_id,
+             |  CAST(6000 AS BIGINT) AS sample_rate,
+             |  count(*) AS n_samples,
+             |  CAST(sum(v) AS BIGINT) AS sum_samples,
+             |  CAST(sum(v * v) AS BIGINT) AS sum_squares,
+             |  CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+             |             AND ((prev >= 0) <> (v >= 0)) THEN 1 END), 0)
+             |       AS BIGINT) AS zero_crossings
+             |FROM (SELECT doc_id, i, v,
+             |        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+             |      FROM o)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("mm_audio_neardup",
       "Audio NEAR-DUPLICATE pairs — near-dup completed across all three " +
         "modalities (text SimHash, image dHash, now audio): the 64-bit " +
