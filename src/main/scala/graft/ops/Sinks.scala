@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Sink operators (SURVEY.md §2.2, K1-K4).
@@ -48,12 +49,24 @@ object Sinks {
     * bucket metadata lives in the catalog.
     */
   def bucketedTable(df: DataFrame, table: String, buckets: Int,
-                    bucketCols: Seq[String]): Unit =
+                    bucketCols: Seq[String]): Unit = {
+    val s = df.sparkSession
+    // true overwrite across SESSIONS, not just within one: the default
+    // in-memory catalog forgets the table on JVM exit but its managed
+    // location survives on disk, and saveAsTable then refuses to create
+    // over the orphaned directory (LOCATION_ALREADY_EXISTS) — drop the
+    // catalog entry AND remove a stale location first
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
+    val loc = new Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** JSON-lines sink (one object per line, partition-parallel) — the
     * export format downstream tokenizer/training jobs consume.

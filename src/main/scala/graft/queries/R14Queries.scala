@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, Graphs, Layout, Sinks}
+import graft.queries.OracleCompat.dsum
+
+/** Round-9 session-2 additions: the remaining classical graph analytics
+  * over the near-dup similarity graph (label-propagation communities,
+  * k-core peeling, landmark BFS) — each the same cached-edge-list /
+  * node-keyed-exchange iteration shape as graph_pagerank, each gated by
+  * an unrolled-CTE DuckDB oracle.
+  */
+object R14Queries {
+
+  /** Shared oracle prelude: minhash candidate pairs → symmetrized,
+    * deduplicated edge list (the exact restatement of
+    * [[graft.ops.Graphs]]'s symEdges over minhashCandidates).
+    */
+  private def edgeCtes: String =
+    s"""${ExtQueries.minhashPairCtes},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs)""".stripMargin
+
+  private val LpaIters = 4
+  private val CoreK = 2
+  private val CoreRounds = 16
+  private val BfsSeeds = 3
+  private val BfsHops = 4
+
+  val all: Seq[Q] = Seq(
+
+    Q("graph_lpa",
+      "Synchronous label propagation (Raghavan et al. 2007) — community " +
+        "detection over the near-dup graph: plurality-label dynamics " +
+        "separate dense duplicate families that one spurious candidate " +
+        "edge would weld into a single connected component. Fully " +
+        "deterministic variant: synchronous rounds, plurality label with " +
+        "smallest-label tie-break — a pure function of the previous " +
+        "round, so the oracle unrolls the identical 4 rounds as CTEs. " +
+        "Per round: one join of the cached pre-partitioned edge list " +
+        "against the nodes-sized label relation, a partial-aggregated " +
+        "(node,label) count, and a per-node row_number — node-keyed " +
+        "exchanges only, nothing quadratic in degree.",
+      (s, d) => Graphs.labelPropagation(
+        Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3),
+        "id_a", "id_b", iters = LpaIters),
+      Some {
+        val rounds = (1 to LpaIters).map { i =>
+          s"""c$i AS (
+             |  SELECT e.dst AS id, l.lbl, count(*) AS cnt
+             |  FROM edges e JOIN l${i - 1} l ON l.id = e.src
+             |  GROUP BY e.dst, l.lbl),
+             |l$i AS MATERIALIZED (
+             |  SELECT id, lbl FROM (
+             |    SELECT id, lbl,
+             |      row_number() OVER (PARTITION BY id
+             |        ORDER BY cnt DESC, lbl) AS rn
+             |    FROM c$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+           |$rounds
+           |SELECT id, lbl AS community FROM l$LpaIters ORDER BY id""".stripMargin
+      }),
+
+    Q("graph_kcore",
+      "2-core of the near-dup graph by iterative peeling (Seidman 1983): " +
+        "drop nodes with in-subgraph degree < 2 until fixpoint — the " +
+        "maximal subgraph where every doc has >=2 in-core neighbors, " +
+        "separating genuinely dense duplicate families from the " +
+        "incidental pair/chain edges the banding df-cap emits. " +
+        "Convergence contract mirrors connectedComponents: peel with a " +
+        "driver-side per-round fixpoint check (early exit — the bench " +
+        "pays actual rounds), hard-fail past 16 rounds rather than " +
+        "return a non-fixpoint, so the oracle's exactly-16-round unroll " +
+        "(no-op rounds past the fixpoint: peeling is monotone) is " +
+        "guaranteed to match. Per round: the cached edge list " +
+        "semi-joined to the shrinking node set on both endpoints, one " +
+        "partial-aggregated degree count.",
+      (s, d) => Graphs.kCore(
+        Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3),
+        "id_a", "id_b", k = CoreK, maxRounds = CoreRounds),
+      Some {
+        val rounds = (1 to CoreRounds).map { i =>
+          s"""d$i AS (
+             |  SELECT e.src AS id, count(*) AS c
+             |  FROM edges e
+             |  JOIN n${i - 1} a ON e.src = a.id
+             |  JOIN n${i - 1} b ON e.dst = b.id
+             |  GROUP BY e.src),
+             |n$i AS MATERIALIZED (SELECT id FROM d$i WHERE c >= $CoreK)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |n0 AS (SELECT DISTINCT src AS id FROM edges),
+           |$rounds
+           |SELECT id, c AS core_degree FROM d$CoreRounds
+           |WHERE c >= $CoreK ORDER BY id""".stripMargin
+      }),
+
+    Q("graph_bfs",
+      "Multi-source BFS from the 3 smallest-id nodes — landmark hop " +
+        "distances over the near-dup graph: each node's distance to and " +
+        "identity of its nearest landmark under the (dist, seed) total " +
+        "order; hop-bounded at 4 (nodes beyond every landmark's 4-hop " +
+        "ball are absent by contract — frontier expansion is the cost " +
+        "model). Deterministic relaxation: keep the lexicographically " +
+        "smallest (dist, seed) per node each synchronous round; the " +
+        "oracle unrolls the same 4 relaxations. Per round: one join of " +
+        "the cached pre-partitioned edge list against the " +
+        "frontier-carrying state and a per-node row_number — node-keyed " +
+        "exchanges only; seeds are a driver-bounded orderBy/limit.",
+      (s, d) => Graphs.bfsLandmarks(
+        Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3),
+        "id_a", "id_b", numSeeds = BfsSeeds, maxHops = BfsHops),
+      Some {
+        val rounds = (1 to BfsHops).map { i =>
+          s"""p$i AS (
+             |  SELECT e.dst AS id, s.dist + 1 AS dist, s.seed
+             |  FROM edges e JOIN s${i - 1} s ON s.id = e.src
+             |  UNION ALL
+             |  SELECT id, dist, seed FROM s${i - 1}),
+             |s$i AS MATERIALIZED (
+             |  SELECT id, dist, seed FROM (
+             |    SELECT id, dist, seed,
+             |      row_number() OVER (PARTITION BY id
+             |        ORDER BY dist, seed) AS rn
+             |    FROM p$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeCtes,
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |s0 AS (
+           |  SELECT id, CAST(0 AS BIGINT) AS dist, id AS seed
+           |  FROM nodes ORDER BY id LIMIT $BfsSeeds),
+           |$rounds
+           |SELECT id, dist, seed FROM s$BfsHops ORDER BY id""".stripMargin
+      }),
+
+    Q("lake_bucketed",
+      "Shuffle-free co-located join from BUCKETED tables at rest " +
+        "(Sinks.bucketedTable): orders and customer are both written " +
+        "hash-bucketed (and sorted) on the customer key into the " +
+        "session catalog, so the join and the downstream per-customer " +
+        "aggregate read pre-partitioned bucket files and the whole " +
+        "query plans with ZERO hash exchanges (PlanAuditSpec pins it) " +
+        "— at 100 TB this is the difference between re-shuffling the " +
+        "fact table on every run and paying the shuffle once at write " +
+        "time. The oracle recomputes the same join/aggregate from the " +
+        "raw tables, so the bucketed write+serve roundtrip is " +
+        "hash-checked lossless.",
+      (s, d) => {
+        val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+        val ot = s"graft_orders_bkt$sfx"
+        val ct = s"graft_cust_bkt$sfx"
+        Sinks.bucketedTable(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+          ot, buckets = 8, Seq("o_custkey"))
+        Sinks.bucketedTable(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment"),
+          ct, buckets = 8, Seq("c_custkey"))
+        s.table(ot)
+          .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1, 2
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("lake_zorder",
+      "Z-ORDERED rewrite + box probe, the serve-path gate for " +
+        "Layout.zOrderedParquet: lineitem is clustered along the " +
+        "Morton curve of (l_partkey, l_suppkey) — every file covers a " +
+        "small rectangle of the key plane, so parquet min/max stats " +
+        "prune on EITHER dimension (LayoutSpec measures the file " +
+        "boxes; a plain x-sort leaves y-filters pruning nothing) — " +
+        "then a two-dimensional box predicate reads the layout back " +
+        "and aggregates. Pruning must never change results: the " +
+        "oracle recomputes the box aggregate from the raw table, " +
+        "hash-checking the rewrite as lossless and the probe as " +
+        "exact.",
+      (s, d) => {
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_zorder_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Layout.zOrderedParquet(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_returnflag"),
+          path, numFiles = 8, "l_partkey", "l_suppkey")
+        s.read.parquet(path)
+          .filter(col("l_partkey").between(20, 79) &&
+            col("l_suppkey").between(2, 5))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  cast(sum(cast(l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 20 AND 79
+             |  AND l_suppkey BETWEEN 2 AND 5
+             |GROUP BY 1
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("dq_kanon",
+      "k-anonymity audit over quasi-identifiers (Sweeney 2002) — the " +
+        "privacy gate a training-data release runs next to PII " +
+        "redaction: every (lang, source, length-bucket) equivalence " +
+        "class with fewer than k=5 members is a re-identification " +
+        "risk (its documents are distinguishable by quasi-identifiers " +
+        "alone). One partial-aggregated groupBy on the class key — " +
+        "the report is class-sized, never document-sized.",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          floor(col("n_chars") / lit(100)).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") < 5)
+        .orderBy("lang", "source", "len_bucket"),
+      Some("""SELECT lang, source,
+             |  CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+             |  count(*) AS n_docs
+             |FROM documents
+             |GROUP BY 1, 2, 3
+             |HAVING count(*) < 5
+             |ORDER BY lang, source, len_bucket""".stripMargin)),
+
+    Q("ev_downsample",
+      "Time-bucket downsampling with open/close semantics (the OHLC " +
+        "shape every metrics store serves): per (event_type, day) the " +
+        "first and last value under the total (ts, event_id) order " +
+        "plus min/max/count/decimal-exact sum. First/last via two " +
+        "row_number passes over the SAME partition keys — one " +
+        "shuffle, two sorts — then one partial-aggregated groupBy; " +
+        "no self-join, no collect. The deterministic replacement for " +
+        "first()/last() (which are order-undefined in both engines).",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", date_format(date_trunc("day", col("ts")),
+            "yyyy-MM-dd"))
+        val w = Window.partitionBy(col("event_type"), col("day"))
+        val asc = w.orderBy(col("ts").asc, col("event_id").asc)
+        val desc = w.orderBy(col("ts").desc, col("event_id").desc)
+        ev.withColumn("__ra", row_number().over(asc))
+          .withColumn("__rd", row_number().over(desc))
+          .groupBy(col("event_type"), col("day"))
+          .agg(max(when(col("__ra") === 1, col("value"))).as("open"),
+            max(when(col("__rd") === 1, col("value"))).as("close"),
+            min(col("value")).as("lo"), max(col("value")).as("hi"),
+            count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type,
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    value,
+             |    row_number() OVER (PARTITION BY event_type,
+             |      date_trunc('day', ts) ORDER BY ts, event_id) AS ra,
+             |    row_number() OVER (PARTITION BY event_type,
+             |      date_trunc('day', ts) ORDER BY ts DESC, event_id DESC)
+             |      AS rd
+             |  FROM events)
+             |SELECT event_type, day,
+             |  max(CASE WHEN ra = 1 THEN value END) AS open,
+             |  max(CASE WHEN rd = 1 THEN value END) AS close,
+             |  min(value) AS lo, max(value) AS hi, count(*) AS n,
+             |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS vsum
+             |FROM r
+             |GROUP BY 1, 2
+             |ORDER BY event_type, day""".stripMargin)))
+}

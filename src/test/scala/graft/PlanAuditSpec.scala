@@ -338,4 +338,21 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q must not join:\n$p")
     }
   }
+
+  test("lake_bucketed: join AND downstream aggregate read pre-bucketed " +
+      "files — zero hash exchanges in the whole plan") {
+    // force the sort-merge path (a broadcast join would also be
+    // exchange-free but wouldn't exercise the bucketed co-location)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("lake_bucketed")(spark, SparkSpec.Sf0001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg must not shuffle (range exchange for the " +
+          s"final orderBy is the only allowed exchange):\n$p")
+      assert(p.contains("Bucketed: true"), s"scan must be bucketed:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -86,4 +86,68 @@ class GraphsSpec extends SparkSpec {
     assert(r.forall(x => x.getLong(2) == per && x.getDouble(3) == 1.0),
       s"K$n: every vertex in C(${n - 1},2)=$per triangles with LCC 1")
   }
+
+  test("labelPropagation: two triangles bridged by one edge split into " +
+      "two communities where connected components would weld them") {
+    // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4 — ONE component
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+        (5L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    val r = Graphs.labelPropagation(pairs, "a", "b", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 6)
+    // hand-unrolled synchronous plurality/min-tie dynamics converge to
+    // community 1 on the left triangle, 3 on the right
+    assert(r(1L) == r(2L) && r(2L) == r(3L), s"left triangle united: $r")
+    assert(r(4L) == r(5L) && r(5L) == r(6L), s"right triangle united: $r")
+    assert(r(1L) != r(4L),
+      s"the bridge must NOT weld the triangles into one community: $r")
+  }
+
+  test("labelPropagation: a clique agrees on its minimum id") {
+    val pairs = (for (i <- 1 to 5; j <- i + 1 to 5) yield (i.toLong, j.toLong))
+      .toDF("a", "b")
+    val r = Graphs.labelPropagation(pairs, "a", "b", iters = 3)
+      .collect().map(_.getLong(1))
+    assert(r.forall(_ == 1L), s"K5 converges to min label: ${r.toList}")
+  }
+
+  test("kCore: chain tail peels one node per round (the early-exit " +
+      "loop), the triangle survives as the 2-core") {
+    // triangle {1,2,3} with a chain tail 3-4-5-6: peeling removes
+    // 6, then 5, then 4 — three shrinking rounds before the fixpoint
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (5L, 6L))
+      .toDF("a", "b")
+    val r = Graphs.kCore(pairs, "a", "b", k = 2, maxRounds = 16)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core is exactly the triangle with in-core degree 2: $r")
+  }
+
+  test("kCore: k above the densest degree yields an empty core; " +
+      "insufficient maxRounds hard-fails instead of returning a " +
+      "non-fixpoint") {
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    assert(Graphs.kCore(tri, "a", "b", k = 3).count() == 0,
+      "a triangle has no 3-core")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+        (6L, 7L), (7L, 8L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Graphs.kCore(chain, "a", "b", k = 2, maxRounds = 2)
+    }
+  }
+
+  test("bfsLandmarks: hop-bounded distances with (dist, seed) " +
+      "tie-break; nodes beyond the ball are absent") {
+    // path 1-2-3-4-5-6-7, seeds = two smallest ids {1, 2}, 2 hops
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val r = Graphs.bfsLandmarks(pairs, "a", "b", numSeeds = 2, maxHops = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    // node 1 is itself a seed; node 2 likewise (0 beats the 1-hop path
+    // from seed 1); 3 reaches seed 2 in one hop; 4 in two; 5+ absent
+    assert(r == Map(1L -> ((0L, 1L)), 2L -> ((0L, 2L)),
+      3L -> ((1L, 2L)), 4L -> ((2L, 2L))), s"got $r")
+  }
 }
