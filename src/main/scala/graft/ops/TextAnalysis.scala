@@ -262,4 +262,115 @@ object TextAnalysis {
       .select("rank", "term", "freq", "coverage")
       .orderBy("rank")
   }
+
+  /** TextRank (Mihalcea & Tarau 2004) adapted to word-window units —
+    * representative-passage selection: rank each document's
+    * fixed-size word windows by weighted-PageRank centrality on the
+    * window-overlap graph and keep the best one. The extractive-
+    * summarization primitive a pretraining pipeline uses to pick the
+    * most representative span per document (for dataset cards, dedup
+    * exemplars, retrieval snippets); window units rather than
+    * sentences because unit choice is orthogonal to the algorithm and
+    * windows are deterministic on unpunctuated text.
+    *
+    * Semantics, fully deterministic / engine-exact:
+    *  - windows: non-overlapping `windowWords`-word slices, 1-based
+    *    index, last window keeps the shorter tail;
+    *  - edge weight between two windows of the SAME document: the
+    *    INTEGER count of shared distinct words (Mihalcea's weighted
+    *    PageRank admits any positive weights; the log-length
+    *    normalization divides by zero on one-word units, and any
+    *    real-valued weight makes the per-node weight total W_src a
+    *    ROUNDED decimal sum — dividing by it manufactures doubles
+    *    that land exactly on the 15th-decimal rounding boundary,
+    *    where Spark's shortest-repr double→decimal cast and DuckDB's
+    *    exact-binary cast disagree. An integer weight keeps W_src an
+    *    EXACT integer, the same discipline that makes pageRank's
+    *    r/deg engine-exact), zero-overlap pairs are not edges;
+    *  - `iters` rounds of weighted PageRank: r' = (1-d)/n_doc +
+    *    d * Σ_src r_src·w/W_src, incoming mass staged through
+    *    DECIMAL(38,14) so sums are order-independent; isolated
+    *    windows get the teleport term only;
+    *  - winner per doc: max rank, ties to the smallest window index.
+    *
+    * Exactness contract: the SELECTION (winner index, window text,
+    * counts) is engine-exact and oracle-gated; the raw score is not —
+    * re-staging each round's mass at scale 14 grid-aligns the next
+    * round's inputs, so the score's last decimal sits exactly on the
+    * double→decimal rounding boundary where Spark (shortest-repr
+    * cast) and DuckDB (exact-binary cast) legitimately differ by one
+    * ulp at scale 14. Consumers comparing scores should quantize to
+    * ≤12 decimals.
+    *
+    * Scale shape: the pair stage self-joins windows ON doc_id — work
+    * is Σ_doc (windows_doc)², bounded by the document-length contract
+    * (windows ∝ doc length / windowWords), never corpus-quadratic;
+    * every exchange is doc-keyed, per-round contributions partial-
+    * aggregate before the exchange, per-round localCheckpoint
+    * truncates the iteration lineage.
+    */
+  def textRankWindows(docs: DataFrame, idCol: String, textCol: String,
+                      windowWords: Int = 8, damping: Double = 0.85,
+                      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(windowWords >= 1 && iters >= 1, "need windows and rounds")
+    val dec = DecimalType(38, 14)
+    val w = split(trim(col(textCol)), "\\s+")
+    val chunkStructs = transform(
+      sequence(lit(1), ceil(size(w) / lit(windowWords.toDouble)).cast("int")),
+      i => struct(i.as("widx"),
+        slice(w, (i - lit(1)) * windowWords + lit(1), lit(windowWords))
+          .as("ws")))
+    val ch = graft.core.Caches.track(
+      docs.select(col(idCol).as("doc_id"), explode(chunkStructs).as("c"))
+        .select(col("doc_id"), col("c.widx").cast("long").as("widx"),
+          array_distinct(col("c.ws")).as("cs"),
+          array_join(col("c.ws"), " ").as("window_text")))
+    val nDf = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val a = ch.select(col("doc_id"), col("widx").as("src"),
+      col("cs").as("csa"))
+    val b = ch.select(col("doc_id"), col("widx").as("dst"),
+      col("cs").as("csb"))
+    val pe = graft.core.Caches.track(
+      a.join(b, Seq("doc_id"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("ov", size(array_intersect(col("csa"), col("csb"))))
+        .filter(col("ov") > 0)
+        .select(col("doc_id"), col("src"), col("dst"),
+          col("ov").cast("long").as("wt")))
+    // weight total per source window: an EXACT integer sum — never a
+    // rounded decimal (see the weight-choice note above)
+    val wj = pe.groupBy(col("doc_id"), col("src"))
+      .agg(sum(col("wt")).as("wj"))
+    val peW = graft.core.Caches.track(pe.join(wj, Seq("doc_id", "src")))
+    val nodes = ch.select(col("doc_id"), col("widx")).join(nDf, "doc_id")
+    var r = nodes.select(col("doc_id"), col("widx"),
+      (lit(1.0) / col("nw")).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = peW
+        .join(r.select(col("doc_id"), col("widx").as("src"), col("r")),
+          Seq("doc_id", "src"))
+        .groupBy(col("doc_id"), col("dst").as("widx"))
+        .agg(sum((col("r") * col("wt") / col("wj")).cast(dec))
+          .cast("double").as("sc"))
+      r = nodes
+        .join(contrib, Seq("doc_id", "widx"), "left")
+        .select(col("doc_id"), col("widx"),
+          (lit(damping) * coalesce(col("sc"), lit(0.0)) +
+            (lit(1.0) - lit(damping)) / col("nw")).as("r"))
+        .localCheckpoint(true)
+    }
+    val pick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("r").desc, col("widx").asc)
+    r.join(ch.select(col("doc_id"), col("widx"), col("window_text")),
+        Seq("doc_id", "widx"))
+      .join(nDf, "doc_id")
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("widx").as("best_widx"),
+        col("nw").as("n_windows"), col("r").as("score"),
+        col("window_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, Graphs, Layout, Sinks}
+import graft.ops.{Dedup, Graphs, Layout, Sinks, TextAnalysis}
 import graft.queries.OracleCompat.dsum
 
 /** Round-9 session-2 additions: the remaining classical graph analytics
@@ -277,5 +277,144 @@ object R14Queries {
              |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE) AS vsum
              |FROM r
              |GROUP BY 1, 2
-             |ORDER BY event_type, day""".stripMargin)))
+             |ORDER BY event_type, day""".stripMargin)),
+
+    Q("ta_textrank",
+      "TextRank (Mihalcea & Tarau 2004) over word-window units — " +
+        "representative-passage selection: each document's 8-word " +
+        "windows form an overlap graph (weight = INTEGER count of " +
+        "shared distinct words, so the per-node weight total is an " +
+        "exact integer — a real-valued weight would make it a " +
+        "rounded decimal whose division manufactures doubles on the " +
+        "15th-decimal cast boundary where the engines disagree), 2 " +
+        "rounds of weighted PageRank rank them, " +
+        "the most central window wins (ties to the smallest index). " +
+        "The pair stage joins windows ON doc_id — work is per-doc " +
+        "windows², bounded by the document-length contract, never " +
+        "corpus-quadratic. The gate hashes the SELECTION (winner " +
+        "index + text), not the raw score: each round re-stages " +
+        "rank mass through DECIMAL(38,14), which grid-aligns the " +
+        "next round's inputs and makes the score's last decimal " +
+        "land exactly on the cast-rounding boundary where Spark " +
+        "(shortest-repr) and DuckDB (exact-binary) legitimately " +
+        "disagree by 1 ulp14 — the decision is engine-exact, the " +
+        "k-round float tail is not, and the oracle checks exactly " +
+        "what is exact.",
+      (s, d) => TextAnalysis.textRankWindows(Tables.documents(s, d),
+          "doc_id", "text", windowWords = 8, damping = 0.85, iters = 2)
+        .select("doc_id", "best_widx", "n_windows", "window_text"),
+      Some {
+        val rounds = (1 to 2).map { i =>
+          s"""c$i AS (
+             |  SELECT e.doc_id, e.dst AS widx,
+             |    cast(sum(cast(r.r * e.wt / j.wj AS DECIMAL(38,14)))
+             |      AS DOUBLE) AS sc
+             |  FROM pe e
+             |  JOIN r${i - 1} r ON r.doc_id = e.doc_id AND r.widx = e.src
+             |  JOIN wj_t j ON j.doc_id = e.doc_id AND j.src = e.src
+             |  GROUP BY e.doc_id, e.dst),
+             |r$i AS MATERIALIZED (
+             |  SELECT c.doc_id, c.widx,
+             |    0.85::DOUBLE * coalesce(x.sc, 0.0::DOUBLE) +
+             |      (1.0::DOUBLE - 0.85::DOUBLE) / n.nw AS r
+             |  FROM ch c JOIN nn n USING (doc_id)
+             |  LEFT JOIN c$i x ON x.doc_id = c.doc_id
+             |    AND x.widx = c.widx)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           |  FROM documents),
+           |chi AS (
+           |  SELECT doc_id, ws,
+           |    unnest(generate_series(1,
+           |      CAST(ceil(len(ws) / 8.0) AS INT))) AS widx
+           |  FROM w),
+           |ch AS MATERIALIZED (
+           |  SELECT doc_id, widx,
+           |    list_distinct(list_slice(ws, (widx - 1) * 8 + 1,
+           |      least(widx * 8, len(ws)))) AS cs,
+           |    array_to_string(list_slice(ws, (widx - 1) * 8 + 1,
+           |      least(widx * 8, len(ws))), ' ') AS wtext
+           |  FROM chi),
+           |nn AS (SELECT doc_id, count(*) AS nw FROM ch GROUP BY doc_id),
+           |pe AS MATERIALIZED (
+           |  SELECT a.doc_id, a.widx AS src, b.widx AS dst,
+           |    CAST(len(list_intersect(a.cs, b.cs)) AS BIGINT) AS wt
+           |  FROM ch a JOIN ch b
+           |    ON a.doc_id = b.doc_id AND a.widx <> b.widx
+           |  WHERE len(list_intersect(a.cs, b.cs)) > 0),
+           |wj_t AS (
+           |  SELECT doc_id, src, CAST(sum(wt) AS BIGINT) AS wj
+           |  FROM pe GROUP BY doc_id, src),
+           |r0 AS (
+           |  SELECT c.doc_id, c.widx, 1.0::DOUBLE / n.nw AS r
+           |  FROM ch c JOIN nn n USING (doc_id)),
+           |$rounds
+           |SELECT doc_id, widx AS best_widx, nw AS n_windows,
+           |  wtext AS window_text
+           |FROM (
+           |  SELECT r2.doc_id, r2.widx, r2.r, n.nw, c.wtext,
+           |    row_number() OVER (PARTITION BY r2.doc_id
+           |      ORDER BY r2.r DESC, r2.widx) AS rn
+           |  FROM r2 JOIN nn n USING (doc_id)
+           |  JOIN ch c ON c.doc_id = r2.doc_id AND c.widx = r2.widx)
+           |WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("ta_keywords_rank",
+      "TextRank keyword extraction — the original Mihalcea & Tarau " +
+        "task: words are nodes, adjacency within a document is an " +
+        "edge (self-pairs dropped), and corpus-global PageRank " +
+        "centrality ranks the vocabulary; top 20 by (rank desc, term) " +
+        ". Reuses Graphs.pageRank verbatim (generic over node type) — " +
+        "the adjacency scan is one zero-shuffle projection, the edge " +
+        "list is vocabulary-bounded, and every iteration shuffles " +
+        "only the vocab-sized rank relation.",
+      (s, d) => {
+        val w = split(trim(col("text")), "\\s+")
+        val pairs = Tables.documents(s, d)
+          .select(explode(zip_with(
+            slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+            slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+            (x, y) => struct(x.as("wa"), y.as("wb")))).as("p"))
+          .select(col("p.wa").as("id_a"), col("p.wb").as("id_b"))
+          .filter(col("id_a") =!= col("id_b"))
+        Graphs.pageRank(pairs, "id_a", "id_b", damping = 0.85, iters = 3)
+          .select(col("id").as("term"), col("pagerank").as("rank_score"))
+          .orderBy(col("rank_score").desc, col("term").asc)
+          .limit(20)
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""c$i AS (
+             |  SELECT e.dst AS id,
+             |    cast(sum(cast(r.r / d.deg AS DECIMAL(38,14))) AS DOUBLE)
+             |      AS s
+             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+             |       JOIN deg d ON d.src = e.src
+             |  GROUP BY e.dst),
+             |r$i AS MATERIALIZED (
+             |  SELECT id, 0.85::DOUBLE * s +
+             |    (1.0::DOUBLE - 0.85::DOUBLE) / n AS r
+             |  FROM c$i, nn)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           |  FROM documents),
+           |wp AS (
+           |  SELECT ws[i] AS a, ws[i + 1] AS b FROM (
+           |    SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+           |    FROM w)
+           |  WHERE ws[i] <> ws[i + 1]),
+           |edges AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst FROM wp
+           |  UNION SELECT b, a FROM wp),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS id, 1.0::DOUBLE / n AS r FROM deg, nn),
+           |$rounds
+           |SELECT id AS term, r AS rank_score FROM r3
+           |ORDER BY r DESC, id LIMIT 20""".stripMargin
+      }))
 }

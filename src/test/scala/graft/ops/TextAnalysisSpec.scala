@@ -137,4 +137,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_.getString(1)).toSeq == Seq("x", "y", "z"))
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("textRankWindows: the bridging window wins; symmetric pair ties " +
+      "to the smaller index; a single window is its own summary") {
+    val docs = Seq(
+      // windowWords=2 → windows [a b][c a][d c]: the middle window
+      // overlaps both neighbors (a, then c) while 1 and 3 share
+      // nothing — centrality must pick window 2
+      (1L, "a b c a d c"),
+      // two windows sharing one word — symmetric ranks, tie → widx 1
+      (2L, "p q r p"),
+      // one window, no edges: teleport-only rank, trivially the winner
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.textRankWindows(docs, "doc_id", "text",
+        windowWords = 2, damping = 0.85, iters = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(4)))).toMap
+    assert(r(1L) == ((2L, 3L, "c a")), s"bridge window must win: $r")
+    assert(r(2L) == ((1L, 2L, "p q")), s"symmetric tie → first: $r")
+    assert(r(3L) == ((1L, 1L, "x y")), s"singleton: $r")
+  }
+
+  test("textRankWindows: scores are within-engine deterministic and a " +
+      "higher-degree window outranks a leaf") {
+    val docs = Seq((7L, "a b c a d a f g")).toDF("doc_id", "text")
+    // windows of 2: [a b][c a][d a][f g] — windows 1..3 all share 'a',
+    // window 4 is isolated (teleport-only)
+    val out = TextAnalysis.textRankWindows(docs, "doc_id", "text",
+      windowWords = 2, damping = 0.85, iters = 2).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 4L)
+    val again = TextAnalysis.textRankWindows(docs, "doc_id", "text",
+      windowWords = 2, damping = 0.85, iters = 2).collect()
+    assert(out(0).getDouble(3) == again(0).getDouble(3),
+      "repeated runs must produce identical scores")
+  }
 }
