@@ -74,8 +74,12 @@ object Tables {
     * is a full extra pass at 100 TB.
     */
   def jsonLines(spark: SparkSession, path: String,
-                schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+                schema: org.apache.spark.sql.types.StructType,
+                options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.schema(schema)
+    options.foreach { case (k, v) => r.option(k, v) }
+    r.json(path)
+  }
 
   /** ORC source — the other columnar lake format (same pushdown/pruning
     * properties as parquet: predicates and projections reach the scan).

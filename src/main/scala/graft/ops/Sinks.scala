@@ -71,8 +71,12 @@ object Sinks {
   /** JSON-lines sink (one object per line, partition-parallel) — the
     * export format downstream tokenizer/training jobs consume.
     */
-  def jsonLines(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
+  def jsonLines(df: DataFrame, path: String,
+                options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    options.foreach { case (k, v) => w.option(k, v) }
+    w.json(path)
+  }
 
   /** ORC sink — columnar alternative to parquet where the surrounding
     * ecosystem (Hive/Trino) prefers it.

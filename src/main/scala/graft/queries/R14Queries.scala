@@ -416,5 +416,127 @@ object R14Queries {
            |$rounds
            |SELECT id AS term, r AS rank_score FROM r3
            |ORDER BY r DESC, id LIMIT 20""".stripMargin
-      }))
+      }),
+
+    Q("src_csv_roundtrip",
+      "CSV sink → CSV source ROUNDTRIP gate (K3 + S1 get an oracle " +
+        "row, not just a spec): customer writes through Sinks.csv " +
+        "(header, partition-parallel) and reads back through " +
+        "Tables.csv with the caller-supplied schema (no inference " +
+        "pass), then aggregates per segment. The oracle recomputes " +
+        "from the original parquet, so the text roundtrip — double " +
+        "formatting/parsing included (shortest-repr doubles reparse " +
+        "bit-exactly) — is hash-checked lossless.",
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_csvrt_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Sinks.csv(base, path)
+        Tables.csv(s, path, base.schema)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("c_acctbal")).as("total_bal"),
+            min(col("c_name")).as("first_name"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  cast(sum(cast(c_acctbal AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS total_bal,
+             |  min(c_name) AS first_name
+             |FROM customer
+             |GROUP BY 1
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("src_json_roundtrip",
+      "JSON-lines sink → source ROUNDTRIP gate (the interchange " +
+        "format of crawled corpora): events writes through " +
+        "Sinks.jsonLines and reads back schema-first through " +
+        "Tables.jsonLines — both sides pin a MICROSECOND timestamp " +
+        "format (the default JSON format truncates to millis, a " +
+        "silent precision loss this row exists to catch) — then " +
+        "aggregates per type including the max event time " +
+        "re-formatted to full precision. Oracle recomputes from " +
+        "parquet: the roundtrip is hash-checked to the microsecond.",
+      (s, d) => {
+        val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        val base = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "value", "ts")
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_jsonrt_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Sinks.jsonLines(base, path, Map("timestampFormat" -> tsFmt))
+        Tables.jsonLines(s, path, base.schema,
+            Map("timestampFormat" -> tsFmt))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value")).as("sum_value"),
+            date_format(max(col("ts")), tsFmt).as("last_ts"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS sum_value,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+             |FROM events
+             |GROUP BY 1
+             |ORDER BY event_type""".stripMargin)),
+
+    Q("src_orc_roundtrip",
+      "ORC sink → source ROUNDTRIP gate (the other columnar lake " +
+        "format, same pushdown/pruning properties as parquet): " +
+        "lineitem writes through Sinks.orc, reads back through " +
+        "Tables.orc, and aggregates per return flag; the oracle " +
+        "recomputes from the original parquet — format conversion " +
+        "hash-checked lossless.",
+      (s, d) => {
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_orcrt_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Sinks.orc(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_extendedprice",
+            "l_returnflag"), path)
+        Tables.orc(s, path)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  cast(sum(cast(l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS sum_qty,
+             |  cast(sum(cast(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS sum_price
+             |FROM lineitem
+             |GROUP BY 1
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("lake_sorted",
+      "Range-sorted rewrite + range probe, the serve-path gate for " +
+        "Layout.sortedParquet: orders rewrites range-partitioned and " +
+        "sorted on the customer key so every file covers a disjoint " +
+        "key range (LayoutSpec pins the disjointness — min/max stats " +
+        "then actually prune a key-range scan), and a range predicate " +
+        "reads the layout back and aggregates. Oracle recomputes from " +
+        "the raw table: the rewrite is hash-checked lossless, the " +
+        "probe exact.",
+      (s, d) => {
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_sortedrt_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        Layout.sortedParquet(Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_totalprice"),
+          path, numFiles = 8, Seq("o_custkey"))
+        s.read.parquet(path)
+          .filter(col("o_custkey").between(100, 400))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE o_custkey BETWEEN 100 AND 400
+             |GROUP BY 1
+             |ORDER BY o_orderstatus""".stripMargin)))
 }
