@@ -1857,4 +1857,85 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Blocked kNN graph — the data structure behind graph-navigable ANN
+    * (HNSW/NSG lineage; Malkov & Yashunin 2018): every vector keeps
+    * directed edges to its `kNbrs` nearest neighbors WITHIN its coarse
+    * block. Exact construction inside each block — the same
+    * cell-locality discipline the IVF layouts partition by: per-block
+    * work is |block|² candidate dots and |block|·kNbrs output edges,
+    * never corpus-quadratic, and block builds are embarrassingly
+    * parallel (at 100 TB each block's build is one partition-local
+    * task; recall across block boundaries comes from multi-block entry
+    * points at serve time, and from multi-probe assignment at build
+    * time when blocks are learned cells).
+    *
+    * Determinism: cosine through the exact decimal dot; per-source
+    * ranking breaks ties by neighbor id.
+    */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               blockCol: String, kNbrs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kNbrs >= 1, "need at least one neighbor per node")
+    val a = emb.select(col(blockCol).as("__b"), col(idCol).as("src"),
+      col(vecCol).as("__va"))
+    val b = emb.select(col(blockCol).as("__b"), col(idCol).as("dst"),
+      col(vecCol).as("__vb"))
+    val pick = Window.partitionBy(col("src"))
+      .orderBy(col("__cos").desc, col("dst").asc)
+    a.join(b, Seq("__b"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("__cos", Dedup.dotExact(col("__va"), col("__vb")) /
+        (Dedup.normExact(col("__va")) * Dedup.normExact(col("__vb"))))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") <= kNbrs)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Graph-navigable ANN serve: beam search over a [[knnGraph]] — the
+    * query pattern of HNSW-class indexes, expressed as a bounded
+    * number of join rounds. Entry points are the smallest id of EVERY
+    * block (so each block is reachable regardless of where the walk
+    * starts); each hop expands the current beam by its out-neighbors,
+    * scores ONLY the candidate set (≤ beam·(kNbrs+1) vectors — serve
+    * cost is hops × beam × kNbrs, independent of corpus size), and
+    * keeps the top `beam` by (cosine desc, id). After `hops` rounds
+    * the beam's top k is the answer.
+    *
+    * The graph is built once here and cached; production holds it at
+    * rest (it is an (src, dst) relation like any index layout).
+    */
+  def graphAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   blockCol: String, query: Seq[Float], k: Int,
+                   kNbrs: Int = 5, beam: Int = 16,
+                   hops: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(beam >= k, "beam must cover k (the answer is the beam's top k)")
+    val g = graft.core.Caches.track(
+      knnGraph(emb, idCol, vecCol, blockCol, kNbrs))
+    def scored(ids: DataFrame): DataFrame =
+      ids.join(emb, ids("__id") === emb(idCol))
+        .select(col("__id"), cosineToQuery(col(vecCol), query).as("__cos"))
+    val rnW = Window.partitionBy(col(blockCol)).orderBy(col(idCol))
+    val entries = emb.withColumn("__rn", row_number().over(rnW))
+      .filter(col("__rn") === 1)
+      .select(col(idCol).as("__id"))
+    var beamDf = scored(entries)
+      .orderBy(col("__cos").desc, col("__id"))
+      .limit(beam)
+    for (_ <- 1 to hops) {
+      val cand = beamDf.select(col("__id"))
+        .union(g.join(beamDf.select(col("__id").as("src")), "src")
+          .select(col("dst").as("__id")))
+        .distinct()
+      beamDf = scored(cand)
+        .orderBy(col("__cos").desc, col("__id"))
+        .limit(beam)
+        .localCheckpoint(true)
+    }
+    beamDf
+      .select(col("__id").as(idCol), col("__cos").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, Graphs, Layout, Sinks, TextAnalysis}
+import graft.ops.{Dedup, Graphs, Layout, Similarity, Sinks, TextAnalysis}
 import graft.queries.OracleCompat.dsum
 
 /** Round-9 session-2 additions: the remaining classical graph analytics
@@ -29,6 +29,71 @@ object R14Queries {
   private val CoreRounds = 16
   private val BfsSeeds = 3
   private val BfsHops = 4
+
+  private val GraphK = 5 // kNN-graph out-degree
+  private val GraphBeam = 24
+  private val GraphHops = 4
+
+  /** DuckDB restatement of Dedup.dotExact over index i (1-based). */
+  private def dotSql(a: String, b: String): String =
+    s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
+
+  /** Oracle CTE chain for the blocked kNN graph + beam-search serve
+    * ([[graft.ops.Similarity.knnGraph]] / graphAnnTopK): query norms,
+    * per-node cosines, within-block pairwise dots → top-[[GraphK]]
+    * edges, per-block entry points, then [[GraphHops]] unrolled
+    * expand-score-prune rounds at beam [[GraphBeam]]. MATERIALIZED
+    * throughout — the hop CTEs reference their predecessor twice.
+    */
+  private def graphAnnCtes: String = {
+    val hops = (1 to GraphHops).map { i =>
+      s"""c$i AS (
+         |  SELECT vec_id FROM b${i - 1}
+         |  UNION
+         |  SELECT g.dst FROM g JOIN b${i - 1} s ON g.src = s.vec_id),
+         |b$i AS MATERIALIZED (
+         |  SELECT s.vec_id, s.cos FROM c$i JOIN sc s USING (vec_id)
+         |  ORDER BY s.cos DESC, s.vec_id LIMIT $GraphBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |nq AS (
+       |  SELECT sqrt(${dotSql("qe", "qe")}) AS nrm
+       |  FROM q, generate_series(1, 64) g(i)),
+       |ne AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+       |dots AS MATERIALIZED (
+       |  SELECT e.vec_id, ${dotSql("e.embedding", "q.qe")} AS dot
+       |  FROM embeddings e, q, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id),
+       |sc AS MATERIALIZED (
+       |  SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos
+       |  FROM dots d JOIN ne USING (vec_id), nq),
+       |pd AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${dotSql("a.embedding", "b.embedding")} AS dot
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id,
+       |    generate_series(1, 64) g(i)
+       |  GROUP BY a.vec_id, b.vec_id),
+       |g AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT p.src, p.dst,
+       |      row_number() OVER (PARTITION BY p.src
+       |        ORDER BY p.dot / (na.nrm * nb.nrm) DESC, p.dst) AS rn
+       |    FROM pd p JOIN ne na ON na.vec_id = p.src
+       |         JOIN ne nb ON nb.vec_id = p.dst)
+       |  WHERE rn <= $GraphK),
+       |entries AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |    FROM embeddings) WHERE rn = 1),
+       |b0 AS MATERIALIZED (
+       |  SELECT s.vec_id, s.cos FROM entries e JOIN sc s USING (vec_id)
+       |  ORDER BY s.cos DESC, s.vec_id LIMIT $GraphBeam),
+       |$hops""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -538,5 +603,59 @@ object R14Queries {
              |FROM orders
              |WHERE o_custkey BETWEEN 100 AND 400
              |GROUP BY 1
-             |ORDER BY o_orderstatus""".stripMargin)))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("sim_graphann",
+      "Graph-navigable ANN (HNSW/NSG lineage, Malkov & Yashunin " +
+        "2018) — the sixth index family: a blocked kNN graph (each " +
+        "vector keeps 5 edges to its nearest within-block neighbors; " +
+        "per-block work is |block|² dots, never corpus-quadratic) " +
+        "served by beam search — per-block entry points, 4 " +
+        "expand-score-prune rounds at beam 24 (degree 5 beat 8 in the " +
+        "recall gate: higher out-degree floods the beam with " +
+        "same-block nodes and prunes cross-block exploration), " +
+        "scoring ONLY the " +
+        "≤beam·(degree+1) candidates per hop, so serve cost is " +
+        "hops × beam × degree, independent of corpus size. Fully " +
+        "deterministic (exact decimal cosine, id tie-breaks); the " +
+        "oracle replays the graph build and every beam round.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        Similarity.graphAnnTopK(emb, "vec_id", "embedding", "label", q,
+          k = 10, kNbrs = GraphK, beam = GraphBeam, hops = GraphHops)
+      },
+      Some(s"""WITH $graphAnnCtes
+              |SELECT vec_id, cos AS cos_sim FROM b$GraphHops
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("sim_recall_graphann",
+      "Recall@10 gate for the graph-navigable index (every index " +
+        "family ships gated): beam-search result vs exact brute " +
+        "force, both deterministic, the recall a hash-checkable " +
+        "scalar. The oracle replays the kNN-graph build, the beam " +
+        "walk, the exact ranking, and the intersection.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q, 10)
+        val approx = Similarity.graphAnnTopK(emb, "vec_id", "embedding",
+          "label", q, k = 10, kNbrs = GraphK, beam = GraphBeam,
+          hops = GraphHops)
+        Similarity.recallAtK(exact, approx, "vec_id", 10)
+      },
+      Some(s"""WITH $graphAnnCtes,
+              |exact AS (
+              |  SELECT vec_id FROM sc ORDER BY cos DESC, vec_id LIMIT 10),
+              |approx AS (
+              |  SELECT vec_id FROM b$GraphHops
+              |  ORDER BY cos DESC, vec_id LIMIT 10)
+              |SELECT CAST(10 AS BIGINT) AS k,
+              |  count(*) AS hits,
+              |  CASE WHEN (SELECT count(*) FROM exact) > 0
+              |    THEN CAST(count(*) AS DOUBLE) /
+              |         (SELECT count(*) FROM exact)
+              |    ELSE 0.0 END AS recall
+              |FROM approx JOIN exact USING (vec_id)""".stripMargin)))
 }

@@ -871,4 +871,44 @@ class SimilaritySpec extends SparkSpec {
     assert(perm == Similarity.opqTrainedPermutation(emb, "vec_id",
       "embedding", m = 4, k = 8, iters = 1, dims = 64))
   }
+
+  test("knnGraph: edges stay within block, out-degree capped, nearest " +
+      "neighbor ranked first") {
+    // block 0 along e1 with decreasing alignment; block 1 along e2
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (2L, Seq(0.8f, 0.3f, 0.0f), 0), (3L, Seq(0.1f, 0.0f, 1.0f), 0),
+      (10L, Seq(0.0f, 1.0f, 0.0f), 1), (11L, Seq(0.1f, 0.9f, 0.0f), 1),
+      (12L, Seq(0.0f, 0.8f, 0.3f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", "label", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bySrc = g.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc.values.forall(_.size <= 2), "out-degree capped at kNbrs")
+    val block0 = Set(0L, 1L, 2L, 3L); val block1 = Set(10L, 11L, 12L)
+    assert(g.forall { case (s, d) =>
+      (block0(s) && block0(d)) || (block1(s) && block1(d)) },
+      s"edges must stay within their block: ${g.toList}")
+    // 0=(1,0,0): nearest in block is 1=(.9,.1,0), then 2
+    assert(bySrc(0L) == Set(1L, 2L), s"node 0 neighbors: $bySrc")
+  }
+
+  test("graphAnnTopK: beam search reaches the optimum in a block the " +
+      "walk did not start in (per-block entries), exact scores") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (2L, Seq(0.8f, 0.3f, 0.0f), 0), (3L, Seq(0.1f, 0.0f, 1.0f), 0),
+      (10L, Seq(0.3f, 1.0f, 0.0f), 1), (11L, Seq(0.1f, 0.9f, 0.0f), 1),
+      (12L, Seq(0.0f, 0.8f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // query along e2: the true best is 12 (no e1 mass) … compute brute
+    val q = Seq(0.0f, 1.0f, 0.1f)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 3)
+      .collect().map(_.getLong(0)).toSeq
+    val got = Similarity.graphAnnTopK(emb, "vec_id", "embedding", "label",
+        q, k = 3, kNbrs = 2, beam = 4, hops = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact,
+      s"beam=4 over 7 nodes must recover the exact top-3: $got vs $exact")
+  }
 }
