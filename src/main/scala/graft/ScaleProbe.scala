@@ -55,6 +55,73 @@ object ScaleProbe {
     }.reduce(_ unionByName _).repartition(32).cache()
     println(s"vectors: ${emb.count()}")
 
+    if (args.contains("r9b")) {
+      // r9 session-2 probes. Expected shapes:
+      // LPA / k-core / BFS = per-round node-keyed joins against the
+      // cached edge list (~linear in edges per round; k-core rounds
+      // data-dependent but early-exited);
+      // textrank = per-doc windows² pair stage (linear in docs at
+      // fixed doc length) + 2 bounded pagerank rounds;
+      // knn-graph build = per-block |block|² dots — HELD FLAT by
+      // growing the block COUNT with the corpus (fixed occupancy, the
+      // learned-cell discipline); serve = hops × beam × degree
+      // candidate scorings + one entry per block (grows only with
+      // block count).
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        Dedup.minhashCandidates(df, "doc_id", "text",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+      def rel(): Unit = graft.core.Caches.releaseAll()
+      time(s"lpa 1x ($n docs)")(
+        graft.ops.Graphs.labelPropagation(pairsOf(base), "id_a", "id_b").count())
+      rel()
+      time(s"lpa ${mult}x")(
+        graft.ops.Graphs.labelPropagation(pairsOf(docs), "id_a", "id_b").count())
+      rel()
+      time(s"kcore 1x")(
+        graft.ops.Graphs.kCore(pairsOf(base), "id_a", "id_b", k = 2).count())
+      rel()
+      time(s"kcore ${mult}x")(
+        graft.ops.Graphs.kCore(pairsOf(docs), "id_a", "id_b", k = 2).count())
+      rel()
+      time(s"bfs 1x")(
+        graft.ops.Graphs.bfsLandmarks(pairsOf(base), "id_a", "id_b").count())
+      rel()
+      time(s"bfs ${mult}x")(
+        graft.ops.Graphs.bfsLandmarks(pairsOf(docs), "id_a", "id_b").count())
+      rel()
+      time(s"textrank 1x ($n docs)")(
+        graft.ops.TextAnalysis.textRankWindows(base, "doc_id", "text").count())
+      rel()
+      time(s"textrank ${mult}x")(
+        graft.ops.TextAnalysis.textRankWindows(docs, "doc_id", "text").count())
+      rel()
+      // fixed-occupancy scale-up: replicas land in FRESH blocks, so
+      // block size stays ~|label block| while block count grows 10x
+      val embSpread = (0 until mult).map { i =>
+        embBase.select((col("vec_id") + lit(i * en)).as("vec_id"),
+          col("embedding"), (col("label") + lit(i * 10)).as("label"))
+      }.reduce(_ unionByName _).repartition(32).cache()
+      println(s"spread vectors: ${embSpread.count()} in ${mult * 10} blocks")
+      val qv = graft.ops.Similarity.vectorOf(embBase, "vec_id", "embedding", 0L)
+      time(s"knn-graph build 1x ($en vecs, 10 blocks)")(
+        graft.ops.Similarity.knnGraph(embBase, "vec_id", "embedding",
+          "label", 5).count())
+      rel()
+      time(s"knn-graph build ${mult}x (${mult * 10} blocks, fixed occupancy)")(
+        graft.ops.Similarity.knnGraph(embSpread, "vec_id", "embedding",
+          "label", 5).count())
+      rel()
+      time("graphann serve 1x")(
+        graft.ops.Similarity.graphAnnTopK(embBase, "vec_id", "embedding",
+          "label", qv, k = 10, kNbrs = 5, beam = 24, hops = 4).count())
+      rel()
+      time(s"graphann serve ${mult}x")(
+        graft.ops.Similarity.graphAnnTopK(embSpread, "vec_id", "embedding",
+          "label", qv, k = 10, kNbrs = 5, beam = 24, hops = 4).count())
+      rel()
+      spark.stop()
+      return
+    }
     if (onlyR9) {
       // r9 probes. Expected shapes:
       // band-index ingest = shingle/hash ONLY the appended batch (~flat
