@@ -259,6 +259,54 @@ object Curation {
       .filter(hashBucket(col(idCol)) < col("rate") * 65536)
   }
 
+  /** Weighted sampling WITHOUT replacement by PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007): each row gets priority
+    * `q = w / u` with `u` a deterministic md5-derived uniform in (0,1],
+    * the k highest priorities are the sample, and `τ` = the (k+1)-th
+    * priority yields the unbiased per-row weight estimator
+    * `ŵ = max(w, τ)` (Σ ŵ over the sample estimates Σ w over the
+    * population, with near-optimal variance among k-sample schemes).
+    *
+    * Chosen over Efraimidis–Spirakis (`u^(1/w)` keys) deliberately: the
+    * priority is ONE IEEE division of two exactly-representable doubles
+    * — bit-identical across engines — where a libm `pow` could drift an
+    * ulp and flip the selection boundary (the [[qualityWeightedSample]]
+    * discipline). No RNG state: the uniform is a pure function of the
+    * id, so the sample is stable across retries, partitionings, and
+    * engines, and the oracle replays it exactly.
+    *
+    * Scale shape: one narrow scan computes priorities, TakeOrdered
+    * keeps k+1 rows (per-partition top-(k+1), driver merge — no global
+    * sort), and the τ/ŵ finishing steps run on that k-bounded relation
+    * (the window is a single tiny partition by construction).
+    *
+    * @return the k sampled rows plus (weight, priority, est_weight);
+    *         when the population has ≤ k rows, τ = 0 and ŵ = w.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"prioritySample: k must be >= 1, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val pri = (weight.cast("double") / u).as("priority")
+    val top = df.withColumn("weight", weight.cast("double"))
+      .withColumn("priority", pri)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col(idCol).asc)
+    val ranked = graft.core.Caches.track(
+      top.withColumn("__rn", row_number().over(w)))
+    val tau = ranked
+      .agg(min(when(col("__rn") === k + 1, col("priority"))).as("__tau"))
+    ranked.filter(col("__rn") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("est_weight",
+        greatest(col("weight"), coalesce(col("__tau"), lit(0.0))))
+      .drop("__rn", "__tau")
+  }
+
   /** EXACT global top-`frac` selection by `(score desc, id asc)` WITHOUT
     * a global sort — the "keep the best 20% of the corpus" curation cut
     * that naive implementations spell `row_number() OVER (ORDER BY q)`,

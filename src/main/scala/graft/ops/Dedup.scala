@@ -1049,6 +1049,47 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Incremental connected components: fold a NEW batch's candidate
+    * edges into a prior component assignment without re-running CC over
+    * the historical edge set.
+    *
+    * The prior assignment `(id → label)` is itself a set of star edges
+    * that exactly preserves the historical connectivity (every old node
+    * connects to its component's min id), so CC over
+    * `star(prev) ∪ newPairs` equals CC over `historicalPairs ∪ newPairs`
+    * — but the input is nodes-sized (one edge per historical node) plus
+    * the new batch, never history-pairs-sized, and the star topology has
+    * diameter 2, so the per-batch round count tracks the NEW edges'
+    * diameter, not history's. Labels stay canonical: the historical
+    * label IS the min id of its old component, and min-label propagation
+    * over the union can only keep or lower it, so the output is
+    * bit-identical to a full rebuild (the oracle for the
+    * `dedup_cluster_incremental` row recomputes exactly that full CC).
+    *
+    * At 100 TB this is the CC half of the incremental-dedup story: the
+    * band index at rest ([[bandIndex]] / `dedup_index`) recovers the
+    * new-batch candidate pairs without re-scanning history, and this
+    * fold merges them into the standing cluster assignment at
+    * per-batch cost ∝ |new edges| + |touched nodes|.
+    *
+    * @param prevAssign (id, label) from a prior [[connectedComponents]]
+    *                   run (or a prior call of this)
+    * @param newPairs   candidate pairs where at least one endpoint is new
+    * @return (id, label) over all nodes seen so far, labels = component
+    *         min id — the same contract as [[connectedComponents]]
+    */
+  def incrementalComponents(prevAssign: DataFrame, newPairs: DataFrame,
+                            aCol: String, bCol: String,
+                            maxIter: Int = 20): DataFrame = {
+    // keep the root's self-loop (id = label): it is what holds a
+    // singleton historical component in the node set when no new edge
+    // touches it — CC treats (r, r) as a harmless self-edge
+    val starEdges = prevAssign.select(col("id").as(aCol), col("label").as(bCol))
+    connectedComponents(
+      starEdges.unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter)
+  }
+
   /** 16-bit SimHash from word-level md5 nibbles: bit b of the signature is
     * the sign of Σ_words (2·bit_b(md5(word)) − 1). Computed with one
     * explode + one aggregation; each bit's source is hex digit b/4,

@@ -422,6 +422,61 @@ object EventOps {
     * population form E[x²]−mean² (clamped at 0 for rounding), matching
     * the oracle text symbol-for-symbol.
     */
+  /** Exponentially-weighted moving average of the per-key DAILY COUNT
+    * series — the smoothed-trend complement to [[dailyAnomalies]]'
+    * global z-score (EWMA tracks a drifting baseline where the global
+    * mean flags every point of a trending series).
+    *
+    * The smoothing constant is FIXED at α = 1/2 (`ewma_k = (n_k +
+    * ewma_{k-1}) / 2`), deliberately: scaling the recursion by 2^(k−1)
+    * turns it into the INTEGER cumulative sum
+    * `S_k = n_1 + Σ_{j=2..k} n_j·2^(j−2)`, with `ewma_k = S_k /
+    * 2^(k−1)`. Every `n_j·2^(j−2)` is an integer-valued double
+    * (integer × power of two — zero rounding) converted EXACTLY into
+    * DECIMAL(38,0), the running sum is exact decimal arithmetic, and
+    * the finish is one correctly-rounded decimal→double cast followed
+    * by an exact power-of-two division — bit-identical across engines.
+    * (A decimal-staged `n·2^-i` term formulation is NOT portable: its
+    * terminating binary fractions land exactly on 14-decimal-place
+    * HALF ties, where Spark rounds HALF_UP and DuckDB HALF_EVEN.) A
+    * general α would round at every power and drift the 90-day tail.
+    *
+    * Exactness horizon: DECIMAL(38,0) holds S_k while
+    * `log2(max daily count) + k < ~126` — about 110 daily points at
+    * counts ≤ 10⁵. Past that the sum overflows LOUDLY (decimal
+    * overflow, not silent drift); smooth longer horizons in chunks,
+    * re-seeding the recursion from the previous chunk's tail (the
+    * dropped pre-chunk mass carries weight < 2^-110 — far below one
+    * double ulp of any realistic series value).
+    *
+    * Plan shape: corpus-sized work is ONE daily-count aggregate
+    * (map-side combinable); everything after runs on the clock-bounded
+    * daily relation — one key-partitioned window pass (row_number +
+    * running sum share the same sort), nothing quadratic, nothing
+    * collected.
+    */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d"))
+    events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__w",
+        when(col("__k") === 1, col("n_events").cast("double"))
+          .otherwise(col("n_events").cast("double") *
+            pow(lit(2.0), col("__k").cast("double") - 2.0))
+          .cast(dec))
+      .withColumn("ewma",
+        sum(col("__w")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") /
+          pow(lit(2.0), col("__k").cast("double") - 1.0))
+      .select(col(keyCol),
+        date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("ewma"))
+      .orderBy(col(keyCol), col("day"))
+  }
+
   def dailyAnomalies(events: DataFrame, keyCol: String, tsCol: String,
                      z: Double = 2.0): DataFrame = {
     val daily = events

@@ -259,6 +259,64 @@ object Similarity {
     emb.filter(col(idCol) === id).select(vecCol).first()
       .getSeq[Float](0)
 
+  /** Greedy k-center selection (Gonzalez 1985, the 2-approximation to
+    * the metric k-center problem) — DIVERSITY-maximizing subset
+    * selection over the embedding space: start from the smallest id,
+    * then k−1 times add the point FARTHEST from every center chosen so
+    * far. The classic coreset/curation primitive (pick maximally spread
+    * exemplars for annotation, eval-set seeding, or coverage-balanced
+    * training mixes) — the geometric complement of [[hardNegatives]]
+    * (which mines the most-similar points).
+    *
+    * Fully deterministic: exact decimal squared-L2 ([[sqDistExact]]),
+    * argmax ties to the smallest id, no RNG — so a DuckDB oracle can
+    * unroll the identical k−1 selection rounds.
+    *
+    * Scale shape: the state is (id, vector, dmin) where dmin is the
+    * RUNNING min distance to the chosen centers — each round pays ONE
+    * narrow distance map against the single newest center (k·dims
+    * literals ride into codegen; no join) plus a TakeOrdered(1) argmax
+    * (per-partition max then a driver merge of partition-count rows —
+    * no global sort), and the state is localCheckpoint'ed so round
+    * plans stay flat. Total cost k scans — the textbook lower bound
+    * for exact greedy k-center — vs the naive rebuild-dmin-per-round
+    * k² scans. Selected centers are k driver rows by construction.
+    *
+    * @return one row per selected center: (round 1..k, center_id,
+    *         radius) where radius = the center's distance to the
+    *         previously-chosen set at selection time (0 for round 1);
+    *         max(radius) over rounds 2..k is the standard k-center
+    *         cost certificate (every point is within that distance of
+    *         a center chosen before it).
+    */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"kCenterSelect: k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val firstId = base.agg(min(col("id"))).head().getLong(0)
+    val selected = scala.collection.mutable.ArrayBuffer(
+      (1L, firstId, 0.0))
+    var state = graft.core.Caches.track(
+      base.withColumn("dm",
+        sqDistExact(col("v"),
+          vectorOf(emb, idCol, vecCol, firstId).map(_.toDouble)))
+        .localCheckpoint(true))
+    for (round <- 2 to k) {
+      val far = state.select(col("id"), col("dm"))
+        .orderBy(col("dm").desc, col("id").asc).limit(1).head()
+      selected += ((round.toLong, far.getLong(0), far.getDouble(1)))
+      if (round < k) {
+        val cvec = vectorOf(emb, idCol, vecCol, far.getLong(0)).map(_.toDouble)
+        state = graft.core.Caches.track(
+          state.withColumn("dm", least(col("dm"), sqDistExact(col("v"), cvec)))
+            .localCheckpoint(true))
+      }
+    }
+    spark.createDataFrame(selected.toSeq)
+      .toDF("round", "center_id", "radius")
+  }
+
   // ---- Trained k-means coarse quantizer ----------------------------------
 
   private val KmDec = org.apache.spark.sql.types.DecimalType(30, 14)

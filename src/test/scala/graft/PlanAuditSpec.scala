@@ -339,6 +339,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q29_bloom_join: the bloom probe is a native might_contain filter " +
+      "on the fact side BEFORE the join; no cartesian anywhere") {
+    val p = plan("q29_bloom_join")
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("doc_priority_sample: selection is TakeOrderedAndProject (no " +
+      "global sort); the finishing window runs on the k-bounded relation") {
+    val p = plan("doc_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ev_ewma: one window pass, no join, nothing quadratic") {
+    val p = plan("ev_ewma")
+    assert(!p.contains("Join"), s"ewma must not self-join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("sim_recall_matryoshka: every operating point is TakeOrdered — " +
+      "no global sort, no data-sized join") {
+    val p = plan("sim_recall_matryoshka")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake_bucketed: join AND downstream aggregate read pre-bucketed " +
       "files — zero hash exchanges in the whole plan") {
     // force the sort-merge path (a broadcast join would also be

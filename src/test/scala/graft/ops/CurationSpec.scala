@@ -422,4 +422,34 @@ class CurationSpec extends SparkSpec {
       totalBudget = 500).collect()
     assert(capped.length == 100, "allocation caps at the stratum size")
   }
+
+  test("prioritySample: k rows, τ-thresholded estimator, and the ≤k " +
+      "population degenerate case") {
+    val df = (1 to 40).map(i => (i.toLong, i.toLong * 10)).toDF("id", "w")
+    val got = Curation.prioritySample(df, "id", $"w", k = 8).collect()
+    assert(got.length == 8)
+    // recompute τ by hand: the 9th-highest priority
+    val pris = (1 to 40).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+      (i.toLong, i.toDouble * 10 / u)
+    }.sortBy { case (id, p) => (-p, id) }
+    val expectIds = pris.take(8).map(_._1).toSet
+    val tau = pris(8)._2
+    assert(got.map(_.getAs[Long]("id")).toSet == expectIds)
+    got.foreach { r =>
+      assert(r.getAs[Double]("est_weight") ==
+        math.max(r.getAs[Double]("weight"), tau),
+        s"estimator must be max(w, τ): $r vs tau=$tau")
+    }
+    // population of 5 ≤ k=8: everything sampled, τ = 0, ŵ = w
+    val small = Curation.prioritySample(
+      (1 to 5).map(i => (i.toLong, 7L)).toDF("id", "w"), "id", $"w", k = 8)
+      .collect()
+    assert(small.length == 5)
+    small.foreach(r => assert(
+      r.getAs[Double]("est_weight") == r.getAs[Double]("weight")))
+  }
 }

@@ -525,4 +525,23 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(uncapped == exact)
   }
+
+  test("incrementalComponents ≡ full rebuild: merges old components, " +
+      "keeps untouched singleton components, admits brand-new nodes") {
+    // history: {1,2} (root 1), {5,6} (root 5), {9,10} (root 9 — untouched)
+    val histPairs = Seq((1L, 2L), (5L, 6L), (9L, 10L)).toDF("id_a", "id_b")
+    val prev = Dedup.connectedComponents(histPairs, "id_a", "id_b")
+    // new batch: node 20 bridges the {1,2} and {5,6} components;
+    // nodes 30/31 form a brand-new component; nothing touches {9,10}
+    val newPairs = Seq((2L, 20L), (20L, 6L), (30L, 31L)).toDF("id_a", "id_b")
+    val inc = Dedup.incrementalComponents(prev, newPairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(
+        histPairs.unionByName(newPairs), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"incremental $inc must equal full rebuild $full")
+    assert(inc(6L) == 1L && inc(20L) == 1L, "bridged components take min id")
+    assert(inc(9L) == 9L && inc(10L) == 9L, "untouched component survives")
+    assert(inc(30L) == 30L && inc(31L) == 30L, "new-only component forms")
+  }
 }

@@ -208,4 +208,24 @@ class EventOpsSpec extends SparkSpec {
     assert(split.length == 2,
       s"past-gap event must open a new session: ${split.toSeq}")
   }
+
+  test("ewmaDaily matches the α=1/2 recursion exactly") {
+    // type a: daily counts 4, 6, 8 → ewma 4, 5, 6.5; type b: 6 → 6
+    val rows =
+      (1 to 4).map(i => (i.toLong, 1L, "2024-01-01 0" + i + ":00:00", "a", 0.0)) ++
+      (5 to 10).map(i => (i.toLong, 1L, "2024-01-02 05:0" + (i - 5) + ":00", "a", 0.0)) ++
+      (11 to 18).map(i => (i.toLong, 1L, "2024-01-03 10:0" + (i - 11) + ":00", "a", 0.0)) ++
+      Seq.tabulate(6)(i => (20L + i, 2L, "2024-01-02 05:0" + i + ":00", "b", 0.0))
+    val ev = rows.toDF("event_id", "user_id", "ts0", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts0")).drop("ts0")
+    val got = EventOps.ewmaDaily(ev, "event_type", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-01", 4L, 4.0),
+      ("a", "2024-01-02", 6L, 5.0),
+      ("a", "2024-01-03", 8L, 6.5),
+      ("b", "2024-01-02", 6L, 6.0)),
+      s"ewma mismatch: ${got.toSeq}")
+  }
 }

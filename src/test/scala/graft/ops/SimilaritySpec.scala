@@ -911,4 +911,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got == exact,
       s"beam=4 over 7 nodes must recover the exact top-3: $got vs $exact")
   }
+
+  test("kCenterSelect: greedy farthest-point picks the known spread set " +
+      "with deterministic tie-breaks") {
+    // 1D line embedded in 2D: points at x = 0, 1, 10, 11, 20
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(10.0f, 0.0f)), (3L, Seq(11.0f, 0.0f)),
+      (4L, Seq(20.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // seed = min id (0 at x=0); farthest = 4 (x=20, d²=400);
+    // then 2 (x=10: min(100, 100) = 100) — tie with 3 (min(121, 81)=81)
+    // → 2 wins on distance alone
+    assert(got.toSeq == Seq((1L, 0L, 0.0), (2L, 4L, 400.0), (3L, 2L, 100.0)),
+      s"selection mismatch: ${got.toSeq}")
+  }
+
+  test("kCenterSelect ties break to the smallest id") {
+    // symmetric pair equidistant from the seed
+    val emb = Seq(
+      (5L, Seq(0.0f, 0.0f)), (7L, Seq(-3.0f, 0.0f)), (9L, Seq(3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 2)
+      .orderBy("round").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(5L, 7L), s"tie must pick the smaller id: $got")
+  }
 }
