@@ -80,4 +80,69 @@ object Frequent {
   def wsTokens(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
+
+  /** COUNT-MIN SKETCH counter table (Cormode & Muthukrishnan 2005) —
+    * the mergeable fixed-size frequency summary that answers point
+    * queries over a data-sized key space: `depth` hash rows × `width`
+    * buckets of exact integer counters, estimate(x) = min over rows of
+    * the bucket x hashes into — an OVERESTIMATE, never an
+    * underestimate, with error ≤ e·N/width at confidence 1−e^−depth.
+    * The turnstile complement to [[heavyHitters]]: Misra–Gries answers
+    * "which items are frequent", CMS answers "how frequent is THIS
+    * item" for any item, and sketches of disjoint corpus slices ADD
+    * cell-wise (the incremental-aggregate seam — per-batch partials,
+    * union + re-sum to merge).
+    *
+    * Hashes are md5 slices keyed by the row index (the repo-wide
+    * deterministic-uniform discipline): row j's bucket for item x is
+    * the first 8 hex digits of md5("j:x") mod width — engine-portable,
+    * so an oracle rebuilds the identical counter table. Plan: the
+    * items relation explodes ×depth (map-side combinable into ≤
+    * depth×width cells — the ONLY corpus-sized work), one exchange of
+    * sketch-sized partials. At 100 TB the sketch is depth×width longs
+    * regardless of corpus size; nothing driver-sided but the contract.
+    *
+    * @return (j, bucket, cnt) — the depth×width counter table (cells
+    *         with zero count are absent).
+    */
+  def countMinSketch(items: DataFrame, itemCol: String,
+                     depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(explode(array((0 until depth).map(j => lit(j.toLong)): _*))
+        .as("j"), col("item"))
+      .withColumn("bucket", cmsBucket(col("j"), col("item"), width))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Row-j CMS bucket of `item`: first 8 md5 hex digits of "j:item",
+    * as a non-negative long mod `width` (the value is < 2^32, so plain
+    * `%` is already non-negative).
+    */
+  def cmsBucket(j: Column, item: Column, width: Int): Column =
+    conv(substring(md5(concat_ws(":", j, item)), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** CMS point estimates for the keys of `queries(keyCol)` against a
+    * [[countMinSketch]] counter table: estimate = min over hash rows of
+    * the addressed cell (absent cell = 0 — cannot happen for a key the
+    * sketch actually counted). The sketch table is sketch-sized, so the
+    * lookup broadcasts it and the probe side never shuffles.
+    *
+    * @return `queries` plus an `n_cms` column.
+    */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 512): DataFrame = {
+    val probes = queries
+      .select(col(keyCol), explode(array(
+        (0 until depth).map(j => lit(j.toLong)): _*)).as("j"))
+      .withColumn("bucket",
+        cmsBucket(col("j"), col(keyCol).cast("string"), width))
+    probes.join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cms"))
+      .join(queries, Seq(keyCol))
+  }
 }

@@ -321,6 +321,56 @@ object Graphs {
     * edge list against the frontier-carrying state, one per-node
     * row_number — node-keyed exchanges only.
     */
+  /** DeepWalk-style walk-corpus generation (Perozzi, Al-Rfou & Skiena
+    * 2014) with a DETERMINISTIC walker: one walk per node, `length`
+    * steps, where the step-k successor of a walk is the neighbor with
+    * the smallest md5 of "walkId:step:neighbor". Substituting a keyed
+    * hash order for the RNG keeps the corpus distribution-equivalent
+    * for embedding training (each step is an arbitrary-but-fixed
+    * uniform-ish pick, decorrelated across walks and steps by the key)
+    * while making the output a pure function of the graph — stable
+    * across retries, partitionings, and engines, so a SQL oracle can
+    * replay every walk exactly (the [[graft.ops.Curation]]
+    * deterministic-uniform discipline applied to graph sampling).
+    *
+    * Scale shape, the [[pageRank]] iteration pattern: the symmetrized
+    * edge list caches pre-partitioned on `src` ONCE; each of the
+    * `length` steps joins the walks-sized frontier against it and picks
+    * the argmin with `min_by` (partial-aggregated before the exchange —
+    * the per-walk state that moves is one row), `localCheckpoint`
+    * keeping round plans flat. Total cost: `length` bounded exchanges,
+    * output walks×(length+1) rows — never degree-squared, nothing
+    * collected. Walks stay inside their connected component by
+    * construction; a symmetrized graph has no dead ends.
+    *
+    * @return (walk_id, step, node): step 0 is the start node (walk_id =
+    *         start), steps 1..length the visited successors.
+    */
+  def deterministicWalks(pairs: DataFrame, aCol: String, bCol: String,
+                         length: Int): DataFrame = {
+    require(length >= 1, "at least one step")
+    val edges = symEdges(pairs, aCol, bCol)
+    val edgesP = graft.core.Caches.track(edges.repartition(col("src")))
+    var frontier = edges.select(col("src").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("node"))
+      .localCheckpoint(true)
+    var out = frontier.select(col("walk_id"), lit(0L).as("step"),
+      col("node"))
+    for (k <- 1 to length) {
+      frontier = frontier
+        .join(edgesP.withColumnRenamed("src", "node"), "node")
+        .groupBy(col("walk_id"))
+        .agg(min_by(col("dst"),
+          md5(concat_ws(":", col("walk_id"), lit(k), col("dst"))))
+          .as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(
+        frontier.select(col("walk_id"), lit(k.toLong).as("step"),
+          col("node")))
+    }
+    out.orderBy(col("walk_id"), col("step"))
+  }
+
   def bfsLandmarks(pairs: DataFrame, aCol: String, bCol: String,
                    numSeeds: Int = 3, maxHops: Int = 4): DataFrame = {
     require(numSeeds >= 1 && maxHops >= 1, "need seeds and hops")

@@ -230,6 +230,70 @@ object LmSignals {
     * a global sort). Counts multiply as doubles (`C2·N` at corpus scale
     * overflows int64 — 10¹²·10¹² — so both factors cast first).
     */
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 §2.7) — the smoother inside KenLM, i.e. the
+    * LM the REAL CCNet pipeline scores with (where [[bigramLmScore]]
+    * is the add-one teaching version). Absolute discount D off every
+    * seen bigram, with the freed mass backing off to the CONTINUATION
+    * distribution — how many distinct contexts a word FOLLOWS, not how
+    * often it occurs (the "San Francisco" correction: "Francisco" is
+    * frequent but follows only "San", so its unigram backoff weight is
+    * tiny):
+    *
+    *   P_KN(w2|w1) = (c(w1 w2) − D)/c(w1·)
+    *               + [D · N1+(w1 ·)/c(w1·)] · [N1+(· w2)/N1+(· ·)]
+    *
+    * Everything derives from ONE pair histogram: c(w1·) = Σ_w2 counts,
+    * N1+(w1 ·) = distinct followers, N1+(· w2) = distinct predecessors,
+    * N1+(· ·) = distinct bigram types. No logs — each probability is a
+    * fixed-shape chain of IEEE ops over exact integer counts (the
+    * object-doc libm rule), so the oracle restates it symbol-for-symbol.
+    *
+    * Plan: one corpus explode → cached vocab²-bounded pair histogram;
+    * the three aggregates are map-side-combined regroupings of that
+    * histogram, never the corpus; top-k is TakeOrderedAndProject and
+    * the stat joins run against the k-row broadcast side.
+    *
+    * @return the `topK` bigrams by (count desc, bigram): (bigram,
+    *         pair_count, prefix_count, lambda = the backoff weight of
+    *         w1, p_cont = the continuation probability of w2, p_kn).
+    */
+  def kneserNeyBigrams(ref: DataFrame, textCol: String,
+                       discount: Double = 0.75, topK: Int = 30): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    val pairs = graft.core.Caches.track(
+      ref.select(explode(bigramPairs(col(textCol))).as("__p"))
+        .select(col("__p.prefix").as("__w1"), col("__p.big").as("big"))
+        .withColumn("__w2",
+          expr("substring(big, length(__w1) + 2, length(big))"))
+        .groupBy("big", "__w1", "__w2")
+        .agg(count(lit(1)).as("pair_count")))
+    val byPrefix = pairs.groupBy(col("__w1")).agg(
+      sum(col("pair_count")).as("__c1"),
+      count(lit(1)).as("__n1f"))
+    val byFollower = pairs.groupBy(col("__w2")).agg(
+      count(lit(1)).as("__n1p"))
+    val types = pairs.agg(count(lit(1)).as("__n1a"))
+    val top = pairs
+      .orderBy(col("pair_count").desc, col("big").asc)
+      .limit(topK)
+    val d = lit(discount)
+    top
+      .join(byPrefix, Seq("__w1"))
+      .join(byFollower, Seq("__w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("lambda",
+        d * col("__n1f").cast("double") / col("__c1").cast("double"))
+      .withColumn("p_cont",
+        col("__n1p").cast("double") / col("__n1a").cast("double"))
+      .select(col("big").as("bigram"), col("pair_count"),
+        col("__c1").as("prefix_count"), col("lambda"), col("p_cont"),
+        ((col("pair_count").cast("double") - d) /
+          col("__c1").cast("double") +
+          col("lambda") * col("p_cont")).as("p_kn"))
+      .orderBy(col("pair_count").desc, col("bigram").asc)
+  }
+
   def pmiCollocations(docs: DataFrame, textCol: String,
                       minCount: Long, topK: Int): DataFrame = {
     val pairs = docs

@@ -478,4 +478,85 @@ object Profile {
       .agg(sum(col("ref_n")).as("ref_n"), sum(col("cur_n")).as("cur_n"))
     chi2Report(h, "bucket")
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-free drift test on the CONTINUOUS score itself,
+    * complementing [[drift]]'s chi-square (which needs a binning choice
+    * and only sees bucket masses; KS sees every quantile): D = max over
+    * sample points of |F_a(x) − F_b(x)|, the ECDFs evaluated at every
+    * distinct value of either sample.
+    *
+    * No global sort: distinct values group with their per-side counts,
+    * an equi-width `bins`-cell histogram locates each value's bin, the
+    * ≤ bins bin totals collect once to compute exclusive prefix
+    * offsets, and one window pass PARTITIONED BY BIN (ordered by value
+    * within it) adds in-bin running counts to the broadcast offsets —
+    * the [[quantilesExact]] two-level discipline, so the only
+    * single-partition work is the bins-sized totals, never the value
+    * relation. Exactness: cumulative counts are integers, the ECDF
+    * divisions and |·| are single IEEE ops, the max is
+    * order-independent, and the argmax reports the SMALLEST value
+    * achieving D — bit-identical to a plain windowed oracle.
+    *
+    * @return one row: (n_a, n_b, d_stat, d_at, ks_scaled) where d_at is
+    *         the smallest value achieving D and ks_scaled =
+    *         sqrt(n_a·n_b/(n_a+n_b))·D (the scale-free statistic
+    *         compared against Kolmogorov critical values, e.g. 1.358
+    *         for α=0.05).
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String,
+             bins: Int = 256): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .select(col("__v"), lit(tag).as("__g"))
+    val vals = graft.core.Caches.track(
+      side(a, 0).unionByName(side(b, 1))
+        .groupBy(col("__v"))
+        .agg(sum(when(col("__g") === 0, 1L).otherwise(0L)).as("__ca"),
+          sum(when(col("__g") === 1, 1L).otherwise(0L)).as("__cb")))
+    val st = vals.agg(sum(col("__ca")), sum(col("__cb")),
+      min(col("__v")), max(col("__v"))).head()
+    val (na, nb) = (st.getLong(0), st.getLong(1))
+    require(na > 0 && nb > 0, "both samples must be non-empty")
+    val (lo, hi) = (st.getDouble(2), st.getDouble(3))
+    val width = (hi - lo) / bins
+    val binCol =
+      if (width == 0.0) lit(0)
+      else least(floor((col("__v") - lit(lo)) / lit(width)), lit(bins - 1))
+        .cast("int")
+    val binned = vals.withColumn("__b", binCol)
+    // exclusive per-bin prefix offsets: <= bins rows, collected once
+    val totals = binned.groupBy(col("__b"))
+      .agg(sum(col("__ca")).as("ta"), sum(col("__cb")).as("tb"))
+      .orderBy(col("__b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val offsets = totals.scanLeft((-1, 0L, 0L)) {
+      case ((_, accA, accB), (bin, ta, tb)) => (bin, accA + ta, accB + tb)
+    }.sliding(2).map { case Array((_, oa, ob), (bin, _, _)) =>
+      (bin, oa, ob)
+    }.toSeq
+    val spark = a.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__b", "__oa", "__ob")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val diffs = graft.core.Caches.track(
+      binned.join(broadcast(offDf), Seq("__b"))
+        .withColumn("__cuma", sum(col("__ca")).over(w) + col("__oa"))
+        .withColumn("__cumb", sum(col("__cb")).over(w) + col("__ob"))
+        .select(col("__v"),
+          abs(col("__cuma").cast("double") / na -
+            col("__cumb").cast("double") / nb).as("__diff")))
+    val dMax = diffs.agg(max(col("__diff"))).head().getDouble(0)
+    diffs.filter(col("__diff") === dMax)
+      .agg(min(col("__v")).as("d_at"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(dMax).as("d_stat"), col("d_at"),
+        (sqrt(lit(na.toDouble) * nb.toDouble /
+          (na.toDouble + nb.toDouble)) * dMax).as("ks_scaled"))
+  }
 }

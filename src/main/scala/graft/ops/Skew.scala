@@ -36,4 +36,41 @@ object Skew {
     saltedBig.join(explodedSmall, Seq(key, "__salt"), "inner")
       .drop("__salt")
   }
+
+  /** Join-key SKEW DIAGNOSIS — the report you run BEFORE choosing
+    * between the plain join, AQE, and [[saltedJoin]]: the `topK`
+    * heaviest keys with their share of the table and the salt factor
+    * that would level each one to the average shuffle-partition load.
+    *
+    * `salt_factor` = ceil(n_key / ceil(N/partitions)): how many shuffle
+    * partitions the key's rows need to occupy average-partition load —
+    * 1 means the key fits a partition (AQE/no action), ≥ 2 is the
+    * `saltBuckets` floor to hand [[saltedJoin]]. Integer arithmetic
+    * throughout (exact, engine-portable); `share` is the one double.
+    *
+    * Plan: ONE map-side-combined count aggregate over the key column +
+    * a TakeOrdered top-k — the diagnosis never costs more than the
+    * aggregation the join would run anyway, and nothing key-space-sized
+    * reaches the driver.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10,
+                 partitions: Int = 32): DataFrame = {
+    require(topK >= 1 && partitions >= 1, "positive topK and partitions")
+    val counts = graft.core.Caches.track(
+      df.groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("n_rows")))
+    val total = counts.agg(sum(col("n_rows")).as("__n"))
+    counts
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(topK)
+      .crossJoin(broadcast(total))
+      // ceil(a/b) in exact integer form — (a + b − 1) div b — twice:
+      // average partition load, then partitions-per-key at that load
+      .withColumn("__avg",
+        expr(s"(__n + ${partitions - 1}) div $partitions"))
+      .select(col("key"), col("n_rows"),
+        (col("n_rows").cast("double") / col("__n")).as("share"),
+        expr("(n_rows + __avg - 1) div __avg").as("salt_factor"))
+      .orderBy(col("n_rows").desc, col("key").asc)
+  }
 }

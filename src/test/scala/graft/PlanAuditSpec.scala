@@ -370,6 +370,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dq_ks: the ECDF window is PARTITIONED (by bin) — never a " +
+      "single-partition global window; no cartesian on data") {
+    val p = plan("dq_ks")
+    assert(p.contains("Window"), p)
+    // a data-sized unpartitioned window prints 'Window [...], [__v ASC'
+    // with no partition spec between the function list and the order
+    assert(!p.contains("Window [sum"), // partitioned form prints keys first
+      s"KS window must be partitioned by bin:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ta_kneser: top-k is TakeOrderedAndProject; stat joins run " +
+      "against the k-row side, no cartesian on data") {
+    val p = plan("ta_kneser")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ta_cms: the sketch probe is a broadcast join (sketch side " +
+      "broadcast); top-k is TakeOrderedAndProject") {
+    val p = plan("ta_cms")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dq_skew: diagnosis is one aggregate + TakeOrdered, no global " +
+      "sort of the key space") {
+    val p = plan("dq_skew")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake_bucketed: join AND downstream aggregate read pre-bucketed " +
       "files — zero hash exchanges in the whole plan") {
     // force the sort-merge path (a broadcast join would also be

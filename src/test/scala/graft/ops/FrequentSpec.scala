@@ -47,4 +47,46 @@ class FrequentSpec extends SparkSpec {
     val toks = Frequent.wsTokens(df, "text").as[String].collect().sorted
     assert(toks.toSeq == Seq("a", "b", "c"))
   }
+
+  test("countMinSketch: estimates match a driver-side replay (never " +
+      "underestimate), and disjoint-slice sketches merge cell-wise") {
+    val items = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val sk = Frequent.countMinSketch(items, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // driver replay of the same hashing
+    def bucket(j: Int, s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 512
+    }
+    val exact = Map("x" -> 5L, "y" -> 3L, "z" -> 1L)
+    val expectedCells = exact.toSeq
+      .flatMap { case (t, n) => (0 until 4).map(j => (j.toLong, bucket(j, t)) -> n) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    assert(sk == expectedCells, s"cells $sk vs $expectedCells")
+    val q = items.groupBy($"t").count().withColumnRenamed("count", "n_exact")
+    val est = Frequent.cmsEstimate(
+        Frequent.countMinSketch(items, "t"), q, "t")
+      .collect().map(r => r.getAs[String]("t") ->
+        (r.getAs[Long]("n_cms"), r.getAs[Long]("n_exact"))).toMap
+    est.foreach { case (t, (cms, ex)) =>
+      assert(cms >= ex, s"CMS must never underestimate: $t $cms < $ex")
+      val replay = (0 until 4)
+        .map(j => expectedCells((j.toLong, bucket(j, t)))).min
+      assert(cms == replay, s"estimate replay mismatch for $t")
+    }
+    // mergeability: sketch(all) == cell-wise sum of the two halves
+    val a = items.filter($"id" % 2 === 0)
+    val b = items.filter($"id" % 2 === 1)
+    val merged = Frequent.countMinSketch(a, "t")
+      .unionByName(Frequent.countMinSketch(b, "t"))
+      .groupBy($"j", $"bucket")
+      .agg(org.apache.spark.sql.functions.sum($"cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(merged == sk, "disjoint slices must merge cell-wise")
+  }
 }

@@ -150,4 +150,35 @@ class GraphsSpec extends SparkSpec {
     assert(r == Map(1L -> ((0L, 1L)), 2L -> ((0L, 2L)),
       3L -> ((1L, 2L)), 4L -> ((2L, 2L))), s"got $r")
   }
+
+  test("deterministicWalks: successor is the min-md5 neighbor, walks " +
+      "have fixed length, never leave their component, and re-run " +
+      "bit-identically") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val len = 3
+    val got = Graphs.deterministicWalks(pairs, "id_a", "id_b", len)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay driver-side with the same keyed hash
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L),
+      10L -> Seq(11L), 11L -> Seq(10L))
+    val expected = adj.keys.toSeq.flatMap { start =>
+      var cur = start
+      val steps = (0L, start) +: (1 to len).map { k =>
+        cur = adj(cur).minBy(d => md5hex(s"$start:$k:$d"))
+        (k.toLong, cur)
+      }
+      steps.map { case (step, node) => (start, step, node) }
+    }.toSet
+    assert(got.length == adj.size * (len + 1))
+    assert(got.toSet == expected, s"got ${got.toSet}\nexp $expected")
+    // components never mix: walks from {1,2,3} stay there, {10,11} there
+    got.foreach { case (w, _, n) =>
+      assert((w <= 3L) == (n <= 3L), s"walk $w left its component at $n") }
+    val again = Graphs.deterministicWalks(pairs, "id_a", "id_b", len)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq, "walks must be deterministic")
+  }
 }

@@ -114,4 +114,31 @@ class LmSignalsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("kneserNeyBigrams: hand-computed KN probabilities on a tiny " +
+      "corpus (continuation counts, not raw frequency)") {
+    // bigrams: "a b"x2, "b a"x2, "a c"x1
+    // c1(a)=3, c1(b)=2; N1+(a ·)=2, N1+(b ·)=1
+    // N1+(· b)=1, N1+(· a)=1, N1+(· c)=1; N1+(· ·)=3
+    val docs = Seq(Tuple1("a b a b a c")).toDF("text")
+    val got = LmSignals.kneserNeyBigrams(docs, "text", discount = 0.75,
+        topK = 10)
+      .collect().map(r => r.getAs[String]("bigram") ->
+        ((r.getAs[Long]("pair_count"), r.getAs[Long]("prefix_count"),
+          r.getAs[Double]("lambda"), r.getAs[Double]("p_cont"),
+          r.getAs[Double]("p_kn")))).toMap
+    assert(got.keySet == Set("a b", "b a", "a c"))
+    def pkn(c2: Double, c1: Double, n1f: Double, n1p: Double): Double =
+      (c2 - 0.75) / c1 + (0.75 * n1f / c1) * (n1p / 3.0)
+    assert(got("a b") == ((2L, 3L, 0.75 * 2.0 / 3.0, 1.0 / 3.0,
+      pkn(2, 3, 2, 1))), s"${got("a b")}")
+    assert(got("b a") == ((2L, 2L, 0.75 * 1.0 / 2.0, 1.0 / 3.0,
+      pkn(2, 2, 1, 1))), s"${got("b a")}")
+    assert(got("a c") == ((1L, 3L, 0.75 * 2.0 / 3.0, 1.0 / 3.0,
+      pkn(1, 3, 2, 1))), s"${got("a c")}")
+    // the KN property: P is a proper conditional — discounted direct
+    // mass + backoff mass ≤ 1 per prefix (sums over SEEN followers)
+    val seenA = got("a b")._5 + got("a c")._5
+    assert(seenA > 0 && seenA <= 1.0, s"mass over seen followers: $seenA")
+  }
 }

@@ -187,4 +187,33 @@ class ProfileSpec extends SparkSpec {
     assert(rows(Profile.driftServe(spark, dir)) ==
       rows(Profile.drift(ref, cur1.union(cur2), col("s"), 8)))
   }
+
+  test("ksTest: hand-computed D on overlapping samples, 0 for " +
+      "identical, 1 for fully separated; d_at is the smallest argmax") {
+    def df(xs: Double*) = xs.map(Tuple1(_)).toDF("v")
+    // a=[1,2,3] b=[2,3,4]: mathematically |Fa-Fb| = 1/3 at v=1,2,3 —
+    // but in IEEE doubles |1 − 2/3| = 0.33333333333333337 is strictly
+    // LARGER than 1/3 = 0.3333333333333333, so the float max is
+    // achieved only at v=3 (|1/3 − 0| at v=1 and |2/3 − 1/3| at v=2
+    // both land on the smaller representation). The operator and the
+    // SQL oracle compute the identical floats, so this is the pinned
+    // contract, not noise.
+    val r1 = Profile.ksTest(df(1, 2, 3), df(2, 3, 4), "v").head()
+    assert(r1.getAs[Long]("n_a") == 3L && r1.getAs[Long]("n_b") == 3L)
+    assert(r1.getAs[Double]("d_stat") == 1.0 - 2.0 / 3.0,
+      s"D must be the IEEE |1 - 2/3|: $r1")
+    assert(r1.getAs[Double]("d_at") == 3.0, s"float argmax is 3: $r1")
+    assert(r1.getAs[Double]("ks_scaled") ==
+      math.sqrt(3.0 * 3.0 / (3.0 + 3.0)) * r1.getAs[Double]("d_stat"))
+    // identical samples: D = 0
+    val r2 = Profile.ksTest(df(5, 6, 7), df(5, 6, 7), "v").head()
+    assert(r2.getAs[Double]("d_stat") == 0.0)
+    // fully separated: D = 1 achieved first at max(a) = 2
+    val r3 = Profile.ksTest(df(1, 2), df(10, 11), "v").head()
+    assert(r3.getAs[Double]("d_stat") == 1.0)
+    assert(r3.getAs[Double]("d_at") == 2.0)
+    // unequal sizes: a=[1] b=[1,2]: diff at 1 = |1 - 1/2| = 1/2
+    val r4 = Profile.ksTest(df(1), df(1, 2), "v").head()
+    assert(r4.getAs[Double]("d_stat") == 0.5 && r4.getAs[Double]("d_at") == 1.0)
+  }
 }
