@@ -40,7 +40,10 @@ object Verify {
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      // non-ASCII also escapes (not just control chars): pure-ASCII
+      // JSON survives any reader/writer charset — a decomposed Unicode
+      // literal in an oracle (ta_nfc) must reach DuckDB intact
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql

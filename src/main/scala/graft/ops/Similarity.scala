@@ -317,6 +317,132 @@ object Similarity {
       .toDF("round", "center_id", "radius")
   }
 
+  /** PCA top component by power iteration — the first principal axis of
+    * the embedding cloud, with the per-dimension means/variances and the
+    * explained-variance ratio: the measurement behind embedding
+    * WHITENING and dimension-reduction decisions (a dominant axis
+    * carrying most of the variance is exactly what hurts cosine
+    * retrieval — the "all embeddings share a huge common direction"
+    * pathology — and what [[sim_recall_matryoshka]]-style truncation
+    * silently depends on).
+    *
+    * Scale split, the [[graft.ops.BpeTrain]] discipline: the ONLY
+    * corpus-sized work is one moment pass — each row explodes to its
+    * dims(dims+1)/2 upper-triangle products, per-dim values, and a
+    * count marker, all map-side-combined into dims²/2 + dims + 1
+    * decimal cells (each term staged through DECIMAL(38,14), so every
+    * moment is exact and order-independent). The dims×dims eigensolve
+    * is then driver-local bounded math — `iters` power-iteration rounds
+    * over the collected matrix, every sum staged through
+    * scale-14-HALF_UP BigDecimal so the driver replays EXACTLY the
+    * decimal-staged arithmetic the SQL oracle runs, making pc1, the
+    * eigenvalue, and the explained fraction hash-checkable doubles.
+    *
+    * @return one row per dimension (1-based, ordered): (dim, mean,
+    *         variance, pc1, eigenvalue, explained_frac) — eigenvalue =
+    *         v'Cv of the final iterate, explained_frac = eigenvalue /
+    *         trace(C).
+    */
+  /** 2^50 — the exact power-of-two scale [[pcaTopComponent]]'s mean
+    * staging uses (exactly representable; x·2^50 is integer-valued for
+    * every normal float with |x| ≥ 2^-27, making the decimal cast
+    * rounding-free in any engine).
+    */
+  private val Pca2to50: Double = java.lang.Math.scalb(1.0, 50)
+  private val Pca2to100: Double = java.lang.Math.scalb(1.0, 100)
+
+  def pcaTopComponent(emb: DataFrame, vecCol: String, dims: Int,
+                      iters: Int = 8): DataFrame = {
+    require(dims >= 2 && iters >= 1, "need >= 2 dims and >= 1 iteration")
+    val spark = emb.sparkSession
+    val v = col(vecCol)
+    // Product terms stage as EXACT INTEGERS, not 14-dp decimals: a
+    // float×float product is a ≤48-bit-mantissa dyadic whose
+    // double→decimal rounding is engine-divergent the same way raw
+    // floats are (ties between the shortest-repr and exact-expansion
+    // roundings — measured; generic doubles produced by chains of
+    // arithmetic don't hit this, which is why the repo-wide 14-dp
+    // staging of DERIVED values is safe). Each factor scales by 2^50
+    // (exact, integer-valued for normal floats ≥ 2^-27) into
+    // DECIMAL(19,0) and the decimal multiply is exact — the cell sum
+    // is xi·xj·2^100 as a perfect integer. Overflow bound: the
+    // DECIMAL(38,0) sum holds n·(max|x|²·2^100) — loud decimal
+    // overflow past n·max|x|² ≈ 10^7, far beyond any single moment
+    // pass's row count here; shrink the per-factor scale for larger n.
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    def intFactor(x: Column): Column =
+      (x.cast("double") * Pca2to50).cast(dec19)
+    val pairTerms = flatten(transform(v, (xi, i) =>
+      transform(slice(v, i + lit(1), lit(dims) - i), (xj, jj) =>
+        struct(i.cast("int").as("i"), (i + jj).cast("int").as("j"),
+          (intFactor(xi) * intFactor(xj)).as("t")))))
+    val moments = emb
+      .select(explode(pairTerms).as("s"))
+      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
+      .agg(sum(col("s.t")).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    // Mean terms take a SEPARATE pass staged as exact INTEGERS: a raw
+    // float's double→decimal(38,14) rounding is ENGINE-DIVERGENT at
+    // ~0.06% (shortest-repr ties vs DuckDB's conversion — measured),
+    // and scaling into the 14-dp staging overflows the engines' lossy
+    // huge-mantissa casts instead. x·2^50 is an exact power-of-two
+    // scaling, INTEGER-VALUED for any normal float with |x| ≥ 2^-27,
+    // so casting it to DECIMAL(38,0) is rounding-free in any engine
+    // and the sum is exact; μ then divides by n and by 2^50 (exact).
+    // (Products of generic doubles — the pair terms and everything
+    // downstream — are the repo-wide proven 14-dp staging class; raw
+    // inputs are the one case needing the integer path.)
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val meanRows = emb
+      .select(posexplode(v).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(sum((col("__x").cast("double") * Pca2to50).cast(dec0)).as("m"),
+        count(lit(1)).as("n"))
+      .collect()
+    val nD = meanRows.head.getLong(2).toDouble
+    require(nD > 0, "empty embedding relation")
+    val meanSums = meanRows.map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+
+    // Driver-local eigensolve on the dims×dims matrix. Two exactness
+    // disciplines: (1) the decimal→double finish of the collected
+    // moments is NOT BigDecimal.doubleValue (correctly rounded — which
+    // the engines are NOT): both Spark's executor cast and DuckDB
+    // convert as double(unscaled) / double(10^scale), so the driver
+    // replays that two-step form; (2) every iteration sum is a plain
+    // double LEFT FOLD in index order — no decimal staging at all —
+    // which the oracle replicates exactly with
+    // list_reduce(list(term ORDER BY idx), (a,b) -> a + b).
+    import java.math.{BigDecimal => JBD}
+    def decToDouble(b: JBD): Double =
+      if (b.scale == 0) b.unscaledValue().doubleValue()
+      else b.unscaledValue().doubleValue() / 1e14
+    def foldSum(xs: Iterator[Double]): Double = xs.reduce(_ + _)
+    val mu = Array.tabulate(dims)(i =>
+      decToDouble(meanSums(i)) / nD / Pca2to50)
+    val c = Array.tabulate(dims, dims) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      decToDouble(moments((a, b))) / nD / Pca2to100 - mu(i) * mu(j)
+    }
+    var vec = Array.fill(dims)(1.0)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims)(i =>
+        foldSum((0 until dims).iterator.map(j => c(i)(j) * vec(j))))
+      val norm = math.sqrt(foldSum(w.iterator.map(x => x * x)))
+      vec = w.map(_ / norm)
+    }
+    val cv = Array.tabulate(dims)(i =>
+      foldSum((0 until dims).iterator.map(j => c(i)(j) * vec(j))))
+    val lam = foldSum((0 until dims).iterator.map(i => cv(i) * vec(i)))
+    val trace = foldSum((0 until dims).iterator.map(i => c(i)(i)))
+    import spark.implicits._
+    (0 until dims).map(i =>
+        ((i + 1).toLong, mu(i), c(i)(i), vec(i), lam, lam / trace))
+      .toDF("dim", "mean", "variance", "pc1", "eigenvalue",
+        "explained_frac")
+      .orderBy("dim")
+  }
+
   // ---- Trained k-means coarse quantizer ----------------------------------
 
   private val KmDec = org.apache.spark.sql.types.DecimalType(30, 14)

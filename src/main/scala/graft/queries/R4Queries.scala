@@ -13,7 +13,7 @@ object R4Queries {
     * from the same Scala constant the Spark expression uses, so vocab and
     * oracle can never drift.
     */
-  private val wordPieceVocabValues: String =
+  private[queries] val wordPieceVocabValues: String =
     graft.functions.WordPiece.FixtureVocab.map(p => s"('$p')").mkString(", ")
 
   val all: Seq[Q] = Seq(

@@ -623,6 +623,53 @@ object EventStream {
       path
     }
 
+  /** Streaming count-min maintenance: batch 0 seeds the sketch with the
+    * even-id half's cell partials, the stream's micro-batch appends the
+    * odd-id half's partials under the commit-marker state machine, and
+    * serving SUMS committed cells — CMS cells are algebraic, so
+    * merge(partials) ≡ the full-corpus sketch bit-for-bit (the
+    * `stream_cms` oracle rebuilds exactly that full sketch). Per-batch
+    * cost is one explode×depth aggregate over the BATCH; the historical
+    * corpus is never rescanned — the [[runDriftStream]] monitor shape
+    * applied to frequency sketching.
+    */
+  def runCmsStream(spark: SparkSession, sfDir: String,
+                   path: String): String =
+    withStatePartitions(spark) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def cmsOf(df: DataFrame): DataFrame =
+        graft.ops.Frequent.countMinSketch(
+          graft.ops.Frequent.wsTokens(df, "text"), "token")
+      graft.ops.IncrementalAgg.writeBatch(
+        cmsOf(docs.filter(col("doc_id") % 2 === 0)), path, 0L)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.ops.IncrementalAgg.writeBatch(
+            cmsOf(df.filter(col("doc_id") % 2 === 1)), path, id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
+  /** Serve the merged sketch from committed partials: ≤ depth×width
+    * rows per batch, summed cell-wise — the monitored corpus is never
+    * rescanned.
+    */
+  def serveCmsStream(spark: SparkSession, path: String): DataFrame = {
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    spark.read.parquet(s"$path/data")
+      .filter(col("batch").isin(state.batches: _*))
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   def runDriftStream(spark: SparkSession, sfDir: String,
                      path: String): String =
     withStatePartitions(spark) {

@@ -403,6 +403,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ta_nfc: pure scan expression — native codegen'd normalizer, " +
+      "no UDF, no join, no exchange beyond the output sort") {
+    val p = plan("ta_nfc")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.toLowerCase.contains("unicodenormalize"), p)
+  }
+
+  test("ta_fertility: ONE scan-stage aggregate over lang — no join, " +
+      "no window, nothing quadratic") {
+    val p = plan("ta_fertility")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("lake_bucketed: join AND downstream aggregate read pre-bucketed " +
       "files — zero hash exchanges in the whole plan") {
     // force the sort-merge path (a broadcast join would also be

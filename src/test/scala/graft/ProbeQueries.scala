@@ -32,6 +32,10 @@ object ProbeQueries {
         case '\n' => "\\n"
         case '\r' => "\\r"
         case '\t' => "\\t"
+        // non-ASCII as \\uXXXX: PrintWriter writes in the platform
+        // charset (ASCII here → '?' mangling); pure-ASCII JSON is safe
+        // under any encoding
+        case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
     val sql = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))

@@ -930,6 +930,35 @@ class SimilaritySpec extends SparkSpec {
       s"selection mismatch: ${got.toSeq}")
   }
 
+  test("pcaTopComponent: diagonal cloud recovers the known axis, " +
+      "eigenvalue, and explained fraction; deterministic") {
+    // points on the x=y line: cov = [[1.25,1.25],[1.25,1.25]],
+    // top eigvec ∝ (1,1)/√2, λ = 2.5 = trace → explained = 1.0
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(2.0f, 2.0f)), (3L, Seq(3.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponent(emb, "embedding", dims = 2,
+        iters = 4)
+      .orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.map(_._2).toSeq == Seq(1.5, 1.5), "means exact")
+    assert(got.map(_._3).toSeq == Seq(1.25, 1.25), "variances exact")
+    val s = 1.0 / math.sqrt(2.0)
+    got.foreach { g =>
+      assert(math.abs(g._4 - s) < 1e-12, s"pc1 ≈ 1/√2: $g")
+      assert(math.abs(g._5 - 2.5) < 1e-12, s"λ ≈ 2.5: $g")
+      assert(math.abs(g._6 - 1.0) < 1e-12, s"explained ≈ 1: $g")
+    }
+    // residual invariant: C·v ≈ λ·v on the recovered component
+    val (v1, v2, lam) = (got(0)._4, got(1)._4, got(0)._5)
+    assert(math.abs(1.25 * v1 + 1.25 * v2 - lam * v1) < 1e-12)
+    val again = Similarity.pcaTopComponent(emb, "embedding", 2, 4)
+      .orderBy("dim").collect().map(_.getDouble(3))
+    assert(again.toSeq == got.map(_._4).toSeq, "deterministic replay")
+  }
+
   test("kCenterSelect ties break to the smallest id") {
     // symmetric pair equidistant from the seed
     val emb = Seq(
