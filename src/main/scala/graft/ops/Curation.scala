@@ -307,6 +307,60 @@ object Curation {
       .drop("__rn", "__tau")
   }
 
+  /** Temperature-scaled mixture weights with an EXACT integer
+    * allocation — the multilingual sampling recipe of mT5/XLM-R
+    * (Conneau et al. 2020 §3.1): raw key shares p_k are flattened to
+    * p_k^α (α = 1/2 FIXED, so the power is ONE correctly-rounded
+    * `sqrt` — a general α would ride libm `pow`, the repo-wide
+    * no-libm rule), renormalized, and a document budget is split by
+    * LARGEST-REMAINDER apportionment so the integer allocations sum to
+    * the budget exactly (floor(B·w) each, the B − Σfloor leftover
+    * going to the largest fractional remainders, ties to key order).
+    *
+    * Exactness: the normalizer Σ w_k is an ORDERED left fold over the
+    * key-sorted weights (collect_list of the bounded key relation →
+    * `aggregate`), bit-replayable by list_reduce in SQL — never an
+    * unordered double SUM. Corpus-sized work is ONE map-side-combined
+    * count; everything after runs on the keys-sized relation.
+    *
+    * @return one row per key: (key, n_docs, share, w_temp, mix_weight,
+    *         alloc) with Σ alloc = budget.
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String,
+                         budget: Long): DataFrame = {
+    require(budget >= 0, "non-negative budget")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__N"))
+    val scored = graft.core.Caches.track(
+      counts.crossJoin(broadcast(total))
+        .withColumn("share", col("n_docs").cast("double") / col("__N"))
+        .withColumn("w_temp", sqrt(col("share"))))
+    // ordered fold normalizer: 0.0 + w_1 + w_2 + ... in key order
+    // (0 + x == x exactly, so this equals SQL list_reduce's fold)
+    val tot = scored.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("key"), col("w_temp")))),
+        lit(0.0), (acc, x) => acc + x.getField("w_temp")).as("__tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("key").asc)
+    val based = graft.core.Caches.track(
+      scored.crossJoin(broadcast(tot))
+        .withColumn("mix_weight", col("w_temp") / col("__tot"))
+        .withColumn("__exact", lit(budget).cast("double") * col("mix_weight"))
+        .withColumn("__base", floor(col("__exact")).cast("long"))
+        .withColumn("__rem", col("__exact") - col("__base")))
+    val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("key"), col("n_docs"), col("share"), col("w_temp"),
+        col("mix_weight"),
+        (col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("key"))
+  }
+
   /** EXACT global top-`frac` selection by `(score desc, id asc)` WITHOUT
     * a global sort — the "keep the best 20% of the corpus" curation cut
     * that naive implementations spell `row_number() OVER (ORDER BY q)`,

@@ -371,6 +371,71 @@ object Graphs {
     out.orderBy(col("walk_id"), col("step"))
   }
 
+  /** node2vec-biased walks (Grover & Leskovec 2016) with the
+    * [[deterministicWalks]] keyed-hash walker: the step-k successor is
+    * the candidate with the highest PRIORITY weight/u — priority
+    * sampling's exact-arithmetic substitute for a weighted RNG draw
+    * (u = md5-derived uniform in (0,1], ONE IEEE division) — where the
+    * node2vec second-order weight classifies each candidate d against
+    * the PREVIOUS node: 1/p if d = prev (return), 1 if prev—d is an
+    * edge (stay in the triangle), 1/q otherwise (move outward). With
+    * the default p=2, q=1/2 every weight is an exact power of two, so
+    * weight, uniform, and priority are all bit-portable and a SQL
+    * oracle replays every choice. Step 1 runs the same formula with
+    * prev = start (all candidates are start's neighbors → pure uniform
+    * priority), so one CTE shape covers every step.
+    *
+    * Plan per step = [[deterministicWalks]] plus ONE extra
+    * co-partitioned probe: candidates (frontier ⋈ edges on cur) left-
+    * join edges again on (prev, candidate) for the triangle test —
+    * both joins against the same cached pre-partitioned edge relation;
+    * the max_by argmax partial-aggregates before the exchange. State
+    * is (walk, prev, cur): one row per walk, never degree².
+    *
+    * @return (walk_id, step, node) — step 0 the start, 1..length the
+    *         biased successors.
+    */
+  def biasedWalks(pairs: DataFrame, aCol: String, bCol: String,
+                  length: Int, p: Double = 2.0,
+                  q: Double = 0.5): DataFrame = {
+    require(length >= 1, "at least one step")
+    require(p > 0 && q > 0, "positive p and q")
+    val edges = symEdges(pairs, aCol, bCol)
+    val edgesP = graft.core.Caches.track(edges.repartition(col("src")))
+    var frontier = edges.select(col("src").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("prev"),
+        col("walk_id").as("node"))
+      .localCheckpoint(true)
+    var out = frontier.select(col("walk_id"), lit(0L).as("step"),
+      col("node"))
+    for (k <- 1 to length) {
+      val cand = frontier
+        .join(edgesP.withColumnRenamed("src", "node"), "node")
+        .join(edgesP.select(col("src").as("__p2"), col("dst").as("__t"),
+            lit(1).as("__tri")),
+          col("prev") === col("__p2") && col("dst") === col("__t"),
+          "left_outer")
+      frontier = cand
+        .withColumn("__w",
+          when(col("dst") === col("prev"), lit(1.0 / p))
+            .when(col("__tri").isNotNull, lit(1.0))
+            .otherwise(lit(1.0 / q)))
+        .withColumn("__u",
+          (conv(substring(md5(concat_ws(":", col("walk_id"), lit(k),
+            col("dst"))), 1, 8), 16, 10).cast("double") + 1.0) /
+            4294967296.0)
+        .groupBy(col("walk_id"), col("node"))
+        .agg(max_by(col("dst"), col("__w") / col("__u")).as("__next"))
+        .select(col("walk_id"), col("node").as("prev"),
+          col("__next").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(
+        frontier.select(col("walk_id"), lit(k.toLong).as("step"),
+          col("node")))
+    }
+    out.orderBy(col("walk_id"), col("step"))
+  }
+
   def bfsLandmarks(pairs: DataFrame, aCol: String, bCol: String,
                    numSeeds: Int = 3, maxHops: Int = 4): DataFrame = {
     require(numSeeds >= 1 && maxHops >= 1, "need seeds and hops")

@@ -29,7 +29,7 @@ object ExtQueries {
       s"i -> array_to_string(list_slice($w, i, i+${n - 1}), ' ')))"
   }
 
-  private val cleanSql =
+  private[queries] val cleanSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]+', ' ', 'g'), '\s+', ' ', 'g'))"""
 
   /** DuckDB restatement of Dedup.dotExact over index i (1-based). */

@@ -419,6 +419,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("ta_winnow: sliding argmin is a doc-partitioned window — no " +
+      "cartesian, no UDF, no unpartitioned window over data") {
+    val p = plan("ta_winnow")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("graph_walks_biased: per-step joins only, no cartesian") {
+    val p = plan("graph_walks_biased")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("lake_bucketed: join AND downstream aggregate read pre-bucketed " +
       "files — zero hash exchanges in the whole plan") {
     // force the sort-merge path (a broadcast join would also be

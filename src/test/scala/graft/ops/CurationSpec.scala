@@ -452,4 +452,31 @@ class CurationSpec extends SparkSpec {
     small.foreach(r => assert(
       r.getAs[Double]("est_weight") == r.getAs[Double]("weight")))
   }
+
+  test("temperatureMixture: allocations sum to the budget exactly, " +
+      "sqrt flattening boosts low-resource keys, uniform input splits " +
+      "evenly") {
+    // 90/9/1 split: raw shares 0.9/0.09/0.01, sqrt-flattened weights
+    // lift the tail
+    val rows = Seq.fill(90)("big") ++ Seq.fill(9)("mid") ++ Seq("tiny")
+    val got = Curation.temperatureMixture(
+        rows.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+          .toDF("id", "lang"), "lang", budget = 1000L)
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Double]("share"), r.getAs[Double]("mix_weight"),
+          r.getAs[Long]("alloc")))).toMap
+    assert(got.values.map(_._3).sum == 1000L, "exact budget")
+    assert(got("tiny")._2 > got("tiny")._1,
+      "flattening must boost the low-resource key")
+    assert(got("big")._2 < got("big")._1,
+      "flattening must damp the dominant key")
+    assert(got.values.map(_._3).forall(_ > 0))
+    // uniform: 4 equal keys, budget 10 → alloc 2 or 3 each, sum 10
+    val uni = Curation.temperatureMixture(
+        (1 to 40).map(i => (i.toLong, s"k${i % 4}")).toDF("id", "lang"),
+        "lang", budget = 10L)
+      .collect().map(_.getAs[Long]("alloc"))
+    assert(uni.sum == 10L && uni.forall(a => a == 2L || a == 3L),
+      s"uniform split: ${uni.toSeq}")
+  }
 }

@@ -181,4 +181,44 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == got.toSeq, "walks must be deterministic")
   }
+
+  test("biasedWalks: successor maximizes the node2vec priority " +
+      "(return/triangle/outward weights over the md5 uniform) — " +
+      "driver replay matches exactly") {
+    // path 1-2-3-4 plus triangle edge 2-4: from 3 with prev 2, node 2
+    // weighs 1/p (return), 4 weighs 1 (triangle via 2-4), and from 4
+    // with prev 3, node 5 weighs 1/q (outward)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val len = 3
+    val (p, q) = (2.0, 0.5)
+    val got = Graphs.biasedWalks(pairs, "id_a", "id_b", len, p, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L, 4L),
+      3L -> Set(2L, 4L), 4L -> Set(2L, 3L, 5L), 5L -> Set(4L))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u(walk: Long, k: Int, d: Long): Double =
+      (java.lang.Long.parseLong(
+        md5hex(s"$walk:$k:$d").substring(0, 8), 16).toDouble + 1.0) /
+        4294967296.0
+    val expected = adj.keys.toSeq.flatMap { start =>
+      var prev = start
+      var cur = start
+      val steps = (0L, start) +: (1 to len).map { k =>
+        val next = adj(cur).toSeq.maxBy { d =>
+          val wgt =
+            if (d == prev) 1.0 / p
+            else if (adj(prev).contains(d)) 1.0
+            else 1.0 / q
+          wgt / u(start, k, d)
+        }
+        prev = cur; cur = next
+        (k.toLong, next)
+      }
+      steps.map { case (st, n) => (start, st, n) }
+    }.toSet
+    assert(got.toSet == expected,
+      s"biased replay mismatch:\n${got.toSet}\nvs\n$expected")
+  }
 }

@@ -172,4 +172,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getDouble(3) == again(0).getDouble(3),
       "repeated runs must produce identical scores")
   }
+
+  test("winnow: the MOSS guarantee — two documents sharing a span of " +
+      ">= w+k-1 chars share at least one selected fingerprint; " +
+      "density is bounded; selection replays a driver-side argmin") {
+    val k = 4
+    val w = 3
+    val shared = "the quick brown fox jumps over it" // >> w+k-1 = 6
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"zzz $shared qqq"),
+      (3L, "completely unrelated content here")).toDF("doc_id", "text")
+    val got = TextAnalysis.winnow(docs, "doc_id", "text", k = k, w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "shared span must yield a shared fingerprint")
+    // density: winnowing selects at most one print per window start
+    val doc1len = s"AAAA $shared BBBB".length
+    assert(byDoc(1L).size <= doc1len - k + 1 - w + 1)
+    // driver replay on doc 3: same cleaning (lowercase), same argmin
+    val msg = "completely unrelated content here"
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hs = (1 to (msg.length - k + 1)).map(i =>
+      (md5hex(msg.substring(i - 1, i - 1 + k)), i.toLong))
+    val expect = (1 to (msg.length - k + 1 - w + 1)).map(i =>
+      hs.slice(i - 1, i - 1 + w).min).distinct.toSet
+    val got3 = got.filter(_._1 == 3L).map(x => (x._3, x._2)).toSet
+    assert(got3 == expect, s"replay mismatch:\n$got3\nvs\n$expect")
+  }
 }
