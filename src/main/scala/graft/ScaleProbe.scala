@@ -122,6 +122,87 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.contains("r9c")) {
+      // r9 session-3 probes. Expected shapes:
+      // walks = length × (frontier join against cached pre-partitioned
+      // edges + partial-aggregated argmin) — linear in nodes;
+      // pca moment pass = one explode×2145 map-side-combined aggregate
+      // — linear in vectors (the eigensolve is driver-flat);
+      // winnow = one doc-partitioned sliding window — linear in chars;
+      // incremental CC = fold(star(prev), new batch pairs) — tracks
+      // the BATCH, vs the full rebuild tracking the corpus;
+      // bloom join = dim-scan + filtered fact exchange vs the plain
+      // join's full fact exchange.
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        Dedup.minhashCandidates(df, "doc_id", "text",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+      def rel(): Unit = graft.core.Caches.releaseAll()
+      time(s"walks 1x ($n docs)")(
+        graft.ops.Graphs.deterministicWalks(pairsOf(base), "id_a", "id_b",
+          4).count())
+      rel()
+      time(s"walks ${mult}x")(
+        graft.ops.Graphs.deterministicWalks(pairsOf(docs), "id_a", "id_b",
+          4).count())
+      rel()
+      time(s"biased walks ${mult}x")(
+        graft.ops.Graphs.biasedWalks(pairsOf(docs), "id_a", "id_b",
+          3).count())
+      rel()
+      time(s"pca moments+solve 1x ($en vecs)")(
+        graft.ops.Similarity.pcaTopComponent(embBase, "embedding",
+          64).count())
+      rel()
+      time(s"pca moments+solve ${mult}x")(
+        graft.ops.Similarity.pcaTopComponent(emb, "embedding", 64).count())
+      rel()
+      time(s"winnow 1x")(
+        graft.ops.TextAnalysis.winnow(base, "doc_id", "text").count())
+      rel()
+      time(s"winnow ${mult}x")(
+        graft.ops.TextAnalysis.winnow(docs, "doc_id", "text").count())
+      rel()
+      // incremental CC: history = the multiplied corpus minus one
+      // replica; new batch = that replica's pairs
+      val hist = docs.filter(col("doc_id") < (mult - 1).toLong * n)
+      val prev = Dedup.connectedComponents(
+        pairsOf(hist), "id_a", "id_b").cache()
+      println(s"history assignment: ${prev.count()} nodes")
+      val newPairs = pairsOf(docs)
+        .filter(col("id_a") >= (mult - 1).toLong * n ||
+          col("id_b") >= (mult - 1).toLong * n).cache()
+      println(s"new-batch pairs: ${newPairs.count()}")
+      time(s"incremental CC fold (1 batch onto ${mult - 1}x history)")(
+        Dedup.incrementalComponents(prev, newPairs, "id_a", "id_b").count())
+      rel()
+      time(s"full CC rebuild (${mult}x)")(
+        Dedup.connectedComponents(pairsOf(docs), "id_a", "id_b").count())
+      rel()
+      // bloom-reduced vs plain join on a replicated fact side
+      val liBase = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ln = liBase.count()
+      val li = (0 until mult).map(_ => liBase).reduce(_ unionByName _)
+        .repartition(32).cache()
+      println(s"fact rows: ${li.count()} (${ln} x $mult)")
+      val dim = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .filter(col("o_orderstatus") === "P").select("o_orderkey").cache()
+      println(s"dim keys: ${dim.count()}")
+      // model the dim-too-big-to-broadcast regime the operator exists
+      // for: force the shuffle join so "plain" pays the full fact
+      // exchange and the bloom probe's reduction is what's measured
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time(s"plain shuffle join ${mult}x fact")(
+        li.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey")).count().count())
+      time(s"bloom-reduced join ${mult}x fact")(
+        graft.ops.RuntimeFilters.bloomReducedJoin(li, dim,
+            "l_orderkey", "o_orderkey", expectedItems = 200000L)
+          .groupBy(col("l_orderkey")).count().count())
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.stop()
+      return
+    }
     if (onlyR9) {
       // r9 probes. Expected shapes:
       // band-index ingest = shingle/hash ONLY the appended batch (~flat

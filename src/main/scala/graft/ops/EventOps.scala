@@ -40,6 +40,57 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** STATIONARY DISTRIBUTION of the [[transitions]] Markov chain by
+    * power iteration — "where does a user's session settle": the
+    * long-run visit share of each event type under the observed
+    * next-event dynamics, the one-number-per-state summary a
+    * transition MATRIX doesn't directly give (feeds session-mix
+    * forecasting and anomaly baselines). π_{t+1} = π_t·P for a fixed
+    * `iters` rounds from the uniform start; states with NO outgoing
+    * transitions (sinks) get a self-loop so the chain stays
+    * stochastic (documented patch, matching the oracle).
+    *
+    * Exactness, the [[graft.ops.Similarity.pcaTopComponent]]
+    * discipline: the transition matrix is BOUNDED (|types|² rows), so
+    * it collects once and the iteration is driver-local plain-double
+    * arithmetic whose per-state sums fold in from-state order —
+    * bit-replayable by SQL list_reduce over the identical `p` doubles
+    * (a zero-mass state contributes 0.0 addends; acc + 0.0 ≡ acc, so
+    * dropped-vs-zero terms cannot diverge). Corpus-sized work is
+    * exactly the ONE user-keyed exchange [[transitions]] already
+    * pays.
+    *
+    * @return one row per state: (event_type, stationary), ordered.
+    */
+  def markovStationary(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String,
+                       iters: Int = 6): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val spark = events.sparkSession
+    val tm = transitions(events, userCol, tsCol, typeCol, tieCol)
+      .select("from_type", "to_type", "p").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val states = tm.keysIterator.flatMap(k => Seq(k._1, k._2))
+      .toSeq.distinct.sorted
+    require(states.nonEmpty, "no transitions in the event stream")
+    val froms = tm.keysIterator.map(_._1).toSet
+    // sink patch: a state with no outgoing row self-loops
+    val pFull = tm ++ states.filterNot(froms).map(s => (s, s) -> 1.0)
+    var pi = states.map(_ => 1.0 / states.length).toArray
+    for (_ <- 1 to iters) {
+      val next = states.map { s =>
+        states.zipWithIndex.foldLeft(0.0) { case (acc, (t, ti)) =>
+          pFull.get((t, s)).fold(acc)(p => acc + pi(ti) * p)
+        }
+      }.toArray
+      pi = next
+    }
+    import spark.implicits._
+    states.zipWithIndex.map { case (s, i) => (s, pi(i)) }
+      .toDF("event_type", "stationary")
+      .orderBy("event_type")
+  }
+
   /** Last-touch conversion attribution: each conversion event is credited
     * to the most recent STRICTLY-PRECEDING touch event (by (ts, tieCol));
     * conversions with no prior touch in the stream credit the sentinel

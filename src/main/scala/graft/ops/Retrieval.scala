@@ -730,4 +730,63 @@ object Retrieval {
         StructField(relCol, DoubleType, nullable = false),
         StructField("mmr_score", DoubleType, nullable = false))))
   }
+
+  /** Offline retrieval-quality evaluation — nDCG@k and MRR@k of the
+    * [[bm25]] ranking against a graded relevance label (here: how many
+    * DISTINCT query terms the document contains, 0..|query| — the
+    * deterministic stand-in for editorial judgments; swap in a labeled
+    * relation at the same (id, rel) seam for real evals):
+    *
+    *   DCG@k  = Σ_{i≤k} rel_i / log2(i+1),  nDCG = DCG / IDCG,
+    *   MRR@k  = 1 / (first rank with rel > 0), 0 when none.
+    *
+    * Exactness: the per-rank discount weights are DRIVER-COMPUTED
+    * literal doubles embedded in both engines' plans (Double.toString
+    * round-trips, so SQL parses the identical double — no runtime
+    * libm log2 anywhere), gains are integer·literal products, and both
+    * DCG folds run in RANK ORDER (`aggregate` over the rank-sorted
+    * collected list ≡ SQL list_reduce) — bit-identical across engines.
+    *
+    * Plan: the retrieval is the expensive part (one bm25 pass); the
+    * relevance scan is one narrow projection; everything after runs on
+    * ≤ k-row bounded relations (TakeOrdered ideal list, single tiny
+    * windows — the [[rankBounded]] contract).
+    *
+    * @return one row: (k, dcg, idcg, ndcg, mrr)
+    */
+  def ndcgMrrAtK(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int = 10,
+                 retrieveK: Int = 15): DataFrame = {
+    require(k >= 1 && retrieveK >= k, "need retrieveK >= k >= 1")
+    val weights = (1 to k).map(i =>
+      1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    def foldGains(df: DataFrame): Column =
+      coalesce(aggregate(
+        array_sort(collect_list(struct(col("rank"), col("__gain")))),
+        lit(0.0), (acc, x) => acc + x.getField("__gain")), lit(0.0))
+    val rels = graft.core.Caches.track(
+      docs.select(col(idCol),
+        size(array_intersect(array_distinct(words(col(textCol))),
+          typedlit(queryTerms))).cast("long").as("rel")))
+    val gainOfRank = element_at(typedlit(weights), col("rank").cast("int"))
+    val ranked = rankBounded(
+        bm25(docs, idCol, textCol, queryTerms, retrieveK), idCol, "score")
+      .filter(col("rank") <= k)
+      .join(rels, Seq(idCol))
+      .withColumn("__gain", col("rel").cast("double") * gainOfRank)
+    val ideal = rankBounded(
+        rels.orderBy(col("rel").desc, col(idCol).asc).limit(k)
+          .withColumnRenamed("rel", "score"), idCol, "score")
+      .withColumn("__gain", col("score").cast("double") * gainOfRank)
+    val dcg = ranked.agg(foldGains(ranked).as("dcg"),
+      min(when(col("rel") > 0, col("rank"))).as("__fr"))
+    val idcg = ideal.agg(foldGains(ideal).as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(lit(k.toLong).as("k"), col("dcg"), col("idcg"),
+        // NULL when nothing is relevant anywhere (idcg = 0): the
+        // metric is undefined, and ANSI mode would error on /0
+        when(col("idcg") =!= 0.0, col("dcg") / col("idcg"))
+          .as("ndcg"),
+        coalesce(lit(1.0) / col("__fr"), lit(0.0)).as("mrr"))
+  }
 }

@@ -209,6 +209,35 @@ class EventOpsSpec extends SparkSpec {
       s"past-gap event must open a new session: ${split.toSeq}")
   }
 
+  test("markovStationary: alternating chain stays uniform; sink state " +
+      "absorbs under the self-loop patch") {
+    def ev(rows: (Long, Long, String, String)*) =
+      rows.toSeq.toDF("event_id", "user_id", "ts0", "event_type")
+        .withColumn("ts", to_timestamp($"ts0")).drop("ts0")
+    // user 1: a b a b a -> P(a->b)=1, P(b->a)=1; stationary = uniform
+    val alt = ev(
+      (1L, 1L, "2024-01-01 00:01:00", "a"),
+      (2L, 1L, "2024-01-01 00:02:00", "b"),
+      (3L, 1L, "2024-01-01 00:03:00", "a"),
+      (4L, 1L, "2024-01-01 00:04:00", "b"),
+      (5L, 1L, "2024-01-01 00:05:00", "a"))
+    val g1 = EventOps.markovStationary(alt, "user_id", "ts",
+        "event_type", "event_id", iters = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(g1 == Map("a" -> 0.5, "b" -> 0.5), s"$g1")
+    // a -> b always, b never leaves (sink; self-loop patch): all mass
+    // flows to b after one iteration and stays
+    val sink = ev(
+      (1L, 1L, "2024-01-01 00:01:00", "a"),
+      (2L, 1L, "2024-01-01 00:02:00", "b"),
+      (3L, 2L, "2024-01-01 00:01:00", "a"),
+      (4L, 2L, "2024-01-01 00:02:00", "b"))
+    val g2 = EventOps.markovStationary(sink, "user_id", "ts",
+        "event_type", "event_id", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(g2 == Map("a" -> 0.0, "b" -> 1.0), s"$g2")
+  }
+
   test("ewmaDaily matches the α=1/2 recursion exactly") {
     // type a: daily counts 4, 6, 8 → ewma 4, 5, 6.5; type b: 6 → 6
     val rows =

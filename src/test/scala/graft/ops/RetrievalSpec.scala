@@ -436,4 +436,34 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2L) == ((1L, 2L, 1L, 0.5)))
     assert(got(3L) == ((1L, 1L, 4L, 0.2)))
   }
+
+  test("ndcgMrrAtK: hand-computed nDCG and MRR on a tiny corpus") {
+    // docs: 1 has both terms, 2 has one, 3 has none (padding so BM25
+    // df/idf stay positive), 4 has one term twice
+    val docs = Seq(
+      (1L, "alpha beta alpha filler filler"),
+      (2L, "alpha filler filler filler filler"),
+      (3L, "filler filler filler filler filler"),
+      (4L, "beta beta filler filler filler")).toDF("doc_id", "text")
+    val r = Retrieval.ndcgMrrAtK(docs, "doc_id", "text",
+      Seq("alpha", "beta"), k = 3, retrieveK = 4).head()
+    val w = (1 to 3).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    // rels: d1=2, d2=1, d3=0, d4=1; BM25 must rank d1 first (both
+    // terms), and only matching docs are retrieved, so the ranked
+    // top-3 is {d1, d2, d4} in some order with d1 first.
+    val dcgMax = 2.0 * w(0) + 1.0 * w(1) + 1.0 * w(2)
+    assert(r.getAs[Double]("dcg") == dcgMax,
+      s"d1 first, then the two rel-1 docs: $r")
+    // ideal: rels sorted desc = 2,1,1 -> same value
+    assert(r.getAs[Double]("idcg") == dcgMax)
+    assert(r.getAs[Double]("ndcg") == 1.0)
+    assert(r.getAs[Double]("mrr") == 1.0, "first ranked doc is relevant")
+    assert(r.getAs[Long]("k") == 3L)
+    // empty-relevance corpus: ndcg undefined (null), mrr 0
+    val none = Retrieval.ndcgMrrAtK(
+      Seq((9L, "filler filler")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("alpha"), k = 2, retrieveK = 2).head()
+    assert(none.getAs[Double]("mrr") == 0.0)
+    assert(none.getAs[Double]("dcg") == 0.0)
+  }
 }
