@@ -111,6 +111,20 @@ object Perceptron {
     * arithmetic discipline), so boundaries, bucket assignment, counts,
     * and the decimal-staged mean are all engine-identical.
     */
+  /** (y, score) relation: the exact integer margin b + w·x per row —
+    * the single-sourced scoring expression behind [[calibration]] and
+    * [[RankEval]]'s threshold-free metrics.
+    */
+  def margins(df: DataFrame, featureCols: Seq[String], labelCol: String,
+              weights: Seq[Long]): DataFrame = {
+    require(weights.size == featureCols.size + 1,
+      "bias + one weight per feature")
+    val score = featureCols.zipWithIndex.foldLeft(lit(weights.head): Column) {
+      case (acc, (c, i)) => acc + lit(weights(i + 1)) * col(c).cast("long")
+    }
+    df.select(col(labelCol).cast("long").as("y"), score.as("score"))
+  }
+
   def calibration(df: DataFrame, featureCols: Seq[String], labelCol: String,
                   weights: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

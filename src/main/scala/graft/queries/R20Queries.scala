@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Perceptron, RankEval}
+
+/** Round-9 session-4, batch 1: threshold-free evaluation of the learned
+  * quality scorer — the ROC curve and the AUC / average-precision
+  * summary a filter model ships with before its threshold becomes a
+  * curation budget decision.
+  */
+object R20Queries {
+
+  /** Shared train-then-score seam (identical to ml_calibration): the
+    * 3-epoch integer perceptron's final weights score every document.
+    */
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val docs = R10Queries.perceptronDocs(s, d)
+    val trained = Perceptron.train(docs,
+      Seq("toks", "chars", "punct"), "y", epochs = 3)
+      .collect().maxBy(_.getLong(0))
+    Perceptron.margins(docs, Seq("toks", "chars", "punct"), "y",
+      (3 to 6).map(trained.getLong))
+  }
+
+  /** Shared oracle CTE chain: unrolled training (w3 weights), exact
+    * integer margins, distinct-score relation with ascending inclusive
+    * prefix counts, per-threshold (tp, fp) and the tie-corrected rank
+    * term — everything integer until the single-division doubles.
+    */
+  private val rankCtes: String =
+    s"""${R10Queries.perceptronCtes},
+       |sc AS (
+       |  SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END AS p,
+       |    CAST(w.b + w.wt * toks + w.wc * chars + w.wp * punct
+       |      AS BIGINT) AS m
+       |  FROM f, w3 w),
+       |g AS (
+       |  SELECT m, count(*) AS n,
+       |    CAST(coalesce(sum(p), 0) AS BIGINT) AS np
+       |  FROM sc GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(np) AS BIGINT) AS npos,
+       |         CAST(sum(n) - sum(np) AS BIGINT) AS nneg FROM g),
+       |r AS (
+       |  SELECT m, n, np,
+       |    CAST(sum(n) OVER (ORDER BY m) AS BIGINT) AS cn,
+       |    CAST(sum(np) OVER (ORDER BY m) AS BIGINT) AS cp
+       |  FROM g),
+       |c AS (
+       |  SELECT m, n, np,
+       |    npos - cp + np AS tp,
+       |    nneg - (cn - cp) + (n - np) AS fp,
+       |    np * (2 * (cn - n) + n + 1) AS rank2
+       |  FROM r, tot)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("ml_auc",
+      "Threshold-free evaluation of the trained quality scorer: exact " +
+        "ROC-AUC via the Mann-Whitney rank statistic WITH tie " +
+        "correction (2U = sum over tie groups of np*(2*cumBefore+n+1) " +
+        "minus NP*(NP+1) — integers end to end, surfaced as auc_num2), " +
+        "Gini, and step-interpolated average precision (delta-TP at a " +
+        "threshold IS its tie group's positive count, so AP folds " +
+        "np*tp/(tp+fp) in descending-threshold order — the " +
+        "list_reduce-replayable ordered-double idiom). One map-side-" +
+        "combinable distinct-margin aggregate is the only corpus-sized " +
+        "pass; cumulatives run on the distinct-score relation under " +
+        "the two-level binned-prefix discipline (no global sort).",
+      (s, d) => RankEval.rocAucPr(scoredDocs(s, d), "score", "y"),
+      Some(
+        s"""WITH $rankCtes,
+           |u AS (
+           |  SELECT CAST(sum(rank2) AS BIGINT) AS r2,
+           |    list_reduce(
+           |      list(CAST(np * tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+           |           ORDER BY m DESC),
+           |      (a, b) -> a + b) AS apsum
+           |  FROM c),
+           |base AS (
+           |  SELECT npos AS n_pos, nneg AS n_neg,
+           |    r2 - npos * (npos + 1) AS auc_num2,
+           |    CAST(r2 - npos * (npos + 1) AS DOUBLE)
+           |      / (2.0 * npos * nneg) AS auc,
+           |    apsum / npos AS avg_precision
+           |  FROM u, tot)
+           |SELECT n_pos, n_neg, auc_num2, auc,
+           |  2.0 * auc - 1.0 AS gini, avg_precision
+           |FROM base""".stripMargin)),
+
+    Q("ml_roc",
+      "The full ROC curve at every distinct score threshold " +
+        "(descending): keeping rows with score >= threshold yields " +
+        "(tp, fp); tpr/fpr/prec spend exactly one exact-int division " +
+        "each. (tpr, fpr) walk monotonically to (1, 1) — the curve a " +
+        "threshold picker reads next to ml_auc's area. Same plan " +
+        "shape as ml_auc: one distinct-margin aggregate, two-level " +
+        "binned prefixes, curve relation bounded by score cardinality.",
+      (s, d) => RankEval.rocCurve(scoredDocs(s, d), "score", "y"),
+      Some(
+        s"""WITH $rankCtes
+           |SELECT m AS threshold, tp, fp,
+           |  CAST(tp AS DOUBLE) / npos AS tpr,
+           |  CAST(fp AS DOUBLE) / nneg AS fpr,
+           |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec
+           |FROM c, tot
+           |ORDER BY threshold DESC""".stripMargin))
+  )
+}
