@@ -192,6 +192,70 @@ object Graphs {
       .orderBy(col("id"))
   }
 
+  /** Link prediction over the near-dup graph: rank NON-adjacent pairs
+    * at distance 2 by neighborhood overlap — the candidate-recovery
+    * step a dedup pipeline runs when banding MISSES an edge (two docs
+    * sharing many near-dup neighbors are almost surely near-dups
+    * themselves) and the standard citation/co-occurrence recommender.
+    *
+    * Three classic indices per pair, all exact: common-neighbor count,
+    * Jaccard of neighborhoods cn/(deg_u+deg_v−cn) (one int→double
+    * division), and Resource Allocation Σ_w 1/deg_w (Zhou, Lü &
+    * Zhang 2009 — empirically the strongest of the degree-penalized
+    * family), computed as Σ floor(raScale/deg_w) in INTEGER division
+    * so the sum is order-independent and engine-exact; Adamic–Adar is
+    * deliberately not offered (its Σ 1/log deg_w terms are runtime
+    * logarithms — unordered double sums, the exactness discipline
+    * this repo rejects; RA dominates it in published benchmarks
+    * anyway).
+    *
+    * Scale shape: wedges enumerate through CENTERS with degree ≤
+    * `maxCenterDegree` — the df-cap discipline MinHash banding already
+    * uses (`Dedup`): a boilerplate hub's distance-2 pairs are
+    * meaningless predictions AND the quadratic blowup, so the cap is
+    * both the semantic and the physical guard. Per-center fanout is ≤
+    * cap², wedge volume ≤ m·cap; everything else is equi-joins keyed
+    * by (u, v) or node id, and the top-k is TakeOrderedAndProject,
+    * never a global sort.
+    */
+  def linkPrediction(pairs: DataFrame, aCol: String, bCol: String,
+                     maxCenterDegree: Long = 64L,
+                     raScale: Long = 1000000000000L,
+                     topK: Int = 50): DataFrame = {
+    val und = graft.core.Caches.track(
+      pairs.select(least(col(aCol), col(bCol)).as("u"),
+          greatest(col(aCol), col(bCol)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = graft.core.Caches.track(
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree")))
+    val capped = graft.core.Caches.track(
+      edges.join(
+        deg.filter(col("degree") <= maxCenterDegree)
+          .select(col("id").as("src"), col("degree").as("__dw")), "src"))
+    val e1 = capped.select(col("src"), col("dst").as("u"), col("__dw"))
+    val e2 = capped.select(col("src"), col("dst").as("v"))
+    val cand = e1.join(e2, Seq("src"))
+      .filter(col("u") < col("v"))
+      .withColumn("__ra", expr(s"${raScale}L div __dw"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("__ra")).as("ra_scaled"))
+    cand.join(und, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("id").as("u"), col("degree").as("deg_a")), "u")
+      .join(deg.select(col("id").as("v"), col("degree").as("deg_b")), "v")
+      .select(col("u").as("id_a"), col("v").as("id_b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+          .as("jaccard"),
+        col("ra_scaled"))
+      .orderBy(col("ra_scaled").desc, col("cn").desc, col("id_a"),
+        col("id_b"))
+      .limit(topK)
+  }
+
   /** Symmetrized, deduplicated edge list from an undirected pair
     * relation — the shared first stage of every iterative operator
     * here. Cached (the per-round joins and the node derivation all

@@ -221,4 +221,38 @@ class GraphsSpec extends SparkSpec {
     assert(got.toSet == expected,
       s"biased replay mismatch:\n${got.toSet}\nvs\n$expected")
   }
+
+  test("linkPrediction: distance-2 non-adjacent pairs with exact " +
+      "cn/jaccard/RA; adjacent pairs excluded") {
+    // 1-2, 2-3, 3-4, 1-3: candidates are (1,4) and (2,4) through
+    // center 3 (degree 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val got = Graphs.linkPrediction(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+    val ra3 = 1000000000000L / 3L
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 2L, 1L, 0.5, ra3),
+      (2L, 4L, 1L, 2L, 1L, 0.5, ra3)))
+  }
+
+  test("linkPrediction: square graph counts both wedge centers; " +
+      "over-cap hubs contribute no wedges") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Graphs.linkPrediction(square, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 1.0, 1000000000000L),
+      (2L, 4L, 2L, 1.0, 1000000000000L)))
+    // star with a 70-degree hub: every distance-2 pair goes through
+    // the hub, which the cap excludes -> no predictions
+    val star = (1L to 70L).map(i => (100L, i)).toDF("id_a", "id_b")
+    assert(Graphs.linkPrediction(star, "id_a", "id_b").count() == 0L)
+    // same star under a raised cap: all (i, j) pairs appear
+    assert(Graphs.linkPrediction(star, "id_a", "id_b",
+      maxCenterDegree = 70L, topK = 10000).count() == 70L * 69L / 2L)
+  }
 }
