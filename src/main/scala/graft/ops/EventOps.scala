@@ -554,4 +554,65 @@ object EventOps {
       .withColumn("is_anomaly", abs(col("zscore")) > lit(z))
       .orderBy(col(keyCol), col("day"))
   }
+
+  /** Growth accounting (the "quick ratio" framework): every active
+    * (user, week) is classified NEW (first-ever active week),
+    * RETAINED (also active the immediately preceding week) or
+    * RESURRECTED (returning after >= 1 skipped week), and a user whose
+    * next activity is more than one week away CHURNS in the week after
+    * their last active one — so per week, new + retained + resurrected
+    * counts the week's actives and churned counts the users lost to
+    * it; quick_ratio = (new + resurrected) / churned when churn > 0.
+    * Complements [[cohortRetention]]'s (cohort × week) grid with the
+    * per-week state decomposition growth teams actually steer by.
+    *
+    * Exactness: weeks are the epoch-microsecond of the Monday
+    * `date_trunc` (both engines truncate to Monday; the integer stays
+    * on the timestampless seam), adjacency is `prev == wk − 604800e6`
+    * in longs, and quick_ratio is the single int→double division.
+    *
+    * Scale shape: one (user, week) distinct — map-side combinable —
+    * then a user-partitioned lag/lead window (the sessionize exchange)
+    * and two weeks-sized aggregates; output is bounded by the week
+    * span. Nothing user² or corpus-sized past the first exchange.
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val weekUs = 604800000000L
+    val uw = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        unix_micros(date_trunc("week", col(tsCol))).as("__wk"))
+      .distinct()
+    val w = Window.partitionBy(col("__u")).orderBy(col("__wk"))
+    val st = graft.core.Caches.track(uw
+      .withColumn("__prev", lag(col("__wk"), 1).over(w))
+      .withColumn("__next", lead(col("__wk"), 1).over(w)))
+    val act = st.groupBy(col("__wk"))
+      .agg(
+        coalesce(sum(when(col("__prev").isNull, 1L)), lit(0L))
+          .as("n_new"),
+        coalesce(sum(when(col("__prev") === col("__wk") - weekUs, 1L)),
+          lit(0L)).as("n_retained"),
+        coalesce(sum(when(col("__prev").isNotNull &&
+          col("__prev") < col("__wk") - weekUs, 1L)), lit(0L))
+          .as("n_resurrected"))
+    val ch = st
+      .filter(col("__next").isNull || col("__next") > col("__wk") + weekUs)
+      .select((col("__wk") + weekUs).as("__wk"))
+      .groupBy(col("__wk")).agg(count(lit(1)).as("n_churned"))
+    act.join(ch, Seq("__wk"), "full_outer")
+      .select(
+        date_format(timestamp_micros(col("__wk")), "yyyy-MM-dd")
+          .as("week_start"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio",
+        when(col("n_churned") > 0,
+          (col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned").cast("double")))
+      .orderBy(col("week_start"))
+  }
 }

@@ -559,4 +559,59 @@ object Profile {
         (sqrt(lit(na.toDouble) * nb.toDouble /
           (na.toDouble + nb.toDouble)) * dMax).as("ks_scaled"))
   }
+
+  /** Benford first-digit conformance — the classic fabricated-data /
+    * unit-mixup tripwire for naturally-spanning numeric columns
+    * (amounts, populations, file sizes): observed first-significant-
+    * digit counts vs the Benford law p(d) = log10(1 + 1/d), with the
+    * chi-square statistic.
+    *
+    * Exactness discipline: values quantize to integer cents via ONE
+    * deterministic IEEE multiply + floor (both engines truncate the
+    * same integral double), the first digit is the first character of
+    * the INTEGER's decimal string (integer→string is engine-identical;
+    * never a runtime log10), expected probabilities are driver-
+    * computed literal doubles (the DcgWeights pattern), each χ² term
+    * spends bounded double ops on exact inputs, and the 9-term total
+    * folds in digit order (list_reduce-replayable). Values whose cents
+    * floor to < 1 are excluded by contract.
+    *
+    * Scale shape: one scan-stage projection + a ≤9-group map-side-
+    * combined count; everything after runs on the 9-row digit
+    * relation.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probs = (1 to 9).map(dd => (dd, math.log10(1.0 + 1.0 / dd)))
+    val dim = probs.toDF("first_digit", "p_expected")
+    val cents = floor(col(valueCol).cast("double") * lit(100.0))
+    val counts = df
+      .select(cents.as("__c"))
+      .filter(col("__c") >= 1L)
+      .select(substring(col("__c").cast("long").cast("string"), 1, 1)
+        .cast("int").as("first_digit"))
+      .groupBy(col("first_digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("__n"))
+    val term = (col("n_obs").cast("double") - col("n_expected")) *
+      (col("n_obs").cast("double") - col("n_expected")) /
+      col("n_expected")
+    val base = graft.core.Caches.track(
+      dim.join(counts, Seq("first_digit"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("first_digit"), col("p_expected"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          (col("__n").cast("double") * col("p_expected"))
+            .as("n_expected"))
+        .withColumn("chi2_term", term))
+    val chi = base.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("first_digit"),
+          col("chi2_term").as("__t")))), x => x.getField("__t")),
+        lit(0.0), (acc, x) => acc + x).as("chi2"))
+    base.crossJoin(broadcast(chi))
+      .select(col("first_digit"), col("n_obs"), col("p_expected"),
+        col("n_expected"), col("chi2_term"), col("chi2"))
+      .orderBy(col("first_digit"))
+  }
 }

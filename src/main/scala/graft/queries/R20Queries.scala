@@ -168,6 +168,104 @@ object R20Queries {
            |JOIN deg du ON du.id = n.u
            |JOIN deg dv ON dv.id = n.v
            |ORDER BY n.ra_scaled DESC, n.cn DESC, id_a, id_b
-           |LIMIT 50""".stripMargin))
+           |LIMIT 50""".stripMargin)),
+
+    Q("ev_growth",
+      "Growth accounting (the quick-ratio framework): every active " +
+        "(user, week) classified new / retained / resurrected, churn " +
+        "attributed to the week after a user's last activity, and " +
+        "quick_ratio = (new + resurrected) / churned — the per-week " +
+        "state decomposition next to ev_retention's cohort grid. " +
+        "Weeks are epoch-micros of the Monday truncation (integer " +
+        "seam, both engines truncate to Monday); adjacency is long " +
+        "arithmetic; one (user, week) distinct then a user-partitioned " +
+        "lag/lead window and weeks-sized aggregates.",
+      (s, d) => graft.ops.EventOps.growthAccounting(Tables.events(s, d),
+        "user_id", "ts"),
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS wk
+             |  FROM events WHERE user_id IS NOT NULL),
+             |st AS (
+             |  SELECT user_id, wk,
+             |    lag(wk) OVER w AS prev_wk, lead(wk) OVER w AS next_wk
+             |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+             |act AS (
+             |  SELECT wk,
+             |    CAST(coalesce(sum(CASE WHEN prev_wk IS NULL
+             |      THEN 1 END), 0) AS BIGINT) AS n_new,
+             |    CAST(coalesce(sum(CASE WHEN prev_wk = wk - 604800000000
+             |      THEN 1 END), 0) AS BIGINT) AS n_retained,
+             |    CAST(coalesce(sum(CASE WHEN prev_wk IS NOT NULL
+             |      AND prev_wk < wk - 604800000000
+             |      THEN 1 END), 0) AS BIGINT) AS n_resurrected
+             |  FROM st GROUP BY 1),
+             |ch AS (
+             |  SELECT wk + 604800000000 AS wk,
+             |    CAST(count(*) AS BIGINT) AS n_churned
+             |  FROM st
+             |  WHERE next_wk IS NULL OR next_wk > wk + 604800000000
+             |  GROUP BY 1),
+             |j AS (
+             |  SELECT coalesce(a.wk, c.wk) AS wk,
+             |    coalesce(n_new, 0) AS n_new,
+             |    coalesce(n_retained, 0) AS n_retained,
+             |    coalesce(n_resurrected, 0) AS n_resurrected,
+             |    coalesce(n_churned, 0) AS n_churned
+             |  FROM act a FULL OUTER JOIN ch c ON a.wk = c.wk)
+             |SELECT strftime(make_timestamp(wk), '%Y-%m-%d') AS week_start,
+             |  n_new, n_retained, n_resurrected, n_churned,
+             |  CASE WHEN n_churned > 0
+             |       THEN CAST(n_new + n_resurrected AS DOUBLE) /
+             |            CAST(n_churned AS DOUBLE) END AS quick_ratio
+             |FROM j ORDER BY week_start""".stripMargin)),
+
+    Q("dq_benford",
+      "Benford first-digit conformance on order prices — the " +
+        "fabricated-data / unit-mixup tripwire for naturally-spanning " +
+        "amounts: observed first-digit counts vs p(d) = log10(1+1/d) " +
+        "with the chi-square statistic. Values quantize to integer " +
+        "cents (one IEEE multiply + floor, identical in both " +
+        "engines), the digit is the integer's first decimal character " +
+        "(never a runtime log), expected probabilities are driver-" +
+        "computed literals, and the 9-term chi-square folds in digit " +
+        "order. One scan + a <= 9-group map-side count; everything " +
+        "else runs on the 9-row digit relation.",
+      (s, d) => graft.ops.Profile.benford(Tables.lineitem(s, d),
+        "l_extendedprice"),
+      Some {
+        // exponent form: DuckDB parses E-notation literals DIRECTLY as
+        // DOUBLE (correctly-rounded strtod, matching Java's round-trip
+        // repr); a plain decimal would stage through DECIMAL and
+        // double-round — off by 1 ulp on boundary values like log10(4/3)
+        val dimRows = (1 to 9).map { dd =>
+          s"($dd, ${math.log10(1.0 + 1.0 / dd)}e0)"
+        }.mkString(", ")
+        s"""WITH dim(first_digit, p_expected) AS (VALUES $dimRows),
+           |c AS (
+           |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0)
+           |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS first_digit
+           |  FROM lineitem
+           |  WHERE floor(l_extendedprice * 100.0) >= 1),
+           |counts AS (
+           |  SELECT first_digit, CAST(count(*) AS BIGINT) AS n_obs
+           |  FROM c GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts),
+           |base AS (
+           |  SELECT d.first_digit, d.p_expected,
+           |    coalesce(n_obs, 0) AS n_obs,
+           |    CAST(n AS DOUBLE) * d.p_expected AS n_expected,
+           |    (CAST(coalesce(n_obs, 0) AS DOUBLE) -
+           |       CAST(n AS DOUBLE) * d.p_expected) *
+           |    (CAST(coalesce(n_obs, 0) AS DOUBLE) -
+           |       CAST(n AS DOUBLE) * d.p_expected) /
+           |    (CAST(n AS DOUBLE) * d.p_expected) AS chi2_term
+           |  FROM dim d LEFT JOIN counts USING (first_digit), tot),
+           |chi AS (SELECT list_reduce(list(chi2_term ORDER BY first_digit),
+           |          (a, b) -> a + b) AS chi2 FROM base)
+           |SELECT first_digit, n_obs, p_expected, n_expected, chi2_term,
+           |  chi2
+           |FROM base, chi ORDER BY first_digit""".stripMargin
+      })
   )
 }

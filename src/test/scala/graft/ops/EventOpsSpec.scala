@@ -209,6 +209,28 @@ class EventOpsSpec extends SparkSpec {
       s"past-gap event must open a new session: ${split.toSeq}")
   }
 
+  test("growthAccounting: new/retained/resurrected/churned per week " +
+      "with gap-resurrect and next-week churn attribution") {
+    // 2024-01-01 is a Monday. user 1: wk0, wk1, wk3 (gap at wk2);
+    // user 2: wk0 only.
+    val e = ev(
+      (1L, 1L, "2024-01-03 10:00:00", "view", 0.0), // wk0
+      (2L, 1L, "2024-01-08 00:00:00", "view", 0.0), // wk1
+      (3L, 1L, "2024-01-24 23:59:59", "view", 0.0), // wk3
+      (4L, 2L, "2024-01-05 12:00:00", "view", 0.0)) // wk0
+    val got = EventOps.growthAccounting(e, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L, 0L, 0L, 0L, None),
+      ("2024-01-08", 0L, 1L, 0L, 1L, Some(0.0)), // user 2 churns
+      ("2024-01-15", 0L, 0L, 0L, 1L, Some(0.0)), // user 1's gap week
+      ("2024-01-22", 0L, 0L, 1L, 0L, None),      // user 1 resurrects
+      ("2024-01-29", 0L, 0L, 0L, 1L, Some(0.0))), // user 1 final churn
+      s"got: ${got.toSeq}")
+  }
+
   test("markovStationary: alternating chain stays uniform; sink state " +
       "absorbs under the self-loop patch") {
     def ev(rows: (Long, Long, String, String)*) =

@@ -216,4 +216,24 @@ class ProfileSpec extends SparkSpec {
     val r4 = Profile.ksTest(df(1), df(1, 2), "v").head()
     assert(r4.getAs[Double]("d_stat") == 0.5 && r4.getAs[Double]("d_at") == 1.0)
   }
+
+  test("benford: first digit from integer cents, sub-cent values " +
+      "excluded, zero-observed digits present, chi2 positive") {
+    val df = Seq(1.00, 19.99, 2.50, 0.005, 0.31, 9000.00).toDF("v")
+    val rows = Profile.benford(df, "v").collect()
+    assert(rows.length == 9)
+    val obs = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 1.00->1, 19.99->1, 2.50->2, 0.005 excluded, 0.31->3, 9000->9
+    assert(obs == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L), s"$obs")
+    // expected counts scale to the 5 kept values
+    val nexp = rows.map(_.getAs[Double]("n_expected")).sum
+    assert(math.abs(nexp - 5.0) < 1e-9)
+    val chi2 = rows.head.getAs[Double]("chi2")
+    assert(chi2 > 0.0 && rows.forall(_.getAs[Double]("chi2") == chi2))
+    // conforming-ish digit 1 share (2/5) is near benford 0.301: its
+    // term must be far below digit 9's (1/5 vs 0.0458)
+    val terms = rows.map(r => r.getInt(0) -> r.getAs[Double]("chi2_term")).toMap
+    assert(terms(9) > terms(1))
+  }
 }
