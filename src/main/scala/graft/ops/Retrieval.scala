@@ -609,6 +609,100 @@ object Retrieval {
     score(tf, idCol, stats, topK)
   }
 
+  /** RM3-style pseudo-relevance-feedback query expansion — the missing
+    * middle of the retrieval stack (between one-shot [[bm25]] and the
+    * [[rrfFuse]]/[[mmrRerank]] post-processors): retrieve a feedback
+    * set for the original query, mine it for expansion terms, re-rank
+    * with the expanded query at half weight (Lavrenko & Croft 2001's
+    * relevance model, λ-interpolated à la RM3).
+    *
+    * Deterministic engine discipline (named deviations from the
+    * textbook model, which is a smoothed LM with runtime logs):
+    * expansion-term weight is `Σ_{d ∈ FB} floor(scale·tf/dl)` — RM1's
+    * uniform-feedback tf/dl evidence as ONE integer division per
+    * (term, doc), so candidate scoring is exact integer arithmetic
+    * with a (weight desc, term asc) total order; a CORPUS df gate
+    * `2·df ≤ N` excludes stopwords from candidacy (the role smoothing
+    * plays in the textbook model, expressed as the invertedIndex
+    * df-cap discipline — an idf MULTIPLIER was measured to overweight
+    * feedback-unique hapaxes instead); the rescore reuses [[bm25]]'s
+    * quantized ratio-idf scoring with the expansion contribution at
+    * λ = 1/2 (`score = score_orig + 0.5·score_exp`, two IEEE ops on
+    * already-quantized doubles).
+    *
+    * Scale shape: feedback retrieval is the bm25 plan (scan-stage term
+    * prune, TakeOrderedAndProject); candidate mining explodes ONLY the
+    * ≤fbDocs feedback docs (broadcast semi-join); corpus df for
+    * candidates is one scan pruned by a broadcast candidate-term
+    * semi-join; the expansion list is a ≤fbTerms driver collect (the
+    * section-regex compile pattern); the rescore is one more pruned
+    * tf pass. Nothing corpus-sized ever shuffles unpruned.
+    */
+  def rm3Expand(docs: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], fbDocs: Int = 10,
+                fbTerms: Int = 5,
+                expWeightScale: Long = 1000000000000L,
+                topK: Int = 15): DataFrame = {
+    val base = graft.core.Caches.track(
+      docs.select(col(idCol), words(col(textCol)).as("__ws")))
+    // stage 1: feedback set
+    val fb = bm25(docs, idCol, textCol, queryTerms, fbDocs)
+      .select(col(idCol))
+    val cand = base.join(broadcast(fb), Seq(idCol), "left_semi")
+      .select(col(idCol), size(col("__ws")).as("__dl"),
+        explode(col("__ws")).as("__t"))
+      .filter(!col("__t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val candTerms = graft.core.Caches.track(
+      cand.select(col("__t")).distinct())
+    val dfCorpus = base
+      .select(col(idCol), explode(array_distinct(col("__ws"))).as("__t"))
+      .join(broadcast(candTerms), Seq("__t"), "left_semi")
+      .groupBy(col("__t")).agg(count(lit(1)).as("__dfc"))
+    val nDocs = base.count()
+    val expTerms = cand.join(broadcast(dfCorpus), Seq("__t"))
+      .filter(col("__dfc") * 2 <= nDocs)
+      .withColumn("__w", expr(s"(${expWeightScale}L * __tf) div __dl"))
+      .groupBy(col("__t")).agg(sum(col("__w")).as("__w2"))
+      .orderBy(col("__w2").desc, col("__t").asc).limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    // stage 2: rescore original ∪ expansion, λ = 1/2 on the expansion
+    val allTerms = queryTerms ++ expTerms
+    val stats = base.agg(
+      (sum(size(col("__ws"))).cast("double") / count(lit(1)))
+        .as("__avgdl"),
+      count(lit(1)).as("__n"))
+    val tf = graft.core.Caches.track(base
+      .select(col(idCol), size(col("__ws")).as("__dl"),
+        explode(col("__ws")).as("__t"))
+      .filter(col("__t").isin(allTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf")))
+    val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val idf = (col("__n").cast("double") - col("__df").cast("double") +
+      lit(0.5)) / (col("__df").cast("double") + lit(0.5))
+    val tfc = (col("__tf").cast("double") * lit(2.2)) /
+      (col("__tf").cast("double") +
+        lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("__dl").cast("double") / col("__avgdl")))
+    val dec = DecimalType(38, 14)
+    def qsum(cond: Column) =
+      floor(coalesce(sum(when(cond, (idf * tfc).cast(dec))),
+        lit(0).cast(dec)) * lit(1000000) +
+        lit(0.5).cast(dec)).cast("double") / lit(1000000.0)
+    val expCond =
+      if (expTerms.isEmpty) lit(false) else col("__t").isin(expTerms: _*)
+    tf.join(broadcast(dfq), "__t").crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        qsum(col("__t").isin(queryTerms: _*)).as("score_orig"),
+        qsum(expCond).as("score_exp"))
+      .withColumn("score", col("score_orig") + lit(0.5) * col("score_exp"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Attach 1-based ranks to an ALREADY top-k-bounded result: rank by
     * `(scoreCol desc, idCol asc)` — the total order every ranked query in
     * this library emits. The single-partition window is deliberate and

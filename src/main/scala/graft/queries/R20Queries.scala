@@ -266,6 +266,101 @@ object R20Queries {
            |SELECT first_digit, n_obs, p_expected, n_expected, chi2_term,
            |  chi2
            |FROM base, chi ORDER BY first_digit""".stripMargin
+      }),
+
+    Q("ta_rm3",
+      "RM3 pseudo-relevance-feedback query expansion (Lavrenko-Croft " +
+        "relevance model): BM25 retrieves a 10-doc feedback set for " +
+        "the 2-term query, candidate expansion terms score by the " +
+        "integer-exact RM1 evidence sum floor(1e12*tf/dl) under a " +
+        "corpus stopword gate 2*df <= N (the df-cap discipline; never " +
+        "a runtime log), the top-5 terms join the query, and the " +
+        "rescore interpolates at lambda = 1/2: score = score_orig + " +
+        "0.5*score_exp on the established quantized BM25 doubles. " +
+        "Candidate mining explodes only the feedback docs (broadcast " +
+        "semi-join); corpus df is one candidate-pruned scan; the " +
+        "expansion list is a <= 5-row driver collect (the " +
+        "section-regex compile pattern); every retrieval is a " +
+        "scan-pruned TakeOrderedAndProject.",
+      (s, d) => graft.ops.Retrieval.rm3Expand(Tables.documents(s, d),
+        "doc_id", "text", Seq("spark", "vector")),
+      Some {
+        val scoreSum =
+          """cast(floor(sum(cast(
+            |      ((cast(n AS DOUBLE) - cast(df AS DOUBLE) + 0.5) /
+            |       (cast(df AS DOUBLE) + 0.5)) *
+            |      ((cast(tf AS DOUBLE) * 2.2) /
+            |       (cast(tf AS DOUBLE) +
+            |        1.2 * (1.0 - 0.75 + 0.75 * cast(dl AS DOUBLE) / avgdl)))
+            |      AS DECIMAL(38,14))) * 1000000
+            |      + cast(0.5 AS DECIMAL(38,14))) AS DOUBLE) / 1000000.0"""
+            .stripMargin
+        def qsum(cond: String) =
+          s"""cast(floor(coalesce(sum(cast(CASE WHEN $cond THEN
+             |      ((cast(n AS DOUBLE) - cast(df AS DOUBLE) + 0.5) /
+             |       (cast(df AS DOUBLE) + 0.5)) *
+             |      ((cast(tf AS DOUBLE) * 2.2) /
+             |       (cast(tf AS DOUBLE) +
+             |        1.2 * (1.0 - 0.75 + 0.75 * cast(dl AS DOUBLE) / avgdl)))
+             |      END AS DECIMAL(38,14))), cast(0 AS DECIMAL(38,14)))
+             |      * 1000000
+             |      + cast(0.5 AS DECIMAL(38,14))) AS DOUBLE) / 1000000.0"""
+            .stripMargin
+        s"""WITH base AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(trim(text), '\\s+'),
+           |                x -> x <> '') AS ws
+           |  FROM documents),
+           |stats AS (
+           |  SELECT cast(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl,
+           |         count(*) AS n
+           |  FROM base),
+           |tf0 AS (
+           |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+           |    SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM base)
+           |  WHERE t IN ('spark', 'vector')
+           |  GROUP BY 1, 2, 3),
+           |dfq0 AS (SELECT t, count(*) AS df FROM tf0 GROUP BY 1),
+           |fb AS (
+           |  SELECT doc_id, $scoreSum AS score
+           |  FROM tf0 JOIN dfq0 USING (t) CROSS JOIN stats
+           |  GROUP BY doc_id
+           |  ORDER BY score DESC, doc_id LIMIT 10),
+           |cand AS (
+           |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+           |    SELECT b.doc_id, len(b.ws) AS dl, unnest(b.ws) AS t
+           |    FROM base b JOIN fb USING (doc_id))
+           |  WHERE t NOT IN ('spark', 'vector')
+           |  GROUP BY 1, 2, 3),
+           |cdf AS (
+           |  SELECT t, count(*) AS dfc FROM (
+           |    SELECT DISTINCT doc_id, t FROM (
+           |      SELECT doc_id, unnest(ws) AS t FROM base))
+           |  WHERE t IN (SELECT t FROM cand)
+           |  GROUP BY t),
+           |w AS (
+           |  SELECT c.t,
+           |    CAST(sum((1000000000000 * tf) // dl) AS BIGINT) AS w2
+           |  FROM cand c JOIN cdf USING (t) CROSS JOIN stats
+           |  WHERE dfc * 2 <= n
+           |  GROUP BY c.t),
+           |expt AS (SELECT t FROM w ORDER BY w2 DESC, t LIMIT 5),
+           |tf1 AS (
+           |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+           |    SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM base)
+           |  WHERE t IN ('spark', 'vector') OR t IN (SELECT t FROM expt)
+           |  GROUP BY 1, 2, 3),
+           |dfq1 AS (SELECT t, count(*) AS df FROM tf1 GROUP BY 1),
+           |scored AS (
+           |  SELECT doc_id, count(*) AS n_terms,
+           |    ${qsum("t IN ('spark', 'vector')")} AS score_orig,
+           |    ${qsum("t IN (SELECT t FROM expt)")} AS score_exp
+           |  FROM tf1 JOIN dfq1 USING (t) CROSS JOIN stats
+           |  GROUP BY doc_id)
+           |SELECT doc_id, n_terms, score_orig, score_exp,
+           |  score_orig + 0.5 * score_exp AS score
+           |FROM scored
+           |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
       })
   )
 }

@@ -466,4 +466,33 @@ class RetrievalSpec extends SparkSpec {
     assert(none.getAs[Double]("mrr") == 0.0)
     assert(none.getAs[Double]("dcg") == 0.0)
   }
+
+  test("rm3Expand: feedback docs contribute expansion terms that " +
+      "recall a doc with NO original query term") {
+    // docs 1-3: query term co-occurring with 'lake'; doc 4 has only
+    // 'lake'; doc 5 is noise. Feedback on 'spark' mines 'lake', whose
+    // half-weight contribution recalls doc 4 (score_orig = 0).
+    // 10 docs so 'lake' (df 4) passes the 2*df <= N stopword gate
+    val docs = (Seq(
+      (1L, "spark lake engine"),
+      (2L, "spark lake shuffle"),
+      (3L, "spark lake plan"),
+      (4L, "lake storage format"),
+      (5L, "noise words only")) ++
+      (6L to 10L).map(i => (i, s"filler$i pad$i junk$i")))
+      .toDF("doc_id", "text")
+    val got = Retrieval.rm3Expand(docs, "doc_id", "text", Seq("spark"),
+      fbDocs = 3, fbTerms = 1, topK = 5)
+    val rows = got.collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getAs[Double]("score_orig"), r.getAs[Double]("score_exp"),
+        r.getAs[Double]("score"))).toMap
+    assert(byId.contains(4L), s"expansion must recall doc 4: ${rows.toSeq}")
+    assert(byId(4L)._1 == 0.0 && byId(4L)._2 > 0.0)
+    // docs with both terms outrank the expansion-only doc
+    assert(rows.head.getLong(0) != 4L)
+    assert(byId(1L)._3 == byId(1L)._1 + 0.5 * byId(1L)._2)
+    // noise doc matches nothing and is absent
+    assert(!byId.contains(5L))
+  }
 }
