@@ -99,6 +99,45 @@ object Perceptron {
         ((col("tp") + col("tn")).cast("double") / col("n")).as("accuracy"))
   }
 
+  /** K-fold cross-validation of the integer perceptron — the variance
+    * check a single train/test split can't give: rows partition by an
+    * integer fold column (caller-supplied, e.g. `doc_id % k` — a pure
+    * function of the data, so folds are stable across retries and
+    * engines), each fold's model trains on the other k−1 folds and
+    * evaluates on its own, and `cv_accuracy` is the POOLED micro
+    * accuracy Σ(tp+tn)/Σn — one division of exact integers (a mean of
+    * per-fold ratios would be an ordered double sum for no benefit).
+    *
+    * Cost shape: k·epochs map-side-combined aggregate passes over the
+    * ONE cached staged relation (each epoch is [[train]]'s single
+    * 1-row aggregate); per-fold state is k+2 longs on the driver;
+    * output is k rows. Nothing shuffles beyond the aggregates.
+    */
+  def crossValidate(df: DataFrame, featureCols: Seq[String],
+                    labelCol: String, foldCol: String, k: Int = 3,
+                    epochs: Int = 3): DataFrame = {
+    require(k >= 2, "need at least two folds")
+    val staged = graft.core.Caches.track(df)
+    val per = (0 until k).map { f =>
+      val trained = train(staged.filter(col(foldCol) =!= f), featureCols,
+        labelCol, epochs).collect().maxBy(_.getLong(0))
+      val weights = (3 until 4 + featureCols.size).map(trained.getLong)
+      val e = evaluate(staged.filter(col(foldCol) === f), featureCols,
+        labelCol, weights).head()
+      (f.toLong, e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3),
+        e.getLong(4), e.getDouble(5))
+    }
+    val totN = per.map(_._2).sum
+    val totCorrect = per.map(r => r._3 + r._6).sum
+    val cv = totCorrect.toDouble / totN.toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    per.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, cv))
+      .toDF("fold", "n", "tp", "fp", "fn", "tn", "accuracy",
+        "cv_accuracy")
+      .orderBy("fold")
+  }
+
   /** CALIBRATION report — the reliability diagram's table: rows
     * bucketed into margin quintiles (boundaries from one exact
     * percentile aggregate, broadcast back, assigned by comparison —

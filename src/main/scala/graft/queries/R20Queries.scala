@@ -361,6 +361,88 @@ object R20Queries {
            |  score_orig + 0.5 * score_exp AS score
            |FROM scored
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+      }),
+
+    Q("ml_cv",
+      "3-fold cross-validation of the integer perceptron — the " +
+        "variance check a single split can't give: folds are doc_id % " +
+        "3 (a pure function of the data — stable across engines and " +
+        "retries), each fold's 3-epoch model trains on the other two " +
+        "folds and reports its held-out confusion matrix, and " +
+        "cv_accuracy pools Sigma(tp+tn)/Sigma(n) as ONE exact-integer " +
+        "division (never a mean of double ratios). Nine aggregate " +
+        "passes over one cached staged relation; the oracle unrolls " +
+        "all three trainings fold by fold.",
+      (s, d) => {
+        // perceptronDocs' feature exprs + the fold, in one scan
+        val withFold = Tables.documents(s, d).select(
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          graft.ops.TextAnalysis.tokenCountWs(col("text")).as("toks"),
+          length(col("text")).cast("long").as("chars"),
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+            .cast("long").as("punct"),
+          (col("doc_id") % 3).as("fold"))
+        graft.ops.Perceptron.crossValidate(withFold,
+          Seq("toks", "chars", "punct"), "y", "fold", k = 3, epochs = 3)
+      },
+      Some {
+        val margin = "w.b + w.wt * toks + w.wc * chars + w.wp * punct"
+        def foldChain(f: Int): String = {
+          val epochs = (1 to 3).map { e =>
+            s"""m${e}_$f AS (
+               |  SELECT
+               |    CAST(coalesce(sum(CASE WHEN y * ($margin) <= 0
+               |      THEN y END), 0) AS BIGINT) AS db,
+               |    CAST(coalesce(sum(CASE WHEN y * ($margin) <= 0
+               |      THEN y * toks END), 0) AS BIGINT) AS dt,
+               |    CAST(coalesce(sum(CASE WHEN y * ($margin) <= 0
+               |      THEN y * chars END), 0) AS BIGINT) AS dc,
+               |    CAST(coalesce(sum(CASE WHEN y * ($margin) <= 0
+               |      THEN y * punct END), 0) AS BIGINT) AS dp
+               |  FROM fb, w${e - 1}_$f w WHERE fold <> $f),
+               |w${e}_$f AS (
+               |  SELECT w.b + m.db AS b, w.wt + m.dt AS wt,
+               |         w.wc + m.dc AS wc, w.wp + m.dp AS wp
+               |  FROM w${e - 1}_$f w, m${e}_$f m)""".stripMargin
+          }.mkString(",\n")
+          s"""w0_$f AS (SELECT CAST(0 AS BIGINT) AS b,
+             |  CAST(0 AS BIGINT) AS wt, CAST(0 AS BIGINT) AS wc,
+             |  CAST(0 AS BIGINT) AS wp),
+             |$epochs,
+             |cm_$f AS (
+             |  SELECT CAST($f AS BIGINT) AS fold, count(*) AS n,
+             |    CAST(coalesce(sum(CASE WHEN y = 1 AND ($margin) > 0
+             |      THEN 1 END), 0) AS BIGINT) AS tp,
+             |    CAST(coalesce(sum(CASE WHEN y = -1 AND ($margin) > 0
+             |      THEN 1 END), 0) AS BIGINT) AS fp,
+             |    CAST(coalesce(sum(CASE WHEN y = 1 AND ($margin) <= 0
+             |      THEN 1 END), 0) AS BIGINT) AS fn,
+             |    CAST(coalesce(sum(CASE WHEN y = -1 AND ($margin) <= 0
+             |      THEN 1 END), 0) AS BIGINT) AS tn
+             |  FROM fb, w3_$f w WHERE fold = $f)""".stripMargin
+        }
+        s"""WITH fb AS MATERIALIZED (
+           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           |    CAST(CASE WHEN trim(text) = '' THEN 0
+           |      ELSE len(string_split_regex(trim(text), '\\s+'))
+           |      END AS BIGINT) AS toks,
+           |    CAST(length(text) AS BIGINT) AS chars,
+           |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           |      AS BIGINT) AS punct,
+           |    doc_id % 3 AS fold
+           |  FROM documents),
+           |${foldChain(0)},
+           |${foldChain(1)},
+           |${foldChain(2)},
+           |cm AS (SELECT * FROM cm_0 UNION ALL SELECT * FROM cm_1
+           |       UNION ALL SELECT * FROM cm_2),
+           |pool AS (
+           |  SELECT CAST(sum(tp + tn) AS DOUBLE) /
+           |         CAST(sum(n) AS DOUBLE) AS cv FROM cm)
+           |SELECT fold, n, tp, fp, fn, tn,
+           |  CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+           |  cv AS cv_accuracy
+           |FROM cm, pool ORDER BY fold""".stripMargin
       })
   )
 }

@@ -5,6 +5,26 @@ import graft.SparkSpec
 class PerceptronSpec extends SparkSpec {
   import spark.implicits._
 
+  test("crossValidate: separable data scores 1.0 on every held-out " +
+      "fold; pooled cv_accuracy is the exact micro average") {
+    val rows = (1 to 30).map { i =>
+      val fold = i % 3L
+      if (i % 2 == 0) (1L, 10L + i, 1L, fold) else (-1L, 1L, 10L + i, fold)
+    }
+    val df = rows.toDF("y", "x1", "x2", "fold")
+    val out = Perceptron.crossValidate(df, Seq("x1", "x2"), "y", "fold",
+      k = 3, epochs = 6).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(1)).sum == 30L)
+    out.foreach { r =>
+      assert(r.getAs[Double]("accuracy") == 1.0, s"fold ${r.getLong(0)}: $r")
+      assert(r.getAs[Double]("cv_accuracy") == 1.0)
+      // matrix is consistent: tp+fp+fn+tn == n
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) ==
+        r.getLong(1))
+    }
+  }
+
   test("separable data: training error reaches 0 and the final weights " +
       "classify every row") {
     // y = +1 iff x1 > x2, with a wide margin — batch perceptron separates
