@@ -2093,10 +2093,23 @@ object Similarity {
                    blockCol: String, query: Seq[Float], k: Int,
                    kNbrs: Int = 5, beam: Int = 16,
                    hops: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(beam >= k, "beam must cover k (the answer is the beam's top k)")
     val g = graft.core.Caches.track(
       knnGraph(emb, idCol, vecCol, blockCol, kNbrs))
+    beamServe(emb, g, idCol, vecCol, blockCol, query, k, beam, hops)
+  }
+
+  /** The beam-search serve loop shared by the in-memory
+    * [[graphAnnTopK]] and the at-rest [[graphAnnProbeLayout]]: entry
+    * points are the smallest id per block, each hop expands the beam
+    * by its out-neighbors, scores ONLY the ≤ beam·(degree+1)
+    * candidates, and keeps the top `beam` by (cosine desc, id asc).
+    */
+  private def beamServe(emb: DataFrame, g: DataFrame, idCol: String,
+                        vecCol: String, blockCol: String,
+                        query: Seq[Float], k: Int, beam: Int,
+                        hops: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(beam >= k, "beam must cover k (the answer is the beam's top k)")
     def scored(ids: DataFrame): DataFrame =
       ids.join(emb, ids("__id") === emb(idCol))
         .select(col("__id"), cosineToQuery(col(vecCol), query).as("__cos"))
@@ -2121,5 +2134,98 @@ object Similarity {
       .select(col("__id").as(idCol), col("__cos").as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** The graph-navigable index AT REST — DiskANN's storage contract
+    * expressed as the repo's layout discipline: the kNN graph is an
+    * (src, dst) relation and the vectors a plain table, both written
+    * under `batch=<id>` subtrees with [[graft.core.IndexCommits]]
+    * markers, so a crashed build/append is invisible and a same-id
+    * retry idempotent — exactly the IVF/BM25/band-index state machine
+    * (ONE shared maintenance story across all index families).
+    * A fresh build owns the directory (batch 0).
+    */
+  def graphAnnWriteLayout(emb: DataFrame, idCol: String, vecCol: String,
+                          blockCol: String, path: String,
+                          kNbrs: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    val fs = graft.core.IndexCommits.fs(spark, path)
+    Seq("/vectors", "/edges", "/commits").foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(path + s), true))
+    writeGraphBatch(emb.select(col(idCol), col(vecCol), col(blockCol)),
+      knnGraph(emb, idCol, vecCol, blockCol, kNbrs), path, 0L)
+  }
+
+  /** Incremental insertion for the at-rest graph index — the
+    * HNSW/DiskANN insert path under the frozen-identity append
+    * contract every layout here follows: NEW nodes compute their
+    * out-edges exactly (top-kNbrs by cosine within their block,
+    * candidates = committed corpus ∪ the new batch), while COMMITTED
+    * batches' out-edges stay frozen (an old node never gains an edge
+    * to a new one — the same "per-ingest cost ∝ batch, not corpus"
+    * guarantee as [[ivfAppendLayout]]'s frozen centroids; cross-batch
+    * reachability flows through entry points and new→old edges). The
+    * serve-side definition IS this freeze, and the oracle replays it.
+    */
+  def graphAnnAppendLayout(newEmb: DataFrame, idCol: String,
+                           vecCol: String, blockCol: String, path: String,
+                           kNbrs: Int = 5, batchId: Long = 1L): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchId > 0, "batch 0 is the full build; appends use fresh ids")
+    val spark = newEmb.sparkSession
+    val existing = readGraphSide(spark, path, "vectors")
+      .select(col(idCol), col(vecCol), col(blockCol))
+    val fresh = newEmb.select(col(idCol), col(vecCol), col(blockCol))
+    val cand = existing.unionByName(fresh)
+    val a = fresh.select(col(blockCol).as("__b"), col(idCol).as("src"),
+      col(vecCol).as("__va"))
+    val b = cand.select(col(blockCol).as("__b"), col(idCol).as("dst"),
+      col(vecCol).as("__vb"))
+    val pick = Window.partitionBy(col("src"))
+      .orderBy(col("__cos").desc, col("dst").asc)
+    val edges = a.join(b, Seq("__b"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("__cos", Dedup.dotExact(col("__va"), col("__vb")) /
+        (Dedup.normExact(col("__va")) * Dedup.normExact(col("__vb"))))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") <= kNbrs)
+      .select(col("src"), col("dst"))
+    writeGraphBatch(fresh, edges, path, batchId)
+  }
+
+  /** Serve top-k from the at-rest graph index: committed vectors and
+    * edges (marker-replayed state) feed the same [[beamServe]] loop as
+    * the in-memory path. Per hop the candidate set is ≤ beam·(deg+1)
+    * ids — at scale an id-bucketed vector layout makes each hop's
+    * lookup file-pruned; the edges relation is read once and cached.
+    */
+  def graphAnnProbeLayout(spark: SparkSession, path: String,
+                          query: Seq[Float], k: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          blockCol: String = "label",
+                          beam: Int = 16, hops: Int = 3): DataFrame = {
+    val vecs = graft.core.Caches.track(readGraphSide(spark, path, "vectors"))
+    val g = graft.core.Caches.track(
+      readGraphSide(spark, path, "edges").select(col("src"), col("dst")))
+    beamServe(vecs, g, idCol, vecCol, blockCol, query, k, beam, hops)
+  }
+
+  private def readGraphSide(spark: SparkSession, path: String,
+                            side: String): DataFrame = {
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    spark.read.parquet(s"$path/$side")
+      .filter(col("batch").isin(state.batches: _*))
+  }
+
+  private def writeGraphBatch(vecs: DataFrame, edges: DataFrame,
+                              path: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.SaveMode
+    vecs.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/vectors/batch=$batchId")
+    edges.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/edges/batch=$batchId")
+    graft.core.IndexCommits.mark(vecs.sparkSession, path,
+      s"batch_$batchId")
   }
 }

@@ -30,12 +30,12 @@ object R14Queries {
   private val BfsSeeds = 3
   private val BfsHops = 4
 
-  private val GraphK = 5 // kNN-graph out-degree
-  private val GraphBeam = 24
-  private val GraphHops = 4
+  private[queries] val GraphK = 5 // kNN-graph out-degree
+  private[queries] val GraphBeam = 24
+  private[queries] val GraphHops = 4
 
   /** DuckDB restatement of Dedup.dotExact over index i (1-based). */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"cast(sum(cast($a[i]::DOUBLE * $b[i]::DOUBLE AS DECIMAL(38,14))) AS DOUBLE)"
 
   /** Oracle CTE chain for the blocked kNN graph + beam-search serve
@@ -45,7 +45,7 @@ object R14Queries {
     * expand-score-prune rounds at beam [[GraphBeam]]. MATERIALIZED
     * throughout — the hop CTEs reference their predecessor twice.
     */
-  private def graphAnnCtes: String = {
+  private[queries] def graphAnnCtes: String = {
     val hops = (1 to GraphHops).map { i =>
       s"""c$i AS (
          |  SELECT vec_id FROM b${i - 1}

@@ -443,6 +443,130 @@ object R20Queries {
            |  CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
            |  cv AS cv_accuracy
            |FROM cm, pool ORDER BY fold""".stripMargin
+      }),
+
+    Q("sim_graphann_layout",
+      "The graph-navigable index AT REST (DiskANN's storage contract): " +
+        "kNN edges and vectors persist under batch=<id> subtrees with " +
+        "the shared IndexCommits marker state machine — crashed builds " +
+        "invisible, same-id retries idempotent, ONE maintenance story " +
+        "across IVF / IVFADC / BM25 / band / graph indexes — and the " +
+        "serve replays the identical beam search from the committed " +
+        "relations. Defined bit-identical to sim_graphann's in-memory " +
+        "path; the oracle is the same replayed build + beam walk.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = graft.ops.Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_gann_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.ops.Similarity.graphAnnWriteLayout(emb, "vec_id",
+          "embedding", "label", path, kNbrs = R14Queries.GraphK)
+        graft.ops.Similarity.graphAnnProbeLayout(s, path, q, k = 10,
+          beam = R14Queries.GraphBeam, hops = R14Queries.GraphHops)
+      },
+      Some(s"""WITH ${R14Queries.graphAnnCtes}
+              |SELECT vec_id, cos AS cos_sim FROM b${R14Queries.GraphHops}
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("sim_graphann_append",
+      "Incremental insertion for the at-rest graph index — the " +
+        "HNSW/DiskANN insert path under the frozen-identity append " +
+        "contract: build on even vec_ids (batch 0), append odd ids " +
+        "(batch 1) whose out-edges are computed EXACTLY against " +
+        "committed ∪ new within-block candidates while batch-0 edges " +
+        "stay frozen (per-ingest cost proportional to the batch, " +
+        "never the corpus — the ivfAppendLayout guarantee for graphs; " +
+        "cross-batch reachability flows through entry points and " +
+        "new-to-old edges). The oracle replays the frozen-edge " +
+        "semantics graph union and the full beam walk over both " +
+        "batches.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = graft.ops.Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_gann_app_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.ops.Similarity.graphAnnWriteLayout(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          "label", path, kNbrs = R14Queries.GraphK)
+        graft.ops.Similarity.graphAnnAppendLayout(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          "label", path, kNbrs = R14Queries.GraphK, batchId = 1L)
+        graft.ops.Similarity.graphAnnProbeLayout(s, path, q, k = 10,
+          beam = R14Queries.GraphBeam, hops = R14Queries.GraphHops)
+      },
+      Some {
+        val k = R14Queries.GraphK
+        val beam = R14Queries.GraphBeam
+        val dot = R14Queries.dotSql _
+        val hops = (1 to R14Queries.GraphHops).map { i =>
+          s"""c$i AS (
+             |  SELECT vec_id FROM b${i - 1}
+             |  UNION
+             |  SELECT g.dst FROM g JOIN b${i - 1} s ON g.src = s.vec_id),
+             |b$i AS MATERIALIZED (
+             |  SELECT s.vec_id, s.cos FROM c$i JOIN sc s USING (vec_id)
+             |  ORDER BY s.cos DESC, s.vec_id LIMIT $beam)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+           |  WHERE vec_id = 0),
+           |nq AS (
+           |  SELECT sqrt(${dot("qe", "qe")}) AS nrm
+           |  FROM q, generate_series(1, 64) g(i)),
+           |ne AS MATERIALIZED (
+           |  SELECT vec_id, sqrt(${dot("embedding", "embedding")}) AS nrm
+           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+           |dots AS MATERIALIZED (
+           |  SELECT e.vec_id, ${dot("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e, q, generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id),
+           |sc AS MATERIALIZED (
+           |  SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos
+           |  FROM dots d JOIN ne USING (vec_id), nq),
+           |pd0 AS MATERIALIZED (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst,
+           |    ${dot("a.embedding", "b.embedding")} AS dot
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id
+           |   AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 0,
+           |    generate_series(1, 64) g(i)
+           |  GROUP BY a.vec_id, b.vec_id),
+           |g0 AS (
+           |  SELECT src, dst FROM (
+           |    SELECT p.src, p.dst,
+           |      row_number() OVER (PARTITION BY p.src
+           |        ORDER BY p.dot / (na.nrm * nb.nrm) DESC, p.dst) AS rn
+           |    FROM pd0 p JOIN ne na ON na.vec_id = p.src
+           |         JOIN ne nb ON nb.vec_id = p.dst)
+           |  WHERE rn <= $k),
+           |pd1 AS MATERIALIZED (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst,
+           |    ${dot("a.embedding", "b.embedding")} AS dot
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id
+           |   AND a.vec_id % 2 = 1,
+           |    generate_series(1, 64) g(i)
+           |  GROUP BY a.vec_id, b.vec_id),
+           |g1 AS (
+           |  SELECT src, dst FROM (
+           |    SELECT p.src, p.dst,
+           |      row_number() OVER (PARTITION BY p.src
+           |        ORDER BY p.dot / (na.nrm * nb.nrm) DESC, p.dst) AS rn
+           |    FROM pd1 p JOIN ne na ON na.vec_id = p.src
+           |         JOIN ne nb ON nb.vec_id = p.dst)
+           |  WHERE rn <= $k),
+           |g AS MATERIALIZED (
+           |  SELECT src, dst FROM g0 UNION ALL SELECT src, dst FROM g1),
+           |entries AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id,
+           |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+           |    FROM embeddings) WHERE rn = 1),
+           |b0 AS MATERIALIZED (
+           |  SELECT s.vec_id, s.cos FROM entries e JOIN sc s USING (vec_id)
+           |  ORDER BY s.cos DESC, s.vec_id LIMIT $beam),
+           |$hops
+           |SELECT vec_id, cos AS cos_sim FROM b${R14Queries.GraphHops}
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
       })
   )
 }

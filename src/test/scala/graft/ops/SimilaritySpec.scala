@@ -968,4 +968,48 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("round").collect().map(_.getLong(1)).toSeq
     assert(got == Seq(5L, 7L), s"tie must pick the smaller id: $got")
   }
+
+  test("graphAnn layout: probe == in-memory serve; append freezes " +
+      "batch-0 edges; unmarked batch stays invisible") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val path = "/tmp/graft_test_gann_spec"
+    Similarity.graphAnnWriteLayout(emb, "vec_id", "embedding", "label",
+      path, kNbrs = 5)
+    val fromLayout = Similarity.graphAnnProbeLayout(spark, path, q,
+      k = 10, beam = 24, hops = 4).collect().toSeq
+    val inMemory = Similarity.graphAnnTopK(emb, "vec_id", "embedding",
+      "label", q, k = 10, kNbrs = 5, beam = 24, hops = 4).collect().toSeq
+    assert(fromLayout == inMemory, "at-rest serve must equal in-memory")
+
+    // rebuild from even ids only, append odds, check the freeze
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    Similarity.graphAnnWriteLayout(even, "vec_id", "embedding", "label",
+      path, kNbrs = 5)
+    val edges0Before = spark.read.parquet(s"$path/edges/batch=0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Similarity.graphAnnAppendLayout(odd, "vec_id", "embedding", "label",
+      path, kNbrs = 5, batchId = 1L)
+    val edges0After = spark.read.parquet(s"$path/edges/batch=0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges0After == edges0Before, "append must not touch batch 0")
+    // new nodes may point at old ones (cross-batch edges exist)
+    val edges1 = spark.read.parquet(s"$path/edges/batch=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges1.forall(_._1 % 2 == 1), "batch-1 srcs are the new nodes")
+    assert(edges1.exists(_._2 % 2 == 0), "new nodes link into the corpus")
+
+    // crash-safety: an unmarked batch (no commit marker) is invisible
+    val fs = graft.core.IndexCommits.fs(spark, path)
+    spark.read.parquet(s"$path/vectors/batch=1").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/vectors/batch=7")
+    val served = Similarity.graphAnnProbeLayout(spark, path, q, k = 10,
+      beam = 24, hops = 4).collect()
+    // an unfiltered read would double-score batch-1 ids (duplicate rows)
+    assert(served.length == 10 &&
+      served.map(_.getLong(0)).distinct.length == 10)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
 }
