@@ -2173,7 +2173,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(batchId > 0, "batch 0 is the full build; appends use fresh ids")
     val spark = newEmb.sparkSession
-    val existing = readGraphSide(spark, path, "vectors")
+    val existing = servedGraphVectors(spark, path, idCol,
+        graft.core.IndexCommits.servedState(spark, path))
       .select(col(idCol), col(vecCol), col(blockCol))
     val fresh = newEmb.select(col(idCol), col(vecCol), col(blockCol))
     val cand = existing.unionByName(fresh)
@@ -2194,29 +2195,110 @@ object Similarity {
   }
 
   /** Serve top-k from the at-rest graph index: committed vectors and
-    * edges (marker-replayed state) feed the same [[beamServe]] loop as
-    * the in-memory path. Per hop the candidate set is ≤ beam·(deg+1)
-    * ids — at scale an id-bucketed vector layout makes each hop's
-    * lookup file-pruned; the edges relation is read once and cached.
+    * edges (marker-replayed state, `asOf` time travel via the shared
+    * [[graft.core.IndexCommits.servedStateAsOf]]) feed the same
+    * [[beamServe]] loop as the in-memory path. Deletes apply by
+    * IMMEDIATE EXCLUSION — tombstoned nodes leave both the scoring
+    * candidates and the routing graph (every edge touching one is
+    * dropped), a stricter, exactly-restatable contract than DiskANN's
+    * lazy route-through; nodes that lose neighbors keep a reduced
+    * degree until a rebuild. Per hop the candidate set is ≤
+    * beam·(deg+1) ids — at scale an id-bucketed vector layout makes
+    * each hop's lookup file-pruned; edges are read once and cached.
     */
   def graphAnnProbeLayout(spark: SparkSession, path: String,
                           query: Seq[Float], k: Int,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           blockCol: String = "label",
-                          beam: Int = 16, hops: Int = 3): DataFrame = {
-    val vecs = graft.core.Caches.track(readGraphSide(spark, path, "vectors"))
+                          beam: Int = 16, hops: Int = 3,
+                          asOf: Long = Long.MaxValue): DataFrame = {
+    val state = graft.core.IndexCommits.servedStateAsOf(spark, path, asOf)
+    val vecs = graft.core.Caches.track(
+      servedGraphVectors(spark, path, idCol, state))
     val g = graft.core.Caches.track(
-      readGraphSide(spark, path, "edges").select(col("src"), col("dst")))
+      servedGraphEdges(spark, path, idCol, state))
     beamServe(vecs, g, idCol, vecCol, blockCol, query, k, beam, hops)
   }
 
-  private def readGraphSide(spark: SparkSession, path: String,
-                            side: String): DataFrame = {
+  /** Tombstone-delete nodes from the at-rest graph index — the shared
+    * `del_<id>` marker discipline ([[ivfDeleteLayout]] semantics; same
+    * idempotency and crash-safety).
+    */
+  def graphAnnDeleteLayout(ids: DataFrame, idCol: String, path: String,
+                           batchId: Long): Unit =
+    ivfDeleteLayout(ids, idCol, path, batchId)
+
+  /** Compact the at-rest graph index: fold served vectors (minus
+    * tombstones) and served LIVE edges (minus edges touching a
+    * tombstoned endpoint) into ONE fresh batch, committed by the
+    * shared atomic supersede-marker rename. ROW- AND EDGE-PRESERVING —
+    * no kNN rebuild, so the serve is bit-identical before and after
+    * (the invariant every layout here compacts under); reclaiming the
+    * degree lost to deletions is a separate explicit
+    * [[graphAnnWriteLayout]] rebuild decision.
+    */
+  def graphAnnCompactLayout(spark: SparkSession, path: String,
+                            idCol: String, newBatchId: Long): Unit = {
+    import org.apache.spark.sql.SaveMode
+    if (graft.core.IndexCommits.isCommitted(spark, path,
+        s"compact_$newBatchId")) return
     val state = graft.core.IndexCommits.servedState(spark, path)
-    spark.read.parquet(s"$path/$side")
-      .filter(col("batch").isin(state.batches: _*))
+    graft.core.IndexCommits.requireFreshId(newBatchId, state)
+    // empty-unit guard (the writeLayoutRows contract): a fully-deleted
+    // layout still needs ONE schema-bearing file per side or the probe
+    // fails parquet schema inference
+    def writeSide(df: DataFrame, dir: String): Unit =
+      (if (df.isEmpty) df.repartition(1) else df)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/$dir/batch=$newBatchId")
+    writeSide(servedGraphVectors(spark, path, idCol, state).drop("batch"),
+      "vectors")
+    writeSide(servedGraphEdges(spark, path, idCol, state), "edges")
+    graft.core.IndexCommits.commitCompaction(spark, path, newBatchId,
+      state)
   }
+
+  /** Sweep superseded graph-index batches and tombstones (shared
+    * [[graft.core.IndexCommits.vacuum]]). */
+  def graphAnnVacuumLayout(spark: SparkSession, path: String): Int =
+    graft.core.IndexCommits.vacuum(spark, path, {
+      case ("del", id) => Seq(s"tombstones/batch=$id")
+      case (_, id)     => Seq(s"vectors/batch=$id", s"edges/batch=$id")
+    })
+
+  private def servedGraphVectors(spark: SparkSession, path: String,
+      idCol: String,
+      state: graft.core.IndexCommits.State): DataFrame = {
+    val base = spark.read.parquet(s"$path/vectors")
+      .filter(col("batch").isin(state.batches: _*))
+    if (state.deletes.isEmpty) base
+    else base.join(readGraphTombstones(spark, path, idCol, state),
+      Seq(idCol), "left_anti")
+  }
+
+  private def servedGraphEdges(spark: SparkSession, path: String,
+      idCol: String,
+      state: graft.core.IndexCommits.State): DataFrame = {
+    val base = spark.read.parquet(s"$path/edges")
+      .filter(col("batch").isin(state.batches: _*))
+      .select(col("src"), col("dst"))
+    if (state.deletes.isEmpty) base
+    else {
+      val dead = readGraphTombstones(spark, path, idCol, state)
+      base
+        .join(dead.select(col(idCol).as("src")), Seq("src"), "left_anti")
+        .join(dead.select(col(idCol).as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+    }
+  }
+
+  private def readGraphTombstones(spark: SparkSession, path: String,
+      idCol: String,
+      state: graft.core.IndexCommits.State): DataFrame =
+    spark.read.parquet(s"$path/tombstones")
+      .filter(col("batch").isin(state.deletes: _*))
+      .select(col(idCol))
 
   private def writeGraphBatch(vecs: DataFrame, edges: DataFrame,
                               path: String, batchId: Long): Unit = {

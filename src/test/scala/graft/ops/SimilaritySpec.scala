@@ -1012,4 +1012,41 @@ class SimilaritySpec extends SparkSpec {
       served.map(_.getLong(0)).distinct.length == 10)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
   }
+
+  test("graphAnn lifecycle: deletes exclude nodes + edges immediately, " +
+      "compaction and vacuum serve bit-identically, as-of replays " +
+      "history, compaction retry no-ops") {
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val q = Similarity.vectorOf(emb, "vec_id", "embedding", 0L)
+    val path = "/tmp/graft_test_gann_lc_spec"
+    def probe(asOf: Long = Long.MaxValue) =
+      Similarity.graphAnnProbeLayout(spark, path, q, k = 10, beam = 24,
+        hops = 4, asOf = asOf).collect().toSeq
+    Similarity.graphAnnWriteLayout(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", "label", path, kNbrs = 5)
+    Similarity.graphAnnAppendLayout(emb.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", "label", path, kNbrs = 5, batchId = 1L)
+    val preDelete = probe()
+    Similarity.graphAnnDeleteLayout(
+      emb.filter($"vec_id" % 10 === 0).select($"vec_id"),
+      "vec_id", path, batchId = 2L)
+    val afterDel = probe()
+    assert(afterDel.forall(_.getLong(0) % 10 != 0),
+      s"tombstoned ids must not serve: $afterDel")
+    assert(afterDel != preDelete, "the fixture delete changes the top-10")
+    // as-of batch 1 = the pre-delete index
+    assert(probe(asOf = 1L) == preDelete, "as-of must replay history")
+    Similarity.graphAnnCompactLayout(spark, path, "vec_id", newBatchId = 3L)
+    assert(probe() == afterDel, "compaction must be serve-identical")
+    // retry is a committed no-op
+    Similarity.graphAnnCompactLayout(spark, path, "vec_id", newBatchId = 3L)
+    assert(probe() == afterDel)
+    val swept = Similarity.graphAnnVacuumLayout(spark, path)
+    assert(swept > 0, "vacuum must sweep the superseded units")
+    assert(probe() == afterDel, "vacuum must not change the serve")
+    val fs = graft.core.IndexCommits.fs(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/vectors/batch=0")), "superseded batch dir must be gone")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
 }
