@@ -678,6 +678,103 @@ object R20Queries {
            |$hops
            |SELECT vec_id, cos AS cos_sim FROM b${R14Queries.GraphHops}
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
+    Q("stream_graphann",
+      "Structured Streaming maintains the at-rest graph index: the " +
+        "base slice (vec_id % 4 <> 1) bootstraps batch 0's kNN graph, " +
+        "the embedding file stream appends the held-out quarter via " +
+        "foreachBatch + graphAnnAppendLayout (new nodes' exact " +
+        "within-block top-k edges against committed + batch, " +
+        "committed edges frozen) under the micro-batch id — a " +
+        "replayed micro-batch rewrites exactly its own subtree, the " +
+        "stream_ivf exactly-once contract on the graph index. The " +
+        "single-file fixture arrives as ONE micro-batch, so the " +
+        "frozen-edge append oracle applies with the 3/4-1/4 split.",
+      (s, d) => {
+        val path = graft.streaming.EventStream.runGraphAnnIngestStream(
+          s, d,
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+            "/graft_stream_gann_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
+          kNbrs = R14Queries.GraphK)
+        val q = graft.ops.Similarity.vectorOf(Tables.embeddings(s, d),
+          "vec_id", "embedding", 0L)
+        graft.ops.Similarity.graphAnnProbeLayout(s, path, q, k = 10,
+          beam = R14Queries.GraphBeam, hops = R14Queries.GraphHops)
+      },
+      Some {
+        val k = R14Queries.GraphK
+        val beam = R14Queries.GraphBeam
+        val dot = R14Queries.dotSql _
+        val hops = (1 to R14Queries.GraphHops).map { i =>
+          s"""c$i AS (
+             |  SELECT vec_id FROM b${i - 1}
+             |  UNION
+             |  SELECT g.dst FROM g JOIN b${i - 1} s ON g.src = s.vec_id),
+             |b$i AS MATERIALIZED (
+             |  SELECT s.vec_id, s.cos FROM c$i JOIN sc s USING (vec_id)
+             |  ORDER BY s.cos DESC, s.vec_id LIMIT $beam)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+           |  WHERE vec_id = 0),
+           |nq AS (
+           |  SELECT sqrt(${dot("qe", "qe")}) AS nrm
+           |  FROM q, generate_series(1, 64) g(i)),
+           |ne AS MATERIALIZED (
+           |  SELECT vec_id, sqrt(${dot("embedding", "embedding")}) AS nrm
+           |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY vec_id),
+           |dots AS MATERIALIZED (
+           |  SELECT e.vec_id, ${dot("e.embedding", "q.qe")} AS dot
+           |  FROM embeddings e, q, generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id),
+           |sc AS MATERIALIZED (
+           |  SELECT d.vec_id, d.dot / (ne.nrm * nq.nrm) AS cos
+           |  FROM dots d JOIN ne USING (vec_id), nq),
+           |pd0 AS MATERIALIZED (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst,
+           |    ${dot("a.embedding", "b.embedding")} AS dot
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id
+           |   AND a.vec_id % 4 <> 1 AND b.vec_id % 4 <> 1,
+           |    generate_series(1, 64) g(i)
+           |  GROUP BY a.vec_id, b.vec_id),
+           |g0 AS (
+           |  SELECT src, dst FROM (
+           |    SELECT p.src, p.dst,
+           |      row_number() OVER (PARTITION BY p.src
+           |        ORDER BY p.dot / (na.nrm * nb.nrm) DESC, p.dst) AS rn
+           |    FROM pd0 p JOIN ne na ON na.vec_id = p.src
+           |         JOIN ne nb ON nb.vec_id = p.dst)
+           |  WHERE rn <= $k),
+           |pd1 AS MATERIALIZED (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst,
+           |    ${dot("a.embedding", "b.embedding")} AS dot
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id
+           |   AND a.vec_id % 4 = 1,
+           |    generate_series(1, 64) g(i)
+           |  GROUP BY a.vec_id, b.vec_id),
+           |g1 AS (
+           |  SELECT src, dst FROM (
+           |    SELECT p.src, p.dst,
+           |      row_number() OVER (PARTITION BY p.src
+           |        ORDER BY p.dot / (na.nrm * nb.nrm) DESC, p.dst) AS rn
+           |    FROM pd1 p JOIN ne na ON na.vec_id = p.src
+           |         JOIN ne nb ON nb.vec_id = p.dst)
+           |  WHERE rn <= $k),
+           |g AS MATERIALIZED (
+           |  SELECT src, dst FROM g0 UNION ALL SELECT src, dst FROM g1),
+           |entries AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id,
+           |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+           |    FROM embeddings) WHERE rn = 1),
+           |b0 AS MATERIALIZED (
+           |  SELECT s.vec_id, s.cos FROM entries e JOIN sc s USING (vec_id)
+           |  ORDER BY s.cos DESC, s.vec_id LIMIT $beam),
+           |$hops
+           |SELECT vec_id, cos AS cos_sim FROM b${R14Queries.GraphHops}
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
       })
   )
 }

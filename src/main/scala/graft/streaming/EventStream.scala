@@ -439,6 +439,39 @@ object EventStream {
       path
     }
 
+  /** Streaming ingest for the at-rest GRAPH index — [[runIvfIngestStream]]
+    * on the graph layout: the base slice bootstraps batch 0's kNN graph,
+    * each arriving micro-batch inserts its new nodes via
+    * [[graft.ops.Similarity.graphAnnAppendLayout]] (exact within-block
+    * top-k edges against committed ∪ batch, committed edges frozen)
+    * under the micro-batch id. Same exactly-once story: a replayed
+    * micro-batch rewrites exactly its own `batch=<id>` subtree.
+    */
+  def runGraphAnnIngestStream(spark: SparkSession, sfDir: String,
+                              path: String, kNbrs: Int): String =
+    withStatePartitions(spark) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.ops.Similarity.graphAnnWriteLayout(
+        emb.filter(col("vec_id") % 4 =!= 1),
+        "vec_id", "embedding", "label", path, kNbrs)
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.ops.Similarity.graphAnnAppendLayout(
+            df.filter(col("vec_id") % 4 === 1),
+            "vec_id", "embedding", "label", path, kNbrs,
+            batchId = id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
   /** Streaming EXACTLY-ONCE relational sink: file stream → `foreachBatch`
     * → [[graft.ops.Sinks.idempotentBatchAppend]] (stage → atomic
     * ledger+publish transaction per micro-batch). The two layers compose
