@@ -560,6 +560,129 @@ object Profile {
           (na.toDouble + nb.toDouble)) * dMax).as("ks_scaled"))
   }
 
+  /** Referential-integrity report across foreign-key edges — the
+    * cross-TABLE complement to [[expect]]'s row rules: per declared
+    * edge (child key → parent key), the child row count, NULL-key
+    * count, orphan count (non-null child keys with no parent), and the
+    * orphan fraction. The report is data; callers gate on n_orphans.
+    *
+    * Scale shape: one anti-join aggregate per edge — the join keys by
+    * the FK, so Catalyst broadcasts dimension parents and
+    * shuffle-joins fact-sized ones; nothing rescans a table twice per
+    * edge (nulls and totals ride the same pass via conditional sums
+    * on the joined relation).
+    */
+  def referentialIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "declare at least one FK edge")
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      val parents = parent.select(col(parentKey).as("__pk")).distinct()
+      child.select(col(childKey).as("__ck"))
+        .join(parents, col("__ck") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col("__ck").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_nulls"),
+          coalesce(sum(when(col("__ck").isNotNull && col("__pk").isNull,
+            1L).otherwise(0L)), lit(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_nulls"),
+          col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_rows").cast("double"))
+            .as("orphan_frac"))
+    }.reduce(_.unionByName(_)).orderBy(col("fk"))
+  }
+
+  /** Concentration report for a per-entity value relation (one row per
+    * entity, an exact integer value — e.g. tokens per source): the
+    * Gini coefficient plus top-1% / top-10% entity shares — the "how
+    * much of the corpus comes from how few domains" number every
+    * curation audit reports (and the whale-concentration metric on
+    * event data).
+    *
+    * Exactness: with entities grouped by DISTINCT value, the sorted-
+    * rank sum decomposes per tie group as v·(c·cumBefore + c(c+1)/2) —
+    * integers end to end (decimal accumulators), so the Gini
+    * `(2R − (n+1)S) / (n·S)` spends one double division; top-p% cut
+    * ranks are exact integer ceilings and the boundary tie group
+    * contributes exactly `v·(k_p − usersAbove)`.
+    *
+    * Scale shape: one map-side-combined distinct-value aggregate is
+    * the only data-sized pass; cumulatives run on the distinct-value
+    * relation under the two-level binned-prefix discipline.
+    */
+  def concentration(perEntity: DataFrame, valueCol: String,
+                    bins: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DecN = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = graft.core.Caches.track(
+      perEntity.select(col(valueCol).cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("__v")).agg(count(lit(1)).as("__c")))
+    val st = g.agg(min(col("__v")), max(col("__v"))).head()
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    val binW = ((BigInt(hi) - BigInt(lo) + bins) / bins).max(1).toLong
+    val binned = g.withColumn("__b",
+      floor((col("__v") - lit(lo)) / lit(binW)).cast("long"))
+    val totals = binned.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("tc"),
+        sum(col("__v").cast(DecN) * col("__c").cast(DecN)).as("ts"))
+      .orderBy(col("__b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2))))
+    val offsets = totals.scanLeft((0L, 0L, BigDecimal(0))) {
+      case ((_, ac, as_), (b, tc, ts)) => (b, ac + tc, as_ + ts)
+    }.sliding(2).collect { case Array((_, ac, as_), (b, _, _)) =>
+      (b, ac, as_.toString)
+    }.toSeq
+    val spark = perEntity.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__b", "__oc", "__os")
+      .withColumn("__os", col("__os").cast(DecN))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = graft.core.Caches.track(binned
+      .join(broadcast(offDf), Seq("__b"))
+      .withColumn("__cumc", sum(col("__c")).over(w) + col("__oc"))
+      .withColumn("__cums",
+        sum(col("__v").cast(DecN) * col("__c").cast(DecN)).over(w) +
+          col("__os")))
+    val tot = pre.agg(max(col("__cumc")).as("n"),
+      max(col("__cums")).as("s")).head()
+    val n = tot.getLong(0)
+    val s = BigDecimal(tot.getDecimal(1))
+    require(n > 0 && s > 0, "need positive total value")
+    // R = Σ v·(c·cumBefore + c(c+1)/2); all decimal
+    val rSum = BigDecimal(pre.select(
+      sum(col("__v").cast(DecN) *
+        (col("__c").cast(DecN) * (col("__cumc") - col("__c")).cast(DecN) +
+          expr("(__c * (__c + 1)) div 2").cast(DecN)))
+        .as("r")).head().getDecimal(0))
+    val gini = (2 * rSum - (BigDecimal(n) + 1) * s).toDouble /
+      (BigDecimal(n) * s).toDouble
+    // top-p% cut: k = ceil(p·n/100); boundary group found by filter
+    def topShare(pct: Int): (Long, Double) = {
+      val k = (n * pct + 99) / 100
+      // boundary tie group, descending: entities strictly above v
+      // number < k, through v (inclusive) >= k
+      val row = pre
+        .filter(lit(n) - col("__cumc") < k &&
+          lit(n) - col("__cumc") + col("__c") >= k)
+        .select(col("__v").cast(DecN).as("v"), col("__c"),
+          col("__cumc"), col("__cums")).head()
+      val above = n - row.getLong(2) // entities with value > v
+      val eventsAbove = s - BigDecimal(row.getDecimal(3))
+      val topSum = eventsAbove +
+        BigDecimal(row.getDecimal(0)) * BigDecimal(k - above)
+      (k, topSum.toDouble / s.toDouble)
+    }
+    val (k1, sh1) = topShare(1)
+    val (k10, sh10) = topShare(10)
+    Seq((n, s.toLong, gini, k1, sh1, k10, sh10))
+      .toDF("n_entities", "total_value", "gini", "top1_entities",
+        "top1_share", "top10_entities", "top10_share")
+  }
+
   /** Benford first-digit conformance — the classic fabricated-data /
     * unit-mixup tripwire for naturally-spanning numeric columns
     * (amounts, populations, file sizes): observed first-significant-

@@ -775,6 +775,118 @@ object R20Queries {
            |$hops
            |SELECT vec_id, cos AS cos_sim FROM b${R14Queries.GraphHops}
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
-      })
+      }),
+
+    Q("dq_integrity",
+      "Referential-integrity report across five FK edges of the " +
+        "warehouse (lineitem->orders/part/supplier, orders->customer, " +
+        "customer->nation): per edge the child row count, NULL-key " +
+        "count, orphan count (non-null keys with no parent) and " +
+        "orphan fraction — the cross-TABLE complement to dq_expect's " +
+        "row rules. One anti-join-shaped aggregate per edge (LEFT " +
+        "JOIN distinct parent keys + conditional sums in a single " +
+        "pass); Catalyst broadcasts the dimension parents.",
+      (s, d) => graft.ops.Profile.referentialIntegrity(Seq(
+        ("customer_nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("lineitem_part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("lineitem_supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        ("orders_customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))),
+      Some {
+        def edge(name: String, child: String, ck: String, parent: String,
+                 pk: String) =
+          s"""SELECT '$name' AS fk, n_rows, n_nulls, n_orphans,
+             |  CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             |    AS orphan_frac
+             |FROM (
+             |  SELECT count(*) AS n_rows,
+             |    CAST(coalesce(sum(CASE WHEN c.$ck IS NULL
+             |      THEN 1 END), 0) AS BIGINT) AS n_nulls,
+             |    CAST(coalesce(sum(CASE WHEN c.$ck IS NOT NULL
+             |      AND p.$pk IS NULL THEN 1 END), 0) AS BIGINT)
+             |      AS n_orphans
+             |  FROM $child c LEFT JOIN
+             |    (SELECT DISTINCT $pk FROM $parent) p
+             |    ON c.$ck = p.$pk)""".stripMargin
+        Seq(
+          edge("customer_nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+          edge("lineitem_orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          edge("lineitem_part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          edge("lineitem_supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          edge("orders_customer", "orders", "o_custkey",
+            "customer", "c_custkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+      }),
+
+    Q("doc_concentration",
+      "Corpus-concentration report: Gini coefficient + top-1% / " +
+        "top-10% shares of TOKENS over SOURCES — the 'how much of the " +
+        "corpus comes from how few domains' number every curation " +
+        "audit reports. Sources group by distinct token-count value, " +
+        "so the sorted-rank sum decomposes per tie group as " +
+        "v*(c*cumBefore + c(c+1)/2) — integers end to end; Gini and " +
+        "each share spend ONE double division. One map-side token " +
+        "aggregate + one distinct-value aggregate are the only " +
+        "data-sized passes; cumulatives use the two-level binned " +
+        "prefix (no global sort).",
+      (s, d) => graft.ops.Profile.concentration(
+        Tables.documents(s, d)
+          .select(col("source"),
+            graft.ops.TextAnalysis.tokenCountWs(col("text")).as("__tc"))
+          .groupBy(col("source"))
+          .agg(sum(col("__tc")).as("tokens")),
+        "tokens"),
+      Some("""WITH pe AS (
+             |  SELECT source,
+             |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END)
+             |      AS BIGINT) AS v
+             |  FROM documents GROUP BY source),
+             |g AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+             |      FROM pe GROUP BY v),
+             |r AS (
+             |  SELECT v, c,
+             |    CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cumc,
+             |    CAST(sum(CAST(v AS DECIMAL(38,0)) * c) OVER (ORDER BY v)
+             |      AS DECIMAL(38,0)) AS cums
+             |  FROM g),
+             |tot AS (SELECT max(cumc) AS n, max(cums) AS s FROM r),
+             |rr AS (
+             |  SELECT CAST(sum(CAST(v AS DECIMAL(38,0)) *
+             |    (CAST(c AS DECIMAL(38,0)) * (cumc - c) +
+             |     (c * (c + 1)) // 2)) AS DECIMAL(38,0)) AS r2
+             |  FROM r),
+             |b1 AS (
+             |  SELECT v, c, cumc, cums, (n * 1 + 99) // 100 AS k
+             |  FROM r, tot
+             |  WHERE n - cumc < (n * 1 + 99) // 100
+             |    AND n - cumc + c >= (n * 1 + 99) // 100),
+             |b10 AS (
+             |  SELECT v, c, cumc, cums, (n * 10 + 99) // 100 AS k
+             |  FROM r, tot
+             |  WHERE n - cumc < (n * 10 + 99) // 100
+             |    AND n - cumc + c >= (n * 10 + 99) // 100)
+             |SELECT tot.n AS n_entities, CAST(tot.s AS BIGINT)
+             |    AS total_value,
+             |  CAST(2 * rr.r2 - (tot.n + 1) * tot.s AS DOUBLE) /
+             |    CAST(CAST(tot.n AS DECIMAL(38,0)) * tot.s AS DOUBLE)
+             |    AS gini,
+             |  b1.k AS top1_entities,
+             |  CAST((tot.s - b1.cums) + b1.v * (b1.k - (tot.n - b1.cumc))
+             |    AS DOUBLE) / CAST(tot.s AS DOUBLE) AS top1_share,
+             |  b10.k AS top10_entities,
+             |  CAST((tot.s - b10.cums) + b10.v *
+             |    (b10.k - (tot.n - b10.cumc))
+             |    AS DOUBLE) / CAST(tot.s AS DOUBLE) AS top10_share
+             |FROM tot, rr, b1, b10""".stripMargin))
   )
 }

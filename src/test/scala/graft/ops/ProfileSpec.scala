@@ -217,6 +217,45 @@ class ProfileSpec extends SparkSpec {
     assert(r4.getAs[Double]("d_stat") == 0.5 && r4.getAs[Double]("d_at") == 1.0)
   }
 
+  test("referentialIntegrity: planted orphans and null keys count; " +
+      "clean edges report zero") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None)
+      .toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profile.referentialIntegrity(Seq(
+      ("edge", child, "ck", parent, "pk"))).head()
+    assert(r.getString(0) == "edge")
+    assert(r.getLong(1) == 4L)  // n_rows
+    assert(r.getLong(2) == 1L)  // n_nulls
+    assert(r.getLong(3) == 1L)  // n_orphans (9)
+    assert(r.getDouble(4) == 0.25)
+    val clean = Profile.referentialIntegrity(Seq(
+      ("c", Seq(1L, 2L).toDF("ck"), "ck", parent, "pk"))).head()
+    assert(clean.getLong(3) == 0L && clean.getLong(2) == 0L)
+  }
+
+  test("concentration: hand-computed Gini with ties; uniform values " +
+      "give zero; top shares hit the boundary group exactly") {
+    // values [1,1,3,5]: G = (2*32 - 5*10)/(4*10) = 0.35; top-1 entity
+    // share = 5/10
+    val df = Seq(1L, 1L, 3L, 5L).toDF("v")
+    val r = Profile.concentration(df, "v").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 0.35, s"gini: ${r.getDouble(2)}")
+    assert(r.getLong(3) == 1L && r.getDouble(4) == 0.5)
+    assert(r.getLong(5) == 1L && r.getDouble(6) == 0.5)
+    // uniform: gini exactly 0, top-k share = k/n
+    val u = Profile.concentration(
+      Seq.fill(20)(7L).toDF("v"), "v").head()
+    assert(u.getDouble(2) == 0.0)
+    assert(u.getLong(5) == 2L && u.getDouble(6) == 0.1)
+    // boundary inside a tie run: [4,4,4,4,2,2] n=6, S=20; top10% k=1
+    // -> share 4/20
+    val t = Profile.concentration(
+      Seq(4L, 4L, 4L, 4L, 2L, 2L).toDF("v"), "v").head()
+    assert(t.getLong(5) == 1L && t.getDouble(6) == 0.2)
+  }
+
   test("benford: first digit from integer cents, sub-cent values " +
       "excluded, zero-observed digits present, chi2 positive") {
     val df = Seq(1.00, 19.99, 2.50, 0.005, 0.31, 9000.00).toDF("v")
