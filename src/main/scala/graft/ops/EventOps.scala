@@ -615,4 +615,65 @@ object EventOps {
             col("n_churned").cast("double")))
       .orderBy(col("week_start"))
   }
+
+  /** A/B experiment report over an event log: per-variant exposed-user
+    * and converted-user counts, conversion rates, and the Pearson
+    * chi-square statistic of the 2×2 (variant × converted) table — the
+    * experiment-readout every product-analytics engine ships. The
+    * variant is a pure function of the user id (`variantOf`, default
+    * id parity), so assignment is reproducible across engines and
+    * retries; exposure/conversion are "user had ≥1 event of the type".
+    *
+    * Exactness: all eight cells are integers off ONE user-keyed
+    * map-side-combined aggregate; rates are single integer→double
+    * divisions and chi² is the textbook closed form
+    * `N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))` with (ad−bc)² and the
+    * denominator staged in DECIMAL(38,0) (exact up to ~1e9 users per
+    * cell) and a FIXED double expression shape — `double(N) ·
+    * double(num) / double(den)` — replayed literally by the oracle.
+    *
+    * Scale shape: the user aggregate is the only data-sized pass (same
+    * exchange the funnel pays); everything after runs on a ≤2-row
+    * relation collapsed to one row.
+    */
+  def abTest(events: DataFrame, userCol: String, typeCol: String,
+             exposureType: String, convType: String,
+             variantOf: Column => Column = u => pmod(u, lit(2)))
+      : DataFrame = {
+    val Dec = DecimalType(38, 0)
+    val users = events
+      .filter(col(userCol).isNotNull)
+      .groupBy(col(userCol).as("__u"))
+      .agg(
+        max(when(col(typeCol) === exposureType, 1L).otherwise(0L))
+          .as("__exp"),
+        max(when(col(typeCol) === convType, 1L).otherwise(0L))
+          .as("__conv"))
+      .filter(col("__exp") === 1L)
+      .withColumn("__v", variantOf(col("__u")))
+    val cells = users.agg(
+      coalesce(sum(when(col("__v") === 0, 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("__v") === 0, col("__conv"))), lit(0L))
+        .as("conv_a"),
+      coalesce(sum(when(col("__v") =!= 0, 1L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(col("__v") =!= 0, col("__conv"))), lit(0L))
+        .as("conv_b"))
+    // 2x2: a=conv_a, b=n_a-conv_a, c=conv_b, d=n_b-conv_b
+    val a = col("conv_a").cast(Dec)
+    val b = (col("n_a") - col("conv_a")).cast(Dec)
+    val c = col("conv_b").cast(Dec)
+    val d = (col("n_b") - col("conv_b")).cast(Dec)
+    val n = (col("n_a") + col("n_b")).cast(Dec)
+    val num = (a * d - b * c) * (a * d - b * c)
+    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    cells.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      (col("conv_a").cast("double") / col("n_a").cast("double"))
+        .as("rate_a"),
+      (col("conv_b").cast("double") / col("n_b").cast("double"))
+        .as("rate_b"),
+      when(den > 0,
+        n.cast("double") * num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0)).as("chi2"))
+  }
 }

@@ -737,4 +737,35 @@ object Profile {
         col("n_expected"), col("chi2_term"), col("chi2"))
       .orderBy(col("first_digit"))
   }
+
+  /** Order-invariant table fingerprint: one row with the row count and
+    * three independent digests (sum, xor, max) of a 60-bit md5-derived
+    * hash of each row's canonical key string. Two tables are equal as
+    * MULTISETS iff their fingerprints match (up to hash collisions) —
+    * the "did the migration/rewrite/compaction preserve the data"
+    * audit that at 100 TB must not sort or co-locate anything.
+    *
+    * Scale shape: ONE scan with a map-side-combined 4-cell aggregate;
+    * sum/xor/max are all commutative-associative, so partition order,
+    * partitioning, and AQE re-plans can never change the answer. The
+    * sum accumulates in DECIMAL(38,0) (exact to ~1e19 rows).
+    *
+    * Contract: callers pass columns with engine-stable string forms
+    * (integers, strings, pre-formatted dates — NOT raw doubles, whose
+    * shortest-repr formatting is engine-specific); NULL encodes as a
+    * sentinel distinct from any value so (NULL) ≠ ('').
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum needs at least one column")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val key = concat_ws("",
+      cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+    val h = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__h").cast(Dec)), lit(0).cast(Dec))
+          .cast("string").as("checksum_sum"),
+        expr("bit_xor(__h)").as("checksum_xor"),
+        max(col("__h")).as("checksum_max"))
+  }
 }

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{EventOps, Profile, UrlOps}
+
+/** Round-9 session-5: experiment analysis (A/B chi-square readout),
+  * order-invariant dataset fingerprinting, and URL canonicalization +
+  * URL-keyed dedup — the crawl pipeline's first dedup stage.
+  */
+object R21Queries {
+
+  /** Deterministic synthetic URL per document (the fixtures carry no
+    * URL column): six variants by doc_id — casing, explicit default
+    * port, `www.`, duplicate slashes, trailing slash, tracking params
+    * (`utm_*`/`fbclid`), fragments — so every canonicalization rule is
+    * exercised, and variants 0/1/2/5 of the same (source, doc_id%40)
+    * cell collapse to ONE canonical URL.
+    */
+  private def syntheticUrl(): org.apache.spark.sql.Column = {
+    val k = (col("doc_id") % 40).cast("string")
+    val id = col("doc_id").cast("string")
+    val m = col("doc_id") % 6
+    when(m === 0, concat(lit("https://www."), col("source"),
+        lit(".example.com/a/"), k, lit("?utm_source=feed&b=2&a=1#sec")))
+      .when(m === 1, concat(lit("HTTPS://"), upper(col("source")),
+        lit(".Example.COM:443/a//"), k, lit("/?a=1&b=2")))
+      .when(m === 2, concat(lit("https://"), col("source"),
+        lit(".example.com/a/"), k, lit("?b=2&utm_campaign="), id,
+        lit("&a=1")))
+      .when(m === 3, concat(lit("http://www."), col("source"),
+        lit(".example.com:80/a/"), k, lit("?a=1&b=2")))
+      .when(m === 4, concat(lit("https://www."), col("source"),
+        lit(".example.com:443//a/"), k, lit("#x")))
+      .otherwise(concat(lit("https://"), col("source"),
+        lit(".example.com/a/"), k, lit("/?fbclid="), id, lit("&a=1&b=2")))
+  }
+
+  /** Oracle CTE: the same synthetic URLs (`u`) and their canonical
+    * forms (`canon`), restating UrlOps.canonicalizeUrl step by step.
+    * DuckDB regexp_replace is first-match-only, hence the explicit 'g'
+    * on the slash-collapse; replacement backrefs are `\1` (RE2) where
+    * Spark writes `$1` — same pattern, dialect replacement syntax.
+    */
+  private val urlCtes: String =
+    """u AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN 'https://www.' || source || '.example.com/a/' ||
+      |        CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&b=2&a=1#sec'
+      |      WHEN 1 THEN 'HTTPS://' || upper(source) ||
+      |        '.Example.COM:443/a//' || CAST(doc_id % 40 AS VARCHAR) ||
+      |        '/?a=1&b=2'
+      |      WHEN 2 THEN 'https://' || source || '.example.com/a/' ||
+      |        CAST(doc_id % 40 AS VARCHAR) || '?b=2&utm_campaign=' ||
+      |        CAST(doc_id AS VARCHAR) || '&a=1'
+      |      WHEN 3 THEN 'http://www.' || source || '.example.com:80/a/' ||
+      |        CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+      |      WHEN 4 THEN 'https://www.' || source || '.example.com:443//a/' ||
+      |        CAST(doc_id % 40 AS VARCHAR) || '#x'
+      |      ELSE 'https://' || source || '.example.com/a/' ||
+      |        CAST(doc_id % 40 AS VARCHAR) || '/?fbclid=' ||
+      |        CAST(doc_id AS VARCHAR) || '&a=1&b=2'
+      |    END AS url
+      |  FROM documents),
+      |pu AS (
+      |  SELECT doc_id, n_chars, url,
+      |    regexp_replace(url, '#.*$', '') AS nf
+      |  FROM u),
+      |pp AS (
+      |  SELECT doc_id, n_chars, url,
+      |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    regexp_replace(
+      |      lower(regexp_extract(nf,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      |      '^www\.', '') AS bare,
+      |    regexp_extract(nf,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+      |  FROM pu),
+      |pq AS (
+      |  SELECT doc_id, n_chars, url, scheme,
+      |    CASE WHEN scheme = 'https' THEN regexp_replace(bare, ':443$', '')
+      |         WHEN scheme = 'http' THEN regexp_replace(bare, ':80$', '')
+      |         ELSE bare END AS host,
+      |    regexp_replace(
+      |      regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+      |        '/{2,}', '/', 'g'),
+      |      '(.+)/$', '\1') AS path0,
+      |    coalesce(array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      |      x -> NOT regexp_matches(x,
+      |        '^(utm_[^=]*|fbclid|gclid|msclkid|ref)=') AND x <> '')),
+      |      '&'), '') AS kept
+      |  FROM pp),
+      |canon AS (
+      |  SELECT doc_id, n_chars, url,
+      |    scheme || '://' || host ||
+      |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical
+      |  FROM pq)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("ev_abtest",
+      "A/B experiment readout over the event log: variant = user_id " +
+        "parity (a pure function of the id — reproducible assignment), " +
+        "exposure = any 'view' event, conversion = any 'purchase'. Per " +
+        "variant the exposed/converted counts and conversion rate, plus " +
+        "the Pearson chi-square of the 2x2 table. ONE user-keyed " +
+        "map-side-combined aggregate is the only data-sized pass; the " +
+        "2x2 arithmetic stays integer (DECIMAL(38,0) cross terms) with " +
+        "a fixed double(N)*double(num)/double(den) finish both engines " +
+        "replay literally.",
+      (s, d) => EventOps.abTest(Tables.events(s, d), "user_id",
+        "event_type", "view", "purchase"),
+      Some("""WITH uu AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS expo,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS conv
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+             |e AS (SELECT user_id % 2 AS v, conv FROM uu WHERE expo = 1),
+             |c AS (
+             |  SELECT
+             |    CAST(coalesce(sum(CASE WHEN v = 0 THEN 1 END), 0)
+             |      AS BIGINT) AS n_a,
+             |    CAST(coalesce(sum(CASE WHEN v = 0 THEN conv END), 0)
+             |      AS BIGINT) AS conv_a,
+             |    CAST(coalesce(sum(CASE WHEN v <> 0 THEN 1 END), 0)
+             |      AS BIGINT) AS n_b,
+             |    CAST(coalesce(sum(CASE WHEN v <> 0 THEN conv END), 0)
+             |      AS BIGINT) AS conv_b
+             |  FROM e),
+             |x AS (
+             |  SELECT n_a, conv_a, n_b, conv_b,
+             |    CAST(conv_a AS DECIMAL(38,0)) AS a,
+             |    CAST(n_a - conv_a AS DECIMAL(38,0)) AS b,
+             |    CAST(conv_b AS DECIMAL(38,0)) AS c2,
+             |    CAST(n_b - conv_b AS DECIMAL(38,0)) AS d2,
+             |    CAST(n_a + n_b AS DECIMAL(38,0)) AS nn
+             |  FROM c)
+             |SELECT n_a, conv_a, n_b, conv_b,
+             |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+             |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+             |  CASE WHEN (a+b)*(c2+d2)*(a+c2)*(b+d2) > 0 THEN
+             |    CAST(nn AS DOUBLE) *
+             |    CAST((a*d2 - b*c2)*(a*d2 - b*c2) AS DOUBLE) /
+             |    CAST((a+b)*(c2+d2)*(a+c2)*(b+d2) AS DOUBLE)
+             |  ELSE 0e0 END AS chi2
+             |FROM x""".stripMargin)),
+
+    Q("dq_checksum",
+      "Order-invariant table fingerprint of lineitem's exact-typed " +
+        "columns: row count + sum/xor/max digests of a 60-bit " +
+        "md5-derived row hash. Sum, xor, and max are all commutative- " +
+        "associative, so partitioning, partition order, and AQE " +
+        "re-plans can never change the answer — the 'did the rewrite " +
+        "preserve the data' audit that at 100 TB must not sort. ONE " +
+        "scan, one 4-cell map-side-combined aggregate. Doubles are " +
+        "excluded by contract (engine-specific shortest-repr " +
+        "formatting); the date pre-formats to yyyy-MM-dd.",
+      (s, d) => Profile.tableChecksum(
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day")),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "ship_day")),
+      Some("""WITH h AS (
+             |  SELECT CAST(('0x' || substring(md5(
+             |    CAST(l_orderkey AS VARCHAR) || chr(1) ||
+             |    CAST(l_partkey AS VARCHAR) || chr(1) ||
+             |    CAST(l_suppkey AS VARCHAR) || chr(1) ||
+             |    CAST(l_linenumber AS VARCHAR) || chr(1) ||
+             |    l_returnflag || chr(1) || l_linestatus || chr(1) ||
+             |    strftime(l_shipdate, '%Y-%m-%d')), 1, 15)) AS BIGINT)
+             |    AS hh
+             |  FROM lineitem)
+             |SELECT count(*) AS n_rows,
+             |  CAST(CAST(sum(hh) AS DECIMAL(38,0)) AS VARCHAR)
+             |    AS checksum_sum,
+             |  bit_xor(hh) AS checksum_xor,
+             |  max(hh) AS checksum_max
+             |FROM h""".stripMargin)),
+
+    Q("ta_urlnorm",
+      "URL canonicalization — the crawl pipeline's first dedup key: " +
+        "lowercase scheme/host, strip www./default port/fragment, " +
+        "collapse duplicate slashes, strip trailing slash, drop " +
+        "tracking params (utm_*/fbclid/gclid/msclkid/ref) and sort the " +
+        "survivors. Six deterministic URL variants per doc exercise " +
+        "every rule. Pure codegen'd scan-stage string expressions — " +
+        "no UDF, no shuffle beyond the final presentation sort.",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("url", syntheticUrl())
+        .select(col("doc_id"), col("url"),
+          UrlOps.canonicalizeUrl(col("url")).as("canonical"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $urlCtes
+              |SELECT doc_id, url, canonical
+              |FROM canon ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_url",
+      "URL-keyed exact dedup on the canonical form: variants 0/1/2/5 " +
+        "of each (source, doc_id%40) cell collapse to one canonical " +
+        "URL; the survivor is the longest document (tie: lowest " +
+        "doc_id) via a per-key struct-argmax — one canonical-keyed " +
+        "exchange, no global sort, the survivor-policy shape " +
+        "dedup_survivor proved at 10x.",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("url", syntheticUrl())
+        .withColumn("canonical", UrlOps.canonicalizeUrl(col("url")))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_dups"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("negid")))
+            .as("__best"))
+        .select(col("canonical"), col("n_dups"),
+          (-col("__best").getField("negid")).as("survivor_id"),
+          col("__best").getField("n_chars").as("survivor_chars"))
+        .orderBy("canonical"),
+      Some(s"""WITH $urlCtes,
+              |r AS (
+              |  SELECT canonical, n_chars, doc_id,
+              |    row_number() OVER (PARTITION BY canonical
+              |      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+              |    count(*) OVER (PARTITION BY canonical) AS n_dups
+              |  FROM canon)
+              |SELECT canonical, n_dups, doc_id AS survivor_id,
+              |  n_chars AS survivor_chars
+              |FROM r WHERE rn = 1 ORDER BY canonical""".stripMargin))
+  )
+}

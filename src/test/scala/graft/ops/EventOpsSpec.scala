@@ -279,4 +279,32 @@ class EventOpsSpec extends SparkSpec {
       ("b", "2024-01-02", 6L, 6.0)),
       s"ewma mismatch: ${got.toSeq}")
   }
+
+  test("abTest: hand-computed 2x2 chi-square; unexposed and null users excluded") {
+    // variant A (even ids): users 2,4,6,8 exposed; 2,4 converted
+    // variant B (odd ids): users 1,3,5 exposed; 5 converted
+    // user 10: purchase only, never viewed -> excluded entirely
+    // null user row must not crash or count
+    val rows = Seq[(java.lang.Long, String)](
+      (2L, "view"), (4L, "view"), (6L, "view"), (8L, "view"),
+      (2L, "purchase"), (4L, "purchase"),
+      (1L, "view"), (3L, "view"), (5L, "view"), (5L, "purchase"),
+      (10L, "purchase"), (null, "view"))
+    val ev = rows.toDF("user_id", "event_type")
+    val r = EventOps.abTest(ev, "user_id", "event_type",
+      "view", "purchase").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 2L, 3L, 1L)))
+    assert(r.getDouble(4) === 0.5 && math.abs(r.getDouble(5) - 1.0 / 3) < 1e-15)
+    // a=2 b=2 c=1 d=2 N=7: chi2 = 7*(2*2-2*1)^2/(4*3*3*4) = 28/144
+    val expected = 7.0 * 4.0 / 144.0
+    assert(math.abs(r.getDouble(6) - expected) < 1e-12, s"chi2=${r.getDouble(6)}")
+  }
+
+  test("abTest: zero-margin table (no conversions) reports chi2 0") {
+    val ev = Seq((2L, "view"), (3L, "view")).toDF("user_id", "event_type")
+    val r = EventOps.abTest(ev, "user_id", "event_type",
+      "view", "purchase").collect().head
+    assert(r.getDouble(6) === 0.0 && r.getDouble(4) === 0.0)
+  }
 }

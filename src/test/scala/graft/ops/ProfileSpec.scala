@@ -275,4 +275,27 @@ class ProfileSpec extends SparkSpec {
     val terms = rows.map(r => r.getInt(0) -> r.getAs[Double]("chi2_term")).toMap
     assert(terms(9) > terms(1))
   }
+
+  test("tableChecksum: order/partitioning-invariant; boundary and NULL sensitive") {
+    import spark.implicits._
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Profile.tableChecksum(df, Seq("a", "b")).collect().head
+    val base = Seq(("x", "1"), ("y", "2"), ("z", "3")).toDF("a", "b")
+    val shuffled = Seq(("z", "3"), ("x", "1"), ("y", "2")).toDF("a", "b")
+      .repartition(7)
+    assert(fp(base) === fp(shuffled))
+    // any single-row change moves the sum digest
+    val changed = Seq(("x", "1"), ("y", "2"), ("z", "4")).toDF("a", "b")
+    assert(fp(base).getString(1) !== fp(changed).getString(1))
+    // field boundaries: ("ab","c") != ("a","bc")
+    assert(fp(Seq(("ab", "c")).toDF("a", "b")).getString(1) !==
+      fp(Seq(("a", "bc")).toDF("a", "b")).getString(1))
+    // NULL != '' != the string "NULL"
+    val sums = Seq[(String, String)](("x", null), ("x", ""), ("x", "NULL"))
+      .map(r => fp(Seq(r).toDF("a", "b")).getString(1))
+    assert(sums.distinct.size === 3, s"$sums")
+    // duplicate rows are counted (multiset, not set, semantics)
+    assert(fp(base.union(base)).getLong(0) === 6L)
+    assert(fp(base.union(base)).getString(1) !== fp(base).getString(1))
+  }
 }
