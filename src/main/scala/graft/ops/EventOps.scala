@@ -616,6 +616,56 @@ object EventOps {
       .orderBy(col("week_start"))
   }
 
+  /** Cohort LTV triangle: users cohorted by first-activity week; per
+    * (cohort_week, week_offset) cell the active-user count, the cell
+    * revenue, the cohort's CUMULATIVE revenue through that offset, and
+    * LTV = cumulative revenue / cohort size — the lifetime-value curve
+    * next to ev_retention's activity grid.
+    *
+    * Exactness: revenue sums stage in DECIMAL(28,8) (order-independent,
+    * engine-exact — the repo-wide dsum discipline); the cumulative runs
+    * over the weeks²-bounded cell relation; LTV is one double division
+    * of the decimal-cast cumulative by the cohort size.
+    *
+    * Scale shape: one user-keyed aggregate (first week) co-partitioned
+    * with the (user, week) join — the same exchange retention pays —
+    * then every relation is cohorts × offsets. Nothing corpus-sized
+    * survives the first aggregate.
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val weekUs = 604800000000L
+    val Dec = DecimalType(28, 8)
+    val ev = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        unix_micros(date_trunc("week", col(tsCol))).as("__wk"),
+        col(valueCol).cast(Dec).as("__v"))
+    val first = ev.groupBy(col("__u")).agg(min(col("__wk")).as("__cohort"))
+    val cells = ev.join(first, Seq("__u"))
+      .groupBy(col("__cohort"),
+        ((col("__wk") - col("__cohort")) / weekUs).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_active"),
+        coalesce(sum(col("__v")), lit(0).cast(Dec)).as("__rev"))
+    val wCum = Window.partitionBy(col("__cohort")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__cohort"))
+    cells
+      .withColumn("__cum", sum(col("__rev")).over(wCum))
+      .withColumn("__size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(wAll))
+      .select(
+        date_format(timestamp_micros(col("__cohort")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        col("week_offset"), col("n_active"),
+        col("__rev").cast("double").as("revenue"),
+        col("__cum").cast("double").as("cum_revenue"),
+        (col("__cum").cast("double") / col("__size").cast("double"))
+          .as("ltv"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** A/B experiment report over an event log: per-variant exposed-user
     * and converted-user counts, conversion rates, and the Pearson
     * chi-square statistic of the 2×2 (variant × converted) table — the

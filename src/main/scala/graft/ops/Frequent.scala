@@ -145,4 +145,61 @@ object Frequent {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cms"))
       .join(queries, Seq(keyCol))
   }
+
+  /** Per-group exact heavy hitters: items with frequency >
+    * threshold·N_group WITHIN each group (heavy tokens per language,
+    * hot URLs per domain, whales per segment). Same two-phase
+    * sketch-then-recount as [[heavyHitters]], with one Misra–Gries
+    * summary (k counters) PER GROUP per partition — memory
+    * O(k · groups-per-partition), fine when the group domain is
+    * bounded (languages, sources); for data-sized group domains
+    * pre-repartition by group so each partition sees few groups.
+    *
+    * The no-false-negative argument is per group: a group's summaries
+    * jointly undercount any of its items by ≤ N_group/(k+1), so every
+    * item with in-group frequency > N_group/(k+1) survives as a
+    * candidate, and `threshold ≥ 1/(k+1)` (enforced) makes the exact
+    * recount complete. The recount is one (group, item) aggregate
+    * semi-joined to the broadcast candidates; per-group totals are a
+    * groups-sized relation joined back broadcast.
+    */
+  def heavyHittersByKey(items: DataFrame, keyCol: String, itemCol: String,
+                        threshold: Double, k: Int = 1024): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"0 < threshold <= 1: $threshold")
+    require(k + 1 >= 1.0 / threshold,
+      s"no-false-negative guarantee needs k+1 >= 1/threshold (k=$k, threshold=$threshold)")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val toks = items
+      .select(col(keyCol).cast("string").as("grp"),
+        col(itemCol).cast("string").as("item"))
+      .filter(col("grp").isNotNull && col("item").isNotNull)
+    val partials = toks.as[(String, String)].mapPartitions { it =>
+      val perGrp = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashMap[String, Long]]
+      it.foreach { case (g, x) =>
+        val m = perGrp.getOrElseUpdate(g,
+          scala.collection.mutable.HashMap.empty[String, Long])
+        m.get(x) match {
+          case Some(c) => m.update(x, c + 1)
+          case None if m.size < k => m.update(x, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            m.foreach { case (t, c) =>
+              if (c == 1L) dead += t else m.update(t, c - 1) }
+            dead.result().foreach(m.remove)
+        }
+      }
+      perGrp.iterator.flatMap { case (g, m) => m.keysIterator.map(g -> _) }
+    }.toDF("grp", "item")
+    val candidates = partials.distinct()
+    val perGrpN = toks.groupBy(col("grp")).agg(count(lit(1)).as("__n"))
+    toks.join(broadcast(candidates), Seq("grp", "item"), "left_semi")
+      .groupBy(col("grp"), col("item")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(perGrpN), Seq("grp"))
+      .filter(col("cnt") > lit(threshold) * col("__n"))
+      .select(col("grp"), col("item"), col("cnt"),
+        (col("cnt").cast("double") / col("__n")).as("share"))
+      .orderBy(col("grp"), col("cnt").desc, col("item"))
+  }
 }

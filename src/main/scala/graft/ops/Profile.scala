@@ -757,15 +757,38 @@ object Profile {
     */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "checksum needs at least one column")
+    tableChecksumByKey(df, None, cols)
+  }
+
+  /** Per-key [[tableChecksum]]: one fingerprint row per value of
+    * `keyCol` (e.g. per ship month, per ingest batch). The
+    * reconciliation drill-down — when two 100 TB table versions'
+    * global fingerprints disagree, the per-key fingerprints locate
+    * WHICH slice diverged with the same single scan, no sort, and a
+    * keys-sized result. The key participates in the grouping, not the
+    * row hash, so slice fingerprints are comparable across different
+    * partitioning layouts of the same logical key.
+    */
+  def tableChecksumByKey(df: DataFrame, keyCol: Option[String],
+                         cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum needs at least one column")
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val key = concat_ws("",
       cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
     val h = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
-    df.select(h.as("__h"))
-      .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(col("__h").cast(Dec)), lit(0).cast(Dec))
-          .cast("string").as("checksum_sum"),
-        expr("bit_xor(__h)").as("checksum_xor"),
-        max(col("__h")).as("checksum_max"))
+    val digests = Seq(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("__h").cast(Dec)), lit(0).cast(Dec))
+        .cast("string").as("checksum_sum"),
+      expr("bit_xor(__h)").as("checksum_xor"),
+      max(col("__h")).as("checksum_max"))
+    keyCol match {
+      case None =>
+        df.select(h.as("__h")).agg(digests.head, digests.tail: _*)
+      case Some(kc) =>
+        df.select(col(kc), h.as("__h"))
+          .groupBy(col(kc)).agg(digests.head, digests.tail: _*)
+          .orderBy(col(kc))
+    }
   }
 }

@@ -229,6 +229,107 @@ object R21Queries {
               |  FROM canon)
               |SELECT canonical, n_dups, doc_id AS survivor_id,
               |  n_chars AS survivor_chars
-              |FROM r WHERE rn = 1 ORDER BY canonical""".stripMargin))
+              |FROM r WHERE rn = 1 ORDER BY canonical""".stripMargin)),
+
+    Q("dq_checksum_by",
+      "Per-slice table fingerprint (reconciliation drill-down): the " +
+        "same sum/xor/max row-hash digests as dq_checksum, grouped by " +
+        "ship month — when two table versions' global fingerprints " +
+        "disagree, one scan locates WHICH slice diverged. The key " +
+        "groups but does not enter the row hash, so slice fingerprints " +
+        "compare across physical layouts; digests are commutative-" +
+        "associative (order/partitioning-invariant by algebra).",
+      (s, d) => Profile.tableChecksumByKey(
+        Tables.lineitem(s, d).select(
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day")),
+        Some("ship_month"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "ship_day")),
+      Some("""WITH h AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             |    CAST(('0x' || substring(md5(
+             |    CAST(l_orderkey AS VARCHAR) || chr(1) ||
+             |    CAST(l_partkey AS VARCHAR) || chr(1) ||
+             |    CAST(l_suppkey AS VARCHAR) || chr(1) ||
+             |    CAST(l_linenumber AS VARCHAR) || chr(1) ||
+             |    l_returnflag || chr(1) || l_linestatus || chr(1) ||
+             |    strftime(l_shipdate, '%Y-%m-%d')), 1, 15)) AS BIGINT)
+             |    AS hh
+             |  FROM lineitem)
+             |SELECT ship_month, count(*) AS n_rows,
+             |  CAST(CAST(sum(hh) AS DECIMAL(38,0)) AS VARCHAR)
+             |    AS checksum_sum,
+             |  bit_xor(hh) AS checksum_xor,
+             |  max(hh) AS checksum_max
+             |FROM h GROUP BY ship_month ORDER BY ship_month""".stripMargin)),
+
+    Q("ta_heavyhitters_by",
+      "Per-language heavy hitters: tokens with in-group frequency > " +
+        "0.2% of that LANGUAGE's token stream, via one Misra-Gries " +
+        "summary per (group, partition) — O(k x groups) memory, no " +
+        "shuffle — then an exact recount of the broadcast candidates. " +
+        "The per-group undercount bound makes the candidate set " +
+        "provably complete per group, so the plain per-group GROUP BY " +
+        "/ HAVING oracle hash-matches the sketched plan.",
+      (s, d) => graft.ops.Frequent.heavyHittersByKey(
+        Tables.documents(s, d)
+          .select(col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("token"))
+          .filter(col("token") =!= ""),
+        "lang", "token", threshold = 0.002, k = 1024),
+      Some("""WITH toks AS (
+             |  SELECT d.lang AS grp, t.tok AS item
+             |  FROM documents d,
+             |       unnest(string_split_regex(trim(d.text), '\s+')) AS t(tok)
+             |  WHERE t.tok <> '' AND d.lang IS NOT NULL),
+             |n AS (SELECT grp, count(*) AS n FROM toks GROUP BY grp)
+             |SELECT t.grp, t.item, count(*) AS cnt,
+             |  CAST(count(*) AS DOUBLE) / n.n AS share
+             |FROM toks t JOIN n USING (grp)
+             |GROUP BY t.grp, t.item, n.n
+             |HAVING count(*) > 0.002 * n.n
+             |ORDER BY grp, cnt DESC, item""".stripMargin)),
+
+    Q("ev_cohort_ltv",
+      "Cohort LTV triangle: users cohorted by first-activity week; per " +
+        "(cohort, week offset) the active users, cell revenue, " +
+        "cohort-cumulative revenue and LTV (cumulative / cohort size). " +
+        "Revenue stays DECIMAL(28,8)-exact through the cumulative " +
+        "window (which runs on the weeks^2-bounded cell relation); one " +
+        "user-keyed exchange is the only data-sized work — the same " +
+        "exchange ev_retention pays.",
+      (s, d) => EventOps.cohortLtv(Tables.events(s, d), "user_id", "ts",
+        "value"),
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS wk,
+             |    CAST(value AS DECIMAL(28,8)) AS v
+             |  FROM events WHERE user_id IS NOT NULL),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM ev
+             |      GROUP BY user_id),
+             |cells AS (
+             |  SELECT cohort,
+             |    (wk - cohort) // 604800000000 AS week_offset,
+             |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+             |    coalesce(sum(v), CAST(0 AS DECIMAL(28,8))) AS rev
+             |  FROM ev e JOIN f USING (user_id)
+             |  GROUP BY 1, 2),
+             |c2 AS (
+             |  SELECT cohort, week_offset, n_active, rev,
+             |    sum(rev) OVER (PARTITION BY cohort ORDER BY week_offset)
+             |      AS cum,
+             |    max(CASE WHEN week_offset = 0 THEN n_active END)
+             |      OVER (PARTITION BY cohort) AS sz
+             |  FROM cells)
+             |SELECT strftime(make_timestamp(cohort), '%Y-%m-%d')
+             |    AS cohort_week,
+             |  week_offset, n_active,
+             |  CAST(rev AS DOUBLE) AS revenue,
+             |  CAST(cum AS DOUBLE) AS cum_revenue,
+             |  CAST(cum AS DOUBLE) / CAST(sz AS DOUBLE) AS ltv
+             |FROM c2 ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }

@@ -301,6 +301,27 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - expected) < 1e-12, s"chi2=${r.getDouble(6)}")
   }
 
+  test("cohortLtv: hand-computed triangle — offsets, cumulative revenue, ltv") {
+    // cohort week of 2024-01-01 (Mon): users 1,2 first seen that week
+    // cohort 2024-01-08: user 3
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (2L, "2024-01-03 10:00:00", 5.0),
+      (1L, "2024-01-09 10:00:00", 2.5),   // offset 1, only user 1 active
+      (3L, "2024-01-10 10:00:00", 7.0),   // own cohort, offset 0
+      (1L, "2024-01-22 10:00:00", 1.0))   // offset 3 (gap at 2)
+      .toDF("user_id", "t", "value")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+    val got = EventOps.cohortLtv(ev, "user_id", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0L, 2L, 15.0, 15.0, 7.5),
+      ("2024-01-01", 1L, 1L, 2.5, 17.5, 8.75),
+      ("2024-01-01", 3L, 1L, 1.0, 18.5, 9.25),
+      ("2024-01-08", 0L, 1L, 7.0, 7.0, 7.0)), s"${got.toSeq}")
+  }
+
   test("abTest: zero-margin table (no conversions) reports chi2 0") {
     val ev = Seq((2L, "view"), (3L, "view")).toDF("user_id", "event_type")
     val r = EventOps.abTest(ev, "user_id", "event_type",

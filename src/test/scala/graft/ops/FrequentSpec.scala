@@ -89,4 +89,27 @@ class FrequentSpec extends SparkSpec {
       .toMap
     assert(merged == sk, "disjoint slices must merge cell-wise")
   }
+
+  test("heavyHittersByKey: per-group exact counts and thresholds; " +
+      "a token heavy in one group only surfaces there") {
+    // group g1: 'hot' 50%, rest unique; g2: 'hot' is rare, 'cold' 60%
+    val g1 = Seq.fill(50)("hot") ++ (1 to 50).map(i => s"a$i")
+    val g2 = Seq.fill(60)("cold") ++ Seq.fill(2)("hot") ++
+      (1 to 38).map(i => s"b$i")
+    val df = new scala.util.Random(11)
+      .shuffle(g1.map(("g1", _)) ++ g2.map(("g2", _)))
+      .toDF("grp", "item").repartition(4)
+    val got = Frequent.heavyHittersByKey(df, "grp", "item",
+      threshold = 0.25, k = 16).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set(("g1", "hot"), ("g2", "cold")), s"$got")
+    assert(got(("g1", "hot")) === ((50L, 0.5)))
+    assert(got(("g2", "cold")) === ((60L, 0.6)))
+    // null group rows are ignored, null items too
+    val withNulls = df.union(Seq((null: String, "hot"),
+      ("g1", null: String)).toDF("grp", "item"))
+    assert(Frequent.heavyHittersByKey(withNulls, "grp", "item",
+      threshold = 0.25, k = 16).count() === 2L)
+  }
 }

@@ -298,4 +298,24 @@ class ProfileSpec extends SparkSpec {
     assert(fp(base.union(base)).getLong(0) === 6L)
     assert(fp(base.union(base)).getString(1) !== fp(base).getString(1))
   }
+
+  test("tableChecksumByKey: slice digests sum to the global; key not hashed") {
+    import spark.implicits._
+    val df = Seq(("k1", "x", "1"), ("k1", "y", "2"), ("k2", "z", "3"))
+      .toDF("k", "a", "b")
+    val by = Profile.tableChecksumByKey(df, Some("k"), Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), BigInt(r.getString(2)))).toMap
+    assert(by.keySet === Set("k1", "k2"))
+    assert(by("k1")._1 === 2L && by("k2")._1 === 1L)
+    val global = Profile.tableChecksum(df, Seq("a", "b")).collect().head
+    assert(BigInt(global.getString(1)) === by("k1")._2 + by("k2")._2,
+      "slice sums must add to the global digest")
+    // the key column does not enter the row hash: re-keying the same
+    // rows leaves each row's digest (and so the global sum) unchanged
+    val rekeyed = Seq(("q9", "x", "1"), ("q9", "y", "2"), ("q8", "z", "3"))
+      .toDF("k", "a", "b")
+    val g2 = Profile.tableChecksum(rekeyed, Seq("a", "b")).collect().head
+    assert(g2.getString(1) === global.getString(1))
+  }
 }
