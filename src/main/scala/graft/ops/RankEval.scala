@@ -147,4 +147,46 @@ object RankEval {
       .withColumn("avg_precision", col("__apsum") / np.toDouble)
       .drop("__apsum")
   }
+
+  /** Cohen's kappa between two label columns — the inter-annotator /
+    * model-vs-model agreement statistic label-quality audits report
+    * (raw agreement is inflated by chance when the label marginals are
+    * skewed; kappa corrects by the marginal-product expectation).
+    *
+    * Exactness: kappa = (po − pe)/(1 − pe) rearranges to the all-
+    * integer form (N·A − B)/(N² − B) with A = Σ diagonal counts and
+    * B = Σ_i row_i·col_i — staged in DECIMAL(38,0) (exact past 1e9
+    * rows, where N² overflows a long) and finished with ONE double
+    * division; po and pe are each one more.
+    *
+    * Scale shape: one scan → a (labelA × labelB) aggregate whose
+    * map-side combine collapses every partition to ≤ |labels|² cells;
+    * marginals, diagonal, and B all run on that bounded relation.
+    * Degenerate marginals (pe = 1, so kappa is 0/0) report 0.0.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val Dec = DecimalType(38, 0)
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = cells.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    val rowsM = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__rn"))
+    val colsM = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__cn"))
+    val bSum = rowsM.join(colsM, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__rn").cast(Dec) * col("__cn").cast(Dec)),
+        lit(0).cast(Dec)).as("__bb"))
+    val nn = col("n").cast(Dec) * col("n").cast(Dec)
+    tot.crossJoin(broadcast(bSum))
+      .select(col("n"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n").cast("double")).as("po"),
+        (col("__bb").cast("double") / nn.cast("double")).as("pe"),
+        when(nn - col("__bb") > 0,
+          (col("n").cast(Dec) * col("n_agree").cast(Dec) - col("__bb"))
+            .cast("double") / (nn - col("__bb")).cast("double"))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
 }

@@ -330,6 +330,89 @@ object R21Queries {
              |  CAST(rev AS DOUBLE) AS revenue,
              |  CAST(cum AS DOUBLE) AS cum_revenue,
              |  CAST(cum AS DOUBLE) / CAST(sz AS DOUBLE) AS ltv
-             |FROM c2 ORDER BY cohort_week, week_offset""".stripMargin))
+             |FROM c2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    Q("ml_kappa",
+      "Cohen's kappa between two deterministic annotators (md5 stand-in " +
+        "classifiers, annotator B forced to agree with A on 3/4 of docs " +
+        "by a third hash) — the inter-annotator agreement audit label " +
+        "pipelines report. Chance-corrected via the all-integer " +
+        "rearrangement (N*A - B)/(N^2 - B), DECIMAL(38,0)-staged, ONE " +
+        "double division; the (16x16)-bounded confusion relation is the " +
+        "only thing past the scan.",
+      (s, d) => {
+        val a = OracleCompat.md5Label(concat(lit("a:"), col("text")))
+        val noise = conv(substring(md5(concat(lit("n:"), col("text"))),
+          1, 1), 16, 10).cast("long") % 4
+        val b = when(noise === 0,
+          OracleCompat.md5Label(concat(lit("b:"), col("text"))))
+          .otherwise(a)
+        graft.ops.RankEval.cohenKappa(
+          Tables.documents(s, d).select(a.as("ann_a"), b.as("ann_b")),
+          "ann_a", "ann_b")
+      },
+      Some("""WITH lab AS (
+             |  SELECT
+             |    (instr('0123456789abcdef',
+             |      substring(md5('a:' || text), 1, 1)) - 1) % 16 AS la,
+             |    CASE WHEN (instr('0123456789abcdef',
+             |        substring(md5('n:' || text), 1, 1)) - 1) % 4 = 0
+             |      THEN (instr('0123456789abcdef',
+             |        substring(md5('b:' || text), 1, 1)) - 1) % 16
+             |      ELSE (instr('0123456789abcdef',
+             |        substring(md5('a:' || text), 1, 1)) - 1) % 16
+             |    END AS lb
+             |  FROM documents WHERE text IS NOT NULL),
+             |cells AS (SELECT la, lb, count(*) AS n FROM lab
+             |          GROUP BY la, lb),
+             |tot AS (
+             |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+             |    CAST(coalesce(sum(CASE WHEN la = lb THEN n ELSE 0 END),
+             |      0) AS BIGINT) AS n_agree
+             |  FROM cells),
+             |r AS (SELECT la, sum(n) AS rn FROM cells GROUP BY la),
+             |c AS (SELECT lb, sum(n) AS cn FROM cells GROUP BY lb),
+             |b AS (
+             |  SELECT CAST(coalesce(sum(CAST(rn AS DECIMAL(38,0)) *
+             |    CAST(cn AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS bb
+             |  FROM r JOIN c ON r.la = c.lb)
+             |SELECT n, n_agree,
+             |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+             |  CAST(bb AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) *
+             |    CAST(n AS DECIMAL(38,0)) AS DOUBLE) AS pe,
+             |  CASE WHEN CAST(n AS DECIMAL(38,0)) *
+             |      CAST(n AS DECIMAL(38,0)) - bb > 0 THEN
+             |    CAST(CAST(n AS DECIMAL(38,0)) *
+             |      CAST(n_agree AS DECIMAL(38,0)) - bb AS DOUBLE) /
+             |    CAST(CAST(n AS DECIMAL(38,0)) *
+             |      CAST(n AS DECIMAL(38,0)) - bb AS DOUBLE)
+             |  ELSE 0e0 END AS kappa
+             |FROM tot, b""".stripMargin)),
+
+    Q("q30_unpivot",
+      "Relational melt: four lineitem measures unpivot to long format " +
+        "in ONE scan (Spark plans Expand — each row emits 4 tuples " +
+        "map-side; the UNION-ALL restatement the oracle runs would " +
+        "scan four times), then a per-metric exact-decimal rollup.",
+      (s, d) => Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(col("val")).as("n"), OracleCompat.dsum(col("val"))
+          .as("total"))
+        .orderBy(col("metric")),
+      Some("""WITH m AS (
+             |  SELECT 'l_quantity' AS metric, l_quantity AS val
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice
+             |  FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+             |SELECT metric, count(val) AS n,
+             |  CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE) AS total
+             |FROM m GROUP BY metric ORDER BY metric""".stripMargin))
   )
 }

@@ -84,4 +84,31 @@ class RankEvalSpec extends SparkSpec {
     assert(auc.getAs[Double]("auc") ==
       u2.toDouble / (2.0 * pos.size.toDouble * neg.size.toDouble))
   }
+
+  test("cohenKappa: hand-computed 2-label table; perfect and degenerate cases") {
+    import spark.implicits._
+    // confusion: (y,y)=20 (y,n)=5 (n,y)=10 (n,n)=15, N=50
+    // po=35/50; rows y=25,n=25; cols y=30,n=20; B=25*30+25*20=1250
+    // kappa = (50*35-1250)/(2500-1250) = 500/1250 = 0.4
+    val pairs = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = RankEval.cohenKappa(pairs.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r.getLong(0) === 50L && r.getLong(1) === 35L)
+    assert(r.getDouble(2) === 0.7 && r.getDouble(3) === 0.5)
+    assert(r.getDouble(4) === 0.4, s"kappa=${r.getDouble(4)}")
+    // perfect agreement: kappa 1
+    val perfect = RankEval.cohenKappa(
+      Seq(("x", "x"), ("z", "z")).toDF("a", "b"), "a", "b").collect().head
+    assert(perfect.getDouble(4) === 1.0)
+    // degenerate single-label marginals: pe=1 -> reported 0
+    val degen = RankEval.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b").collect().head
+    assert(degen.getDouble(4) === 0.0)
+    // null labels drop from N
+    val withNull = RankEval.cohenKappa(
+      (pairs ++ Seq((null, "y"), ("y", null))).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(withNull.getLong(0) === 50L)
+  }
 }
