@@ -689,9 +689,20 @@ object EventOps {
   def abTest(events: DataFrame, userCol: String, typeCol: String,
              exposureType: String, convType: String,
              variantOf: Column => Column = u => pmod(u, lit(2)))
-      : DataFrame = {
-    val Dec = DecimalType(38, 0)
-    val users = events
+      : DataFrame =
+    abTestReadout(
+      abUserFlags(events, userCol, typeCol, exposureType, convType),
+      variantOf)
+
+  /** Per-user exposure/conversion flags — the MERGEABLE unit of the
+    * experiment readout: flags of disjoint event slices merge by
+    * per-user max, which is what lets a streaming experiment monitor
+    * pay per-batch cost ∝ the batch (see stream_abtest) while serving
+    * the same readout as the batch operator.
+    */
+  def abUserFlags(events: DataFrame, userCol: String, typeCol: String,
+                  exposureType: String, convType: String): DataFrame =
+    events
       .filter(col(userCol).isNotNull)
       .groupBy(col(userCol).as("__u"))
       .agg(
@@ -699,6 +710,15 @@ object EventOps {
           .as("__exp"),
         max(when(col(typeCol) === convType, 1L).otherwise(0L))
           .as("__conv"))
+
+  /** The 2×2 readout over (__u, __exp, __conv) flag rows (see
+    * [[abTest]] for semantics and exactness).
+    */
+  def abTestReadout(flags: DataFrame,
+                    variantOf: Column => Column = u => pmod(u, lit(2)))
+      : DataFrame = {
+    val Dec = DecimalType(38, 0)
+    val users = flags
       .filter(col("__exp") === 1L)
       .withColumn("__v", variantOf(col("__u")))
     val cells = users.agg(

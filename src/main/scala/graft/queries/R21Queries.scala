@@ -100,6 +100,47 @@ object R21Queries {
       |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical
       |  FROM pq)""".stripMargin
 
+  /** Shared by ev_abtest and stream_abtest (stream == batch): the full
+    * 2×2 experiment readout in exact arithmetic.
+    */
+  private val abtestSql: String =
+    """WITH uu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS expo,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |e AS (SELECT user_id % 2 AS v, conv FROM uu WHERE expo = 1),
+      |c AS (
+      |  SELECT
+      |    CAST(coalesce(sum(CASE WHEN v = 0 THEN 1 END), 0)
+      |      AS BIGINT) AS n_a,
+      |    CAST(coalesce(sum(CASE WHEN v = 0 THEN conv END), 0)
+      |      AS BIGINT) AS conv_a,
+      |    CAST(coalesce(sum(CASE WHEN v <> 0 THEN 1 END), 0)
+      |      AS BIGINT) AS n_b,
+      |    CAST(coalesce(sum(CASE WHEN v <> 0 THEN conv END), 0)
+      |      AS BIGINT) AS conv_b
+      |  FROM e),
+      |x AS (
+      |  SELECT n_a, conv_a, n_b, conv_b,
+      |    CAST(conv_a AS DECIMAL(38,0)) AS a,
+      |    CAST(n_a - conv_a AS DECIMAL(38,0)) AS b,
+      |    CAST(conv_b AS DECIMAL(38,0)) AS c2,
+      |    CAST(n_b - conv_b AS DECIMAL(38,0)) AS d2,
+      |    CAST(n_a + n_b AS DECIMAL(38,0)) AS nn
+      |  FROM c)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+      |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+      |  CASE WHEN (a+b)*(c2+d2)*(a+c2)*(b+d2) > 0 THEN
+      |    CAST(nn AS DOUBLE) *
+      |    CAST((a*d2 - b*c2)*(a*d2 - b*c2) AS DOUBLE) /
+      |    CAST((a+b)*(c2+d2)*(a+c2)*(b+d2) AS DOUBLE)
+      |  ELSE 0e0 END AS chi2
+      |FROM x""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("ev_abtest",
@@ -114,42 +155,21 @@ object R21Queries {
         "replay literally.",
       (s, d) => EventOps.abTest(Tables.events(s, d), "user_id",
         "event_type", "view", "purchase"),
-      Some("""WITH uu AS (
-             |  SELECT user_id,
-             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-             |      AS expo,
-             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             |      AS conv
-             |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
-             |e AS (SELECT user_id % 2 AS v, conv FROM uu WHERE expo = 1),
-             |c AS (
-             |  SELECT
-             |    CAST(coalesce(sum(CASE WHEN v = 0 THEN 1 END), 0)
-             |      AS BIGINT) AS n_a,
-             |    CAST(coalesce(sum(CASE WHEN v = 0 THEN conv END), 0)
-             |      AS BIGINT) AS conv_a,
-             |    CAST(coalesce(sum(CASE WHEN v <> 0 THEN 1 END), 0)
-             |      AS BIGINT) AS n_b,
-             |    CAST(coalesce(sum(CASE WHEN v <> 0 THEN conv END), 0)
-             |      AS BIGINT) AS conv_b
-             |  FROM e),
-             |x AS (
-             |  SELECT n_a, conv_a, n_b, conv_b,
-             |    CAST(conv_a AS DECIMAL(38,0)) AS a,
-             |    CAST(n_a - conv_a AS DECIMAL(38,0)) AS b,
-             |    CAST(conv_b AS DECIMAL(38,0)) AS c2,
-             |    CAST(n_b - conv_b AS DECIMAL(38,0)) AS d2,
-             |    CAST(n_a + n_b AS DECIMAL(38,0)) AS nn
-             |  FROM c)
-             |SELECT n_a, conv_a, n_b, conv_b,
-             |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-             |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
-             |  CASE WHEN (a+b)*(c2+d2)*(a+c2)*(b+d2) > 0 THEN
-             |    CAST(nn AS DOUBLE) *
-             |    CAST((a*d2 - b*c2)*(a*d2 - b*c2) AS DOUBLE) /
-             |    CAST((a+b)*(c2+d2)*(a+c2)*(b+d2) AS DOUBLE)
-             |  ELSE 0e0 END AS chi2
-             |FROM x""".stripMargin)),
+      Some(abtestSql)),
+
+    Q("stream_abtest",
+      "Structured Streaming runs the A/B EXPERIMENT MONITOR: even-id " +
+        "events bootstrap batch 0's per-user exposure/conversion " +
+        "flags, each micro-batch appends its own users' flags under " +
+        "the commit-marker machinery (per-batch cost = one user " +
+        "aggregate of the new files; flags are max-MERGEABLE), and " +
+        "serving merges committed flags by per-user max into the " +
+        "shared 2x2 readout. Stream == batch: the same oracle as " +
+        "ev_abtest.",
+      (s, d) => graft.streaming.EventStream.runAbTestStream(s, d,
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_stream_abtest_" + d.replaceAll("[^A-Za-z0-9.]", "_")),
+      Some(abtestSql)),
 
     Q("dq_checksum",
       "Order-invariant table fingerprint of lineitem's exact-typed " +

@@ -617,6 +617,47 @@ object EventStream {
       path
     }
 
+  /** Structured Streaming runs the A/B EXPERIMENT MONITOR: the
+    * historical half of events (even ids) bootstraps batch 0's
+    * per-user exposure/conversion flags, each arriving micro-batch
+    * appends ITS OWN users' flags under the micro-batch id (per-batch
+    * cost is one user aggregate of the new files — flags are
+    * max-mergeable, the experiment analogue of the sketch partials),
+    * and serving merges committed flags by per-user max before the
+    * shared 2×2 readout — bit-identical to batch
+    * [[graft.ops.EventOps.abTest]] over the same rows, which is the
+    * oracle.
+    */
+  def runAbTestStream(spark: SparkSession, sfDir: String,
+                      path: String): DataFrame =
+    withStatePartitions(spark) {
+      def flags(df: DataFrame) = graft.ops.EventOps.abUserFlags(
+        df, "user_id", "event_type", "view", "purchase")
+      val ev = graft.core.Tables.events(spark, sfDir)
+      graft.ops.IncrementalAgg.writeBatch(
+        flags(ev.filter(col("event_id") % 2 === 0)), path, 0L)
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val stream = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.ops.IncrementalAgg.writeBatch(
+            flags(df.filter(col("event_id") % 2 === 1)), path, id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val state = graft.core.IndexCommits.servedState(spark, path)
+      val merged = spark.read.parquet(s"$path/data")
+        .filter(col("batch").isin(state.batches: _*))
+        .groupBy(col("__u"))
+        .agg(max(col("__exp")).as("__exp"), max(col("__conv")).as("__conv"))
+      graft.ops.EventOps.abTestReadout(merged)
+    }
+
   /** Structured Streaming maintains an UPSERT SNAPSHOT (the
     * mini-lakehouse MERGE loop): version 0 is the base snapshot; each
     * micro-batch derives its change set, applies

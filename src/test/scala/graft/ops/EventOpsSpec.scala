@@ -161,6 +161,41 @@ class EventOpsSpec extends SparkSpec {
     assert(counts(all) == Map("2024-01-01" -> 10L, "2024-01-02" -> 20L))
   }
 
+  test("abUserFlags merge: per-user max over slices equals batch flags; " +
+      "an unmarked flag batch stays invisible until its marked retry") {
+    import org.apache.spark.sql.functions.max
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_abstream").toString
+    val half1 = Seq((2L, "view"), (4L, "view"), (1L, "view"))
+      .toDF("user_id", "event_type")
+    val half2 = Seq((2L, "purchase"), (3L, "view"), (3L, "purchase"))
+      .toDF("user_id", "event_type")
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      EventOps.abUserFlags(df, "user_id", "event_type", "view", "purchase")
+    IncrementalAgg.writeBatch(flags(half1), dir, 0L)
+    // crashed batch: flag rows without the marker
+    flags(half2).write.mode("overwrite").parquet(s"$dir/data/batch=1")
+    def serve() = {
+      val st = graft.core.IndexCommits.servedState(spark, dir)
+      val merged = spark.read.parquet(s"$dir/data")
+        .filter(col("batch").isin(st.batches: _*))
+        .groupBy($"__u")
+        .agg(max($"__exp").as("__exp"), max($"__conv").as("__conv"))
+      EventOps.abTestReadout(merged).collect().head
+    }
+    val before = serve()
+    assert((before.getLong(0), before.getLong(1), before.getLong(2),
+      before.getLong(3)) === ((2L, 0L, 1L, 0L)),
+      "unmarked flag batch must stay invisible")
+    IncrementalAgg.writeBatch(flags(half2), dir, 1L)
+    val after = serve()
+    // merged == batch abTest over the union (user 2 converts across
+    // slices; user 3 exposed+converted in slice 2 only)
+    val batch = EventOps.abTest(half1.unionByName(half2), "user_id",
+      "event_type", "view", "purchase").collect().head
+    assert(after === batch, s"stream serve $after != batch $batch")
+  }
+
   test("dailyAnomalies: the spike day flags, steady days don't, " +
       "constant series z-scores 0") {
     // type a: 1 event/day for 10 days, then a 6-event spike on day 11
