@@ -711,6 +711,73 @@ object EventOps {
         max(when(col(typeCol) === convType, 1L).otherwise(0L))
           .as("__conv"))
 
+  /** A/B readout for a CONTINUOUS metric (revenue per exposed user):
+    * per-variant user count, exact total, mean, sample variance, and
+    * the Welch t statistic — the experiment readout when the response
+    * is money rather than a conversion bit. Non-converting exposed
+    * users count with metric 0 (the intent-to-treat convention), so
+    * the denominator is exposure, not purchase.
+    *
+    * Exactness: per-user totals and the per-variant sums stage in
+    * exact decimals (value → DECIMAL(28,8); its square → (38,16) —
+    * order-independent); the mean/variance/t tail is a FIXED chain of
+    * double ops both engines replay literally (the two-pass-free
+    * `(Q − S²/n)/(n−1)` form — deterministic, and exact inputs mean
+    * no cancellation surprise can differ between engines).
+    *
+    * Scale shape: one user-keyed aggregate (the exchange every user
+    * metric pays) then a 2-cell variant aggregate; nothing after the
+    * first aggregate is data-sized.
+    */
+  def abTestValue(events: DataFrame, userCol: String, typeCol: String,
+                  exposureType: String, valueType: String,
+                  valueCol: String,
+                  variantOf: Column => Column = u => pmod(u, lit(2)))
+      : DataFrame = {
+    val DecV = DecimalType(28, 8)
+    val users = events
+      .filter(col(userCol).isNotNull)
+      .groupBy(col(userCol).as("__u"))
+      .agg(
+        max(when(col(typeCol) === exposureType, 1L).otherwise(0L))
+          .as("__exp"),
+        coalesce(sum(when(col(typeCol) === valueType,
+          col(valueCol).cast(DecV))), lit(0).cast(DecV)).as("__rev"))
+      .filter(col("__exp") === 1L)
+      .withColumn("__v", variantOf(col("__u")))
+    // square at DECIMAL(18,8): the product (37,16) stays under both
+    // engines' 38-digit cap, so Σrev² is EXACT (contract: per-user
+    // revenue < 10^10; wider inputs must pre-scale)
+    val DecS = DecimalType(18, 8)
+    val cells = users.groupBy((col("__v") === 0).as("__a"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__rev")).as("__s"),
+        sum(col("__rev").cast(DecS) * col("__rev").cast(DecS)).as("__q"))
+    val flat = cells.agg(
+      coalesce(max(when(col("__a"), col("__n"))), lit(0L)).as("n_a"),
+      coalesce(max(when(col("__a"), col("__s").cast("double"))), lit(0.0))
+        .as("s_a"),
+      coalesce(max(when(col("__a"), col("__q").cast("double"))), lit(0.0))
+        .as("q_a"),
+      coalesce(max(when(!col("__a"), col("__n"))), lit(0L)).as("n_b"),
+      coalesce(max(when(!col("__a"), col("__s").cast("double"))), lit(0.0))
+        .as("s_b"),
+      coalesce(max(when(!col("__a"), col("__q").cast("double"))), lit(0.0))
+        .as("q_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val meanA = col("s_a") / na
+    val meanB = col("s_b") / nb
+    val varA = (col("q_a") - col("s_a") * col("s_a") / na) / (na - lit(1.0))
+    val varB = (col("q_b") - col("s_b") * col("s_b") / nb) / (nb - lit(1.0))
+    flat.select(
+      col("n_a"), col("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      varA.as("var_a"), varB.as("var_b"),
+      when(col("n_a") > 1 && col("n_b") > 1,
+        (meanA - meanB) / sqrt(varA / na + varB / nb))
+        .otherwise(lit(0.0)).as("t_stat"))
+  }
+
   /** The 2×2 readout over (__u, __exp, __conv) flag rows (see
     * [[abTest]] for semantics and exactness).
     */

@@ -432,4 +432,42 @@ object TextAnalysis {
       .distinct()
       .orderBy(col(idCol), col("pos"))
   }
+
+  /** Pairwise VOCABULARY overlap between corpus slices (sources,
+    * languages, snapshots): per unordered slice pair the distinct-token
+    * intersection, union, and Jaccard — the "how much does source A's
+    * vocabulary repeat source B's" diagnostic that guides mixture and
+    * dedup decisions across corpora.
+    *
+    * Scale shape: one (slice, token) DISTINCT is the only corpus-sized
+    * pass; the token self-join fans out at most |slices|² pairs PER
+    * TOKEN (slices are bounded — sources, languages), so candidate
+    * volume is ≤ tokens × slices², never tokens². Sizes are a
+    * slices-sized relation joined back broadcast; Jaccard is one
+    * integer→double division per pair.
+    */
+  def vocabOverlap(docs: DataFrame, sliceCol: String, textCol: String)
+      : DataFrame = {
+    val st = graft.core.Caches.track(docs
+      .select(col(sliceCol).cast("string").as("__s"),
+        explode(split(trim(col(textCol)), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "" && col("__s").isNotNull)
+      .distinct())
+    val sizes = st.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val inter = st.as("a").join(st.as("b"), Seq("__t"))
+      .filter(col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("slice_a"), col("b.__s").as("slice_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("__s", "slice_a")
+        .withColumnRenamed("__n", "n_a")), Seq("slice_a"))
+      .join(broadcast(sizes.withColumnRenamed("__s", "slice_b")
+        .withColumnRenamed("__n", "n_b")), Seq("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("slice_a"), col("slice_b"))
+  }
 }

@@ -433,6 +433,95 @@ object R21Queries {
              |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
              |SELECT metric, count(val) AS n,
              |  CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE) AS total
-             |FROM m GROUP BY metric ORDER BY metric""".stripMargin))
+             |FROM m GROUP BY metric ORDER BY metric""".stripMargin)),
+
+    Q("ev_abtest_value",
+      "A/B readout for a CONTINUOUS metric: purchase revenue per " +
+        "exposed user (intent-to-treat — non-converters count at 0), " +
+        "per-variant mean/variance and the Welch t statistic. Per-user " +
+        "totals and both variant sums stage in exact decimals (rev^2 " +
+        "squared at DECIMAL(18,8) so the (37,16) product stays under " +
+        "both engines' 38-digit cap); the mean/var/t tail is a FIXED " +
+        "double chain replayed literally. One user-keyed aggregate, " +
+        "then a 2-cell relation.",
+      (s, d) => EventOps.abTestValue(Tables.events(s, d), "user_id",
+        "event_type", "view", "purchase", "value"),
+      Some("""WITH uu AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS expo,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(value AS DECIMAL(28,8)) END),
+             |      CAST(0 AS DECIMAL(28,8))) AS rev
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+             |e AS (SELECT user_id % 2 = 0 AS va, rev FROM uu
+             |      WHERE expo = 1),
+             |c AS (
+             |  SELECT va, CAST(count(*) AS BIGINT) AS n, sum(rev) AS s,
+             |    sum(CAST(rev AS DECIMAL(19,8)) *
+             |        CAST(rev AS DECIMAL(18,8))) AS q
+             |  FROM e GROUP BY va),
+             |f AS (
+             |  SELECT
+             |    CAST(coalesce(max(CASE WHEN va THEN n END), 0)
+             |      AS BIGINT) AS n_a,
+             |    coalesce(max(CASE WHEN va THEN
+             |      CAST(CAST(s AS VARCHAR) AS DOUBLE) END), 0e0) AS s_a,
+             |    coalesce(max(CASE WHEN va THEN
+             |      CAST(CAST(q AS VARCHAR) AS DOUBLE) END), 0e0) AS q_a,
+             |    CAST(coalesce(max(CASE WHEN NOT va THEN n END), 0)
+             |      AS BIGINT) AS n_b,
+             |    coalesce(max(CASE WHEN NOT va THEN
+             |      CAST(CAST(s AS VARCHAR) AS DOUBLE) END), 0e0) AS s_b,
+             |    coalesce(max(CASE WHEN NOT va THEN
+             |      CAST(CAST(q AS VARCHAR) AS DOUBLE) END), 0e0) AS q_b
+             |  FROM c)
+             |SELECT n_a, n_b,
+             |  s_a / CAST(n_a AS DOUBLE) AS mean_a,
+             |  s_b / CAST(n_b AS DOUBLE) AS mean_b,
+             |  (q_a - s_a * s_a / CAST(n_a AS DOUBLE)) /
+             |    (CAST(n_a AS DOUBLE) - 1e0) AS var_a,
+             |  (q_b - s_b * s_b / CAST(n_b AS DOUBLE)) /
+             |    (CAST(n_b AS DOUBLE) - 1e0) AS var_b,
+             |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+             |    (s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE)) /
+             |    sqrt((q_a - s_a * s_a / CAST(n_a AS DOUBLE)) /
+             |      (CAST(n_a AS DOUBLE) - 1e0) / CAST(n_a AS DOUBLE) +
+             |      (q_b - s_b * s_b / CAST(n_b AS DOUBLE)) /
+             |      (CAST(n_b AS DOUBLE) - 1e0) / CAST(n_b AS DOUBLE))
+             |  ELSE 0e0 END AS t_stat
+             |FROM f""".stripMargin)),
+
+    Q("ta_vocab_overlap",
+      "Pairwise vocabulary overlap between sources: per unordered " +
+        "source pair the distinct-token intersection, per-source " +
+        "vocabulary sizes, and Jaccard — the cross-corpus repetition " +
+        "diagnostic behind mixture and dedup decisions. One (source, " +
+        "token) DISTINCT is the only corpus-sized pass; the token " +
+        "self-join fans out <= |sources|^2 pairs per token (sources " +
+        "bounded), sizes join back broadcast.",
+      (s, d) => graft.ops.TextAnalysis.vocabOverlap(
+        Tables.documents(s, d), "source", "text"),
+      Some("""WITH st AS (
+             |  SELECT DISTINCT d.source AS s, t.tok AS tok
+             |  FROM documents d,
+             |       unnest(string_split_regex(trim(d.text), '\s+'))
+             |         AS t(tok)
+             |  WHERE t.tok <> '' AND d.source IS NOT NULL),
+             |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM st
+             |       GROUP BY s),
+             |inter AS (
+             |  SELECT a.s AS slice_a, b.s AS slice_b,
+             |    CAST(count(*) AS BIGINT) AS n_common
+             |  FROM st a JOIN st b ON a.tok = b.tok
+             |  WHERE a.s < b.s
+             |  GROUP BY 1, 2)
+             |SELECT slice_a, slice_b, sa.n AS n_a, sb.n AS n_b, n_common,
+             |  CAST(n_common AS DOUBLE) /
+             |    CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON sa.s = slice_a
+             |JOIN sz sb ON sb.s = slice_b
+             |ORDER BY slice_a, slice_b""".stripMargin))
   )
 }

@@ -357,6 +357,26 @@ class EventOpsSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 7.0, 7.0, 7.0)), s"${got.toSeq}")
   }
 
+  test("abTestValue: hand-computed Welch t; non-converters count at 0") {
+    // variant A (even): users 2,4 exposed; revenues 10 (2x5), 0
+    // variant B (odd): users 1,3,5 exposed; revenues 6, 0, 0
+    val rows = Seq(
+      (2L, "view", 0.0), (2L, "purchase", 5.0), (2L, "purchase", 5.0),
+      (4L, "view", 0.0),
+      (1L, "view", 0.0), (1L, "purchase", 6.0),
+      (3L, "view", 0.0), (5L, "view", 0.0),
+      (7L, "purchase", 99.0)) // never exposed -> excluded
+      .toDF("user_id", "event_type", "value")
+    val r = EventOps.abTestValue(rows, "user_id", "event_type",
+      "view", "purchase", "value").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 3L)))
+    assert(r.getDouble(2) === 5.0 && r.getDouble(3) === 2.0)
+    // var_a = (100 - 100/2)/1 = 50; var_b = (36 - 36/3)/2 = 12
+    assert(r.getDouble(4) === 50.0 && r.getDouble(5) === 12.0)
+    val t = (5.0 - 2.0) / math.sqrt(50.0 / 2 + 12.0 / 3)
+    assert(r.getDouble(6) === t, s"t=${r.getDouble(6)} want $t")
+  }
+
   test("abTest: zero-margin table (no conversions) reports chi2 0") {
     val ev = Seq((2L, "view"), (3L, "view")).toDF("user_id", "event_type")
     val r = EventOps.abTest(ev, "user_id", "event_type",

@@ -202,4 +202,20 @@ class TextAnalysisSpec extends SparkSpec {
     val got3 = got.filter(_._1 == 3L).map(x => (x._3, x._2)).toSet
     assert(got3 == expect, s"replay mismatch:\n$got3\nvs\n$expect")
   }
+
+  test("vocabOverlap: hand-computed Jaccard; duplicate tokens count once; " +
+      "disjoint pairs absent; pairs are unordered (a < b)") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c a"),      // vocab {a,b,c}
+      ("s2", "b c d"),        // vocab {b,c,d}
+      ("s3", "x y"),          // disjoint
+      ("s2", "d d"))          // no new tokens
+      .toDF("source", "text")
+    val got = TextAnalysis.vocabOverlap(docs, "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only (s1,s2) share tokens: |{b,c}|=2, union=4 -> 0.5
+    assert(got.toSeq === Seq(("s1", "s2", 3L, 3L, 2L, 0.5)), s"${got.toSeq}")
+  }
 }
