@@ -813,4 +813,49 @@ object EventOps {
         n.cast("double") * num.cast("double") / den.cast("double"))
         .otherwise(lit(0.0)).as("chi2"))
   }
+
+  /** DAU/MAU STICKINESS per day — the engagement-intensity board next
+    * to [[rollingActiveUsers]]'s raw counts: of the users active in the
+    * trailing `mauWindow` days, what fraction showed up today. Both
+    * counts come from ONE [[rollingActiveUsers]] pass (the two windows
+    * share the single distinct-(user, day) relation and its window
+    * expansion), so the ratio costs nothing beyond the board it
+    * annotates. Days inside the MAU window with zero activity report
+    * dau = 0 rather than vanishing. The ratio is the operator's only
+    * double — ONE division of two exact longs per day.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 mauWindow: Int = 28): DataFrame = {
+    require(mauWindow >= 2, "mauWindow must exceed the DAU window")
+    val ras = rollingActiveUsers(events, userCol, tsCol, Seq(1, mauWindow))
+    val dau = ras.filter(col("window_days") === 1)
+      .select(col("day"), col("active_users").as("dau"))
+    val mau = ras.filter(col("window_days") === mauWindow)
+      .select(col("day"), col("active_users").as("mau"))
+    mau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("mau"),
+        (coalesce(col("dau"), lit(0L)).cast("double") /
+          col("mau").cast("double")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** Consecutive inter-arrival gaps per (event type, user) in exact
+    * event-time MICROSECONDS — the latency raw material behind "how
+    * often do users purchase": one user-keyed window lag (ties in ts
+    * broken by `tieCol`, so the lag sequence is deterministic
+    * cross-engine), long subtraction, first event per series excluded.
+    * Feed the result to [[Profile.quantilesByKey]] for exact per-type
+    * gap percentiles with no global sort.
+    */
+  def interarrivalGaps(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(typeCol), col(userCol))
+      .orderBy(us, col(tieCol))
+    events
+      .withColumn("gap_us", us - lag(us, 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(col(typeCol).as("event_type"), col("gap_us"))
+  }
 }

@@ -290,9 +290,16 @@ object Graphs {
     * not a convergence loop).
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
-                       iters: Int = 4): DataFrame = {
+                       iters: Int = 4): DataFrame =
+    lpaOnEdges(symEdges(pairs, aCol, bCol), iters).orderBy(col("id"))
+
+  /** The LPA round loop over an already-symmetrized edge list — shared
+    * by [[labelPropagation]] and [[modularity]] so the latter scores
+    * exactly the communities the former reports (and pays for symEdges
+    * once).
+    */
+  private def lpaOnEdges(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "at least one propagation round")
-    val edges = symEdges(pairs, aCol, bCol)
     val edgesP = graft.core.Caches.track(edges.repartition(col("src")))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
@@ -311,7 +318,52 @@ object Graphs {
         .select(col("id"), col("lbl"))
         .localCheckpoint(true)
     }
-    labels.select(col("id"), col("lbl").as("community")).orderBy(col("id"))
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** Per-community MODULARITY decomposition (Newman & Girvan 2004) of
+    * the LPA communities: each community c reports its size, its
+    * intra-community edge count e_c, its degree mass d_c, and its
+    * additive modularity term e_c/m − (d_c/2m)² — Σ terms is Newman's
+    * Q, kept per-community so the report says WHICH duplicate families
+    * are genuinely dense and which labels are noise (term ≈ 0), the
+    * community-quality audit behind trusting LPA output for survivor
+    * selection.
+    *
+    * Scale shape: the cached symmetric edge list is the only data-sized
+    * relation — one degree count, two node-keyed label joins for the
+    * intra count, then everything is communities-sized; the 1-row edge
+    * total broadcasts. In the symmetric directed list L = 2m, so
+    * e_c/m = intra_c/L and d_c/2m = deg_c/L — every input to the one
+    * fixed double expression per row is an exact integer, which is what
+    * lets the oracle replay it bit-for-bit on top of the unrolled LPA
+    * rounds.
+    */
+  def modularity(pairs: DataFrame, aCol: String, bCol: String,
+                 iters: Int = 4): DataFrame = {
+    val edges = symEdges(pairs, aCol, bCol)
+    val labels = graft.core.Caches.track(lpaOnEdges(edges, iters))
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("__d"))
+    val tot = edges.agg(count(lit(1)).as("__L"))
+    val nodeStats = labels.join(deg, "id")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("degree_sum"))
+    val la = labels.select(col("id").as("src"), col("community"))
+    val lb = labels.select(col("id").as("dst"), col("community").as("__cb"))
+    val intra = edges.join(la, "src").join(lb, "dst")
+      .filter(col("community") === col("__cb"))
+      .groupBy(col("community")).agg(count(lit(1)).as("__intra2"))
+    val i2 = coalesce(col("__intra2"), lit(0L))
+    val dOverL = col("degree_sum").cast("double") / col("__L").cast("double")
+    nodeStats.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"),
+        shiftright(i2, 1).as("intra_edges"), // intra_c is even: exact m_c
+        col("degree_sum"),
+        (i2.cast("double") / col("__L").cast("double") - dOverL * dOverL)
+          .as("modularity_term"))
+      .orderBy(col("community"))
   }
 
   /** k-core decomposition by iterative peeling (Seidman 1983; the

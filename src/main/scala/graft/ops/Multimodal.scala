@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{abs, col, count, lag, lit, min, sum, when}
 import org.apache.spark.sql.types._
 
 /** Multimodal-column operators (north-star extension): treat image/audio/
@@ -823,5 +823,86 @@ object Multimodal {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Per-frame integer RGB ENERGY of a multi-frame payload: decode
+    * every frame (same `javax.imageio` walk as [[sampleImageFrames]])
+    * and emit (id, frame_no, energy, n_pixels) where energy is the
+    * exact Long Σ(R+G+B) over the frame's pixels — the
+    * representation-proof scalar per frame that [[sceneCuts]] and the
+    * audio-style delta analyses consume. Undecodable payloads emit no
+    * rows.
+    */
+  def frameEnergies(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(Seq(
+      df.schema(idIdx),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false)))
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val readers = ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                (0 until n).map { i =>
+                  val img = reader.read(i)
+                  var e = 0L
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val rgb = img.getRGB(x, y)
+                      e += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                        (rgb & 0xFF)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  Row(row.get(idIdx), i.toLong, e,
+                    img.getWidth.toLong * img.getHeight)
+                }.iterator
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** SCENE-CUT detection over [[frameEnergies]] rows: a cut is a frame
+    * whose energy jumps from its predecessor by at least `threshold`
+    * gray levels PER PIXEL on average — compared exactly as
+    * |ΔE| ≥ threshold·3·n_pixels (cross-multiplied integers, no
+    * division; 3 channels). Per video: frame count, cut count, first
+    * cut frame (NULL when none) — the shot-boundary structure a video
+    * training-data pipeline samples frames around, as opposed to
+    * [[sampleImageFrames]]'s blind stride. One per-id window lag (ids
+    * already co-locate after the decode exchange) + one keyed
+    * aggregate; nothing frame-count-quadratic.
+    */
+  def sceneCuts(frames: DataFrame, idCol: String,
+                threshold: Int = 16): DataFrame = {
+    require(threshold >= 1, "threshold in gray levels per pixel")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_no"))
+    val isCut = col("__de") >= lit(threshold.toLong) * 3L * col("n_pixels")
+    frames
+      .withColumn("__de", abs(col("energy") - lag(col("energy"), 1).over(w)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(isCut, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(isCut, col("frame_no"))).as("first_cut"))
+      .orderBy(col(idCol))
   }
 }

@@ -769,13 +769,20 @@ object Profile {
     * row hash, so slice fingerprints are comparable across different
     * partitioning layouts of the same logical key.
     */
+  /** The 60-bit row hash both checksum paths share: -separated
+    * canonical field strings (-prefixed NULL sentinel, distinct
+    * from any real value), md5, first 15 hex digits as a long.
+    */
+  private def rowHash(cols: Seq[String]): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("",
+      cols.map(c => coalesce(col(c).cast("string"),
+        lit("NULL"))): _*)), 1, 15), 16, 10).cast("long")
+
   def tableChecksumByKey(df: DataFrame, keyCol: Option[String],
                          cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "checksum needs at least one column")
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val key = concat_ws("",
-      cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
-    val h = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val h = rowHash(cols)
     val digests = Seq(
       count(lit(1)).as("n_rows"),
       coalesce(sum(col("__h").cast(Dec)), lit(0).cast(Dec))
@@ -790,5 +797,84 @@ object Profile {
           .groupBy(col(kc)).agg(digests.head, digests.tail: _*)
           .orderBy(col(kc))
     }
+  }
+
+  /** Robust per-key outlier report: median ± k·MAD (median absolute
+    * deviation) — the outlier gate that, unlike [[outlierGate]]'s
+    * mean/stddev z-score, a single wild value cannot move (both the
+    * center and the spread are order statistics with 50% breakdown).
+    * The robust-statistics companion every scorer-driven curation pass
+    * wants before trusting its thresholds.
+    *
+    * Two [[quantilesByKey]] rounds (per-key median of the values, then
+    * per-key median of |v − median|) — six scans total for ANY key
+    * count, each the histogram-guided selection with no global sort —
+    * then one final keyed aggregate counts deviations past k·MAD.
+    *
+    * Cross-engine exactness: both medians are VALUES AT POSITIONS
+    * (ceil(n/2), no interpolation); |v − med| is a single IEEE
+    * subtraction per row; the k·MAD threshold is one multiply; so every
+    * output cell replays bit-for-bit from a rank-based oracle. NULL
+    * keys/values are excluded (the gate-key dimension contract).
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  k: Double = 3.0, bins: Int = 256): DataFrame = {
+    val vals = graft.core.Caches.track(
+      df.select(col(keyCol).cast("string").as("__k"),
+          col(valueCol).cast("double").as("__v"))
+        .filter(col("__k").isNotNull && col("__v").isNotNull))
+    val med = quantilesByKey(vals, "__k", "__v", Seq(0.5), bins)
+      .select(col("key").as("__k"), col("quantile").as("__med"))
+    val dev = vals.join(broadcast(med), Seq("__k"))
+      .withColumn("__d", abs(col("__v") - col("__med")))
+    val mad = quantilesByKey(dev, "__k", "__d", Seq(0.5), bins)
+      .select(col("key").as("__k"), col("quantile").as("__mad"))
+    dev.join(broadcast(mad), Seq("__k"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("median"), // constant within the key
+        max(col("__mad")).as("mad"),
+        sum(when(col("__d") > lit(k) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("__d")).as("max_dev"))
+      .select(col("__k").as("key"), col("n"), col("median"), col("mad"),
+        col("n_outliers"), col("max_dev"))
+      .orderBy(col("key"))
+  }
+
+  /** One batch's MERGEABLE fingerprint partial — [[tableChecksum]]'s
+    * four digests kept in their algebraic form (count, DECIMAL(38,0)
+    * sum, xor, max — every one commutative-associative), so partials
+    * from any split of the table merge into the exact whole-table
+    * fingerprint. The streaming/incremental ingest unit: persist per
+    * micro-batch via [[IncrementalAgg.writeBatch]], serve via
+    * [[checksumServe]] — the table's audit digest stays current at
+    * O(batch) per refresh with the history never rescanned.
+    */
+  def checksumPartials(batch: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum needs at least one column")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    batch.select(rowHash(cols).as("__h"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__h").cast(Dec)), lit(0).cast(Dec)).as("s"),
+        expr("bit_xor(__h)").as("x"),
+        max(col("__h")).as("mx"))
+  }
+
+  /** Merge COMMITTED checksum partials into the whole-table fingerprint
+    * ([[tableChecksum]]'s exact output schema): counts and decimal sums
+    * add, xors xor, maxes max — bit-identical to one pass over the
+    * union of the ingested batches, which is the property the streaming
+    * oracle checks. Input is batches-sized; facts are never rescanned.
+    */
+  def checksumServe(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    spark.read.parquet(s"$path/data")
+      .filter(col("batch").isin(state.batches: _*))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(col("s")).cast("string").as("checksum_sum"),
+        expr("bit_xor(x)").as("checksum_xor"),
+        max(col("mx")).as("checksum_max"))
   }
 }

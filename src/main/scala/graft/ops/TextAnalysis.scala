@@ -470,4 +470,87 @@ object TextAnalysis {
           .as("jaccard"))
       .orderBy(col("slice_a"), col("slice_b"))
   }
+
+  /** Flesch-style readability report per slice — the quality-scoring
+    * family's classic: words, sentence terminators, and a vowel-group
+    * syllable proxy (clamped below by the word count, so an
+    * all-consonant token still counts one syllable in aggregate) are
+    * exact integer counts from three `regexp_extract_all` lengths per
+    * document; per slice they sum (map-side combined) and the Flesch
+    * reading-ease score 206.835 − 1.015·(W/S) − 84.6·(Y/W) plus the
+    * words-per-sentence ratio are the only doubles — fixed expression
+    * trees over exact longs, identical IEEE op sequences both engines.
+    * Zero-sentence docs floor at one sentence (a document is at least
+    * one utterance). Pure scan-stage expressions + one keyed aggregate.
+    */
+  def readability(docs: DataFrame, textCol: String,
+                  sliceCol: String): DataFrame = {
+    val w = size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+      lit(0)))
+    val s = greatest(size(regexp_extract_all(col(textCol), lit("[.!?]+"),
+      lit(0))), lit(1))
+    val vg = size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"),
+      lit(0)))
+    val g = docs
+      .select(col(sliceCol), w.as("__w"), s.as("__s"),
+        greatest(vg, w).as("__y"))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w").cast("long")).as("n_words"),
+        sum(col("__s").cast("long")).as("n_sentences"),
+        sum(col("__y").cast("long")).as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    g.select(col(sliceCol), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        wps.as("words_per_sentence"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"))
+      .orderBy(col(sliceCol))
+  }
+
+  /** Harman's S-STEMMER (1991) for one lowercase token — the three
+    * suffix rules ("ies"→"y" unless e/a-preceded; drop the "s" of "es"
+    * unless a/e/o-preceded; drop a final "s" unless "us"/"ss") as a
+    * single CASE chain of suffix tests and substrings: conflates
+    * regular English plurals with zero per-row regex work and an exact
+    * cross-engine restatement (LIKE + substring in both).
+    */
+  def sStem(w: Column): Column = {
+    def drop(n: Int): Column = w.substr(lit(1), length(w) - n)
+    // each suffix CLASS stops the cascade: a guarded word stays
+    // unchanged rather than falling through to a weaker rule ("does"
+    // must not reach the bare-s rule and lose its s)
+    when(w.endsWith("ies"),
+        when(w.endsWith("eies") || w.endsWith("aies"), w)
+          .otherwise(concat(drop(3), lit("y"))))
+      .when(w.endsWith("es"),
+        when(w.endsWith("aes") || w.endsWith("ees") || w.endsWith("oes"), w)
+          .otherwise(drop(1)))
+      .when(w.endsWith("s"),
+        when(w.endsWith("us") || w.endsWith("ss"), w).otherwise(drop(1)))
+      .otherwise(w)
+  }
+
+  /** Top-k STEM families: tokenize (lowercase alpha runs), [[sStem]]
+    * each token, count tokens and distinct surface forms per stem,
+    * top-k by (count, stem). One tokenize+stem scan stage, one
+    * map-side-combined (stem, form) aggregate, a stem-keyed rollup,
+    * TakeOrderedAndProject for the top-k — never a global sort. The
+    * vocabulary-normalization view of the corpus that [[vocabCoverage]]
+    * reads unstemmed.
+    */
+  def topStems(docs: DataFrame, textCol: String, topK: Int = 30)
+      : DataFrame = {
+    val toks = docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("__t"))
+    toks
+      .groupBy(sStem(col("__t")).as("stem"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("stem"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_forms"))
+      .orderBy(col("n_tokens").desc, col("stem"))
+      .limit(topK)
+  }
 }

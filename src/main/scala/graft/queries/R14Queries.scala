@@ -18,13 +18,34 @@ object R14Queries {
     * deduplicated edge list (the exact restatement of
     * [[graft.ops.Graphs]]'s symEdges over minhashCandidates).
     */
-  private def edgeCtes: String =
+  private[queries] def edgeCtes: String =
     s"""${ExtQueries.minhashPairCtes},
        |edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs)""".stripMargin
 
-  private val LpaIters = 4
+  private[queries] val LpaIters = 4
+
+  /** The unrolled synchronous-LPA rounds (l0 … l[[LpaIters]]) over the
+    * `edges` CTE — shared by graph_lpa and graph_modularity so both
+    * oracles score the identical labeling.
+    */
+  private[queries] def lpaCtes: String = {
+    val rounds = (1 to LpaIters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, l.lbl, count(*) AS cnt
+         |  FROM edges e JOIN l${i - 1} l ON l.id = e.src
+         |  GROUP BY e.dst, l.lbl),
+         |l$i AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |      row_number() OVER (PARTITION BY id
+         |        ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |$rounds""".stripMargin
+  }
   private val CoreK = 2
   private val CoreRounds = 16
   private val BfsSeeds = 3
@@ -113,24 +134,10 @@ object R14Queries {
         Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
           Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3),
         "id_a", "id_b", iters = LpaIters),
-      Some {
-        val rounds = (1 to LpaIters).map { i =>
-          s"""c$i AS (
-             |  SELECT e.dst AS id, l.lbl, count(*) AS cnt
-             |  FROM edges e JOIN l${i - 1} l ON l.id = e.src
-             |  GROUP BY e.dst, l.lbl),
-             |l$i AS MATERIALIZED (
-             |  SELECT id, lbl FROM (
-             |    SELECT id, lbl,
-             |      row_number() OVER (PARTITION BY id
-             |        ORDER BY cnt DESC, lbl) AS rn
-             |    FROM c$i) WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $edgeCtes,
-           |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-           |$rounds
-           |SELECT id, lbl AS community FROM l$LpaIters ORDER BY id""".stripMargin
-      }),
+      Some(s"""WITH $edgeCtes,
+              |$lpaCtes
+              |SELECT id, lbl AS community FROM l$LpaIters
+              |ORDER BY id""".stripMargin)),
 
     Q("graph_kcore",
       "2-core of the near-dup graph by iterative peeling (Seidman 1983): " +

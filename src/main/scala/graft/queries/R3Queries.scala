@@ -16,20 +16,20 @@ object R3Queries {
     * redaction operator then has real matches to scrub, and the oracle
     * can plant the identical values.
     */
-  private def piiText = concat(col("text"),
+  private[queries] def piiText = concat(col("text"),
     lit(" contact user"), col("doc_id"), lit("@example.com ref "),
     (col("doc_id") * 1234567L + 8000000L).cast("string"),
     lit(" ssn 123-45-6789"))
 
-  private val piiSql =
+  private[queries] val piiSql =
     "text || ' contact user' || doc_id || '@example.com ref ' || " +
       "(doc_id * 1234567 + 8000000) || ' ssn 123-45-6789'"
 
   // DuckDB restatements of Curation's Java-regex patterns (single-quoted,
   // so backslashes survive; RE2 and java.util.regex agree on these).
-  private val emailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val ssnSql = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-  private val numSql = "\\b\\d{6,}\\b"
+  private[queries] val emailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val ssnSql = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private[queries] val numSql = "\\b\\d{6,}\\b"
 
   /** DuckDB restatement of Dedup.dotExact over index i (1-based; local
     * copy of ExtQueries' helper to keep this file self-contained).

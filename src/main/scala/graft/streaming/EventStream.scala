@@ -567,6 +567,50 @@ object EventStream {
       path
     }
 
+  /** Structured Streaming maintains the TABLE FINGERPRINT: the
+    * historical third of lineitem bootstraps batch 0's checksum partial
+    * (count, decimal hash sum, xor, max — all algebraic), each arriving
+    * micro-batch appends its own 1-row partial under the micro-batch id
+    * ([[graft.ops.IncrementalAgg.writeBatch]]'s idempotent
+    * marker-committed write), and serving merges committed partials
+    * into the fingerprint bit-identical to ONE batch pass over
+    * everything ingested — which is what the shared dq_checksum oracle
+    * checks. The ingest-audit pattern: "does what we ingested still
+    * multiset-equal the source?" stays answerable after every
+    * micro-batch from batches-sized rows, history never rescanned.
+    */
+  def runChecksumStream(spark: SparkSession, sfDir: String,
+                        path: String): String =
+    withStatePartitions(spark) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus", "ship_day")
+      def canon(df: DataFrame): DataFrame =
+        df.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      graft.ops.IncrementalAgg.writeBatch(
+        graft.ops.Profile.checksumPartials(
+          canon(li.filter(col("l_orderkey") % 3 === 0)), cols),
+        path, 0L)
+      val stream = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.ops.IncrementalAgg.writeBatch(
+            graft.ops.Profile.checksumPartials(
+              canon(df.filter(col("l_orderkey") % 3 =!= 0)), cols),
+            path, id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
   /** Structured Streaming runs the DRIFT GATE as a monitor: the
     * reference snapshot's score histogram bootstraps batch 0 (written
     * once — the reference never rescans), and each arriving micro-batch

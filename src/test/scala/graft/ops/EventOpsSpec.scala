@@ -383,4 +383,37 @@ class EventOpsSpec extends SparkSpec {
       "view", "purchase").collect().head
     assert(r.getDouble(6) === 0.0 && r.getDouble(4) === 0.0)
   }
+
+  test("stickiness: dau/mau per day with a trailing window; " +
+      "zero-activity days inside the window report dau = 0") {
+    import spark.implicits._
+    def ts(d: String) = Timestamp.valueOf(s"2024-01-0$d 12:00:00")
+    // u1: day1+day2, u2: day1, u3: day4; window 3 days
+    val ev = Seq((1L, ts("1")), (2L, ts("1")), (1L, ts("2")),
+      (3L, ts("4"))).toDF("user_id", "ts")
+    val r = EventOps.stickiness(ev, "user_id", "ts", mauWindow = 3)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("2024-01-01") === ((2L, 2L, 1.0)))
+    assert(r("2024-01-02") === ((1L, 2L, 0.5)))
+    assert(r("2024-01-03") === ((0L, 2L, 0.0)), "silent day: dau 0")
+    assert(r("2024-01-04") === ((1L, 2L, 0.5)), "u1@d2 and u3@d4 in window")
+    assert(r.size == 4)
+  }
+
+  test("interarrivalGaps: per-(type, user) lag in exact micros; first " +
+      "event of each series excluded; ties ordered by the tie column") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(sec: Int) = new Timestamp(t0.getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, t0, "v"), (2L, 10L, plus(10), "v"), (3L, 10L, plus(25), "v"),
+      (4L, 10L, t0, "c"), // other type: its own series
+      (5L, 20L, plus(7), "v")) // other user: no gap
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventOps.interarrivalGaps(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.sorted === Seq(("v", 10000000L), ("v", 15000000L)))
+  }
 }

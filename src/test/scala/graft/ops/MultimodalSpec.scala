@@ -351,4 +351,38 @@ class MultimodalSpec extends SparkSpec {
     // already proves sample equality; this pins the operator end-to-end)
     assert(hashOf(even) == he)
   }
+
+  test("frameEnergies: every decoded GIF frame's integer energy is " +
+      "exactly 3 * 48 * fixture gray") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 8L).toDF("doc_id")
+    val r = Multimodal.frameEnergies(
+        Multimodal.gifFixture(ids, "doc_id"), "doc_id", "payload")
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (id, f) = (row.getLong(0), row.getLong(1))
+      assert(row.getLong(3) == 48L)
+      assert(row.getLong(2) ==
+        3L * 48L * Multimodal.gifFrameGray(id, f.toInt),
+        s"energy of (doc $id, frame $f)")
+    }
+  }
+
+  test("sceneCuts: the fixture's mod-64 gray walk cuts exactly at the " +
+      "wrap (|delta| 53) and nowhere else (|delta| 11)") {
+    import spark.implicits._
+    val ids = Seq(0L, 8L).toDF("doc_id")
+    val r = Multimodal.sceneCuts(
+        Multimodal.frameEnergies(
+          Multimodal.gifFixture(ids, "doc_id"), "doc_id", "payload"),
+        "doc_id", threshold = 16)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3)))).toMap
+    // id 0: grays 32, 43 - no wrap, no cut, first_cut NULL
+    assert(r(0L) === ((2L, 0L, -1L)))
+    // id 8: grays 88 -> 35 (wrap between frames 0 and 1)
+    assert(r(8L) === ((2L, 1L, 1L)))
+  }
 }

@@ -318,4 +318,57 @@ class ProfileSpec extends SparkSpec {
     val g2 = Profile.tableChecksum(rekeyed, Seq("a", "b")).collect().head
     assert(g2.getString(1) === global.getString(1))
   }
+
+  test("madOutliers: hand-computed medians, MAD, and the 3*MAD gate; " +
+      "a zero-spread key reports mad 0 and no outliers") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) ++
+      Seq(5.0, 5.0, 5.0).map(("b", _))).toDF("k", "v")
+    val r = Profile.madOutliers(df, "k", "v", k = 3.0)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4),
+          x.getDouble(5)))).toMap
+    // key a: median at pos ceil(2.5)=3 -> 3.0; devs {2,1,0,1,97} ->
+    // MAD 1.0; only 97 > 3*1 -> one outlier
+    assert(r("a") === ((5L, 3.0, 1.0, 1L, 97.0)))
+    // key b: constant values -> mad 0; 0 > 0 is false -> no outliers
+    assert(r("b") === ((3L, 5.0, 0.0, 0L, 0.0)))
+  }
+
+  test("madOutliers: NULL keys and NULL values are excluded") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Some("a"), Some(3.0)), (Some("a"), None), (None, Some(9.0)))
+      .toDF("k", "v")
+    val r = Profile.madOutliers(df, "k", "v").collect()
+    assert(r.length == 1 && r.head.getLong(1) == 3L)
+  }
+
+  test("checksumPartials merge bit-identically to the one-pass " +
+      "fingerprint; an unmarked batch directory stays invisible") {
+    import spark.implicits._
+    val df = spark.read.parquet(graft.SparkSpec.Sf0001 + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"))
+    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag")
+    val whole = Profile.tableChecksum(df, cols).collect().head
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cksum_partials").toString
+    IncrementalAgg.writeBatch(
+      Profile.checksumPartials(df.filter(col("l_orderkey") % 2 === 0), cols),
+      path, 0L)
+    IncrementalAgg.writeBatch(
+      Profile.checksumPartials(df.filter(col("l_orderkey") % 2 =!= 0), cols),
+      path, 1L)
+    val served = Profile.checksumServe(spark, path).collect().head
+    assert(served.getLong(0) === whole.getLong(0))
+    assert(served.getString(1) === whole.getString(1))
+    assert(served.getLong(2) === whole.getLong(2))
+    assert(served.getLong(3) === whole.getLong(3))
+    // crash simulation: batch 2's data lands but its marker never does
+    Profile.checksumPartials(df.limit(10), cols)
+      .write.parquet(s"$path/data/batch=2")
+    val after = Profile.checksumServe(spark, path).collect().head
+    assert(after.getString(1) === whole.getString(1),
+      "uncommitted batch must stay invisible to serving")
+  }
 }

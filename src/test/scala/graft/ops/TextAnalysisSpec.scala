@@ -218,4 +218,44 @@ class TextAnalysisSpec extends SparkSpec {
     // only (s1,s2) share tokens: |{b,c}|=2, union=4 -> 0.5
     assert(got.toSeq === Seq(("s1", "s2", 3L, 3L, 2L, 0.5)), s"${got.toSeq}")
   }
+
+  test("sStem: the three Harman rules and every guard") {
+    import spark.implicits._
+    val words = Seq("babies", "ties", "movies", // ies -> y
+      "does", "trees", "canvases", // oes/ees guards; ses strips one s
+      "cats", "is", // plain s strip
+      "bus", "class", "dog") // us/ss guards; no suffix
+      .toDF("w")
+    val r = words.select(col("w"),
+        TextAnalysis.sStem(col("w")).as("s"))
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r("babies") == "baby" && r("ties") == "ty" &&
+      r("movies") == "movy") // the S-stemmer's documented quirk
+    assert(r("does") == "does" && r("trees") == "trees")
+    assert(r("canvases") == "canvase")
+    assert(r("cats") == "cat" && r("is") == "i")
+    assert(r("bus") == "bus" && r("class") == "class" && r("dog") == "dog")
+  }
+
+  test("readability: hand-computed counts and the exact Flesch value") {
+    import spark.implicits._
+    val docs = Seq(("s1", "The cat sat. It ran!")).toDF("source", "text")
+    val r = TextAnalysis.readability(docs, "text", "source").collect().head
+    assert(r.getLong(1) == 1L) // n_docs
+    assert(r.getLong(2) == 5L, "words: the cat sat it ran")
+    assert(r.getLong(3) == 2L, "sentence terminators: . and !")
+    assert(r.getLong(4) == 5L, "vowel groups: e a a i a")
+    assert(r.getDouble(5) == 2.5)
+    assert(math.abs(r.getDouble(6) -
+      (206.835 - 1.015 * 2.5 - 84.6 * 1.0)) < 1e-12)
+  }
+
+  test("readability: a terminator-free doc floors at one sentence; an " +
+      "all-consonant token still counts a syllable via the word clamp") {
+    import spark.implicits._
+    val docs = Seq(("s1", "xyz pqrst")).toDF("source", "text")
+    val r = TextAnalysis.readability(docs, "text", "source").collect().head
+    assert(r.getLong(3) == 1L, "floored sentence count")
+    assert(r.getLong(4) == 2L, "clamped syllables = word count")
+  }
 }
