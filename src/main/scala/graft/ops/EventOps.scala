@@ -848,6 +848,29 @@ object EventOps {
     * Feed the result to [[Profile.quantilesByKey]] for exact per-type
     * gap percentiles with no global sort.
     */
+  /** Day-of-week SEASONALITY profile per event type: volume and the
+    * within-type share for each weekday (0 = Sunday, the DuckDB `dow`
+    * convention; Spark's 1-based dayofweek shifts down). One map-side
+    * combined (dow, type) aggregate — ≤ 7·|types| rows — plus a
+    * broadcast join of the per-type totals; the share is the only
+    * double, one division of two exact longs per cell. The weekly-cycle
+    * readout [[dailyAnomalies]]'s flat EWMA baseline misses.
+    */
+  def seasonality(events: DataFrame, tsCol: String,
+                  typeCol: String): DataFrame = {
+    val dow = (dayofweek(col(tsCol)) - lit(1)).cast("long")
+    val cells = events
+      .groupBy(dow.as("dow"), col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("__tot"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .select(col("dow"), col("event_type"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double"))
+          .as("share"))
+      .orderBy(col("dow"), col("event_type"))
+  }
+
   def interarrivalGaps(events: DataFrame, userCol: String, tsCol: String,
                        typeCol: String, tieCol: String): DataFrame = {
     val us = unix_micros(col(tsCol))

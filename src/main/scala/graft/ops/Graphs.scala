@@ -366,6 +366,52 @@ object Graphs {
       .orderBy(col("community"))
   }
 
+  /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetric directed edge list — positive
+    * when high-degree docs pair with high-degree docs (one dense
+    * template family), negative for hub-and-spoke structure (one
+    * canonical doc with many variants); the one-number shape diagnosis
+    * of the near-dup graph.
+    *
+    * Exactness: every moment (Σx, Σy, Σxy, Σx², Σy² over edges, with
+    * x, y the endpoint degrees) accumulates in DECIMAL(38,0) from
+    * DECIMAL(18,0)-staged degrees — products stay exact to ~1e37, far
+    * past any real graph — and the Pearson assembly is ONE fixed double
+    * expression (two correctly-rounded sqrts, one division), so the
+    * oracle's HUGEINT restatement lands on the identical double.
+    * Scale shape: one degree count, two node-keyed joins staging
+    * degrees onto edges, one 6-cell map-side-combined aggregate; the
+    * 1-row node count broadcasts.
+    */
+  def assortativity(pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val D18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = symEdges(pairs, aCol, bCol)
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val ed = edges
+      .join(deg.select(col("id").as("src"), col("d").as("__dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("__dy")), "dst")
+    val x = col("__dx").cast(D18)
+    val y = col("__dy").cast(D18)
+    val m = ed.agg(count(lit(1)).as("l"),
+      sum(x.cast(D)).as("sx"), sum(y.cast(D)).as("sy"),
+      sum((x * y).cast(D)).as("sxy"),
+      sum((x * x).cast(D)).as("sxx"),
+      sum((y * y).cast(D)).as("syy"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val l = col("l").cast(D)
+    val num = l * col("sxy") - col("sx") * col("sy")
+    val dx = l * col("sxx") - col("sx") * col("sx")
+    val dy = l * col("syy") - col("sy") * col("sy")
+    m.crossJoin(broadcast(nn))
+      .select(col("n_nodes"), shiftright(col("l"), 1).as("m_edges"),
+        when(dx > 0 && dy > 0,
+          num.cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
+
   /** k-core decomposition by iterative peeling (Seidman 1983; the
     * distributed formulation of Montresor et al.): repeatedly drop
     * nodes whose degree within the surviving subgraph is < k, until a

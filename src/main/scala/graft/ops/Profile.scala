@@ -861,6 +861,65 @@ object Profile {
         max(col("__h")).as("mx"))
   }
 
+  /** One batch's QUANTILE-SKETCH partial: the equi-width histogram of
+    * [[quantilesExact]] step 2, under a FROZEN (lo, hi, bins) geometry
+    * — the streaming/incremental unit (histogram counts merge by
+    * addition, so per-refresh cost is one narrow aggregate of the new
+    * batch). The geometry is fixed at bootstrap like the ADC layout's
+    * persisted quantizers: values outside [lo, hi] clamp into the edge
+    * bins (documented contract — re-profile and rebuild when the
+    * domain genuinely moves). Output: (__b, c) rows, ≤ bins of them.
+    */
+  def histogramPartials(batch: DataFrame, valueCol: String,
+                        lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo, "need hi > lo and >= 2 bins")
+    val width = (hi - lo) / bins
+    val b = greatest(least(floor((col("__v") - lit(lo)) / lit(width)),
+      lit(bins - 1)), lit(0)).cast("int")
+    batch.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(b.as("__b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Serve quantile ESTIMATES from merged COMMITTED histogram partials,
+    * gated against the exact order statistics: the merged counts locate
+    * each q's bin under the frozen geometry (est = bin lower edge, the
+    * [[quantilesExact]] `est` convention), and the output carries the
+    * exact value (hash-checked cross-engine, from one
+    * [[quantilesExact]] pass over the facts) plus the within-one-bin
+    * boolean — a broken merge fails the round, in-bound sketch
+    * coarseness does not. Serving reads ≤ bins × batches tiny rows;
+    * facts are scanned only for the gate's ground truth.
+    */
+  def quantileSketchServe(spark: org.apache.spark.sql.SparkSession,
+                          path: String, facts: DataFrame, valueCol: String,
+                          qs: Seq[Double], lo: Double, hi: Double,
+                          bins: Int): DataFrame = {
+    require(qs.nonEmpty && hi > lo, "need quantiles and hi > lo")
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    val hist = spark.read.parquet(s"$path/data")
+      .filter(col("batch").isin(state.batches: _*))
+      .groupBy(col("__b")).agg(sum(col("c")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = hist.values.sum
+    val width = (hi - lo) / bins
+    val cum = (0 until bins).scanLeft(0L)((acc, b) =>
+      acc + hist.getOrElse(b, 0L)).drop(1)
+    import spark.implicits._
+    val est = qs.map { q =>
+      val pos = math.ceil(q * n).toLong max 1L
+      val bin = cum.indexWhere(_ >= pos)
+      (q, lo + bin * width)
+    }.toDF("q", "est_sketch")
+    val exact = quantilesExact(facts, valueCol, qs, bins)
+      .select(col("q"), col("quantile").as("exact"))
+    exact.join(broadcast(est), Seq("q"))
+      .select(col("q"), col("exact"), col("est_sketch"),
+        (abs(col("exact") - col("est_sketch")) <= lit(width))
+          .as("within_bin"))
+      .orderBy(col("q"))
+  }
+
   /** Merge COMMITTED checksum partials into the whole-table fingerprint
     * ([[tableChecksum]]'s exact output schema): counts and decimal sums
     * add, xors xor, maxes max — bit-identical to one pass over the

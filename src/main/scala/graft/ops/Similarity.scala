@@ -252,6 +252,102 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine RANGE search — every vector within `minCos` of the
+    * query, not a fixed top-k: the retrieval mode dedup thresholds and
+    * "everything this similar" audits need, where k is unknowable up
+    * front. One narrow scan-stage cosine per row + a pushed filter;
+    * the boundary compare runs on the decimal-exact cosine, so
+    * membership is bit-stable cross-engine. Ordered (cos desc, id) for
+    * a deterministic result relation.
+    */
+  def rangeSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  query: Seq[Float], minCos: Double): DataFrame =
+    emb.select(col(idCol), cosineToQuery(col(vecCol), query).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .orderBy(col("cos_sim").desc, col(idCol))
+
+  /** [[rangeSearch]] through the IVF index, gated: probe the top
+    * `nprobe` clusters only (the 100 TB path — the scan prunes to
+    * nprobe partitions), threshold inside them, and report per
+    * brute-force-true row whether the pruned probe found it, plus the
+    * recall fraction — the range-query analogue of the top-k recall
+    * gates (an in-bound miss is the tuning signal; a broken probe
+    * fails the round).
+    */
+  def rangeSearchIvfGate(emb: DataFrame, idCol: String, vecCol: String,
+                         clusterCol: String, query: Seq[Float],
+                         minCos: Double, nprobe: Int): DataFrame = {
+    val cents = centroids(emb, clusterCol, vecCol)
+    val qd = typedlit(query.map(_.toDouble))
+    val shortlist = cents
+      .select(col("cluster"),
+        (Dedup.dotExact(col("centroid"), qd) /
+          (Dedup.normExact(col("centroid")) * Dedup.normExact(qd)))
+          .as("ccos"))
+      .orderBy(col("ccos").desc, col("cluster"))
+      .limit(nprobe)
+      .select("cluster")
+    val probed = emb
+      .join(broadcast(shortlist), emb(clusterCol) === shortlist("cluster"),
+        "left_semi")
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("__c"))
+      .filter(col("__c") >= minCos)
+      .select(col(idCol).as("__fid"))
+    val truth = rangeSearch(emb, idCol, vecCol, query, minCos)
+    val flagged = graft.core.Caches.track(
+      truth.join(probed, truth(idCol) === probed("__fid"), "left")
+        .select(col(idCol), col("cos_sim"), col("__fid").isNotNull
+          .as("found")))
+    val summary = flagged.agg(count(lit(1)).as("__n"),
+      sum(when(col("found"), 1L).otherwise(0L)).as("__f"))
+    flagged.crossJoin(broadcast(summary))
+      .select(col(idCol), col("cos_sim"), col("found"),
+        (col("__f").cast("double") / col("__n").cast("double"))
+          .as("recall"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+  }
+
+  /** Leave-one-out k-NN CLASSIFIER evaluation over a bounded anchor
+    * sample — the eval that says whether the embedding space actually
+    * separates the labels before anyone trusts it for blocking or
+    * curation. Same plan discipline as [[hardNegatives]]: anchors
+    * broadcast, ONE corpus scan scores all of them, per-anchor top-k
+    * through the TopKAgg partial aggregate (≤ k+1 rows per task-anchor
+    * cross the exchange) — never an all-pairs join. The anchor's own
+    * row is excluded AFTER ranking (ties at cosine 1.0 still order by
+    * id, so the exclusion is deterministic); the vote is plurality
+    * with smallest-label tie-break, all integer.
+    * Output per anchor: true label, predicted label, votes, correct.
+    */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, anchorIds: Seq[Long],
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bruteForceTopKBatch(emb, idCol, vecCol, anchorIds, k + 1)
+      .filter(col("anchor_id") =!= col(idCol)) // leave-one-out
+    val rerank = Window.partitionBy(col("anchor_id")).orderBy(col("rank"))
+    val nbrs = top.withColumn("__r", row_number().over(rerank))
+      .filter(col("__r") <= k)
+      .select(col("anchor_id"), col(idCol))
+    val votes = nbrs
+      .join(emb.select(col(idCol), col(labelCol).as("__nlbl")), idCol)
+      .groupBy(col("anchor_id"), col("__nlbl"))
+      .agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("votes").desc, col("__nlbl"))
+    val pred = votes.withColumn("__p", row_number().over(pick))
+      .filter(col("__p") === 1)
+      .select(col("anchor_id"), col("__nlbl").as("predicted"),
+        col("votes"))
+    pred
+      .join(emb.select(col(idCol).as("anchor_id"),
+        col(labelCol).as("true_label")), "anchor_id")
+      .select(col("anchor_id"), col("true_label"), col("predicted"),
+        col("votes"),
+        (col("predicted") === col("true_label")).as("correct"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** Driver-side fetch of one stored vector to use as a query (tiny point
     * lookup; the scan prunes to the one-row filter).
     */

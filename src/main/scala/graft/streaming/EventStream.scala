@@ -567,6 +567,45 @@ object EventStream {
       path
     }
 
+  /** Structured Streaming maintains the QUANTILE SKETCH: the historical
+    * half of events (even ids) bootstraps batch 0's equi-width
+    * histogram partial under a FROZEN (lo, hi, bins) geometry — the
+    * profiling-pass analogue of the ADC layout's persisted quantizers —
+    * and each arriving micro-batch appends its own ≤ bins-row count
+    * partial under the micro-batch id. Histogram counts merge by
+    * addition, so the served per-quantile bin (and its one-bin-width
+    * error bound) is identical to the batch histogram over everything
+    * ingested; [[graft.ops.Profile.quantileSketchServe]] gates that
+    * against the exact order statistics. Per-refresh cost: one narrow
+    * aggregate of the new files.
+    */
+  def runQuantilesStream(spark: SparkSession, sfDir: String, path: String,
+                         lo: Double, hi: Double, bins: Int): String =
+    withStatePartitions(spark) {
+      val ev = graft.core.Tables.events(spark, sfDir)
+      graft.ops.IncrementalAgg.writeBatch(
+        graft.ops.Profile.histogramPartials(
+          ev.filter(col("event_id") % 2 === 0), "value", lo, hi, bins),
+        path, 0L)
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val stream = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.ops.IncrementalAgg.writeBatch(
+            graft.ops.Profile.histogramPartials(
+              df.filter(col("event_id") % 2 =!= 0), "value", lo, hi, bins),
+            path, id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
   /** Structured Streaming maintains the TABLE FINGERPRINT: the
     * historical third of lineitem bootstraps batch 0's checksum partial
     * (count, decimal hash sum, xor, max — all algebraic), each arriving

@@ -416,4 +416,21 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getLong(1)))
     assert(r.sorted === Seq(("v", 10000000L), ("v", 15000000L)))
   }
+
+  test("seasonality: dow 0 is Sunday cross-engine; shares sum to 1 " +
+      "per type") {
+    import spark.implicits._
+    val ev = Seq(
+      (Timestamp.valueOf("2024-01-07 10:00:00"), "view"), // Sunday
+      (Timestamp.valueOf("2024-01-08 10:00:00"), "view"), // Monday
+      (Timestamp.valueOf("2024-01-08 11:00:00"), "view"),
+      (Timestamp.valueOf("2024-01-13 11:00:00"), "click")) // Saturday
+      .toDF("ts", "event_type")
+    val r = EventOps.seasonality(ev, "ts", "event_type").collect()
+    val m = r.map(x => (x.getLong(0), x.getString(1)) ->
+      ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(m((0L, "view")) === ((1L, 1.0 / 3.0)))
+    assert(m((1L, "view")) === ((2L, 2.0 / 3.0)))
+    assert(m((6L, "click")) === ((1L, 1.0)))
+  }
 }

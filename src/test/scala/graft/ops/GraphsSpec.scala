@@ -293,4 +293,17 @@ class GraphsSpec extends SparkSpec {
     // the labeling is worse than random for a star)
     assert(r.values.map(_._2).size == r.size)
   }
+
+  test("assortativity: a star is perfectly disassortative (-1 exactly); " +
+      "a 2-regular ring has zero degree variance (NULL)") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graphs.assortativity(star, "a", "b").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    // endpoints (3,1)/(1,3) only: num = 6*18 - 12*12 = -36, den = 36
+    assert(r.getDouble(2) == -1.0)
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val r2 = Graphs.assortativity(ring, "a", "b").collect().head
+    assert(r2.isNullAt(2), "constant degrees -> undefined correlation")
+  }
 }

@@ -371,4 +371,33 @@ class ProfileSpec extends SparkSpec {
     assert(after.getString(1) === whole.getString(1),
       "uncommitted batch must stay invisible to serving")
   }
+
+  test("histogramPartials merge to the full histogram: served quantile " +
+      "estimates stay within one bin of the exact order statistics") {
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_quant_partials").toString
+    IncrementalAgg.writeBatch(
+      Profile.histogramPartials(df.filter(col("v") <= 500), "v",
+        1.0, 1000.0, 64), path, 0L)
+    IncrementalAgg.writeBatch(
+      Profile.histogramPartials(df.filter(col("v") > 500), "v",
+        1.0, 1000.0, 64), path, 1L)
+    val served = Profile.quantileSketchServe(spark, path, df, "v",
+      Seq(0.5, 0.9, 0.99), 1.0, 1000.0, 64).collect()
+    assert(served.length == 3)
+    // exact order statistics at positions 500/900/990
+    assert(served.map(_.getDouble(1)).toSeq === Seq(500.0, 900.0, 990.0))
+    assert(served.forall(_.getBoolean(3)), "every estimate within a bin")
+  }
+
+  test("histogramPartials: out-of-geometry values clamp into the edge " +
+      "bins (frozen-geometry contract) rather than vanishing") {
+    import spark.implicits._
+    val batch = Seq(-5.0, 0.5, 99.5, 200.0).toDF("v")
+    val h = Profile.histogramPartials(batch, "v", 0.0, 100.0, 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h(0) == 2L && h(9) == 2L)
+  }
 }

@@ -1049,4 +1049,59 @@ class SimilaritySpec extends SparkSpec {
       s"$path/vectors/batch=0")), "superseded batch dir must be gone")
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
   }
+
+  test("rangeSearch: membership is every vector at or above the " +
+      "threshold; ordered (cos desc, id)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(0.8f, 0.6f), 0), (3L, Array(0f, 1f), 1),
+      (4L, Array(-1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.rangeSearch(emb, "vec_id", "embedding",
+      Seq(1f, 0f), minCos = 0.5).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(r.map(_.getDouble(1)).take(2).toSeq === Seq(1.0, 1.0))
+    assert(math.abs(r(2).getDouble(1) - 0.8) < 1e-7) // float32 vector
+  }
+
+  test("rangeSearchIvfGate: a probe covering every in-range cluster " +
+      "reports full recall; pruning the right cluster out reports the " +
+      "miss instead of hiding it") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.8f, 0.6f), 0),
+      (2L, Array(0.6f, 0.8f), 1), (3L, Array(0f, 1f), 1),
+      (4L, Array(-1f, 0f), 2), (5L, Array(-1f, 0.1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val full = Similarity.rangeSearchIvfGate(emb, "vec_id", "embedding",
+      "label", Seq(1f, 0f), minCos = 0.5, nprobe = 2).collect()
+    assert(full.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(full.forall(_.getBoolean(2)) &&
+      full.forall(_.getDouble(3) == 1.0))
+    val pruned = Similarity.rangeSearchIvfGate(emb, "vec_id", "embedding",
+      "label", Seq(1f, 0f), minCos = 0.5, nprobe = 1).collect()
+    val found = pruned.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(found(0L) && found(1L) && !found(2L),
+      "cluster-1 member in range but outside the probe")
+    assert(pruned.forall(r => math.abs(r.getDouble(3) - 2.0 / 3.0) < 1e-15))
+  }
+
+  test("knnClassify: separable clusters classify correctly; the " +
+      "anchor's own row is excluded") {
+    import spark.implicits._
+    // two tight clusters; every anchor's k=3 neighbors are its own
+    // cluster mates, never itself
+    val emb = (0L to 3L).map(i =>
+        (i, Array(1f, (i * 0.01f)), 7)) ++
+      (4L to 7L).map(i => (i, Array(-1f, (i * 0.01f)), 9))
+    val df = emb.toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(df, "vec_id", "embedding", "label",
+      anchorIds = Seq(0L, 1L, 4L, 7L), k = 3).collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      assert(row.getInt(1) == row.getInt(2), s"misclassified: $row")
+      assert(row.getBoolean(4) && row.getLong(3) == 3L)
+    }
+  }
 }
