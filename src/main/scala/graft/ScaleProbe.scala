@@ -39,7 +39,7 @@ object ScaleProbe {
       val rows = f
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
     }
-    if (!onlyR8) {
+    if (!onlyR8 && !args.contains("r9f")) {
       time("warm minhash")(Dedup.minhashCandidates(
         base.limit(500).cache(), "doc_id", "text").count())
       time(s"minhash x$mult")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
@@ -54,6 +54,68 @@ object ScaleProbe {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _).repartition(32).cache()
     println(s"vectors: ${emb.count()}")
+
+    if (args.contains("r9f")) {
+      // r9 session-6 probes. Expected shapes:
+      // madOutliers = two quantilesByKey rounds + one keyed agg → ~6
+      //   linear scans, flat per-row tail; modularity = the LPA round
+      //   shape + two node-keyed label joins; assortativity = one degree
+      //   count + two joins + a 6-cell aggregate (~linear); stickiness /
+      //   interarrival follow the (user, day)-dedup / window-lag shapes;
+      //   knnClassify = ONE corpus scan for a fixed anchor set (linear);
+      //   rangeSearch = one scan-stage cosine + filter (linear).
+      val evBase0 = graft.core.Tables.events(spark, "/root/testdata/sf0.1")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val evn = evBase0.count()
+      val ev = (0 until mult).map { i =>
+        evBase0.select((col("event_id") + lit(i * evn)).as("event_id"),
+          (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("ts"), col("event_type"), col("value"))
+      }.reduce(_ unionByName _).repartition(32).cache()
+      println(s"events: ${ev.count()}")
+      time(s"mad outliers 1x ($evn events)")(graft.ops.Profile
+        .madOutliers(evBase0, "event_type", "value").count())
+      time(s"mad outliers ${mult}x")(graft.ops.Profile
+        .madOutliers(ev, "event_type", "value").count())
+      time(s"stickiness 1x")(graft.ops.EventOps
+        .stickiness(evBase0, "user_id", "ts").count())
+      time(s"stickiness ${mult}x")(graft.ops.EventOps
+        .stickiness(ev, "user_id", "ts").count())
+      time(s"interarrival q 1x")(graft.ops.Profile.quantilesByKey(
+        graft.ops.EventOps.interarrivalGaps(evBase0, "user_id", "ts",
+          "event_type", "event_id"),
+        "event_type", "gap_us", Seq(0.5, 0.9, 0.99)).count())
+      time(s"interarrival q ${mult}x")(graft.ops.Profile.quantilesByKey(
+        graft.ops.EventOps.interarrivalGaps(ev, "user_id", "ts",
+          "event_type", "event_id"),
+        "event_type", "gap_us", Seq(0.5, 0.9, 0.99)).count())
+      def modProbe(df: org.apache.spark.sql.DataFrame, tag: String): Unit =
+        time(s"modularity $tag")(graft.ops.Graphs.modularity(
+          Dedup.minhashCandidates(df, "doc_id", "text"),
+          "id_a", "id_b").count())
+      modProbe(base, s"1x ($n docs)")
+      modProbe(docs, s"${mult}x")
+      def asProbe(df: org.apache.spark.sql.DataFrame, tag: String): Unit =
+        time(s"assortativity $tag")(graft.ops.Graphs.assortativity(
+          Dedup.minhashCandidates(df, "doc_id", "text"),
+          "id_a", "id_b").count())
+      asProbe(base, s"1x ($n docs)")
+      asProbe(docs, s"${mult}x")
+      val q0 = graft.ops.Similarity.vectorOf(embBase, "vec_id",
+        "embedding", 0L)
+      time(s"range search 1x ($en vecs)")(graft.ops.Similarity
+        .rangeSearch(embBase, "vec_id", "embedding", q0, 0.2).count())
+      time(s"range search ${mult}x")(graft.ops.Similarity
+        .rangeSearch(emb, "vec_id", "embedding", q0, 0.2).count())
+      time(s"knn classify 1x ($en vecs)")(graft.ops.Similarity
+        .knnClassify(embBase, "vec_id", "embedding", "label",
+          (0L to 490L by 10).toSeq, k = 5).count())
+      time(s"knn classify ${mult}x")(graft.ops.Similarity
+        .knnClassify(emb, "vec_id", "embedding", "label",
+          (0L to 490L by 10).toSeq, k = 5).count())
+      spark.stop()
+      return
+    }
 
     if (args.contains("r9b")) {
       // r9 session-2 probes. Expected shapes:

@@ -182,4 +182,37 @@ object Cdc {
     val latest = state.batches.max
     spark.read.parquet(s"$path/data/batch=$latest")
   }
+
+  /** DIFF two committed snapshot versions — the "what did this MERGE
+    * actually do" audit a lakehouse reviews before trusting a CDC
+    * apply: keys added, removed, changed (any compared column
+    * distinct), unchanged, in one pass. Comparison is native
+    * column-by-column `<=>` (IS NOT DISTINCT FROM) — no string-hashing
+    * of values, so double columns compare numerically and the
+    * checksum family's no-raw-doubles contract doesn't apply. One
+    * key-co-partitioned full outer join + one 4-cell
+    * map-side-combined aggregate; output is a single row.
+    */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, path: String,
+                   v1: Long, v2: Long, keys: Seq[String],
+                   cols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs key columns")
+    def side(v: Long, p: String): DataFrame =
+      serveSnapshot(spark, path, Some(v))
+        .select((keys ++ cols).map(col): _*)
+        .toDF((keys ++ cols).map(p + _): _*)
+    val a = side(v1, "a_")
+    val b = side(v2, "b_")
+    val on = keys.map(k => a(s"a_$k") === b(s"b_$k")).reduce(_ && _)
+    val inA = col(s"a_${keys.head}").isNotNull
+    val inB = col(s"b_${keys.head}").isNotNull
+    val same = cols.map(c => col(s"a_$c") <=> col(s"b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b, on, "full_outer")
+      .agg(
+        sum(when(!inA, 1L).otherwise(0L)).as("n_added"),
+        sum(when(!inB, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(inA && inB && !same, 1L).otherwise(0L)).as("n_changed"),
+        sum(when(inA && inB && same, 1L).otherwise(0L)).as("n_unchanged"))
+  }
 }

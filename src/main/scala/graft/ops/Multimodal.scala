@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.{abs, col, count, lag, lit, min, sum, when}
+import org.apache.spark.sql.functions.{abs, coalesce, col, count, lag, lit, max, min, row_number, sum, when}
 import org.apache.spark.sql.types._
 
 /** Multimodal-column operators (north-star extension): treat image/audio/
@@ -878,6 +878,40 @@ object Multimodal {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** SILENCE/low-energy span report over [[audioFrameEnergy]] rows —
+    * the audio structure pass a speech pipeline runs before chunking
+    * (cut at silences, not mid-word): a frame is silent when its MEAN
+    * per-sample energy is under `threshold`, compared exactly as
+    * energy < threshold·n_in_frame (cross-multiplied integers), and
+    * consecutive silent frames collapse into spans via the
+    * gaps-and-islands trick (frame_no − row_number within the silent
+    * subset is constant per run — pure integer arithmetic). Per clip:
+    * frames, silent frames, span count, longest span (0 when none).
+    * One per-id window + two keyed aggregates; nothing quadratic.
+    */
+  def silenceReport(frames: DataFrame, idCol: String,
+                    threshold: Long): DataFrame = {
+    require(threshold >= 1, "threshold = mean per-sample energy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_no"))
+    val sil = frames
+      .withColumn("__s", col("energy") < lit(threshold) * col("n_in_frame"))
+    val spans = sil.filter(col("__s"))
+      .withColumn("__grp", col("frame_no") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), max(col("__len")).as("longest"))
+    sil.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("n_silent"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_frames"), col("n_silent"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("longest"), lit(0L)).as("longest_span"))
+      .orderBy(col(idCol))
   }
 
   /** SCENE-CUT detection over [[frameEnergies]] rows: a cut is a frame

@@ -252,6 +252,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** SPARSE cosine similarity JOIN over integer term-frequency vectors
+    * — the bag-of-words complement to the dense ANN family: documents
+    * pair when cos(tf_a, tf_b) ≥ 1/2, decided EXACTLY by the
+    * cross-multiplied integer comparison 4·dot² ≥ ‖a‖²·‖b‖² — no
+    * sqrt, no doubles, no decimal-cast drift anywhere; every output
+    * cell is an exact integer.
+    *
+    * Scale shape (the PPJoin/banding discipline): candidates come from
+    * a DF-CAPPED postings self-join — only terms appearing in ≤ maxDf
+    * docs generate pairs, so a stop-word can never go quadratic (the
+    * recall/cost lever every set-similarity join here exposes; a pair
+    * sharing only ultra-common terms is not a near-dup claim worth
+    * making). Candidate pairs then rescore their dot over ALL shared
+    * terms (two id-keyed joins bounded by candidate count × doc
+    * length), so the threshold decision itself is uncapped-exact.
+    */
+  /** Word n-grams WITH multiplicity (the tf unit [[sparseCosinePairs]]
+    * counts — unlike [[Dedup.Shingler]]'s set-semantics shingles): a
+    * doc shorter than n yields its single truncated gram, so every doc
+    * has a non-empty vector. Pure scan-stage array expression.
+    */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    require(n >= 1, "n-gram order")
+    val ws = split(trim(lower(textCol)), "\\s+")
+    transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
+  }
+
+  def sparseCosinePairs(docs: DataFrame, idCol: String, tokens: Column,
+                        maxDf: Int = 100): DataFrame = {
+    val Dec = DecimalType(38, 0)
+    val tf = graft.core.Caches.track(docs
+      .select(col(idCol).as("__id"), explode(tokens).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf")))
+    val norms = tf.groupBy(col("__id"))
+      .agg(sum(col("__tf") * col("__tf")).as("__n2"))
+    val rare = tf.join(
+      tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf), "__t")
+    val cand = rare.select(col("__t"), col("__id").as("id_a"))
+      .join(rare.select(col("__t"), col("__id").as("id_b")), "__t")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val dots = cand
+      .join(tf.select(col("__id").as("id_a"), col("__t"),
+        col("__tf").as("__fa")), "id_a")
+      .join(tf.select(col("__id").as("id_b"), col("__t"),
+        col("__tf").as("__fb")), Seq("id_b", "__t"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__fa") * col("__fb")).as("dot"))
+    dots
+      .join(norms.select(col("__id").as("id_a"), col("__n2").as("na2")),
+        "id_a")
+      .join(norms.select(col("__id").as("id_b"), col("__n2").as("nb2")),
+        "id_b")
+      .filter(lit(4).cast(Dec) * col("dot").cast(Dec) * col("dot").cast(Dec)
+        >= col("na2").cast(Dec) * col("nb2").cast(Dec))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact cosine RANGE search — every vector within `minCos` of the
     * query, not a fixed top-k: the retrieval mode dedup thresholds and
     * "everything this similar" audits need, where k is unknowable up

@@ -43,7 +43,7 @@ object R11Queries {
     * deterministically from the base so the batch and streamed paths
     * apply identical changes.
     */
-  private def upsertChanges(base: org.apache.spark.sql.DataFrame)
+  private[queries] def upsertChanges(base: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     def ch(pred: org.apache.spark.sql.Column,
            name: org.apache.spark.sql.Column,
@@ -68,8 +68,8 @@ object R11Queries {
   /** Shared by cdc_upsert and stream_upsert: the latest-wins apply
     * of [[upsertChanges]] replayed in SQL.
     */
-  private val upsertOracle: String =
-    """WITH base AS (
+  private[queries] val upsertCtes: String =
+    """base AS (
       |  SELECT c_custkey, c_name, c_acctbal FROM customer),
       |ch AS (
       |  SELECT c_custkey, 'UPDATED_' || c_name AS c_name,
@@ -90,12 +90,17 @@ object R11Queries {
       |  SELECT * FROM (
       |    SELECT *, row_number() OVER (PARTITION BY c_custkey
       |      ORDER BY seq DESC) AS rn
-      |    FROM ch) WHERE rn = 1)
-      |SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
-      |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
-      |UNION ALL
-      |SELECT c_custkey, c_name, c_acctbal FROM latest
-      |WHERE op <> 'D'
+      |    FROM ch) WHERE rn = 1),
+      |merged AS (
+      |  SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
+      |  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal FROM latest
+      |  WHERE op <> 'D')""".stripMargin
+
+  private val upsertOracle: String =
+    s"""WITH $upsertCtes
+      |SELECT c_custkey, c_name, c_acctbal FROM merged
       |ORDER BY c_custkey""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -172,4 +172,21 @@ class CdcSpec extends SparkSpec {
     assert(rows(Cdc.serveSnapshot(spark, dir, asOf = Some(0L))) == rows(v0),
       "asOf reads the chain as of that version")
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged classified from " +
+      "two committed versions; doubles compare numerically") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cdc_diff").toString
+    val v1 = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("k", "name", "bal")
+    val v2 = Seq((1L, "a", 1.5), (2L, "B", 2.5), (4L, "d", 4.5))
+      .toDF("k", "name", "bal")
+    Cdc.writeSnapshot(v1, path, 1L)
+    Cdc.writeSnapshot(v2, path, 2L)
+    val r = Cdc.snapshotDiff(spark, path, 1L, 2L, Seq("k"),
+      Seq("name", "bal")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((1L, 1L, 1L, 1L))) // +4, -3, 2 changed, 1 unchanged
+  }
 }

@@ -385,4 +385,21 @@ class MultimodalSpec extends SparkSpec {
     // id 8: grays 88 -> 35 (wrap between frames 0 and 1)
     assert(r(8L) === ((2L, 1L, 1L)))
   }
+
+  test("silenceReport: gaps-and-islands run lengths, boundary-exclusive " +
+      "threshold, and the no-silence clip reporting zeros") {
+    import spark.implicits._
+    // frames: (id, frame_no, n_in_frame, energy); threshold 10 =>
+    // silent iff energy < 10 * n
+    val frames = Seq(
+      (1L, 0L, 4L, 39L), (1L, 1L, 4L, 39L), (1L, 2L, 4L, 40L), // run of 2, then loud (40 == 10*4 NOT silent)
+      (1L, 3L, 4L, 0L), // second run of 1
+      (2L, 0L, 4L, 999L), (2L, 1L, 4L, 999L)) // never silent
+      .toDF("doc_id", "frame_no", "n_in_frame", "energy")
+    val r = Multimodal.silenceReport(frames, "doc_id", threshold = 10L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) === ((4L, 3L, 2L, 2L)))
+    assert(r(2L) === ((2L, 0L, 0L, 0L)))
+  }
 }

@@ -1104,4 +1104,33 @@ class SimilaritySpec extends SparkSpec {
       assert(row.getBoolean(4) && row.getLong(3) == 3L)
     }
   }
+
+  test("sparseCosinePairs: exact integer cosine threshold - identical " +
+      "token bags pair, disjoint ones never candidates, the boundary " +
+      "cos = 1/2 case is INCLUDED (4*dot^2 == na2*nb2)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), // identical
+      (3L, "delta epsilon zeta"), // disjoint from 1/2
+      (4L, "alpha alpha eta eta theta theta iota iota")) // vs doc1: dot=2, na2=3, nb2=16 -> 16 < 48: out
+      .toDF("doc_id", "text")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val r = Similarity.sparseCosinePairs(docs, "doc_id", toks, maxDf = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r.keySet === Set((1L, 2L)))
+    assert(r((1L, 2L)) === ((3L, 3L, 3L)))
+    // boundary: cos exactly 1/2 -> kept (>=): a = (2,0), b = (1, sqrt3)
+    // integer version: a has tokens x x, b has x y y y: dot=2, na2=4,
+    // nb2=... use x x / x y y y: dot = 2*1 = 2; na2 = 4; nb2 = 1+9=10?
+    // cos^2 = 4/40 -> no. Construct exact half: a = "x x y", b = "x z z"
+    // dot = 2*1 = 2? tf_a(x)=2? no: a: x x y -> (x:2, y:1) na2=5.
+    // Simplest exact half: a=(1,1,0,0), b=(1,0,1,0)? dot=1, na2=2,
+    // nb2=2 -> cos=1/2: 4*1 >= 4 -> kept.
+    val half = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val rh = Similarity.sparseCosinePairs(half, "doc_id",
+      split(trim(lower(col("text"))), "\\s+"), maxDf = 10).collect()
+    assert(rh.length == 1 && rh.head.getLong(2) == 1L,
+      "cos == 1/2 exactly is a member")
+  }
 }
