@@ -119,4 +119,33 @@ object EntityResolution {
       .withColumn("cluster_size", count(lit(1)).over(w))
       .orderBy(col("id"))
   }
+
+  /** GOLDEN-RECORD survivorship over [[clusters]] — the MDM merge step
+    * after resolution: each cluster elects one canonical record by the
+    * deterministic preference (clean-source first, then longest name,
+    * then lexicographically/id-greatest — a single struct-max, the
+    * dedup_survivor argmax pattern, so no per-cluster sort), and
+    * reports membership counts beside it. One attrs join co-partitioned
+    * on the id key + one cluster-keyed aggregate; output is
+    * clusters-sized.
+    */
+  def golden(left: DataFrame, leftId: String, right: DataFrame,
+             rightId: String, nameCol: String,
+             maxDist: Int = 1): DataFrame = {
+    val cl = clusters(left, leftId, right, rightId, nameCol, maxDist)
+      .select(col("id"), col("cluster"))
+    val attrs = right.select(col(rightId).as("id"),
+        col(nameCol).as("name"), lit(true).as("__clean"))
+      .unionByName(left.select(col(leftId).as("id"),
+        col(nameCol).as("name"), lit(false).as("__clean")))
+    cl.join(attrs, Seq("id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("__clean"), 1L).otherwise(0L)).as("n_clean"),
+        max(struct(col("__clean").as("c"), length(col("name")).as("l"),
+          col("name").as("n"), col("id").as("i"))).as("__p"))
+      .select(col("cluster"), col("n_members"), col("n_clean"),
+        col("__p.i").as("golden_id"), col("__p.n").as("golden_name"))
+      .orderBy(col("cluster"))
+  }
 }

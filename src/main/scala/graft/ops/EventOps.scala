@@ -871,6 +871,35 @@ object EventOps {
       .orderBy(col("dow"), col("event_type"))
   }
 
+  /** Per-(user, active day) TRAILING-WINDOW FEATURE MATRIX — the
+    * feature-store rows a churn/propensity model trains on: today's
+    * event count, trailing 7- and 28-day counts, and days since the
+    * previous active day. One (user, day) aggregate (the only
+    * event-sized exchange, map-side combined), then three window
+    * functions over the SAME user-keyed sort: two integer RANGE frames
+    * on the epoch-day index (RANGE, not ROWS — inactive days must not
+    * slide into the window) and one lag. All exact integers.
+    */
+  def userFeatures(events: DataFrame, userCol: String,
+                   tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(userCol).as("user_id"), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("n_day"))
+      .withColumn("__di", datediff(col("__day"), lit("1970-01-01")))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("__di"))
+    def trailing(days: Int) = Window.partitionBy(col("user_id"))
+      .orderBy(col("__di")).rangeBetween(-(days - 1), 0)
+    daily
+      .withColumn("n_7d", sum(col("n_day")).over(trailing(7)))
+      .withColumn("n_28d", sum(col("n_day")).over(trailing(28)))
+      .withColumn("days_since_prev",
+        (col("__di") - lag(col("__di"), 1).over(byUser)).cast("long"))
+      .select(col("user_id"),
+        date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("n_day"), col("n_7d"), col("n_28d"), col("days_since_prev"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   def interarrivalGaps(events: DataFrame, userCol: String, tsCol: String,
                        typeCol: String, tieCol: String): DataFrame = {
     val us = unix_micros(col(tsCol))

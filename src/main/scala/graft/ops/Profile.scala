@@ -842,6 +842,36 @@ object Profile {
       .orderBy(col("key"))
   }
 
+  /** FRESHNESS report per key — the feed-health audit an ingest
+    * pipeline reads before anything downstream trusts a slice: each
+    * key's last event time, its staleness behind the global watermark
+    * (exact integer micros), row count, and the trailing-24h/7d volume
+    * relative to that watermark. One keyed aggregate with conditional
+    * sums (the only data-sized exchange) + a broadcast 1-row global
+    * max. Everything integer; NULL keys form their own row (the
+    * null-stratum convention), NULL timestamps are excluded.
+    */
+  def freshness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val DayUs = 86400000000L
+    val keyed = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), us.as("__us"))
+    val global = keyed.agg(max(col("__us")).as("__gmax"))
+    keyed.crossJoin(broadcast(global))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("__us")).as("last_us"),
+        max(col("__gmax")).as("__g"),
+        sum(when(col("__us") > col("__gmax") - lit(DayUs), 1L)
+          .otherwise(0L)).as("n_last_1d"),
+        sum(when(col("__us") > col("__gmax") - lit(7L * DayUs), 1L)
+          .otherwise(0L)).as("n_last_7d"))
+      .select(col("key"), col("n_rows"), col("last_us"),
+        (col("__g") - col("last_us")).as("staleness_us"),
+        col("n_last_1d"), col("n_last_7d"))
+      .orderBy(col("key").asc_nulls_last)
+  }
+
   /** One batch's MERGEABLE fingerprint partial — [[tableChecksum]]'s
     * four digests kept in their algebraic form (count, DECIMAL(38,0)
     * sum, xor, max — every one commutative-associative), so partials

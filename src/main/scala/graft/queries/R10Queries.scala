@@ -59,7 +59,7 @@ object R10Queries {
     * (measured 65 s at sf0.1) while teaching nothing new. Dirty ids
     * live at +1,000,000 so the two id spaces never collide.
     */
-  private val erSourceCtes: String =
+  private[queries] val erSourceCtes: String =
     """clean AS (SELECT c_custkey AS id, c_name AS name FROM customer),
       |dirty AS (
       |  SELECT c_custkey + 1000000 AS id,
@@ -76,7 +76,7 @@ object R10Queries {
   /** Deletion-neighborhood keys + verified radius-1 pairs, DuckDB side
     * (the EntityResolution.verifiedPairs mirror).
     */
-  private val erPairCtes: String =
+  private[queries] val erPairCtes: String =
     """ck AS (
       |  SELECT id, name, unnest(list_distinct(list_append(
       |    list_transform(generate_series(1, length(name)),
@@ -98,7 +98,34 @@ object R10Queries {
       |    CAST(levenshtein(dn, cn) AS BIGINT) AS dist
       |  FROM cand WHERE levenshtein(dn, cn) <= 1)""".stripMargin
 
-  private def dirtyCustomers(s: org.apache.spark.sql.SparkSession,
+  /** Best-edge → recursive-reachability clustering over [[erPairCtes]]'
+    * `ver` pairs, ending in `lab(id, cluster)` with singletons kept —
+    * shared by er_cluster and er_golden (requires WITH RECURSIVE).
+    */
+  private[queries] val erClusterCtes: String =
+    """best AS (
+      |  SELECT dirty_id, clean_id FROM (
+      |    SELECT dirty_id, clean_id,
+      |      row_number() OVER (PARTITION BY dirty_id
+      |        ORDER BY dist, clean_id) AS rn
+      |    FROM ver)
+      |  WHERE rn = 1),
+      |edges AS (
+      |  SELECT dirty_id AS src, clean_id AS dst FROM best
+      |  UNION SELECT clean_id, dirty_id FROM best),
+      |reach AS (
+      |  SELECT src AS id, src AS lab FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.lab FROM reach r
+      |  JOIN edges e ON e.src = r.id),
+      |cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+      |allv AS (
+      |  SELECT id FROM clean UNION ALL SELECT id FROM dirty),
+      |lab AS (
+      |  SELECT v.id, coalesce(cc.cluster, v.id) AS cluster
+      |  FROM allv v LEFT JOIN cc ON cc.id = v.id)""".stripMargin
+
+  private[queries] def dirtyCustomers(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
     Tables.customer(s, d).select(
       (col("c_custkey") + 1000000L).as("id"),
@@ -111,7 +138,7 @@ object R10Queries {
           concat(expr("substr(c_name, 1, 5)"), expr("substr(c_name, 7)")))
         .otherwise(col("c_name")).as("name"))
 
-  private def cleanCustomers(s: org.apache.spark.sql.SparkSession,
+  private[queries] def cleanCustomers(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
     Tables.customer(s, d)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -276,27 +303,7 @@ object R10Queries {
         "name"),
       Some(s"""WITH RECURSIVE $erSourceCtes,
               |$erPairCtes,
-              |best AS (
-              |  SELECT dirty_id, clean_id FROM (
-              |    SELECT dirty_id, clean_id,
-              |      row_number() OVER (PARTITION BY dirty_id
-              |        ORDER BY dist, clean_id) AS rn
-              |    FROM ver)
-              |  WHERE rn = 1),
-              |edges AS (
-              |  SELECT dirty_id AS src, clean_id AS dst FROM best
-              |  UNION SELECT clean_id, dirty_id FROM best),
-              |reach AS (
-              |  SELECT src AS id, src AS lab FROM edges
-              |  UNION
-              |  SELECT e.dst AS id, r.lab FROM reach r
-              |  JOIN edges e ON e.src = r.id),
-              |cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
-              |allv AS (
-              |  SELECT id FROM clean UNION ALL SELECT id FROM dirty),
-              |lab AS (
-              |  SELECT v.id, coalesce(cc.cluster, v.id) AS cluster
-              |  FROM allv v LEFT JOIN cc ON cc.id = v.id)
+              |$erClusterCtes
               |SELECT id, cluster,
               |  count(*) OVER (PARTITION BY cluster) AS cluster_size
               |FROM lab ORDER BY id""".stripMargin)),

@@ -58,4 +58,21 @@ class EntityResolutionSpec extends SparkSpec {
     assert(c === List((1L, 1L, 4L), (2L, 2L, 1L), (10L, 1L, 4L),
       (11L, 1L, 4L), (12L, 1L, 4L)))
   }
+
+  test("golden: clean record wins over a longer dirty name; a " +
+      "singleton cluster elects itself") {
+    import spark.implicits._
+    // dirty 101 resolves to clean 1 at distance 1; dirty 202 matches
+    // nothing (distance 2 from everything)
+    val clean = Seq((1L, "alice")).toDF("clean_id", "name")
+    val dirty = Seq((101L, "alicex"), (202L, "zzzzzz"))
+      .toDF("dirty_id", "name")
+    val r = EntityResolution.golden(dirty, "dirty_id", clean, "clean_id",
+      "name").collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    // cluster of {1, 101}: clean-first beats the LONGER dirty name
+    assert(r(1L) === ((2L, 1L, 1L, "alice")))
+    // singleton: itself, zero clean members
+    assert(r(202L) === ((1L, 0L, 202L, "zzzzzz")))
+  }
 }

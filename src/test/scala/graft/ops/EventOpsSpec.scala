@@ -433,4 +433,21 @@ class EventOpsSpec extends SparkSpec {
     assert(m((1L, "view")) === ((2L, 2.0 / 3.0)))
     assert(m((6L, "click")) === ((1L, 1.0)))
   }
+
+  test("userFeatures: RANGE frames count calendar days (an inactive " +
+      "gap does NOT slide extra rows in) and days_since_prev is exact") {
+    import spark.implicits._
+    def ts(d: String) = Timestamp.valueOf(s"2024-01-$d 12:00:00")
+    // user 1: days 1 (2 events), 2, 10 - day 10's 7d window excludes 1-2
+    val ev = Seq((1L, ts("01")), (1L, ts("01")), (1L, ts("02")),
+      (1L, ts("10"))).toDF("user_id", "ts")
+    val r = EventOps.userFeatures(ev, "user_id", "ts")
+      .collect().map(x => x.getString(1) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4),
+          if (x.isNullAt(5)) -1L else x.getLong(5)))).toMap
+    assert(r("2024-01-01") === ((2L, 2L, 2L, -1L)))
+    assert(r("2024-01-02") === ((1L, 3L, 3L, 1L)))
+    assert(r("2024-01-10") === ((1L, 1L, 4L, 8L)),
+      "7d window [Jan 4..10] holds only day 10; 28d holds all")
+  }
 }

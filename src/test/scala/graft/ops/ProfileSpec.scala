@@ -400,4 +400,22 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(h(0) == 2L && h(9) == 2L)
   }
+
+  test("freshness: staleness vs the global watermark; trailing windows " +
+      "are strict-greater boundaries; NULL ts excluded") {
+    import spark.implicits._
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0)
+    val df = Seq(
+      ("a", Some(ts("2024-01-10 00:00:00"))), // the watermark
+      ("a", Some(ts("2024-01-09 00:00:00"))), // exactly 24h old: NOT in 1d
+      ("b", Some(ts("2024-01-02 00:00:00"))), // 8 days: not in 7d
+      ("b", None))
+      .toDF("k", "ts")
+    val r = Profile.freshness(df, "k", "ts").collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r("a") === ((2L, 0L, 1L, 2L)),
+      "exactly-24h-old row is outside the strict 1d window, inside 7d")
+    assert(r("b") === ((1L, 8L * 86400000000L, 0L, 0L)))
+  }
 }
