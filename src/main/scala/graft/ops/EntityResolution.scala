@@ -120,6 +120,40 @@ object EntityResolution {
       .orderBy(col("id"))
   }
 
+  /** BLOCKING-QUALITY metrics — the report that justifies the
+    * deletion-neighborhood blocking before anyone trusts its output at
+    * scale: record counts, the quadratic pair space the blocking
+    * avoided, candidates actually generated, verified matches, matched
+    * left records, and the derived reduction ratio / match rate. Every
+    * input is an exact integer from one aggregate per relation (1-row
+    * frames, broadcast-crossed); the pair space accumulates in
+    * DECIMAL(38,0) so 1e9×1e9 record sets don't overflow. The ratios
+    * are the only doubles — fixed expressions over the exact counts.
+    */
+  def blockingMetrics(left: DataFrame, leftId: String, right: DataFrame,
+                      rightId: String, nameCol: String,
+                      maxDist: Int = 1): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nl = left.agg(count(lit(1)).as("n_left"))
+    val nr = right.agg(count(lit(1)).as("n_right"))
+    val nc = candidates(left, leftId, right, rightId, nameCol)
+      .agg(count(lit(1)).as("n_candidates"))
+    val ver = verifiedPairs(left, leftId, right, rightId, nameCol, maxDist)
+    val nv = ver.agg(count(lit(1)).as("n_verified"))
+    val nm = ver.select(col(leftId)).distinct()
+      .agg(count(lit(1)).as("n_matched"))
+    val possible = col("n_left").cast(Dec) * col("n_right").cast(Dec)
+    nl.crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(nv)).crossJoin(broadcast(nm))
+      .select(col("n_left"), col("n_right"),
+        possible.cast("string").as("n_possible"),
+        col("n_candidates"), col("n_verified"), col("n_matched"),
+        (lit(1.0) - col("n_candidates").cast("double") /
+          possible.cast("double")).as("reduction_ratio"),
+        (col("n_matched").cast("double") / col("n_left").cast("double"))
+          .as("match_rate"))
+  }
+
   /** GOLDEN-RECORD survivorship over [[clusters]] — the MDM merge step
     * after resolution: each cluster elects one canonical record by the
     * deterministic preference (clean-source first, then longest name,

@@ -900,6 +900,52 @@ object EventOps {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** SEASONAL-NAIVE forecast BACKTEST per event type — the honest
+    * baseline every volume forecast must beat, evaluated the way a
+    * production monitor would: gap-fill each type's daily counts to
+    * the global day grid (a missing day is a real zero, and without
+    * the fill a ROWS-lag would silently skip it), forecast each
+    * holdout day as the count `season` days earlier, and report MAE /
+    * bias / totals over the last `holdout` days. The error sums are
+    * exact integers (|n − fc| of two longs); MAE and bias are one
+    * division each. One (type, day) aggregate — the only event-sized
+    * exchange — plus a broadcast day grid and one lag window.
+    */
+  def seasonalNaiveBacktest(events: DataFrame, tsCol: String,
+                            typeCol: String, season: Int = 7,
+                            holdout: Int = 7): DataFrame = {
+    require(season >= 1 && holdout >= 1, "season/holdout in days")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    val grid = daily.agg(min(col("__day")).as("__d0"),
+        max(col("__day")).as("__d1"))
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__day"),
+        datediff(col("__d1"), lit("1970-01-01")).as("__d1i"))
+    val full = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(daily, Seq("event_type", "__day"), "left")
+      .select(col("event_type"), col("__d1i"),
+        datediff(col("__day"), lit("1970-01-01")).as("__di"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__di"))
+    full
+      .withColumn("__fc", lag(col("__n"), season).over(w))
+      .filter(col("__di") > col("__d1i") - holdout && col("__fc").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__n")).as("total_actual"),
+        sum(col("__fc")).as("total_forecast"),
+        sum(abs(col("__n") - col("__fc"))).as("abs_err"))
+      .select(col("event_type"), col("n_days"), col("total_actual"),
+        col("total_forecast"), col("abs_err"),
+        (col("abs_err").cast("double") / col("n_days").cast("double"))
+          .as("mae"),
+        ((col("total_actual") - col("total_forecast")).cast("double") /
+          col("n_days").cast("double")).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
   def interarrivalGaps(events: DataFrame, userCol: String, tsCol: String,
                        typeCol: String, tieCol: String): DataFrame = {
     val us = unix_micros(col(tsCol))

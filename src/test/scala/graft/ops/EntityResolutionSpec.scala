@@ -75,4 +75,20 @@ class EntityResolutionSpec extends SparkSpec {
     // singleton: itself, zero clean members
     assert(r(202L) === ((1L, 0L, 202L, "zzzzzz")))
   }
+
+  test("blockingMetrics: exact counts, quadratic space avoided, " +
+      "reduction ratio and match rate") {
+    import spark.implicits._
+    val clean = Seq((1L, "alice"), (2L, "bobby")).toDF("clean_id", "name")
+    val dirty = Seq((101L, "alicex"), (202L, "zzzzzz"))
+      .toDF("dirty_id", "name")
+    val r = EntityResolution.blockingMetrics(dirty, "dirty_id",
+      clean, "clean_id", "name").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getString(2) == "4")
+    // only (101, alice) blocks AND verifies at distance 1
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L && r.getLong(5) == 1L)
+    assert(r.getDouble(6) == 1.0 - 0.25)
+    assert(r.getDouble(7) == 0.5)
+  }
 }

@@ -450,4 +450,25 @@ class EventOpsSpec extends SparkSpec {
     assert(r("2024-01-10") === ((1L, 1L, 4L, 8L)),
       "7d window [Jan 4..10] holds only day 10; 28d holds all")
   }
+
+  test("seasonalNaiveBacktest: gap-filled zeros forecast and are " +
+      "forecast; MAE is the exact integer error over the holdout") {
+    import spark.implicits._
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // type v: 2 events on day 1, none on day 2, 1 on day 8, none 3-9
+    // season 7, holdout 2 -> test days 8 (fc = day1 = 2) and 9 (fc =
+    // day2 = 0, actual 0)
+    val ev = (Seq(ts(1), ts(1), ts(8)).map(("v", _)) :+ (("c", ts(9))))
+      .toDF("event_type", "ts")
+    val r = EventOps.seasonalNaiveBacktest(ev, "ts", "event_type",
+        season = 7, holdout = 2)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5)))).toMap
+    // v: day8 |1-2|=1, day9 |0-0|=0 -> abs_err 1, mae 0.5
+    assert(r("v") === ((2L, 1L, 2L, 1L, 0.5)))
+    // c: day8 |0-2? no - c has day1 count 0 (gap-filled), day8 fc=0,
+    // actual 0; day9 actual 1, fc = day2 = 0 -> abs_err 1
+    assert(r("c") === ((2L, 1L, 0L, 1L, 0.5)))
+  }
 }
