@@ -872,6 +872,55 @@ object Profile {
       .orderBy(col("key").asc_nulls_last)
   }
 
+  /** Deterministic POISSON-BOOTSTRAP confidence interval for the mean
+    * of an integer-valued column — uncertainty quantification with the
+    * reproducibility contract every operator here carries: replicate
+    * multiplicities are a pure function of md5(key, replicate)
+    * (two hex digits quantize Poisson(1) to {0,1,2,3,4} at the
+    * 94/94/47/16/5-per-256 thresholds — the Poisson bootstrap of Chamandy
+    * et al., the formulation that needs no per-replicate global n and
+    * therefore distributes), so reruns and engines agree bit-for-bit.
+    *
+    * Scale shape: ONE scan fans each row out to `reps` (map-side
+    * combine collapses to ≤ reps rows per task before the only
+    * exchange); per-replicate sums are exact integers in
+    * DECIMAL(38,0); each replicate mean is ONE double division; the
+    * CI bounds are order statistics of the reps-sized mean list
+    * (sort_array over ≤ reps values — nothing data-sized sorts).
+    */
+  def bootstrapMeanCI(df: DataFrame, keyCol: String, valueCol: String,
+                      reps: Int = 64, alpha: Double = 0.05): DataFrame = {
+    require(reps >= 4 && alpha > 0 && alpha < 1, "reps >= 4, alpha in (0,1)")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__k").isNotNull && col("__v").isNotNull)
+    val h = conv(substring(md5(concat(col("__k"), lit("_"),
+      col("__b").cast("string"))), 1, 2), 16, 10).cast("int")
+    val mult = when(h <= 93, 0).when(h <= 187, 1).when(h <= 234, 2)
+      .when(h <= 250, 3).otherwise(4)
+    val repMeans = rows
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+      .withColumn("__m", mult)
+      .groupBy(col("__b"))
+      .agg((sum((col("__v") * col("__m")).cast(Dec)).cast("double") /
+        sum(col("__m")).cast("double")).as("__mean"))
+    val ci = repMeans.agg(
+      sort_array(collect_list(col("__mean"))).as("__arr"))
+    val loPos = math.max(1, math.ceil(alpha / 2 * reps).toInt)
+    val hiPos = math.min(reps, math.ceil((1 - alpha / 2) * reps).toInt)
+    rows.agg(count(lit(1)).as("n_rows"),
+        sum(col("__v").cast(Dec)).as("__s"))
+      .crossJoin(broadcast(ci))
+      .select(col("n_rows"),
+        (col("__s").cast("double") / col("n_rows").cast("double"))
+          .as("mean"),
+        element_at(col("__arr"), loPos).as("ci_lo"),
+        element_at(col("__arr"), hiPos).as("ci_hi"),
+        lit(reps.toLong).as("reps"))
+  }
+
   /** One batch's MERGEABLE fingerprint partial — [[tableChecksum]]'s
     * four digests kept in their algebraic form (count, DECIMAL(38,0)
     * sum, xor, max — every one commutative-associative), so partials

@@ -418,4 +418,30 @@ class ProfileSpec extends SparkSpec {
       "exactly-24h-old row is outside the strict 1d window, inside 7d")
     assert(r("b") === ((1L, 8L * 86400000000L, 0L, 0L)))
   }
+
+  test("bootstrapMeanCI: CI brackets the sample mean on a benign " +
+      "column, bounds are actual replicate means, full mean exact") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, 100L + (i % 11))).toDF("id", "v")
+    val r = Profile.bootstrapMeanCI(df, "id", "v", reps = 64).collect().head
+    val (n, mean, lo, hi, reps) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getLong(4))
+    assert(n == 200L && reps == 64L)
+    assert(mean == (1L to 200L).map(i => 100L + (i % 11)).sum.toDouble / 200)
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"95% CI should bracket the mean on a symmetric-ish sample: $r")
+    // resampling a 100..110 population can't escape its range
+    assert(lo >= 100.0 && hi <= 110.0)
+  }
+
+  test("bootstrapMeanCI: deterministic across runs (hash-driven " +
+      "multiplicities, no RNG state)") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, i)).toDF("id", "v")
+    val a = Profile.bootstrapMeanCI(df, "id", "v", reps = 16).collect().head
+    val b = Profile.bootstrapMeanCI(df, "id", "v", reps = 16).collect().head
+    assert(a.getDouble(2) == b.getDouble(2) &&
+      a.getDouble(3) == b.getDouble(3))
+  }
 }
