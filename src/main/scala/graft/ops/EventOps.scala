@@ -913,11 +913,45 @@ object EventOps {
     */
   def seasonalNaiveBacktest(events: DataFrame, tsCol: String,
                             typeCol: String, season: Int = 7,
-                            holdout: Int = 7): DataFrame = {
-    require(season >= 1 && holdout >= 1, "season/holdout in days")
-    val daily = events
+                            holdout: Int = 7): DataFrame =
+    backtestFromDaily(dailyTypeCounts(events, tsCol, typeCol),
+      season, holdout)
+
+  /** One batch's (type, day) count partial — the mergeable unit behind
+    * the streaming-maintained forecast backtest (counts merge by
+    * addition, so per-refresh cost is one narrow aggregate of the new
+    * batch). Output columns: (event_type, __day, __n).
+    */
+  def dailyTypeCounts(events: DataFrame, tsCol: String,
+                      typeCol: String): DataFrame =
+    events
       .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("__day"))
       .agg(count(lit(1)).as("__n"))
+
+  /** Serve the forecast backtest from COMMITTED daily-count partials:
+    * same-day counts merge by addition across batches (bit-identical
+    * to one pass over everything ingested), then the shared
+    * [[backtestFromDaily]] tail scores the forecast. Serving reads
+    * (types × days) × batches tiny rows; events are never rescanned.
+    */
+  def backtestServe(spark: org.apache.spark.sql.SparkSession,
+                    path: String, season: Int, holdout: Int): DataFrame = {
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    val daily = spark.read.parquet(s"$path/data")
+      .filter(col("batch").isin(state.batches: _*))
+      .groupBy(col("event_type"), col("__day"))
+      .agg(sum(col("__n")).as("__n"))
+    backtestFromDaily(daily, season, holdout)
+  }
+
+  /** [[seasonalNaiveBacktest]]'s evaluation tail over an
+    * already-aggregated (event_type, __day, __n) relation — shared by
+    * the batch operator and the streaming serve so both score the
+    * identical forecast.
+    */
+  def backtestFromDaily(daily: DataFrame, season: Int,
+                        holdout: Int): DataFrame = {
+    require(season >= 1 && holdout >= 1, "season/holdout in days")
     val grid = daily.agg(min(col("__day")).as("__d0"),
         max(col("__day")).as("__d1"))
       .select(explode(sequence(col("__d0"), col("__d1"))).as("__day"),

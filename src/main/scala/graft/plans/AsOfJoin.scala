@@ -297,6 +297,31 @@ object AsOfJoin {
     planned(left, right, leftOn, rightOn, leftTimeCol, rightTimeCol,
       force = false)
 
+  /** [[asof]] with a MAX-STALENESS tolerance (pandas merge_asof
+    * `tolerance=` / kdb `wj` semantics): a left row whose latest match
+    * lags more than `tolerance` time units behind it comes back
+    * UNMATCHED (right columns NULL) instead of carrying stale state
+    * into the feature row. Because the as-of match is already the
+    * LATEST right row ≤ t, "latest within tolerance" is exactly
+    * "latest, nulled when stale" — one projection over the exact
+    * as-of result, never a second join. Time columns must share the
+    * unit of `tolerance` (the operators here use epoch micros).
+    */
+  def asofTolerance(left: DataFrame, right: DataFrame,
+                    leftOn: Seq[String], rightOn: Seq[String],
+                    leftTimeCol: String, rightTimeCol: String,
+                    tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "tolerance in the time columns' unit")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val joined = asof(left, right, leftOn, rightOn, leftTimeCol,
+      rightTimeCol)
+    val fresh = col(rightTimeCol).isNotNull &&
+      col(leftTimeCol) - col(rightTimeCol) <= tolerance
+    joined.select(left.columns.map(col) ++
+      right.columns.map(c => when(fresh, col(c)).otherwise(lit(null))
+        .as(c)): _*)
+  }
+
   /** Broadcast as-of join — same semantics as [[asof]], but FORCES the
     * [[BroadcastAsOfJoinExec]] shape regardless of stats (the as-of
     * analogue of the `broadcast()` hint): for the DIMENSION case when the

@@ -606,6 +606,44 @@ object EventStream {
       path
     }
 
+  /** Structured Streaming maintains the FORECAST BACKTEST's daily
+    * counts: the historical half of events (even ids) bootstraps batch
+    * 0's (type, day) count partial, each micro-batch appends its own
+    * (counts merge by addition — the same algebraic-partial contract
+    * as the incremental aggregate), and serving merges committed
+    * partials before the shared [[graft.ops.EventOps.backtestFromDaily]]
+    * tail — so the streaming-maintained backtest scores the identical
+    * forecast as the batch operator, which is what the shared
+    * ev_forecast oracle checks.
+    */
+  def runForecastStream(spark: SparkSession, sfDir: String,
+                        path: String): String =
+    withStatePartitions(spark) {
+      val ev = graft.core.Tables.events(spark, sfDir)
+      graft.ops.IncrementalAgg.writeBatch(
+        graft.ops.EventOps.dailyTypeCounts(
+          ev.filter(col("event_id") % 2 === 0), "ts", "event_type"),
+        path, 0L)
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val stream = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.ops.IncrementalAgg.writeBatch(
+            graft.ops.EventOps.dailyTypeCounts(
+              graft.core.Tables.normalizeTs(df)
+                .filter(col("event_id") % 2 =!= 0), "ts", "event_type"),
+            path, id + 1)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      path
+    }
+
   /** Structured Streaming maintains the TABLE FINGERPRINT: the
     * historical third of lineitem bootstraps batch 0's checksum partial
     * (count, decimal hash sum, xor, max — all algebraic), each arriving

@@ -471,4 +471,27 @@ class EventOpsSpec extends SparkSpec {
     // actual 0; day9 actual 1, fc = day2 = 0 -> abs_err 1
     assert(r("c") === ((2L, 1L, 0L, 1L, 0.5)))
   }
+
+  test("backtestServe: daily-count partials written under two batch " +
+      "ids merge to the exact batch backtest") {
+    import spark.implicits._
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val ev = (Seq(ts(1), ts(1), ts(8)).map(("v", _)) :+ (("c", ts(9))))
+      .toDF("event_type", "ts").withColumn("event_id",
+        monotonically_increasing_id())
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_forecast_partials").toString
+    IncrementalAgg.writeBatch(EventOps.dailyTypeCounts(
+      ev.filter(col("event_id") % 2 === 0), "ts", "event_type"), path, 0L)
+    IncrementalAgg.writeBatch(EventOps.dailyTypeCounts(
+      ev.filter(col("event_id") % 2 =!= 0), "ts", "event_type"), path, 1L)
+    val served = EventOps.backtestServe(spark, path, season = 7,
+      holdout = 2).collect().map(r => r.getString(0) -> r).toMap
+    val batch = EventOps.seasonalNaiveBacktest(ev, "ts", "event_type",
+      season = 7, holdout = 2).collect().map(r => r.getString(0) -> r).toMap
+    assert(served.keySet === batch.keySet)
+    served.keySet.foreach { k =>
+      assert(served(k).toSeq === batch(k).toSeq, s"type $k diverged")
+    }
+  }
 }

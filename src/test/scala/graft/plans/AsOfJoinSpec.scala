@@ -245,4 +245,24 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("asofTolerance: stale matches come back unmatched (all right " +
+      "columns NULL), fresh ones untouched, never-matched rows " +
+      "unchanged") {
+    import spark.implicits._
+    val l = Seq(("a", 100L, "p1"), ("a", 500L, "p2"), ("c", 9L, "p3"))
+      .toDF("k", "t", "ltag")
+    val r = Seq(("a", 90L, "r1"), ("a", 200L, "r2"))
+      .toDF("rk", "rt", "rtag")
+    val out = graft.plans.AsOfJoin.asofTolerance(l, r,
+        Seq("k"), Seq("rk"), "t", "rt", tolerance = 50L)
+      .collect().map(x => x.getString(2) ->
+        ((if (x.isNullAt(4)) -1L else x.getLong(4),
+          Option(x.getString(5)).getOrElse("-")))).toMap
+    assert(out("p1") === ((90L, "r1")), "gap 10 <= 50: fresh")
+    // p2's latest match is r2 at 200 - gap 300 > 50: nulled, and the
+    // even-staler r1 must NOT resurface
+    assert(out("p2") === ((-1L, "-")))
+    assert(out("p3") === ((-1L, "-")), "no right rows for key c")
+  }
 }
