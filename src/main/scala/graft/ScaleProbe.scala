@@ -113,6 +113,26 @@ object ScaleProbe {
       time(s"knn classify ${mult}x")(graft.ops.Similarity
         .knnClassify(emb, "vec_id", "embedding", "label",
           (0L to 490L by 10).toSeq, k = 5).count())
+      // sim_sparse: candidates come from df-capped postings — at 10×
+      // docs every gram's df grows ~10×, so the cap bites HARDER and
+      // candidate volume cannot scale quadratically (expect sublinear
+      // pair counts; the salt grams keep within-replica pairs alive)
+      def sparseProbe(df: org.apache.spark.sql.DataFrame,
+                      tag: String): Unit =
+        time(s"sparse cosine $tag")(graft.ops.Similarity
+          .sparseCosinePairs(df, "doc_id",
+            graft.ops.Similarity.wordNgrams(col("text"), 2), maxDf = 50)
+          .count())
+      sparseProbe(base, s"1x ($n docs)")
+      sparseProbe(docs, s"${mult}x")
+      time(s"bootstrap ci 1x ($n docs)")(graft.ops.Profile
+        .bootstrapMeanCI(base.select(col("doc_id"),
+          org.apache.spark.sql.functions.length(col("text"))
+            .cast("long").as("n_chars")), "doc_id", "n_chars").count())
+      time(s"bootstrap ci ${mult}x")(graft.ops.Profile
+        .bootstrapMeanCI(docs.select(col("doc_id"),
+          org.apache.spark.sql.functions.length(col("text"))
+            .cast("long").as("n_chars")), "doc_id", "n_chars").count())
       spark.stop()
       return
     }
