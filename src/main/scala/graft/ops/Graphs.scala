@@ -366,6 +366,27 @@ object Graphs {
       .orderBy(col("community"))
   }
 
+  /** DEGREE DISTRIBUTION of the symmetrized graph — the one-page shape
+    * readout next to [[assortativity]]'s one number: how many nodes
+    * carry each degree (and their share — one division per row of a
+    * degrees-sized relation). Heavy-tailed = hub/boilerplate structure,
+    * concentrated = uniform duplicate families. One degree count + one
+    * tiny regroup; nothing quadratic.
+    */
+  def degreeDistribution(pairs: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val deg = symEdges(pairs, aCol, bCol)
+      .groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val dist = deg.groupBy(col("__d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val tot = dist.agg(sum(col("n_nodes")).as("__t"))
+    dist.crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        (col("n_nodes").cast("double") / col("__t").cast("double"))
+          .as("share"))
+      .orderBy(col("degree"))
+  }
+
   /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
     * endpoint degrees over the symmetric directed edge list — positive
     * when high-degree docs pair with high-degree docs (one dense

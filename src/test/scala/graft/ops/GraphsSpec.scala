@@ -306,4 +306,14 @@ class GraphsSpec extends SparkSpec {
     val r2 = Graphs.assortativity(ring, "a", "b").collect().head
     assert(r2.isNullAt(2), "constant degrees -> undefined correlation")
   }
+
+  test("degreeDistribution: star = one hub at degree 3, three leaves " +
+      "at degree 1; shares sum to 1") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graphs.degreeDistribution(star, "a", "b")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    assert(r(1L) === ((3L, 0.75)) && r(3L) === ((1L, 0.25)))
+  }
 }
