@@ -125,6 +125,34 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** FIRST-touch attribution — [[lastTouchAttribution]]'s
+    * discovery-credit complement (which channel ACQUIRED the user vs
+    * which one closed): the earliest qualifying touch strictly before
+    * each conversion takes full credit, same deterministic
+    * (ts, tieCol) frame, same one-user-exchange plan; only the window
+    * function changes (first non-null instead of last).
+    */
+  def firstTouchAttribution(events: DataFrame, userCol: String,
+                            tsCol: String, typeCol: String, tieCol: String,
+                            touchTypes: Seq[String], conversionType: String,
+                            valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val channel = first(
+      when(col(typeCol).isin(touchTypes: _*), col(typeCol)),
+      ignoreNulls = true).over(w)
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol),
+        col(valueCol))
+      .withColumn("channel", coalesce(channel, lit("(direct)")))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast(DecimalType(28, 8))).cast("double")
+          .as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   /** Per-session rows via the built-in session_window operator with an
     * inactivity gap — the batch plan of the same stateful shape
     * Structured Streaming runs. Single-sourced here so the standalone

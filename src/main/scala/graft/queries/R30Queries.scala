@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.ops.EventOps
 
 /** Round-9 session-6, batch 9: intraday cycle readout and lexical
   * diversity.
@@ -75,5 +76,34 @@ object R30Queries {
              |  CAST(ty.n_types AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)
              |    AS ttr
              |FROM tot JOIN ty USING (source)
-             |ORDER BY source""".stripMargin)))
+             |ORDER BY source""".stripMargin)),
+
+    Q("ev_attribution_first",
+      "FIRST-touch attribution - ev_attribution's discovery-credit " +
+        "complement (which channel ACQUIRED the user vs which closed): " +
+        "the earliest qualifying touch strictly before each conversion " +
+        "takes full credit, over the same deterministic (ts, event_id) " +
+        "frame and one user exchange; only the window function changes " +
+        "(first non-null instead of last).",
+      (s, d) => EventOps.firstTouchAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id",
+        touchTypes = Seq("click", "view", "signup"),
+        conversionType = "purchase", valueCol = "value"),
+      Some("""WITH attr AS (
+             |  SELECT event_type, value,
+             |    coalesce(first_value(CASE WHEN event_type IN
+             |        ('click', 'view', 'signup') THEN event_type END
+             |        IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING
+             |              AND 1 PRECEDING),
+             |      '(direct)') AS channel
+             |  FROM events)
+             |SELECT channel, count(*) AS n_conversions,
+             |  cast(sum(cast(value AS DECIMAL(28,8))) AS DOUBLE)
+             |    AS revenue
+             |FROM attr
+             |WHERE event_type = 'purchase'
+             |GROUP BY channel
+             |ORDER BY channel""".stripMargin)))
 }

@@ -494,4 +494,26 @@ class EventOpsSpec extends SparkSpec {
       assert(served(k).toSeq === batch(k).toSeq, s"type $k diverged")
     }
   }
+
+  test("firstTouchAttribution vs lastTouch: acquisition and closing " +
+      "channels differ when the journey crosses channels") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(sec: Int) = new Timestamp(t0.getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, t0, "view", 0.0), (2L, 10L, plus(10), "click", 0.0),
+      (3L, 10L, plus(20), "purchase", 5.0),
+      (4L, 20L, t0, "purchase", 7.0)) // no prior touch: (direct)
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, String,
+        String, Seq[String], String, String) =>
+        org.apache.spark.sql.DataFrame) =
+      f(ev, "user_id", "ts", "event_type", "event_id",
+        Seq("click", "view"), "purchase", "value")
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val firstT = run(EventOps.firstTouchAttribution)
+    val lastT = run(EventOps.lastTouchAttribution)
+    assert(firstT === Map("view" -> 1L, "(direct)" -> 1L))
+    assert(lastT === Map("click" -> 1L, "(direct)" -> 1L))
+  }
 }
