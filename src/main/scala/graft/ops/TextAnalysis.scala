@@ -125,64 +125,23 @@ object TextAnalysis {
       .otherwise(maxCnt.cast("double") * 2 / size(w))
   }
 
-  /** Word n-grams of the staged word array `w`, as space-joined strings:
-    * n−1 shifted-slice zips (the [[topBigramFrac]] idiom generalized —
-    * every array argument evaluates once per row, never per element).
-    * Entries whose window ran off the end pair with null and are
-    * filtered; size = max(len(w) − n + 1, 0).
-    */
-  private def ngramsOf(w: Column, n: Int): Column = {
-    require(n >= 2, "n-grams need n >= 2")
-    val joined = (1 until n).foldLeft(w) { (acc, j) =>
-      zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    filter(joined, x => x.isNotNull)
-  }
-
-  /** Characters in the normalized (single-space-joined) word stream —
-    * the denominator of every Gopher char-fraction rule, computed
-    * identically in both engines (raw text length would disagree on
-    * runs of whitespace).
-    */
-  private def normChars(w: Column): Column =
-    when(size(w) === 0, lit(0L)).otherwise(
-      (aggregate(w, lit(0L), (acc, x) => acc + length(x)) +
-        size(w) - 1).cast("long"))
-
   /** Top-n-gram character fraction (Gopher repetition rules #3-#5,
     * Rae et al. 2021 A1.1: thresholds 0.20 / 0.18 / 0.16 for n = 2/3/4):
     * characters covered by the MOST FREQUENT word n-gram —
     * count × chars(gram) — over the normalized character count.
-    * Counting stays inside the row: the n-gram array is sorted and the
-    * best (count, chars, gram) read off the longest equal-neighbor run,
-    * O(len·log len) per row, no explode, no shuffle. Ties on count break
-    * to the LONGER gram (the conservative filter reading), then to the
-    * lexicographically smaller — a total order, so both engines agree.
+    * Counting stays inside the row (no explode, no shuffle); ties on
+    * count break to the LONGER gram (the conservative filter reading),
+    * then to the code-point-smaller — a total order, so both engines
+    * agree. Computed by the codegen'd
+    * [[graft.functions.GopherRepetitionFracs]] expression (the array-HOF
+    * fold this replaces ran interpreted — 231 s/pass at sf0.01; see the
+    * expression's scaladoc for the exactness contract). When reading
+    * several n's, prefer [[graft.functions.GopherRepetition.allFracs]]
+    * staged once.
     */
-  def topNgramCharFrac(text: Column, n: Int): Column = {
-    val w = split(trim(text), "\\s+")
-    val best = aggregate(
-      array_sort(ngramsOf(w, n)),
-      struct(lit("").as("prev"), lit(0).as("run"),
-        lit(0).as("bn"), lit(0).as("bl"), lit("").as("bg")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        val better = run > acc.getField("bn") ||
-          (run === acc.getField("bn") &&
-            (length(x) > acc.getField("bl") ||
-              (length(x) === acc.getField("bl") && x < acc.getField("bg"))))
-        struct(x.as("prev"), run.as("run"),
-          when(better, run).otherwise(acc.getField("bn")).as("bn"),
-          when(better, length(x)).otherwise(acc.getField("bl")).as("bl"),
-          when(better, x).otherwise(acc.getField("bg")).as("bg"))
-      },
-      acc => struct(acc.getField("bn").as("bn"), acc.getField("bl").as("bl")))
-    when(trim(text) === "" || size(w) < n, lit(0.0)).otherwise(
-      best.getField("bn").cast("double") * best.getField("bl") /
-        normChars(w))
-  }
+  def topNgramCharFrac(text: Column, n: Int): Column =
+    graft.functions.GopherRepetition.fracs(text, Seq(n), Nil)
+      .getField(s"top$n")
 
   /** Duplicate-n-gram character fraction (Gopher rules #6-#11: thresholds
     * 0.15 … 0.10 for n = 5 … 10): characters covered by n-grams occurring
@@ -192,41 +151,26 @@ object TextAnalysis {
     * approximation of the paper's character-marking; both engines
     * compute the identical value, so the DuckDB gate holds), and the
     * ratio is capped at 1.0 so heavy overlap still reads as a fraction.
-    * Same sorted-run fold as [[topNgramCharFrac]]: runs are flushed into
-    * the accumulator as they close, the final run in the finish lambda.
+    * Same codegen'd expression as [[topNgramCharFrac]].
     */
-  def dupNgramCharFrac(text: Column, n: Int): Column = {
-    val w = split(trim(text), "\\s+")
-    def flush(run: Column, prev: Column, acc: Column): Column =
-      when(run >= 2, acc + run.cast("long") * length(prev)).otherwise(acc)
-    val dupChars = aggregate(
-      array_sort(ngramsOf(w, n)),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0L).as("acc")),
-      (acc, x) => {
-        val same = x === acc.getField("prev")
-        struct(x.as("prev"),
-          when(same, acc.getField("run") + 1).otherwise(lit(1)).as("run"),
-          when(same, acc.getField("acc"))
-            .otherwise(flush(acc.getField("run"), acc.getField("prev"),
-              acc.getField("acc"))).as("acc"))
-      },
-      a => flush(a.getField("run"), a.getField("prev"), a.getField("acc")))
-    when(trim(text) === "" || size(w) < n, lit(0.0))
-      .otherwise(least(lit(1.0), dupChars.cast("double") / normChars(w)))
-  }
+  def dupNgramCharFrac(text: Column, n: Int): Column =
+    graft.functions.GopherRepetition.fracs(text, Nil, Seq(n))
+      .getField(s"dup$n")
 
   /** The COMPLETE Gopher repetition keep decision (Rae et al. 2021 A1.1,
     * all eleven rules — [[WebFilters.gopherKeep]] carries the
     * quality-signal half; line/paragraph duplicate rules live in
     * [[WebFilters]]): top 2/3/4-gram char fractions under 0.20/0.18/0.16
-    * and duplicate 5…10-gram char fractions under 0.15…0.10. One
-    * codegen'd projection; compose with the other suites by AND.
+    * and duplicate 5…10-gram char fractions under 0.15…0.10. ONE
+    * codegen'd expression evaluation (all nine fractions in a single
+    * pass over the word array); compose with the other suites by AND.
     */
   def gopherRepetitionKeep(text: Column): Column = {
+    val fr = graft.functions.GopherRepetition.allFracs(text)
     val top = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, t) =>
-      topNgramCharFrac(text, n) < t }
+      fr.getField(s"top$n") < t }
     val dup = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11,
-      10 -> 0.10).map { case (n, t) => dupNgramCharFrac(text, n) < t }
+      10 -> 0.10).map { case (n, t) => fr.getField(s"dup$n") < t }
     (top ++ dup).reduce(_ && _)
   }
 

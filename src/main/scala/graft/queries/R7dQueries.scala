@@ -107,33 +107,50 @@ object R7dQueries {
         "duplicate 5..10-gram character fractions (.15 down to .10), " +
         "duplicate-paragraph and duplicate-paragraph-char fractions " +
         "(.30/.20), and the combined keep decision. All eleven signals " +
-        "are computed INSIDE their row by sorted-run folds over shifted-" +
-        "slice n-gram arrays — O(len log len) per row, no explode: at " +
-        "100 TB this is a projection on the corpus scan with zero " +
-        "shuffles, where the unnest+groupBy formulation the oracle uses " +
-        "would shuffle every n-gram of the corpus nine times. Duplicate " +
+        "are computed INSIDE their row — the nine n-gram fractions by " +
+        "ONE codegen'd expression pass (GopherRepetitionFracs), no " +
+        "explode: at 100 TB this is a projection on the corpus scan with " +
+        "zero shuffles, where the unnest+groupBy formulation the oracle " +
+        "uses would shuffle every n-gram of the corpus nine times. " +
+        "Duplicate " +
         "coverage counts each occurrence's full width (documented " +
         "approximation of the paper's char marking; identical in both " +
         "engines).",
       (s, d) => {
-        val t = chunkParas(col("text"))
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          TextAnalysis.topNgramCharFrac(t, 2).as("top2_frac"),
-          TextAnalysis.topNgramCharFrac(t, 3).as("top3_frac"),
-          TextAnalysis.topNgramCharFrac(t, 4).as("top4_frac"),
-          TextAnalysis.dupNgramCharFrac(t, 5).as("dup5_frac"),
-          TextAnalysis.dupNgramCharFrac(t, 6).as("dup6_frac"),
-          TextAnalysis.dupNgramCharFrac(t, 7).as("dup7_frac"),
-          TextAnalysis.dupNgramCharFrac(t, 8).as("dup8_frac"),
-          TextAnalysis.dupNgramCharFrac(t, 9).as("dup9_frac"),
-          TextAnalysis.dupNgramCharFrac(t, 10).as("dup10_frac"),
-          WebFilters.dupParagraphFrac(t).as("dup_para_frac"),
-          WebFilters.dupParagraphCharFrac(t).as("dup_para_char_frac"),
-          (TextAnalysis.gopherRepetitionKeep(t) &&
-            WebFilters.dupParagraphFrac(t) < 0.3 &&
-            WebFilters.dupParagraphCharFrac(t) < 0.2).as("rep_keep")
-        ).orderBy("doc_id")
+        // Stage each expensive expression ONCE (the chunked text, the
+        // nine-fraction struct, the two paragraph fracs) and derive the
+        // published columns + keep decision by field reference — the
+        // optimizer keeps multiply-referenced non-trivial aliases staged
+        // rather than inlining them, so nothing evaluates twice (the
+        // pre-round-10 formulation re-evaluated every signal inside
+        // rep_keep).
+        val fracs = graft.functions.GopherRepetition.allFracs(col("__t"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), chunkParas(col("text")).as("__t"))
+          .select(col("doc_id"), fracs.as("__g"),
+            WebFilters.dupParagraphFrac(col("__t")).as("dup_para_frac"),
+            WebFilters.dupParagraphCharFrac(col("__t"))
+              .as("dup_para_char_frac"))
+          .select(
+            col("doc_id"),
+            col("__g.top2").as("top2_frac"),
+            col("__g.top3").as("top3_frac"),
+            col("__g.top4").as("top4_frac"),
+            col("__g.dup5").as("dup5_frac"),
+            col("__g.dup6").as("dup6_frac"),
+            col("__g.dup7").as("dup7_frac"),
+            col("__g.dup8").as("dup8_frac"),
+            col("__g.dup9").as("dup9_frac"),
+            col("__g.dup10").as("dup10_frac"),
+            col("dup_para_frac"), col("dup_para_char_frac"),
+            (col("__g.top2") < 0.20 && col("__g.top3") < 0.18 &&
+              col("__g.top4") < 0.16 && col("__g.dup5") < 0.15 &&
+              col("__g.dup6") < 0.14 && col("__g.dup7") < 0.13 &&
+              col("__g.dup8") < 0.12 && col("__g.dup9") < 0.11 &&
+              col("__g.dup10") < 0.10 &&
+              col("dup_para_frac") < 0.3 &&
+              col("dup_para_char_frac") < 0.2).as("rep_keep")
+          ).orderBy("doc_id")
       },
       Some {
         val grams = (2 to 10).map(gramCte).mkString(",\n")
