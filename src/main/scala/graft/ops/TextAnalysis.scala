@@ -329,13 +329,13 @@ object TextAnalysis {
     * near-identical documents. Density is 2/(w+1) of positions —
     * bounded index size per document.
     *
-    * Pure per-row array expressions inside codegen (shingles → md5 →
-    * per-window argmin structs → distinct), one explode to the output
-    * relation: embarrassingly parallel, no shuffle before the output
-    * sort. Tie-break and windowing are deterministic, so a SQL window
-    * oracle replays the exact selected set. Texts shorter than w
-    * k-grams winnow their single partial window; empty text selects
-    * nothing.
+    * One codegen'd expression per row (shingle MD5s → monotonic-deque
+    * sliding argmin → adjacent dedupe), one explode of the selected set
+    * to the output relation: embarrassingly parallel, no shuffle before
+    * the output sort. Tie-break and windowing are deterministic, so a
+    * SQL window oracle replays the exact selected set. Texts shorter
+    * than w k-grams winnow their single partial window; the empty text
+    * fingerprints md5("") at pos 1.
     *
     * @return one row per selected fingerprint: (id, pos, fp) with pos
     *         the 1-based k-gram position of the selected hash.
@@ -344,36 +344,22 @@ object TextAnalysis {
              k: Int = 16, w: Int = 8): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2, w >= 1 (got k=$k, w=$w)")
     val clean = TextOps.cleanMsg(col(textCol))
-    // POSITIONAL k-gram hashes as ROWS (no distinct — winnowing is
-    // positional), then each window's argmin via ONE sliding
-    // min-of-struct window pass per document. The tempting all-array
-    // form (transform over window starts, slicing a hash array) is
-    // O(len²·k) per row — Catalyst inlines the array subexpression
-    // into every window element — where this is O(len·w) with one
-    // doc-keyed exchange. Blank text follows the charShingles
-    // convention: one ""-k-gram → one fingerprint md5("") at pos 1.
-    val hs = transform(
-      sequence(lit(1), greatest(length(clean) - (k - 1), lit(1))),
-      i => md5(clean.substr(i, lit(k))))
-    val ex = docs
-      .select(col(idCol), posexplode(hs).as(Seq("__p0", "__h")))
-      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"),
-        col("__h"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-    val sliding = byDoc.orderBy(col("__pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        w - 1)
-    ex
-      .withColumn("__len", count(lit(1)).over(byDoc))
-      .withColumn("__m",
-        min(struct(col("__h").as("fp"), col("__pos").as("pos")))
-          .over(sliding))
-      // full windows only (plus the single clamped window of a doc
-      // shorter than w k-grams)
-      .filter(col("__pos") <= greatest(col("__len") - (w - 1), lit(1L)))
-      .select(col(idCol), col("__m.pos").as("pos"), col("__m.fp").as("fp"))
-      .distinct()
+    // Selection happens INSIDE the row: one codegen'd expression
+    // ([[graft.functions.WinnowSelect]]) computes the positional k-gram
+    // MD5s and each sliding window's (fp, pos) argmin with a monotonic
+    // deque — O(len) per document, bounded state. Only the selected
+    // ~2/(w+1) density is exploded; the output sort is the sole
+    // exchange. (The pre-round-10 relational form — posexplode one row
+    // per position, doc-partitioned min-of-struct window, distinct —
+    // shuffled a corpus-sized positional hash relation: 22.8 s at
+    // sf0.1 and a non-starter at 100 TB.) Blank text follows the
+    // charShingles convention: one ""-k-gram → md5("") at pos 1.
+    val sel = graft.functions.WinnowSelect(
+      org.apache.spark.sql.graft.Shims.expression(clean), k, w)
+    docs
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graft.Shims.column(sel)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
       .orderBy(col(idCol), col("pos"))
   }
 

@@ -419,12 +419,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
-  test("ta_winnow: sliding argmin is a doc-partitioned window — no " +
-      "cartesian, no UDF, no unpartitioned window over data") {
+  test("ta_winnow: selection is one codegen'd expression inside the " +
+      "scan stage — no Window shuffle of the positional hash relation, " +
+      "no cartesian, no UDF; the output sort is the only exchange") {
     val p = plan("ta_winnow")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("ScalaUDF"), p)
-    assert(p.contains("Window"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("winnow_select"), p)
+    // the only exchange is the final orderBy's range partitioning — no
+    // hash exchange of the positional relation survives
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("hashpartitioning"), p)
   }
 
   test("graph_walks_biased: per-step joins only, no cartesian") {
