@@ -1,9 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Harness-survival design (the round-9 lesson — the driver kills this
+  * stage at 3600 s, and a kill used to zero the whole round's evidence):
+  *   1. `oracle_sql.json` is written FIRST, so a timeout can only lose
+  *      result parquet for the tail queries, never the oracle side.
+  *   2. Queries run in ascending measured-cost order (resource file
+  *      `graft/verify_costs.tsv`, regenerated from each full local run's
+  *      stderr timings) — a kill loses only the most expensive tail.
+  *   3. Results are written via `repartition(1)` (exchange boundary: the
+  *      upstream compute keeps full parallelism; one task only writes),
+  *      not `coalesce(1)` (which dragged the whole pipeline into 1 task).
+  *   4. A per-query watchdog cancels the query's job group after
+  *      [[QueryTimeout]] and moves on, so one pathological query can't
+  *      consume the stage budget for everything behind it.
+  */
 object Verify {
+  /** Per-query ceiling. Generous vs the worst measured query so a slow
+    * machine doesn't spuriously drop results; tight vs the 3600 s stage
+    * budget so a runaway query forfeits only itself. */
+  private val QueryTimeout = 300.seconds
+
+  /** name → measured verify seconds from the last full local run; absent
+    * names (new queries) default to 1.0 so they run among the mid-cost
+    * bulk rather than after known-expensive tails. */
+  private[graft] def measuredCosts: Map[String, Double] = {
+    val in = getClass.getResourceAsStream("/graft/verify_costs.tsv")
+    if (in == null) Map.empty
+    else try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.contains('\t')).map { l =>
+        val Array(n, c) = l.split('\t'); n -> c.toDouble
+      }.toMap
+    finally in.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (dev iteration)
@@ -22,15 +58,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (keep(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      finally graft.core.Caches.releaseAll()
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,10 +74,39 @@ object Verify {
       case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle side FIRST: it is cheap and a late kill must not lose it
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val costs = measuredCosts
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (costs.getOrElse(n, 1.0), n) }
+    ordered.foreach { case (name, fn) =>
+      if (keep(name)) {
+        val t0 = System.nanoTime()
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try {
+          val work = Future {
+            fn(spark, sfDir).repartition(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          }
+          Await.result(work, QueryTimeout)
+          System.err.println(
+            f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        } catch {
+          case _: concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            System.err.println(s"[verify] $name TIMEOUT after $QueryTimeout")
+          case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          graft.core.Caches.releaseAll()
+        }
+      }
+    }
     spark.stop()
   }
 }

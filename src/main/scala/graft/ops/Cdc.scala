@@ -201,11 +201,15 @@ object Cdc {
       serveSnapshot(spark, path, Some(v))
         .select((keys ++ cols).map(col): _*)
         .toDF((keys ++ cols).map(p + _): _*)
-    val a = side(v1, "a_")
-    val b = side(v2, "b_")
-    val on = keys.map(k => a(s"a_$k") === b(s"b_$k")).reduce(_ && _)
-    val inA = col(s"a_${keys.head}").isNotNull
-    val inB = col(s"b_${keys.head}").isNotNull
+    // null-safe key equality (<=>) so a NULL key value matches its
+    // counterpart instead of double-counting the row as added+removed;
+    // side presence via literal marker columns, not key IS NOT NULL —
+    // a nullable key can't stand in for "this side had a row"
+    val a = side(v1, "a_").withColumn("__in_a", lit(1))
+    val b = side(v2, "b_").withColumn("__in_b", lit(1))
+    val on = keys.map(k => a(s"a_$k") <=> b(s"b_$k")).reduce(_ && _)
+    val inA = col("__in_a").isNotNull
+    val inB = col("__in_b").isNotNull
     val same = cols.map(c => col(s"a_$c") <=> col(s"b_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     a.join(b, on, "full_outer")

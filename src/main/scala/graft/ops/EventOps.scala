@@ -868,14 +868,6 @@ object EventOps {
       .orderBy(col("day"))
   }
 
-  /** Consecutive inter-arrival gaps per (event type, user) in exact
-    * event-time MICROSECONDS — the latency raw material behind "how
-    * often do users purchase": one user-keyed window lag (ties in ts
-    * broken by `tieCol`, so the lag sequence is deterministic
-    * cross-engine), long subtraction, first event per series excluded.
-    * Feed the result to [[Profile.quantilesByKey]] for exact per-type
-    * gap percentiles with no global sort.
-    */
   /** Day-of-week SEASONALITY profile per event type: volume and the
     * within-type share for each weekday (0 = Sunday, the DuckDB `dow`
     * convention; Spark's 1-based dayofweek shifts down). One map-side
@@ -1008,6 +1000,14 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Consecutive inter-arrival gaps per (event type, user) in exact
+    * event-time MICROSECONDS — the latency raw material behind "how
+    * often do users purchase": one user-keyed window lag (ties in ts
+    * broken by `tieCol`, so the lag sequence is deterministic
+    * cross-engine), long subtraction, first event per series excluded.
+    * Feed the result to [[Profile.quantilesByKey]] for exact per-type
+    * gap percentiles with no global sort.
+    */
   def interarrivalGaps(events: DataFrame, userCol: String, tsCol: String,
                        typeCol: String, tieCol: String): DataFrame = {
     val us = unix_micros(col(tsCol))

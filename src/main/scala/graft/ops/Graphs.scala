@@ -260,11 +260,22 @@ object Graphs {
     * relation — the shared first stage of every iterative operator
     * here. Cached (the per-round joins and the node derivation all
     * re-evaluate it).
+    *
+    * SELF-LOOPS (a == b) ARE DROPPED: a loop survives the
+    * union+distinct as a single directed edge, which would make the
+    * per-community intra count odd (modularity's `shiftright(_,1)`
+    * would floor it) and under-count degree mass vs the Newman
+    * convention (a loop contributes degree 2). The similarity-pair
+    * producers here never emit loops; arbitrary caller input is
+    * normalized to the loop-free simple graph every operator in this
+    * file assumes.
     */
   private def symEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     graft.core.Caches.track(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      pairs.filter(!(col(aCol) <=> col(bCol)))
+        .select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.filter(!(col(aCol) <=> col(bCol)))
+          .select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
 
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) —

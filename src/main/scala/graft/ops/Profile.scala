@@ -899,17 +899,29 @@ object Profile {
       col("__b").cast("string"))), 1, 2), 16, 10).cast("int")
     val mult = when(h <= 93, 0).when(h <= 187, 1).when(h <= 234, 2)
       .when(h <= 250, 3).otherwise(4)
+    // a replicate whose multiplicities ALL quantize to 0 has no mean
+    // (sum(__m)=0). Dropping it silently would shift the order-statistic
+    // positions while an oracle engine keeps the NULL row — so zero-mass
+    // replicates are filtered EXPLICITLY and the CI positions index the
+    // SURVIVING replicate count (size of the sorted array), a contract
+    // both engines can state identically. P(zero-mass) ≈ e^-n per
+    // replicate: only degenerate tiny inputs ever hit this path.
     val repMeans = rows
       .select(col("__k"), col("__v"),
         explode(sequence(lit(0), lit(reps - 1))).as("__b"))
       .withColumn("__m", mult)
       .groupBy(col("__b"))
-      .agg((sum((col("__v") * col("__m")).cast(Dec)).cast("double") /
-        sum(col("__m")).cast("double")).as("__mean"))
+      .agg(sum((col("__v") * col("__m")).cast(Dec)).as("__vm"),
+        sum(col("__m").cast("long")).as("__mass"))
+      .filter(col("__mass") > 0L)
+      .select((col("__vm").cast("double") / col("__mass").cast("double"))
+        .as("__mean"))
     val ci = repMeans.agg(
       sort_array(collect_list(col("__mean"))).as("__arr"))
-    val loPos = math.max(1, math.ceil(alpha / 2 * reps).toInt)
-    val hiPos = math.min(reps, math.ceil((1 - alpha / 2) * reps).toInt)
+    val r = size(col("__arr")).cast("double")
+    val loPos = greatest(lit(1), ceil(lit(alpha / 2) * r).cast("int"))
+    val hiPos = least(size(col("__arr")),
+      ceil(lit(1 - alpha / 2) * r).cast("int"))
     rows.agg(count(lit(1)).as("n_rows"),
         sum(col("__v").cast(Dec)).as("__s"))
       .crossJoin(broadcast(ci))

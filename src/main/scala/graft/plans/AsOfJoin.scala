@@ -312,6 +312,14 @@ object AsOfJoin {
                     leftTimeCol: String, rightTimeCol: String,
                     tolerance: Long): DataFrame = {
     require(tolerance >= 0, "tolerance in the time columns' unit")
+    // the freshness projection below resolves columns by bare name over
+    // the joined result, so a name present on BOTH inputs would be
+    // ambiguous (AnalysisException at runtime). Fail fast with a clear
+    // contract instead: callers rename (`withColumnRenamed`) before the
+    // join, exactly as pandas merge_asof requires suffix-disambiguation.
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"asofTolerance requires disjoint column names; shared: ${shared.mkString(", ")}")
     import org.apache.spark.sql.functions.{col, lit, when}
     val joined = asof(left, right, leftOn, rightOn, leftTimeCol,
       rightTimeCol)

@@ -9,10 +9,9 @@ import graft.ops.Profile
 object R27Queries {
 
   private val Reps = 64
-  // ceil(0.025 * 64) = 2, ceil(0.975 * 64) = 63 — embedded as literals
-  // so the oracle and the Scala positions can never drift
-  private val LoPos = 2
-  private val HiPos = 63
+  // CI positions are computed against the SURVIVING replicate count
+  // (zero-mass replicates are filtered on both sides — see
+  // Profile.bootstrapMeanCI), so both engines index the same array.
 
   val all: Seq[Q] = Seq(
 
@@ -55,15 +54,20 @@ object R27Queries {
               |  SELECT b,
               |    CAST(sum(m * v) AS DOUBLE) / CAST(sum(m) AS DOUBLE)
               |      AS mean
-              |  FROM m GROUP BY b),
+              |  FROM m GROUP BY b HAVING sum(m) > 0),
               |ord AS (
-              |  SELECT mean, row_number() OVER (ORDER BY mean) AS rn
+              |  SELECT mean, row_number() OVER (ORDER BY mean) AS rn,
+              |    count(*) OVER () AS nr
               |  FROM means)
               |SELECT count(*) AS n_rows,
               |  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
               |    AS mean,
-              |  (SELECT mean FROM ord WHERE rn = $LoPos) AS ci_lo,
-              |  (SELECT mean FROM ord WHERE rn = $HiPos) AS ci_hi,
+              |  (SELECT mean FROM ord
+              |   WHERE rn = GREATEST(1, CAST(ceil(0.025 * nr) AS INT)))
+              |    AS ci_lo,
+              |  (SELECT mean FROM ord
+              |   WHERE rn = LEAST(nr, CAST(ceil(0.975 * nr) AS INT)))
+              |    AS ci_hi,
               |  CAST($Reps AS BIGINT) AS reps
               |FROM r""".stripMargin)))
 }

@@ -39,6 +39,13 @@ object EventStream {
     */
   private val StatePartitions = 4
 
+  /** Unique active-query / memory-sink name per invocation: a fixed
+    * name would collide with a concurrent run of the same entry point
+    * ("duplicate active query") and a sequential re-run would replace
+    * the memory-sink temp view under an unconsumed earlier result. */
+  private def uniqueQueryName(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
   private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -62,8 +69,9 @@ object EventStream {
     * live deployment) even though complete mode retains all windows.
     */
   def runWindowedStream(spark: SparkSession, sfDir: String,
-                        queryName: String = "graft_events_stream"): DataFrame =
+                        queryNamePrefix: String = "graft_events_stream"): DataFrame =
     withStatePartitions(spark) {
+    val queryName = uniqueQueryName(queryNamePrefix)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-stream sources need a directory; glob-filter to the events file
     val stream = graft.core.Tables.normalizeTs(
@@ -100,9 +108,10 @@ object EventStream {
     * row-for-row (stream ≡ batch on the same files).
     */
   def runSessionStream(spark: SparkSession, sfDir: String,
-                       queryName: String = "graft_session_stream",
+                       queryNamePrefix: String = "graft_session_stream",
                        gap: String = "30 minutes"): DataFrame =
     withStatePartitions(spark) {
+    val queryName = uniqueQueryName(queryNamePrefix)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(sfDir, "events.parquet")
     val dir = Files.createTempDirectory("graft_sess_src")
@@ -171,8 +180,9 @@ object EventStream {
     * (which survivor row wins is arbitrary in ANY engine).
     */
   def runDedupStream(spark: SparkSession, sfDir: String,
-                     queryName: String = "graft_dedup_stream"): DataFrame =
+                     queryNamePrefix: String = "graft_dedup_stream"): DataFrame =
     withStatePartitions(spark) {
+    val queryName = uniqueQueryName(queryNamePrefix)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = graft.core.Tables.normalizeTs(
       spark.readStream.schema(schema)
@@ -209,8 +219,9 @@ object EventStream {
     * (stream ≡ batch).
     */
   def runIntervalJoinStream(spark: SparkSession, sfDir: String,
-                            queryName: String = "graft_interval_join"): DataFrame =
+                            queryNamePrefix: String = "graft_interval_join"): DataFrame =
     withStatePartitions(spark) {
+    val queryName = uniqueQueryName(queryNamePrefix)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def side(): DataFrame = graft.core.Tables.normalizeTs(
       spark.readStream.schema(schema)
@@ -262,8 +273,9 @@ object EventStream {
     */
   def runCurationStream(spark: SparkSession, sfDir: String,
                         minQuality: Double = 0.5,
-                        queryName: String = "graft_curation_stream"): DataFrame =
+                        queryNamePrefix: String = "graft_curation_stream"): DataFrame =
     withStatePartitions(spark) {
+    val queryName = uniqueQueryName(queryNamePrefix)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -920,8 +932,7 @@ object EventStream {
                     queryNamePrefix: String = "graft_late_stream"): DataFrame =
     withStatePartitions(spark) {
       import java.nio.file.Files
-      val queryName = queryNamePrefix + "_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      val queryName = uniqueQueryName(queryNamePrefix)
       val events = graft.core.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value"))
@@ -983,13 +994,7 @@ object EventStream {
     withStatePartitions(spark) {
       import java.nio.file.Files
       import org.apache.spark.sql.types._
-      // unique per invocation: a fixed name would collide with a
-      // concurrent run (duplicate active query) and a sequential re-run
-      // would replace the memory-sink temp view under an unconsumed
-      // earlier result
-      val queryName =
-        queryNamePrefix + "_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
+      val queryName = uniqueQueryName(queryNamePrefix)
       // Ev.user_id is a primitive Long: a null user would crash the
       // Dataset encoder mid-stream. Anonymous events carry no
       // attributable funnel state — drop them up front instead of
