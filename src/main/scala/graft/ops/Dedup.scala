@@ -1252,4 +1252,96 @@ object Dedup {
           (normExact(col("a.v")) * normExact(col("b.v")))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** EXACT duplicated-substring spans (the sequence-level dedup of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better" — their suffix-array ExactSubstr pass, re-expressed as a
+    * relational k-gram-run merge): for every document, the MAXIMAL
+    * word intervals covered by word k-grams that occur more than once
+    * in the whole corpus (any repeat counts — other docs or elsewhere
+    * in the same doc). Where document-level MinHash keeps or drops
+    * whole docs, this finds the boilerplate/licence/quoted SPANS inside
+    * otherwise-unique documents — what a trainer actually trims.
+    *
+    * Relational shape instead of a suffix array (which is inherently
+    * single-machine): (1) one scan emits each doc's positional k-gram
+    * MD5s — (id, pos, 32-hex) tuples, never text; (2) one map-side
+    * combined count by hash keeps hashes with count > 1; (3) a
+    * LEFT-SEMI join marks duplicated positions (semi: no fan-out on
+    * boilerplate hashes — a k-gram in 100k docs adds nothing to the
+    * probe side); (4) per-doc gaps-and-islands merges positions into
+    * maximal intervals: k-grams at p and q overlap-or-touch iff
+    * q − p ≤ k, so a new span starts exactly when the lag gap
+    * exceeds k. Every exchange carries fixed-width tuples; the only
+    * corpus-sized relation is the positional hash list itself, which
+    * IS this operator's subject (unlike winnowing, which samples it).
+    *
+    * @return one row per maximal span: (idCol, span_start, span_end,
+    *         span_words, n_kgrams), word positions 1-based inclusive.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 8): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got k=$k)")
+    val words = split(trim(col(textCol)), "\\s+")
+    // sequence(1, n) flips to a DESCENDING range when n < 1 — guard
+    // short docs out before building positions
+    val pos = docs
+      .select(col(idCol), words.as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__w")) - lit(k - 1)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("__w"), i, lit(k)))).as("h"))))
+        .as("__p"))
+      .select(col(idCol), col("__p.pos").as("pos"), col("__p.h").as("h"))
+    val cached = graft.core.Caches.track(pos)
+    val dupHashes = cached.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("h"))
+    val dupPos = cached.join(dupHashes, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dupPos
+      // two window steps (a window fn can't nest inside another): the
+      // break flag from lag, then its running sum as the island id —
+      // both run in ONE window exec pass (same partitioning/ordering)
+      .withColumn("__brk", when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__brk")
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        (max(col("pos")) + lit(k - 1) - min(col("pos")) + 1)
+          .cast("long").as("span_words"),
+        count(lit(1)).as("n_kgrams"))
+      .drop("__island")
+      .orderBy(col(idCol), col("span_start"))
+  }
+
+  /** Corpus-level readout over [[dupSpans]]: per document-source slice,
+    * the fraction of words sitting inside a duplicated span — the
+    * "how much of this source is boilerplate someone else already
+    * contributed" number that decides trimming policy per source.
+    * Maximal spans are disjoint by construction, so per-doc duplicated
+    * words are a plain sum; totals are one map-side combined aggregate
+    * each, joined on the bounded slice key.
+    */
+  def dupSpanFrac(docs: DataFrame, idCol: String, textCol: String,
+                  sliceCol: String, k: Int = 8): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, k)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sum(col("span_words")).as("__dup"))
+    val base = docs.select(col(idCol), col(sliceCol).as("slice"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("__n"))
+    base.join(perDoc, Seq(idCol), "left")
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_words"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_words"))
+      .select(col("slice"), col("n_docs"), col("n_words"),
+        col("n_dup_words"),
+        (col("n_dup_words").cast("double") / col("n_words").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("slice"))
+  }
 }

@@ -544,4 +544,59 @@ class DedupSpec extends SparkSpec {
     assert(inc(9L) == 9L && inc(10L) == 9L, "untouched component survives")
     assert(inc(30L) == 30L && inc(31L) == 30L, "new-only component forms")
   }
+
+  test("dupSpans: a phrase shared by two docs becomes one maximal span " +
+      "in each; unique text contributes nothing") {
+    import spark.implicits._
+    def ws(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    // docs A and B share words p1..p10 (10 words → 3 dup 8-gram
+    // positions in A at 3..5); everything else is unique per doc
+    val shared = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, ws(1, 2) + " " + shared + " " + ws(3, 10)),
+      (2L, ws(11, 14) + " " + shared + " " + ws(15, 30)),
+      (3L, ws(31, 60))).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, Int, Int, Long, Long)].collect().toSeq
+    // A: shared occupies words 3..12 → dup k-gram positions 3,4,5 →
+    // one span words 3..12; B: shared at words 5..14 → positions 5,6,7
+    // → span 5..14; C: nothing
+    assert(spans == Seq((1L, 3, 12, 10L, 3L), (2L, 5, 14, 10L, 3L)))
+  }
+
+  test("dupSpans: within-doc repetition counts; near spans merge when " +
+      "gap <= k, split when further; short docs are excluded") {
+    import spark.implicits._
+    val eight = (1 to 8).map(i => s"r$i").mkString(" ")
+    // doc 1: the same 8-gram twice with ONE unique word between →
+    // positions 1 and 10: gap 9 > k=8 → two spans (1..8, 10..17)
+    val doc1 = eight + " gapword " + eight
+    // doc 2: the 8-gram twice back-to-back → positions 1 and 9:
+    // gap 8 <= k → ONE merged span 1..16
+    val doc2 = eight + " " + eight
+    // doc 3: shorter than k words, even though its words repeat
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, "r1 r2 r3"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, Int, Int, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 1, 8, 8L, 1L), (1L, 10, 17, 8L, 1L),
+      (2L, 1, 16, 16L, 2L)))
+  }
+
+  test("dupSpanFrac: per-source duplicated-word fraction from disjoint " +
+      "maximal spans, sources with no dups report 0") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "src_a", shared + " " + (1 to 10).map("a" + _).mkString(" ")),
+      (2L, "src_a", shared),
+      (3L, "src_b", (1 to 20).map("b" + _).mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.dupSpanFrac(docs, "doc_id", "text", "source", k = 8)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // src_a: doc1 span covers s1..s10 (10 of 20 words), doc2 fully
+    // duplicated (10 of 10) → 20/30; src_b clean
+    assert(r == Seq(("src_a", 2L, 30L, 20L, 20.0 / 30.0),
+      ("src_b", 1L, 20L, 0L, 0.0)))
+  }
 }
