@@ -1,41 +1,48 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-import scala.concurrent.{Await, Future}
-import scala.concurrent.duration._
-import scala.concurrent.ExecutionContext.Implicits.global
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+import graft.core.Watchdog
 
-/** Benchmark main. Harness-survival + honest-measurement design (the two
-  * round-9 lessons):
+/** Benchmark main. Harness-survival + honest-measurement design (the
+  * round-9/10 lessons):
   *
   *   - STREAMING OUTPUT: after every query completion the COMPLETE
   *     record-so-far is printed as one JSON line (same shape as the final
   *     line, `"partial":true`). A run killed at the stage budget still
   *     leaves its last line as a usable, self-consistent record — the
   *     round-9 bench was killed at 3600 s and recorded nothing.
-  *   - WATCHDOG: each (query, pass) runs under a 60 s future; on timeout
-  *     the job group is cancelled, the query records -1 and its remaining
-  *     passes are skipped, so one runaway query costs ≤60 s, not the stage.
+  *   - COMPACT FINAL LINE: the driver keeps only the tail of the stage
+  *     log, and round 10's final line (306-entry per-query map + 243-name
+  *     failed list, ~10 KB) was sliced off — BENCH_r10 parsed to null.
+  *     The partial lines carry the full per-query map; the FINAL line
+  *     carries totals, counts, and only the 20 slowest queries (<1.5 KB).
+  *   - WATCHDOG (graft.core.Watchdog): each (query, pass) runs on a fresh
+  *     daemon thread that sets its OWN job group before acting — round
+  *     10 set the group on the main thread and ran the action on a pooled
+  *     Future worker, so cancelJobGroup cancelled nothing and a timed-out
+  *     query kept running under later queries' clocks.
   *   - CHECKSUM ACTION, not count(): Catalyst prunes every unreferenced
   *     column under count(), so a pure scan-projection query measured ~0
   *     no matter how expensive its expressions were (ta_gopher_rep: 0.1 s
-  *     in bench vs 231 s in verify at r9). `sum(xxhash64(struct(*)))`
-  *     forces every output column to be computed, stays inside codegen,
-  *     and adds only a cheap hash per row. Queries whose output types
-  *     can't hash fall back to count() (rare; noted per query).
+  *     in bench vs 231 s in verify at r9). The combiner is BIT_XOR of
+  *     xxhash64 over all columns — order-insensitive, cannot overflow.
+  *     Round 10 used sum(xxhash64(...)), which under Spark 4's default
+  *     ANSI mode throws ARITHMETIC_OVERFLOW for any result bigger than a
+  *     handful of rows: 243/306 queries were reported failed by the
+  *     HARNESS's own measuring action.
   */
 object Bench {
   // generous vs the worst steady-state query at sf0.1 (~23 s pre-codegen)
   // so no legitimate query is clipped into the failed list, tight vs the
-  // 3600 s stage budget (304 queries x 2 passes can afford ~5 s mean;
+  // 3600 s stage budget (306 queries x 2 passes can afford ~5 s mean;
   // a single runaway forfeits <=120 s, not the stage)
-  private val QueryTimeout = 120.seconds
+  private val QueryTimeoutS = 120L
 
   /** Force full evaluation of every output column. Map-typed columns hash
     * only under the legacy flag (set below); anything else unhashable
     * falls back to count() so the query is still timed, just weaker. */
   private def touchAll(df: DataFrame): Unit = {
-    try df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+    try df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
     catch { case _: org.apache.spark.sql.AnalysisException => df.count() }
     ()
   }
@@ -64,13 +71,8 @@ object Bench {
     // compilation and JIT (cold-vs-warm was up to 10x on the sketch ops)
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
-      sc.setJobGroup(s"warm:$name", name, interruptOnCancel = true)
-      try Await.result(Future { touchAll(fn(spark, warmDir)) }, QueryTimeout)
-      catch {
-        case _: concurrent.TimeoutException => sc.cancelJobGroup(s"warm:$name")
-        case _: Throwable => ()
-      }
-      finally { sc.clearJobGroup(); graft.core.Caches.releaseAll() }
+      Watchdog.run(sc, s"warm:$name", QueryTimeoutS) { touchAll(fn(spark, warmDir)) }
+      graft.core.Caches.releaseAll()
     }
     // drop warmup-scale cached relations + let the heap settle, so the
     // timed pass doesn't inherit GC pressure from warmup
@@ -78,10 +80,11 @@ object Bench {
     System.gc()
 
     // two timed passes (was three: trimmed to fit the 3600 s stage budget
-    // at 304+ queries). Per query we report the BEST pass (steady-state
+    // at 306 queries). Per query we report the BEST pass (steady-state
     // plan quality, immune to a GC pause landing on one pass); headline is
     // the MEDIAN of per-pass totals over queries that succeeded in every
-    // pass, so round-over-round deltas compare a consistent set.
+    // pass — for an even pass count the two middle values are AVERAGED
+    // (round 10 took the upper one, shifting the headline pessimistic).
     val nPasses = 2
     // the driver kills the whole stage at 3600 s; pass 2 is a precision
     // refinement (best-of-2), never worth risking the record for. If
@@ -101,18 +104,27 @@ object Bench {
         val ok = passTimes.flatMap(_.get(n)).filter(_ >= 0)
         n -> (if (ok.isEmpty) -1.0 else ok.min)
       }
-      val qs = best.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-        .mkString("{", ",", "}")
       val failed = best.collect { case (k, v) if v < 0 => k }.sorted
       val bestTotal = best.collect { case (_, v) if v >= 0 => v }.sum
       // per-pass sums restricted to queries that succeeded in EVERY pass
       // that has started, so all per-pass totals compare the same set
       val started = passTimes.filter(_.nonEmpty)
       val inAll = done.filter(n => started.forall(_.get(n).exists(_ >= 0))).toSet
-      val totals = started.map(p => p.collect { case (k, v) if inAll(k) => v }.sum)
+      val totals = started.map(p => p.collect { case (k, v) if inAll(k) => v }.sum).sorted
       val median =
-        if (totals.isEmpty) 0.0 else totals.sorted.apply(totals.length / 2)
-      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+        if (totals.isEmpty) 0.0
+        else if (totals.length % 2 == 1) totals(totals.length / 2)
+        else (totals(totals.length / 2 - 1) + totals(totals.length / 2)) / 2.0
+      // partial lines carry the FULL per-query map (the driver's log tail
+      // always holds the last few); the final line stays compact — only
+      // the 20 slowest — so truncation can't destroy the headline record.
+      val qShown =
+        if (partial) best
+        else best.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      val qs = qShown.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      val failedShown = if (partial) failed else failed.take(20)
+      val failedJson = failedShown.map("\"" + _ + "\"").mkString("[", ",", "]")
       val passTotalsJson = totals.zipWithIndex
         .map { case (t, i) => f""""pass${i + 1}_total":$t%.4f""" }.mkString(",")
       println(
@@ -127,17 +139,15 @@ object Bench {
       SparkEntry.queries.foreach { case (name, fn) =>
         if (timedOut(name)) passTimes(p)(name) = -1.0
         else {
-          sc.setJobGroup(name, name, interruptOnCancel = true)
           val t0 = System.nanoTime()
-          val dt =
-            try { Await.result(Future { touchAll(fn(spark, sfDir)) }, QueryTimeout)
-                  (System.nanoTime() - t0) / 1e9 }
-            catch {
-              case _: concurrent.TimeoutException =>
-                sc.cancelJobGroup(name); timedOut += name; -1.0
-              case _: Throwable => -1.0
-            }
-          sc.clearJobGroup()
+          val err = Watchdog.run(sc, name, QueryTimeoutS) { touchAll(fn(spark, sfDir)) }
+          val dt = err match {
+            case None => (System.nanoTime() - t0) / 1e9
+            case Some(reason) =>
+              if (reason.startsWith("TIMEOUT")) timedOut += name
+              System.err.println(s"[bench] $name failed: $reason")
+              -1.0
+          }
           graft.core.Caches.releaseAll() // outside the timed span: harness cost
           passTimes(p)(name) = dt
           emit(partial = true)

@@ -46,23 +46,38 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  /** Hard cap on the collected word-frequency table. The "vocab-bounded"
+    * scale argument (object doc) holds for curated corpora, but raw web
+    * text at 100 TB has 10⁹+ distinct whitespace tokens (typos, ids,
+    * urls) — an UNBOUNDED collect would be corpus-shaped after all. The
+    * cap is enforced as a distributed top-M by frequency (TakeOrdered —
+    * per-partition bounded heaps, never a full sort), tie-broken by
+    * word so the kept set is deterministic. BPE merge learning is
+    * frequency-greedy, so dropping the sub-head tail changes nothing
+    * until nMerges is far beyond any real tokenizer budget.
+    */
+  val MaxVocab: Int = 1 << 20
+
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  maxVocab: Int = MaxVocab): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    learnMergesLocal(collectWordFreq(docs, textCol), nMerges)
+    learnMergesLocal(collectWordFreq(docs, textCol, maxVocab), nMerges)
       .toDF("step", "merge_left", "merge_right", "pair_count")
   }
 
-  /** The ONE distributed pass: corpus → word-frequency table. The
-    * collect is vocab-bounded by construction (groupBy word), never
-    * corpus-bounded — see the object doc's scale argument.
+  /** The ONE distributed pass: corpus → word-frequency table, capped at
+    * the `maxVocab` most frequent words (see [[MaxVocab]]) so the collect
+    * is bounded by CODE, not by an assumption about the corpus.
     */
-  private def collectWordFreq(docs: DataFrame,
-                              textCol: String): Array[(String, Long)] =
+  private[ops] def collectWordFreq(docs: DataFrame, textCol: String,
+                                   maxVocab: Int): Array[(String, Long)] =
     docs
       .select(explode(
         filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("__word"))
       .groupBy("__word").agg(count(lit(1)).as("__freq"))
+      .orderBy(col("__freq").desc, col("__word"))
+      .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
   /** Code-point order — what both Spark's UTF8String (byte-wise UTF-8)
@@ -155,9 +170,9 @@ object BpeTrain {
     * order — the shape [[encode]]/[[vocab]] consume. The shared trainer
     * behind the `ta_bpe` query family: one training, many consumers.
     */
-  def learnMergePairs(docs: DataFrame, textCol: String,
-                      nMerges: Int): Seq[(String, String)] =
-    learnMergesLocal(collectWordFreq(docs, textCol), nMerges)
+  def learnMergePairs(docs: DataFrame, textCol: String, nMerges: Int,
+                      maxVocab: Int = MaxVocab): Seq[(String, String)] =
+    learnMergesLocal(collectWordFreq(docs, textCol, maxVocab), nMerges)
       .map(m => (m._2, m._3))
 
   /** How many merge projections may stack before the word table is

@@ -1288,9 +1288,12 @@ object Dedup {
     val pos = docs
       .select(col(idCol), words.as("__w"))
       .filter(size(col("__w")) >= k)
+      // pos is cast to long AT CREATION so span_start/span_end inherit
+      // BIGINT — sequence() yields int elements, and the DuckDB oracle's
+      // generate_series yields BIGINT; the driver compares dtypes
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__w")) - lit(k - 1)),
-        i => struct(i.as("pos"),
+        i => struct(i.cast("long").as("pos"),
           md5(concat_ws(" ", slice(col("__w"), i, lit(k)))).as("h"))))
         .as("__p"))
       .select(col(idCol), col("__p.pos").as("pos"), col("__p.h").as("h"))

@@ -64,13 +64,19 @@ object UnigramLm {
     }.take(k)
 
   /** The ONE distributed pass: corpus → word-frequency table (the
-    * [[BpeTrain]] seam — vocab-bounded collect, never corpus-bounded).
+    * [[BpeTrain]] seam). The collect is bounded by CODE — a distributed
+    * top-M by frequency (per-partition heaps, never a full sort),
+    * tie-broken by word — not by an assumption that raw web text has a
+    * curated-corpus vocabulary (see [[BpeTrain.MaxVocab]]).
     */
-  def collectWordFreq(docs: DataFrame, textCol: String): Array[(String, Long)] =
+  def collectWordFreq(docs: DataFrame, textCol: String,
+                      maxVocab: Int = BpeTrain.MaxVocab): Array[(String, Long)] =
     docs
       .select(explode(
         filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("__word"))
       .groupBy("__word").agg(count(lit(1)).as("__freq"))
+      .orderBy(col("__freq").desc, col("__word"))
+      .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
   /** Driver-local seeding + hard-EM on the collected word table.

@@ -130,22 +130,28 @@ object R24Queries {
         Cdc.snapshotDiff(s, path, 1L, 2L, Seq("c_custkey"),
           Seq("c_name", "c_acctbal"))
       },
+      // null-safe join + literal presence markers, matching the Spark
+      // side's contract exactly: a NULL key value MATCHES its
+      // counterpart (IS NOT DISTINCT FROM), and side presence is a
+      // marker column, never key IS NULL — a plain = join would count
+      // a null-keyed row as added+removed while Spark counts a match
       Some(s"""WITH ${R11Queries.upsertCtes},
               |j AS (
-              |  SELECT b.c_custkey AS ka, m.c_custkey AS kb,
+              |  SELECT b.in_a AS ia, m.in_b AS ib,
               |    b.c_name AS na, m.c_name AS nb,
               |    b.c_acctbal AS ba, m.c_acctbal AS bb
-              |  FROM base b FULL OUTER JOIN merged m
-              |    ON b.c_custkey = m.c_custkey)
+              |  FROM (SELECT *, 1 AS in_a FROM base) b
+              |  FULL OUTER JOIN (SELECT *, 1 AS in_b FROM merged) m
+              |    ON b.c_custkey IS NOT DISTINCT FROM m.c_custkey)
               |SELECT
-              |  CAST(sum(CASE WHEN ka IS NULL THEN 1 ELSE 0 END)
+              |  CAST(sum(CASE WHEN ia IS NULL THEN 1 ELSE 0 END)
               |    AS BIGINT) AS n_added,
-              |  CAST(sum(CASE WHEN kb IS NULL THEN 1 ELSE 0 END)
+              |  CAST(sum(CASE WHEN ib IS NULL THEN 1 ELSE 0 END)
               |    AS BIGINT) AS n_removed,
-              |  CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+              |  CAST(sum(CASE WHEN ia IS NOT NULL AND ib IS NOT NULL
               |    AND (na IS DISTINCT FROM nb OR ba IS DISTINCT FROM bb)
               |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-              |  CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+              |  CAST(sum(CASE WHEN ia IS NOT NULL AND ib IS NOT NULL
               |    AND na IS NOT DISTINCT FROM nb
               |    AND ba IS NOT DISTINCT FROM bb
               |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged

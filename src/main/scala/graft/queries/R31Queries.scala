@@ -84,8 +84,8 @@ object R31Queries {
               |      AS BIGINT) AS n
               |  FROM documents d)
               |SELECT b.slice, CAST(count(*) AS BIGINT) AS n_docs,
-              |  sum(b.n) AS n_words,
-              |  sum(coalesce(p.dup, 0)) AS n_dup_words,
+              |  CAST(sum(b.n) AS BIGINT) AS n_words,
+              |  CAST(sum(coalesce(p.dup, 0)) AS BIGINT) AS n_dup_words,
               |  CAST(sum(coalesce(p.dup, 0)) AS DOUBLE) /
               |    CAST(sum(b.n) AS DOUBLE) AS dup_frac
               |FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id

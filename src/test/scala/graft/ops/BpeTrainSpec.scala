@@ -59,6 +59,24 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("maxVocab cap: enforced top-M by frequency, merges unchanged above head") {
+    // the cap keeps only the M most frequent words (freq desc, word asc):
+    // at maxVocab=1 only "low" (x3) survives, so the learned merges come
+    // from "low" alone — (l,o)=3 then (lo,w)=3, and nothing after
+    val capped = BpeTrain.learnMerges(corpus, "text", 4, maxVocab = 1)
+      .orderBy("step")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(capped == Seq((1L, "l", "o", 3L), (2L, "lo", "w", 3L)))
+    // a cap wider than the vocabulary changes nothing vs the default
+    val wide = BpeTrain.learnMerges(corpus, "text", 4, maxVocab = 100)
+      .orderBy("step").as[(Long, String, String, Long)].collect().toSeq
+    val default = BpeTrain.learnMerges(corpus, "text", 4)
+      .orderBy("step").as[(Long, String, String, Long)].collect().toSeq
+    assert(wide == default)
+    // the collect itself is bounded by code, not corpus shape
+    assert(BpeTrain.collectWordFreq(corpus, "text", maxVocab = 2).length == 2)
+  }
+
   test("encode applies merges in training order; unseen words stay chars") {
     val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
     val docs = Seq((7L, "low lower lowest zap")).toDF("doc_id", "text")

@@ -557,11 +557,11 @@ class DedupSpec extends SparkSpec {
       (2L, ws(11, 14) + " " + shared + " " + ws(15, 30)),
       (3L, ws(31, 60))).toDF("doc_id", "text")
     val spans = Dedup.dupSpans(docs, "doc_id", "text", k = 8)
-      .as[(Long, Int, Int, Long, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
     // A: shared occupies words 3..12 → dup k-gram positions 3,4,5 →
     // one span words 3..12; B: shared at words 5..14 → positions 5,6,7
     // → span 5..14; C: nothing
-    assert(spans == Seq((1L, 3, 12, 10L, 3L), (2L, 5, 14, 10L, 3L)))
+    assert(spans == Seq((1L, 3L, 12L, 10L, 3L), (2L, 5L, 14L, 10L, 3L)))
   }
 
   test("dupSpans: within-doc repetition counts; near spans merge when " +
@@ -578,9 +578,9 @@ class DedupSpec extends SparkSpec {
     val docs = Seq((1L, doc1), (2L, doc2), (3L, "r1 r2 r3"))
       .toDF("doc_id", "text")
     val spans = Dedup.dupSpans(docs, "doc_id", "text", k = 8)
-      .as[(Long, Int, Int, Long, Long)].collect().toSeq
-    assert(spans == Seq((1L, 1, 8, 8L, 1L), (1L, 10, 17, 8L, 1L),
-      (2L, 1, 16, 16L, 2L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 1L, 8L, 8L, 1L), (1L, 10L, 17L, 8L, 1L),
+      (2L, 1L, 16L, 16L, 2L)))
   }
 
   test("dupSpanFrac: per-source duplicated-word fraction from disjoint " +
