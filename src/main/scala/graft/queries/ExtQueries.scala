@@ -385,8 +385,11 @@ object ExtQueries {
         Tables.documents(s, d).select(
           col("doc_id"),
           md5(clean).as("fp_md5"),
-          array_min(transform(Dedup.charShingles(clean, 16), sh => md5(sh)))
-            .as("fp_robust"))
+          // fused codegen'd pass (graft.functions.MinShingleMd5) — the
+          // array_min(transform(charShingles(..), md5)) Column form is
+          // interpreted per element (18.2 s of the round-11 sf0.1
+          // bench); MinShingleMd5Spec asserts bit-equality against it
+          graft.functions.MinShingleMd5(clean, 16).as("fp_robust"))
           .orderBy("doc_id")
       },
       Some(s"""WITH c AS (SELECT doc_id, $cleanSql AS msg FROM documents)

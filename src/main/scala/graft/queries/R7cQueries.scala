@@ -57,43 +57,12 @@ object R7cQueries {
        |                l -> l <> '') AS ls
        |  FROM lined)""".stripMargin
 
-  val all: Seq[Q] = Seq(
-
-    Q("ta_gopher",
-      "The Gopher/MassiveText quality rule suite (Rae et al. 2021 " +
-        "A1.1) as ONE codegen'd scan projection — word count, mean " +
-        "word length, symbol-to-word ratio, alphabetic-word fraction, " +
-        "required-stop-word presence, bullet/ellipsis line fractions, " +
-        "duplicate-line and duplicate-line-char fractions, and the " +
-        "published-threshold keep decision. Word and line statistics " +
-        "stay INSIDE their row (split + higher-order array functions, " +
-        "no explode): at 100 TB the whole suite is a projection on the " +
-        "corpus scan, zero shuffles. Every signal is an int count or " +
-        "int/int division, so the DuckDB gate hashes the signals " +
-        "themselves. On THIS synthetic corpus the full keep is " +
-        "uniformly false — the fixture vocabulary contains only 1 of " +
-        "the 8 required function words (real web text trivially " +
-        "carries them) — so keep_no_stop additionally gates the " +
-        "decision with the stop-word rule factored out, where the " +
-        "word-count bound discriminates doc by doc.",
-      (s, d) => {
-        val t = chunkLines(col("text"))
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          WebFilters.nWords(t).as("n_words"),
-          WebFilters.meanWordLen(t).as("mean_word_len"),
-          WebFilters.symbolWordRatio(t).as("symbol_ratio"),
-          WebFilters.alphaWordFrac(t).as("alpha_frac"),
-          WebFilters.stopWordHits(t).as("stop_hits"),
-          WebFilters.ellipsisLineFrac(t).as("ellipsis_frac"),
-          WebFilters.bulletLineFrac(t).as("bullet_frac"),
-          WebFilters.dupLineFrac(t).as("dup_line_frac"),
-          WebFilters.dupLineCharFrac(t).as("dup_char_frac"),
-          WebFilters.gopherKeep(t).as("keep"),
-          WebFilters.gopherKeepNoStop(t).as("keep_no_stop")
-        ).orderBy("doc_id")
-      },
-      Some(
+  /** The Gopher signal oracle, shared by ta_gopher (fused codegen
+    * expression) and ta_gopher_colform (WebFilters Column formulation):
+    * one contract, two engines-worth of proof that both match it.
+    */
+  private def gopherOracle: Option[String] =
+    Some(
         s"""WITH $LinedCtes,
            |sig AS (
            |  SELECT doc_id,
@@ -154,7 +123,79 @@ object R7cQueries {
            |   dup_line_frac < 0.3 AND
            |   dup_char_frac < 0.2) AS keep_no_stop
            |FROM sig
-           |ORDER BY doc_id""".stripMargin)),
+           |ORDER BY doc_id""".stripMargin)
+
+  val all: Seq[Q] = Seq(
+
+    Q("ta_gopher",
+      "The Gopher/MassiveText quality rule suite (Rae et al. 2021 " +
+        "A1.1) as ONE codegen'd scan projection — word count, mean " +
+        "word length, symbol-to-word ratio, alphabetic-word fraction, " +
+        "required-stop-word presence, bullet/ellipsis line fractions, " +
+        "duplicate-line and duplicate-line-char fractions, and the " +
+        "published-threshold keep decision. Word and line statistics " +
+        "stay INSIDE their row (split + higher-order array functions, " +
+        "no explode): at 100 TB the whole suite is a projection on the " +
+        "corpus scan, zero shuffles. Every signal is an int count or " +
+        "int/int division, so the DuckDB gate hashes the signals " +
+        "themselves. On THIS synthetic corpus the full keep is " +
+        "uniformly false — the fixture vocabulary contains only 1 of " +
+        "the 8 required function words (real web text trivially " +
+        "carries them) — so keep_no_stop additionally gates the " +
+        "decision with the stop-word rule factored out, where the " +
+        "word-count bound discriminates doc by doc.",
+      (s, d) => {
+        // ONE fused codegen'd pass (graft.functions.GopherSignals) over
+        // the chunked text — the WebFilters Column formulation
+        // re-derives the word/line arrays per signal (11 interpreted
+        // HOF trees, each re-evaluating the chunkLines HOF child):
+        // 21.3 s of the round-11 sf0.1 bench. GopherSignalsSpec asserts
+        // bit-equality of every field against the Column formulation.
+        val g = graft.functions.GopherSignals.all(chunkLines(col("text")))
+        Tables.documents(s, d)
+          .withColumn("__g", g)
+          .select(
+            col("doc_id"),
+            col("__g.n_words").as("n_words"),
+            col("__g.mean_word_len").as("mean_word_len"),
+            col("__g.symbol_ratio").as("symbol_ratio"),
+            col("__g.alpha_frac").as("alpha_frac"),
+            col("__g.stop_hits").as("stop_hits"),
+            col("__g.ellipsis_frac").as("ellipsis_frac"),
+            col("__g.bullet_frac").as("bullet_frac"),
+            col("__g.dup_line_frac").as("dup_line_frac"),
+            col("__g.dup_char_frac").as("dup_char_frac"),
+            col("__g.keep").as("keep"),
+            col("__g.keep_no_stop").as("keep_no_stop")
+          ).orderBy("doc_id")
+      },
+      gopherOracle),
+
+    Q("ta_gopher_colform",
+      "The identical Gopher rule suite stated as composable Column " +
+        "expressions (WebFilters) - the reference formulation the " +
+        "fused ta_gopher expression is spec'd bit-equal to, kept " +
+        "oracle-gated so BOTH formulations stay correct. Signals " +
+        "recompute per column here; use ta_gopher's fused expression " +
+        "on real corpora.",
+      (s, d) => {
+        val t = chunkLines(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          WebFilters.nWords(t).as("n_words"),
+          WebFilters.meanWordLen(t).as("mean_word_len"),
+          WebFilters.symbolWordRatio(t).as("symbol_ratio"),
+          WebFilters.alphaWordFrac(t).as("alpha_frac"),
+          WebFilters.stopWordHits(t).as("stop_hits"),
+          WebFilters.ellipsisLineFrac(t).as("ellipsis_frac"),
+          WebFilters.bulletLineFrac(t).as("bullet_frac"),
+          WebFilters.dupLineFrac(t).as("dup_line_frac"),
+          WebFilters.dupLineCharFrac(t).as("dup_char_frac"),
+          WebFilters.gopherKeep(t).as("keep"),
+          WebFilters.gopherKeepNoStop(t).as("keep_no_stop")
+        ).orderBy("doc_id")
+      },
+      gopherOracle),
 
     Q("doc_token_budget",
       "The token-budget plan a data-mixing decision is made from: " +

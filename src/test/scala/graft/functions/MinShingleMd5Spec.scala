@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The fused [[MinShingleMd5]] expression must be BIT-EQUAL to the
+  * Column formulation `array_min(transform(charShingles(c,k), md5))` —
+  * a performance rewrite, never a semantic fork.
+  */
+class MinShingleMd5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def assertEqual(df: DataFrame, k: Int): Unit = {
+    val both = df.select(
+      col("doc_id"),
+      MinShingleMd5(col("text"), k).as("fused"),
+      array_min(transform(Dedup.charShingles(col("text"), k), sh => md5(sh)))
+        .as("colform"))
+    val bad = both.filter(!(col("fused") <=> col("colform")))
+    assert(bad.isEmpty, bad.collect().take(5).mkString("\n"))
+  }
+
+  test("fused == Column formulation on edge cases, k=16 and k=3") {
+    val docs = Seq(
+      (1L, ""),
+      (2L, "short"),
+      (3L, "exactly sixteen!"),          // length == k for k=16
+      (4L, "a" * 17),
+      (5L, "héllo wörld 日本語 テスト mixed multibyte content here"),
+      (6L, "the quick brown fox jumps over the lazy dog " * 5),
+      (7L, "controlchars and\ttabs\nnewlines"),
+      (8L, "𝕊upplementary 𝄞 plane chars 🎵 beyond the BMP")
+    ).toDF("doc_id", "text")
+    assertEqual(docs, 16)
+    assertEqual(docs, 3)
+  }
+
+  test("fused == Column formulation on the documents fixture (cleaned)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.TextOps.cleanMsg(col("text")).as("text"))
+    assertEqual(docs, 16)
+  }
+
+  test("fused expression is codegen'd and shuffle-free as a projection") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), MinShingleMd5(col("text"), 16).as("fp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
