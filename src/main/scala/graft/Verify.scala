@@ -81,9 +81,11 @@ object Verify {
       case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // oracle side FIRST: it is cheap and a late kill must not lose it
+    // oracle side FIRST: it is cheap and a late kill must not lose it.
+    // Always the FULL map, even under a dev query filter — the filter
+    // trims the expensive parquet side only, so a filtered run can
+    // regenerate oracle_sql.json for the whole suite.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
