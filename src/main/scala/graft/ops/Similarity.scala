@@ -2220,25 +2220,43 @@ object Similarity {
                blockCol: String, kNbrs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(kNbrs >= 1, "need at least one neighbor per node")
-    // Two-phase scoring, same contract as [[Dedup.embeddingNearDups]]:
-    // the within-block pair set is O(|block|²), and scoring every pair
-    // with the interpreted decimal HOF fold was the bench's single
-    // most expensive query (3 folds × dim per pair). Phase 1 ranks all
-    // pairs with the codegen'd double cosine (tight primitive loop)
-    // and keeps, per src, everything within 1e-9 of its k-th fast
-    // value; phase 2 rescores ONLY the survivors exactly. Soundness:
-    // |double − exact| ≤ ~1e-13 per cosine, so a pair more than 1e-9
-    // fast-below k others is strictly exact-below them too — the
-    // survivor set provably contains every true top-k edge, and the
-    // exact rank inside it picks the identical edge set the all-pairs
-    // exact build (which the DuckDB oracle replays) picks. Exact norms
-    // are computed once per NODE (corpus-linear), never per pair.
-    val nodes = emb.select(col(blockCol).as("__b"), col(idCol).as("__id"),
+    val nodes = graphNodesWithNorms(emb, idCol, vecCol, blockCol)
+    topKNbrEdges(nodes, nodes, kNbrs)
+  }
+
+  /** (block, id, vec, fast norm, exact norm) — the per-NODE relation
+    * both graph-edge builders score pairs from; norms are computed once
+    * per node (corpus-linear), never per pair.
+    */
+  private def graphNodesWithNorms(emb: DataFrame, idCol: String,
+                                  vecCol: String,
+                                  blockCol: String): DataFrame =
+    emb.select(col(blockCol).as("__b"), col(idCol).as("__id"),
       col(vecCol).as("__v"),
       sqrt(Dedup.dotFast(col(vecCol), col(vecCol))).as("__nf"),
       Dedup.normExact(col(vecCol)).as("__ne"))
-    val a = nodes.toDF("__b", "src", "__va", "__nfa", "__nea")
-    val b = nodes.toDF("__b", "dst", "__vb", "__nfb", "__neb")
+
+  /** Per-src top-k within-block edges from `srcNodes` into `dstNodes`
+    * (both [[graphNodesWithNorms]]-shaped), (cosine desc, dst asc).
+    *
+    * Two-phase scoring, same contract as [[Dedup.embeddingNearDups]]:
+    * the within-block pair set is O(|block|²), and scoring every pair
+    * with the interpreted decimal HOF fold was the bench's single
+    * most expensive query (3 folds × dim per pair). Phase 1 ranks all
+    * pairs with the codegen'd double cosine (tight primitive loop)
+    * and keeps, per src, everything within 1e-9 of its k-th fast
+    * value; phase 2 rescores ONLY the survivors exactly. Soundness:
+    * |double − exact| ≤ ~1e-13 per cosine, so a pair more than 1e-9
+    * fast-below k others is strictly exact-below them too — the
+    * survivor set provably contains every true top-k edge, and the
+    * exact rank inside it picks the identical edge set the all-pairs
+    * exact build (which the DuckDB oracle replays) picks.
+    */
+  private def topKNbrEdges(srcNodes: DataFrame, dstNodes: DataFrame,
+                           kNbrs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = srcNodes.toDF("__b", "src", "__va", "__nfa", "__nea")
+    val b = dstNodes.toDF("__b", "dst", "__vb", "__nfb", "__neb")
     val perSrc = Window.partitionBy(col("src"))
     val pickFast = perSrc.orderBy(col("__fc").desc, col("dst").asc)
     val pickExact = perSrc.orderBy(col("__cos").desc, col("dst").asc)
@@ -2359,19 +2377,11 @@ object Similarity {
       .select(col(idCol), col(vecCol), col(blockCol))
     val fresh = newEmb.select(col(idCol), col(vecCol), col(blockCol))
     val cand = existing.unionByName(fresh)
-    val a = fresh.select(col(blockCol).as("__b"), col(idCol).as("src"),
-      col(vecCol).as("__va"))
-    val b = cand.select(col(blockCol).as("__b"), col(idCol).as("dst"),
-      col(vecCol).as("__vb"))
-    val pick = Window.partitionBy(col("src"))
-      .orderBy(col("__cos").desc, col("dst").asc)
-    val edges = a.join(b, Seq("__b"))
-      .filter(col("src") =!= col("dst"))
-      .withColumn("__cos", Dedup.dotExact(col("__va"), col("__vb")) /
-        (Dedup.normExact(col("__va")) * Dedup.normExact(col("__vb"))))
-      .withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") <= kNbrs)
-      .select(col("src"), col("dst"))
+    // same two-phase scoring as the full build (see [[topKNbrEdges]]);
+    // src side = the appended batch only, dst side = old ∪ new
+    val edges = topKNbrEdges(
+      graphNodesWithNorms(fresh, idCol, vecCol, blockCol),
+      graphNodesWithNorms(cand, idCol, vecCol, blockCol), kNbrs)
     writeGraphBatch(fresh, edges, path, batchId)
   }
 
