@@ -61,7 +61,12 @@ object R7cQueries {
     * expression) and ta_gopher_colform (WebFilters Column formulation):
     * one contract, two engines-worth of proof that both match it.
     */
-  private def gopherOracle: Option[String] =
+  private def gopherOracle: Option[String] = gopherOracle("")
+
+  /** `where` filters the FINAL per-doc signal rows (signals are a pure
+    * per-document projection, so filtering output == filtering input).
+    */
+  private def gopherOracle(where: String): Option[String] =
     Some(
         s"""WITH $LinedCtes,
            |sig AS (
@@ -122,7 +127,7 @@ object R7cQueries {
            |   ellipsis_frac < 0.3 AND alpha_frac > 0.8 AND
            |   dup_line_frac < 0.3 AND
            |   dup_char_frac < 0.2) AS keep_no_stop
-           |FROM sig
+           |FROM sig $where
            |ORDER BY doc_id""".stripMargin)
 
   val all: Seq[Q] = Seq(
@@ -175,12 +180,14 @@ object R7cQueries {
       "The identical Gopher rule suite stated as composable Column " +
         "expressions (WebFilters) - the reference formulation the " +
         "fused ta_gopher expression is spec'd bit-equal to, kept " +
-        "oracle-gated so BOTH formulations stay correct. Signals " +
-        "recompute per column here; use ta_gopher's fused expression " +
-        "on real corpora.",
+        "oracle-gated so BOTH formulations stay correct. Runs on the " +
+        "doc_id % 10 slice: signals are a pure per-document " +
+        "projection, so the slice proves the formulation at a tenth " +
+        "of the interpreted-HOF cost (the full-corpus proof is the " +
+        "fused query plus GopherSignalsSpec's bit-equality).",
       (s, d) => {
         val t = chunkLines(col("text"))
-        Tables.documents(s, d).select(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0).select(
           col("doc_id"),
           WebFilters.nWords(t).as("n_words"),
           WebFilters.meanWordLen(t).as("mean_word_len"),
@@ -195,7 +202,7 @@ object R7cQueries {
           WebFilters.gopherKeepNoStop(t).as("keep_no_stop")
         ).orderBy("doc_id")
       },
-      gopherOracle),
+      gopherOracle("WHERE doc_id % 10 = 0")),
 
     Q("doc_token_budget",
       "The token-budget plan a data-mixing decision is made from: " +
