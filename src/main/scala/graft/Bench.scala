@@ -117,13 +117,16 @@ object Bench {
         else (totals(totals.length / 2 - 1) + totals(totals.length / 2)) / 2.0
       // partial lines carry the FULL per-query map (the driver's log tail
       // always holds the last few); the final line stays compact — only
-      // the 20 slowest — so truncation can't destroy the headline record.
+      // the 15 slowest + 10 failed names — so the 2000-char tail the
+      // driver keeps (BENCH_r10: "tail" len 2000, "parsed" null for
+      // every round to date) always contains the whole headline line
+      // even with worst-case query-name lengths plus the sbt footer.
       val qShown =
         if (partial) best
-        else best.filter(_._2 >= 0).sortBy(-_._2).take(20)
+        else best.filter(_._2 >= 0).sortBy(-_._2).take(15)
       val qs = qShown.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
-      val failedShown = if (partial) failed else failed.take(20)
+      val failedShown = if (partial) failed else failed.take(10)
       val failedJson = failedShown.map("\"" + _ + "\"").mkString("[", ",", "]")
       val passTotalsJson = totals.zipWithIndex
         .map { case (t, i) => f""""pass${i + 1}_total":$t%.4f""" }.mkString(",")
