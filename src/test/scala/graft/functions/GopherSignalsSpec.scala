@@ -87,6 +87,30 @@ class GopherSignalsSpec extends SparkSpec {
     assertEqual(docs)
   }
 
+  test("property: fused == Column formulation on adversarial random text") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // alphabet chosen to hit every branch: whitespace variants (incl.
+    // CR/LF/CRLF and tabs), the symbol rules ('#', '.'), bullet starts,
+    // stop words, non-ASCII and beyond-BMP code points
+    val token = Gen.oneOf(
+      Gen.oneOf(WebFilters.RequiredStopWords),
+      Gen.oneOf("-x", "*y", "•z", "...", "#", "a#b", "w...", "12", "é", "𝄞a"),
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
+    val sep = Gen.oneOf(" ", "  ", "\n", "\r\n", "\r", "\t", " \n ")
+    val textGen = Gen.chooseNum(0, 30).flatMap { n =>
+      for {
+        ts <- Gen.listOfN(n, token)
+        ss <- Gen.listOfN(n, sep)
+      } yield ts.zip(ss).map { case (t, s) => t + s }.mkString
+    }
+    val texts = (0 until 120)
+      .flatMap(i => textGen(Gen.Parameters.default, Seed(i.toLong)))
+    assertEqual(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"))
+  }
+
   test("fused expression is codegen'd and shuffle-free as a projection") {
     // parquet-backed input: a local Seq relation constant-folds into a
     // LocalTableScan and hides the projection plan

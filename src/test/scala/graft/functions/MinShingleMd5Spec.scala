@@ -45,6 +45,22 @@ class MinShingleMd5Spec extends SparkSpec {
     assertEqual(docs, 16)
   }
 
+  test("property: fused == Column formulation on random multibyte text") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ch = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "),
+      Gen.oneOf("é", "日", "𝄞", "🎵", "\n", "."))
+    val textGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, ch).map(_.mkString))
+    val texts = (0 until 150)
+      .flatMap(i => textGen(Gen.Parameters.default, Seed(i.toLong)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    assertEqual(df, 16)
+    assertEqual(df, 2)
+  }
+
   test("fused expression is codegen'd and shuffle-free as a projection") {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
