@@ -11,11 +11,12 @@ import graft.core.Watchdog
   *     line, `"partial":true`). A run killed at the stage budget still
   *     leaves its last line as a usable, self-consistent record — the
   *     round-9 bench was killed at 3600 s and recorded nothing.
-  *   - COMPACT FINAL LINE: the driver keeps only the tail of the stage
-  *     log, and round 10's final line (306-entry per-query map + 243-name
-  *     failed list, ~10 KB) was sliced off — BENCH_r10 parsed to null.
-  *     The partial lines carry the full per-query map; the FINAL line
-  *     carries totals, counts, and only the 20 slowest queries (<1.5 KB).
+  *   - COMPACT FINAL LINE: the driver keeps only a 2000-char tail of the
+  *     stage log, and round 10's final line (306-entry per-query map +
+  *     243-name failed list, ~10 KB) was sliced off — BENCH_r10 parsed to
+  *     null. The partial lines carry the full per-query map; the FINAL
+  *     line carries totals, counts, the 15 slowest queries and at most 10
+  *     failed names (≤ ~1.5 KB with worst-case name lengths).
   *   - WATCHDOG (graft.core.Watchdog): each (query, pass) runs on a fresh
   *     daemon thread that sets its OWN job group before acting — round
   *     10 set the group on the main thread and ran the action on a pooled
@@ -34,7 +35,7 @@ import graft.core.Watchdog
 object Bench {
   // generous vs the worst steady-state query at sf0.1 (~23 s pre-codegen)
   // so no legitimate query is clipped into the failed list, tight vs the
-  // 3600 s stage budget (306 queries x 2 passes can afford ~5 s mean;
+  // 3600 s stage budget (300+ queries x 2 passes can afford ~5 s mean;
   // a single runaway forfeits <=120 s, not the stage)
   private val QueryTimeoutS = 120L
 
@@ -80,7 +81,7 @@ object Bench {
     System.gc()
 
     // two timed passes (was three: trimmed to fit the 3600 s stage budget
-    // at 306 queries). Per query we report the BEST pass (steady-state
+    // at 300+ queries). Per query we report the BEST pass (steady-state
     // plan quality, immune to a GC pause landing on one pass); headline is
     // the MEDIAN of per-pass totals over queries that succeeded in every
     // pass — for an even pass count the two middle values are AVERAGED
@@ -110,11 +111,15 @@ object Bench {
       // that has started, so all per-pass totals compare the same set
       val started = passTimes.filter(_.nonEmpty)
       val inAll = done.filter(n => started.forall(_.get(n).exists(_ >= 0))).toSet
-      val totals = started.map(p => p.collect { case (k, v) if inAll(k) => v }.sum).sorted
+      // totals stay in PASS ORDER (pass1_total really is pass 1 — sorting
+      // here would relabel the passes); only the median sorts a copy
+      val totals = started.map(p => p.collect { case (k, v) if inAll(k) => v }.sum)
+      val sortedTotals = totals.sorted
       val median =
         if (totals.isEmpty) 0.0
-        else if (totals.length % 2 == 1) totals(totals.length / 2)
-        else (totals(totals.length / 2 - 1) + totals(totals.length / 2)) / 2.0
+        else if (totals.length % 2 == 1) sortedTotals(totals.length / 2)
+        else (sortedTotals(totals.length / 2 - 1) +
+          sortedTotals(totals.length / 2)) / 2.0
       // partial lines carry the FULL per-query map (the driver's log tail
       // always holds the last few); the final line stays compact — only
       // the 15 slowest + 10 failed names — so the 2000-char tail the

@@ -47,13 +47,24 @@ object Watchdog {
     try { fut.get(timeoutS, TimeUnit.SECONDS); None }
     catch {
       case _: TimeoutException =>
+        // cancel → interrupt → cancel AGAIN: cancelJobGroup only kills
+        // jobs active at call time, and a multi-job query (AQE splits
+        // one collect into many jobs) can submit its next job between
+        // the first cancel and the interrupt. The interrupt stops the
+        // worker from submitting anything further, so the second cancel
+        // sweeps the one job that may have slipped through the window.
         sc.cancelJobGroup(name)
         fut.cancel(true)
+        sc.cancelJobGroup(name)
         Some(s"TIMEOUT after ${timeoutS}s")
       case e: ExecutionException =>
         val c = Option(e.getCause).getOrElse(e)
         Some(s"${c.getClass.getSimpleName}: ${Option(c.getMessage).getOrElse("").take(200)}")
       case e: Throwable =>
+        // e.g. the WAITER thread interrupted: make sure the query's jobs
+        // don't outlive the wait either way
+        fut.cancel(true)
+        sc.cancelJobGroup(name)
         Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
     } finally ex.shutdown()
   }

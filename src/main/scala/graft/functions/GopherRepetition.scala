@@ -52,6 +52,11 @@ final class GopherRepetitionTable(topNs: Array[Int], dupNs: Array[Int])
 
   private val nFields = topNs.length + dupNs.length
 
+  // precompiled: String.split(regex) recompiles the Pattern on every
+  // call for multi-char regexes — one avoidable Pattern.compile per ROW
+  @transient private lazy val WsPattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   /** Code-point order == UTF-8 byte order (what Spark string comparison
     * and the DuckDB oracle's `g ASC` both use).
     */
@@ -74,7 +79,7 @@ final class GopherRepetitionTable(topNs: Array[Int], dupNs: Array[Int])
       java.lang.Double.valueOf(0.0))
     val trimmed = text.trim() // spaces (0x20) only — Spark trim semantics
     if (trimmed.numBytes() == 0) return new GenericInternalRow(out)
-    val words = trimmed.toString.split("\\s+", -1)
+    val words = WsPattern.split(trimmed.toString, -1)
     val nW = words.length
     val cp = new Array[Int](nW)
     var normChars = (nW - 1).toLong

@@ -59,6 +59,13 @@ object GopherSignalsTable extends Serializable {
   private val StopWords: Array[String] =
     Array("the", "be", "to", "of", "and", "that", "have", "with")
 
+  // precompiled: String.split(regex) recompiles the Pattern per call for
+  // any regex beyond its single-literal-char fast path — two avoidable
+  // Pattern.compile per ROW on the hot projection this expression exists
+  // to speed up. Pattern.split has identical semantics (limit -1).
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val EolPattern = java.util.regex.Pattern.compile("\r\n|[\r\n]")
+
   // struct field order — keep in sync with GopherSignalsExpr.dataType
   // (n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
   //  ellipsis_frac, bullet_frac, dup_line_frac, dup_char_frac,
@@ -70,7 +77,7 @@ object GopherSignalsTable extends Serializable {
     val trimmed = text.trim().toString // 0x20-only trim, Spark semantics
     val words0 =
       if (trimmed.isEmpty) Array.empty[String]
-      else trimmed.split("\\s+", -1)
+      else WsPattern.split(trimmed, -1)
     var nW = 0
     var cpSum = 0L
     var alphaHits = 0L
@@ -115,7 +122,7 @@ object GopherSignalsTable extends Serializable {
     val alphaFrac = if (nW == 0) 0.0 else alphaHits.toDouble / nW
 
     // ---- line-level ------------------------------------------------------
-    val rawLines = raw.split("\r\n|[\r\n]", -1)
+    val rawLines = EolPattern.split(raw, -1)
     var nLines = 0L
     var ellipsisLines = 0L
     var bulletLines = 0L

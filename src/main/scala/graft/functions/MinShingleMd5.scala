@@ -48,17 +48,18 @@ object MinShingleMd5Table extends Serializable {
 
   def minShingle(text: UTF8String, k: Int): UTF8String = {
     val bytes = text.getBytes
-    // byte offset of each code point (+ end sentinel)
+    // byte offset of each code point (+ end sentinel). The step uses
+    // Spark's OWN lead-byte classifier, so the walk is definitionally
+    // identical to numChars() and to substr's stepping — including on
+    // MALFORMED UTF-8 (parquet doesn't validate; a stray continuation
+    // byte steps 1 in Spark, and a hand-rolled `< 0xe0 → 2` walk would
+    // silently diverge from the Column formulation there)
     val offs = new Array[Int](text.numChars() + 1)
     var nCp = 0
     var b = 0
     while (b < bytes.length) {
       offs(nCp) = b
-      val lead = bytes(b) & 0xff
-      b += (if (lead < 0x80) 1
-            else if (lead < 0xe0) 2
-            else if (lead < 0xf0) 3
-            else 4)
+      b += UTF8String.numBytesForFirstByte(bytes(b))
       nCp += 1
     }
     offs(nCp) = bytes.length

@@ -70,10 +70,15 @@ final class WordPieceTable(val vocab: Seq[String]) extends Serializable {
     }
   }
 
+  // precompiled: String.split(regex) recompiles the Pattern on every
+  // call for multi-char regexes — one avoidable Pattern.compile per ROW
+  @transient private lazy val WsPattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   /** Tokenize a whitespace-separated text into WordPiece pieces. */
   def tokenize(text: UTF8String): ArrayData = {
     val out = new ArrayBuffer[UTF8String]()
-    text.toString.split("\\s+").foreach { w =>
+    WsPattern.split(text.toString).foreach { w =>
       if (w.nonEmpty) tokenizeWord(w, out)
     }
     new GenericArrayData(out.toArray[Any])

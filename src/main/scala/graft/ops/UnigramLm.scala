@@ -63,21 +63,14 @@ object UnigramLm {
       if (ca != cb) ca > cb else cpCompare(pa, pb) < 0
     }.take(k)
 
-  /** The ONE distributed pass: corpus → word-frequency table (the
-    * [[BpeTrain]] seam). The collect is bounded by CODE — a distributed
-    * top-M by frequency (per-partition heaps, never a full sort),
-    * tie-broken by word — not by an assumption that raw web text has a
-    * curated-corpus vocabulary (see [[BpeTrain.MaxVocab]]).
+  /** The ONE distributed pass: corpus → word-frequency table — the
+    * SAME pass as BPE training (capped top-M collect, see
+    * [[BpeTrain.MaxVocab]]), delegated so the cap semantics can never
+    * diverge between the two tokenizer trainers.
     */
   def collectWordFreq(docs: DataFrame, textCol: String,
                       maxVocab: Int = BpeTrain.MaxVocab): Array[(String, Long)] =
-    docs
-      .select(explode(
-        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("__word"))
-      .groupBy("__word").agg(count(lit(1)).as("__freq"))
-      .orderBy(col("__freq").desc, col("__word"))
-      .limit(maxVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    BpeTrain.collectWordFreq(docs, textCol, maxVocab)
 
   /** Driver-local seeding + hard-EM on the collected word table.
     * @return final vocabulary as (piece, usage), in (usage desc,

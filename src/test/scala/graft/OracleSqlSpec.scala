@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the preconditions of the `AS MATERIALIZED` oracle rewrite
+  * (SparkEntry.oracleSql): the regex exempts `WINDOW w AS (` by a
+  * single-space uppercase same-line lookbehind, so every oracle must
+  * keep its WINDOW clauses in exactly that shape — one named window per
+  * clause, uppercase keyword, same line. A second window in one clause
+  * (`WINDOW w AS (...), v AS (...)`) would be rewritten into invalid
+  * SQL and surface as a phantom correctness failure at the driver.
+  */
+class OracleSqlSpec extends AnyFunSuite {
+
+  test("no transformed oracle corrupts a WINDOW clause") {
+    val bad = "WINDOW\\s+\\w+\\s+AS\\s+MATERIALIZED".r
+    for ((name, sql) <- SparkEntry.oracleSql)
+      assert(bad.findFirstIn(sql).isEmpty,
+        s"$name: WINDOW clause was rewritten to MATERIALIZED")
+  }
+
+  test("no raw oracle uses a shape the rewrite can't protect") {
+    // same-line only: a CTE following the window clause on the NEXT
+    // line (this repo's stripMargin style) is not a second window
+    val multiWindow = "(?i)window [^\\n]*\\)[ \\t]*,[ \\t]*\\w+ as \\(".r
+    val lowerOrSplitWindow = "(?i)window\\s+\\w+\\s+as\\s+\\(".r
+    for (q <- SparkEntry.registry; sql <- q.oracle) {
+      assert(multiWindow.findFirstIn(sql).isEmpty,
+        s"${q.name}: multi-window WINDOW clause — the MATERIALIZED " +
+          "rewrite would corrupt the second window; use two queries' " +
+          "windows inline or separate WINDOW clauses per query")
+      for (m <- lowerOrSplitWindow.findAllIn(sql))
+        assert(m.startsWith("WINDOW ") && !m.contains("\n"),
+          s"${q.name}: WINDOW clause must be uppercase, single-space, " +
+            s"same-line for the rewrite's lookbehind (got: $m)")
+    }
+  }
+
+  test("every CTE in every transformed oracle is materialized") {
+    // the inverse guard: a CTE the rewrite MISSED (e.g. unusual
+    // whitespace) silently reverts to inline evaluation and the
+    // driver's compare budget regresses — catch the drift here
+    val unmat = "(?<!WINDOW )\\b\\w+ AS \\(".r
+    for ((name, sql) <- SparkEntry.oracleSql)
+      assert(unmat.findFirstIn(sql).isEmpty,
+        s"$name: CTE left unmaterialized after the rewrite")
+  }
+}

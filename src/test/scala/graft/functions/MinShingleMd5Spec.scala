@@ -61,6 +61,33 @@ class MinShingleMd5Spec extends SparkSpec {
     assertEqual(df, 2)
   }
 
+  test("malformed UTF-8 steps exactly like UTF8String.substring") {
+    // parquet doesn't validate UTF-8; a stray continuation byte must
+    // shingle identically to the Column form (whose charShingles use
+    // Spark's substr stepping). Reference = min over md5(substring)
+    // computed with UTF8String's own code-point API.
+    import org.apache.spark.unsafe.types.UTF8String
+    import java.security.MessageDigest
+    val cases = Seq[Array[Byte]](
+      Array(0x61, 0x80, 0x62, 0x63, 0x64).map(_.toByte),        // a <cont> b c d
+      Array(0x61, 0xc3, 0xa9, 0x80, 0x62).map(_.toByte),        // a é <cont> b
+      Array(0xf0, 0x9d, 0x84, 0x9e, 0x80, 0x61).map(_.toByte),  // 𝄞 <cont> a
+      Array(0xf8, 0x61, 0x62).map(_.toByte))                    // invalid lead
+    for (bytes <- cases; k <- Seq(2, 3)) {
+      val t = UTF8String.fromBytes(bytes)
+      val n = t.numChars()
+      val m = math.max(n - k + 1, 1)
+      val md = MessageDigest.getInstance("MD5")
+      val ref = (0 until m).map { j =>
+        md.reset()
+        md.update(t.substring(j, math.min(j + k, n)).getBytes)
+        md.digest().map(b => f"${b & 0xff}%02x").mkString
+      }.min
+      val got = MinShingleMd5Table.minShingle(t, k).toString
+      assert(got == ref, s"k=$k bytes=${bytes.mkString(",")}")
+    }
+  }
+
   test("fused expression is codegen'd and shuffle-free as a projection") {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
