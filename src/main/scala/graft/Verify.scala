@@ -100,7 +100,16 @@ object Verify {
     def writeManifest(): Unit = {
       val body = manifest.map { case (k, v) => s"${q(k)}: $v" }
         .mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/manifest.json"), body)
+      // temp-write + atomic rename, NOT truncate-in-place: the manifest
+      // exists to survive the driver's stage-budget kill, and that kill
+      // can land mid-write — an in-place Files.writeString would leave a
+      // truncated, unparseable file, recreating the very "can't tell
+      // what happened" ambiguity the manifest was added to remove.
+      val tmp = Paths.get(s"$outDir/.manifest.json.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, Paths.get(s"$outDir/manifest.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
     val costs = measuredCosts

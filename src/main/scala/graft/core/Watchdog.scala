@@ -26,13 +26,23 @@ import java.util.concurrent.{Callable, ExecutionException, Executors, TimeUnit, 
   */
 object Watchdog {
 
-  /** Run `body` on a fresh daemon thread under job group `name` with a
+  /** Group ids are UNIQUE per invocation: the timeout path poisons the
+    * group with `cancelJobGroupAndFutureJobs`, which has no un-cancel —
+    * a reused bare name (Bench runs each query once per warmup and once
+    * per timed pass, all under the query's name) would silently reject
+    * every later pass's jobs for that query.
+    */
+  private val groupSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run `body` on a fresh daemon thread under a fresh job group with a
     * hard timeout. Returns None on success, Some(reason) on timeout or
     * failure. On timeout the group is cancelled (interrupting its
-    * running tasks) and the worker thread is interrupted and abandoned.
+    * running tasks AND rejecting any job the unwinding worker submits
+    * afterwards) and the worker thread is interrupted and abandoned.
     */
   def run(sc: SparkContext, name: String, timeoutS: Long)
          (body: => Unit): Option[String] = {
+    val group = s"$name#${groupSeq.incrementAndGet()}"
     val ex = Executors.newSingleThreadExecutor { r =>
       val t = new Thread(r, s"graft-wd-$name")
       t.setDaemon(true)
@@ -40,22 +50,24 @@ object Watchdog {
     }
     val fut = ex.submit(new Callable[Unit] {
       def call(): Unit = {
-        sc.setJobGroup(name, name, interruptOnCancel = true)
+        sc.setJobGroup(group, name, interruptOnCancel = true)
         try body finally sc.clearJobGroup()
       }
     })
+    // cancelJobGroupAndFutureJobs, not cancelJobGroup: the plain cancel
+    // only kills jobs ACTIVE at call time, and a worker that swallows
+    // the interrupt (Spark wraps InterruptedException inside
+    // SparkException on several action paths) can submit a NEW job
+    // after the cancel, which then runs under later queries' clocks —
+    // the round-10 failure mode in miniature. The AndFutureJobs variant
+    // also rejects anything submitted under this group after the call;
+    // the group id is single-use, so the poisoning can never leak into
+    // a later run of the same query.
     try { fut.get(timeoutS, TimeUnit.SECONDS); None }
     catch {
       case _: TimeoutException =>
-        // cancel → interrupt → cancel AGAIN: cancelJobGroup only kills
-        // jobs active at call time, and a multi-job query (AQE splits
-        // one collect into many jobs) can submit its next job between
-        // the first cancel and the interrupt. The interrupt stops the
-        // worker from submitting anything further, so the second cancel
-        // sweeps the one job that may have slipped through the window.
-        sc.cancelJobGroup(name)
+        sc.cancelJobGroupAndFutureJobs(group)
         fut.cancel(true)
-        sc.cancelJobGroup(name)
         Some(s"TIMEOUT after ${timeoutS}s")
       case e: ExecutionException =>
         val c = Option(e.getCause).getOrElse(e)
@@ -64,7 +76,7 @@ object Watchdog {
         // e.g. the WAITER thread interrupted: make sure the query's jobs
         // don't outlive the wait either way
         fut.cancel(true)
-        sc.cancelJobGroup(name)
+        sc.cancelJobGroupAndFutureJobs(group)
         Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
     } finally ex.shutdown()
   }

@@ -45,4 +45,24 @@ class OracleSqlSpec extends AnyFunSuite {
       assert(unmat.findFirstIn(sql).isEmpty,
         s"$name: CTE left unmaterialized after the rewrite")
   }
+
+  test("column-list CTEs (the rewrite's known-uncovered shape) are all " +
+      "tiny VALUES constant tables") {
+    // `name(col, ...) AS (` does not match the rewrite regex (the token
+    // before AS is `)`, not \w+), so these CTEs stay unmaterialized —
+    // and the previous inverse guard, built from the SAME shape, was
+    // blind to them too. That is acceptable ONLY while every such CTE
+    // is a constant `(VALUES ...)` table (weights, quantile probes,
+    // literal vocab rows): inlining a literal table per reference costs
+    // nothing. A column-list CTE wrapping a real SELECT would re-run
+    // its upstream per reference — flag it here so it gets rewritten
+    // into the `name AS (SELECT ... FROM (VALUES ...) t(col))` shape
+    // the materializer covers.
+    val colListCte = "(?is)\\b\\w+\\s*\\([\\w\\s,]+\\)\\s+AS\\s+\\(\\s*(\\w+)".r
+    for ((name, sql) <- SparkEntry.oracleSql;
+         m <- colListCte.findAllMatchIn(sql))
+      assert(m.group(1).equalsIgnoreCase("VALUES"),
+        s"$name: column-list CTE with a non-VALUES body is invisible " +
+          s"to the MATERIALIZED rewrite (body starts: ${m.group(1)})")
+  }
 }

@@ -52,6 +52,41 @@ class WatchdogSpec extends SparkSpec {
     assert(active.isEmpty, s"jobs still running after cancel: ${active.mkString(",")}")
   }
 
+  test("a worker that swallows the interrupt cannot submit new jobs after the cancel") {
+    val sc = spark.sparkContext
+    // round-10 failure mode in miniature: the body catches EVERYTHING
+    // (Spark wraps the task interrupt inside SparkException on several
+    // action paths) and then submits a fresh job. With plain
+    // cancelJobGroup that job would run to completion under later
+    // queries' clocks; cancelJobGroupAndFutureJobs must reject it.
+    @volatile var secondJobRan = false
+    val r = Watchdog.run(sc, "wd-swallow", timeoutS = 2) {
+      try sc.parallelize(1 to 8, 8).map { i => Thread.sleep(120000); i }.count()
+      catch { case _: Throwable => () } // swallow the interrupt
+      // without the interrupt flag the sleep-free job would finish in ms
+      sc.parallelize(1 to 4, 4).count()
+      secondJobRan = true
+    }
+    assert(r.exists(_.startsWith("TIMEOUT")), r.toString)
+    Thread.sleep(3000) // grace: let the unwinding worker try its submit
+    assert(!secondJobRan,
+      "a job submitted after the cancel ran under a poisoned group")
+  }
+
+  test("the poisoned group never leaks into a later run under the same name") {
+    val sc = spark.sparkContext
+    // Bench reuses each query's NAME across warmup + 2 timed passes;
+    // cancelJobGroupAndFutureJobs has no un-cancel, so the group id
+    // must be single-use or pass 2 of a once-timed-out query would be
+    // rejected forever.
+    val r1 = Watchdog.run(sc, "wd-reuse", timeoutS = 1) { Thread.sleep(60000) }
+    assert(r1.exists(_.startsWith("TIMEOUT")), r1.toString)
+    val r2 = Watchdog.run(sc, "wd-reuse", timeoutS = 60) {
+      assert(spark.range(10).count() == 10L)
+    }
+    assert(r2.isEmpty, r2.toString)
+  }
+
   test("a timed-out worker does not starve later runs (fresh thread per query)") {
     val sc = spark.sparkContext
     // round-10 failure mode: leaked blocked futures pinned the shared
