@@ -140,6 +140,34 @@ object Bench {
         f""""best_total":$bestTotal%.4f,$passTotalsJson,""" +
         s""""failed":$failedJson,"n_failed":${failed.size},"n_done":${done.size},""" +
         s""""partial":$partial,"sf":"$sfDir"}""")
+      // The driver's log tail keeps only the compact final line, so the
+      // FULL per-query map was transient ("partial" lines) and per-query
+      // regression tracking across rounds lived in PLANS.md prose. The
+      // final emit also persists the complete record as a repo artifact
+      // (bench_results/, committed per round; tools/bench_gate.py diffs
+      // it against BASELINE.json's map with a per-query ratio gate).
+      if (!partial) {
+        val full = best.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+          .mkString("{", ",", "}")
+        val passMaps = passTimes.filter(_.nonEmpty).map(p =>
+          p.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+            .mkString("{", ",", "}")).mkString("[", ",", "]")
+        val body =
+          f"""{"sf":"$sfDir","cpus":"$cpus","passes":$nPasses,""" +
+          f""""median_pass_total":$median%.4f,"best_total":$bestTotal%.4f,$passTotalsJson,""" +
+          s""""n_failed":${failed.size},"n_done":${done.size},""" +
+          s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""best":$full,"pass_times":$passMaps}"""
+        val out = java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "bench_results/latest.json"))
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        val tmp = out.resolveSibling("." + out.getFileName + ".tmp")
+        java.nio.file.Files.writeString(tmp, body)
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        System.err.println(s"[bench] full per-query record -> $out")
+      }
     }
 
     for (p <- 0 until nPasses

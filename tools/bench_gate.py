@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate.
+
+Diffs a bench_results/*.json record (written by graft.Bench's final
+emit) against BASELINE.json's recorded per-query map and fails if any
+query exceeds RATIO x its baseline time. Run as part of the round-close
+drill so a slow regression in one query can't hide inside a flat total
+(the total has ~2.7x headroom vs the driver's 2x gate, enough to absorb
+a 10x single-query regression silently).
+
+Usage:
+  python3 tools/bench_gate.py bench_results/r12.json [--baseline BASELINE.json]
+      [--ratio 1.5] [--floor 1.0]
+
+`--floor` (seconds) exempts sub-second queries: at sf0.1 their times are
+dominated by fixed job-submission overhead and jitter, so a 0.2 s ->
+0.35 s wobble is noise, not a plan regression. A query must exceed BOTH
+ratio x baseline AND the floor to fail the gate.
+
+Exit 0 = gate passed (regressions list empty). Exit 1 = regressions or
+bench-side failures present. New queries (no baseline entry) are
+reported informationally and do not fail the gate.
+"""
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench", help="bench_results/rN.json from graft.Bench")
+    ap.add_argument("--baseline", default="BASELINE.json")
+    ap.add_argument("--ratio", type=float, default=1.5)
+    ap.add_argument("--floor", type=float, default=1.0)
+    args = ap.parse_args()
+
+    with open(args.bench) as f:
+        bench = json.load(f)
+    with open(args.baseline) as f:
+        base = json.load(f)
+    base_q = base.get("recorded_baseline", base).get("queries", {})
+    cur = bench.get("best", bench.get("queries", {}))
+
+    regressions, news, improved = [], [], 0
+    for name, t in sorted(cur.items()):
+        if t < 0:
+            regressions.append((name, t, base_q.get(name), "FAILED in bench"))
+            continue
+        b = base_q.get(name)
+        if b is None:
+            news.append((name, t))
+            continue
+        if t > b * args.ratio and t > args.floor:
+            regressions.append((name, t, b, f"{t / b:.2f}x baseline"))
+        elif t < b:
+            improved += 1
+
+    missing = sorted(set(base_q) - set(cur))
+    for name in missing:
+        regressions.append((name, None, base_q[name], "missing from bench record"))
+
+    print(f"gate: {len(cur)} queries, ratio {args.ratio}, floor {args.floor}s")
+    print(f"  improved vs baseline: {improved}")
+    for name, t in news:
+        print(f"  NEW (no baseline): {name} = {t:.3f}s")
+    if regressions:
+        print(f"  REGRESSIONS ({len(regressions)}):")
+        for name, t, b, why in regressions:
+            ts = "n/a" if t is None else f"{t:.3f}s"
+            bs = "n/a" if b is None else f"{b:.3f}s"
+            print(f"    {name}: {ts} vs baseline {bs} — {why}")
+        sys.exit(1)
+    print("  GATE PASSED: no per-query regression")
+
+
+if __name__ == "__main__":
+    main()
