@@ -510,10 +510,36 @@ object Similarity {
   private val Pca2to50: Double = java.lang.Math.scalb(1.0, 50)
   private val Pca2to100: Double = java.lang.Math.scalb(1.0, 100)
 
+  /** Driver-side PCA state: per-dim means, the dims×dims covariance,
+    * the final power iterate, its Rayleigh eigenvalue, and trace(C) —
+    * every double produced by the engine-replayable arithmetic
+    * [[pcaTopComponent]] documents, shared with [[pcaSampleGate]].
+    */
+  private[ops] final case class PcaModel(mu: Array[Double],
+      c: Array[Array[Double]], vec: Array[Double], lam: Double,
+      trace: Double)
+
+  /** Plain double LEFT FOLD in index order — the one summation shape
+    * DuckDB replays exactly with list_reduce(list(term ORDER BY idx)).
+    */
+  private def pcaFoldSum(xs: Iterator[Double]): Double = xs.reduce(_ + _)
+
   def pcaTopComponent(emb: DataFrame, vecCol: String, dims: Int,
                       iters: Int = 8): DataFrame = {
-    require(dims >= 2 && iters >= 1, "need >= 2 dims and >= 1 iteration")
     val spark = emb.sparkSession
+    val m = pcaModel(emb, vecCol, dims, iters)
+    import spark.implicits._
+    (0 until dims).map(i =>
+        ((i + 1).toLong, m.mu(i), m.c(i)(i), m.vec(i), m.lam,
+          m.lam / m.trace))
+      .toDF("dim", "mean", "variance", "pc1", "eigenvalue",
+        "explained_frac")
+      .orderBy("dim")
+  }
+
+  private[ops] def pcaModel(emb: DataFrame, vecCol: String, dims: Int,
+                            iters: Int): PcaModel = {
+    require(dims >= 2 && iters >= 1, "need >= 2 dims and >= 1 iteration")
     val v = col(vecCol)
     // Product terms stage as EXACT INTEGERS, not 14-dp decimals: a
     // float×float product is a ≤48-bit-mantissa dyadic whose
@@ -576,7 +602,7 @@ object Similarity {
     def decToDouble(b: JBD): Double =
       if (b.scale == 0) b.unscaledValue().doubleValue()
       else b.unscaledValue().doubleValue() / 1e14
-    def foldSum(xs: Iterator[Double]): Double = xs.reduce(_ + _)
+    def foldSum(xs: Iterator[Double]): Double = pcaFoldSum(xs)
     val mu = Array.tabulate(dims)(i =>
       decToDouble(meanSums(i)) / nD / Pca2to50)
     val c = Array.tabulate(dims, dims) { (i, j) =>
@@ -594,12 +620,46 @@ object Similarity {
       foldSum((0 until dims).iterator.map(j => c(i)(j) * vec(j))))
     val lam = foldSum((0 until dims).iterator.map(i => cv(i) * vec(i)))
     val trace = foldSum((0 until dims).iterator.map(i => c(i)(i)))
+    PcaModel(mu, c, vec, lam, trace)
+  }
+
+  /** The sampled-moments gate for [[pcaTopComponent]] — the 100 TB
+    * variant (mirroring the k-means train/assign split): at scale the
+    * dims²-cell moment pass runs on a deterministic SAMPLE, not the
+    * corpus, so this measures what that costs. It fits pc1 twice —
+    * once on the full relation, once on `sampleFilter` rows — and
+    * scores the sampled direction ON THE FULL covariance (Rayleigh
+    * quotient v_s'·C_full·v_s): `ev_sample_on_full` is the fraction of
+    * true corpus variance the sample-fitted axis explains, directly
+    * comparable to `ev_full`. A small |delta| certifies the sample was
+    * enough; `pc1_align` (|v_s·v_f|) is reported alongside but the
+    * gate is the variance delta — in a flat spectrum the top DIRECTION
+    * is genuinely unstable while the explained fraction is not, and
+    * whitening decisions consume the fraction.
+    *
+    * Same replayable arithmetic as the parent (decimal-staged moments,
+    * ordered double folds), so every output double hash-matches the
+    * oracle's unrolled CTE replay.
+    */
+  def pcaSampleGate(emb: DataFrame, sampleFilter: Column, vecCol: String,
+                    dims: Int, iters: Int = 8,
+                    evDeltaBound: Double = 0.02): DataFrame = {
+    val spark = emb.sparkSession
+    val full = pcaModel(emb, vecCol, dims, iters)
+    val samp = pcaModel(emb.filter(sampleFilter), vecCol, dims, iters)
+    val w = Array.tabulate(dims)(i =>
+      pcaFoldSum((0 until dims).iterator.map(j => full.c(i)(j) * samp.vec(j))))
+    val rayleigh = pcaFoldSum(
+      (0 until dims).iterator.map(i => w(i) * samp.vec(i)))
+    val evFull = full.lam / full.trace
+    val evSampleOnFull = rayleigh / full.trace
+    val delta = math.abs(evFull - evSampleOnFull)
+    val align = math.abs(pcaFoldSum(
+      (0 until dims).iterator.map(i => full.vec(i) * samp.vec(i))))
     import spark.implicits._
-    (0 until dims).map(i =>
-        ((i + 1).toLong, mu(i), c(i)(i), vec(i), lam, lam / trace))
-      .toDF("dim", "mean", "variance", "pc1", "eigenvalue",
-        "explained_frac")
-      .orderBy("dim")
+    Seq((evFull, evSampleOnFull, delta, align, delta <= evDeltaBound))
+      .toDF("ev_full", "ev_sample_on_full", "ev_delta", "pc1_align",
+        "ev_ok")
   }
 
   // ---- Trained k-means coarse quantizer ----------------------------------
@@ -2260,16 +2320,29 @@ object Similarity {
     val perSrc = Window.partitionBy(col("src"))
     val pickFast = perSrc.orderBy(col("__fc").desc, col("dst").asc)
     val pickExact = perSrc.orderBy(col("__cos").desc, col("dst").asc)
+    // Zero-norm guards, both phases: a zero vector's cosine is 0/0,
+    // which under Spark 4's default ANSI mode THROWS (DIVIDE_BY_ZERO
+    // applies to doubles too), and with ANSI off is NaN — which sorts
+    // ABOVE every double under desc, so if NaN pairs filled rank kNbrs
+    // then __kth itself was NaN and the epsilon filter (NaN comparisons
+    // are false, isNull is false) silently dropped EVERY candidate for
+    // that src. The `when` keeps the divide unevaluated on a zero
+    // denominator and ranks degenerate vectors last at -2 (below any
+    // true cosine); nanvl additionally catches NaN INPUT values.
+    val fastDen = col("__nfa") * col("__nfb")
+    val exactDen = col("__nea") * col("__neb")
     a.join(b, Seq("__b"))
       .filter(col("src") =!= col("dst"))
-      .withColumn("__fc", Dedup.dotFast(col("__va"), col("__vb")) /
-        (col("__nfa") * col("__nfb")))
+      .withColumn("__fc", when(fastDen > 0,
+        nanvl(Dedup.dotFast(col("__va"), col("__vb")) / fastDen,
+          lit(-2.0))).otherwise(lit(-2.0)))
       .withColumn("__rf", row_number().over(pickFast))
       .withColumn("__kth",
         max(when(col("__rf") === kNbrs, col("__fc"))).over(perSrc))
       .filter(col("__kth").isNull || col("__fc") >= col("__kth") - lit(1e-9))
-      .withColumn("__cos", Dedup.dotExact(col("__va"), col("__vb")) /
-        (col("__nea") * col("__neb")))
+      .withColumn("__cos", when(exactDen > 0,
+        nanvl(Dedup.dotExact(col("__va"), col("__vb")) / exactDen,
+          lit(-2.0))).otherwise(lit(-2.0)))
       .withColumn("__rn", row_number().over(pickExact))
       .filter(col("__rn") <= kNbrs)
       .select(col("src"), col("dst"))

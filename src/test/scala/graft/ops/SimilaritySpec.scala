@@ -893,6 +893,28 @@ class SimilaritySpec extends SparkSpec {
     assert(bySrc(0L) == Set(1L, 2L), s"node 0 neighbors: $bySrc")
   }
 
+  test("knnGraph: zero-norm vectors rank last, never poison the top-k cutoff") {
+    // NaN regression guard: a zero vector's cosine is 0/0 = NaN, and
+    // NaN sorts above every double under desc — with kNbrs NaN pairs
+    // the k-th fast value was NaN and the epsilon filter dropped EVERY
+    // candidate for that src. Two zero vectors fill ranks 1..2 at
+    // kNbrs=2 unless the nanvl guard maps them to -2.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.8f, 0.3f), 0),
+      (8L, Seq(0.0f, 0.0f), 0), (9L, Seq(0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", "label", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bySrc = g.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // node 0 keeps its true neighbors — the zero vectors rank below them
+    assert(bySrc(0L) == Set(1L, 2L), s"node 0 lost edges to NaN: $bySrc")
+    assert(bySrc.values.forall(_.size <= 2), "out-degree capped at kNbrs")
+    // degenerate srcs still emit edges (deterministic: dst asc among -2 ties)
+    assert(bySrc.contains(8L) && bySrc.contains(9L),
+      s"zero-norm sources must still get edges: $bySrc")
+  }
+
   test("graphAnnTopK: beam search reaches the optimum in a block the " +
       "walk did not start in (per-block entries), exact scores") {
     val emb = Seq(
