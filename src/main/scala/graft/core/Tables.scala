@@ -96,4 +96,24 @@ object Tables {
   def jdbc(spark: SparkSession, url: String, dbtable: String,
            props: java.util.Properties = new java.util.Properties): DataFrame =
     spark.read.jdbc(url, dbtable, props)
+
+  /** Connection URL for the reference's `input_db_type` enum
+    * (Diagnostic_group_pipeline.py:138 `['sql-server','postgres']` with
+    * separate server/name/port params): the two supported production
+    * dialects map to their canonical JDBC URL prefixes, which is also
+    * what routes Spark's dialect selection (`JdbcDialects.get`) — SQL
+    * Server gets TOP-n pushdown and `"x"` identifier quoting, Postgres
+    * gets LIMIT/OFFSET; JdbcDialectSpec pins both shapes. Loud failure
+    * on an unknown type (the reference validated via Param enum).
+    */
+  def jdbcUrl(dbType: String, server: String, database: String,
+              port: Option[Int] = None): String = {
+    val p = port.map(":" + _).getOrElse("")
+    dbType match {
+      case "sql-server" => s"jdbc:sqlserver://$server$p;databaseName=$database"
+      case "postgres"   => s"jdbc:postgresql://$server$p/$database"
+      case other => throw new IllegalArgumentException(
+        s"unknown input_db_type '$other' (expected 'sql-server' or 'postgres')")
+    }
+  }
 }

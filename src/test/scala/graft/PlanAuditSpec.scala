@@ -455,4 +455,56 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("Bucketed: true"), s"scan must be bucketed:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("AQE skew-join: OptimizeSkewedJoin splits a pathologically hot " +
+      "key at runtime (the automatic half of the 100 TB skew story)") {
+    // q19_salted_join proves the MANUAL salt; this pins the automatic
+    // path so the skew story doesn't rest on hand-salting alone. A
+    // synthetically skewed join (one key owns ~99% of a side, like a
+    // null-ish default FK at 100 TB) must come out of adaptive
+    // execution with the SMJ marked skew=true — i.e. AQE bisected the
+    // oversized shuffle partition instead of running it on one task.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      // force the shuffle join (skew split only applies to SMJ/SHJ)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // scale the "skewed" thresholds down to test-fixture bytes: a
+      // partition is skewed past 32 KiB and 2x median, split to ~16 KiB
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32768",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(0, 60000).select(
+        // key 0 owns ~98% of the rows; every other dim key appears once
+        when(col("id") % lit(50) === 0, (col("id") / lit(50)).cast("long") % lit(1200))
+          .otherwise(lit(0L)).as("k"),
+        concat(lit("payload-payload-payload-payload-"), col("id"))
+          .as("payload"))
+      val dim = spark.range(0, 1200).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("label"))
+      // GLOBAL aggregate downstream, deliberately: a groupBy on the
+      // join key would REQUIRE the join's hash partitioning, and
+      // OptimizeSkewedJoin (correctly) refuses to split a partition
+      // another operator depends on — the rewrite only fires when the
+      // join output feeds a partitioning-agnostic consumer.
+      val joined = big.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("b"))
+      // run THIS df (count() would build a fresh plan and leave this
+      // one unexecuted — its adaptive plan must reach isFinalPlan=true)
+      assert(joined.collect()(0).getLong(0) == 60000L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"expected adaptive plan:\n$p")
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire on the hot key:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
