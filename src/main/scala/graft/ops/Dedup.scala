@@ -1244,12 +1244,20 @@ object Dedup {
     val subCond =
       if (subBlocks <= 1) lit(true)
       else col("a.sl") === col("b.sl") && col("a.sr") === col("b.sr")
+    // denominators floored at 1e-60 (the house zero-norm guard, squared
+    // scale since these are norm PRODUCTS): under ANSI mode one zero
+    // vector in a block would otherwise throw DIVIDE_BY_ZERO and kill
+    // the job; with the floor its cosine is 0 and the threshold filter
+    // drops it. For real embeddings greatest() passes the product
+    // through bit-unchanged, so oracle hashes are unaffected.
     a.join(b, col("a.blk") === col("b.blk") && subCond && col("a.id") < col("b.id"))
-      .filter(dotFast(col("a.v"), col("b.v")) / (col("a.nrmf") * col("b.nrmf"))
+      .filter(dotFast(col("a.v"), col("b.v")) /
+        greatest(col("a.nrmf") * col("b.nrmf"), lit(1e-60))
         >= threshold - 1e-6)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dotExact(col("a.v"), col("b.v")) /
-          (normExact(col("a.v")) * normExact(col("b.v")))).as("cos_sim"))
+          greatest(normExact(col("a.v")) * normExact(col("b.v")),
+            lit(1e-60))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

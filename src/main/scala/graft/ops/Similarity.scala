@@ -26,10 +26,16 @@ object Similarity {
 
   /** Cosine similarity of every row's vector against a literal query
     * vector (floats are widened to double before any arithmetic).
+    * The denominator is floored at 1e-30 (the house zero-norm guard):
+    * under Spark 4's default ANSI mode a single zero-norm corpus row
+    * would otherwise throw DIVIDE_BY_ZERO and kill the whole query —
+    * for any real embedding the floor is a no-op (greatest() passes
+    * the norm through bit-unchanged), so oracle hashes are unaffected.
     */
   def cosineToQuery(vecCol: Column, query: Seq[Float]): Column = {
     val q = typedlit(query)
-    Dedup.dotExact(vecCol, q) / (Dedup.normExact(vecCol) * Dedup.normExact(q))
+    Dedup.dotExact(vecCol, q) /
+      greatest(Dedup.normExact(vecCol) * Dedup.normExact(q), lit(1e-30))
   }
 
   /** Exact brute-force top-k by cosine: the correctness baseline every ANN

@@ -331,6 +331,21 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
 
+  test("embeddingNearDups: a zero-norm vector is dropped, never a " +
+      "DIVIDE_BY_ZERO that kills the job") {
+    // ANSI-mode regression guard: cosine against a zero vector is 0/0,
+    // which Spark 4 ANSI raises as DIVIDE_BY_ZERO for doubles too — at
+    // 100 TB one degenerate embedding row must not abort the dedup run.
+    val v = Seq(1.0f, 2.0f, 3.0f)
+    val z = Seq(0.0f, 0.0f, 0.0f)
+    val df = Seq((1L, v, 0), (2L, v, 0), (3L, z, 0), (4L, z, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDups(df, "vec_id", "embedding", "label", 0.99)
+      .collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
+  }
+
   test("embeddingNearDups sub-blocking returns the identical pair set") {
     val rnd = new scala.util.Random(7)
     val base = Seq.fill(8)(Seq.fill(4)(rnd.nextFloat()))
