@@ -13,8 +13,119 @@ import graft.ops.Dedup
   * round-8 probes (IVFADC, batch probe, funnel, survivor policy).
   */
 object ScaleProbe {
+
+  /** Round-12: the 1×/10×/100× growth table for the three heaviest
+    * bench families — dedup connected components, the sim_sparse
+    * df-capped postings join, and the mm_pipeline decode→hash→CC
+    * chain. Unlike the earlier (time-only) probes this also records
+    * SHUFFLE READ/WRITE BYTES per probe (task-metrics sum via a
+    * SparkListener), so the growth claim is about data MOVED, not just
+    * wall time — at 10× the sub-linear timings are still partly
+    * fixed-overhead amortization; bytes expose the real data term.
+    * Run: SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleProbe r12"
+    */
+  private def r12Probe(spark: SparkSession): Unit = {
+    import java.util.concurrent.atomic.AtomicLong
+    import graft.ops.{Multimodal, Similarity}
+    val read = new AtomicLong
+    val write = new AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    // listener events are posted asynchronously: poll until the
+    // counters stop moving before snapshotting either side of a probe
+    def settle(): Unit = {
+      var prev = -1L
+      var cur = read.get + write.get
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = read.get + write.get }
+    }
+    def probe(tag: String)(f: => Long): Unit = {
+      settle()
+      val (r0, w0) = (read.get, write.get)
+      val t0 = System.nanoTime()
+      val rows = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      settle()
+      println(f"$tag: $dt%.2f s, shuffle read ${(read.get - r0) / 1e6}%.1f MB" +
+        f" / write ${(write.get - w0) / 1e6}%.1f MB ($rows rows)")
+    }
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val n = base.count()
+    for (mult <- Seq(1, 10, 100)) {
+      val docs =
+        if (mult == 1) base
+        else (0 until mult).map { i =>
+          base.select((col("doc_id") + lit(i.toLong * n)).as("doc_id"),
+            // salt replica text so cross-replica pairs aren't all dups
+            concat(col("text"), lit(s" replica_marker_$i")).as("text"))
+        }.reduce(_ unionByName _)
+      val cached = docs.repartition(32).cache()
+      println(s"== mult=$mult: ${cached.count()} docs ==")
+      probe(s"dedup_cluster CC ${mult}x") {
+        val pairs = Dedup.minhashCandidates(cached, "doc_id", "text",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+        Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      }
+      graft.core.Caches.releaseAll()
+      probe(s"sim_sparse postings ${mult}x (maxDf=50 absolute)") {
+        Similarity.sparseCosinePairs(cached, "doc_id",
+          Similarity.wordNgrams(col("text"), 2), maxDf = 50).count()
+      }
+      graft.core.Caches.releaseAll()
+      if (mult > 1)
+        // constant-selectivity reading: the ABSOLUTE df cap is the
+        // production guard (at 100x it stop-lists every gram — 0
+        // candidates, pure scan cost), so also scale the cap with the
+        // corpus to measure the postings JOIN at constant rarity
+        probe(s"sim_sparse postings ${mult}x (maxDf=${50 * mult} scaled)") {
+          Similarity.sparseCosinePairs(cached, "doc_id",
+            Similarity.wordNgrams(col("text"), 2), maxDf = 50 * mult).count()
+        }
+      graft.core.Caches.releaseAll()
+      probe(s"mm_pipeline ${mult}x") {
+        // the mm_pipeline query body (R13Queries) on the replicated
+        // ids — capped pair mode (maxChunkDf = 256), same as the
+        // query: the exact-mode pigeonhole measured 2.4 GB shuffle at
+        // 10x and was on track for ~240 GB at 100x (killed before it
+        // filled the disk); the cap bounds oversized chunk groups to
+        // O(group) id-chain pairs with identical connected components
+        val imgs = Multimodal.perceptualHash(
+          Multimodal.imageLumaStats(
+            Multimodal.gradientFixture(cached.select("doc_id"), "doc_id"),
+            "payload"),
+          "payload")
+        val gated = graft.core.Caches.track(
+          imgs.filter(col("sum_luma") >= 18144000L)
+            .select(col("doc_id"), col("phash").as("simhash")))
+        val pairs = Dedup.simhashPairs(gated, "doc_id", maxHamming = 3,
+          bits = 64, maxChunkDf = 256)
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+        gated.select(col("doc_id"))
+          .join(cc.select(col("id").as("doc_id"),
+            col("label").as("cluster")), Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .withColumn("is_survivor", col("doc_id") === col("cluster"))
+          .count()
+      }
+      graft.core.Caches.releaseAll()
+      cached.unpersist(blocking = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val mult = args.headOption.filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(10)
     val onlyR9 = args.contains("r9")  // round-9 probes only
     val onlyR8c = args.contains("r8c") // session-3 probes only
     val onlyR8 = (args.contains("r8") || onlyR8c) && !onlyR9
@@ -25,6 +136,7 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("r12")) { r12Probe(spark); spark.stop(); return }
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
     val docs = (0 until mult).map { i =>

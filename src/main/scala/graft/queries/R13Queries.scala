@@ -730,9 +730,17 @@ object R13Queries {
         "SURVIVING images only -> connected components -> min-id " +
         "survivor per cluster (singletons are their own cluster). One " +
         "lazy plan up to the CC driver loop; the gate and the hash ride " +
-        "the same decode pass. Oracle: the whole chain restated — cell " +
-        "lumas, gate, signatures, brute-force pairs, recursive-CTE " +
-        "reachability.",
+        "the same decode pass. The pair stage runs simhashPairs in " +
+        "CAPPED mode (maxChunkDf = 256): the round-12 100x probe " +
+        "measured the exact-mode pigeonhole going quadratic when " +
+        "signature density grows (2.4 GB shuffle at 10x, on track for " +
+        "~240 GB at 100x), and a CLUSTERING consumer is exactly what " +
+        "the cap's id-chain degradation preserves — components are " +
+        "unchanged while an oversized chunk group costs O(group) " +
+        "instead of O(group^2). At fixture scale no group reaches the " +
+        "cap, so capped == exact and the oracle stays bit-identical. " +
+        "Oracle: the whole chain restated — cell lumas, gate, " +
+        "signatures, brute-force pairs, recursive-CTE reachability.",
       (s, d) => {
         val imgs = Multimodal.perceptualHash(
           Multimodal.imageLumaStats(
@@ -744,7 +752,7 @@ object R13Queries {
           imgs.filter(col("sum_luma") >= 18144000L)
             .select(col("doc_id"), col("phash").as("simhash")))
         val pairs = Dedup.simhashPairs(gated, "doc_id", maxHamming = 3,
-          bits = 64)
+          bits = 64, maxChunkDf = 256)
         val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
         val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
         gated.select(col("doc_id"))
