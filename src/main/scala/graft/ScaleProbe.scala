@@ -81,11 +81,15 @@ object ScaleProbe {
           Similarity.wordNgrams(col("text"), 2), maxDf = 50).count()
       }
       graft.core.Caches.releaseAll()
-      if (mult > 1)
-        // constant-selectivity reading: the ABSOLUTE df cap is the
-        // production guard (at 100x it stop-lists every gram — 0
-        // candidates, pure scan cost), so also scale the cap with the
-        // corpus to measure the postings JOIN at constant rarity
+      if (mult == 10)
+        // constant-selectivity reading, 10x ONLY: the ABSOLUTE df cap
+        // is the production guard (at 100x it stop-lists every gram —
+        // 0 candidates, pure scan cost), so scale the cap with the
+        // corpus once to measure the postings JOIN at constant rarity.
+        // Measured 3.7 GB shuffle at 10x — candidate pairs grow ~df²
+        // per gram, so a scaled cap is QUADRATIC BY CONSTRUCTION (the
+        // 100x scaled run projects to ~370 GB and is deliberately not
+        // run; refusing that join is exactly the absolute cap's job).
         probe(s"sim_sparse postings ${mult}x (maxDf=${50 * mult} scaled)") {
           Similarity.sparseCosinePairs(cached, "doc_id",
             Similarity.wordNgrams(col("text"), 2), maxDf = 50 * mult).count()
