@@ -67,6 +67,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val timedOut = collection.mutable.Set.empty[String]
 
+    // Invalidate any PRIOR run's full record up front: the file is only
+    // (re)written by the final emit, so if this run is killed mid-way a
+    // stale record from last week would otherwise survive and
+    // bench_gate.py would silently validate times that don't correspond
+    // to the current code.
+    val benchOutPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "bench_results/latest.json"))
+    try java.nio.file.Files.deleteIfExists(benchOutPath)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] WARN could not clear $benchOutPath: $e") }
+
     // warmup: run every query once at the smallest scale factor so the
     // measured pass times steady-state execution, not first-run codegen
     // compilation and JIT (cold-vs-warm was up to 10x on the sketch ops)
@@ -147,26 +158,27 @@ object Bench {
       // (bench_results/, committed per round; tools/bench_gate.py diffs
       // it against BASELINE.json's map with a per-query ratio gate).
       if (!partial) {
-        val full = best.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-          .mkString("{", ",", "}")
-        val passMaps = passTimes.filter(_.nonEmpty).map(p =>
-          p.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-            .mkString("{", ",", "}")).mkString("[", ",", "]")
+        def qmap(m: Iterable[(String, Double)]): String =
+          m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+            .mkString("{", ",", "}")
+        val passMaps = passTimes.filter(_.nonEmpty).map(qmap(_))
+          .mkString("[", ",", "]")
         val body =
           f"""{"sf":"$sfDir","cpus":"$cpus","passes":$nPasses,""" +
           f""""median_pass_total":$median%.4f,"best_total":$bestTotal%.4f,$passTotalsJson,""" +
           s""""n_failed":${failed.size},"n_done":${done.size},""" +
           s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-          s""""best":$full,"pass_times":$passMaps}"""
-        val out = java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_OUT", "bench_results/latest.json"))
-        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        val tmp = out.resolveSibling("." + out.getFileName + ".tmp")
-        java.nio.file.Files.writeString(tmp, body)
-        java.nio.file.Files.move(tmp, out,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        System.err.println(s"[bench] full per-query record -> $out")
+          s""""best":${qmap(best)},"pass_times":$passMaps}"""
+        // auxiliary persistence, never the run's verdict: an unwritable
+        // path must not crash the main after a full successful bench —
+        // the compact stdout line above is the actual driver contract
+        try {
+          graft.core.AtomicFiles.writeString(benchOutPath, body)
+          System.err.println(s"[bench] full per-query record -> $benchOutPath")
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[bench] WARN could not write $benchOutPath: $e")
+        }
       }
     }
 

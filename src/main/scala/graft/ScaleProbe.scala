@@ -101,7 +101,8 @@ object ScaleProbe {
         // query: the exact-mode pigeonhole measured 2.4 GB shuffle at
         // 10x and was on track for ~240 GB at 100x (killed before it
         // filled the disk); the cap bounds oversized chunk groups to
-        // O(group) id-chain pairs with identical connected components
+        // O(group) id-chain pairs (over-merge-only approximation: fine
+        // for this clustering consumer, see the query doc)
         val imgs = Multimodal.perceptualHash(
           Multimodal.imageLumaStats(
             Multimodal.gradientFixture(cached.select("doc_id"), "doc_id"),

@@ -105,11 +105,8 @@ object Verify {
       // can land mid-write — an in-place Files.writeString would leave a
       // truncated, unparseable file, recreating the very "can't tell
       // what happened" ambiguity the manifest was added to remove.
-      val tmp = Paths.get(s"$outDir/.manifest.json.tmp")
-      Files.writeString(tmp, body)
-      Files.move(tmp, Paths.get(s"$outDir/manifest.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.core.AtomicFiles.writeString(
+        Paths.get(s"$outDir/manifest.json"), body)
     }
 
     val costs = measuredCosts

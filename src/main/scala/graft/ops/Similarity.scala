@@ -31,6 +31,16 @@ object Similarity {
     * would otherwise throw DIVIDE_BY_ZERO and kill the whole query —
     * for any real embedding the floor is a no-op (greatest() passes
     * the norm through bit-unchanged), so oracle hashes are unaffected.
+    *
+    * Known seam (documented, not fixable cross-engine): a DEGENERATE
+    * row scores 0.0 here — mid-pack in a top-k, above anti-correlated
+    * vectors — while [[knnGraph]]'s two-phase scorer ranks degenerates
+    * last at -2 and a raw-division DuckDB oracle would produce NaN
+    * (which DuckDB sorts first under desc). The fixtures contain no
+    * zero vectors, so the gated comparisons never exercise this; the
+    * guard exists purely so one bad row degrades a result instead of
+    * aborting the job. Corpora that can contain zero vectors should
+    * filter them out ahead of ranked retrieval.
     */
   def cosineToQuery(vecCol: Column, query: Seq[Float]): Column = {
     val q = typedlit(query)

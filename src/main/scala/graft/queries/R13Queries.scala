@@ -734,11 +734,20 @@ object R13Queries {
         "CAPPED mode (maxChunkDf = 256): the round-12 100x probe " +
         "measured the exact-mode pigeonhole going quadratic when " +
         "signature density grows (2.4 GB shuffle at 10x, on track for " +
-        "~240 GB at 100x), and a CLUSTERING consumer is exactly what " +
-        "the cap's id-chain degradation preserves — components are " +
-        "unchanged while an oversized chunk group costs O(group) " +
-        "instead of O(group^2). At fixture scale no group reaches the " +
-        "cap, so capped == exact and the oracle stays bit-identical. " +
+        "~240 GB at 100x). The cap degrades an oversized chunk group " +
+        "to an id-ordered chain — O(group) pairs instead of " +
+        "O(group^2). Approximation honesty: for a group of IDENTICAL " +
+        "signatures (the mass-duplicate case the cap targets) " +
+        "components are unchanged; for a group of merely-similar " +
+        "signatures the chain may MERGE clusters exact mode keeps " +
+        "apart (chain pairs keep their true hamming and are not " +
+        "re-filtered — dropping them would disconnect the group), so " +
+        "capped mode over-merges, never splits: acceptable for a " +
+        "dedup CLUSTERING consumer (conservative — at worst it " +
+        "removes extra near-dups), wrong for pair-level verify " +
+        "consumers, which must use exact mode. At fixture scale no " +
+        "group reaches the cap, so capped == exact and the oracle " +
+        "stays bit-identical. " +
         "Oracle: the whole chain restated — cell lumas, gate, " +
         "signatures, brute-force pairs, recursive-CTE reachability.",
       (s, d) => {

@@ -58,11 +58,19 @@ class OracleSqlSpec extends AnyFunSuite {
     // its upstream per reference — flag it here so it gets rewritten
     // into the `name AS (SELECT ... FROM (VALUES ...) t(col))` shape
     // the materializer covers.
-    val colListCte = "(?is)\\b\\w+\\s*\\([\\w\\s,]+\\)\\s+AS\\s+\\(\\s*(\\w+)".r
+    // Two-step on purpose: the MATCH is loose (any `name(cols) AS (`,
+    // whatever the body starts with) and the VALUES check runs on the
+    // text AFTER the match — a one-regex version that required the
+    // body to start with `\w+` silently SKIPPED bodies opening with a
+    // comment, a nested paren, or a quoted identifier, i.e. exactly
+    // the shapes it existed to flag.
+    val colListCte = "(?is)\\b\\w+\\s*\\([^()]*\\)\\s+AS\\s+\\(".r
     for ((name, sql) <- SparkEntry.oracleSql;
-         m <- colListCte.findAllMatchIn(sql))
-      assert(m.group(1).equalsIgnoreCase("VALUES"),
+         m <- colListCte.findAllMatchIn(sql)) {
+      val body = sql.substring(m.end).dropWhile(_.isWhitespace)
+      assert(body.toUpperCase.startsWith("VALUES"),
         s"$name: column-list CTE with a non-VALUES body is invisible " +
-          s"to the MATERIALIZED rewrite (body starts: ${m.group(1)})")
+          s"to the MATERIALIZED rewrite (body starts: ${body.take(30)})")
+    }
   }
 }
