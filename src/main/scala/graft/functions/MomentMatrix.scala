@@ -1,0 +1,187 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types._
+
+/** Custom engine-level aggregate: the EXACT second-moment matrix of a
+  * vector column in one tight per-row loop — the corpus-sized half of
+  * [[graft.ops.Similarity.pcaTopComponent]]'s covariance pass.
+  *
+  * Why this exists when explode+groupBy gives the same answer: the
+  * Column formulation explodes every row into dims·(dims+1)/2 + dims
+  * struct rows (2,145 at dims=64) and hash-aggregates them — the
+  * map-side combine bounds the SHUFFLE at cells×tasks rows, but the
+  * explode itself materializes and hashes corpus×2145 structs, which is
+  * the entire cost of the pca queries (bench: sim_pca 7.1 s, all in the
+  * moment job). This aggregate keeps one flat Array[Long] buffer of
+  * 128-bit accumulators and does ~3 long ops per cell per row, nothing
+  * materialized, and participates in partial aggregation (the exchange
+  * carries one ~34 KB buffer per task).
+  *
+  * EXACTNESS CONTRACT — bit-identical to the Column formulation the
+  * DuckDB oracles replay (spec-pinned in MomentMatrixSpec):
+  *  - each element stages as Spark's `cast(x·2^50 AS DECIMAL(p,0))`:
+  *    x·2^50 is an exact power-of-two rescale (double multiply by 2^50
+  *    only shifts the exponent), integer-valued for every normal float
+  *    |x| ≥ 2^-27 (fast path: toLong); smaller magnitudes replicate
+  *    Spark's Decimal(double) shortest-representation HALF_UP rounding
+  *    (slow path, per ELEMENT not per cell);
+  *  - a product cell accumulates Σ xi·xj·2^100 as a SIGNED 128-BIT
+  *    integer (Math.multiplyHigh + carry add) — the same perfect
+  *    integer the decimal(38,0) sum holds, with the same LOUD overflow
+  *    discipline (Math.addExact throws instead of silently wrapping;
+  *    the 38-digit bound is re-checked at eval). Overflow bound is the
+  *    documented n·max|x|² ≈ 10^7 of the decimal path — shrink the
+  *    per-factor scale beyond that, same as before;
+  *  - mean cells accumulate Σ x·2^50 identically; `count` rides in the
+  *    same buffer. NULL input vectors are skipped, so
+  *    `momentMatrix(when(filter, vec))` computes a filtered relation's
+  *    moments in the SAME pass as the full relation's (how
+  *    pcaSampleGate fits both models in one corpus scan).
+  *
+  * Output: array<decimal(38,0)> of length cells + dims + 1, laid out
+  * [products row-major upper triangle (i ≤ j), means 0..dims-1, count].
+  */
+case class MomentMatrix(
+    vecExpr: Expression, dims: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(dims >= 2, "need at least 2 dims")
+
+  private val cells = dims * (dims + 1) / 2
+  // buffer layout: [cells × (hi, lo)] [dims × (hi, lo)] [count]
+  private val longs = 2 * (cells + dims) + 1
+
+  override def children: Seq[Expression] = Seq(vecExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 0), containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](longs)
+
+  /** 2^50 — see [[graft.ops.Similarity.pcaTopComponent]]. */
+  private val Scale = java.lang.Math.scalb(1.0, 50)
+
+  /** Replicates `cast(x·2^50 AS DECIMAL(p,0))`: exact toLong on the
+    * integer-valued fast path, Spark's Decimal(double) semantics
+    * (shortest-repr BigDecimal, HALF_UP to scale 0) otherwise.
+    */
+  private def scaledLong(x: Double): Long = {
+    val y = x * Scale
+    if (y == Math.rint(y)) y.toLong
+    else new java.math.BigDecimal(java.lang.Double.toString(y))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+  }
+
+  /** 128-bit signed add of (phi, plo) into buf[off], loud on overflow. */
+  @inline private def add128(buf: Array[Long], off: Int,
+                             phi: Long, plo: Long): Unit = {
+    val aLo = buf(off + 1)
+    val rLo = aLo + plo
+    // unsigned carry out of the low word
+    val carry = ((aLo & plo) | ((aLo | plo) & ~rLo)) >>> 63
+    buf(off) = Math.addExact(Math.addExact(buf(off), phi), carry)
+    buf(off + 1) = rLo
+  }
+
+  // resolved by execution time; hoisted out of the per-row loop
+  @transient private lazy val isFloat =
+    vecExpr.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = vecExpr.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() >= dims,
+        s"vector has ${arr.numElements()} elements, need $dims")
+      val xs = new Array[Long](dims)
+      var i = 0
+      while (i < dims) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        xs(i) = scaledLong(x)
+        add128(buf, 2 * (cells + i), xs(i) >> 63, xs(i)) // sign-extended
+        i += 1
+      }
+      var c = 0
+      i = 0
+      while (i < dims) {
+        var j = i
+        while (j < dims) {
+          val a = xs(i); val b = xs(j)
+          add128(buf, 2 * c, Math.multiplyHigh(a, b), a * b)
+          c += 1; j += 1
+        }
+        i += 1
+      }
+      buf(longs - 1) += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var c = 0
+    while (c < cells + dims) {
+      add128(buf, 2 * c, other(2 * c), other(2 * c + 1))
+      c += 1
+    }
+    buf(longs - 1) = Math.addExact(buf(longs - 1), other(longs - 1))
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    def dec(hi: Long, lo: Long): org.apache.spark.sql.types.Decimal = {
+      val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+        .add(new java.math.BigInteger(1, ByteBuffer.allocate(8)
+          .putLong(lo).array())) // low word is UNSIGNED
+      val d = org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(bi), 38, 0)
+      d // Decimal() throws if > 38 digits — same loud bound as the sum
+    }
+    val out = new Array[Any](cells + dims + 1)
+    var c = 0
+    while (c < cells + dims) {
+      out(c) = dec(buf(2 * c), buf(2 * c + 1)); c += 1
+    }
+    out(cells + dims) =
+      org.apache.spark.sql.types.Decimal(buf(longs - 1), 38, 0)
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * longs)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(longs)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): MomentMatrix =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MomentMatrix =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MomentMatrix =
+    copy(vecExpr = newChildren(0))
+}
+
+object MomentMatrix {
+  /** Column API: exact moment matrix of a float/double array column —
+    * array<decimal(38,0)> [upper-triangle products ·2^100, means ·2^50,
+    * count]. Null vectors are skipped (pass `when(filter, vec)` to
+    * aggregate a filtered relation in the same pass).
+    */
+  def momentMatrix(vec: Column, dims: Int): Column =
+    Shims.column(MomentMatrix(Shims.expression(vec), dims)
+      .toAggregateExpression())
+}

@@ -553,77 +553,58 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** One corpus pass: the exact scaled moment sums via the custom
+    * [[graft.functions.MomentMatrix]] aggregate (a flat 128-bit-integer
+    * buffer — the explode-free form of "each factor scales by 2^50 into
+    * DECIMAL(19,0), the decimal multiply is exact, the cell sum is
+    * xi·xj·2^100 as a perfect integer"; the aggregate's Scaladoc and
+    * MomentMatrixSpec pin bit-equality to that Column formulation,
+    * which the DuckDB oracles replay). Means ride in the same buffer:
+    * x·2^50 is an exact power-of-two rescale, integer-valued for any
+    * normal float |x| ≥ 2^-27, so the staging is rounding-free in any
+    * engine — raw floats are the one input class where 14-dp decimal
+    * staging would be ENGINE-DIVERGENT (shortest-repr ties, measured
+    * at ~0.06%), which is why the integer path exists.
+    */
   private[ops] def pcaModel(emb: DataFrame, vecCol: String, dims: Int,
                             iters: Int): PcaModel = {
     require(dims >= 2 && iters >= 1, "need >= 2 dims and >= 1 iteration")
-    val v = col(vecCol)
-    // Product terms stage as EXACT INTEGERS, not 14-dp decimals: a
-    // float×float product is a ≤48-bit-mantissa dyadic whose
-    // double→decimal rounding is engine-divergent the same way raw
-    // floats are (ties between the shortest-repr and exact-expansion
-    // roundings — measured; generic doubles produced by chains of
-    // arithmetic don't hit this, which is why the repo-wide 14-dp
-    // staging of DERIVED values is safe). Each factor scales by 2^50
-    // (exact, integer-valued for normal floats ≥ 2^-27) into
-    // DECIMAL(19,0) and the decimal multiply is exact — the cell sum
-    // is xi·xj·2^100 as a perfect integer. Overflow bound: the
-    // DECIMAL(38,0) sum holds n·(max|x|²·2^100) — loud decimal
-    // overflow past n·max|x|² ≈ 10^7, far beyond any single moment
-    // pass's row count here; shrink the per-factor scale for larger n.
-    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
-    def intFactor(x: Column): Column =
-      (x.cast("double") * Pca2to50).cast(dec19)
-    val pairTerms = flatten(transform(v, (xi, i) =>
-      transform(slice(v, i + lit(1), lit(dims) - i), (xj, jj) =>
-        struct(i.cast("int").as("i"), (i + jj).cast("int").as("j"),
-          (intFactor(xi) * intFactor(xj)).as("t")))))
-    val moments = emb
-      .select(explode(pairTerms).as("s"))
-      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
-      .agg(sum(col("s.t")).as("m"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
-    // Mean terms take a SEPARATE pass staged as exact INTEGERS: a raw
-    // float's double→decimal(38,14) rounding is ENGINE-DIVERGENT at
-    // ~0.06% (shortest-repr ties vs DuckDB's conversion — measured),
-    // and scaling into the 14-dp staging overflows the engines' lossy
-    // huge-mantissa casts instead. x·2^50 is an exact power-of-two
-    // scaling, INTEGER-VALUED for any normal float with |x| ≥ 2^-27,
-    // so casting it to DECIMAL(38,0) is rounding-free in any engine
-    // and the sum is exact; μ then divides by n and by 2^50 (exact).
-    // (Products of generic doubles — the pair terms and everything
-    // downstream — are the repo-wide proven 14-dp staging class; raw
-    // inputs are the one case needing the integer path.)
-    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val meanRows = emb
-      .select(posexplode(v).as(Seq("__i", "__x")))
-      .groupBy(col("__i"))
-      .agg(sum((col("__x").cast("double") * Pca2to50).cast(dec0)).as("m"),
-        count(lit(1)).as("n"))
-      .collect()
-    val nD = meanRows.head.getLong(2).toDouble
-    require(nD > 0, "empty embedding relation")
-    val meanSums = meanRows.map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val raw = emb.agg(graft.functions.MomentMatrix
+        .momentMatrix(col(vecCol), dims).as("m"))
+      .collect()(0).getSeq[java.math.BigDecimal](0)
+    pcaSolve(raw, dims, iters)
+  }
 
-    // Driver-local eigensolve on the dims×dims matrix. Two exactness
-    // disciplines: (1) the decimal→double finish of the collected
-    // moments is NOT BigDecimal.doubleValue (correctly rounded — which
-    // the engines are NOT): both Spark's executor cast and DuckDB
-    // convert as double(unscaled) / double(10^scale), so the driver
-    // replays that two-step form; (2) every iteration sum is a plain
-    // double LEFT FOLD in index order — no decimal staging at all —
-    // which the oracle replicates exactly with
-    // list_reduce(list(term ORDER BY idx), (a,b) -> a + b).
+  /** Driver-local eigensolve on the dims×dims matrix. Two exactness
+    * disciplines: (1) the decimal→double finish of the collected
+    * moments is NOT BigDecimal.doubleValue (correctly rounded — which
+    * the engines are NOT): both Spark's executor cast and DuckDB
+    * convert as double(unscaled) / double(10^scale), so the driver
+    * replays that two-step form; (2) every iteration sum is a plain
+    * double LEFT FOLD in index order — no decimal staging at all —
+    * which the oracle replicates exactly with
+    * list_reduce(list(term ORDER BY idx), (a,b) -> a + b).
+    *
+    * `raw` is [[graft.functions.MomentMatrix]]'s layout: upper-triangle
+    * products ·2^100 (row-major, i ≤ j), means ·2^50, count.
+    */
+  private def pcaSolve(raw: Seq[java.math.BigDecimal], dims: Int,
+                       iters: Int): PcaModel = {
     import java.math.{BigDecimal => JBD}
+    val cells = dims * (dims + 1) / 2
+    def cellIdx(i: Int, j: Int): Int = i * dims - i * (i - 1) / 2 + (j - i)
     def decToDouble(b: JBD): Double =
       if (b.scale == 0) b.unscaledValue().doubleValue()
       else b.unscaledValue().doubleValue() / 1e14
+    // count is a small exact integer either way
+    val nD = raw(cells + dims).doubleValue()
+    require(nD > 0, "empty embedding relation")
     def foldSum(xs: Iterator[Double]): Double = pcaFoldSum(xs)
     val mu = Array.tabulate(dims)(i =>
-      decToDouble(meanSums(i)) / nD / Pca2to50)
+      decToDouble(raw(cells + i)) / nD / Pca2to50)
     val c = Array.tabulate(dims, dims) { (i, j) =>
       val (a, b) = (math.min(i, j), math.max(i, j))
-      decToDouble(moments((a, b))) / nD / Pca2to100 - mu(i) * mu(j)
+      decToDouble(raw(cellIdx(a, b))) / nD / Pca2to100 - mu(i) * mu(j)
     }
     var vec = Array.fill(dims)(1.0)
     for (_ <- 1 to iters) {
@@ -661,8 +642,20 @@ object Similarity {
                     dims: Int, iters: Int = 8,
                     evDeltaBound: Double = 0.02): DataFrame = {
     val spark = emb.sparkSession
-    val full = pcaModel(emb, vecCol, dims, iters)
-    val samp = pcaModel(emb.filter(sampleFilter), vecCol, dims, iters)
+    // ONE corpus pass fits both models: the full moments and the
+    // sample's moments are two MomentMatrix aggregates over the same
+    // scan (the sample side sees `when(filter, vec)` — null inputs are
+    // skipped, which IS aggregation over the filtered relation, and
+    // the 128-bit integer sums are order-independent so the result is
+    // bit-identical to a separate filtered pass).
+    require(dims >= 2 && iters >= 1, "need >= 2 dims and >= 1 iteration")
+    val mm = graft.functions.MomentMatrix
+    val row = emb.agg(
+        mm.momentMatrix(col(vecCol), dims).as("mf"),
+        mm.momentMatrix(when(sampleFilter, col(vecCol)), dims).as("ms"))
+      .collect()(0)
+    val full = pcaSolve(row.getSeq[java.math.BigDecimal](0), dims, iters)
+    val samp = pcaSolve(row.getSeq[java.math.BigDecimal](1), dims, iters)
     val w = Array.tabulate(dims)(i =>
       pcaFoldSum((0 until dims).iterator.map(j => full.c(i)(j) * samp.vec(j))))
     val rayleigh = pcaFoldSum(
