@@ -688,10 +688,40 @@ object Similarity {
       lit(0).cast(KmDec), (acc, x) => (acc + x).cast(KmDec)).cast("double")
 
   /** Index of the nearest centroid by exact squared L2, ties to the lowest
-    * cluster id (array_sort on (distance, id) structs — k is tiny, the
-    * whole expression stays inside codegen).
+    * cluster id. TWO-PHASE (the embeddingNearDups/topKNbrEdges recipe,
+    * applied to argmin): phase 1 ranks all k centroids with the
+    * codegen'd double [[graft.functions.SqDist]] (a tight primitive
+    * loop; the interpreted per-element DECIMAL HOF of [[sqDistExact]]
+    * was k×dims decimal ops per ROW — the dominant cost of every
+    * trained-quantizer query). If the runner-up's fast distance exceeds
+    * the winner's by a relative 1e-9 margin the fast winner IS the
+    * exact winner (difference-then-square keeps SqDist's relative error
+    * ~n·2⁻⁵², and |d_fast − d_exact| ≪ margin·d); only AMBIGUOUS rows —
+    * near-ties, including genuine exact ties — fall through to the
+    * decimal argmin, so the assignment is bit-identical to the pure
+    * decimal form the DuckDB oracles replay (spec-pinned in
+    * SimilaritySpec), at codegen speed for the ~all-rows common case.
     */
-  def nearestCluster(vecCol: Column, cents: Seq[Seq[Double]]): Column =
+  def nearestCluster(vecCol: Column, cents: Seq[Seq[Double]]): Column = {
+    val fastSorted = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorOps.sqDist(vecCol, typedlit(c)).as("d"),
+        lit(i).as("c"))
+    }: _*))
+    val d0 = fastSorted.getItem(0).getField("d")
+    val d1 = fastSorted.getItem(1).getField("d")
+    // strict margin: unambiguous iff d1 > d0·(1+1e-9); at k=1, d1 is
+    // null so the comparison is null and the exact branch decides
+    when(d1 > d0 + d0 * lit(1e-9),
+        fastSorted.getItem(0).getField("c"))
+      .otherwise(nearestClusterExact(vecCol, cents))
+  }
+
+  /** The pure decimal-exact argmin (the oracle's arithmetic) — the
+    * fallback phase of [[nearestCluster]] and the reference formulation
+    * its spec pins against.
+    */
+  private[ops] def nearestClusterExact(vecCol: Column,
+                                       cents: Seq[Seq[Double]]): Column =
     array_sort(array(cents.zipWithIndex.map { case (c, i) =>
       struct(sqDistExact(vecCol, c).as("d"), lit(i).as("c"))
     }: _*)).getItem(0).getField("c")

@@ -893,6 +893,53 @@ class SimilaritySpec extends SparkSpec {
     assert(bySrc(0L) == Set(1L, 2L), s"node 0 neighbors: $bySrc")
   }
 
+  test("SqDist expression: correct value, float/double inputs, codegen " +
+      "matches interpreted") {
+    val df = Seq((Seq(1.0f, 2.0f, -3.0f), Seq(0.5, 2.0, 1.0))).toDF("a", "b")
+    val expected = 0.5 * 0.5 + 0.0 + (-4.0) * (-4.0)
+    assert(df.select(VectorOps.sqDist($"a", $"b")).as[Double].first()
+      == expected)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.select(VectorOps.sqDist($"a", $"b")).as[Double].first()
+      == expected)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val withNull = Seq((Some(Seq(1.0f)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    assert(withNull.select(VectorOps.sqDist($"a", $"b")).collect()(0)
+      .isNullAt(0))
+  }
+
+  test("nearestCluster two-phase is bit-identical to the pure decimal " +
+      "argmin: fixture corpus, near-ties, exact ties") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.Sf0001)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val both = emb.select(col("vec_id"),
+        Similarity.nearestCluster(col("embedding"), cents).as("fast"),
+        Similarity.nearestClusterExact(col("embedding"), cents).as("exact"))
+      .filter(col("fast") =!= col("exact"))
+    assert(both.count() == 0, both.collect().take(5).mkString(","))
+    // adversarial: duplicate centroids (exact tie -> lowest id) and a
+    // vector equidistant to two centroids
+    val tieCents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val pts = Seq(
+      (1L, Seq(0.9f, 0.1f)),   // nearest: the duplicated centroid -> id 0
+      (2L, Seq(0.5f, 0.5f)),   // equidistant to all three -> id 0
+      (3L, Seq(0.0f, 0.99f)))  // clear winner id 2
+    val df = pts.toDF("id", "v")
+    val out = df.select(col("id"),
+        Similarity.nearestCluster(col("v"), tieCents).as("fast"),
+        Similarity.nearestClusterExact(col("v"), tieCents).as("exact"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    for ((id, f, e) <- out) assert(f == e, s"id=$id fast=$f exact=$e")
+    assert(out.find(_._1 == 2L).get._2 == 0, "tie must go to lowest id")
+    assert(out.find(_._1 == 3L).get._2 == 2)
+  }
+
   test("knnGraph: zero-norm vectors rank last, never poison the top-k cutoff") {
     // NaN regression guard: a zero vector's cosine is 0/0 = NaN, and
     // NaN sorts above every double under desc — with kNbrs NaN pairs
