@@ -24,11 +24,14 @@ object ScaleProbe {
     * fixed-overhead amortization; bytes expose the real data term.
     * Run: SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleProbe r12"
     */
-  private def r12Probe(spark: SparkSession): Unit = {
+  /** Shuffle-byte metering shared by the r12 probes: task-metrics sums
+    * via a SparkListener, settled (events post asynchronously) on both
+    * sides of each timed probe.
+    */
+  private final class ShuffleMeter(spark: SparkSession) {
     import java.util.concurrent.atomic.AtomicLong
-    import graft.ops.{Multimodal, Similarity}
-    val read = new AtomicLong
-    val write = new AtomicLong
+    private val read = new AtomicLong
+    private val write = new AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -40,9 +43,7 @@ object ScaleProbe {
           }
         }
       })
-    // listener events are posted asynchronously: poll until the
-    // counters stop moving before snapshotting either side of a probe
-    def settle(): Unit = {
+    private def settle(): Unit = {
       var prev = -1L
       var cur = read.get + write.get
       while (cur != prev) { Thread.sleep(300); prev = cur; cur = read.get + write.get }
@@ -57,6 +58,12 @@ object ScaleProbe {
       println(f"$tag: $dt%.2f s, shuffle read ${(read.get - r0) / 1e6}%.1f MB" +
         f" / write ${(write.get - w0) / 1e6}%.1f MB ($rows rows)")
     }
+  }
+
+  private def r12Probe(spark: SparkSession): Unit = {
+    import graft.ops.{Multimodal, Similarity}
+    val meter = new ShuffleMeter(spark)
+    def probe(tag: String)(f: => Long): Unit = meter.probe(tag)(f)
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     val n = base.count()
@@ -128,6 +135,62 @@ object ScaleProbe {
     }
   }
 
+  /** Round-12b: the trained-quantizer family at 1×/10×/100× — the
+    * paths the two-phase SqDist assignment sped up. K-means training
+    * and corpus assignment are the LINEAR stages (k·dims centroid
+    * literals ride into a narrow map; the Lloyd update is one
+    * map-side-combined aggregate), probed to 100×. SemDeDup's pair
+    * stage is blocked-quadratic BY CONSTRUCTION on a dup-dense corpus
+    * (every replica is a near-dup of its source, so the true near-dup
+    * pair count itself grows ~mult² — same honesty note as the
+    * scaled-df sim_sparse reading), so it is probed at 10× only, with
+    * sub-blocking as the designed hot-block parallelism fix.
+    * Run: sbt "runMain graft.ScaleProbe r12b"
+    */
+  private def r12bProbe(spark: SparkSession): Unit = {
+    import graft.ops.Similarity
+    val meter = new ShuffleMeter(spark)
+    val embBase = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val en = embBase.count()
+    for (mult <- Seq(1, 10, 100)) {
+      val emb =
+        if (mult == 1) embBase
+        else (0 until mult).map { i =>
+          embBase.select((col("vec_id") + lit(i * en)).as("vec_id"),
+            // deterministic per-replica perturbation of the first
+            // component so replicas aren't bit-identical vectors
+            transform(col("embedding"), (x, p) =>
+              when(p === 0, x + lit(i * 1e-3f)).otherwise(x))
+              .as("embedding"))
+        }.reduce(_ unionByName _)
+      val cached = emb.repartition(32).cache()
+      println(s"== mult=$mult: ${cached.count()} vectors ==")
+      var cents: Seq[Seq[Double]] = Nil
+      meter.probe(s"kmeans train k=16 iters=2 ${mult}x") {
+        cents = Similarity.kmeansCentroids(cached, "vec_id", "embedding",
+          k = 16, iters = 2)
+        graft.core.Caches.releaseAll()
+        cents.size.toLong
+      }
+      meter.probe(s"kmeans assign ${mult}x") {
+        cached.select(col("vec_id"),
+          Similarity.nearestCluster(col("embedding"), cents).as("c"))
+          .groupBy("c").count().count()
+      }
+      graft.core.Caches.releaseAll()
+      if (mult <= 10)
+        meter.probe(s"semantic dedup ${mult}x (subBlocks=8)") {
+          Similarity.semanticDedup(cached, "vec_id", "embedding",
+            kClusters = 16, iters = 2, threshold = 0.95,
+            subBlocks = 8).count()
+        }
+      graft.core.Caches.releaseAll()
+      cached.unpersist(blocking = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.filter(_.forall(_.isDigit))
       .map(_.toInt).getOrElse(10)
@@ -142,6 +205,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("r12")) { r12Probe(spark); spark.stop(); return }
+    if (args.contains("r12b")) { r12bProbe(spark); spark.stop(); return }
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
     val docs = (0 until mult).map { i =>
