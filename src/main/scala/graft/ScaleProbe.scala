@@ -171,9 +171,12 @@ object ScaleProbe {
       meter.probe(s"kmeans train k=16 iters=2 ${mult}x") {
         cents = Similarity.kmeansCentroids(cached, "vec_id", "embedding",
           k = 16, iters = 2)
-        graft.core.Caches.releaseAll()
         cents.size.toLong
       }
+      // cache teardown OUTSIDE the timed window — unpersist of the
+      // training projection scales with the data and would bias the
+      // very growth reading this probe exists to produce
+      graft.core.Caches.releaseAll()
       meter.probe(s"kmeans assign ${mult}x") {
         cached.select(col("vec_id"),
           Similarity.nearestCluster(col("embedding"), cents).as("c"))

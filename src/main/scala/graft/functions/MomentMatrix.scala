@@ -65,6 +65,20 @@ case class MomentMatrix(
   override def dataType: DataType =
     ArrayType(DecimalType(38, 0), containsNull = false)
 
+  // loud on any non-float/double element type: the replaced Column
+  // formulation staged x.cast("double") so int/long/decimal arrays
+  // worked; here a wrong-typed getDouble would silently reinterpret
+  // bytes — reject at analysis time instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vecExpr.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"moment_matrix requires array<float|double> input, got " +
+            s"${other.simpleString} (cast the column explicitly)")
+    }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](longs)
 
   /** 2^50 — see [[graft.ops.Similarity.pcaTopComponent]]. */
@@ -73,10 +87,18 @@ case class MomentMatrix(
   /** Replicates `cast(x·2^50 AS DECIMAL(p,0))`: exact toLong on the
     * integer-valued fast path, Spark's Decimal(double) semantics
     * (shortest-repr BigDecimal, HALF_UP to scale 0) otherwise.
+    *
+    * LOUD past |x·2^50| ≥ 2^63 (|x| > ~8192): Double.toLong would
+    * silently SATURATE there, returning wrong moments where the
+    * DECIMAL(19,0) reference (good to 10^19−1, |x| ≈ 8881) is still
+    * exact — so the integral fast path bounds-checks and falls to the
+    * slow path, whose longValueExact throws ArithmeticException. The
+    * staged domain is therefore |x| < 2^13; same remedy as the decimal
+    * path's own 38-digit sum bound: shrink the per-factor scale.
     */
   private def scaledLong(x: Double): Long = {
     val y = x * Scale
-    if (y == Math.rint(y)) y.toLong
+    if (y == Math.rint(y) && Math.abs(y) < 9.223372036854776e18) y.toLong
     else new java.math.BigDecimal(java.lang.Double.toString(y))
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
   }

@@ -88,13 +88,19 @@ case class DotProduct(left: Expression, right: Expression)
   * the |x|²−2x·y+|y|² expansion, so the result's RELATIVE error stays
   * ~n·2⁻⁵² and an epsilon-margin argmin over it is sound).
   *
-  * Null/length semantics match [[DotProduct]]: null if either side is
-  * null; mismatched lengths use only the common prefix.
+  * Null/length semantics deliberately MATCH the interpreted
+  * `aggregate(zip_with(...))` decimal form this is the fast phase of
+  * (NOT [[DotProduct]]'s common-prefix rule): null if either side is
+  * null, if the lengths differ (zip_with pads with null), or if ANY
+  * element is null — so a degenerate vector falls through a two-phase
+  * argmin's null comparison to the exact branch instead of being
+  * scored from garbage slot reads.
   */
 case class SqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -113,12 +119,14 @@ case class SqDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       val d = xv - yv
@@ -137,13 +145,18 @@ case class SqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ((double) $x.$lGet($i)) - ((double) $y.$rGet($i));
-         |  $acc += $d * $d;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ((double) $x.$lGet($i)) - ((double) $y.$rGet($i));
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -702,19 +702,34 @@ object Similarity {
     * decimal form the DuckDB oracles replay (spec-pinned in
     * SimilaritySpec), at codegen speed for the ~all-rows common case.
     */
-  def nearestCluster(vecCol: Column, cents: Seq[Seq[Double]]): Column = {
-    val fastSorted = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(graft.functions.VectorOps.sqDist(vecCol, typedlit(c)).as("d"),
-        lit(i).as("c"))
-    }: _*))
-    val d0 = fastSorted.getItem(0).getField("d")
-    val d1 = fastSorted.getItem(1).getField("d")
-    // strict margin: unambiguous iff d1 > d0·(1+1e-9); at k=1, d1 is
-    // null so the comparison is null and the exact branch decides
-    when(d1 > d0 + d0 * lit(1e-9),
-        fastSorted.getItem(0).getField("c"))
-      .otherwise(nearestClusterExact(vecCol, cents))
-  }
+  def nearestCluster(vecCol: Column, cents: Seq[Seq[Double]]): Column =
+    // k=1: nothing to rank — and getItem(1) on a 1-element array
+    // THROWS under ANSI mode (Spark 4 default), it is not null
+    if (cents.size == 1) lit(0)
+    else {
+      val fastSorted = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(graft.functions.VectorOps.sqDist(vecCol, typedlit(c)).as("d"),
+          lit(i).as("c"))
+      }: _*))
+      val d0 = fastSorted.getItem(0).getField("d")
+      val d1 = fastSorted.getItem(1).getField("d")
+      // Margin has BOTH a relative and an absolute term. Relative
+      // (d0·1e-9) covers SqDist's own ~n·2⁻⁵² relative error vs the
+      // true distance. Absolute covers the fallback's DIFFERENT error
+      // model: sqDistExact stages each squared term at DECIMAL scale 14
+      // (±5e-15 per term, ±dims·5e-15 per distance — ABSOLUTE, not
+      // relative), so for tiny distances two true values inside the
+      // relative margin can still TIE or reorder after quantization and
+      // the exact argmin then breaks the tie by id. dims·4e-14 (≥ 4×
+      // the two-distance quantization bound) forces every such row to
+      // the exact branch. Degenerate vectors (null element / length
+      // mismatch) give null SqDist → null comparison → exact branch,
+      // matching zip_with's null propagation by construction.
+      val absEps = cents.head.size * 4e-14
+      when(d1 > d0 + d0 * lit(1e-9) + lit(absEps),
+          fastSorted.getItem(0).getField("c"))
+        .otherwise(nearestClusterExact(vecCol, cents))
+    }
 
   /** The pure decimal-exact argmin (the oracle's arithmetic) — the
     * fallback phase of [[nearestCluster]] and the reference formulation

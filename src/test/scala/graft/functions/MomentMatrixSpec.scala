@@ -88,6 +88,25 @@ class MomentMatrixSpec extends SparkSpec {
       emb.filter(col("vec_id") % 3 === 0).count())
   }
 
+  test("element staging is loud past |x| ~ 8192 (no silent toLong " +
+      "saturation) and rejects non-float/double arrays at analysis") {
+    // x = 8500: x*2^50 ~ 9.57e18 > Long.Max — Double.toLong would
+    // silently clamp; the bounds-checked fast path must fall to the
+    // slow path, whose longValueExact throws
+    val df = Seq(Seq(8500.0, 0.0)).toDF("v")
+    val e = intercept[Exception] { agg(df, col("v"), 2) }
+    assert(e.toString.contains("ArithmeticException") ||
+      e.isInstanceOf[ArithmeticException], e.toString)
+    // and the old formulation's implicit cast is gone: wrong element
+    // types fail analysis loudly instead of reinterpreting bytes
+    val ints = Seq(Seq(1, 2)).toDF("v")
+    val ae = intercept[org.apache.spark.sql.AnalysisException] {
+      agg(ints, col("v"), 2)
+    }
+    assert(ae.getMessage.contains("moment_matrix") ||
+      ae.getMessage.contains("DATATYPE"), ae.getMessage)
+  }
+
   test("loud overflow, not silent wraparound, past the documented bound") {
     // n·max|x|²·2^100 beyond 128 bits: one row of huge values repeated
     val big = Seq.fill(4)(8000.0) // 8000·2^50 ≈ 2^63 per factor

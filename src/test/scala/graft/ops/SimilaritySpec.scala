@@ -911,6 +911,32 @@ class SimilaritySpec extends SparkSpec {
       .toDF("a", "b")
     assert(withNull.select(VectorOps.sqDist($"a", $"b")).collect()(0)
       .isNullAt(0))
+    // degenerate-input semantics MATCH the decimal zip_with form: null
+    // on length mismatch and on any null element (never a garbage read)
+    val mismatch = Seq((Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(mismatch.select(VectorOps.sqDist($"a", $"b")).collect()(0)
+      .isNullAt(0), "length mismatch must be null")
+    val nullElem = Seq((Seq(Some(1.0f), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    assert(nullElem.select(VectorOps.sqDist($"a", $"b")).collect()(0)
+      .isNullAt(0), "null element must be null")
+  }
+
+  test("nearestCluster: k=1 returns 0 for every row (no ANSI array-index " +
+      "throw); degenerate vectors fall to the exact branch") {
+    val df = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val one = df.select(Similarity.nearestCluster(col("v"),
+      Seq(Seq(1.0, 0.0))).as("c")).as[Int].collect()
+    assert(one.toSeq == Seq(0, 0))
+    // a vector with a null element: fast distances are null, the exact
+    // branch decides — same cluster as the pure decimal form
+    val deg = Seq((1L, Seq(Some(0.9f), None))).toDF("id", "v")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val fast = deg.select(Similarity.nearestCluster(col("v"), cents)).collect()
+    val exact = deg.select(Similarity.nearestClusterExact(col("v"), cents))
+      .collect()
+    assert(fast(0).toString == exact(0).toString,
+      s"degenerate row diverged: $fast vs $exact")
   }
 
   test("nearestCluster two-phase is bit-identical to the pure decimal " +
