@@ -30,9 +30,12 @@ import org.apache.spark.sql.types._
   *  - each element stages as Spark's `cast(x·2^50 AS DECIMAL(p,0))`:
   *    x·2^50 is an exact power-of-two rescale (double multiply by 2^50
   *    only shifts the exponent), integer-valued for every normal float
-  *    |x| ≥ 2^-27 (fast path: toLong); smaller magnitudes replicate
-  *    Spark's Decimal(double) shortest-representation HALF_UP rounding
-  *    (slow path, per ELEMENT not per cell);
+  *    |x| ≥ 2^-27 (fast path: toLong, bounded at |x·2^50| < 2^53 where
+  *    toLong provably equals the shortest-repr Decimal cast — see
+  *    [[scaledLong]]); smaller magnitudes and |x| ≥ 8 replicate Spark's
+  *    Decimal(double) shortest-representation HALF_UP rounding (slow
+  *    path, per ELEMENT not per cell); null ELEMENTS stage as 0, the
+  *    bit-exact equivalent of the decimal sum's null-term skipping;
   *  - a product cell accumulates Σ xi·xj·2^100 as a SIGNED 128-BIT
   *    integer (Math.multiplyHigh + carry add) — the same perfect
   *    integer the decimal(38,0) sum holds, with the same LOUD overflow
@@ -88,17 +91,29 @@ case class MomentMatrix(
     * integer-valued fast path, Spark's Decimal(double) semantics
     * (shortest-repr BigDecimal, HALF_UP to scale 0) otherwise.
     *
-    * LOUD past |x·2^50| ≥ 2^63 (|x| > ~8192): Double.toLong would
-    * silently SATURATE there, returning wrong moments where the
+    * The fast path is bounded at |y| < 2^53, NOT 2^63: Spark's
+    * Decimal(double) parses Double.toString's SHORTEST round-trip
+    * representation, and above 2^53 (ulp > 1) that shortest string may
+    * be a different integer than the double's exact value — e.g.
+    * x = 1024 gives y = 2^60 = 1152921504606846976 exactly, but
+    * Double.toString(y) = "1.15292150460684698E18" which HALF_UP-rounds
+    * to ...980. Below 2^53 every integral double's shortest repr lies
+    * strictly within ±0.5 of the exact integer (the integer itself is
+    * in the round-trip interval and never has more digits), so toLong
+    * is bit-identical to the Decimal cast. |x| ≥ 8 therefore takes the
+    * slow path — still exact, just not the tight loop.
+    *
+    * LOUD past |x·2^50| ≥ 2^63 (|x| > ~8192): the slow path's
+    * longValueExact throws ArithmeticException where Double.toLong
+    * would silently SATURATE, returning wrong moments where the
     * DECIMAL(19,0) reference (good to 10^19−1, |x| ≈ 8881) is still
-    * exact — so the integral fast path bounds-checks and falls to the
-    * slow path, whose longValueExact throws ArithmeticException. The
-    * staged domain is therefore |x| < 2^13; same remedy as the decimal
-    * path's own 38-digit sum bound: shrink the per-factor scale.
+    * exact. The staged domain is therefore |x| < 2^13; same remedy as
+    * the decimal path's own 38-digit sum bound: shrink the per-factor
+    * scale.
     */
   private def scaledLong(x: Double): Long = {
     val y = x * Scale
-    if (y == Math.rint(y) && Math.abs(y) < 9.223372036854776e18) y.toLong
+    if (y == Math.rint(y) && Math.abs(y) < 9.007199254740992e15) y.toLong
     else new java.math.BigDecimal(java.lang.Double.toString(y))
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
   }
@@ -127,7 +142,17 @@ case class MomentMatrix(
       val xs = new Array[Long](dims)
       var i = 0
       while (i < dims) {
-        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        // null ELEMENTS (containsNull arrays) stage as 0 — deliberately,
+        // and checked explicitly: UnsafeArrayData happens to return 0.0
+        // for a null slot but GenericArrayData NPEs, so relying on the
+        // accessor is undefined. Zero is the bit-exact equivalent of the
+        // decimal Column formulation, where every product/mean TERM
+        // touching a null element is null and sum() skips it, while
+        // count still counts the row (the VECTOR is non-null).
+        val x =
+          if (arr.isNullAt(i)) 0.0
+          else if (isFloat) arr.getFloat(i).toDouble
+          else arr.getDouble(i)
         xs(i) = scaledLong(x)
         add128(buf, 2 * (cells + i), xs(i) >> 63, xs(i)) // sign-extended
         i += 1

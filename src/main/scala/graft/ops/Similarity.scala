@@ -26,26 +26,34 @@ object Similarity {
 
   /** Cosine similarity of every row's vector against a literal query
     * vector (floats are widened to double before any arithmetic).
-    * The denominator is floored at 1e-30 (the house zero-norm guard):
-    * under Spark 4's default ANSI mode a single zero-norm corpus row
-    * would otherwise throw DIVIDE_BY_ZERO and kill the whole query —
-    * for any real embedding the floor is a no-op (greatest() passes
-    * the norm through bit-unchanged), so oracle hashes are unaffected.
+    * The denominator — a PRODUCT of two norms — is floored at 1e-60
+    * (the house zero-norm guard at norm-product scale, matching
+    * [[Dedup.embeddingNearDups]]; the single-norm sites floor at
+    * 1e-30): under Spark 4's default ANSI mode a single zero-norm
+    * corpus row would otherwise throw DIVIDE_BY_ZERO and kill the
+    * whole query — for any real embedding the floor is a no-op
+    * (greatest() passes the norm product through bit-unchanged), so
+    * oracle hashes are unaffected.
     *
     * Known seam (documented, not fixable cross-engine): a DEGENERATE
-    * row scores 0.0 here — mid-pack in a top-k, above anti-correlated
-    * vectors — while [[knnGraph]]'s two-phase scorer ranks degenerates
-    * last at -2 and a raw-division DuckDB oracle would produce NaN
-    * (which DuckDB sorts first under desc). The fixtures contain no
-    * zero vectors, so the gated comparisons never exercise this; the
-    * guard exists purely so one bad row degrades a result instead of
-    * aborting the job. Corpora that can contain zero vectors should
-    * filter them out ahead of ranked retrieval.
+    * row — exact-zero norm, OR a subnormal-norm vector whose norm
+    * product lands below the floor (both norms < ~1e-30; no float
+    * embedding gets there, its smallest subnormal is ~1.4e-45 and one
+    * nonzero element keeps the product ≥ ~2e-90 only for doubles) —
+    * has its cosine rescaled toward 0 here, mid-pack in a top-k, while
+    * [[knnGraph]]'s two-phase scorer ranks degenerates last at -2 and
+    * a raw-division DuckDB oracle would produce NaN or ±Inf (which
+    * DuckDB sorts first under desc). The fixtures contain no zero or
+    * subnormal-norm vectors, so the gated comparisons never exercise
+    * this; the guard exists purely so one bad row degrades a result
+    * instead of aborting the job. Corpora that can contain zero or
+    * denormal vectors should filter them out ahead of ranked
+    * retrieval.
     */
   def cosineToQuery(vecCol: Column, query: Seq[Float]): Column = {
     val q = typedlit(query)
     Dedup.dotExact(vecCol, q) /
-      greatest(Dedup.normExact(vecCol) * Dedup.normExact(q), lit(1e-30))
+      greatest(Dedup.normExact(vecCol) * Dedup.normExact(q), lit(1e-60))
   }
 
   /** Exact brute-force top-k by cosine: the correctness baseline every ANN

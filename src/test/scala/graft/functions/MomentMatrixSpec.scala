@@ -88,6 +88,37 @@ class MomentMatrixSpec extends SparkSpec {
       emb.filter(col("vec_id") % 3 === 0).count())
   }
 
+  test("bit-equal for |x·2^50| in [2^53, 2^63): integral doubles whose " +
+      "shortest repr is NOT the exact integer (the toLong fast path " +
+      "diverges there and must route through the toString slow path)") {
+    // x = 1024 stages y = 2^60 = 1152921504606846976 exactly, but
+    // Double.toString(y) round-trips through "1.15292150460684698E18"
+    // → Spark's Decimal cast yields ...980; toLong would yield ...976.
+    val rows = Seq(
+      Seq(1024.0, 16.125, -512.75, 9.0),
+      Seq(100.5, -1023.0, 8.0, 777.777),
+      Seq(-64.0, 256.0, 1000.001, -8.0))
+    val df = rows.toDF("v")
+    assertBitEqual(agg(df, col("v"), 4), reference(df, "v", 4))
+  }
+
+  test("null ELEMENTS stage as zero on both array layouts — bit-equal " +
+      "to the Column formulation's null-term skipping") {
+    // Option rows → GenericArrayData in the local relation (the layout
+    // that NPEs if the accessor is hit without an isNullAt check);
+    // round-tripping through parquet exercises UnsafeArrayData too.
+    val rows = Seq(
+      Seq[Option[Double]](Some(1.5), None, Some(2.0), Some(-0.25)),
+      Seq[Option[Double]](None, Some(3.5), Some(1e-9), None),
+      Seq[Option[Double]](Some(-2.0), Some(0.5), None, Some(4.0)))
+    val df = rows.toDF("v")
+    val expected = reference(df, "v", 4)
+    assertBitEqual(agg(df, col("v"), 4), expected)
+    val pq = java.nio.file.Files.createTempDirectory("mmnull").toString
+    df.write.mode("overwrite").parquet(pq)
+    assertBitEqual(agg(spark.read.parquet(pq), col("v"), 4), expected)
+  }
+
   test("element staging is loud past |x| ~ 8192 (no silent toLong " +
       "saturation) and rejects non-float/double arrays at analysis") {
     // x = 8500: x*2^50 ~ 9.57e18 > Long.Max — Double.toLong would
