@@ -38,7 +38,15 @@ def main():
         bench = json.load(f)
     with open(args.baseline) as f:
         base = json.load(f)
-    base_q = base.get("recorded_baseline", base).get("queries", {})
+    # Prefer the ratcheted gate_baseline (latest green full-drill record,
+    # e.g. r12's 431 s map) over recorded_baseline (the r11 649 s map that
+    # stays frozen as the driver's 2x contract denominator). Without the
+    # ratchet, a 28x single-query revert (sim_pca 0.25 s -> 7 s) would
+    # still pass against the stale map.
+    gate = base.get("gate_baseline") or base.get("recorded_baseline", base)
+    base_q = gate.get("queries", {})
+    src = ("gate_baseline r%s" % gate.get("recorded_round")
+           if "gate_baseline" in base else "recorded_baseline")
     cur = bench.get("best", bench.get("queries", {}))
 
     regressions, news, improved = [], [], 0
@@ -59,7 +67,8 @@ def main():
     for name in missing:
         regressions.append((name, None, base_q[name], "missing from bench record"))
 
-    print(f"gate: {len(cur)} queries, ratio {args.ratio}, floor {args.floor}s")
+    print(f"gate: {len(cur)} queries, ratio {args.ratio}, floor {args.floor}s, "
+          f"baseline = {src} ({len(base_q)} queries)")
     print(f"  improved vs baseline: {improved}")
     for name, t in news:
         print(f"  NEW (no baseline): {name} = {t:.3f}s")
