@@ -79,6 +79,28 @@ object ExtQueries {
        |    FROM bf WHERE df_b > 256)
        |  WHERE id_b IS NOT NULL)""".stripMargin
 
+  /** DuckDB restatement of [[Dedup.simhash16]]: word-level md5 nibbles →
+    * 16 sign-of-bit-sum bits, ending in `shsig(doc_id, simhash)`. Shared
+    * by `dedup_simhash` and the capped-pigeonhole gate in [[R33Queries]].
+    */
+  private[queries] def simhash16Ctes: String = {
+    val sums = (0 until 16).map { b =>
+      val hexPos = b / 4 + 1
+      val div = 1 << (b % 4)
+      s"sum((((instr('0123456789abcdef', substr(h4, $hexPos, 1)) - 1) // $div) % 2) * 2 - 1) AS s$b"
+    }.mkString(",\n    ")
+    val hash = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""shw0 AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+       |shw AS (SELECT doc_id, substr(md5(w), 1, 4) AS h4 FROM shw0),
+       |shbits AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM shw GROUP BY doc_id),
+       |shsig AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM shbits)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("dedup_exact",
@@ -144,24 +166,8 @@ object ExtQueries {
         "bit_count(xor) ≤ r (Dedup.simhashPairs).",
       (s, d) => Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
-      Some {
-        val sums = (0 until 16).map { b =>
-          val hexPos = b / 4 + 1
-          val div = 1 << (b % 4)
-          s"sum((((instr('0123456789abcdef', substr(h4, $hexPos, 1)) - 1) // $div) % 2) * 2 - 1) AS s$b"
-        }.mkString(",\n    ")
-        val hash = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH w0 AS (
-           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
-           |w AS (SELECT doc_id, substr(md5(w), 1, 4) AS h4 FROM w0),
-           |bits AS (
-           |  SELECT doc_id,
-           |    $sums
-           |  FROM w GROUP BY doc_id)
-           |SELECT doc_id, CAST($hash AS BIGINT) AS simhash
-           |FROM bits ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH $simhash16Ctes
+              |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_embedding",
       "Embedding-cosine near-dup pairs blocked by the cluster column " +
