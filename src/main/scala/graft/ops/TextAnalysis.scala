@@ -70,8 +70,22 @@ object TextAnalysis {
   /** Composite document-quality score in [0,1]: length saturation,
     * low punctuation, healthy stopword density — the shape used to filter
     * web-scraped corpora before training.
+    *
+    * Runs as the fused [[graft.functions.QualityScoreExpr]] (one codegen'd
+    * pass, input referenced ONCE — critical when the input is itself a
+    * computed column like curation_pipeline's redacted text, which
+    * predicate pushdown would otherwise substitute into every one of the
+    * ~14 references of [[qualityScoreColumnForm]]). Bit-identical to the
+    * Column form the DuckDB oracles replay (QualityScoreSpec).
     */
   def qualityScore(text: Column): Column =
+    graft.functions.QualityScore.quality(text)
+
+  /** The original Column formulation of [[qualityScore]] — the shape the
+    * DuckDB oracles were written against, kept as the bit-equality
+    * witness the fused expression is spec-pinned to.
+    */
+  private[graft] def qualityScoreColumnForm(text: Column): Column =
     least(length(text) / lit(500.0), lit(1.0)) * lit(0.4) +
       (lit(1.0) - punctRatio(text)) * lit(0.3) +
       least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.3)
