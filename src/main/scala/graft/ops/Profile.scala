@@ -36,6 +36,58 @@ object Profile {
         col("p.min_s"), col("p.max_s"), col("n_rows"))
   }
 
+  /** [[table]] with SKETCHED distinct counts — the 100 TB profile shape.
+    *
+    * `countDistinct` per column plans through Expand: every row is
+    * replicated once per distinct set before the partial aggregate, so
+    * profiling N columns aggregates the corpus N+1 times over. Here each
+    * column instead feeds a [[graft.functions.KmvSketchAgg]] KMV sketch
+    * (k smallest distinct md5-derived 52-bit hashes, k·8 bytes of
+    * mergeable state) — ONE aggregation of each row per column, no
+    * Expand, and the estimate is deterministic and DuckDB-replayable
+    * (no RNG; the oracle re-derives the exact same k-minimum hash list
+    * with ORDER BY LIMIT and replays the estimator arithmetic).
+    *
+    * Report: n_distinct_est is EXACT (the sketch saw every distinct
+    * value) while a column's cardinality is < k — `est_is_exact` says
+    * so; above k it is the unbiased KMV estimate (k−1)/u_k with
+    * expected relative standard error `est_rse` = 1/√(k−2) (Beyer et
+    * al. 2007). ProfileSpec gates the estimate against exact
+    * countDistinct within 4·RSE on the fixtures.
+    */
+  def tableSketch(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    // 13 hex digits = 52 bits: the hash stays exactly representable as
+    // a double, so the estimator division is identical in both engines
+    def hash52(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nonnull"),
+      graft.functions.KmvSketch.kmv(hash52(col(c)), k).as(s"${c}__kmv"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      val sk = col(s"${c}__kmv")
+      val est = when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (element_at(sk, k).cast("double") /
+            lit(graft.functions.KmvSketch.HashScale)))
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__nonnull").as("n_nonnull"),
+        est.as("n_distinct_est"),
+        (size(sk) < k).as("est_is_exact"),
+        lit(rse).as("est_rse"),
+        col(s"${c}__min").as("min_s"),
+        col(s"${c}__max").as("max_s"))
+    }
+    agged.select(explode(array(entries: _*)).as("p"), col("__n").as("n_rows"))
+      .select(col("p.col_name"), col("p.n_nonnull"), col("p.n_distinct_est"),
+        col("p.est_is_exact"), col("p.est_rse"), col("p.min_s"),
+        col("p.max_s"), col("n_rows"))
+  }
+
   /** Constraint-expectation gate (the dbt-test / Great-Expectations
     * shape): each rule is a row-level boolean predicate the data is
     * EXPECTED to satisfy; the report carries one row per rule with its

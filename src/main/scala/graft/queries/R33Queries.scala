@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, Profile}
 
 /** Round-13: oracle rows for approximation paths that previously only
   * bound in specs — the capped simhash pigeonhole (mass-duplicate
@@ -17,6 +17,12 @@ object R33Queries {
     * oracle checks — capped ≠ exact by construction at fixture scale.
     */
   private val CapDf = 2
+
+  /** KMV size for dq_profile_sketch: small enough that l_orderkey and
+    * l_partkey bind the estimating path at sf0.01 (15k / 2k distinct),
+    * large enough for ~6% expected RSE.
+    */
+  private val SketchK = 256
 
   val all: Seq[Q] = Seq(
 
@@ -74,6 +80,54 @@ object R33Queries {
            |SELECT id_a, id_b, hamming
            |FROM (SELECT * FROM small UNION SELECT * FROM chain)
            |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    Q("dq_profile_sketch",
+      "dq_profile's 100 TB shape: distinct counts from a KMV sketch " +
+        "(k smallest distinct 52-bit md5 hashes per column, a mergeable " +
+        "TypedImperativeAggregate with k*8 bytes of state) instead of " +
+        "countDistinct — ONE aggregation of each row per column with no " +
+        "Expand, where the exact plan replicates every row once per " +
+        "distinct set before the partial aggregate. The estimator " +
+        "(k-1)/u_k is deterministic (no RNG: distinct-min is order-" +
+        "independent), so the oracle re-derives the identical k-minimum " +
+        "hash list with ORDER BY h LIMIT k and replays the arithmetic " +
+        "bit-for-bit; columns with < k distinct values report EXACT " +
+        "counts (est_is_exact), the two high-cardinality keys exercise " +
+        "the estimating path, and est_rse carries the 1/sqrt(k-2) " +
+        "expected relative error. Accuracy vs exact countDistinct is " +
+        "spec-gated at 4*RSE (ProfileSpec).",
+      (s, d) => Profile.tableSketch(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_partkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"), k = SketchK)
+        .orderBy("col_name"),
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_linenumber",
+          "l_returnflag", "l_linestatus")
+        val k = SketchK
+        val rse = 1.0 / math.sqrt(k - 2.0)
+        val ctes = cols.map { c =>
+          s"""h_$c AS (
+             |  SELECT DISTINCT ('0x' || substring(md5($c::VARCHAR), 1, 13))::BIGINT AS h
+             |  FROM lineitem WHERE $c IS NOT NULL),
+             |sk_$c AS (
+             |  SELECT (SELECT count(*) FROM (SELECT h FROM h_$c ORDER BY h LIMIT $k)) AS nsk,
+             |         (SELECT max(h) FROM (SELECT h FROM h_$c ORDER BY h LIMIT $k)) AS hk)""".stripMargin
+        }.mkString(",\n")
+        val rows = cols.map { c =>
+          s"""SELECT '$c' AS col_name,
+             |  (SELECT count($c) FROM lineitem) AS n_nonnull,
+             |  CASE WHEN nsk < $k THEN nsk::DOUBLE
+             |       ELSE ${(k - 1).toDouble} / (hk / 4503599627370496.0)
+             |       END AS n_distinct_est,
+             |  nsk < $k AS est_is_exact,
+             |  $rse AS est_rse,
+             |  (SELECT min($c)::VARCHAR FROM lineitem) AS min_s,
+             |  (SELECT max($c)::VARCHAR FROM lineitem) AS max_s,
+             |  (SELECT count(*) FROM lineitem) AS n_rows
+             |FROM sk_$c""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $ctes\n$rows\nORDER BY col_name"
       })
   )
 }

@@ -444,4 +444,51 @@ class ProfileSpec extends SparkSpec {
     assert(a.getDouble(2) == b.getDouble(2) &&
       a.getDouble(3) == b.getDouble(3))
   }
+
+  test("tableSketch: exact below k (est_is_exact), within 4*RSE of " +
+      "countDistinct above k, partitioning-invariant, no Expand in the " +
+      "plan, NULLs excluded from the sketch but counted in n_rows") {
+    import spark.implicits._
+    val li = graft.core.Tables.lineitem(spark, graft.SparkSpec.Sf0001)
+    val cols = Seq("l_orderkey", "l_partkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val k = 256
+    val report = Profile.tableSketch(li, cols, k)
+    val rows = report.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Profile.table(li, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    cols.foreach { c =>
+      val est = rows(c).getDouble(2)
+      val isExact = rows(c).getBoolean(3)
+      val ex = exact(c)
+      if (ex < k) {
+        assert(isExact && est == ex.toDouble,
+          s"$c: below-k cardinality $ex must report exactly, got $est")
+      } else {
+        assert(!isExact, s"$c: $ex distinct must take the estimating path")
+        assert(math.abs(est - ex) <= 4 * rse * ex,
+          s"$c: est $est vs exact $ex exceeds 4*RSE (${4 * rse * ex})")
+      }
+    }
+    // partitioning invariance: distinct-min is order-independent
+    val repart = Profile.tableSketch(li.repartition(17), cols, k)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    cols.foreach(c => assert(repart(c) == rows(c).getDouble(2),
+      s"$c: sketch estimate must not depend on partitioning"))
+    // the point of the variant: no Expand in the physical plan
+    val planSketch = report.queryExecution.executedPlan.toString
+    assert(!planSketch.contains("Expand"),
+      s"tableSketch must not plan through Expand:\n$planSketch")
+    assert(Profile.table(li, cols).queryExecution.executedPlan
+        .toString.contains("Expand"),
+      "sanity: the exact profile DOES plan through Expand")
+    // NULL handling: nulls never enter the sketch, rows still counted
+    val withNulls = Seq(Some("a"), Some("b"), None, Some("a"))
+      .toDF("v")
+    val r = Profile.tableSketch(withNulls, Seq("v"), k = 8).collect().head
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 2.0 &&
+      r.getBoolean(3) && r.getLong(7) == 4L)
+  }
 }
