@@ -34,6 +34,26 @@ object Verify {
     * budget so a runaway query forfeits only itself. */
   private val QueryTimeoutS = 300L
 
+  /** Hard per-query cap on DRIVER-FETCH bytes (Σ task resultSize over
+    * the query's jobs — what collect()s, broadcast builds, and
+    * TakeOrdered pulls ship to the driver; the result parquet itself is
+    * written by an executor task and never crosses this path).
+    *
+    * This is the structural form of the "every .collect() site is
+    * bounded driver state" contract that was previously re-audited by
+    * hand each round: an operator that starts collecting corpus-sized
+    * data fails ITS query here (result deleted → the oracle compare
+    * records the failure) instead of waiting for a judge to spot it.
+    * Bound: the sf0.01 suite's worst observed query is ~4.2 MB
+    * (graph_linkpred; the tail is broadcast-dim builds and bounded
+    * index/seed collects, all under Spark's 10 MB
+    * autoBroadcastJoinThreshold); 64 MB is ~15× headroom while still
+    * far below any corpus-sized fetch. `SPARK_GRAFT_FETCH_CAP`
+    * overrides (bytes) for tuning and for testing the gate itself.
+    */
+  private val DriverFetchCapBytes =
+    sys.env.get("SPARK_GRAFT_FETCH_CAP").map(_.toLong).getOrElse(64L << 20)
+
   /** name → measured verify seconds from the last full local run; absent
     * names (new queries) default to 1.0 so they run among the mid-cost
     * bulk rather than after known-expensive tails. */
@@ -45,6 +65,11 @@ object Verify {
         val Array(n, c) = l.split('\t'); n -> c.toDouble
       }.toMap
     finally in.close()
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteDir))
+    f.delete(); ()
   }
 
   def main(args: Array[String]): Unit = {
@@ -109,22 +134,49 @@ object Verify {
         Paths.get(s"$outDir/manifest.json"), body)
     }
 
+    // driver-fetch meter: Σ task resultSize between reset points. Verify
+    // runs queries strictly one-at-a-time, so a single counter attributes
+    // cleanly; the bus is drained before every read (async listeners).
+    val fetchBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) { fetchBytes.addAndGet(m.resultSize); () }
+        }
+      })
+
     val costs = measuredCosts
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (costs.getOrElse(n, 1.0), n) }
     ordered.foreach { case (name, fn) =>
       if (keep(name)) {
         val t0 = System.nanoTime()
+        org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
+        fetchBytes.set(0L)
         val err = Watchdog.run(spark.sparkContext, name, QueryTimeoutS) {
           fn(spark, sfDir).repartition(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         }
         val wallS = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
+        val fetched = fetchBytes.get()
         err match {
-          case None =>
-            System.err.println(f"[verify] $name ok $wallS%.2fs")
+          case None if fetched > DriverFetchCapBytes =>
+            // the structural bounded-collect gate: forfeit the result so
+            // the driver's compare records a failure nobody can miss
+            deleteDir(new java.io.File(s"$outDir/$name"))
+            val why = s"driver-fetch $fetched bytes exceeds the " +
+              s"$DriverFetchCapBytes-byte bounded-collect cap"
+            System.err.println(s"[verify] $name FAILED: $why")
             manifest(name) =
-              f"""{"status":"ok","wall_s":$wallS%.2f,"bytes":${dirBytes(s"$outDir/$name")}}"""
+              f"""{"status":${q(why)},"wall_s":$wallS%.2f,"bytes":0,"driver_fetch_bytes":$fetched}"""
+          case None =>
+            System.err.println(
+              f"[verify] $name ok $wallS%.2fs fetch=${fetched}B")
+            manifest(name) =
+              f"""{"status":"ok","wall_s":$wallS%.2f,"bytes":${dirBytes(s"$outDir/$name")},"driver_fetch_bytes":$fetched}"""
           case Some(reason) =>
             System.err.println(s"[verify] $name FAILED: $reason")
             manifest(name) =

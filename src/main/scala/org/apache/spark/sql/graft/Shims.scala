@@ -91,6 +91,15 @@ object Shims {
         org.apache.spark.sql.types.BinaryType),
       expression(value)))
 
+  /** Block until every queued SparkListener event has been delivered
+    * (`SparkContext.listenerBus` is `private[spark]`) — metrics
+    * listeners are async, so a guard reading accumulated task metrics
+    * right after an action must drain the bus first or it reads a
+    * stale partial sum.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(30000L)
+
   /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the seam custom
     * logical operators use to enter the public Dataset API.
