@@ -194,6 +194,92 @@ object ScaleProbe {
     }
   }
 
+  /** Round-13: semanticDedup's pair stage at 1×/10×/100× on a
+    * NON-dup-dense corpus — the probe r12b deliberately skipped.
+    *
+    * r12b's replicas perturbed only component 0 by i·1e-3, so every
+    * replica stayed a near-dup of its source and TRUE pair volume grew
+    * ~mult² by construction (probed 10× only for that reason). Here
+    * each replica adds a deterministic per-(replica, component)
+    * pseudo-noise offset of ~±0.5 across ALL 64 components: noise norm
+    * ≈ 0.5·‖x‖, so cos(x, x+e) ≈ 1/√(1+0.25) ≈ 0.89 < the 0.95
+    * threshold — replicas of one source are NOT near-dups of each other
+    * or of the source, and true pair volume stays corpus-linear.
+    *
+    * The second scale knob is the one production SemDeDup turns:
+    * kClusters grows WITH the corpus (constant expected cluster size
+    * ~125 here), so intra-block candidate volume is corpus-linear too —
+    * a fixed k at 100× would make blocks 100× larger and the blocked
+    * join quadratic no matter how it is sub-blocked (sub-blocking
+    * redistributes a block's work across B² tasks; it never shrinks
+    * it). The pair stage (embeddingNearDups, subBlocks = 8) is metered
+    * separately from train/assign so the growth table row is about the
+    * 1-Bucket-Theta join itself.
+    * Run: sbt "runMain graft.ScaleProbe r13"
+    */
+  private def r13Probe(spark: SparkSession): Unit = {
+    import graft.ops.Similarity
+    val meter = new ShuffleMeter(spark)
+    val embBase = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val en = embBase.count()
+    for (mult <- Seq(1, 10, 100)) {
+      val emb =
+        if (mult == 1) embBase
+        else (0 until mult).map { i =>
+          // deterministic md5-derived noise vector per replica, in
+          // [-0.5, 0.5) per component — hash-independent across
+          // replicas (a first cut used Weyl-style (i·c + p·d) mod 997,
+          // and replica pairs with small (i−j)·c mod 997 got
+          // near-IDENTICAL noise: 585k manufactured near-dup pairs at
+          // 100×; lesson recorded, use a real hash for probe noise)
+          val noiseVec = (0 until 64).map { p =>
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"r13:$i:$p".getBytes("UTF-8"))
+            val u = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+            (u.toDouble / (1 << 24) - 0.5).toFloat
+          }
+          embBase.select((col("vec_id") + lit(i * en)).as("vec_id"),
+            zip_with(col("embedding"), typedlit(noiseVec),
+              (x, e) => x + e).as("embedding"))
+        }.reduce(_ unionByName _)
+      val cached = emb.repartition(32).cache()
+      val k = 16 * mult
+      println(s"== mult=$mult: ${cached.count()} vectors, kClusters=$k ==")
+      var cents: Seq[Seq[Double]] = Nil
+      meter.probe(s"kmeans train k=$k iters=2 ${mult}x") {
+        cents = Similarity.kmeansCentroids(cached, "vec_id", "embedding",
+          k = k, iters = 2)
+        cents.size.toLong
+      }
+      graft.core.Caches.releaseAll()
+      val assigned = cached.select(col("vec_id"), col("embedding"),
+        Similarity.nearestCluster(col("embedding"), cents).as("c"))
+        .repartition(32).cache()
+      meter.probe(s"assign ${mult}x") { assigned.count() }
+      meter.probe(s"pair stage ${mult}x (subBlocks=8, thr=0.95)") {
+        Dedup.embeddingNearDups(assigned, "vec_id", "embedding", "c",
+          threshold = 0.95, subBlocks = 8).count()
+      }
+      graft.core.Caches.releaseAll()
+      // second reading with broadcast disabled: at 1×/10× the adaptive
+      // plan broadcasts one side (0 shuffle — correct at that size, but
+      // no growth signal); at 100 TB nothing broadcasts, so the
+      // shuffle-growth row for the sub-block join needs the shuffle
+      // plan at every scale
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try meter.probe(s"pair stage ${mult}x (subBlocks=8, no broadcast)") {
+        Dedup.embeddingNearDups(assigned, "vec_id", "embedding", "c",
+          threshold = 0.95, subBlocks = 8).count()
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      graft.core.Caches.releaseAll()
+      assigned.unpersist(blocking = true)
+      cached.unpersist(blocking = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.filter(_.forall(_.isDigit))
       .map(_.toInt).getOrElse(10)
@@ -209,6 +295,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("r12")) { r12Probe(spark); spark.stop(); return }
     if (args.contains("r12b")) { r12bProbe(spark); spark.stop(); return }
+    if (args.contains("r13")) { r13Probe(spark); spark.stop(); return }
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
     val docs = (0 until mult).map { i =>
