@@ -134,18 +134,45 @@ object Verify {
         Paths.get(s"$outDir/manifest.json"), body)
     }
 
-    // driver-fetch meter: Σ task resultSize between reset points. Verify
-    // runs queries strictly one-at-a-time, so a single counter attributes
-    // cleanly; the bus is drained before every read (async listeners).
-    val fetchBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    // driver-fetch meter, attributed by JOB GROUP (Watchdog tags every
+    // query's jobs "name#seq"), not by wall-clock window: a timed-out
+    // query's straggler tasks can post TaskEnd events AFTER the next
+    // query starts, and a reset-and-accumulate counter would charge
+    // those bytes to the innocent neighbor — which this gate would then
+    // falsely fail. TaskEnd carries no group, so onJobStart records
+    // stageId → group and tasks are attributed through their stage.
+    val stageGroup =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val groupFetch = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val g = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+            .getOrElse("")
+          e.stageInfos.foreach(si => stageGroup.put(si.stageId, g))
+        }
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
-          if (m != null) { fetchBytes.addAndGet(m.resultSize); () }
+          if (m != null) {
+            groupFetch.computeIfAbsent(
+                stageGroup.getOrDefault(e.stageId, ""),
+                _ => new java.util.concurrent.atomic.AtomicLong())
+              .addAndGet(m.resultSize)
+            ()
+          }
         }
       })
+    def fetchedFor(name: String): Long = {
+      var sum = 0L
+      groupFetch.forEach { (g, v) =>
+        if (g.startsWith(name + "#")) sum += v.get()
+      }
+      sum
+    }
 
     val costs = measuredCosts
     val ordered = SparkEntry.queries.toSeq
@@ -153,15 +180,13 @@ object Verify {
     ordered.foreach { case (name, fn) =>
       if (keep(name)) {
         val t0 = System.nanoTime()
-        org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
-        fetchBytes.set(0L)
         val err = Watchdog.run(spark.sparkContext, name, QueryTimeoutS) {
           fn(spark, sfDir).repartition(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         }
         val wallS = (System.nanoTime() - t0) / 1e9
         org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
-        val fetched = fetchBytes.get()
+        val fetched = fetchedFor(name)
         err match {
           case None if fetched > DriverFetchCapBytes =>
             // the structural bounded-collect gate: forfeit the result so

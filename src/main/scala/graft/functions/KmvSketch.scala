@@ -43,10 +43,32 @@ import org.apache.spark.sql.types._
   *
   * Output: array<long> of the ≤ k smallest distinct hashes, ascending.
   */
+/** Mutable KMV state: a TreeSet of the current ≤ k minima plus the
+  * cached k-th minimum as a PRIMITIVE rejection threshold. Once the
+  * sketch is full, almost every corpus row takes the reject path — one
+  * primitive compare, no boxing, no tree walk (a bare TreeSet would pay
+  * an O(log k) last() descent plus a Long box per rejected row, on the
+  * exact hot path this aggregate exists to make cheap).
+  */
+final class KmvBuffer(k: Int) {
+  val set = new java.util.TreeSet[java.lang.Long]()
+  /** Rejection threshold: the k-th smallest once full, else MaxValue
+    * (accept everything while under capacity). h == kthMax is a
+    * duplicate of a present member — rejecting it is correct.
+    */
+  var kthMax: Long = Long.MaxValue
+
+  def offer(h: Long): Unit =
+    if (h < kthMax) {
+      if (set.add(h) && set.size > k) { set.pollLast(); () }
+      if (set.size == k) kthMax = set.last()
+    }
+}
+
 case class KmvSketchAgg(
     hashExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  extends TypedImperativeAggregate[KmvBuffer] {
 
   require(k >= 3, "KMV needs k >= 3 (RSE ~ 1/sqrt(k-2))")
 
@@ -63,50 +85,48 @@ case class KmvSketchAgg(
           s"kmv_sketch requires a bigint hash input, got ${other.simpleString}")
     }
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
-  @inline private def offer(buf: java.util.TreeSet[java.lang.Long],
-                            h: Long): Unit =
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last()) { if (buf.add(h)) { buf.pollLast(); () } }
-
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val h = hashExpr.eval(input)
-    if (h != null) offer(buf, h.asInstanceOf[Long])
+    if (h != null) buf.offer(h.asInstanceOf[Long])
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[java.lang.Long],
-                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) offer(buf, it.next())
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.set.iterator()
+    var continue = true
+    while (continue && it.hasNext) {
+      val h = it.next().longValue()
+      // other.set iterates ascending: past buf's threshold nothing
+      // later can be accepted either
+      if (h >= buf.kthMax) continue = false else buf.offer(h)
+    }
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: KmvBuffer): Any = {
+    val out = new Array[Any](buf.set.size)
+    val it = buf.set.iterator()
     var i = 0
     while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 8)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.set.size * 8)
+    bb.putInt(buf.set.size)
+    val it = buf.set.iterator()
     while (it.hasNext) bb.putLong(it.next().longValue())
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new java.util.TreeSet[java.lang.Long]()
+    val buf = new KmvBuffer(k)
     var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
+    while (i < n) { buf.offer(bb.getLong); i += 1 }
     buf
   }
 

@@ -34,8 +34,10 @@ import org.apache.spark.sql.types._
   *    toLong provably equals the shortest-repr Decimal cast — see
   *    [[scaledLong]]); smaller magnitudes and |x| ≥ 8 replicate Spark's
   *    Decimal(double) shortest-representation HALF_UP rounding (slow
-  *    path, per ELEMENT not per cell); null ELEMENTS stage as 0, the
-  *    bit-exact equivalent of the decimal sum's null-term skipping;
+  *    path, per ELEMENT not per cell); null ELEMENTS stage as 0 —
+  *    equal to the decimal sum's null-term skipping for every cell
+  *    with ≥ 1 non-null term; a dimension null in EVERY row yields 0
+  *    here vs NULL there (documented divergence — see update());
   *  - a product cell accumulates Σ xi·xj·2^100 as a SIGNED 128-BIT
   *    integer (Math.multiplyHigh + carry add) — the same perfect
   *    integer the decimal(38,0) sum holds, with the same LOUD overflow
@@ -145,10 +147,15 @@ case class MomentMatrix(
         // null ELEMENTS (containsNull arrays) stage as 0 — deliberately,
         // and checked explicitly: UnsafeArrayData happens to return 0.0
         // for a null slot but GenericArrayData NPEs, so relying on the
-        // accessor is undefined. Zero is the bit-exact equivalent of the
-        // decimal Column formulation, where every product/mean TERM
-        // touching a null element is null and sum() skips it, while
-        // count still counts the row (the VECTOR is non-null).
+        // accessor is undefined. Zero equals the decimal Column
+        // formulation's null-term skipping for every cell that has at
+        // least one non-null term; count still counts the row (the
+        // VECTOR is non-null). DOCUMENTED seam: a cell whose term is
+        // null in EVERY row (a dimension null corpus-wide) is NULL
+        // under sum()-skipping but 0 here — the useful semantics, since
+        // a NULL moment cell would poison the downstream eigensolve,
+        // and this aggregate's output type is deliberately
+        // containsNull = false. Spec-pinned (MomentMatrixSpec).
         val x =
           if (arr.isNullAt(i)) 0.0
           else if (isFloat) arr.getFloat(i).toDouble

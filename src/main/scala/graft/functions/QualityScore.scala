@@ -80,9 +80,22 @@ object QualityScoreTable extends Serializable {
     val occThe = (occCount(raw, " the ") * 5).toDouble / 5.0
     val occA = (occCount(raw, " a ") * 3).toDouble / 3.0
     val hits = occThe + occA
+    // token count = \s+ separator runs + 1, NOT a materialized split:
+    // Pattern.split(s, -1) keeps leading/trailing empties, so parts are
+    // exactly (delimiter-run matches) + 1 for any non-empty input —
+    // identical count with zero per-token String/array allocation on
+    // the pushed-down-predicate hot path this fusion exists for
+    // (QualityScoreSpec pins bit-equality incl. tab-leading and all-
+    // whitespace inputs, where the leading/trailing-empty parts count)
     val trimmed = text.trim().toString // 0x20-only, Spark semantics
     val nTok =
-      if (trimmed.isEmpty) 0L else WsPattern.split(trimmed, -1).length.toLong
+      if (trimmed.isEmpty) 0L
+      else {
+        var seps = 0L
+        val m = WsPattern.matcher(trimmed)
+        while (m.find()) seps += 1
+        seps + 1L
+      }
     val stopRatio = if (nTok == 0L) 0.0 else hits / nTok.toDouble
 
     Math.min(cpLen.toDouble / 500.0, 1.0) * 0.4 +

@@ -119,6 +119,23 @@ class MomentMatrixSpec extends SparkSpec {
     assertBitEqual(agg(spark.read.parquet(pq), col("v"), 4), expected)
   }
 
+  test("DOCUMENTED seam: a dimension null in EVERY row yields 0 cells " +
+      "(the Column form's sum() over all-null terms yields NULL — a " +
+      "NULL moment would poison the downstream eigensolve)") {
+    val rows = Seq(
+      Seq[Option[Double]](Some(1.0), None, Some(2.0)),
+      Seq[Option[Double]](Some(3.0), None, Some(-1.0)))
+    val out = agg(rows.toDF("v"), col("v"), 3)
+    // layout: products (0,0),(0,1),(0,2),(1,1),(1,2),(2,2), means 0..2, n
+    val zeros = Seq(1, 3, 4, 7) // every cell touching dim 1
+    zeros.foreach(i => assert(out(i).signum == 0,
+      s"cell $i of an all-null dimension must be 0, got ${out(i)}"))
+    // (0,2) cell untouched by the null dim: (1·2 + 3·(−1))·2^100 = −2^100
+    val expect02 = new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(100).negate())
+    assert(out(2).compareTo(expect02) == 0, s"(0,2) cell: ${out(2)}")
+  }
+
   test("element staging is loud past |x| ~ 8192 (no silent toLong " +
       "saturation) and rejects non-float/double arrays at analysis") {
     // x = 8500: x*2^50 ~ 9.57e18 > Long.Max — Double.toLong would

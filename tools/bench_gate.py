@@ -43,10 +43,18 @@ def main():
     # stays frozen as the driver's 2x contract denominator). Without the
     # ratchet, a 28x single-query revert (sim_pca 0.25 s -> 7 s) would
     # still pass against the stale map.
-    gate = base.get("gate_baseline") or base.get("recorded_baseline", base)
+    gate = base.get("gate_baseline")
+    if gate and gate.get("queries"):
+        src = "gate_baseline r%s" % gate.get("recorded_round")
+    else:
+        gate = base.get("recorded_baseline", base)
+        src = "recorded_baseline"
     base_q = gate.get("queries", {})
-    src = ("gate_baseline r%s" % gate.get("recorded_round")
-           if "gate_baseline" in base else "recorded_baseline")
+    if not base_q:
+        # refusing to "pass" against nothing: an empty map would class
+        # every query NEW and wave a full revert through
+        print("ERROR: baseline query map is empty — cannot gate")
+        sys.exit(1)
     cur = bench.get("best", bench.get("queries", {}))
 
     regressions, news, improved = [], [], 0
