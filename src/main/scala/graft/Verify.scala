@@ -44,12 +44,14 @@ object Verify {
     * hand each round: an operator that starts collecting corpus-sized
     * data fails ITS query here (result deleted → the oracle compare
     * records the failure) instead of waiting for a judge to spot it.
-    * Bound: the sf0.01 suite's worst observed query is ~4.2 MB
-    * (graph_linkpred; the tail is broadcast-dim builds and bounded
-    * index/seed collects, all under Spark's 10 MB
-    * autoBroadcastJoinThreshold); 64 MB is ~15× headroom while still
-    * far below any corpus-sized fetch. `SPARK_GRAFT_FETCH_CAP`
-    * overrides (bytes) for tuning and for testing the gate itself.
+    * Bound: the sf0.01 suite's worst observed query is ~8.1 MB at the
+    * driver's CPUS=32 (dedup_recall_sweep; per-task result overhead
+    * scales with task count — the same suite tops at 4.2 MB at
+    * CPUS=4; the tail is broadcast-dim builds and bounded index/seed
+    * collects under Spark's 10 MB autoBroadcastJoinThreshold); 64 MB
+    * is ~8× headroom while still far below any corpus-sized fetch.
+    * `SPARK_GRAFT_FETCH_CAP` overrides (bytes) for tuning and for
+    * testing the gate itself.
     */
   private val DriverFetchCapBytes =
     sys.env.get("SPARK_GRAFT_FETCH_CAP").map(_.toLong).getOrElse(64L << 20)
