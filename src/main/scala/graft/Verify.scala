@@ -50,8 +50,14 @@ object Verify {
     * CPUS=4; the tail is broadcast-dim builds and bounded index/seed
     * collects under Spark's 10 MB autoBroadcastJoinThreshold); 64 MB
     * is ~8× headroom while still far below any corpus-sized fetch.
-    * `SPARK_GRAFT_FETCH_CAP` overrides (bytes) for tuning and for
-    * testing the gate itself.
+    *
+    * CALIBRATION SCOPE: the default is sized for the driver's sf0.01
+    * correctness stage. Per-task result overhead scales with task
+    * count, so a run against a much larger sfDir (or far more CPUS)
+    * accumulates proportionally more fixed overhead across a
+    * multi-job query and can approach the cap on healthy queries —
+    * raise `SPARK_GRAFT_FETCH_CAP` (bytes) for such runs; it also
+    * serves for testing the gate itself.
     */
   private val DriverFetchCapBytes =
     sys.env.get("SPARK_GRAFT_FETCH_CAP").map(_.toLong).getOrElse(64L << 20)

@@ -52,17 +52,26 @@ import org.apache.spark.sql.types._
   */
 final class KmvBuffer(k: Int) {
   val set = new java.util.TreeSet[java.lang.Long]()
-  /** Rejection threshold: the k-th smallest once full, else MaxValue
-    * (accept everything while under capacity). h == kthMax is a
-    * duplicate of a present member — rejecting it is correct.
+  /** Rejection threshold: the k-th smallest once FULL; only consulted
+    * when set.size == k (under capacity everything is offered to the
+    * set directly, so even h == Long.MaxValue is kept — the sentinel
+    * init is never an accept/reject decision). At capacity,
+    * h == kthMax is a duplicate of a present member — rejecting it is
+    * correct.
     */
   var kthMax: Long = Long.MaxValue
 
   def offer(h: Long): Unit =
-    if (h < kthMax) {
-      if (set.add(h) && set.size > k) { set.pollLast(); () }
-      if (set.size == k) kthMax = set.last()
+    if (set.size < k) {
+      if (set.add(h) && set.size == k) kthMax = set.last()
+    } else if (h < kthMax) {
+      if (set.add(h)) { set.pollLast(); kthMax = set.last() }
     }
+
+  /** True when nothing ≥ h can ever be accepted — the merge early-exit
+    * test (only valid at capacity; under capacity everything accepts).
+    */
+  def saturatedAbove(h: Long): Boolean = set.size >= k && h >= kthMax
 }
 
 case class KmvSketchAgg(
@@ -98,9 +107,9 @@ case class KmvSketchAgg(
     var continue = true
     while (continue && it.hasNext) {
       val h = it.next().longValue()
-      // other.set iterates ascending: past buf's threshold nothing
-      // later can be accepted either
-      if (h >= buf.kthMax) continue = false else buf.offer(h)
+      // other.set iterates ascending: once buf is at capacity and h
+      // reaches its threshold, nothing later can be accepted either
+      if (buf.saturatedAbove(h)) continue = false else buf.offer(h)
     }
     buf
   }

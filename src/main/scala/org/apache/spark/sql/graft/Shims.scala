@@ -95,10 +95,15 @@ object Shims {
     * (`SparkContext.listenerBus` is `private[spark]`) — metrics
     * listeners are async, so a guard reading accumulated task metrics
     * right after an action must drain the bus first or it reads a
-    * stale partial sum.
+    * stale partial sum. BEST-EFFORT: waitUntilEmpty throws
+    * TimeoutException if the bus never settles (e.g. a cancelled
+    * query's tasks still posting events past the wait) — metric
+    * accounting must never abort the caller's run, so the timeout is
+    * swallowed and the caller reads whatever has been delivered.
     */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
-    sc.listenerBus.waitUntilEmpty(30000L)
+    try sc.listenerBus.waitUntilEmpty(30000L)
+    catch { case _: java.util.concurrent.TimeoutException => }
 
   /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the seam custom
