@@ -17,12 +17,25 @@ dominated by fixed job-submission overhead and jitter, so a 0.2 s ->
 0.35 s wobble is noise, not a plan regression. A query must exceed BOTH
 ratio x baseline AND the floor to fail the gate.
 
+MACHINE-SPEED NORMALIZATION: the per-query threshold is
+ratio x median(run ratio), not a raw ratio. A shared-host VM can run a
+whole pass 10-20% slower than the baseline run did (observed r13:
+best_total 397 -> 484 s across four runs of near-identical code), and
+with a raw threshold each such pass flags a DIFFERENT random 1-2 s
+query at ~1.5x - pure noise. Dividing out the run's median ratio makes
+the test "did THIS query regress relative to everything else this
+run", which is what a plan regression looks like. A genuinely global
+regression cannot hide in the median: the gate fails outright if the
+median ratio exceeds --median-cap (default 1.3), and the driver's own
+2x best_total contract backstops it independently.
+
 Exit 0 = gate passed (regressions list empty). Exit 1 = regressions or
 bench-side failures present. New queries (no baseline entry) are
 reported informationally and do not fail the gate.
 """
 import argparse
 import json
+import statistics
 import sys
 
 
@@ -32,6 +45,10 @@ def main():
     ap.add_argument("--baseline", default="BASELINE.json")
     ap.add_argument("--ratio", type=float, default=1.5)
     ap.add_argument("--floor", type=float, default=1.0)
+    ap.add_argument("--median-cap", type=float, default=1.3,
+                    help="fail outright if the run's median per-query "
+                         "ratio vs baseline exceeds this (global "
+                         "regression / unusable machine)")
     args = ap.parse_args()
 
     with open(args.bench) as f:
@@ -57,6 +74,14 @@ def main():
         sys.exit(1)
     cur = bench.get("best", bench.get("queries", {}))
 
+    ratios = [t / base_q[n] for n, t in cur.items()
+              if n in base_q and t >= 0 and base_q[n] > 0]
+    med = statistics.median(ratios) if ratios else 1.0
+    # never let a FAST run tighten the effective threshold below the
+    # configured ratio: queries near the floor wobble in absolute terms
+    # regardless of how quick the machine is
+    limit = args.ratio * max(med, 1.0)
+
     regressions, news, improved = [], [], 0
     for name, t in sorted(cur.items()):
         if t < 0:
@@ -66,8 +91,10 @@ def main():
         if b is None:
             news.append((name, t))
             continue
-        if t > b * args.ratio and t > args.floor:
-            regressions.append((name, t, b, f"{t / b:.2f}x baseline"))
+        if t > b * limit and t > args.floor:
+            regressions.append((
+                name, t, b,
+                f"{t / b:.2f}x baseline ({t / b / med:.2f}x median-relative)"))
         elif t < b:
             improved += 1
 
@@ -77,6 +104,13 @@ def main():
 
     print(f"gate: {len(cur)} queries, ratio {args.ratio}, floor {args.floor}s, "
           f"baseline = {src} ({len(base_q)} queries)")
+    print(f"  median run ratio vs baseline: {med:.3f} "
+          f"(per-query threshold {limit:.2f}x)")
+    if med > args.median_cap:
+        print(f"  GLOBAL REGRESSION: median ratio {med:.3f} exceeds "
+              f"--median-cap {args.median_cap} — a code-level slowdown "
+              f"cannot hide in normalization")
+        sys.exit(1)
     print(f"  improved vs baseline: {improved}")
     for name, t in news:
         print(f"  NEW (no baseline): {name} = {t:.3f}s")
