@@ -55,12 +55,13 @@ object Profile {
     * al. 2007). ProfileSpec gates the estimate against exact
     * countDistinct within 4·RSE on the fixtures.
     */
+  // 13 hex digits = 52 bits: the hash stays exactly representable as
+  // a double, so the KMV estimator division is identical in both engines
+  private def hash52(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
+
   def tableSketch(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
     val rse = 1.0 / math.sqrt(k - 2.0)
-    // 13 hex digits = 52 bits: the hash stays exactly representable as
-    // a double, so the estimator division is identical in both engines
-    def hash52(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__nonnull"),
       graft.functions.KmvSketch.kmv(hash52(col(c)), k).as(s"${c}__kmv"),
@@ -86,6 +87,74 @@ object Profile {
       .select(col("p.col_name"), col("p.n_nonnull"), col("p.n_distinct_est"),
         col("p.est_is_exact"), col("p.est_rse"), col("p.min_s"),
         col("p.max_s"), col("n_rows"))
+  }
+
+  /** One batch's KMV-profile partial — the MERGEABLE unit of
+    * [[tableSketch]]: one row per profiled column carrying the batch's
+    * k-minimum-hash sketch, non-null count, and batch row count.
+    * Persist through [[IncrementalAgg.writeBatch]] (commit-markered)
+    * like any other partial.
+    *
+    * Why this beats the HLL partials of `inc_distinct` where it
+    * applies: KMV's merge is EXACT set algebra (union of per-batch
+    * k-minima ⊇ the global k-minima, so min-k over partials EQUALS the
+    * one-pass sketch — a semilattice, no wobble), which makes the
+    * served incremental ESTIMATE hash-gateable against a one-pass
+    * DuckDB replay, not merely tolerance-gated.
+    */
+  def sketchProfilePartials(batch: DataFrame, cols: Seq[String],
+                            k: Int = 256): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      graft.functions.KmvSketch.kmv(hash52(col(c)), k).as(s"${c}__kmv")))
+    val agged = batch.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"${c}__nn").as("n_nonnull"),
+      col(s"${c}__kmv").as("kmv")))
+    agged.select(explode(array(entries: _*)).as("p"), col("__n").as("n_rows"))
+      .select(col("p.col_name"), col("p.n_nonnull"), col("p.kmv"),
+        col("n_rows"))
+  }
+
+  /** Serve the merged KMV profile from COMMITTED partial batches: facts
+    * are never rescanned — the input is cols × batches sketch rows.
+    * min-k over the unioned per-batch minima (a distinct + one
+    * per-column window over ≤ cols·batches·k rows), counts summed.
+    * Output schema and estimator arithmetic are [[tableSketch]]'s
+    * (minus min/max, whose string casts don't merge), and BY THE MERGE
+    * ALGEBRA the report is bit-identical to a one-pass tableSketch —
+    * so the `inc_profile_sketch` oracle replays the single-pass SQL
+    * and hash-matches the incremental serve.
+    */
+  def serveSketchProfile(spark: org.apache.spark.sql.SparkSession,
+                         path: String, k: Int = 256): DataFrame = {
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    val state = graft.core.IndexCommits.servedState(spark, path)
+    val parts = spark.read.parquet(s"$path/data")
+      .filter(col("batch").isin(state.batches: _*))
+    val sums = parts.groupBy(col("col_name"))
+      .agg(sum(col("n_nonnull")).as("n_nonnull"),
+        sum(col("n_rows")).as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name")).orderBy(col("h"))
+    val topk = parts.select(col("col_name"), explode(col("kmv")).as("h"))
+      .distinct()
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+    val agg = topk.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("__nsk"),
+        max(when(col("__r") === k, col("h"))).as("__hk"))
+    val nsk = coalesce(col("__nsk"), lit(0L)) // all-null column: no hashes
+    val est = when(nsk < k, nsk.cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (col("__hk").cast("double") /
+          lit(graft.functions.KmvSketch.HashScale)))
+    sums.join(agg, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_nonnull").cast("long").as("n_nonnull"),
+        est.as("n_distinct_est"), (nsk < k).as("est_is_exact"),
+        lit(rse).as("est_rse"), col("n_rows").cast("long").as("n_rows"))
+      .orderBy(col("col_name"))
   }
 
   /** Constraint-expectation gate (the dbt-test / Great-Expectations

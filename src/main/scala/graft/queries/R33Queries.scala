@@ -24,6 +24,44 @@ object R33Queries {
     */
   private val SketchK = 256
 
+  private val ProfCols = Seq("l_orderkey", "l_partkey", "l_linenumber",
+    "l_returnflag", "l_linestatus")
+
+  /** Single-pass DuckDB replay of the KMV profile over lineitem — the
+    * oracle for BOTH the one-pass query and the incremental serve
+    * (whose merge algebra makes them bit-identical).
+    */
+  private def kmvOracle(withMinMax: Boolean): String = {
+    val k = SketchK
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    val ctes = ProfCols.map { c =>
+      s"""h_$c AS (
+         |  SELECT DISTINCT ('0x' || substring(md5($c::VARCHAR), 1, 13))::BIGINT AS h
+         |  FROM lineitem WHERE $c IS NOT NULL),
+         |sk_$c AS (
+         |  SELECT (SELECT count(*) FROM (SELECT h FROM h_$c ORDER BY h LIMIT $k)) AS nsk,
+         |         (SELECT max(h) FROM (SELECT h FROM h_$c ORDER BY h LIMIT $k)) AS hk)""".stripMargin
+    }.mkString(",\n")
+    val minMax = (c: String) =>
+      if (withMinMax)
+        s"""|  (SELECT min($c)::VARCHAR FROM lineitem) AS min_s,
+            |  (SELECT max($c)::VARCHAR FROM lineitem) AS max_s,
+            |""".stripMargin
+      else "\n"
+    val rows = ProfCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT count($c) FROM lineitem) AS n_nonnull,
+         |  CASE WHEN nsk < $k THEN nsk::DOUBLE
+         |       ELSE ${(k - 1).toDouble} / (hk / 4503599627370496.0)
+         |       END AS n_distinct_est,
+         |  nsk < $k AS est_is_exact,
+         |  $rse AS est_rse,
+         |${minMax(c)}  (SELECT count(*) FROM lineitem) AS n_rows
+         |FROM sk_$c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$rows\nORDER BY col_name"
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("dedup_simhash_capped",
@@ -97,37 +135,36 @@ object R33Queries {
         "the estimating path, and est_rse carries the 1/sqrt(k-2) " +
         "expected relative error. Accuracy vs exact countDistinct is " +
         "spec-gated at 4*RSE (ProfileSpec).",
-      (s, d) => Profile.tableSketch(Tables.lineitem(s, d),
-          Seq("l_orderkey", "l_partkey", "l_linenumber",
-            "l_returnflag", "l_linestatus"), k = SketchK)
+      (s, d) => Profile.tableSketch(Tables.lineitem(s, d), ProfCols,
+          k = SketchK)
         .orderBy("col_name"),
-      Some {
-        val cols = Seq("l_orderkey", "l_partkey", "l_linenumber",
-          "l_returnflag", "l_linestatus")
-        val k = SketchK
-        val rse = 1.0 / math.sqrt(k - 2.0)
-        val ctes = cols.map { c =>
-          s"""h_$c AS (
-             |  SELECT DISTINCT ('0x' || substring(md5($c::VARCHAR), 1, 13))::BIGINT AS h
-             |  FROM lineitem WHERE $c IS NOT NULL),
-             |sk_$c AS (
-             |  SELECT (SELECT count(*) FROM (SELECT h FROM h_$c ORDER BY h LIMIT $k)) AS nsk,
-             |         (SELECT max(h) FROM (SELECT h FROM h_$c ORDER BY h LIMIT $k)) AS hk)""".stripMargin
-        }.mkString(",\n")
-        val rows = cols.map { c =>
-          s"""SELECT '$c' AS col_name,
-             |  (SELECT count($c) FROM lineitem) AS n_nonnull,
-             |  CASE WHEN nsk < $k THEN nsk::DOUBLE
-             |       ELSE ${(k - 1).toDouble} / (hk / 4503599627370496.0)
-             |       END AS n_distinct_est,
-             |  nsk < $k AS est_is_exact,
-             |  $rse AS est_rse,
-             |  (SELECT min($c)::VARCHAR FROM lineitem) AS min_s,
-             |  (SELECT max($c)::VARCHAR FROM lineitem) AS max_s,
-             |  (SELECT count(*) FROM lineitem) AS n_rows
-             |FROM sk_$c""".stripMargin
-        }.mkString("\nUNION ALL\n")
-        s"WITH $ctes\n$rows\nORDER BY col_name"
-      })
+      Some(kmvOracle(withMinMax = true))),
+
+    Q("inc_profile_sketch",
+      "The KMV profile maintained INCREMENTALLY at rest: three " +
+        "disjoint lineitem batches each persist a per-column partial " +
+        "(k-minimum-hash sketch + counts) under commit markers; the " +
+        "serve merges cols x batches sketch ROWS — facts are never " +
+        "rescanned. Because KMV merge is exact set algebra (the union " +
+        "of per-batch k-minima contains the global k-minima; min-k " +
+        "over partials EQUALS the one-pass sketch — a semilattice), " +
+        "the served incremental ESTIMATE is hash-gated against the " +
+        "oracle's single-pass replay — unlike inc_distinct's HLL, " +
+        "which can only be tolerance-gated. The gated claim is " +
+        "incremental == recompute, bit-for-bit, including the " +
+        "estimating path on both high-cardinality keys.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_incprof_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        (0L to 2L).foreach { b =>
+          graft.ops.IncrementalAgg.writeBatch(
+            Profile.sketchProfilePartials(
+              li.filter(col("l_orderkey") % 3 === b), ProfCols, SketchK),
+            path, b)
+        }
+        Profile.serveSketchProfile(s, path, SketchK)
+      },
+      Some(kmvOracle(withMinMax = false)))
   )
 }

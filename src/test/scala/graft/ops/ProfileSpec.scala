@@ -491,4 +491,40 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(1) == 3L && r.getDouble(2) == 2.0 &&
       r.getBoolean(3) && r.getLong(7) == 4L)
   }
+
+  test("sketchProfilePartials + serveSketchProfile: incremental serve " +
+      "equals one-pass tableSketch bit-for-bit (semilattice merge); an " +
+      "UNCOMMITTED batch is invisible until its marker lands") {
+    import spark.implicits._
+    val li = graft.core.Tables.lineitem(spark, graft.SparkSpec.Sf0001)
+    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag")
+    val k = 64
+    val dir = java.nio.file.Files.createTempDirectory("incprof").toString
+    (0L to 2L).foreach { b =>
+      IncrementalAgg.writeBatch(
+        Profile.sketchProfilePartials(
+          li.filter(col("l_orderkey") % 3 === b), cols, k), dir, b)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    val onePass = Profile.tableSketch(li, cols, k)
+      .select("col_name", "n_nonnull", "n_distinct_est", "est_is_exact")
+      .orderBy("col_name")
+    assert(key(Profile.serveSketchProfile(spark, dir, k)
+        .select("col_name", "n_nonnull", "n_distinct_est", "est_is_exact"))
+      == key(onePass), "incremental serve must equal one-pass recompute")
+    // drop batch 2's commit marker: the serve must fall back to 0+1 only
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/commits/batch_2"), false)
+    val partial = Profile.serveSketchProfile(spark, dir, k)
+      .filter(col("col_name") === "l_orderkey").collect().head
+    val expect01 = Profile.tableSketch(
+        li.filter(col("l_orderkey") % 3 =!= 2), Seq("l_orderkey"), k)
+      .collect().head
+    assert(partial.getLong(1) == expect01.getLong(1) &&
+      partial.getDouble(2) == expect01.getDouble(2),
+      "unmarked batch must not serve")
+  }
 }
