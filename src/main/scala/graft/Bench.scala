@@ -48,6 +48,28 @@ object Bench {
     ()
   }
 
+  /** Code-independent host-speed canary: a fixed synthetic workload
+    * (nested xxhash64 chain over a seeded range — pure whole-stage-codegen
+    * CPU, no graft code, no I/O, no shuffle) timed best-of-2 so the first
+    * pass's codegen/JIT cost doesn't leak into the reading. Run before and
+    * after the suite and recorded in the bench JSON, so "this run was 15%
+    * slow" is a measurement of the HOST rather than an inference from the
+    * median per-query ratio (r13's 397->484 s same-code drift had to be
+    * argued statistically; this makes it a direct reading). A real global
+    * code regression shows as median-ratio high WHILE the canary is ~1.0 —
+    * tools/bench_gate.py cross-checks exactly that. */
+  private def hostCanary(spark: SparkSession, parts: Int): Double = {
+    // 512M rows x 8 chained hashes; deterministic, ~2-4 s at local[32]
+    val expr = (1 to 8).foldLeft("id")((e, _) => s"xxhash64($e, id)")
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 512L * 1000 * 1000, 1L, parts)
+        .selectExpr(s"bit_xor($expr) AS x").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -64,8 +86,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
-    val names = SparkEntry.queries.keys.toSeq
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the run to a subset —
+    // for one-off idle-host re-times of a single query without paying the
+    // 300-query suite. Not used by the driver (full-suite records only).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+      SparkEntry.queries.toSeq.filter { case (n, _) => only.forall(_(n)) }
+    val names = queries.map(_._1)
     val timedOut = collection.mutable.Set.empty[String]
+    var canaryBefore = -1.0
+    var canaryAfter = -1.0
 
     // Invalidate any PRIOR run's full record up front: the file is only
     // (re)written by the final emit, so if this run is killed mid-way a
@@ -81,8 +112,11 @@ object Bench {
     // warmup: run every query once at the smallest scale factor so the
     // measured pass times steady-state execution, not first-run codegen
     // compilation and JIT (cold-vs-warm was up to 10x on the sketch ops)
+    canaryBefore = hostCanary(spark, cpus.toInt)
+    System.err.println(f"[bench] host canary (before): $canaryBefore%.3f s")
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       Watchdog.run(sc, s"warm:$name", QueryTimeoutS) { touchAll(fn(spark, warmDir)) }
       graft.core.Caches.releaseAll()
     }
@@ -150,6 +184,7 @@ object Bench {
         f"""{"metric":"median_pass_total","value":$median%.4f,"unit":"sec","queries":$qs,"runs":$nPasses,""" +
         f""""best_total":$bestTotal%.4f,$passTotalsJson,""" +
         s""""failed":$failedJson,"n_failed":${failed.size},"n_done":${done.size},""" +
+        f""""canary_before_s":$canaryBefore%.3f,"canary_after_s":$canaryAfter%.3f,""" +
         s""""partial":$partial,"sf":"$sfDir"}""")
       // The driver's log tail keeps only the compact final line, so the
       // FULL per-query map was transient ("partial" lines) and per-query
@@ -166,6 +201,7 @@ object Bench {
         val body =
           f"""{"sf":"$sfDir","cpus":"$cpus","passes":$nPasses,""" +
           f""""median_pass_total":$median%.4f,"best_total":$bestTotal%.4f,$passTotalsJson,""" +
+          f""""canary_before_s":$canaryBefore%.3f,"canary_after_s":$canaryAfter%.3f,""" +
           s""""n_failed":${failed.size},"n_done":${done.size},""" +
           s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""best":${qmap(best)},"pass_times":$passMaps}"""
@@ -184,7 +220,7 @@ object Bench {
 
     for (p <- 0 until nPasses
          if p == 0 || elapsedS < budgetS * budgetCutoff) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      queries.foreach { case (name, fn) =>
         if (timedOut(name)) passTimes(p)(name) = -1.0
         else {
           val t0 = System.nanoTime()
@@ -202,6 +238,8 @@ object Bench {
         }
       }
     }
+    canaryAfter = hostCanary(spark, cpus.toInt)
+    System.err.println(f"[bench] host canary (after): $canaryAfter%.3f s")
     emit(partial = false)
     spark.stop()
   }

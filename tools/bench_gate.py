@@ -49,6 +49,12 @@ def main():
                     help="fail outright if the run's median per-query "
                          "ratio vs baseline exceeds this (global "
                          "regression / unusable machine)")
+    ap.add_argument("--hard-ratio", type=float, default=2.5,
+                    help="absolute per-query backstop independent of the "
+                         "median normalization: a raw ratio above this "
+                         "(and above the floor) always fails, so a large "
+                         "single-query regression cannot ride a slow run "
+                         "(ADVICE r13: median*ratio could reach ~1.95x)")
     args = ap.parse_args()
 
     with open(args.bench) as f:
@@ -91,10 +97,11 @@ def main():
         if b is None:
             news.append((name, t))
             continue
-        if t > b * limit and t > args.floor:
-            regressions.append((
-                name, t, b,
-                f"{t / b:.2f}x baseline ({t / b / med:.2f}x median-relative)"))
+        if t > args.floor and (t > b * limit or t > b * args.hard_ratio):
+            why = f"{t / b:.2f}x baseline ({t / b / med:.2f}x median-relative)"
+            if t > b * args.hard_ratio:
+                why += f" [exceeds hard backstop {args.hard_ratio}x]"
+            regressions.append((name, t, b, why))
         elif t < b:
             improved += 1
 
@@ -105,7 +112,32 @@ def main():
     print(f"gate: {len(cur)} queries, ratio {args.ratio}, floor {args.floor}s, "
           f"baseline = {src} ({len(base_q)} queries)")
     print(f"  median run ratio vs baseline: {med:.3f} "
-          f"(per-query threshold {limit:.2f}x)")
+          f"(per-query threshold {limit:.2f}x, hard backstop "
+          f"{args.hard_ratio}x)")
+
+    # Host-speed canary cross-check (graft.Bench records a fixed synthetic
+    # CPU workload before/after the suite). If the run's median ratio is
+    # elevated but the canary says the host was NOT correspondingly slow,
+    # the slowdown is in the code, not the machine — exactly the global
+    # regression the median normalization could otherwise absorb.
+    cans = [bench.get("canary_before_s", -1), bench.get("canary_after_s", -1)]
+    cans = [c for c in cans if isinstance(c, (int, float)) and c > 0]
+    base_can = gate.get("canary_s")
+    if cans:
+        host = min(cans)
+        line = f"  host canary: {host:.3f}s (before/after min)"
+        if isinstance(base_can, (int, float)) and base_can > 0:
+            cr = host / base_can
+            line += f", {cr:.3f}x baseline canary {base_can:.3f}s"
+            print(line)
+            if med > 1.15 and med > cr + 0.15:
+                print(f"  WARNING: median ratio {med:.3f} is not explained "
+                      f"by host speed (canary ratio {cr:.3f}) — possible "
+                      f"real global code slowdown")
+        else:
+            print(line + " (no baseline canary recorded yet)")
+    else:
+        print("  host canary: not present in bench record")
     if med > args.median_cap:
         print(f"  GLOBAL REGRESSION: median ratio {med:.3f} exceeds "
               f"--median-cap {args.median_cap} — a code-level slowdown "
