@@ -193,7 +193,16 @@ object Verify {
             .parquet(s"$outDir/$name")
         }
         val wallS = (System.nanoTime() - t0) / 1e9
-        org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
+        val drained =
+          org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
+        // an undrained bus means the fetch figure may UNDERCOUNT — the
+        // cap can still fire (a partial sum over the cap is over the
+        // cap), but a pass is weaker evidence, so mark the manifest
+        // entry instead of letting it silently read as a clean pass
+        if (!drained) System.err.println(
+          s"[verify] WARN listener bus did not drain within 30s for " +
+            s"$name — driver_fetch_bytes may undercount")
+        val fetchNote = if (drained) "" else ""","fetch_partial":true"""
         val fetched = fetchedFor(name)
         err match {
           case None if fetched > DriverFetchCapBytes =>
@@ -204,12 +213,13 @@ object Verify {
               s"$DriverFetchCapBytes-byte bounded-collect cap"
             System.err.println(s"[verify] $name FAILED: $why")
             manifest(name) =
-              f"""{"status":${q(why)},"wall_s":$wallS%.2f,"bytes":0,"driver_fetch_bytes":$fetched}"""
+              f"""{"status":${q(why)},"wall_s":$wallS%.2f,"bytes":0,"driver_fetch_bytes":$fetched$fetchNote}"""
           case None =>
             System.err.println(
-              f"[verify] $name ok $wallS%.2fs fetch=${fetched}B")
+              f"[verify] $name ok $wallS%.2fs fetch=${fetched}B" +
+                (if (drained) "" else " (partial)"))
             manifest(name) =
-              f"""{"status":"ok","wall_s":$wallS%.2f,"bytes":${dirBytes(s"$outDir/$name")},"driver_fetch_bytes":$fetched}"""
+              f"""{"status":"ok","wall_s":$wallS%.2f,"bytes":${dirBytes(s"$outDir/$name")},"driver_fetch_bytes":$fetched$fetchNote}"""
           case Some(reason) =>
             System.err.println(s"[verify] $name FAILED: $reason")
             manifest(name) =

@@ -112,6 +112,20 @@ case class MomentMatrix(
     * exact. The staged domain is therefore |x| < 2^13; same remedy as
     * the decimal path's own 38-digit sum bound: shrink the per-factor
     * scale.
+    *
+    * Slow-path cost, measured (r14 microbench, dims=64 float input,
+    * local JIT-warm): update() is 5.8 µs/row all-fast vs 23.4 µs/row
+    * all-slow — worst case ~4× (the 2145-cell 128-bit product loop
+    * dominates until BigDecimal staging joins it), still ~7× faster
+    * than the explode+groupBy formulation this aggregate replaced.
+    * Deliberately NOT "optimized" with a long-arithmetic shortest-repr
+    * replica (r13 ADVICE suggestion): the product sum's 38-digit bound
+    * is n·max|x|² ≲ 8·10^7, so a corpus with routine |x| ≥ 8 overflows
+    * the exactness contract past ~1.2M rows REGARDLESS — such corpora
+    * must pre-scale (the documented remedy), which also restores the
+    * fast path; replicating Java 17 FloatingDecimal digit selection in
+    * long arithmetic risks the spec-pinned bit-equality for a path
+    * that rescaling makes cold.
     */
   private def scaledLong(x: Double): Long = {
     val y = x * Scale

@@ -26,21 +26,23 @@ object Similarity {
 
   /** Cosine similarity of every row's vector against a literal query
     * vector (floats are widened to double before any arithmetic).
-    * The denominator — a PRODUCT of two norms — is floored at 1e-60
-    * (the house zero-norm guard at norm-product scale, matching
-    * [[Dedup.embeddingNearDups]]; the single-norm sites floor at
-    * 1e-30): under Spark 4's default ANSI mode a single zero-norm
-    * corpus row would otherwise throw DIVIDE_BY_ZERO and kill the
-    * whole query — for any real embedding the floor is a no-op
-    * (greatest() passes the norm product through bit-unchanged), so
-    * oracle hashes are unaffected.
+    * Each norm is floored SEPARATELY at 1e-30 — the house zero-norm
+    * guard shape, identical to every other single-norm site in this
+    * file and to the oracle SQL CTEs (R6b/R7/R9/R23's
+    * `greatest(sqrt(dot), 1e-30)`), so the Spark and oracle guards
+    * diverge on NO input, not merely on the fixture corpora (the r13
+    * ADVICE seam: a product-scale 1e-60 floor treats a {1e-40, 1.0}
+    * norm pair differently from per-norm floors). Under Spark 4's
+    * default ANSI mode a single zero-norm corpus row would otherwise
+    * throw DIVIDE_BY_ZERO and kill the whole query; for any real
+    * embedding the floor is a no-op (greatest() passes the norm
+    * through bit-unchanged), so oracle hashes are unaffected.
     *
     * Known seam (documented, not fixable cross-engine): a DEGENERATE
-    * row — exact-zero norm, OR a subnormal-norm vector whose norm
-    * product lands below the floor (both norms < ~1e-30; no float
-    * embedding gets there, its smallest subnormal is ~1.4e-45 and one
-    * nonzero element keeps the product ≥ ~2e-90 only for doubles) —
-    * has its cosine rescaled toward 0 here, mid-pack in a top-k, while
+    * row — exact-zero or sub-1e-30 norm (no float embedding gets
+    * there; its smallest subnormal is ~1.4e-45 but a norm over 64
+    * doubles stays ≥ ~1e-45 only for pathological inputs) — has its
+    * cosine rescaled toward 0 here, mid-pack in a top-k, while
     * [[knnGraph]]'s two-phase scorer ranks degenerates last at -2 and
     * a raw-division DuckDB oracle would produce NaN or ±Inf (which
     * DuckDB sorts first under desc). The fixtures contain no zero or
@@ -52,8 +54,8 @@ object Similarity {
     */
   def cosineToQuery(vecCol: Column, query: Seq[Float]): Column = {
     val q = typedlit(query)
-    Dedup.dotExact(vecCol, q) /
-      greatest(Dedup.normExact(vecCol) * Dedup.normExact(q), lit(1e-60))
+    val nrm = (c: Column) => greatest(Dedup.normExact(c), lit(1e-30))
+    Dedup.dotExact(vecCol, q) / (nrm(vecCol) * nrm(q))
   }
 
   /** Exact brute-force top-k by cosine: the correctness baseline every ANN

@@ -99,11 +99,14 @@ object Shims {
     * TimeoutException if the bus never settles (e.g. a cancelled
     * query's tasks still posting events past the wait) — metric
     * accounting must never abort the caller's run, so the timeout is
-    * swallowed and the caller reads whatever has been delivered.
+    * swallowed. Returns whether the drain COMPLETED: a `false` means
+    * the subsequent metric read may undercount, and callers gating on
+    * the metric (Verify's driver-fetch cap) must surface that the
+    * reading was partial rather than silently passing on it.
     */
-  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
-    try sc.listenerBus.waitUntilEmpty(30000L)
-    catch { case _: java.util.concurrent.TimeoutException => }
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(30000L); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 
   /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the seam custom
