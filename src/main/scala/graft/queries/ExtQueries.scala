@@ -58,10 +58,15 @@ object ExtQueries {
 
   /** [[minhashBandCtes]] plus the band-frequency-capped pair stage,
     * mirroring Dedup.minhashCandidates' maxBandDf guard: band groups of
-    * ≤256 docs emit all pairs, larger groups emit the id-ordered chain.
+    * ≤`cap` docs emit all pairs, larger groups emit the id-ordered chain.
     * Produces `pairs(id_a, id_b, band)` — one row per (band, pair).
+    * The default cap 256 is the production guard (dedup_minhash);
+    * [[R34Queries]] re-uses the same CTE at cap 1 so the chain path
+    * BINDS under an oracle at fixture scale.
     */
-  private[queries] def minhashPairCtes: String =
+  private[queries] def minhashPairCtes: String = minhashPairCtes(256)
+
+  private[queries] def minhashPairCtes(cap: Int): String =
     s"""$minhashBandCtes,
        |bf AS (
        |  SELECT doc_id, band, h, count(*) OVER (PARTITION BY band, h) AS df_b
@@ -70,13 +75,13 @@ object ExtQueries {
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band
        |  FROM bf a JOIN bf b
        |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-       |  WHERE a.df_b <= 256
+       |  WHERE a.df_b <= $cap AND b.df_b <= $cap
        |  UNION ALL
        |  SELECT id_a, id_b, band FROM (
        |    SELECT doc_id AS id_a,
        |           lead(doc_id) OVER (PARTITION BY band, h ORDER BY doc_id) AS id_b,
        |           band
-       |    FROM bf WHERE df_b > 256)
+       |    FROM bf WHERE df_b > $cap)
        |  WHERE id_b IS NOT NULL)""".stripMargin
 
   /** DuckDB restatement of [[Dedup.simhash16]]: word-level md5 nibbles →
