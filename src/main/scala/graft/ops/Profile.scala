@@ -89,6 +89,79 @@ object Profile {
         col("p.max_s"), col("n_rows"))
   }
 
+  /** Cardinality-DRIFT gate between a reference and a current snapshot —
+    * the sketch-path complement of [[drift]]/[[driftByKey]] (which compare
+    * DISTRIBUTIONS over bounded buckets): per profiled column, did the
+    * number of distinct values move, and did the VALUES themselves churn?
+    * The signals a histogram can't see — a crawl that doubled its distinct
+    * URL count, or replaced half its vocabulary at identical bucket
+    * counts — and exactly the checks that would otherwise read a
+    * per-snapshot `countDistinct` (Expand, corpus re-aggregated per
+    * column) at 100 TB.
+    *
+    * Each snapshot is aggregated ONCE (a [[graft.functions.KmvSketchAgg]]
+    * per column — no Expand, k·8 bytes of state per column), the two
+    * 1-row sketch frames cross-join (broadcast, 1×1), and everything
+    * else is arithmetic on the sketches:
+    *  - `ref_distinct_est` / `cur_distinct_est`: the KMV estimate
+    *    (k−1)/u_k per side, EXACT below k (`*_est_is_exact`);
+    *  - `card_ratio`: cur/ref estimate ratio (NULL when ref is empty —
+    *    novel mass is its own signal, as in [[drift]]);
+    *  - `jaccard_est`: distinct-VALUE churn via KMV set algebra (Beyer
+    *    et al. 2007) — the k smallest of the union of the two sketches
+    *    ARE the union's true k-minima (any union k-minimum is a k-minimum
+    *    of its side), and for those hashes sketch membership is exact
+    *    (union's u_k ≤ each side's u_k), so |sketch∩both| / |union
+    *    sketch| estimates J(ref, cur) with the same 1/√(k−2) RSE. NULL
+    *    when both sides are all-null.
+    *
+    * Determinism: hashes are 52-bit md5 prefixes (exact as doubles),
+    * min-k and set membership are order-independent integer algebra,
+    * and the estimator divisions are double ops on identical integers —
+    * the DuckDB oracle replays every column bit-for-bit
+    * (`dq_drift_sketch`). Accuracy vs exact per-side countDistinct and
+    * exact Jaccard is spec-gated (ProfileSpec).
+    */
+  def driftSketch(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+                  k: Int = 256): DataFrame = {
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    def side(df: DataFrame, t: String): DataFrame = {
+      val aggs = cols.map(c =>
+        graft.functions.KmvSketch.kmv(hash52(col(c)), k).as(s"${c}__$t"))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    def est(a: org.apache.spark.sql.Column) =
+      when(size(a) < k, size(a).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (element_at(a, k).cast("double") /
+            lit(graft.functions.KmvSketch.HashScale)))
+    val joined = side(ref, "r").crossJoin(side(cur, "c"))
+    val entries = cols.map { c =>
+      val ra = col(s"${c}__r"); val ca = col(s"${c}__c")
+      // union's k-minima, recovered exactly from the two k-truncated
+      // sketches; intersect membership is exact within them (see doc)
+      val u = slice(array_sort(array_union(ra, ca)), 1, k)
+      val both = array_intersect(u, array_intersect(ra, ca))
+      struct(
+        lit(c).as("col_name"),
+        est(ra).as("ref_distinct_est"),
+        est(ca).as("cur_distinct_est"),
+        (size(ra) < k).as("ref_est_is_exact"),
+        (size(ca) < k).as("cur_est_is_exact"),
+        when(est(ra) > 0, est(ca) / est(ra))
+          .otherwise(lit(null).cast("double")).as("card_ratio"),
+        when(size(u) > 0, size(both).cast("double") / size(u).cast("double"))
+          .otherwise(lit(null).cast("double")).as("jaccard_est"),
+        lit(rse).as("est_rse"))
+    }
+    joined.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.col_name"), col("p.ref_distinct_est"),
+        col("p.cur_distinct_est"), col("p.ref_est_is_exact"),
+        col("p.cur_est_is_exact"), col("p.card_ratio"),
+        col("p.jaccard_est"), col("p.est_rse"))
+      .orderBy(col("col_name"))
+  }
+
   /** One batch's KMV-profile partial — the MERGEABLE unit of
     * [[tableSketch]]: one row per profiled column carrying the batch's
     * k-minimum-hash sketch, non-null count, and batch row count.

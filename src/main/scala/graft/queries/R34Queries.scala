@@ -1,7 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, Profile}
 
 /** Round-14: oracle rows for the remaining approximation path whose
   * degraded branch never bound under a CORRECTNESS entry — minhash
@@ -19,6 +20,13 @@ object R34Queries {
     * exact path's answer.
     */
   private val CapDf = 1
+
+  // NOTE: constants referenced by `all` must be declared ABOVE it —
+  // a val below reads as 0/null during object init (twice-bitten rule)
+  private val SketchK = 256
+
+  private val DriftCols = Seq("l_orderkey", "l_partkey", "l_linenumber",
+    "l_returnflag", "l_linestatus")
 
   val all: Seq[Q] = Seq(
 
@@ -42,6 +50,77 @@ object R34Queries {
            |SELECT id_a, id_b, count(*) AS bands_matched
            |FROM pairs
            |GROUP BY 1, 2
-           |ORDER BY id_a, id_b""".stripMargin))
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dq_drift_sketch",
+      "Cardinality-drift gate in the 100 TB sketch shape: per column, " +
+        "KMV distinct estimates for a reference (even l_orderkey) and a " +
+        "current (odd) snapshot — ONE Expand-free aggregation per " +
+        "snapshot — plus the cur/ref cardinality ratio and a " +
+        "distinct-VALUE churn estimate from KMV set algebra (the union " +
+        "sketch's k-minima are exact, membership within them is exact, " +
+        "so |in both| / |union sketch| estimates Jaccard). The split by " +
+        "orderkey parity makes l_orderkey fully churned (jaccard 0) " +
+        "while l_partkey and the flag columns are shared (jaccard near " +
+        "1) — both churn regimes and both estimator paths (exact below " +
+        "k, estimating above) bind under the oracle, which re-derives " +
+        "every k-minimum list with ORDER BY h LIMIT k and replays the " +
+        "arithmetic bit-for-bit.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        Profile.driftSketch(
+          li.filter(col("l_orderkey") % 2 === 0),
+          li.filter(col("l_orderkey") % 2 === 1),
+          DriftCols, k = SketchK)
+      },
+      Some(driftSketchOracle))
   )
+
+  /** DuckDB replay of [[Profile.driftSketch]]: per column and side, the
+    * k smallest distinct 52-bit md5 hashes (ORDER BY h LIMIT k), the KMV
+    * estimator on each, and the union-sketch Jaccard — all integer min-k
+    * algebra plus double divisions on identical integers, so the compare
+    * is a hash match, not a tolerance.
+    */
+  private def driftSketchOracle: String = {
+    val k = SketchK
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    val ctes = DriftCols.map { c =>
+      s"""hr_$c AS (
+         |  SELECT DISTINCT ('0x' || substring(md5($c::VARCHAR), 1, 13))::BIGINT AS h
+         |  FROM lineitem WHERE l_orderkey % 2 = 0 AND $c IS NOT NULL),
+         |hc_$c AS (
+         |  SELECT DISTINCT ('0x' || substring(md5($c::VARCHAR), 1, 13))::BIGINT AS h
+         |  FROM lineitem WHERE l_orderkey % 2 = 1 AND $c IS NOT NULL),
+         |skr_$c AS (SELECT h FROM hr_$c ORDER BY h LIMIT $k),
+         |skc_$c AS (SELECT h FROM hc_$c ORDER BY h LIMIT $k),
+         |sku_$c AS (
+         |  SELECT h FROM (SELECT h FROM skr_$c UNION SELECT h FROM skc_$c)
+         |  ORDER BY h LIMIT $k),
+         |st_$c AS (
+         |  SELECT
+         |    (SELECT count(*) FROM skr_$c) AS nr,
+         |    (SELECT max(h) FROM skr_$c) AS hr,
+         |    (SELECT count(*) FROM skc_$c) AS nc,
+         |    (SELECT max(h) FROM skc_$c) AS hc,
+         |    (SELECT count(*) FROM sku_$c) AS nu,
+         |    (SELECT count(*) FROM sku_$c u
+         |     WHERE u.h IN (SELECT h FROM skr_$c)
+         |       AND u.h IN (SELECT h FROM skc_$c)) AS nboth)""".stripMargin
+    }.mkString(",\n")
+    val estR = s"CASE WHEN nr < $k THEN nr::DOUBLE ELSE ${(k - 1).toDouble} / (hr / 4503599627370496.0) END"
+    val estC = s"CASE WHEN nc < $k THEN nc::DOUBLE ELSE ${(k - 1).toDouble} / (hc / 4503599627370496.0) END"
+    val rows = DriftCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  $estR AS ref_distinct_est,
+         |  $estC AS cur_distinct_est,
+         |  nr < $k AS ref_est_is_exact,
+         |  nc < $k AS cur_est_is_exact,
+         |  CASE WHEN ($estR) > 0 THEN ($estC) / ($estR) END AS card_ratio,
+         |  CASE WHEN nu > 0 THEN nboth::DOUBLE / nu::DOUBLE END AS jaccard_est,
+         |  $rse AS est_rse
+         |FROM st_$c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$rows\nORDER BY col_name"
+  }
 }

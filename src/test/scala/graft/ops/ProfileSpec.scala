@@ -527,4 +527,63 @@ class ProfileSpec extends SparkSpec {
       partial.getDouble(2) == expect01.getDouble(2),
       "unmarked batch must not serve")
   }
+
+  test("driftSketch: per-side estimates within 4*RSE of countDistinct " +
+      "(exact below k), jaccard_est within 4*RSE of exact Jaccard, " +
+      "partitioning-invariant, no Expand in the plan") {
+    val li = graft.core.Tables.lineitem(spark, graft.SparkSpec.Sf0001)
+    val cols = Seq("l_orderkey", "l_partkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val k = 256
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+    val cur = li.filter(col("l_orderkey") % 2 === 1)
+    val report = Profile.driftSketch(ref, cur, cols, k)
+    val rows = report.collect().map(r => r.getString(0) -> r).toMap
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    def exactDistinct(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(countDistinct(col(c))).collect().head.getLong(0)
+    cols.foreach { c =>
+      val r = rows(c)
+      val (estR, estC) = (r.getDouble(1), r.getDouble(2))
+      val (exR, exC) = (exactDistinct(ref, c), exactDistinct(cur, c))
+      if (exR < k) assert(r.getBoolean(3) && estR == exR.toDouble,
+        s"$c ref: below-k cardinality $exR must report exactly, got $estR")
+      else assert(!r.getBoolean(3) && math.abs(estR - exR) <= 4 * rse * exR,
+        s"$c ref: est $estR vs exact $exR exceeds 4*RSE")
+      if (exC < k) assert(r.getBoolean(4) && estC == exC.toDouble,
+        s"$c cur: below-k cardinality $exC must report exactly, got $estC")
+      else assert(!r.getBoolean(4) && math.abs(estC - exC) <= 4 * rse * exC,
+        s"$c cur: est $estC vs exact $exC exceeds 4*RSE")
+      // exact Jaccard of the two distinct-value sets
+      val exJ = {
+        val a = ref.select(col(c)).na.drop().distinct()
+        val b = cur.select(col(c)).na.drop().distinct()
+        val i = a.intersect(b).count().toDouble
+        val u = a.union(b).distinct().count().toDouble
+        if (u == 0) -1.0 else i / u
+      }
+      val estJ = if (r.isNullAt(6)) -1.0 else r.getDouble(6)
+      assert(math.abs(estJ - exJ) <= 4 * rse,
+        s"$c: jaccard est $estJ vs exact $exJ exceeds 4*RSE (abs)")
+      // the split makes l_orderkey fully churned, flags fully shared
+      if (c == "l_orderkey") assert(estJ == 0.0)
+      if (c == "l_returnflag") assert(estJ == 1.0)
+    }
+    // partitioning invariance: distinct-min and set ops are
+    // order-independent
+    val repart = Profile.driftSketch(
+        ref.repartition(17), cur.repartition(13), cols, k)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(6)) -1.0 else r.getDouble(6))).toMap
+    cols.foreach { c =>
+      val r = rows(c)
+      assert(repart(c) == ((r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(6)) -1.0 else r.getDouble(6))),
+        s"$c: drift sketch must not depend on partitioning")
+    }
+    // the 100 TB point: no Expand anywhere in the physical plan
+    val plan = report.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"driftSketch must not plan through Expand:\n$plan")
+  }
 }
