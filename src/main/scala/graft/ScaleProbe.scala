@@ -280,6 +280,329 @@ object ScaleProbe {
     }
   }
 
+  /** Round-14: the pretrain_pipeline FLAGSHIP end-to-end at 1×/10×/100×
+    * with per-stage shuffle metering and per-barrier materialization
+    * sizes — the one probed-family COMPOSITION without its own growth
+    * table (r13 verdict task 1). Each stage of the exact query body
+    * (queries/R7Queries.scala `pretrain_pipeline`) is timed through its
+    * eager stageBarrier, so the table is stage × scale × (wall, shuffle
+    * read/write, rows out, barrier bytes).
+    *
+    * Corpus model: replica 0 is the base; replica i ≥ 1 replaces ~1/2 of
+    * word positions (xxhash64-chosen per (replica, position)) with a
+    * word drawn from the SAME document (xxhash64-chosen position), so
+    *  - word distribution (hence the quality gate's signals) is roughly
+    *    preserved — the gate keeps a comparable fraction per replica;
+    *  - within-replica structure (planted dup clusters, shared spans,
+    *    contamination overlaps) is preserved EXACTLY in shape: the same
+    *    positions mutate identically across all docs of a replica, so
+    *    near-dup pairs stay near-dups inside their replica — every
+    *    replica is a fresh crawl slice with the base's dup density;
+    *  - cross-replica near-dups are destroyed (5-gram survival in both
+    *    of two replicas ≈ (1/4)^5 ≈ 1e-3 Jaccard; base↔replica ≈
+    *    (1/2)^5 ≈ 3%, far below the LSH S-curve) — pair volume stays
+    *    corpus-linear instead of the salted-replica mult² trap (r12/r13
+    *    lesson).
+    * doc_id shifts by i·n with n ≡ 0 (mod 10), so the held-out bench
+    * slice stays exactly 10% of every replica.
+    * Run: SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleProbe r14"
+    */
+  private def r14Probe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.{Curation, LmSignals, TextAnalysis}
+    val meter = new ShuffleMeter(spark)
+    def storedBytes: Long = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "source", "lang", "text")
+    val n = base.count()
+    require(n % 10 == 0, s"bench-slice fraction must survive the id shift ($n)")
+    for (mult <- Seq(1, 10, 100)) {
+      val docs =
+        if (mult == 1) base
+        else (0 until mult).map { i =>
+          if (i == 0) base
+          else {
+            val ws = split(trim(col("text")), "\\s+")
+            val mutated = array_join(
+              transform(ws, (w, p) => {
+                val pick = pmod(xxhash64(lit(s"r14pick:$i"), p), lit(2))
+                val src = pmod(xxhash64(lit(s"r14src:$i"), p), size(ws))
+                  .cast("int") + 1
+                when(pick === 0, element_at(ws, src)).otherwise(w)
+              }), " ")
+            base.select((col("doc_id") + lit(i.toLong * n)).as("doc_id"),
+              col("source"), col("lang"), mutated.as("text"))
+          }
+        }.reduce(_ unionByName _)
+      val cached = docs.repartition(32).cache()
+      println(s"== r14 pretrain mult=$mult: ${cached.count()} docs ==")
+      var bar0 = storedBytes
+      def stage(tag: String)(f: => Long): Unit = {
+        meter.probe(s"$tag ${mult}x")(f)
+        val b = storedBytes
+        if (b != bar0)
+          println(f"   barrier +${(b - bar0) / 1e6}%.1f MB (stored total ${b / 1e6}%.1f MB)")
+        bar0 = b
+      }
+      // ---- the exact pretrain_pipeline body (R7Queries), staged ----
+      var cleaned: DataFrame = null
+      stage("s1 quality gate + substring dedup -> barrier") {
+        val gated = cached.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        val spans = Dedup.dedupSpans(gated, "doc_id", "text", k = 8, minDocs = 2)
+        cleaned = gated.select(col("doc_id"), col("source"), col("lang"))
+          .join(spans.select(col("doc_id"), col("clean_text").as("t")),
+            Seq("doc_id"))
+          .transform(Curation.stageBarrier)
+        cleaned.count()
+      }
+      var train: DataFrame = null
+      stage("s2 minhash near-dup removal + holdout -> barrier") {
+        val pairs = Dedup.minhashCandidates(cleaned, "doc_id", "t",
+          Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+        train = cleaned
+          .join(pairs.select(col("id_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .filter(col("doc_id") % 10 =!= 0)
+          .transform(Curation.stageBarrier)
+        train.count()
+      }
+      var decon: DataFrame = null
+      stage("s3 benchmark decontamination -> barrier") {
+        val bench = cached.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text").as("t"))
+        val contaminated = Dedup.contamination(train, bench, "doc_id", "t",
+          Dedup.Shingler.words(3), minCommon = 3)
+        decon = train.join(
+            contaminated.select(col("id").as("doc_id")), Seq("doc_id"),
+            "left_anti")
+          .transform(Curation.stageBarrier)
+        decon.count()
+      }
+      // s3 as the QUERY parameterizes it grows the bench WITH the corpus
+      // — violating contamination's bounded-curated-bench contract; the
+      // two readings below are the linear-restoring shapes, metered
+      // without the barrier so the row is the join itself:
+      meter.probe(s"s3a contamination, bounded bench (base slice only) ${mult}x") {
+        val benchB = cached
+          .filter(col("doc_id") % 10 === 0 && col("doc_id") < n)
+          .select(col("doc_id"), col("text").as("t"))
+        Dedup.contamination(train, benchB, "doc_id", "t",
+          Dedup.Shingler.words(3), minCommon = 3).count()
+      }
+      meter.probe(s"s3c contamination, corpus bench + maxBenchDf=8 ${mult}x") {
+        val bench = cached.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text").as("t"))
+        Dedup.contamination(train, bench, "doc_id", "t",
+          Dedup.Shingler.words(3), minCommon = 3, maxBenchDf = 8).count()
+      }
+      var kept: DataFrame = null
+      stage("s4 DSIR importance filter -> barrier") {
+        val dsir = LmSignals.dsirContrast(decon, "doc_id", "t",
+          col("lang") === "en")
+        kept = decon.join(
+            dsir.filter(col("dsir_score") >= 0).select("doc_id"),
+            Seq("doc_id"))
+          .transform(Curation.stageBarrier)
+        kept.count()
+      }
+      stage("s5-9 mixture + curriculum + shards + packing") {
+        val mixed = Curation.temperatureMixture(kept, "source", "doc_id",
+          alpha = 0.5, targetFrac = 0.5)
+        val q = TextAnalysis.qualityScore(col("t"))
+        val bucket = when(q >= 0.75, 0).when(q >= 0.5, 1)
+          .when(q >= 0.25, 2).otherwise(3)
+        val ordKey = concat(col("bucket").cast("string"), lit(":"),
+          md5(concat(lit("r7:"), col("doc_id").cast("string"))))
+        val sharded = Curation.seededShards(
+          mixed.withColumn("bucket", bucket), "doc_id", nShards = 8,
+          seed = "r7")
+        Curation.packSequences(sharded.withColumn("__ord", ordKey),
+            "shard", "__ord", "t", budget = 128)
+          .groupBy(col("shard"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("seq_tokens"),
+            min("doc_id").as("first_doc"))
+          .count()
+      }
+      graft.core.Caches.releaseAll()
+      cached.unpersist(blocking = true)
+      // free the mult's barrier blocks before the next scale
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+  }
+
+  /** Round-14b: streaming index-maintenance growth (r13 verdict task 5)
+    * — per-APPEND cost for every at-rest index family as the ACCUMULATED
+    * index grows 1×/10×/100× while the appended batch stays FIXED. The
+    * foreachBatch maintainers (streaming/EventStream) call exactly these
+    * append functions per micro-batch, so the function's cost IS the
+    * per-micro-batch maintenance cost; driving a real file stream would
+    * add trigger noise, not signal.
+    *
+    * Each family: full build at 1× → meter a fixed append → grow the
+    * index to ~10× with one chunk append → meter the SAME fixed append →
+    * grow to ~100× → meter again. The classic at-rest failure is
+    * O(index) per batch; the meter therefore records INPUT bytes read
+    * (the O(index) signature — task-metrics input bytes expose an
+    * append that rescans the index) alongside wall and shuffle.
+    *
+    * Graph blocks follow the production contract (r13 lesson): replica
+    * labels are SHIFTED so block COUNT grows with the corpus and block
+    * size stays constant — a fixed label set at 100× grows every block
+    * 100× and the blocked kNN join is quadratic no matter how the read
+    * is pruned.
+    * Run: SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleProbe r14b"
+    */
+  private def r14bProbe(spark: SparkSession): Unit = {
+    import java.util.concurrent.atomic.AtomicLong
+    import graft.ops.{Retrieval, Similarity}
+    val read = new AtomicLong; val write = new AtomicLong
+    val input = new AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            input.addAndGet(m.inputMetrics.bytesRead)
+            ()
+          }
+        }
+      })
+    def settle(): Unit = {
+      var prev = -1L
+      var cur = read.get + write.get + input.get
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = read.get + write.get + input.get }
+    }
+    def probe(tag: String)(f: => Unit): Unit = {
+      settle()
+      val (r0, w0, i0) = (read.get, write.get, input.get)
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      settle()
+      println(f"$tag: $dt%.2f s, shuffle r ${(read.get - r0) / 1e6}%.1f" +
+        f" / w ${(write.get - w0) / 1e6}%.1f MB, input read " +
+        f"${(input.get - i0) / 1e6}%.1f MB")
+    }
+    val docsBase = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val nd = docsBase.count()
+    val embBase = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+    val ne = embBase.count()
+    // replica r of either table: ids shifted by r·n; labels shifted by
+    // r·10 (graph blocks: constant size, growing count). Replica 0 = base.
+    def docsRep(r: Int) = docsBase.select(
+      (col("doc_id") + lit(r.toLong * nd)).as("doc_id"), col("text"))
+    def embRep(r: Int) = embBase.select(
+      (col("vec_id") + lit(r.toLong * ne)).as("vec_id"), col("embedding"),
+      (col("label") + lit(r * 10)).as("label"))
+    def docsRange(from: Int, until: Int) =
+      (from until until).map(docsRep).reduce(_ unionByName _)
+    def embRange(from: Int, until: Int) =
+      (from until until).map(embRep).reduce(_ unionByName _)
+    // the FIXED metered batch: replicas 1000/1001/1002 (never in the
+    // index growth range, so ids stay fresh at every milestone)
+    def scratch(name: String) =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft_r14b_$name"
+    def clear(path: String): Unit =
+      graft.core.IndexCommits.fs(spark, path)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+
+    // ---- band index (minhash banding at rest) ----
+    locally {
+      val path = scratch("band"); clear(path)
+      Dedup.writeBandIndex(docsRange(0, 1), "doc_id", "text", path)
+      probe("band append B=const at index 1x")(
+        Dedup.appendToBandIndex(docsRep(1000), "doc_id", "text", path, 1L))
+      Dedup.appendToBandIndex(docsRange(1, 10), "doc_id", "text", path, 2L)
+      probe("band append B=const at index 10x")(
+        Dedup.appendToBandIndex(docsRep(1001), "doc_id", "text", path, 3L))
+      Dedup.appendToBandIndex(docsRange(10, 100), "doc_id", "text", path, 4L)
+      probe("band append B=const at index 100x")(
+        Dedup.appendToBandIndex(docsRep(1002), "doc_id", "text", path, 5L))
+    }
+    // ---- BM25 index ----
+    locally {
+      val path = scratch("bm25"); clear(path)
+      Retrieval.writeIndex(docsRange(0, 1), "doc_id", "text", path)
+      probe("bm25 append B=const at index 1x")(
+        Retrieval.appendToIndex(docsRep(1000), "doc_id", "text", path, 1L))
+      Retrieval.appendToIndex(docsRange(1, 10), "doc_id", "text", path, 2L)
+      probe("bm25 append B=const at index 10x")(
+        Retrieval.appendToIndex(docsRep(1001), "doc_id", "text", path, 3L))
+      Retrieval.appendToIndex(docsRange(10, 100), "doc_id", "text", path, 4L)
+      probe("bm25 append B=const at index 100x")(
+        Retrieval.appendToIndex(docsRep(1002), "doc_id", "text", path, 5L))
+    }
+    // ---- IVF layout ----
+    locally {
+      val path = scratch("ivf"); clear(path)
+      Similarity.ivfWriteLayout(embRange(0, 1), "vec_id", "embedding",
+        path, kClusters = 16, iters = 2)
+      probe("ivf append B=const at index 1x")(
+        Similarity.ivfAppendLayout(embRep(1000), "vec_id", "embedding",
+          path, 1L))
+      Similarity.ivfAppendLayout(embRange(1, 10), "vec_id", "embedding",
+        path, 2L)
+      probe("ivf append B=const at index 10x")(
+        Similarity.ivfAppendLayout(embRep(1001), "vec_id", "embedding",
+          path, 3L))
+      Similarity.ivfAppendLayout(embRange(10, 100), "vec_id", "embedding",
+        path, 4L)
+      probe("ivf append B=const at index 100x")(
+        Similarity.ivfAppendLayout(embRep(1002), "vec_id", "embedding",
+          path, 5L))
+    }
+    // ---- IVFADC layout ----
+    locally {
+      val path = scratch("ivfadc"); clear(path)
+      Similarity.ivfAdcWriteLayout(embRange(0, 1), "vec_id", "embedding",
+        path, kCoarse = 4, coarseIters = 1, m = 4, k = 8, iters = 1,
+        dims = 64)
+      probe("ivfadc append B=const at index 1x")(
+        Similarity.ivfAdcAppendLayout(embRep(1000), "vec_id", "embedding",
+          path, 1L))
+      Similarity.ivfAdcAppendLayout(embRange(1, 10), "vec_id", "embedding",
+        path, 2L)
+      probe("ivfadc append B=const at index 10x")(
+        Similarity.ivfAdcAppendLayout(embRep(1001), "vec_id", "embedding",
+          path, 3L))
+      Similarity.ivfAdcAppendLayout(embRange(10, 100), "vec_id",
+        "embedding", path, 4L)
+      probe("ivfadc append B=const at index 100x")(
+        Similarity.ivfAdcAppendLayout(embRep(1002), "vec_id", "embedding",
+          path, 5L))
+    }
+    // ---- graph-ANN layout (the O(index)-read suspect) ----
+    locally {
+      val path = scratch("gann"); clear(path)
+      Similarity.graphAnnWriteLayout(embRange(0, 1), "vec_id", "embedding",
+        "label", path, kNbrs = 5)
+      probe("gann append B=const at index 1x")(
+        Similarity.graphAnnAppendLayout(embRep(1000), "vec_id",
+          "embedding", "label", path, kNbrs = 5, batchId = 1L))
+      Similarity.graphAnnAppendLayout(embRange(1, 10), "vec_id",
+        "embedding", "label", path, kNbrs = 5, batchId = 2L)
+      probe("gann append B=const at index 10x")(
+        Similarity.graphAnnAppendLayout(embRep(1001), "vec_id",
+          "embedding", "label", path, kNbrs = 5, batchId = 3L))
+      Similarity.graphAnnAppendLayout(embRange(10, 100), "vec_id",
+        "embedding", "label", path, kNbrs = 5, batchId = 4L)
+      probe("gann append B=const at index 100x")(
+        Similarity.graphAnnAppendLayout(embRep(1002), "vec_id",
+          "embedding", "label", path, kNbrs = 5, batchId = 5L))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.filter(_.forall(_.isDigit))
       .map(_.toInt).getOrElse(10)
@@ -296,6 +619,8 @@ object ScaleProbe {
     if (args.contains("r12")) { r12Probe(spark); spark.stop(); return }
     if (args.contains("r12b")) { r12bProbe(spark); spark.stop(); return }
     if (args.contains("r13")) { r13Probe(spark); spark.stop(); return }
+    if (args.contains("r14")) { r14Probe(spark); spark.stop(); return }
+    if (args.contains("r14b")) { r14bProbe(spark); spark.stop(); return }
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
     val docs = (0 until mult).map { i =>

@@ -740,16 +740,40 @@ object Dedup {
     * benchmark side is a small curated set, so the shingle join is
     * bounded by |bench| and effectively a broadcast at scale).
     *
+    * Shingle-frequency guard (`maxBenchDf`, the contamination analogue
+    * of jaccardPairs' `maxShingleDf`): join rows per shingle are
+    * train_df × bench_df, so boilerplate shingles shared by many BENCH
+    * docs multiply every matching train occurrence — the r14 flagship
+    * probe measured the join quadratic (2.4 MB → 161 MB shuffle at 10×)
+    * when the bench side grows with the corpus instead of honoring the
+    * bounded-curated contract. Shingles appearing in more than
+    * `maxBenchDf` bench documents are STOP-LISTED from the join (they
+    * carry no leakage signal — a phrase in hundreds of benchmark docs
+    * is boilerplate, not an eval answer), bounding join rows per train
+    * occurrence at the cap. Default ∞ preserves exact semantics;
+    * the capped path is oracle-BOUND by `dedup_contamination_capped`
+    * (capped ≠ exact on the fixtures).
+    *
     * @return (id, n_bench_hits, max_overlap) per contaminated train doc.
     */
   def contamination(train: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
                     shingler: Shingler = Shingler.words(3),
-                    minCommon: Int = 5): DataFrame = {
+                    minCommon: Int = 5,
+                    maxBenchDf: Int = Int.MaxValue): DataFrame = {
     val (ts, tCol) = shingler.stage(train, textCol)
     val (bs, bCol) = shingler.stage(bench, textCol)
     val tsh = ts.select(col(idCol).as("id"), explode(tCol).as("sh"))
-    val bsh = bs.select(col(idCol).as("bid"), explode(bCol).as("sh"))
+    val bsh0 = bs.select(col(idCol).as("bid"), explode(bCol).as("sh"))
+    // df rides a window over the (small) bench side — no extra pass
+    // over train, and the stop-list never touches the corpus scan
+    val bsh =
+      if (maxBenchDf == Int.MaxValue) bsh0
+      else bsh0
+        .withColumn("__df_b", count(lit(1))
+          .over(Window.partitionBy("sh")))
+        .filter(col("__df_b") <= maxBenchDf)
+        .drop("__df_b")
     // the benchmark side is small/curated BY DEFINITION — broadcast it
     // explicitly (the explode hides size stats from the planner, so the
     // train side would otherwise pay a full shuffle on shingle strings)

@@ -52,6 +52,44 @@ object R34Queries {
            |GROUP BY 1, 2
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("dedup_contamination_capped",
+      "The bench-side shingle-frequency guard of decontamination, made " +
+        "to BIND: contamination with maxBenchDf = 1, so every 3-gram " +
+        "appearing in 2+ benchmark docs (" + "~100 on the sf0.01 bench " +
+        "slice) is stop-listed from the join — the guard the r14 " +
+        "flagship probe motivated (train_df x bench_df join rows went " +
+        "quadratic, 2.4 -> 161 MB shuffle at 10x, when the bench side " +
+        "grew with the corpus). Dropping boilerplate shingles lowers " +
+        "n_common for real pairs, so capped != exact on the fixtures " +
+        "and the oracle (the dedup_contamination CTE plus a bench-df " +
+        "window filter) hash-checks the stop-list path itself.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contamination(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", Dedup.Shingler.words(3), minCommon = 3,
+            maxBenchDf = 1)
+          .orderBy("id")
+      },
+      Some(s"""WITH tsh AS (
+              |  SELECT doc_id AS id, unnest(${ExtQueries.wordShingleSqlPub("text", 3)}) AS sh
+              |  FROM documents WHERE doc_id % 10 <> 0),
+              |bsh0 AS (
+              |  SELECT doc_id AS bid, unnest(${ExtQueries.wordShingleSqlPub("text", 3)}) AS sh
+              |  FROM documents WHERE doc_id % 10 = 0),
+              |bsh AS (
+              |  SELECT bid, sh FROM (
+              |    SELECT bid, sh, count(*) OVER (PARTITION BY sh) AS dfb
+              |    FROM bsh0)
+              |  WHERE dfb <= 1),
+              |common AS (
+              |  SELECT id, bid, count(*) AS n FROM tsh JOIN bsh USING (sh)
+              |  GROUP BY 1, 2)
+              |SELECT id, count(*) AS n_bench_hits, max(n) AS max_overlap
+              |FROM common WHERE n >= 3
+              |GROUP BY id ORDER BY id""".stripMargin)),
+
     Q("dq_drift_sketch",
       "Cardinality-drift gate in the 100 TB sketch shape: per column, " +
         "KMV distinct estimates for a reference (even l_orderkey) and a " +
