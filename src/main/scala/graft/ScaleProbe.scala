@@ -505,6 +505,15 @@ object ScaleProbe {
     def embRep(r: Int) = embBase.select(
       (col("vec_id") + lit(r.toLong * ne)).as("vec_id"), col("embedding"),
       (col("label") + lit(r * 10)).as("label"))
+    // the metered gann batch must LAND IN EXISTING blocks (fresh ids,
+    // base labels) — a label-shifted batch would link to nothing and
+    // the append's candidate join would be trivially empty. 1/10 of a
+    // replica, so the metered appends' own accumulation into the base
+    // blocks stays negligible next to the block content they probe.
+    def embRepBaseLabels(r: Int) = embBase
+      .filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(r.toLong * ne)).as("vec_id"),
+        col("embedding"), col("label"))
     def docsRange(from: Int, until: Int) =
       (from until until).map(docsRep).reduce(_ unionByName _)
     def embRange(from: Int, until: Int) =
@@ -588,18 +597,27 @@ object ScaleProbe {
       Similarity.graphAnnWriteLayout(embRange(0, 1), "vec_id", "embedding",
         "label", path, kNbrs = 5)
       probe("gann append B=const at index 1x")(
-        Similarity.graphAnnAppendLayout(embRep(1000), "vec_id",
+        Similarity.graphAnnAppendLayout(embRepBaseLabels(1000), "vec_id",
           "embedding", "label", path, kNbrs = 5, batchId = 1L))
       Similarity.graphAnnAppendLayout(embRange(1, 10), "vec_id",
         "embedding", "label", path, kNbrs = 5, batchId = 2L)
       probe("gann append B=const at index 10x")(
-        Similarity.graphAnnAppendLayout(embRep(1001), "vec_id",
+        Similarity.graphAnnAppendLayout(embRepBaseLabels(1001), "vec_id",
           "embedding", "label", path, kNbrs = 5, batchId = 3L))
       Similarity.graphAnnAppendLayout(embRange(10, 100), "vec_id",
         "embedding", "label", path, kNbrs = 5, batchId = 4L)
       probe("gann append B=const at index 100x")(
-        Similarity.graphAnnAppendLayout(embRep(1002), "vec_id",
+        Similarity.graphAnnAppendLayout(embRepBaseLabels(1002), "vec_id",
           "embedding", "label", path, kNbrs = 5, batchId = 5L))
+      // the multi-batch layout's residual per-append cost is per-FILE
+      // metadata (listing + footers across every live batch dir) — the
+      // cost compaction exists to reset; meter once more post-compaction
+      Similarity.graphAnnCompactLayout(spark, path, "vec_id",
+        newBatchId = 6L)
+      Similarity.graphAnnVacuumLayout(spark, path)
+      probe("gann append B=const at index 100x, post-compaction")(
+        Similarity.graphAnnAppendLayout(embRepBaseLabels(1003), "vec_id",
+          "embedding", "label", path, kNbrs = 5, batchId = 7L))
     }
   }
 

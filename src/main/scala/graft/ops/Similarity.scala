@@ -2489,7 +2489,8 @@ object Similarity {
     Seq("/vectors", "/edges", "/commits").foreach(s =>
       fs.delete(new org.apache.hadoop.fs.Path(path + s), true))
     writeGraphBatch(emb.select(col(idCol), col(vecCol), col(blockCol)),
-      knnGraph(emb, idCol, vecCol, blockCol, kNbrs), path, 0L)
+      knnGraph(emb, idCol, vecCol, blockCol, kNbrs), path, 0L,
+      blockCol = Some(blockCol))
   }
 
   /** Incremental insertion for the at-rest graph index — the
@@ -2509,17 +2510,32 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(batchId > 0, "batch 0 is the full build; appends use fresh ids")
     val spark = newEmb.sparkSession
+    val fresh = graft.core.Caches.track(
+      newEmb.select(col(idCol), col(vecCol), col(blockCol)))
+    // TOUCHED-BLOCK PRUNING (the r14b probe's finding): the kNN edge
+    // join is blockCol-equi, so committed vectors in blocks the batch
+    // never touches cannot match — yet the un-pruned read scanned and
+    // shuffled the WHOLE index per micro-batch (input bytes ∝ index;
+    // the documented "per-ingest cost ∝ batch" contract violated at
+    // the scan). The batch's distinct blocks are a bounded driver
+    // fetch (≤ one value per batch row, typically a handful), and the
+    // literal isin PUSHES DOWN to the parquet scan, where the
+    // block-clustered batch files ([[writeGraphBatch]] repartitions by
+    // block) let row-group stats skip whole blocks.
+    val touched = fresh.select(col(blockCol)).distinct()
+      .collect().map(_.get(0))
     val existing = servedGraphVectors(spark, path, idCol,
         graft.core.IndexCommits.servedState(spark, path))
+      .filter(if (touched.isEmpty) lit(false)
+              else col(blockCol).isin(touched: _*))
       .select(col(idCol), col(vecCol), col(blockCol))
-    val fresh = newEmb.select(col(idCol), col(vecCol), col(blockCol))
     val cand = existing.unionByName(fresh)
     // same two-phase scoring as the full build (see [[topKNbrEdges]]);
     // src side = the appended batch only, dst side = old ∪ new
     val edges = topKNbrEdges(
       graphNodesWithNorms(fresh, idCol, vecCol, blockCol),
       graphNodesWithNorms(cand, idCol, vecCol, blockCol), kNbrs)
-    writeGraphBatch(fresh, edges, path, batchId)
+    writeGraphBatch(fresh, edges, path, batchId, blockCol = Some(blockCol))
   }
 
   /** Serve top-k from the at-rest graph index: committed vectors and
@@ -2580,7 +2596,14 @@ object Similarity {
       (if (df.isEmpty) df.repartition(1) else df)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$path/$dir/batch=$newBatchId")
-    writeSide(servedGraphVectors(spark, path, idCol, state).drop("batch"),
+    val vecs = servedGraphVectors(spark, path, idCol, state).drop("batch")
+    // preserve the block clustering appends rely on for scan pruning
+    // (writeGraphBatch contract: columns are (id, vec, block), so the
+    // block column is the third) — an unclustered compacted batch would
+    // quietly undo the touched-blocks row-group skip for every later
+    // append
+    writeSide(
+      if (vecs.isEmpty) vecs else vecs.repartition(col(vecs.columns(2))),
       "vectors")
     writeSide(servedGraphEdges(spark, path, idCol, state), "edges")
     graft.core.IndexCommits.commitCompaction(spark, path, newBatchId,
@@ -2628,10 +2651,20 @@ object Similarity {
       .filter(col("batch").isin(state.deletes: _*))
       .select(col(idCol))
 
+  /** One graph-index batch. When `blockCol` is given, the vectors are
+    * CLUSTERED by block before the write (one exchange of the batch —
+    * O(batch)): each parquet file then holds few blocks, so
+    * [[graphAnnAppendLayout]]'s pushed touched-blocks isin prunes the
+    * committed-side scan at row-group stats instead of reading the
+    * whole index per micro-batch. Pure physical locality — same rows,
+    * same directory layout, serve/compaction unchanged.
+    */
   private def writeGraphBatch(vecs: DataFrame, edges: DataFrame,
-                              path: String, batchId: Long): Unit = {
+                              path: String, batchId: Long,
+                              blockCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.SaveMode
-    vecs.write.mode(SaveMode.Overwrite)
+    val clustered = blockCol.fold(vecs)(b => vecs.repartition(col(b)))
+    clustered.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/vectors/batch=$batchId")
     edges.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/edges/batch=$batchId")
