@@ -1228,4 +1228,52 @@ class SimilaritySpec extends SparkSpec {
     assert(rh.length == 1 && rh.head.getLong(2) == 1L,
       "cos == 1/2 exactly is a member")
   }
+
+  test("graphAnn append prunes the committed-side scan to touched " +
+      "blocks (pushed In filter) and batches are block-clustered — the " +
+      "r14 O(index)-per-append fix, pinned at the plan") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+    val path = "/tmp/graft_test_gann_prune_spec"
+    val fs = graft.core.IndexCommits.fs(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Similarity.graphAnnWriteLayout(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", "label", path, kNbrs = 3)
+    // block clustering: every block lives in exactly one file of its
+    // batch — the locality the pushed filter's row-group stats prune on
+    val perBlock = spark.read.parquet(s"$path/vectors/batch=0")
+      .select(input_file_name().as("f"), col("label"))
+      .groupBy("label").agg(countDistinct(col("f")).as("nf")).collect()
+    assert(perBlock.nonEmpty && perBlock.forall(_.getLong(1) == 1L),
+      s"each block must be co-located in one file: ${perBlock.toSeq}")
+    // capture every plan the append executes; the committed-side
+    // vectors scan must carry the touched-blocks In() pushed filter
+    val plans = collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // two touched blocks -> a genuine In(label, [0,1]) pushed filter
+      // (one block collapses to EqualTo(label, 0), also accepted below)
+      Similarity.graphAnnAppendLayout(
+        emb.filter($"vec_id" % 2 === 1 && $"label".isin(0, 1)),
+        "vec_id", "embedding", "label", path, kNbrs = 3, batchId = 1L)
+      org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
+      val committedScans = plans.synchronized {
+        plans.filter(p => p.contains("/vectors") && p.contains("Scan"))
+      }
+      assert(committedScans.exists(p =>
+          p.contains("In(label") || p.contains("EqualTo(label")),
+        "the committed-side vectors scan must push the touched-blocks " +
+          s"filter; scans seen:\n${committedScans.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
 }
