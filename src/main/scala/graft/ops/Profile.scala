@@ -1086,9 +1086,13 @@ object Profile {
                       reps: Int = 64, alpha: Double = 0.05): DataFrame = {
     require(reps >= 4 && alpha > 0 && alpha < 1, "reps >= 4, alpha in (0,1)")
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val rows = df.select(col(keyCol).cast("string").as("__k"),
-        col(valueCol).cast("long").as("__v"))
-      .filter(col("__k").isNotNull && col("__v").isNotNull)
+    // cached: the narrow (k, v) projection feeds BOTH the replicate
+    // fan-out and the exact-mean aggregate — one corpus scan, not two
+    // (tracked like sparseCosinePairs' tf; spills to disk at scale)
+    val rows = graft.core.Caches.track(
+      df.select(col(keyCol).cast("string").as("__k"),
+          col(valueCol).cast("long").as("__v"))
+        .filter(col("__k").isNotNull && col("__v").isNotNull))
     val h = conv(substring(md5(concat(col("__k"), lit("_"),
       col("__b").cast("string"))), 1, 2), 16, 10).cast("int")
     val mult = when(h <= 93, 0).when(h <= 187, 1).when(h <= 234, 2)
