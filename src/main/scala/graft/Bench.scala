@@ -102,12 +102,21 @@ object Bench {
     // (re)written by the final emit, so if this run is killed mid-way a
     // stale record from last week would otherwise survive and
     // bench_gate.py would silently validate times that don't correspond
-    // to the current code.
+    // to the current code. A SUBSET run (SPARK_GRAFT_BENCH_ONLY) never
+    // touches the default path — a one-off re-time must not destroy the
+    // last full-suite record nor leave a 1-query file that bench_gate
+    // would read as 313 missing queries; it writes (stamped
+    // "subset":true, which bench_gate refuses) only where the env
+    // explicitly points.
     val benchOutPath = java.nio.file.Paths.get(sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT", "bench_results/latest.json"))
-    try java.nio.file.Files.deleteIfExists(benchOutPath)
-    catch { case e: Exception =>
-      System.err.println(s"[bench] WARN could not clear $benchOutPath: $e") }
+    val writeRecord = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    if (writeRecord) {
+      try java.nio.file.Files.deleteIfExists(benchOutPath)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] WARN could not clear $benchOutPath: $e") }
+      ()
+    }
 
     // warmup: run every query once at the smallest scale factor so the
     // measured pass times steady-state execution, not first-run codegen
@@ -200,6 +209,7 @@ object Bench {
           .mkString("[", ",", "]")
         val body =
           f"""{"sf":"$sfDir","cpus":"$cpus","passes":$nPasses,""" +
+          s""""subset":${only.isDefined},""" +
           f""""median_pass_total":$median%.4f,"best_total":$bestTotal%.4f,$passTotalsJson,""" +
           f""""canary_before_s":$canaryBefore%.3f,"canary_after_s":$canaryAfter%.3f,""" +
           s""""n_failed":${failed.size},"n_done":${done.size},""" +
@@ -208,7 +218,7 @@ object Bench {
         // auxiliary persistence, never the run's verdict: an unwritable
         // path must not crash the main after a full successful bench —
         // the compact stdout line above is the actual driver contract
-        try {
+        if (writeRecord) try {
           graft.core.AtomicFiles.writeString(benchOutPath, body)
           System.err.println(s"[bench] full per-query record -> $benchOutPath")
         } catch {

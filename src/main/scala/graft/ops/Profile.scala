@@ -60,6 +60,20 @@ object Profile {
   private def hash52(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
 
+  /** The KMV estimate from a k-minimum-hash sketch array: EXACT count
+    * (the sketch saw every distinct) below k, else the unbiased
+    * (k−1)/u_k with u_k = the kth minimum rescaled to (0,1] (Beyer et
+    * al. 2007). ONE definition shared by every sketch consumer — the
+    * estimator is part of the oracle contract, and a second copy could
+    * silently diverge from the DuckDB replays.
+    */
+  private def kmvEstimate(sketch: org.apache.spark.sql.Column,
+                          k: Int): org.apache.spark.sql.Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(sketch, k).cast("double") /
+          lit(graft.functions.KmvSketch.HashScale)))
+
   def tableSketch(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
     val rse = 1.0 / math.sqrt(k - 2.0)
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
@@ -70,10 +84,7 @@ object Profile {
     val agged = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map { c =>
       val sk = col(s"${c}__kmv")
-      val est = when(size(sk) < k, size(sk).cast("double"))
-        .otherwise(lit((k - 1).toDouble) /
-          (element_at(sk, k).cast("double") /
-            lit(graft.functions.KmvSketch.HashScale)))
+      val est = kmvEstimate(sk, k)
       struct(
         lit(c).as("col_name"),
         col(s"${c}__nonnull").as("n_nonnull"),
@@ -130,11 +141,7 @@ object Profile {
         graft.functions.KmvSketch.kmv(hash52(col(c)), k).as(s"${c}__$t"))
       df.agg(aggs.head, aggs.tail: _*)
     }
-    def est(a: org.apache.spark.sql.Column) =
-      when(size(a) < k, size(a).cast("double"))
-        .otherwise(lit((k - 1).toDouble) /
-          (element_at(a, k).cast("double") /
-            lit(graft.functions.KmvSketch.HashScale)))
+    def est(a: org.apache.spark.sql.Column) = kmvEstimate(a, k)
     val joined = side(ref, "r").crossJoin(side(cur, "c"))
     val entries = cols.map { c =>
       val ra = col(s"${c}__r"); val ca = col(s"${c}__c")

@@ -2510,8 +2510,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(batchId > 0, "batch 0 is the full build; appends use fresh ids")
     val spark = newEmb.sparkSession
-    val fresh = graft.core.Caches.track(
-      newEmb.select(col(idCol), col(vecCol), col(blockCol)))
+    // cached locally and unpersisted before returning — NOT
+    // Caches.track: this function is EAGER (all writes happen below),
+    // and the streaming foreachBatch maintainers call it once per
+    // micro-batch with nobody running the harness's releaseAll — a
+    // tracked cache would leak one persisted relation per batch
+    val fresh = newEmb.select(col(idCol), col(vecCol), col(blockCol))
+      .persist()
     // TOUCHED-BLOCK PRUNING (the r14b probe's finding): the kNN edge
     // join is blockCol-equi, so committed vectors in blocks the batch
     // never touches cannot match — yet the un-pruned read scanned and
@@ -2535,7 +2540,9 @@ object Similarity {
     val edges = topKNbrEdges(
       graphNodesWithNorms(fresh, idCol, vecCol, blockCol),
       graphNodesWithNorms(cand, idCol, vecCol, blockCol), kNbrs)
-    writeGraphBatch(fresh, edges, path, batchId, blockCol = Some(blockCol))
+    try writeGraphBatch(fresh, edges, path, batchId,
+      blockCol = Some(blockCol))
+    finally { fresh.unpersist(); () }
   }
 
   /** Serve top-k from the at-rest graph index: committed vectors and
@@ -2601,10 +2608,17 @@ object Similarity {
     // (writeGraphBatch contract: columns are (id, vec, block), so the
     // block column is the third) — an unclustered compacted batch would
     // quietly undo the touched-blocks row-group skip for every later
-    // append
-    writeSide(
-      if (vecs.isEmpty) vecs else vecs.repartition(col(vecs.columns(2))),
-      "vectors")
+    // append. The positional read is guarded LOUDLY: if the layout's
+    // column order ever changes, fail here instead of silently
+    // clustering by the wrong column. No extra isEmpty job: writeSide's
+    // empty guard re-partitions an empty frame to 1 regardless.
+    val blockName = vecs.columns(2)
+    require(blockName != idCol &&
+      !vecs.schema(blockName).dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType],
+      s"graph vectors layout column order changed: expected the block " +
+        s"column third, got '$blockName'")
+    writeSide(vecs.repartition(col(blockName)), "vectors")
     writeSide(servedGraphEdges(spark, path, idCol, state), "edges")
     graft.core.IndexCommits.commitCompaction(spark, path, newBatchId,
       state)
