@@ -93,6 +93,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       SparkEntry.queries.toSeq.filter { case (n, _) => only.forall(_(n)) }
+    // fail fast on a typo'd filter: a zero-match subset would otherwise
+    // bench nothing and still emit a record with n_done=0
+    only.foreach { o =>
+      require(queries.nonEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY matched no queries: ${o.mkString(", ")}")
+      val unmatched = o.diff(queries.map(_._1).toSet)
+      require(unmatched.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+          unmatched.toSeq.sorted.mkString(", "))
+    }
     val names = queries.map(_._1)
     val timedOut = collection.mutable.Set.empty[String]
     var canaryBefore = -1.0

@@ -23,12 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Session conf key switching multi-stage pipeline barriers from
-    * `localCheckpoint` (executor-local, fast, recompute-from-barrier on
-    * executor loss) to reliable `checkpoint` (replicated/checkpoint-dir
-    * storage, survives executor loss). Default false.
+  /** Session conf key FORCING multi-stage pipeline barriers to reliable
+    * `checkpoint` (replicated/checkpoint-dir storage, survives executor
+    * loss) regardless of size. Unset/false = size-adaptive mode (see
+    * [[BarrierReliableBytesKey]]).
     */
   val ReliableBarriersKey = "graft.pipeline.reliableBarriers"
+
+  /** Session conf key: in size-adaptive mode, a barrier whose MEASURED
+    * materialized size (actual block-manager bytes of the eager
+    * localCheckpoint, memory + disk) reaches this many bytes is
+    * PROMOTED to a reliable checkpoint. Default 64 GiB: the r14
+    * composition probe measured every flagship barrier but s1
+    * post-filter-small (≤1 GB at 100× = 500k docs), while s1 scales
+    * with the corpus (~2 TB at 1B docs) — so on a real 100 TB run the
+    * one corpus-scale barrier auto-flips to the replicated write
+    * (whose cost it dwarfs with its recompute cascade), and bench/
+    * interactive runs never pay a replicated write.
+    */
+  val BarrierReliableBytesKey = "graft.pipeline.barrierReliableBytes"
+
+  /** Default auto-promote threshold: 64 GiB. */
+  val DefaultBarrierReliableBytes: Long = 64L << 30
 
   /** A lineage-cut STAGE BARRIER for multi-stage curation programs (the
     * pretrain_pipeline flagship): without one, AQE re-optimizes the
@@ -36,29 +52,58 @@ object Curation {
     * measured 15s of pure driver re-planning vs <1s execution at
     * sf0.01 for the nine-stage chain.
     *
-    * Two modes, chosen by [[ReliableBarriersKey]]:
-    *  - default `localCheckpoint` (eager): blocks live on executor
-    *    local disk/memory — no replicated writes, but a lost executor
-    *    recomputes from the previous barrier. Right for short
-    *    interactive runs and the bench loop.
-    *  - `reliable = true`: `Dataset.checkpoint` to the Spark checkpoint
-    *    directory (set lazily if absent) — the barrier data survives
-    *    executor loss, the right trade for multi-hour 100 TB curation
-    *    runs where a recompute-from-barrier cascade costs more than
-    *    the replicated write. Same data, same plan downstream, same
-    *    oracle either way (spec-pinned).
+    * Mode selection:
+    *  - [[ReliableBarriersKey]] = true forces `Dataset.checkpoint` to
+    *    the Spark checkpoint directory (set lazily if absent) for EVERY
+    *    barrier — the conservative override for multi-hour runs.
+    *  - otherwise SIZE-ADAPTIVE (the r14 probe's decision rule, made
+    *    automatic): the barrier first materializes as an eager
+    *    `localCheckpoint` (executor-local blocks — no replicated
+    *    write), its ACTUAL bytes are read from the block manager, and
+    *    iff they reach [[BarrierReliableBytesKey]] the already-
+    *    materialized blocks are re-written as a reliable checkpoint
+    *    (one O(barrier) local read + replicated write — no recompute
+    *    of the upstream chain) and the local copy is released. Small
+    *    barriers — all of them at bench scale — never pay a
+    *    replicated write; a corpus-scale barrier on a long run does,
+    *    because there a single executor-loss recompute cascade costs
+    *    more than the write. Same rows, same plan downstream, same
+    *    oracle on every path (spec-pinned).
     */
   def stageBarrier(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val reliable = spark.conf.getOption(ReliableBarriersKey)
-      .exists(_.trim.equalsIgnoreCase("true"))
-    if (reliable) {
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(
+    val sc = spark.sparkContext
+    def reliable(d: DataFrame): DataFrame = {
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
           sys.props.getOrElse("java.io.tmpdir", "/tmp") +
             "/graft_checkpoints")
-      df.checkpoint()
-    } else df.localCheckpoint()
+      d.checkpoint()
+    }
+    val forced = spark.conf.getOption(ReliableBarriersKey)
+      .exists(_.trim.equalsIgnoreCase("true"))
+    if (forced) reliable(df)
+    else {
+      val threshold = spark.conf.getOption(BarrierReliableBytesKey)
+        .map(_.trim.toLong).getOrElse(DefaultBarrierReliableBytes)
+      // id-diff around the eager localCheckpoint identifies the barrier's
+      // persisted RDD so its MEASURED size (and, on promote, its release)
+      // targets exactly this barrier. Driver-side maps only — no job.
+      val before = sc.getPersistentRDDs.keySet
+      val local = df.localCheckpoint()
+      val newIds = sc.getPersistentRDDs.keySet.diff(before)
+      val bytes = sc.getRDDStorageInfo
+        .filter(i => newIds.contains(i.id))
+        .map(i => i.memSize + i.diskSize).sum
+      if (bytes < threshold) local
+      else {
+        val promoted = reliable(local)
+        sc.getPersistentRDDs.collect {
+          case (id, rdd) if newIds.contains(id) => rdd
+        }.foreach(_.unpersist(blocking = false))
+        promoted
+      }
+    }
   }
 
   /** PII patterns, portable across Java regex and RE2 (no backrefs,

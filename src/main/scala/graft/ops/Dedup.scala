@@ -752,7 +752,12 @@ object Dedup {
     * is boilerplate, not an eval answer), bounding join rows per train
     * occurrence at the cap. Default ∞ preserves exact semantics;
     * the capped path is oracle-BOUND by `dedup_contamination_capped`
-    * (capped ≠ exact on the fixtures).
+    * (capped ≠ exact on the fixtures). The df counted is DOCUMENT
+    * frequency regardless of shingler: the stop-list is built on a
+    * distinct (bid, sh) projection, so a custom Shingler that emits
+    * duplicate shingles per doc cannot silently turn the cap into an
+    * occurrence-frequency cap (the built-in shinglers are per-doc
+    * distinct already, so the distinct is free for them).
     *
     * @return (id, n_bench_hits, max_overlap) per contaminated train doc.
     */
@@ -765,15 +770,20 @@ object Dedup {
     val (bs, bCol) = shingler.stage(bench, textCol)
     val tsh = ts.select(col(idCol).as("id"), explode(tCol).as("sh"))
     val bsh0 = bs.select(col(idCol).as("bid"), explode(bCol).as("sh"))
-    // df rides a window over the (small) bench side — no extra pass
-    // over train, and the stop-list never touches the corpus scan
+    // the stop-list is computed on the (small) bench side only — no
+    // extra pass over train, and it never touches the corpus scan. It
+    // counts DISTINCT bench docs per shingle (not occurrences), then
+    // anti-joins the handful of over-cap shingles back in broadcast
+    // form, so bsh0 itself is never shuffled.
     val bsh =
       if (maxBenchDf == Int.MaxValue) bsh0
-      else bsh0
-        .withColumn("__df_b", count(lit(1))
-          .over(Window.partitionBy("sh")))
-        .filter(col("__df_b") <= maxBenchDf)
-        .drop("__df_b")
+      else {
+        val stop = bsh0.select("bid", "sh").distinct()
+          .groupBy("sh").agg(count(lit(1)).as("__df_b"))
+          .filter(col("__df_b") > maxBenchDf)
+          .select("sh")
+        bsh0.join(broadcast(stop), Seq("sh"), "left_anti")
+      }
     // the benchmark side is small/curated BY DEFINITION — broadcast it
     // explicitly (the explode hides size stats from the planner, so the
     // train side would otherwise pay a full shuffle on shingle strings)

@@ -2590,7 +2590,8 @@ object Similarity {
     * [[graphAnnWriteLayout]] rebuild decision.
     */
   def graphAnnCompactLayout(spark: SparkSession, path: String,
-                            idCol: String, newBatchId: Long): Unit = {
+                            idCol: String, newBatchId: Long,
+                            blockCol: String = "label"): Unit = {
     import org.apache.spark.sql.SaveMode
     if (graft.core.IndexCommits.isCommitted(spark, path,
         s"compact_$newBatchId")) return
@@ -2604,21 +2605,19 @@ object Similarity {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$path/$dir/batch=$newBatchId")
     val vecs = servedGraphVectors(spark, path, idCol, state).drop("batch")
-    // preserve the block clustering appends rely on for scan pruning
-    // (writeGraphBatch contract: columns are (id, vec, block), so the
-    // block column is the third) — an unclustered compacted batch would
-    // quietly undo the touched-blocks row-group skip for every later
-    // append. The positional read is guarded LOUDLY: if the layout's
-    // column order ever changes, fail here instead of silently
-    // clustering by the wrong column. No extra isEmpty job: writeSide's
-    // empty guard re-partitions an empty frame to 1 regardless.
-    val blockName = vecs.columns(2)
-    require(blockName != idCol &&
-      !vecs.schema(blockName).dataType.isInstanceOf[
+    // preserve the block clustering appends rely on for scan pruning —
+    // an unclustered compacted batch would quietly undo the
+    // touched-blocks row-group skip for every later append. The block
+    // column is threaded EXPLICITLY (callers know it, exactly as
+    // graphAnnAppendLayout takes it) instead of recovered positionally:
+    // positional recovery would silently cluster by the wrong column if
+    // the layout ever gained another scalar column. Validate loudly.
+    require(vecs.columns.contains(blockCol) && blockCol != idCol &&
+      !vecs.schema(blockCol).dataType.isInstanceOf[
         org.apache.spark.sql.types.ArrayType],
-      s"graph vectors layout column order changed: expected the block " +
-        s"column third, got '$blockName'")
-    writeSide(vecs.repartition(col(blockName)), "vectors")
+      s"block column '$blockCol' not a scalar non-id column of the " +
+        s"graph vectors layout (${vecs.columns.mkString(", ")})")
+    writeSide(vecs.repartition(col(blockCol)), "vectors")
     writeSide(servedGraphEdges(spark, path, idCol, state), "edges")
     graft.core.IndexCommits.commitCompaction(spark, path, newBatchId,
       state)

@@ -440,7 +440,10 @@ object R7Queries {
         "near-dup removal (keep-smaller-id pair policy — the lazy " +
         "anti-join; cluster-exact removal is dedup_cluster's driver " +
         "loop) → benchmark decontamination (doc_id % 10 = 0 as the " +
-        "held-out eval set) → DSIR importance filter (target lang='en', " +
+        "held-out eval set, maxBenchDf=8 stop-listing boilerplate " +
+        "shingles — the r14 probe measured the unguarded shape " +
+        "quadratic, 14.3 GB shuffle at 100x, vs ~50 MB flat capped) → " +
+        "DSIR importance filter (target lang='en', " +
         "keep score >= 0) → temperature mixture (alpha 0.5, target " +
         "half) → quality-curriculum buckets → 8 seeded shards → " +
         "128-token sequence packing in curriculum order per shard. " +
@@ -480,11 +483,20 @@ object R7Queries {
             Seq("doc_id"), "left_anti")
           .filter(col("doc_id") % 10 =!= 0)
           .transform(Curation.stageBarrier)
-        // 4. decontamination against the held-out benchmark slice
+        // 4. decontamination against the held-out benchmark slice.
+        // The bench here is a FRACTION of the corpus (doc_id % 10), so
+        // it grows with the data — the r14 composition probe measured
+        // the unguarded join quadratic in that configuration (2.4 MB →
+        // 14.3 GB shuffle, 380 s, kept-fraction collapse to 0.4% at
+        // 100×). maxBenchDf=8 stop-lists boilerplate shingles shared by
+        // many bench docs, bounding join rows per train occurrence at
+        // the cap — measured ~50 MB flat across 1×/10×/100× (PLANS.md
+        // s3c row), and the capped branch is oracle-bound standalone by
+        // `dedup_contamination_capped`.
         val bench = docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), col("text").as("t"))
         val contaminated = Dedup.contamination(train, bench, "doc_id", "t",
-          Dedup.Shingler.words(3), minCommon = 3)
+          Dedup.Shingler.words(3), minCommon = 3, maxBenchDf = 8)
         val decon = train.join(
             contaminated.select(col("id").as("doc_id")), Seq("doc_id"),
             "left_anti")
@@ -557,9 +569,14 @@ object R7Queries {
            |tsh AS (
            |  SELECT doc_id AS id, unnest(${ExtQueries.wordShingleSqlPub("t", 3)}) AS sh
            |  FROM train),
-           |bsh AS (
+           |bsh0 AS (
            |  SELECT doc_id AS bid, unnest(${ExtQueries.wordShingleSqlPub("text", 3)}) AS sh
            |  FROM documents WHERE doc_id % 10 = 0),
+           |bsh AS (
+           |  SELECT bid, sh FROM (
+           |    SELECT bid, sh, count(*) OVER (PARTITION BY sh) AS dfb
+           |    FROM bsh0)
+           |  WHERE dfb <= 8),
            |contaminated AS (
            |  SELECT DISTINCT id FROM (
            |    SELECT id, bid, count(*) AS n FROM tsh JOIN bsh USING (sh)

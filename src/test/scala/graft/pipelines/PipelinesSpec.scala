@@ -38,6 +38,43 @@ class PipelinesSpec extends SparkSpec {
     } finally spark.conf.unset(Curation.ReliableBarriersKey)
   }
 
+  test("stageBarrier size-adaptive mode: a sub-threshold barrier stays " +
+      "local (no reliable-checkpoint write); under a forced-low " +
+      "threshold the SAME barrier auto-promotes to a reliable " +
+      "checkpoint with identical rows and releases its local blocks") {
+    import graft.ops.Curation
+    val sc = spark.sparkContext
+    val df = Tables.documents(spark, graft.SparkSpec.Sf0001)
+      .select($"doc_id", $"source")
+    def ckFiles(): Int = sc.getCheckpointDir.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p).length else 0
+    }.getOrElse(0)
+    // default threshold (64 GiB): the sf0.001 barrier is tiny -> local
+    val filesBefore = ckFiles()
+    val local = Curation.stageBarrier(df)
+    val localRows = local.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(ckFiles() == filesBefore,
+      "a sub-threshold barrier must not write a reliable checkpoint")
+    // forced-low threshold: the measured localCheckpoint bytes exceed 1,
+    // so the barrier promotes — checkpoint dir gains a unit, rows are
+    // bit-identical, and the redundant local copy is unpersisted
+    spark.conf.set(Curation.BarrierReliableBytesKey, "1")
+    try {
+      val idsBefore = sc.getPersistentRDDs.keySet
+      val promoted = Curation.stageBarrier(df)
+      assert(ckFiles() > filesBefore,
+        "an over-threshold barrier must write through the checkpoint dir")
+      assert(promoted.collect().map(_.toSeq).sortBy(_.head.toString)
+          .toSeq == localRows.toSeq,
+        "promotion must not change the barrier's rows")
+      val leaked = sc.getPersistentRDDs.keySet.diff(idsBefore)
+      assert(leaked.isEmpty,
+        s"promotion must release the interim local blocks, leaked: $leaked")
+    } finally spark.conf.unset(Curation.BarrierReliableBytesKey)
+  }
+
   test("DxGroup stage composition matches staged execution (no hidden state)") {
     val docs = Seq((1L, "GROSS DESCRIPTION: Short Specimen MICROSCOPIC: cells"))
       .toDF("doc_id", "text")
