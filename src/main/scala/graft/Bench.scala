@@ -83,6 +83,18 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // checksum action hashes whole rows; several queries emit map columns
       .config("spark.sql.legacy.allowHashOnMapType", "true")
+      // Size the codegen cache to the SUITE's working set, not one
+      // query's. The default 100-entry Janino cache thrashes completely
+      // under 314 queries x ~10 fragments each, so every measured pass
+      // re-pays compilation its own warmup already did — the measured
+      // "in-suite inflation": ev_sketch solo 3.00 s warm-cache vs
+      // 5.95 s with the cache forced to 1 entry (1.98x), bracketing the
+      // 1.74x the full suite showed vs solo (r15 bisect, PLANS.md). Any
+      // long-lived session serving many distinct queries wants this;
+      // 8192 entries is ~the suite's fragment count with headroom
+      // (metaspace cost, not heap). Static conf, so set at build time.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext

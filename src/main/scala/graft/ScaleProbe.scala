@@ -368,21 +368,28 @@ object ScaleProbe {
         train.count()
       }
       var decon: DataFrame = null
-      stage("s3 benchmark decontamination -> barrier") {
+      stage("s3 benchmark decontamination (maxBenchDf=8, AS SHIPPED) " +
+          "-> barrier") {
+        // r15: the flagship now ships the maxBenchDf=8 stop-list (the
+        // shape this probe's r14 run measured ~flat), so the composed
+        // stage IS the guarded join — the r14 quadratic (14.3 GB
+        // shuffle / 380 s / kept-collapse at 100x) was the unguarded
+        // corpus-growing bench this row used to define.
         val bench = cached.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), col("text").as("t"))
         val contaminated = Dedup.contamination(train, bench, "doc_id", "t",
-          Dedup.Shingler.words(3), minCommon = 3)
+          Dedup.Shingler.words(3), minCommon = 3, maxBenchDf = 8)
         decon = train.join(
             contaminated.select(col("id").as("doc_id")), Seq("doc_id"),
             "left_anti")
           .transform(Curation.stageBarrier)
         decon.count()
       }
-      // s3 as the QUERY parameterizes it grows the bench WITH the corpus
-      // — violating contamination's bounded-curated-bench contract; the
-      // two readings below are the linear-restoring shapes, metered
-      // without the barrier so the row is the join itself:
+      // reference readings, metered without the barrier so the row is
+      // the join itself: the bounded-bench production contract, and the
+      // UNGUARDED corpus-growing bench (the r14 measured quadratic —
+      // kept only at 1x/10x as the regression witness; 100x of this
+      // shape was 380 s / 14.3 GB and is deliberately not re-run)
       meter.probe(s"s3a contamination, bounded bench (base slice only) ${mult}x") {
         val benchB = cached
           .filter(col("doc_id") % 10 === 0 && col("doc_id") < n)
@@ -390,12 +397,13 @@ object ScaleProbe {
         Dedup.contamination(train, benchB, "doc_id", "t",
           Dedup.Shingler.words(3), minCommon = 3).count()
       }
-      meter.probe(s"s3c contamination, corpus bench + maxBenchDf=8 ${mult}x") {
-        val bench = cached.filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), col("text").as("t"))
-        Dedup.contamination(train, bench, "doc_id", "t",
-          Dedup.Shingler.words(3), minCommon = 3, maxBenchDf = 8).count()
-      }
+      if (mult <= 10)
+        meter.probe(s"s3u contamination UNGUARDED (r14 quadratic) ${mult}x") {
+          val bench = cached.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), col("text").as("t"))
+          Dedup.contamination(train, bench, "doc_id", "t",
+            Dedup.Shingler.words(3), minCommon = 3).count()
+        }
       var kept: DataFrame = null
       stage("s4 DSIR importance filter -> barrier") {
         val dsir = LmSignals.dsirContrast(decon, "doc_id", "t",
@@ -621,6 +629,107 @@ object ScaleProbe {
     }
   }
 
+  /** Round-15: the graph family's 1×/10×/100× growth table (the last
+    * heavy family without one — r8 stopped at 10×). Edge corpus = the
+    * production pair source (MinHash banding over sf0.1 documents, the
+    * exact graph_* query configuration), scaled by DISJOINT replicas
+    * (node-id offsets): corpus growth multiplies near-dup FAMILIES, not
+    * family size (the r12 replica discipline), so the expected shape of
+    * every operator is linear-in-edges with constant per-copy skew.
+    * Each scale also runs a HUB overlay — one synthetic node attached
+    * to ~1% of all nodes, degree GROWING with the graph — the skew case
+    * the orientation/partial-agg bounds exist for:
+    *  - triangles: hub edges orient INTO the hub (it has max degree),
+    *    so the hub contributes ~zero wedges — wall/shuffle vs the
+    *    no-hub run is the measured price of the orientation bound;
+    *  - kcore: the hub survives peeling but spokes with in-core degree
+    *    < k drop in round 1; ROUNDS (printed via onRounds) is the
+    *    growth term to watch — disjoint copies peel in the base
+    *    graph's round count by construction;
+    *  - lpa/modularity/pagerank: fixed round counts (4/4/3) by
+    *    contract; per-round cost is one edge-list join + node-keyed
+    *    partial-aggregated exchange, where the hub's (node,label)
+    *    group is bounded map-side by partial aggregation.
+    * Run: SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleProbe r15"
+    */
+  private def r15GraphProbe(spark: SparkSession): Unit = {
+    import graft.ops.Graphs
+    val meter = new ShuffleMeter(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    // the production pair source, materialized ONCE: the probe meters
+    // the graph operators, not banding (banding growth has its own r12
+    // table)
+    val pairsBase = Dedup.minhashCandidates(docs, "doc_id", "text",
+        Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+      .select(col("id_a"), col("id_b")).repartition(32).cache()
+    val eBase = pairsBase.count()
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    println(s"== r15 graph probe: base edges=$eBase, id offset=$off ==")
+    for (mult <- Seq(1, 10, 100)) {
+      val pairs = (
+        if (mult == 1) pairsBase
+        else (0 until mult).map { i =>
+          pairsBase.select((col("id_a") + lit(i * off)).as("id_a"),
+            (col("id_b") + lit(i * off)).as("id_b"))
+        }.reduce(_ unionByName _)
+      ).repartition(32).cache()
+      val e = pairs.count()
+      // hub overlay: one node (id -1, outside every copy's range) wired
+      // to ~1% of ALL nodes — hub degree grows 10x per decade
+      val spokes = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct()
+        .filter(abs(hash(col("id"))) % 100 === 0)
+      val withHub = pairs.unionByName(
+        spokes.select(lit(-1L).as("id_a"), col("id").as("id_b")))
+        .repartition(32).cache()
+      val eh = withHub.count()
+      println(s"== mult=$mult: $e edges, hub overlay ${eh - e} spokes ==")
+      meter.probe(s"triangles ${mult}x") {
+        Graphs.triangles(pairs, "id_a", "id_b").count()
+      }
+      graft.core.Caches.releaseAll()
+      meter.probe(s"triangles+hub ${mult}x (hub deg ${eh - e})") {
+        Graphs.triangles(withHub, "id_a", "id_b").count()
+      }
+      graft.core.Caches.releaseAll()
+      var rounds = -1
+      meter.probe(s"kcore k=2 ${mult}x") {
+        Graphs.kCore(pairs, "id_a", "id_b", k = 2, maxRounds = 16,
+          onRounds = r => { rounds = r }).count()
+      }
+      println(s"  kcore rounds at ${mult}x: $rounds")
+      graft.core.Caches.releaseAll()
+      meter.probe(s"kcore+hub k=2 ${mult}x") {
+        Graphs.kCore(withHub, "id_a", "id_b", k = 2, maxRounds = 16,
+          onRounds = r => { rounds = r }).count()
+      }
+      println(s"  kcore+hub rounds at ${mult}x: $rounds")
+      graft.core.Caches.releaseAll()
+      meter.probe(s"lpa iters=4 ${mult}x") {
+        Graphs.labelPropagation(pairs, "id_a", "id_b", iters = 4).count()
+      }
+      graft.core.Caches.releaseAll()
+      meter.probe(s"modularity iters=4 ${mult}x") {
+        Graphs.modularity(pairs, "id_a", "id_b", iters = 4).count()
+      }
+      graft.core.Caches.releaseAll()
+      meter.probe(s"modularity+hub iters=4 ${mult}x") {
+        Graphs.modularity(withHub, "id_a", "id_b", iters = 4).count()
+      }
+      graft.core.Caches.releaseAll()
+      meter.probe(s"pagerank iters=3 ${mult}x") {
+        Graphs.pageRank(pairs, "id_a", "id_b", damping = 0.85,
+          iters = 3).count()
+      }
+      graft.core.Caches.releaseAll()
+      if (mult > 1) pairs.unpersist()
+      withHub.unpersist()
+    }
+    pairsBase.unpersist()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.filter(_.forall(_.isDigit))
       .map(_.toInt).getOrElse(10)
@@ -639,6 +748,7 @@ object ScaleProbe {
     if (args.contains("r13")) { r13Probe(spark); spark.stop(); return }
     if (args.contains("r14")) { r14Probe(spark); spark.stop(); return }
     if (args.contains("r14b")) { r14bProbe(spark); spark.stop(); return }
+    if (args.contains("r15")) { r15GraphProbe(spark); spark.stop(); return }
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
     val docs = (0 until mult).map { i =>

@@ -95,6 +95,11 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long + normalize
       // in Tables.events (Spark has no native ns timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // suite-sized codegen cache (see Bench.scala: the default 100
+      // entries thrash under 314 queries' fragments; shared scan/
+      // projection fragments then recompile per query)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -92,6 +92,12 @@ object Curation {
       val before = sc.getPersistentRDDs.keySet
       val local = df.localCheckpoint()
       val newIds = sc.getPersistentRDDs.keySet.diff(before)
+      // getRDDStorageInfo reads the async status store: drain the
+      // listener bus first or the just-written blocks may not be
+      // visible yet (an under-read could only skip a deserved
+      // promotion, never corrupt data — but measure properly). A
+      // failed drain is best-effort by contract.
+      org.apache.spark.sql.graft.Shims.drainListenerBus(sc)
       val bytes = sc.getRDDStorageInfo
         .filter(i => newIds.contains(i.id))
         .map(i => i.memSize + i.diskSize).sum

@@ -468,7 +468,8 @@ object Graphs {
     * the node relation only ever shrinks.
     */
   def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
-            maxRounds: Int = 16): DataFrame = {
+            maxRounds: Int = 16,
+            onRounds: Int => Unit = _ => ()): DataFrame = {
     require(k >= 1, "k-core needs k >= 1")
     val edges = symEdges(pairs, aCol, bCol)
     def peel(ns: DataFrame): DataFrame =
@@ -495,6 +496,10 @@ object Graphs {
       s"k-core peeling did not reach a fixpoint within $maxRounds rounds " +
         "(raise maxRounds — a returned non-fixpoint would silently " +
         "disagree with the unrolled oracle)")
+    // peeling runs eagerly above, so the actual round count is known
+    // here — reported for probes/telemetry (rounds, not just wall, is
+    // the k-core growth term worth watching at scale)
+    onRounds(rounds)
     out.orderBy(col("id"))
   }
 
