@@ -666,6 +666,16 @@ object ScaleProbe {
     val eBase = pairsBase.count()
     val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     println(s"== r15 graph probe: base edges=$eBase, id offset=$off ==")
+    // both corpora below get an EAGER LINEAGE CUT (localCheckpoint)
+    // before the operators run: the probe's first pass cached the
+    // 100-branch union instead, and every operator's wall then grew
+    // with PLAN size at flat shuffle bytes (triangles 1.6 -> 60.8 s at
+    // 0.1 -> 1.3 MB) — cache substitution happens at physical
+    // planning, so analysis/optimization re-walks the full union
+    // lineage at every exchange of every op. That reading IS a real
+    // lesson (assemble a corpus from many branches, cut lineage before
+    // iterating on it — the stageBarrier discipline), but it meters
+    // the harness, not the operators.
     for (mult <- Seq(1, 10, 100)) {
       val pairs = (
         if (mult == 1) pairsBase
@@ -673,7 +683,7 @@ object ScaleProbe {
           pairsBase.select((col("id_a") + lit(i * off)).as("id_a"),
             (col("id_b") + lit(i * off)).as("id_b"))
         }.reduce(_ unionByName _)
-      ).repartition(32).cache()
+      ).repartition(32).localCheckpoint(true)
       val e = pairs.count()
       // hub overlay: one node (id -1, outside every copy's range) wired
       // to ~1% of ALL nodes — hub degree grows 10x per decade
@@ -682,7 +692,7 @@ object ScaleProbe {
         .filter(abs(hash(col("id"))) % 100 === 0)
       val withHub = pairs.unionByName(
         spokes.select(lit(-1L).as("id_a"), col("id").as("id_b")))
-        .repartition(32).cache()
+        .repartition(32).localCheckpoint(true)
       val eh = withHub.count()
       println(s"== mult=$mult: $e edges, hub overlay ${eh - e} spokes ==")
       meter.probe(s"triangles ${mult}x") {
@@ -723,10 +733,64 @@ object ScaleProbe {
           iters = 3).count()
       }
       graft.core.Caches.releaseAll()
-      if (mult > 1) pairs.unpersist()
-      withHub.unpersist()
     }
     pairsBase.unpersist()
+
+    // ---- synthetic heavy-tailed graph: the DATA-dominated table ----
+    // The production pair source at sf0.1 is only ~255 edges, so the
+    // replica table above mostly meters fixed per-exchange overhead.
+    // This section scales edge volume to where the data term dominates
+    // (100k / 1M / 10M edges, constant avg degree 10) with an INTRINSIC
+    // heavy tail: endpoints are floor(V * u^1.5) of hash-uniform u, so
+    // the densest node's degree grows ~E^(1/3) (≈1,000 at 10M edges) —
+    // the skew case the orientation/partial-agg bounds exist for,
+    // without any overlay. Deterministic (xxhash64 of salted range
+    // ids), generated in one codegen'd projection — no union lineage.
+    def synthGraph(eTarget: Long, salt: String): org.apache.spark.sql.DataFrame = {
+      val v = eTarget / 10
+      def endpoint(tag: String) = {
+        val u = (abs(xxhash64(lit(s"$salt:$tag"), col("id")))
+          % lit(1000000007L)).cast("double") / lit(1.0e9)
+        floor(lit(v.toDouble) * pow(u, lit(1.5))).cast("long")
+      }
+      spark.range(0L, eTarget, 1L, 32)
+        .select(endpoint("a").as("id_a"), endpoint("b").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+    }
+    for ((e, tag) <- Seq((100000L, "1x"), (1000000L, "10x"),
+        (10000000L, "100x"))) {
+      val g = synthGraph(e, "r15synth").localCheckpoint(true)
+      val rows = g.count()
+      val degTop = g.select(col("id_a").as("id"))
+        .union(g.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      println(s"== synth $tag: $rows edges, max degree $degTop ==")
+      meter.probe(s"synth triangles $tag") {
+        Graphs.triangles(g, "id_a", "id_b").count()
+      }
+      graft.core.Caches.releaseAll()
+      var rounds = -1
+      meter.probe(s"synth kcore k=2 $tag") {
+        Graphs.kCore(g, "id_a", "id_b", k = 2, maxRounds = 32,
+          onRounds = r => { rounds = r }).count()
+      }
+      println(s"  synth kcore rounds $tag: $rounds")
+      graft.core.Caches.releaseAll()
+      meter.probe(s"synth lpa iters=4 $tag") {
+        Graphs.labelPropagation(g, "id_a", "id_b", iters = 4).count()
+      }
+      graft.core.Caches.releaseAll()
+      meter.probe(s"synth modularity iters=4 $tag") {
+        Graphs.modularity(g, "id_a", "id_b", iters = 4).count()
+      }
+      graft.core.Caches.releaseAll()
+      meter.probe(s"synth pagerank iters=3 $tag") {
+        Graphs.pageRank(g, "id_a", "id_b", damping = 0.85,
+          iters = 3).count()
+      }
+      graft.core.Caches.releaseAll()
+    }
     ()
   }
 
