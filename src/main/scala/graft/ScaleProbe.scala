@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Dedup
 
@@ -652,6 +652,84 @@ object ScaleProbe {
     *    group is bounded map-side by partial aggregation.
     * Run: SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleProbe r15"
     */
+  /** r15c: the ER family's 1×/10×/100× growth table (the last heavy
+    * family left at 10×-era evidence after the graph probe), plus the
+    * hot-block witness motivating `maxBlockDf`. Registry GROWTH (ids
+    * 1..N with the production name format and the production dirty
+    * perturbations), not replica salting: a bigger registry fills the
+    * digit space denser, so per-key document frequency grows toward
+    * its ~10-per-digit-position ceiling intrinsically — the honest
+    * production growth shape. The hot overlay puts a placeholder name
+    * ("UNKNOWN ENTITY") on a FIXED 1% of BOTH sides — the real-world
+    * dirty-data shape whose candidate block is quadratic in corpus
+    * size by construction; the capped run shows the guard removing it.
+    */
+  private def r15cErProbe(spark: SparkSession): Unit = {
+    import graft.ops.EntityResolution
+    val meter = new ShuffleMeter(spark)
+    val baseN = 15000L // sf0.1 customer count
+    for (mult <- Seq(1, 10, 100)) {
+      val n = baseN * mult
+      val base = spark.range(1L, n + 1L)
+        .select(col("id").as("c_custkey"),
+          format_string("Customer#%09d", col("id")).as("c_name"))
+      def dirtyName = when(col("c_custkey") % 30 === 1,
+          expr("substr(c_name, 1, length(c_name) - 1)"))
+        .when(col("c_custkey") % 3 === 0,
+          concat(expr("substr(c_name, 1, 5)"), lit("X"),
+            expr("substr(c_name, 7)")))
+        .when(col("c_custkey") % 3 === 1,
+          concat(expr("substr(c_name, 1, 5)"), expr("substr(c_name, 7)")))
+        .otherwise(col("c_name"))
+      def hot(c: Column) = when(col("c_custkey") % 100 === 7,
+        lit("UNKNOWN ENTITY")).otherwise(c)
+      val clean = base.select(col("c_custkey").as("clean_id"),
+        col("c_name").as("name")).repartition(32).localCheckpoint(true)
+      val dirty = base.select((col("c_custkey") + 1000000000L)
+          .as("dirty_id"), dirtyName.as("name"))
+        .repartition(32).localCheckpoint(true)
+      val cleanHot = base.select(col("c_custkey").as("clean_id"),
+        hot(col("c_name")).as("name")).repartition(32).localCheckpoint(true)
+      val dirtyHot = base.select((col("c_custkey") + 1000000000L)
+          .as("dirty_id"), hot(dirtyName).as("name"))
+        .repartition(32).localCheckpoint(true)
+      println(s"== r15c ER probe mult=$mult: $n records/side ==")
+      meter.probe(s"er candidates ${mult}x") {
+        EntityResolution.candidates(dirty, "dirty_id", clean, "clean_id",
+          "name").count()
+      }
+      meter.probe(s"er bestMatch ${mult}x") {
+        EntityResolution.bestMatch(dirty, "dirty_id", clean, "clean_id",
+          "name").count()
+      }
+      meter.probe(s"er bestMatch capped(8) ${mult}x") {
+        EntityResolution.bestMatch(dirty, "dirty_id", clean, "clean_id",
+          "name", maxDist = 1, maxBlockDf = Some(8L)).count()
+      }
+      meter.probe(s"er clusters ${mult}x") {
+        EntityResolution.clusters(dirty, "dirty_id", clean, "clean_id",
+          "name").count()
+      }
+      graft.core.Caches.releaseAll()
+      if (mult <= 10) {
+        // the UNGUARDED hot-block witness: 1%·N placeholder rows per
+        // side → (N/100)² candidate pairs from one key family; at 100×
+        // that is 2.25e10 pairs — deliberately not run (the r14 s3u
+        // convention: witness at the scales that prove the trend)
+        meter.probe(s"er candidates hot-1% UNGUARDED ${mult}x") {
+          EntityResolution.candidates(dirtyHot, "dirty_id", cleanHot,
+            "clean_id", "name").count()
+        }
+        graft.core.Caches.releaseAll()
+      }
+      meter.probe(s"er bestMatch hot-1% capped(8) ${mult}x") {
+        EntityResolution.bestMatch(dirtyHot, "dirty_id", cleanHot,
+          "clean_id", "name", maxDist = 1, maxBlockDf = Some(8L)).count()
+      }
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   private def r15GraphProbe(spark: SparkSession): Unit = {
     import graft.ops.Graphs
     val meter = new ShuffleMeter(spark)
@@ -813,6 +891,7 @@ object ScaleProbe {
     if (args.contains("r14")) { r14Probe(spark); spark.stop(); return }
     if (args.contains("r14b")) { r14bProbe(spark); spark.stop(); return }
     if (args.contains("r15")) { r15GraphProbe(spark); spark.stop(); return }
+    if (args.contains("r15c")) { r15cErProbe(spark); spark.stop(); return }
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
     val docs = (0 until mult).map { i =>

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DxQueries, ExtQueries, Q, R2Queries, R3Queries, R4Queries, R5Queries, R6Queries, R6bQueries, R7Queries, R7bQueries, R7cQueries, R7dQueries, R8Queries, R9Queries, R10Queries, R11Queries, R12Queries, R13Queries, R14Queries, R15Queries, R16Queries, R17Queries, R18Queries, R19Queries, R20Queries, R21Queries, R22Queries, R23Queries, R24Queries, R25Queries, R26Queries, R27Queries, R28Queries, R29Queries, R30Queries, R31Queries, R32Queries, R33Queries, R34Queries, Relational}
+import graft.queries.{DxQueries, ExtQueries, Q, R2Queries, R3Queries, R4Queries, R5Queries, R6Queries, R6bQueries, R7Queries, R7bQueries, R7cQueries, R7dQueries, R8Queries, R9Queries, R10Queries, R11Queries, R12Queries, R13Queries, R14Queries, R15Queries, R16Queries, R17Queries, R18Queries, R19Queries, R20Queries, R21Queries, R22Queries, R23Queries, R24Queries, R25Queries, R26Queries, R27Queries, R28Queries, R29Queries, R30Queries, R31Queries, R32Queries, R33Queries, R34Queries, R35Queries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
       R15Queries.all ++ R16Queries.all ++ R17Queries.all ++ R18Queries.all ++
       R19Queries.all ++ R20Queries.all ++ R21Queries.all ++ R22Queries.all ++ R23Queries.all ++
       R24Queries.all ++ R25Queries.all ++ R26Queries.all ++ R27Queries.all ++ R28Queries.all ++ R29Queries.all ++ R30Queries.all ++
-      R31Queries.all ++ R32Queries.all ++ R33Queries.all ++ R34Queries.all
+      R31Queries.all ++ R32Queries.all ++ R33Queries.all ++ R34Queries.all ++
+      R35Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full DX-group pipeline (SURVEY.md §3.1) over the documents table.

@@ -47,16 +47,45 @@ object EntityResolution {
     * Exact at radius 1 by the FastSS property; pairs at larger true
     * distance may appear (false positives) and are removed by
     * [[verifiedPairs]].
+    *
+    * `maxBlockDf` is the hot-block guard, the ER sibling of
+    * [[Dedup]]'s `maxBandDf`/`maxBenchDf` caps: a block key whose
+    * document frequency exceeds the cap on BOTH sides is stop-listed
+    * before the join. Per-key candidate volume is lc(k)·rc(k); keys
+    * hot on only one side stay linear (≤ cap·lc(k)+cap·rc(k) after the
+    * guard caps the other side of every surviving key), but a key hot
+    * on both sides — the placeholder-name failure mode of real dirty
+    * data ("UNKNOWN", "N/A", empty-string registry rows, at a FIXED
+    * FRACTION of each side) — is quadratic in corpus size, and the
+    * pairs it generates are exactly the semantically-worthless ones
+    * (identical junk matching identical junk). With the guard every
+    * surviving key satisfies min(lc,rc) ≤ cap, so total candidates ≤
+    * cap·Σ(lc+rc) = O(cap · corpus keys) — linear by construction.
+    * Df is DOCUMENT frequency regardless of input data: each record
+    * emits each key at most once ([[deletionKeys]] array_union-dedups),
+    * so the per-key count IS the number of distinct records. The
+    * stop-list itself is bounded (≤ keys/cap per side) and broadcast.
     */
   def candidates(left: DataFrame, leftId: String, right: DataFrame,
-                 rightId: String, nameCol: String): DataFrame = {
+                 rightId: String, nameCol: String,
+                 maxBlockDf: Option[Long] = None): DataFrame = {
     val lk = left
       .select(col(leftId), col(nameCol).as("__ln"))
       .withColumn("__k", explode(deletionKeys("__ln")))
     val rk = right
       .select(col(rightId), col(nameCol).as("__rn"))
       .withColumn("__k", explode(deletionKeys("__rn")))
-    lk.join(rk, "__k")
+    val (lf, rf) = maxBlockDf match {
+      case Some(cap) =>
+        val hot = lk.groupBy("__k").agg(count(lit(1)).as("__lc"))
+          .join(rk.groupBy("__k").agg(count(lit(1)).as("__rc")), "__k")
+          .filter(col("__lc") > cap && col("__rc") > cap)
+          .select("__k")
+        (lk.join(broadcast(hot), Seq("__k"), "left_anti"),
+          rk.join(broadcast(hot), Seq("__k"), "left_anti"))
+      case None => (lk, rk)
+    }
+    lf.join(rf, "__k")
       .select(col(leftId), col("__ln"), col(rightId), col("__rn"))
       .distinct()
   }
@@ -68,8 +97,9 @@ object EntityResolution {
     */
   def verifiedPairs(left: DataFrame, leftId: String, right: DataFrame,
                     rightId: String, nameCol: String,
-                    maxDist: Int = 1): DataFrame =
-    candidates(left, leftId, right, rightId, nameCol)
+                    maxDist: Int = 1,
+                    maxBlockDf: Option[Long] = None): DataFrame =
+    candidates(left, leftId, right, rightId, nameCol, maxBlockDf)
       .withColumn("dist", levenshtein(col("__ln"), col("__rn")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col(leftId), col(rightId), col("dist"))
@@ -80,8 +110,9 @@ object EntityResolution {
     */
   def bestMatch(left: DataFrame, leftId: String, right: DataFrame,
                 rightId: String, nameCol: String,
-                maxDist: Int = 1): DataFrame =
-    verifiedPairs(left, leftId, right, rightId, nameCol, maxDist)
+                maxDist: Int = 1,
+                maxBlockDf: Option[Long] = None): DataFrame =
+    verifiedPairs(left, leftId, right, rightId, nameCol, maxDist, maxBlockDf)
       .groupBy(col(leftId))
       .agg(min(struct(col("dist"), col(rightId))).as("__b"))
       .select(col(leftId), col(s"__b.$rightId").as(rightId),
@@ -103,8 +134,10 @@ object EntityResolution {
     */
   def clusters(left: DataFrame, leftId: String, right: DataFrame,
                rightId: String, nameCol: String,
-               maxDist: Int = 1): DataFrame = {
-    val pairs = bestMatch(left, leftId, right, rightId, nameCol, maxDist)
+               maxDist: Int = 1,
+               maxBlockDf: Option[Long] = None): DataFrame = {
+    val pairs = bestMatch(left, leftId, right, rightId, nameCol, maxDist,
+      maxBlockDf)
     val labels = Dedup.connectedComponents(pairs, leftId, rightId)
     // distinct: an id appearing in BOTH record sets would otherwise emit
     // duplicate membership rows and double-count in cluster_size (ids
@@ -165,8 +198,10 @@ object EntityResolution {
     */
   def golden(left: DataFrame, leftId: String, right: DataFrame,
              rightId: String, nameCol: String,
-             maxDist: Int = 1): DataFrame = {
-    val cl = clusters(left, leftId, right, rightId, nameCol, maxDist)
+             maxDist: Int = 1,
+             maxBlockDf: Option[Long] = None): DataFrame = {
+    val cl = clusters(left, leftId, right, rightId, nameCol, maxDist,
+      maxBlockDf)
       .select(col("id"), col("cluster"))
     val attrs = right.select(col(rightId).as("id"),
         col(nameCol).as("name"), lit(true).as("__clean"))

@@ -73,10 +73,11 @@ object R10Queries {
       |      ELSE c_name END AS name
       |  FROM customer)""".stripMargin
 
-  /** Deletion-neighborhood keys + verified radius-1 pairs, DuckDB side
-    * (the EntityResolution.verifiedPairs mirror).
+  /** Deletion-neighborhood key CTEs only (ck/dk) — shared with the
+    * capped-blocking oracle in R35Queries, which filters the keys
+    * before joining.
     */
-  private[queries] val erPairCtes: String =
+  private[queries] val erKeyCtes: String =
     """ck AS (
       |  SELECT id, name, unnest(list_distinct(list_append(
       |    list_transform(generate_series(1, length(name)),
@@ -88,7 +89,13 @@ object R10Queries {
       |    list_transform(generate_series(1, length(name)),
       |      i -> substr(name, 1, i - 1) || substr(name, i + 1, length(name))),
       |    name))) AS k
-      |  FROM dirty),
+      |  FROM dirty)""".stripMargin
+
+  /** Deletion-neighborhood keys + verified radius-1 pairs, DuckDB side
+    * (the EntityResolution.verifiedPairs mirror).
+    */
+  private[queries] val erPairCtes: String =
+    erKeyCtes + """,
       |cand AS (
       |  SELECT DISTINCT d.id AS dirty_id, d.name AS dn,
       |                  c.id AS clean_id, c.name AS cn

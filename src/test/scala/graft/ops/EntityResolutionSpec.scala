@@ -76,6 +76,46 @@ class EntityResolutionSpec extends SparkSpec {
     assert(r(202L) === ((1L, 0L, 202L, "zzzzzz")))
   }
 
+  test("maxBlockDf stop-lists keys hot on BOTH sides; pairs with no " +
+      "other shared key drop, distinct-key pairs survive") {
+    val clean = recs((1L, "alpha"), (2L, "unk"), (3L, "unk"), (4L, "unk"))
+    val dirty = recs((11L, "alphx"), (12L, "unk"), (13L, "unk"), (14L, "unk"))
+    def pairs(cap: Option[Long]) = EntityResolution.verifiedPairs(
+      dirty, "id", clean.withColumnRenamed("id", "cid"), "cid", "name",
+      maxDist = 1, maxBlockDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: the 3x3 placeholder block (dist 0) plus the real pair
+    assert(pairs(None).size === 10)
+    // cap 2: every key of "unk" (identity + each deletion) has df 3 on
+    // BOTH sides -> stop-listed; the junk block vanishes entirely while
+    // the unique-keyed real pair survives
+    assert(pairs(Some(2L)) === Set((11L, 1L)))
+  }
+
+  test("maxBlockDf: one-sided heat is NOT stop-listed (linear already)") {
+    val clean = recs((1L, "unk"))
+    val dirty = recs((12L, "unk"), (13L, "unk"), (14L, "unk"))
+    val p = EntityResolution.verifiedPairs(dirty, "id",
+      clean.withColumnRenamed("id", "cid"), "cid", "name",
+      maxDist = 1, maxBlockDf = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // lc("unk") = 1 <= cap: key survives, all three matches kept
+    assert(p === Set((12L, 1L), (13L, 1L), (14L, 1L)))
+  }
+
+  test("maxBlockDf counts DOCUMENT frequency: colliding deletions of " +
+      "one record contribute one, not one per occurrence") {
+    // "aaaa" has four identical deletions "aaa" — deletionKeys dedups,
+    // so df("aaa") = 3 records per side, not 12 occurrences; at cap 3
+    // nothing is hot and the full 3x3 block survives
+    val clean = recs((1L, "aaaa"), (2L, "aaaa"), (3L, "aaaa"))
+    val dirty = recs((11L, "aaaa"), (12L, "aaaa"), (13L, "aaaa"))
+    val n = EntityResolution.verifiedPairs(dirty, "id",
+      clean.withColumnRenamed("id", "cid"), "cid", "name",
+      maxDist = 1, maxBlockDf = Some(3L)).count()
+    assert(n === 9L)
+  }
+
   test("blockingMetrics: exact counts, quadratic space avoided, " +
       "reduction ratio and match rate") {
     import spark.implicits._
