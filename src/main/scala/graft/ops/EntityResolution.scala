@@ -169,15 +169,22 @@ object EntityResolution {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val nl = left.agg(count(lit(1)).as("n_left"))
     val nr = right.agg(count(lit(1)).as("n_right"))
-    val nc = candidates(left, leftId, right, rightId, nameCol)
-      .agg(count(lit(1)).as("n_candidates"))
-    val ver = verifiedPairs(left, leftId, right, rightId, nameCol, maxDist)
-    val nv = ver.agg(count(lit(1)).as("n_verified"))
-    val nm = ver.select(col(leftId)).distinct()
-      .agg(count(lit(1)).as("n_matched"))
+    // ONE pass over the candidate relation for all three pair-level
+    // counts (candidates / verified / matched-left): the naive three
+    // separate frames each recompute the explode→join→distinct chain —
+    // the blocking work this report exists to meter — tripling the
+    // dominant cost. count-if + countDistinct-if over the same rows is
+    // plan-identical output at a third of the scans (the r14
+    // ml_bootstrap double-scan lesson, applied here).
+    val stats = candidates(left, leftId, right, rightId, nameCol)
+      .withColumn("__d", levenshtein(col("__ln"), col("__rn")).cast("long"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__d") <= maxDist, 1L).otherwise(0L))
+          .as("n_verified"),
+        countDistinct(when(col("__d") <= maxDist, col(leftId)))
+          .as("n_matched"))
     val possible = col("n_left").cast(Dec) * col("n_right").cast(Dec)
-    nl.crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
-      .crossJoin(broadcast(nv)).crossJoin(broadcast(nm))
+    nl.crossJoin(broadcast(nr)).crossJoin(broadcast(stats))
       .select(col("n_left"), col("n_right"),
         possible.cast("string").as("n_possible"),
         col("n_candidates"), col("n_verified"), col("n_matched"),
