@@ -86,12 +86,15 @@ object Curation {
     else {
       val threshold = spark.conf.getOption(BarrierReliableBytesKey)
         .map(_.trim.toLong).getOrElse(DefaultBarrierReliableBytes)
-      // id-diff around the eager localCheckpoint identifies the barrier's
-      // persisted RDD so its MEASURED size (and, on promote, its release)
-      // targets exactly this barrier. Driver-side maps only — no job.
-      val before = sc.getPersistentRDDs.keySet
+      // the barrier's persisted RDD is read DIRECTLY off the
+      // checkpointed Dataset's plan (its LogicalRDD leaf), so the
+      // measurement — and, on promote, the release — targets exactly
+      // this barrier. An id-diff of getPersistentRDDs around the call
+      // would mis-attribute anything another thread persists
+      // concurrently (and unpersist a foreign live cache on promote).
       val local = df.localCheckpoint()
-      val newIds = sc.getPersistentRDDs.keySet.diff(before)
+      val newIds = org.apache.spark.sql.graft.Shims
+        .logicalRddIds(local).toSet
       // getRDDStorageInfo reads the async status store: drain the
       // listener bus first or the just-written blocks may not be
       // visible yet (an under-read could only skip a deserved

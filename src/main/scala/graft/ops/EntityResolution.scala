@@ -165,7 +165,8 @@ object EntityResolution {
     */
   def blockingMetrics(left: DataFrame, leftId: String, right: DataFrame,
                       rightId: String, nameCol: String,
-                      maxDist: Int = 1): DataFrame = {
+                      maxDist: Int = 1,
+                      maxBlockDf: Option[Long] = None): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val nl = left.agg(count(lit(1)).as("n_left"))
     val nr = right.agg(count(lit(1)).as("n_right"))
@@ -175,12 +176,17 @@ object EntityResolution {
     // the blocking work this report exists to meter — tripling the
     // dominant cost. count-if + countDistinct-if over the same rows is
     // plan-identical output at a third of the scans (the r14
-    // ml_bootstrap double-scan lesson, applied here).
-    val stats = candidates(left, leftId, right, rightId, nameCol)
+    // ml_bootstrap double-scan lesson, applied here; count-if, not
+    // sum-if, so an EMPTY candidate relation reports 0, not NULL).
+    // maxBlockDf threads through so the report can describe the capped
+    // configuration the pipeline actually ships with — a report of the
+    // raw blocking would itself pay the hot-block quadratic the guard
+    // exists to remove.
+    val stats = candidates(left, leftId, right, rightId, nameCol,
+        maxBlockDf)
       .withColumn("__d", levenshtein(col("__ln"), col("__rn")).cast("long"))
       .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("__d") <= maxDist, 1L).otherwise(0L))
-          .as("n_verified"),
+        count(when(col("__d") <= maxDist, lit(1))).as("n_verified"),
         countDistinct(when(col("__d") <= maxDist, col(leftId)))
           .as("n_matched"))
     val possible = col("n_left").cast(Dec) * col("n_right").cast(Dec)

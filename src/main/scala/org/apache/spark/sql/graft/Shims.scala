@@ -108,6 +108,19 @@ object Shims {
     try { sc.listenerBus.waitUntilEmpty(30000L); true }
     catch { case _: java.util.concurrent.TimeoutException => false }
 
+  /** RDD ids of the `LogicalRDD` leaves of a Dataset's analyzed plan
+    * (`LogicalRDD` is `private[sql]`). For a Dataset returned by
+    * `localCheckpoint()` this is exactly the persisted checkpoint RDD —
+    * letting callers measure and release THAT RDD's blocks precisely,
+    * instead of diffing `getPersistentRDDs` around the call (which
+    * mis-attributes anything another thread persists concurrently, and
+    * on release would unpersist a foreign pipeline's live cache).
+    */
+  def logicalRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+
   /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the seam custom
     * logical operators use to enter the public Dataset API.

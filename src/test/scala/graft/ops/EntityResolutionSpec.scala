@@ -116,6 +116,29 @@ class EntityResolutionSpec extends SparkSpec {
     assert(n === 9L)
   }
 
+  test("blockingMetrics: disjoint name universes report 0 (not NULL) " +
+      "verified/matched; maxBlockDf shrinks the candidate count") {
+    import spark.implicits._
+    // no shared deletion key between the two sides -> empty candidates
+    val clean = Seq((1L, "aaaaa")).toDF("clean_id", "name")
+    val dirty = Seq((101L, "zzzzz")).toDF("dirty_id", "name")
+    val r = EntityResolution.blockingMetrics(dirty, "dirty_id",
+      clean, "clean_id", "name").collect().head
+    assert(!r.isNullAt(4) && r.getLong(4) == 0L, "n_verified must be 0")
+    assert(!r.isNullAt(5) && r.getLong(5) == 0L, "n_matched must be 0")
+    // capped report: the placeholder block (3x3 on both sides) is
+    // stop-listed, so n_candidates drops to the real pair only
+    val c2 = Seq((1L, "alpha"), (2L, "unk"), (3L, "unk"), (4L, "unk"))
+      .toDF("clean_id", "name")
+    val d2 = Seq((11L, "alphx"), (12L, "unk"), (13L, "unk"), (14L, "unk"))
+      .toDF("dirty_id", "name")
+    val capped = EntityResolution.blockingMetrics(d2, "dirty_id",
+      c2, "clean_id", "name", maxDist = 1, maxBlockDf = Some(2L))
+      .collect().head
+    assert(capped.getLong(3) == 1L && capped.getLong(4) == 1L &&
+      capped.getLong(5) == 1L)
+  }
+
   test("blockingMetrics: exact counts, quadratic space avoided, " +
       "reduction ratio and match rate") {
     import spark.implicits._
