@@ -95,6 +95,12 @@ object Bench {
       // (metaspace cost, not heap). Static conf, so set at build time.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "8192"))
+      // scan fan-out (core/Tables.fanout) A/B toggles — benchmarking
+      // aids only; defaults live in the operator
+      .config("graft.scan.fanout",
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "true"))
+      .config("graft.scan.fanout.parts",
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_PARTS", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext

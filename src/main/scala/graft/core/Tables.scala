@@ -16,7 +16,57 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    fanout(spark, spark.read.parquet(s"$sfDir/$name.parquet"),
+      s"$sfDir/$name.parquet")
+
+  /** Scan-parallelism floor for LOW-SPLIT inputs (optimization guide
+    * §2.2/§6): parquet parallelism is bounded by file splits (and,
+    * within a file, by row groups — a single-row-group file is ONE
+    * task no matter what `maxPartitionBytes` says). When the planned
+    * split count is below the cluster's core count, every
+    * scan-adjacent stage — shingling, regex chains, hashing, Expand,
+    * the partial aggregate feeding the first exchange — runs on a
+    * fraction of the machine. One cheap round-robin exchange of the
+    * (pruned, filtered) scan output buys full-width map stages.
+    *
+    * Scale-adaptive by construction, not a local-mode constant: the
+    * trigger is `estimated splits < defaultParallelism`, so any real
+    * corpus (thousands of splits at 100 TB) takes the zero-cost branch
+    * and the exchange never happens; it fires exactly in the
+    * degenerate small-file regime where it is free (the whole input is
+    * a few MB) and the win is ~core-count×. Filters and column pruning
+    * still reach the parquet scan — Catalyst pushes both through a
+    * Repartition — and the round-robin assignment is deterministic
+    * (sort-before-repartition, fixed input split order), so results
+    * are bit-identical. `graft.scan.fanout=false` disables; the floor
+    * `graft.scan.fanout.minBytes` (default 256 KiB) keeps broadcast-dim
+    * lookups and sub-fixture-scale inputs exchange-free — below it the
+    * whole table is a handful of map-side milliseconds and the
+    * exchange would be pure overhead.
+    */
+  private def fanout(spark: SparkSession, df: DataFrame,
+                     path: String): DataFrame = {
+    if (!spark.conf.get("graft.scan.fanout", "true").toBoolean) return df
+    val minBytes =
+      spark.conf.get("graft.scan.fanout.minBytes", "262144").toLong
+    // graft.scan.fanout.parts > 0 caps the fan-out width below the core
+    // count — the exchange-read fan and the per-stage task count both
+    // scale with it, so narrower can win when per-row work is modest
+    val partsCap = spark.conf.get("graft.scan.fanout.parts", "0").toInt
+    val target =
+      if (partsCap > 0) math.min(partsCap, spark.sparkContext.defaultParallelism)
+      else spark.sparkContext.defaultParallelism
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      } catch { case _: Exception => return df }
+    if (bytes < minBytes) return df
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (splits >= target) df else df.repartition(target)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
