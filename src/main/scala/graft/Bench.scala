@@ -96,9 +96,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "8192"))
       // scan fan-out (core/Tables.fanout) A/B toggles — benchmarking
-      // aids only; defaults live in the operator
+      // aids only; defaults live in the operator ("auto" = the
+      // per-query FanoutHints winner list decides; "true"/"false"
+      // force it everywhere / nowhere for A/B)
       .config("graft.scan.fanout",
-        sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "auto"))
       .config("graft.scan.fanout.parts",
         sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_PARTS", "0"))
       .getOrCreate()

@@ -19,6 +19,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // same A/B toggle Bench exposes: "auto" (default) lets the
+      // per-query FanoutHints list decide; "true"/"false" force it
+      .config("graft.scan.fanout",
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "auto"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

@@ -10,6 +10,20 @@ package graft.core
   */
 object Config {
 
+  /** Validated long conf read: a malformed value fails LOUDLY with the
+    * key name, instead of a bare NumberFormatException from somewhere
+    * inside an operator (the ADVICE r15/r16 `toLong` scale-risk).
+    */
+  def confLong(spark: org.apache.spark.sql.SparkSession,
+               key: String, default: Long): Long =
+    spark.conf.getOption(key).map { v =>
+      try v.trim.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"conf $key must be a whole number, got '$v'", e)
+      }
+    }.getOrElse(default)
+
   sealed trait DbType { def name: String }
   case object Postgres extends DbType { val name = "postgres" }
   case object SqlServer extends DbType { val name = "sql-server" }

@@ -26,27 +26,50 @@ object Tables {
     * split count is below the cluster's core count, every
     * scan-adjacent stage — shingling, regex chains, hashing, Expand,
     * the partial aggregate feeding the first exchange — runs on a
-    * fraction of the machine. One cheap round-robin exchange of the
+    * fraction of the machine. One round-robin exchange of the
     * (pruned, filtered) scan output buys full-width map stages.
     *
+    * The exchange is NOT free: every non-CPU-bound query just pays a
+    * local sort (`sortBeforeRepartition`, guide §2.5) plus a full
+    * write/read of the table for nothing. The r16 A/B over all 315
+    * queries (bench_results/r16_baseline.json vs r16_fanout.json)
+    * measured default-ON as a 1.20x geomean pessimization (179/314
+    * regressed >10%) with ~48 large wins confined to CPU-heavy
+    * scan-adjacent work (shingling/regex/vector math). So the rewrite
+    * is OPT-IN per query:
+    *
+    *   - `graft.scan.fanout=auto` (default): fires only when the
+    *     calling query requested it (FanoutHint.requested — set by
+    *     SparkEntry for the measured winner queries).
+    *   - `=true` forces it for every read (A/B benchmarking aid);
+    *   - `=false` is the kill switch (beats any request).
+    *
     * Scale-adaptive by construction, not a local-mode constant: the
-    * trigger is `estimated splits < defaultParallelism`, so any real
-    * corpus (thousands of splits at 100 TB) takes the zero-cost branch
-    * and the exchange never happens; it fires exactly in the
-    * degenerate small-file regime where it is free (the whole input is
-    * a few MB) and the win is ~core-count×. Filters and column pruning
+    * trigger replicates Spark's own split sizing —
+    * `maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    * bytes/defaultParallelism))` (FilePartition.maxSplitBytes) — so a
+    * real corpus (thousands of splits at 100 TB) takes the zero-cost
+    * branch and the exchange never happens, and a mid-size table Spark
+    * already splits core-count-wide is left alone (the r16 ADVICE
+    * finding: the old `bytes/maxPartitionBytes` estimate ignored the
+    * bytes-per-core widening and would have exchanged a 512 MB table
+    * Spark had already split 32 ways). Filters and column pruning
     * still reach the parquet scan — Catalyst pushes both through a
     * Repartition — and the round-robin assignment is deterministic
-    * (sort-before-repartition, fixed input split order), so results
-    * are bit-identical. `graft.scan.fanout=false` disables; the floor
-    * `graft.scan.fanout.minBytes` (default 256 KiB) keeps broadcast-dim
-    * lookups and sub-fixture-scale inputs exchange-free — below it the
-    * whole table is a handful of map-side milliseconds and the
-    * exchange would be pure overhead.
+    * (sort-before-repartition, fixed input split order), so table
+    * CONTENTS are identical (row order changes; every declared query
+    * is order-insensitive or totally ordered, which the oracle pins).
+    * The floor `graft.scan.fanout.minBytes` (default 256 KiB) keeps
+    * broadcast-dim lookups and sub-fixture-scale inputs exchange-free.
     */
   private def fanout(spark: SparkSession, df: DataFrame,
                      path: String): DataFrame = {
-    if (!spark.conf.get("graft.scan.fanout", "true").toBoolean) return df
+    val on = spark.conf.get("graft.scan.fanout", "auto") match {
+      case "false" => false
+      case "true"  => true
+      case _       => FanoutHint.requested
+    }
+    if (!on) return df
     val minBytes =
       spark.conf.get("graft.scan.fanout.minBytes", "262144").toLong
     // graft.scan.fanout.parts > 0 caps the fan-out width below the core
@@ -63,7 +86,14 @@ object Tables {
         fs.getContentSummary(p).getLength
       } catch { case _: Exception => return df }
     if (bytes < minBytes) return df
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    // Spark's effective split size (FilePartition.maxSplitBytes): small
+    // inputs are split FINER than maxPartitionBytes (down to openCost)
+    // so they already approach core-count splits; estimate with the
+    // same formula or the trigger fires on tables that are not narrow.
+    val conf = spark.sessionState.conf
+    val bytesPerCore = bytes / math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(conf.filesOpenCostInBytes, bytesPerCore))
     val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
     if (splits >= target) df else df.repartition(target)
   }

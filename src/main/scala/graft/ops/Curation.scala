@@ -84,8 +84,8 @@ object Curation {
       .exists(_.trim.equalsIgnoreCase("true"))
     if (forced) reliable(df)
     else {
-      val threshold = spark.conf.getOption(BarrierReliableBytesKey)
-        .map(_.trim.toLong).getOrElse(DefaultBarrierReliableBytes)
+      val threshold = graft.core.Config.confLong(spark,
+        BarrierReliableBytesKey, DefaultBarrierReliableBytes)
       // the barrier's persisted RDD is read DIRECTLY off the
       // checkpointed Dataset's plan (its LogicalRDD leaf), so the
       // measurement — and, on promote, the release — targets exactly

@@ -293,8 +293,26 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingler: Shingler = Shingler.words(5),
                         bandsN: Int = 2, rowsPerBand: Int = 3,
-                        maxBandDf: Int = 256): DataFrame = {
-    val numHashes = bandsN * rowsPerBand
+                        maxBandDf: Int = 256): DataFrame =
+    minhashCandidatesFromSig(
+      minhashSignatures(df, idCol, textCol, shingler, bandsN * rowsPerBand),
+      idCol, bandsN, rowsPerBand, maxBandDf)
+
+  /** The (cached) MinHash signature relation — (id, mh0..mh{n-1}) — on
+    * its own, for callers that band the SAME corpus's signatures more
+    * than once (batch-vs-full incremental folds, banding sweeps). A
+    * doc's signature is a pure per-doc function of its text, so
+    * `minhashSignatures(df).filter(p)` ≡
+    * `minhashSignatures(df.filter(p))` whenever `p` touches only the
+    * id — the sharing that lets dedup_cluster_incremental shingle the
+    * corpus ONCE instead of once per fold side (the shingle+md5 pass
+    * is the operator's dominant map cost). The band-frequency guard is
+    * NOT shareable the same way (df_b counts the banded corpus), so
+    * [[minhashCandidatesFromSig]] recomputes it per call.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingler: Shingler = Shingler.words(5),
+                        numHashes: Int = 6): DataFrame = {
     require(numHashes <= MaxHashes, s"at most $MaxHashes hashes (two md5 digests)")
     val (staged, shCol) = shingler.stage(df, textCol)
     val sh0 = staged.select(col(idCol), explode(shCol).as("s"))
@@ -306,8 +324,19 @@ object Dedup {
     // (docs × numHashes) relation instead of re-hashing every shingle twice
     val mins = (0 until numHashes).map(i =>
       min(hashSlice(i)(col("h1"), col("h2"))).as(s"mh$i"))
-    val sig = graft.core.Caches.track(
+    graft.core.Caches.track(
       sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*))
+  }
+
+  /** Banding + pair stage over a prebuilt [[minhashSignatures]]
+    * relation (which must carry mh0..mh{bandsN*rowsPerBand-1}).
+    * Identical semantics to [[minhashCandidates]] on the corpus the
+    * signatures describe — the band-frequency window is computed HERE,
+    * over exactly the signatures passed in.
+    */
+  def minhashCandidatesFromSig(sig: DataFrame, idCol: String,
+                               bandsN: Int = 2, rowsPerBand: Int = 3,
+                               maxBandDf: Int = 256): DataFrame = {
     val bandKeys = (0 until bandsN).map(b =>
       struct(lit(b).as("band"),
         concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("h")))
@@ -773,16 +802,21 @@ object Dedup {
     // the stop-list is computed on the (small) bench side only — no
     // extra pass over train, and it never touches the corpus scan. It
     // counts DISTINCT bench docs per shingle (not occurrences), then
-    // anti-joins the handful of over-cap shingles back in broadcast
-    // form, so bsh0 itself is never shuffled.
+    // anti-joins the over-cap shingles back in. The stop-list grows
+    // with the bench corpus's boilerplate, so it is broadcast only
+    // while provably small (Broadcasts.bounded: materialize + count,
+    // hint below the row bound, shuffled anti-join above it) — a
+    // blanket hint would OOM the driver at exactly the scale the
+    // guard protects against.
     val bsh =
       if (maxBenchDf == Int.MaxValue) bsh0
       else {
-        val stop = bsh0.select("bid", "sh").distinct()
-          .groupBy("sh").agg(count(lit(1)).as("__df_b"))
-          .filter(col("__df_b") > maxBenchDf)
-          .select("sh")
-        bsh0.join(broadcast(stop), Seq("sh"), "left_anti")
+        val stop = graft.core.Broadcasts.bounded(
+          bsh0.select("bid", "sh").distinct()
+            .groupBy("sh").agg(count(lit(1)).as("__df_b"))
+            .filter(col("__df_b") > maxBenchDf)
+            .select("sh"))
+        bsh0.join(stop, Seq("sh"), "left_anti")
       }
     // the benchmark side is small/curated BY DEFINITION — broadcast it
     // explicitly (the explode hides size stats from the planner, so the

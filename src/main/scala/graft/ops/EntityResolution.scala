@@ -64,7 +64,12 @@ object EntityResolution {
     * Df is DOCUMENT frequency regardless of input data: each record
     * emits each key at most once ([[deletionKeys]] array_union-dedups),
     * so the per-key count IS the number of distinct records. The
-    * stop-list itself is bounded (≤ keys/cap per side) and broadcast.
+    * stop-list is ≤ keys/cap rows per side — which still GROWS with
+    * the corpus, so it is broadcast only while provably small
+    * ([[graft.core.Broadcasts.bounded]]: materialize, count, hint
+    * below the row bound; above it the anti-joins fall back to
+    * shuffled joins instead of OOMing the driver at exactly the scale
+    * the guard exists for).
     */
   def candidates(left: DataFrame, leftId: String, right: DataFrame,
                  rightId: String, nameCol: String,
@@ -77,12 +82,13 @@ object EntityResolution {
       .withColumn("__k", explode(deletionKeys("__rn")))
     val (lf, rf) = maxBlockDf match {
       case Some(cap) =>
-        val hot = lk.groupBy("__k").agg(count(lit(1)).as("__lc"))
-          .join(rk.groupBy("__k").agg(count(lit(1)).as("__rc")), "__k")
-          .filter(col("__lc") > cap && col("__rc") > cap)
-          .select("__k")
-        (lk.join(broadcast(hot), Seq("__k"), "left_anti"),
-          rk.join(broadcast(hot), Seq("__k"), "left_anti"))
+        val hot = graft.core.Broadcasts.bounded(
+          lk.groupBy("__k").agg(count(lit(1)).as("__lc"))
+            .join(rk.groupBy("__k").agg(count(lit(1)).as("__rc")), "__k")
+            .filter(col("__lc") > cap && col("__rc") > cap)
+            .select("__k"))
+        (lk.join(hot, Seq("__k"), "left_anti"),
+          rk.join(hot, Seq("__k"), "left_anti"))
       case None => (lk, rk)
     }
     lf.join(rf, "__k")

@@ -110,13 +110,23 @@ object R15Queries {
         "this row gates the merge step it feeds.",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val hist = docs.filter(col("doc_id") % 10 < 8)
+        // ONE shingle+md5+min-agg signature pass for both fold sides
+        // (optimization guide §1.2 "don't compute things twice"): a
+        // doc's signature is a pure per-doc function of its text, so
+        // sig(docs).filter(hist) ≡ sig(docs.filter(hist)) — only the
+        // band-frequency window is corpus-dependent, and
+        // minhashCandidatesFromSig recomputes that per side exactly as
+        // two independent minhashCandidates calls did. r17: the sig
+        // pass dominated this operator's map cost (it ran twice).
+        val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
+          Dedup.Shingler.words(5), numHashes = 6)
         val prev = Dedup.connectedComponents(
-          Dedup.minhashCandidates(hist, "doc_id", "text",
-            Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3),
+          Dedup.minhashCandidatesFromSig(
+            sig.filter(col("doc_id") % 10 < 8), "doc_id",
+            bandsN = 2, rowsPerBand = 3),
           "id_a", "id_b")
-        val newPairs = Dedup.minhashCandidates(docs, "doc_id", "text",
-            Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3)
+        val newPairs = Dedup.minhashCandidatesFromSig(sig, "doc_id",
+            bandsN = 2, rowsPerBand = 3)
           .filter(col("id_a") % 10 >= 8 || col("id_b") % 10 >= 8)
         Dedup.incrementalComponents(prev, newPairs, "id_a", "id_b")
           .select(col("id"), col("label").as("cluster"))

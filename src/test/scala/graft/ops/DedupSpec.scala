@@ -96,6 +96,33 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("shared-signature fold: minhashCandidatesFromSig over a filtered " +
+      "signature slice equals minhashCandidates over the filtered corpus") {
+    // the dedup_cluster_incremental rewrite's contract: sig is per-doc,
+    // so filtering signatures ≡ filtering docs, while the band-df guard
+    // is recomputed per slice by minhashCandidatesFromSig
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " tokTail"
+    val other = (200 to 260).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other),
+      (10L, base + " x"), (11L, nearDup + " x")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "bands_matched")
+        .as[(Long, Long, Long)].collect().toSet
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
+      Dedup.Shingler.words(5), numHashes = 6)
+    val shared = canon(Dedup.minhashCandidatesFromSig(
+      sig.filter(col("doc_id") < 10), "doc_id", bandsN = 2, rowsPerBand = 3))
+    val direct = canon(Dedup.minhashCandidates(
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      Dedup.Shingler.words(5), bandsN = 2, rowsPerBand = 3))
+    assert(shared == direct)
+    // and the unfiltered paths agree too (pure refactor)
+    assert(canon(Dedup.minhashCandidatesFromSig(sig, "doc_id", 2, 3)) ==
+      canon(Dedup.minhashCandidates(docs, "doc_id", "text",
+        Dedup.Shingler.words(5), 2, 3)))
+  }
+
   test("maxBandDf: a mass-duplicate block chains instead of going quadratic; " +
     "non-degenerate recall unchanged") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -1,20 +1,25 @@
 #!/usr/bin/env python3
 """Ratchet BASELINE.json's gate_baseline onto a green full-drill record.
 
-Run ONLY after tools/bench_gate.py has PASSED the record against the
-current gate_baseline (the ratchet must never launder a regression into
-the denominator). Replaces the per-query map, best_total_s, and
-canary_s with the record's own values — so from r15 on the canary
-cross-check's denominator is a MEASURED host-speed reading taken by the
-same run that produced the per-query map, not a value inferred from the
-median it is supposed to cross-check (the r14 bootstrap).
+The ratchet RUNS tools/bench_gate.py on the record first and refuses to
+ratchet unless it passes against the current gate_baseline — the
+ratchet must never launder a regression into the denominator (r16
+nearly did: its 408 s record, a measured 1.23x regression over r15,
+must not become the gate everyone else is compared against). From r15
+on the canary cross-check's denominator is a MEASURED host-speed
+reading taken by the same run that produced the per-query map, not a
+value inferred from the median it is supposed to cross-check (the r14
+bootstrap).
 
 Usage:
-  python3 tools/bench_gate.py bench_results/r15.json        # must pass
   python3 tools/ratchet_baseline.py bench_results/r15.json --round 15
+  (--skip-gate only for bootstrap on a repo with no usable gate yet)
 """
 import argparse
 import json
+import os
+import subprocess
+import sys
 
 
 def main():
@@ -23,7 +28,21 @@ def main():
     ap.add_argument("--round", type=int, required=True,
                     help="round number the record belongs to")
     ap.add_argument("--baseline", default="BASELINE.json")
+    ap.add_argument("--skip-gate", action="store_true",
+                    help="bootstrap only: ratchet without gating (never "
+                         "for a normal round close)")
     args = ap.parse_args()
+
+    if not args.skip_gate:
+        gate_py = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_gate.py")
+        rc = subprocess.call([sys.executable, gate_py, args.bench,
+                              "--baseline", args.baseline])
+        if rc != 0:
+            raise SystemExit(
+                f"ERROR: bench_gate FAILED (rc {rc}) on {args.bench} — "
+                "refusing to ratchet a regressed record into the gate "
+                "denominator")
 
     with open(args.bench) as f:
         bench = json.load(f)
