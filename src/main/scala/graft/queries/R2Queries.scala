@@ -219,19 +219,41 @@ object R2Queries {
         "and the percentile band is only asserted for groups with n ≥ 20 " +
         "and non-null percentiles (tiny groups can legitimately put the " +
         "approx p50 outside the interpolated [p45,p55] band).",
-      (s, d) => Tables.events(s, d)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.01).as("au"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
-          // ONE exact-percentile aggregate for both band edges: each
-          // `percentile` is an ObjectAgg buffering every group value,
-          // so two separate calls buffered (and sorted) the corpus
-          // twice; the array form shares one buffer and one sort —
-          // identical values, same math (bench: 3.87 → 3.10 s best-of-2)
-          percentile(col("value"), array(lit(0.45), lit(0.55)))
-            .as("p4555"))
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // The exact distinct count runs as its OWN aggregation, joined
+        // back on the 5-row group key, instead of inside the sketch agg:
+        // a mixed distinct/non-distinct Aggregate is planned as a
+        // two-level rewrite whose FIRST level keys on
+        // (event_type, user_id) — so every heavyweight "regular" buffer
+        // (the rsd=0.01 HLL++ sketch is ~16 KiB of registers, the exact
+        // percentile an ObjectAgg holding its values) was built once PER
+        // (group, user) PAIR (7.5k pairs at sf0.1 = ~120 MiB of sketch
+        // churn) and then merged, instead of once per group (5). Split,
+        // each side is a single clean two-phase agg: sketches partial-
+        // aggregate map-side keyed by event_type alone, the distinct
+        // count keys on the pair with plain count buffers. Same values,
+        // same schema (oracle-pinned); the extra scan of the 5-column
+        // events projection is far cheaper than the per-pair buffers
+        // (profile: 6.1 s of single-task sketch CPU → sub-second;
+        // bench best 4.95 s solo / 7.57 s in-suite → see
+        // OPTIMIZATION_r17.md for the after numbers).
+        val sketch = ev
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            approx_count_distinct(col("user_id"), 0.01).as("au"),
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+            // ONE exact-percentile aggregate for both band edges: each
+            // `percentile` is an ObjectAgg buffering every group value,
+            // so two separate calls buffered (and sorted) the corpus
+            // twice; the array form shares one buffer and one sort —
+            // identical values, same math (bench: 3.87 → 3.10 s best-of-2)
+            percentile(col("value"), array(lit(0.45), lit(0.55)))
+              .as("p4555"))
+        val exact = ev
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        sketch.join(exact, Seq("event_type"))
         .withColumn("p45", element_at(col("p4555"), 1))
         .withColumn("p55", element_at(col("p4555"), 2))
         .select(col("event_type"), col("n"), col("exact_users"),
@@ -243,7 +265,8 @@ object R2Queries {
               lit(true))
             .otherwise(col("ap50") >= col("p45") && col("ap50") <= col("p55"))
             .as("p50_within_decile"))
-        .orderBy("event_type"),
+        .orderBy("event_type")
+      },
       Some("""SELECT event_type, count(*) AS n,
              |  count(DISTINCT user_id) AS exact_users,
              |  true AS hll_within_5pct,
