@@ -27,7 +27,22 @@ import graft.core.FanoutHint
   * wins without re-imposing the measured losses on everyone else.
   */
 object FanoutHints {
-  val names: Set[String] = Set(
+  /** r17 additions: a fresh solo A/B on the r17 code (best-of-2 bench
+    * passes per side, fanout forced on vs off, sf0.1 local[32]) over the
+    * 24 most expensive queries measured these five at ratio <= 0.85 with
+    * >= 0.5 s absolute saving each (er_cluster 0.63x/-2.5 s,
+    * dedup_recall_sweep 0.80x/-1.2 s, dedup_recall 0.81x/-0.8 s,
+    * graph_pagerank 0.83x/-0.6 s, graph_bfs 0.84x/-0.5 s — numbers in
+    * OPTIMIZATION_r17.md). The r16 list's 0.75 cutoff had excluded them;
+    * the 0.85-0.92 band from the same A/B (graph_modularity,
+    * dedup_cluster, graph_linkpred, graph_walks_biased) is inside
+    * run-to-run noise and stays out.
+    */
+  private val r17Winners: Set[String] = Set(
+    "er_cluster", "dedup_recall", "dedup_recall_sweep",
+    "graph_pagerank", "graph_bfs")
+
+  val names: Set[String] = r17Winners ++ Set(
     "dedup_contamination", "dedup_editdist", "dedup_embedding", "dedup_span_frac",
     "dedup_spans", "dq_drift_sketch", "dq_profile", "dq_profile_sketch",
     "dx_truncate", "er_blocked", "er_golden", "er_metrics",
