@@ -103,6 +103,17 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "auto"))
       .config("graft.scan.fanout.parts",
         sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT_PARTS", "0"))
+      // AQE-sized CACHED-plan partitioning is per-query opt-in
+      // (core/CachedPlanAqe + queries/CachedPlanAqeHints): the r17
+      // full-suite A/B measured the session-wide flag at geomean 0.906
+      // (flip_check: FLIP DISALLOWED) with ~22 s of wins concentrated
+      // in 24 loop/cache-heavy queries. "auto" (default) lets the
+      // winner list toggle it at construction; "true"/"false" force it
+      // everywhere / nowhere for A/B, mirroring SPARK_GRAFT_SCAN_FANOUT.
+      .config(graft.core.CachedPlanAqe.ModeKey,
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_PLAN_AQE", "auto"))
+      .config(graft.core.CachedPlanAqe.SparkKey,
+        (sys.env.get("SPARK_GRAFT_CACHED_PLAN_AQE").contains("true")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext

@@ -23,6 +23,10 @@ object Explain {
       // per-query FanoutHints list decide; "true"/"false" force it
       .config("graft.scan.fanout",
         sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "auto"))
+      .config(graft.core.CachedPlanAqe.ModeKey,
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_PLAN_AQE", "auto"))
+      .config(graft.core.CachedPlanAqe.SparkKey,
+        (sys.env.get("SPARK_GRAFT_CACHED_PLAN_AQE").contains("true")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

@@ -100,6 +100,13 @@ object Verify {
       // projection fragments then recompile per query)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "8192"))
+      // AQE-sized cached-plan partitioning, per-query opt-in (see
+      // Bench.scala / core.CachedPlanAqe; same modes on both mains so
+      // Verify exercises the exact physical shape Bench times)
+      .config(graft.core.CachedPlanAqe.ModeKey,
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_PLAN_AQE", "auto"))
+      .config(graft.core.CachedPlanAqe.SparkKey,
+        (sys.env.get("SPARK_GRAFT_CACHED_PLAN_AQE").contains("true")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -747,11 +747,28 @@ object Dedup {
           col("a.n_sh") * lit(thP) <= col("b.n_sh") * lit(thQ))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // Verify by per-doc shingle-SET intersection instead of the
+    // candidate ⋈ postings ⋈ postings chain: that chain fans every
+    // candidate pair out to |shingles| join rows keyed by shingle — a
+    // hot shingle concentrates its whole posting-list cross-product in
+    // one partition (profiled: the two skewed 5-task stages carrying
+    // ~6 s of the query), and AQE's skew splitter never fires at these
+    // byte sizes (guide §2.5 — it only splits >256 MB partitions). One
+    // set array per doc joined to the (already-bounded) candidate list
+    // moves O(|cand|) arrays instead of O(|cand|·n_sh) rows and
+    // computes the intersection where the pair lives. n_common is
+    // identical: shinglers emit per-doc DISTINCT shingles (the
+    // [[Shingler]] contract the prefix arithmetic above already relies
+    // on — a duplicate shingle would break ceil(θ·n) prefix sizing
+    // long before this join), so join-match count == set-intersection
+    // size. Oracle-pinned (dedup_ppjoin) plus DedupSpec equivalence.
+    val shSets = sh.groupBy("id").agg(collect_set(col("sh")).as("__set"))
     val common = cand
-      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"))
+      .join(shSets.select(col("id").as("id_a"), col("__set").as("__sa")), "id_a")
+      .join(shSets.select(col("id").as("id_b"), col("__set").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+          .as("n_common"))
     common
       .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
