@@ -732,15 +732,25 @@ object Dedup {
     val sh = graft.core.Caches.track(
       staged.select(col(idCol).as("id"), explode(shCol).as("sh")))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // counts feeds the prefix filter AND both final n_a/n_b joins —
+    // cache the (docs)-sized relation instead of re-aggregating thrice
+    val counts = graft.core.Caches.track(
+      sh.groupBy("id").agg(count(lit(1)).as("n_sh")))
     val wDoc = Window.partitionBy("id").orderBy(col("df_sh"), col("sh"))
-    val pref = sh.join(dfreq, "sh")
-      .withColumn("rk", row_number().over(wDoc))
-      .join(counts, "id")
-      .filter(col("rk") <=
-        col("n_sh") -
-          expr(s"(n_sh * ${thP}L + ${thQ - 1}L) div ${thQ}L") + 1)
-      .select("id", "sh", "n_sh")
+    // pref feeds BOTH sides of the candidate self-join: uncached, the
+    // whole rank/filter subtree (sh ⋈ dfreq → per-doc window → counts
+    // join → prefix filter) is planned — and EXECUTED — twice, and at
+    // bench scale its post-exchange stages collapse to sequential
+    // 1-task AQE stages (profiled: ~10 × ~0.8 s). One materialization
+    // serves both aliases.
+    val pref = graft.core.Caches.track(
+      sh.join(dfreq, "sh")
+        .withColumn("rk", row_number().over(wDoc))
+        .join(counts, "id")
+        .filter(col("rk") <=
+          col("n_sh") -
+            expr(s"(n_sh * ${thP}L + ${thQ - 1}L) div ${thQ}L") + 1)
+        .select("id", "sh", "n_sh"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           col("b.n_sh") * lit(thP) <= col("a.n_sh") * lit(thQ) &&
