@@ -40,7 +40,13 @@ object FanoutHints {
     */
   private val r17Winners: Set[String] = Set(
     "er_cluster", "dedup_recall", "dedup_recall_sweep",
-    "graph_pagerank", "graph_bfs")
+    "graph_pagerank", "graph_bfs",
+    // re-A/B'd AFTER the cached-plan-AQE hints landed: shrinking the
+    // loop overhead made the single-split scan stage dominant for
+    // these three (0.75x/0.84x/0.84x, >= 0.4 s each); mm_pipeline and
+    // graph_modularity re-measured as losers (1.32x / 1.09x) and stay
+    // out
+    "graph_linkpred", "dedup_stats", "graph_kcore")
 
   val names: Set[String] = r17Winners ++ Set(
     "dedup_contamination", "dedup_editdist", "dedup_embedding", "dedup_span_frac",
