@@ -636,7 +636,9 @@ object Dedup {
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
       .filter(col("df_sh") <= maxShingleDf).select("sh")
     val filtered = graft.core.Caches.track(sh.join(rare, "sh"))
-    val counts = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // counts feeds BOTH final n_a/n_b joins — one aggregation, not two
+    val counts = graft.core.Caches.track(
+      filtered.groupBy("id").agg(count(lit(1)).as("n_sh")))
     val common = filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -323,6 +323,12 @@ object Similarity {
       .join(rare.select(col("__t"), col("__id").as("id_b")), "__t")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // NOTE (r17): a per-doc tf-map rescore (map_from_entries +
+    // higher-order aggregate dot, the ppjoin array_intersect pattern)
+    // was tried here and measured WORSE (solo 2.9 -> 4.0 s): the
+    // higher-order aggregate is interpreted per element and iterates
+    // ALL of a's terms per pair, while this join touches only SHARED
+    // terms through codegen'd hash joins. Kept as measured.
     val dots = cand
       .join(tf.select(col("__id").as("id_a"), col("__t"),
         col("__tf").as("__fa")), "id_a")
